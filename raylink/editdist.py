@@ -1,0 +1,241 @@
+"""rapidfuzz-free edit-distance scorer family.
+
+The reference delegates to rapidfuzz's C++ scorers (fuzz.WRatio default for
+``RapidFuzz.match``, polyfuzz/models/_rapidfuzz.py:48; fuzz.ratio default
+for ``EditDistance``, polyfuzz/models/_distance.py:32; the documented option
+list is polyfuzz/models/_rapidfuzz.py:23-35). rapidfuzz is not installed
+here, so the scorers are re-derived from their published algorithms
+(rapidfuzz / fuzzywuzzy semantics):
+
+  * ``ratio``              — normalized InDel similarity 100*2*LCS/(l1+l2)
+  * ``partial_ratio``      — best ``ratio`` over all length-|shorter|
+                             windows of the longer string
+  * ``token_sort_ratio``   — ratio over space-sorted token strings
+  * ``token_set_ratio``    — fuzzywuzzy set construction, max of 3 ratios
+  * ``partial_token_*``    — same with partial_ratio
+  * ``WRatio``             — fuzzywuzzy weighted composite (0.95 unbase
+                             scale, partial path for length ratio >= 1.5,
+                             0.9 / 0.6 partial scale at length ratio 8)
+  * ``QRatio``             — processed ratio
+
+All scorers return floats in [0, 100] like rapidfuzz. ``default_process``
+replaces non-word chars with spaces, lowercases and trims (rapidfuzz
+``utils.default_process``).
+
+The LCS core is a vectorized one-vs-many numpy DP: per character of the
+query we update a whole (n_to x max_len) DP slab, so scoring one string
+against a to-list of hundreds costs len(query) numpy ops, not a Python
+loop per pair.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_WORD_RE = re.compile(r"(?u)\W")
+
+
+def default_process(s: str) -> str:
+    """rapidfuzz ``utils.default_process``: non-alphanumeric -> space,
+    lowercase, trim (internal runs of spaces are kept)."""
+    return _WORD_RE.sub(" ", s.lower()).strip()
+
+
+# ---------------------------------------------------------------------------
+# LCS core
+# ---------------------------------------------------------------------------
+
+
+def _codes(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+
+
+class PaddedStrings:
+    """A to-list packed into a padded codepoint matrix for one-vs-many DP.
+
+    Padding value -1 never equals a real codepoint, so padded cells never
+    match and the DP result at column ``lens[i]`` is exact per string.
+    """
+
+    __slots__ = ("mat", "lens")
+
+    def __init__(self, strings: list[str]):
+        lens = np.array([len(s) for s in strings], dtype=np.int64)
+        width = int(lens.max()) if len(lens) else 0
+        mat = np.full((len(strings), width), -1, dtype=np.int64)
+        for i, s in enumerate(strings):
+            if s:
+                mat[i, : len(s)] = _codes(s)
+        self.mat = mat
+        self.lens = lens
+
+
+def lcs_one_to_many(query: str, packed: PaddedStrings) -> np.ndarray:
+    """LCS length of ``query`` vs every packed string (vectorized DP).
+
+    Row recurrence L[i][j] = max(L[i-1][j], L[i][j-1], L[i-1][j-1]+eq)
+    collapses to a prefix-maximum: tmp = max(prev[1:], prev[:-1]+eq);
+    cur = cummax(tmp) — one accumulate per query character.
+    """
+    n_to, width = packed.mat.shape
+    if width == 0 or not query:
+        return np.zeros(n_to, dtype=np.int64)
+    q = _codes(query)
+    prev = np.zeros((n_to, width + 1), dtype=np.int64)
+    cur = np.zeros_like(prev)
+    for ch in q:
+        eq = packed.mat == ch
+        np.maximum(prev[:, 1:], prev[:, :-1] + eq, out=cur[:, 1:])
+        np.maximum.accumulate(cur[:, 1:], axis=1, out=cur[:, 1:])
+        prev, cur = cur, prev
+    return prev[np.arange(n_to), packed.lens]
+
+
+def lcs_pair(s1: str, s2: str) -> int:
+    return int(lcs_one_to_many(s1, PaddedStrings([s2]))[0])
+
+
+def ratio(s1: str, s2: str) -> float:
+    """fuzz.ratio: 100 * (1 - indel_dist/(l1+l2)) = 100*2*LCS/(l1+l2);
+    two empty strings -> 100 (rapidfuzz convention)."""
+    t = len(s1) + len(s2)
+    if t == 0:
+        return 100.0
+    return 200.0 * lcs_pair(s1, s2) / t
+
+
+def ratio_one_to_many(query: str, packed: PaddedStrings) -> np.ndarray:
+    t = packed.lens + len(query)
+    lcs = lcs_one_to_many(query, packed)
+    out = np.where(t == 0, 100.0, 200.0 * lcs / np.maximum(t, 1))
+    return out
+
+
+def partial_ratio(s1: str, s2: str) -> float:
+    """Best ``ratio`` of the shorter string vs every full-length window of
+    the longer one (brute-force sliding windows, vectorized via the
+    one-vs-many DP over the window matrix)."""
+    if len(s1) > len(s2):
+        s1, s2 = s2, s1
+    if not s1:
+        return 100.0 if not s2 else 0.0
+    if len(s1) == len(s2):
+        return ratio(s1, s2)
+    c2 = _codes(s2)
+    win = np.lib.stride_tricks.sliding_window_view(c2, len(s1))
+    packed = PaddedStrings.__new__(PaddedStrings)
+    packed.mat = win
+    packed.lens = np.full(win.shape[0], len(s1), dtype=np.int64)
+    lcs = lcs_one_to_many(s1, packed)
+    return float(200.0 * lcs.max() / (2 * len(s1)))
+
+
+def _token_sort(s: str) -> str:
+    return " ".join(sorted(s.split()))
+
+
+def token_sort_ratio(s1: str, s2: str) -> float:
+    return ratio(_token_sort(s1), _token_sort(s2))
+
+
+def partial_token_sort_ratio(s1: str, s2: str) -> float:
+    return partial_ratio(_token_sort(s1), _token_sort(s2))
+
+
+def _token_set_parts(s1: str, s2: str) -> tuple[str, str, str]:
+    t1, t2 = set(s1.split()), set(s2.split())
+    inter = " ".join(sorted(t1 & t2))
+    d1 = " ".join(sorted(t1 - t2))
+    d2 = " ".join(sorted(t2 - t1))
+    combined1 = (inter + " " + d1).strip()
+    combined2 = (inter + " " + d2).strip()
+    return inter, combined1, combined2
+
+
+def token_set_ratio(s1: str, s2: str) -> float:
+    inter, c1, c2 = _token_set_parts(s1, s2)
+    return max(ratio(inter, c1), ratio(inter, c2), ratio(c1, c2))
+
+
+def partial_token_set_ratio(s1: str, s2: str) -> float:
+    inter, c1, c2 = _token_set_parts(s1, s2)
+    return max(partial_ratio(inter, c1), partial_ratio(inter, c2), partial_ratio(c1, c2))
+
+
+def token_ratio(s1: str, s2: str) -> float:
+    return max(token_sort_ratio(s1, s2), token_set_ratio(s1, s2))
+
+
+def partial_token_ratio(s1: str, s2: str) -> float:
+    return max(partial_token_sort_ratio(s1, s2), partial_token_set_ratio(s1, s2))
+
+
+def QRatio(s1: str, s2: str) -> float:
+    return ratio(default_process(s1), default_process(s2))
+
+
+def WRatio(s1: str, s2: str) -> float:
+    """fuzzywuzzy/rapidfuzz weighted composite over processed strings."""
+    p1, p2 = default_process(s1), default_process(s2)
+    l1, l2 = len(p1), len(p2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    base = ratio(p1, p2)
+    unbase_scale = 0.95
+    len_ratio = max(l1, l2) / min(l1, l2)
+    if len_ratio < 1.5:
+        return max(
+            base,
+            token_sort_ratio(p1, p2) * unbase_scale,
+            token_set_ratio(p1, p2) * unbase_scale,
+        )
+    partial_scale = 0.9 if len_ratio < 8 else 0.6
+    return max(
+        base,
+        partial_ratio(p1, p2) * partial_scale,
+        partial_token_sort_ratio(p1, p2) * unbase_scale * partial_scale,
+        partial_token_set_ratio(p1, p2) * unbase_scale * partial_scale,
+    )
+
+
+SCORERS = {
+    "ratio": ratio,
+    "partial_ratio": partial_ratio,
+    "token_sort_ratio": token_sort_ratio,
+    "partial_token_sort_ratio": partial_token_sort_ratio,
+    "token_set_ratio": token_set_ratio,
+    "partial_token_set_ratio": partial_token_set_ratio,
+    "token_ratio": token_ratio,
+    "partial_token_ratio": partial_token_ratio,
+    "WRatio": WRatio,
+    "QRatio": QRatio,
+}
+
+
+def resolve_scorer(scorer):
+    """Accept a callable or a name from :data:`SCORERS` (the user-extension
+    surface mirroring polyfuzz/models/_rapidfuzz.py:23-35)."""
+    if callable(scorer):
+        return scorer
+    try:
+        return SCORERS[scorer]
+    except KeyError:
+        raise ValueError(f"unknown scorer {scorer!r}; options: {sorted(SCORERS)}")
+
+
+def extract_one(
+    query: str, choices: list[str], score_cutoff: float = 0.0, scorer=WRatio
+) -> tuple[str, float] | None:
+    """rapidfuzz ``process.extractOne`` semantics used by RapidFuzz.match
+    (polyfuzz/models/_rapidfuzz.py:106-110): best score >= cutoff wins,
+    ties resolved to the FIRST choice (strict-improvement scan)."""
+    best_s = None
+    best = score_cutoff
+    found = False
+    for c in choices:
+        s = scorer(query, c)
+        if s >= best and (not found or s > best):
+            best, best_s, found = s, c, True
+    return (best_s, best) if found else None

@@ -1,0 +1,115 @@
+"""Deterministic embedding backends + cosine matching support.
+
+The reference's five embedding matchers (Flair polyfuzz/models/_embeddings.py,
+SBERT _sbert.py, Gensim _gensim.py, spaCy _spacy.py, USE _use.py) all share
+one pattern: embed both lists (model held warm in the matcher), L2-normalize
+(_embeddings.py:145), cache the to-side (`embeddings_to`, _sbert.py:112 et
+al.), then reuse the shared cosine top-k kernel. The model libraries are not
+installed in this environment, so the default backend is a deterministic
+hash embedder: per-token vectors from blake2b digests, mean-pooled
+(mirroring Gensim's mean pooling with zero OOV vectors,
+polyfuzz/models/_gensim.py:118-140), then L2-normalized. Any callable
+``texts -> np.ndarray`` plugs in as a custom backend (the reference's
+user-extension surface, _embeddings.py:60-79).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+class HashEmbedder:
+    """Deterministic token-hash embedder (seeded, no model weights).
+
+    Token vector = float64 values derived from blake2b(token || seed),
+    mapped into [-1, 1]; document vector = mean of token vectors (empty
+    text -> zero vector); rows are NOT normalized here — the matcher
+    normalizes, matching the reference split of responsibilities.
+    """
+
+    def __init__(self, dim: int = 64, seed: int = 42):
+        self.dim = int(dim)
+        self.seed = int(seed)
+        self._cache: dict[str, np.ndarray] = {}
+
+    def _token_vec(self, token: str) -> np.ndarray:
+        v = self._cache.get(token)
+        if v is not None:
+            return v
+        out = np.empty(self.dim, dtype=np.float64)
+        n_bytes = self.dim * 8
+        raw = b""
+        counter = 0
+        while len(raw) < n_bytes:
+            h = hashlib.blake2b(
+                f"{self.seed}:{counter}:{token}".encode(), digest_size=64
+            )
+            raw += h.digest()
+            counter += 1
+        ints = np.frombuffer(raw[:n_bytes], dtype=np.uint64)
+        out = (ints.astype(np.float64) / np.float64(2**64)) * 2.0 - 1.0
+        if len(self._cache) < 200_000:
+            self._cache[token] = out
+        return out
+
+    def __call__(self, texts) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for i, t in enumerate(texts):
+            toks = str(t).lower().split()
+            if not toks:
+                continue
+            acc = np.zeros(self.dim, dtype=np.float64)
+            for tok in toks:
+                acc += self._token_vec(tok)
+            out[i] = acc / len(toks)
+        return out
+
+
+def l2_normalize(mat: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization; zero rows stay zero (sklearn
+    ``preprocessing.normalize`` semantics, polyfuzz/models/_embeddings.py:145)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return np.divide(mat, norms, out=np.zeros_like(mat), where=norms > 0)
+
+
+def dense_topk_cosine(
+    from_mat: np.ndarray,
+    to_mat: np.ndarray,
+    top_n: int,
+    self_match: bool = False,
+    from_global_offset: int = 0,
+    batch_rows: int = 4096,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense blocked top-k cosine over raw (unnormalized) embeddings.
+
+    Cosine = dot of L2-normalized rows; self-match zeroes the positional
+    diagonal (polyfuzz/models/_utils.py:98). Returns (idx, sims) padded
+    with -1/0.0 like the sparse kernel. to_mat is normalized once by the
+    caller ideally; normalization here is idempotent-safe.
+    """
+    fn = l2_normalize(np.asarray(from_mat, dtype=np.float64))
+    tn = l2_normalize(np.asarray(to_mat, dtype=np.float64))
+    n_from, n_to = fn.shape[0], tn.shape[0]
+    k = int(min(top_n, n_to))
+    out_idx = np.full((n_from, top_n), -1, dtype=np.int64)
+    out_sim = np.zeros((n_from, top_n), dtype=np.float64)
+    if k == 0:
+        return out_idx, out_sim
+    for r in range(0, n_from, batch_rows):
+        r_end = min(n_from, r + batch_rows)
+        sim = fn[r:r_end] @ tn.T
+        if self_match:
+            diag = np.arange(r, r_end) + from_global_offset
+            valid = diag < n_to
+            sim[np.flatnonzero(valid), diag[valid]] = 0.0
+        if k < n_to:
+            part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        else:
+            part = np.broadcast_to(np.arange(n_to), sim.shape).copy()
+        vals = np.take_along_axis(sim, part, axis=1)
+        order = np.lexsort((part, -vals), axis=1)[:, :k]
+        out_idx[r:r_end, :k] = np.take_along_axis(part, order, axis=1)
+        out_sim[r:r_end, :k] = np.take_along_axis(vals, order, axis=1)
+    return out_idx, out_sim

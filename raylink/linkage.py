@@ -1,0 +1,131 @@
+"""Quirk-exact single linkage + cross-block union-find.
+
+``single_linkage`` replays polyfuzz/linkage.py:5-53 verbatim in semantics —
+it is NOT connected components:
+
+  * rows filtered ``Similarity > min_similarity`` (strict, linkage.py:25);
+  * rows scanned in FRAME ORDER (linkage.py:30) — order-sensitive;
+  * membership tests use dict truthiness (``if not cluster_mapping.get(x)``,
+    linkage.py:33,36), so cluster id 0 is indistinguishable from unmapped:
+    a string in cluster 0 can be silently re-assigned ("cluster-0 steal"),
+    and a From already in a truthy cluster skips the row entirely (its To
+    never joins — transitivity deliberately broken, the reference's tests
+    codify the resulting ids, tests/test_polyfuzz.py:85-86,99-100);
+  * representative = first member inserted into the cluster (linkage.py:51).
+
+The distributed engine runs this exact sequential algorithm per block inside
+``groupby(block_key).map_groups`` with rows pre-sorted by ``row_order``;
+``UnionFind`` exists for cross-block merging of representatives (edge volume
+is tiny post-blocking) and for the near-dup pipelines, where plain connected
+components IS the desired semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def single_linkage(
+    matches: pd.DataFrame, min_similarity: float = 0.8
+) -> tuple[dict[int, list[str]], dict[str, int], dict[str, str]]:
+    """Exact reference algorithm over a (From, To, Similarity) frame."""
+    sel = matches.loc[matches.Similarity > min_similarity, :]
+    cluster_mapping: dict[str, int] = {}
+    cluster_id = 0
+    for frm, to in zip(sel["From"].tolist(), sel["To"].tolist()):
+        if not cluster_mapping.get(frm):
+            if not cluster_mapping.get(to):
+                cluster_mapping[to] = cluster_id
+                cluster_mapping[frm] = cluster_id
+                cluster_id += 1
+            else:
+                cluster_mapping[frm] = cluster_mapping.get(to)
+    clusters: dict[int, list[str]] = {}
+    for key, value in cluster_mapping.items():
+        clusters.setdefault(value, [])
+        clusters[value].append(key)
+    cluster_name_map = {
+        key: clusters.get(value)[0] for key, value in cluster_mapping.items()
+    }
+    return clusters, cluster_mapping, cluster_name_map
+
+
+def single_linkage_arrays(
+    from_arr: np.ndarray,
+    to_arr: np.ndarray,
+    sims: np.ndarray,
+    min_similarity: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Array-shaped variant for use inside ``map_groups``: rows must already
+    be in frame order (sorted by the carried ``row_order`` column).
+
+    Returns (member, cluster_id, representative) arrays — the normalized
+    cluster table of SURVEY §1.2. Membership insertion order is preserved so
+    representatives match the reference's ``clusters[value][0]``.
+    """
+    keep = sims > min_similarity
+    cluster_mapping: dict[str, int] = {}
+    cluster_id = 0
+    for frm, to in zip(from_arr[keep].tolist(), to_arr[keep].tolist()):
+        if not cluster_mapping.get(frm):
+            if not cluster_mapping.get(to):
+                cluster_mapping[to] = cluster_id
+                cluster_mapping[frm] = cluster_id
+                cluster_id += 1
+            else:
+                cluster_mapping[frm] = cluster_mapping.get(to)
+    members = np.array(list(cluster_mapping.keys()), dtype=object)
+    cids = np.array(list(cluster_mapping.values()), dtype=np.int64)
+    reps = np.empty(len(members), dtype=object)
+    first_member: dict[int, str] = {}
+    for m, c in zip(members, cids.tolist()):
+        if c not in first_member:
+            first_member[c] = m
+    for i, c in enumerate(cids.tolist()):
+        reps[i] = first_member[c]
+    return members, cids, reps
+
+
+class UnionFind:
+    """Path-compressed union-find over arbitrary hashable keys (driver-side
+    cross-block merge; also the verifier stage of the near-dup pipelines)."""
+
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            root = self.find(p)
+            self.parent[x] = root
+            return root
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+    def groups(self) -> dict:
+        out: dict = {}
+        for x in list(self.parent):
+            out.setdefault(self.find(x), []).append(x)
+        return out
+
+
+def connected_components_labels(
+    left: np.ndarray, right: np.ndarray
+) -> dict:
+    """Min-label connected components over an edge list (driver-side; used
+    when the candidate set is provably small post-blocking). Returns
+    node -> canonical (minimal) label."""
+    uf = UnionFind()
+    for a, b in zip(left.tolist(), right.tolist()):
+        uf.union(a, b)
+    label: dict = {}
+    for root, members in uf.groups().items():
+        canon = min(members)
+        for m in members:
+            label[m] = canon
+    return label

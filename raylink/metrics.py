@@ -1,0 +1,137 @@
+"""Precision-recall curve as in the reference, plus a distributed-friendly
+exact variant computed from a (similarity -> count/sum) aggregate.
+
+Parity target: polyfuzz/metrics.py:12-53 —
+  * thresholds = ``np.arange(0, 1 + step, step)`` (fp noise INCLUDED: the
+    reference compares ``sim >= 0.30000000000000004`` at the 0.3 step);
+  * recall(t) = count(sim >= t) / total (total includes unmatched sim-0
+    rows);
+  * average_precision(t) = mean(sim[sim >= t]) — NaN when the selection is
+    empty (the reference suppresses the RuntimeWarning, metrics.py:49-51).
+
+The distributed path never ships the similarity column to the driver: the
+engine runs ``matches.groupby("similarity").count()+sum()`` (distinct sims
+are bounded — TF-IDF sims are rounded to 3 decimals, edit-distance sims are
+small-denominator rationals) and finalizes the exact curve from that tiny
+table via :func:`pr_curve_from_value_counts`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def precision_recall_curve(
+    matches: pd.DataFrame, precision_steps: float = 0.01
+) -> tuple[list[float], list[float], list[float]]:
+    """Exact reference semantics over an in-memory matches frame."""
+    sims = matches["Similarity"].to_numpy(dtype=np.float64)
+    return pr_curve_from_values(sims, precision_steps)
+
+
+def pr_curve_from_values(
+    sims: np.ndarray, precision_steps: float = 0.01
+) -> tuple[list[float], list[float], list[float]]:
+    min_precisions = list(np.arange(0.0, 1 + precision_steps, precision_steps))
+    total = len(sims)
+    recall: list[float] = []
+    average_precision: list[float] = []
+    for t in min_precisions:
+        sel = sims[sims >= t]
+        recall.append(len(sel) / total if total else 0.0)
+        average_precision.append(float(np.mean(sel)) if len(sel) else float("nan"))
+    return min_precisions, recall, average_precision
+
+
+def pr_curve_from_value_counts(
+    values: np.ndarray,
+    counts: np.ndarray,
+    precision_steps: float = 0.01,
+    threshold_mode: str = "arange",
+) -> pd.DataFrame:
+    """Exact PR curve from a (distinct similarity, count) aggregate.
+
+    ``threshold_mode="arange"`` reproduces the reference's fp-noisy
+    ``np.arange`` grid; ``"decimal"`` uses exact i*step decimals (the
+    SQL-oracle-friendly grid used by the driver correctness queries).
+    Returns a frame (min_precision, recall, average_precision).
+    """
+    values = np.asarray(values, dtype=np.float64)
+    counts = np.asarray(counts, dtype=np.float64)
+    order = np.argsort(values)
+    values, counts = values[order], counts[order]
+    csum_n = np.cumsum(counts[::-1])[::-1]  # count of sims >= values[i]
+    csum_v = np.cumsum((counts * values)[::-1])[::-1]
+    total = counts.sum()
+    if threshold_mode == "arange":
+        thresholds = np.arange(0.0, 1 + precision_steps, precision_steps)
+    else:
+        n_steps = int(round(1 / precision_steps))
+        # i/n gives the correctly-rounded decimal (matching SQL i/100.0);
+        # i*step would re-introduce arange-style fp noise.
+        thresholds = np.array(
+            [i / n_steps for i in range(n_steps + 1)], dtype=np.float64
+        )
+    pos = np.searchsorted(values, thresholds, side="left")
+    n_ge = np.where(pos < len(values), csum_n[np.minimum(pos, len(values) - 1)], 0.0)
+    s_ge = np.where(pos < len(values), csum_v[np.minimum(pos, len(values) - 1)], 0.0)
+    recall = n_ge / total if total else np.zeros_like(n_ge)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        avg_p = s_ge / n_ge
+    return pd.DataFrame(
+        {
+            "min_precision": thresholds,
+            "recall": recall,
+            "average_precision": avg_p,
+        }
+    )
+
+
+def pairwise_f1(
+    pairs: pd.DataFrame,
+    labels_ours: dict,
+    labels_ref: dict,
+) -> dict:
+    """Pairwise F1 of our cluster co-membership vs the reference oracle's,
+    evaluated on a labeled-pairs table (entity_a, entity_b) — the north-rule
+    gate (BASELINE.md). ``labels_*`` map string -> cluster id; strings
+    missing from a map are singletons."""
+    a = pairs["entity_a"].tolist()
+    b = pairs["entity_b"].tolist()
+
+    def same(labels, x, y):
+        lx = labels.get(x)
+        ly = labels.get(y)
+        if lx is None or ly is None:
+            return x == y
+        return lx == ly
+
+    tp = fp = fn = tn = 0
+    for x, y in zip(a, b):
+        ref = same(labels_ref, x, y)
+        ours = same(labels_ours, x, y)
+        if ref and ours:
+            tp += 1
+        elif ours and not ref:
+            fp += 1
+        elif ref and not ours:
+            fn += 1
+        else:
+            tn += 1
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "tn": tn,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }

@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+
+from raylink import editdist as ed
+
+
+def slow_lcs(a, b):
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = max(
+                dp[i - 1][j],
+                dp[i][j - 1],
+                dp[i - 1][j - 1] + (a[i - 1] == b[j - 1]),
+            )
+    return dp[-1][-1]
+
+
+def test_lcs_against_slow_dp():
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        a = "".join(rng.choice(list("abcd"), size=rng.integers(0, 12)))
+        b = "".join(rng.choice(list("abcd"), size=rng.integers(1, 12)))
+        assert ed.lcs_pair(a, b) == slow_lcs(a, b), (a, b)
+
+
+def test_lcs_one_to_many_matches_pairwise():
+    tos = ["apple", "apples", "mouse", "", "similarity"]
+    packed = ed.PaddedStrings(tos)
+    got = ed.lcs_one_to_many("house", packed)
+    assert got.tolist() == [slow_lcs("house", t) for t in tos]
+
+
+def test_ratio_goldens():
+    assert ed.ratio("apple", "apple") == 100.0
+    assert abs(ed.ratio("apple", "apples") - 200 * 5 / 11) < 1e-12
+    assert abs(ed.ratio("house", "mouse") - 80.0) < 1e-12
+    assert ed.ratio("", "") == 100.0
+    assert ed.ratio("a", "") == 0.0
+
+
+def test_partial_ratio():
+    assert ed.partial_ratio("appl", "apples") == 100.0
+    assert ed.partial_ratio("abc", "xxabcxx") == 100.0
+    assert ed.partial_ratio("abc", "abc") == 100.0
+    assert ed.partial_ratio("axc", "xxabcxx") < 100.0
+
+
+def test_token_sort_and_set():
+    assert ed.token_sort_ratio("world hello", "hello world") == 100.0
+    assert ed.token_set_ratio("big apple pie", "pie apple") == 100.0
+    assert ed.token_ratio("a b", "b a") == 100.0
+
+
+def test_wratio_properties(fixture_lists):
+    from_list, to_list = fixture_lists
+    # identity
+    for s in from_list:
+        assert ed.WRatio(s, s) == 100.0
+    # known pairs (rapidfuzz-compatible paths)
+    assert abs(ed.WRatio("house", "mouse") - 80.0) < 1e-9
+    # appl vs apples: len ratio 1.5 -> partial path, substring hit * 0.9
+    assert abs(ed.WRatio("appl", "apples") - 90.0) < 1e-9
+    assert ed.WRatio("", "anything") == 0.0
+
+
+def test_default_process():
+    assert ed.default_process("Hello, World!") == "hello  world"
+    assert ed.default_process("  ABC-12  ") == "abc 12"
+
+
+def test_extract_one_cutoff_and_ties():
+    choices = ["aaa", "aab", "aaa"]
+    got = ed.extract_one("aaa", choices, scorer=ed.ratio)
+    assert got == ("aaa", 100.0)  # first of the tied pair
+    assert ed.extract_one("zzz", ["aaa"], score_cutoff=50, scorer=ed.ratio) is None
+    # score equal to cutoff is accepted (rapidfuzz >= semantics)
+    got = ed.extract_one("ab", ["ax"], score_cutoff=50, scorer=ed.ratio)
+    assert got == ("ax", 50.0)
+
+
+def test_resolve_scorer():
+    assert ed.resolve_scorer("WRatio") is ed.WRatio
+    assert ed.resolve_scorer(ed.ratio) is ed.ratio
+    with pytest.raises(ValueError):
+        ed.resolve_scorer("nope")

@@ -1,0 +1,179 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from raylink import (
+    EditDistanceMatcher,
+    EmbeddingMatcher,
+    PolyMatch,
+    RapidFuzzMatcher,
+    TFIDFMatcher,
+)
+from raylink import editdist
+from raylink.matchers import BaseMatcher
+
+
+class MyModel(BaseMatcher):
+    """Custom-matcher extension surface (tests/test_polyfuzz.py:23-37)."""
+
+    def match(self, from_list, to_list=None, **kwargs):
+        scores = [
+            [editdist.ratio(f, t) / 100 for t in to_list] for f in from_list
+        ]
+        mappings = [to_list[int(np.argmax(row))] for row in scores]
+        return pd.DataFrame(
+            {
+                "From": from_list,
+                "To": mappings,
+                "Similarity": np.max(scores, axis=1),
+            }
+        )
+
+
+METHODS = ["EditDistance", "TF-IDF", "Embeddings", MyModel()]
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_base_model(method, fixture_lists):
+    from_list, to_list = fixture_lists
+    model = PolyMatch(method).match(from_list, to_list)
+    matches = model.get_matches()
+    assert isinstance(matches, pd.DataFrame)
+    assert matches.Similarity.mean() > 0.3
+    assert len(matches) == 6
+    assert list(matches.columns) == ["From", "To", "Similarity"]
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_fit_transform(method, fixture_lists):
+    from_list, to_list = fixture_lists
+    model = PolyMatch(method).fit(from_list, to_list)
+    matches = model.get_matches()
+    assert len(matches) == 6
+    results = model.transform(to_list)
+    key = list(results.keys())[0]
+    assert isinstance(results[key], pd.DataFrame)
+    assert results[key].Similarity.sum() > 0
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_grouper(method, fixture_lists):
+    from_list, to_list = fixture_lists
+    model = PolyMatch(method).match(from_list, to_list)
+    model.group(link_min_similarity=0.75)
+    matches = model.get_matches()
+    assert list(matches.columns) == ["From", "To", "Similarity", "Group"]
+    assert model.get_clusters() == {1: ["apples", "apple"]}
+    assert model.get_cluster_mappings() == {"apples": 1, "apple": 1}
+
+
+def test_wrong_method_raises(fixture_lists):
+    from_list, to_list = fixture_lists
+    with pytest.raises(ValueError):
+        PolyMatch("Unknown Model").match(from_list, to_list)
+
+
+def test_multiple_models(fixture_lists):
+    from_list, to_list = fixture_lists
+    matchers = [
+        TFIDFMatcher(n_gram_range=(3, 3), min_similarity=0, model_id="TF-IDF"),
+        TFIDFMatcher(n_gram_range=(3, 6), min_similarity=0),
+        EditDistanceMatcher(n_jobs=1),
+        EditDistanceMatcher(n_jobs=1, scorer=editdist.ratio),
+        RapidFuzzMatcher(n_jobs=1),
+    ]
+    model = PolyMatch(matchers).match(from_list, to_list)
+    for model_id in model.get_ids():
+        assert model_id in model.get_matches().keys()
+    assert len(model.get_matches()) == len(matchers)
+    with pytest.raises(ValueError):
+        model.get_clusters()
+    model.group()
+    for model_id in model.get_ids():
+        assert model_id in model.get_cluster_mappings().keys()
+
+
+def test_top_n_columns(fixture_lists):
+    from_list, to_list = fixture_lists
+    matches = TFIDFMatcher(min_similarity=0, top_n=2).match(from_list, to_list)
+    assert list(matches.columns) == ["From", "To", "Similarity", "To_2", "Similarity_2"]
+    # top_n clamp: only 3 distinct to-strings (polyfuzz/models/_utils.py:54-56)
+    matches = TFIDFMatcher(min_similarity=0, top_n=10).match(from_list, to_list)
+    assert list(matches.columns) == [
+        "From", "To", "Similarity", "To_2", "Similarity_2", "To_3", "Similarity_3",
+    ]
+
+
+def test_small_similarity_nulled():
+    m = TFIDFMatcher(min_similarity=0).match(["qqq"], ["zzz"])
+    assert m["To"].iloc[0] is None
+    assert m["Similarity"].iloc[0] == 0.0
+
+
+def test_rapidfuzz_score_cutoff(fixture_lists):
+    from_list, to_list = fixture_lists
+    matches = RapidFuzzMatcher(score_cutoff=0.95).match(from_list, to_list)
+    # only exact-ish matches survive; misses are (None, 0.)
+    assert matches.loc[matches.From == "recal", "To"].iloc[0] is None
+    assert matches.loc[matches.From == "recal", "Similarity"].iloc[0] == 0.0
+    assert matches.loc[matches.From == "apple", "To"].iloc[0] == "apple"
+
+
+def test_rapidfuzz_self_match_removes_self(fixture_lists):
+    from_list, _ = fixture_lists
+    matches = RapidFuzzMatcher().match(from_list)
+    assert (matches["From"] != matches["To"]).all()
+    assert matches.loc[matches.From == "apple", "To"].iloc[0] == "apples"
+
+
+def test_editdistance_normalize(fixture_lists):
+    from_list, to_list = fixture_lists
+    raw = EditDistanceMatcher(normalize=False).match(from_list, to_list)
+    assert raw.Similarity.max() > 1  # raw 0-100 scorer values
+    norm = EditDistanceMatcher(normalize=True).match(from_list, to_list)
+    assert norm.Similarity.min() == 0.0
+    assert norm.Similarity.max() == 1.0
+
+
+def test_editdistance_custom_scorer(fixture_lists):
+    from_list, to_list = fixture_lists
+    jaccard = lambda a, b: len(set(a) & set(b)) / len(set(a) | set(b))
+    m = EditDistanceMatcher(scorer=jaccard, normalize=False).match(from_list, to_list)
+    assert m.Similarity.between(0, 1).all()
+
+
+def test_embedding_custom_backend(fixture_lists):
+    from_list, to_list = fixture_lists
+
+    def char_embed(texts):
+        out = np.zeros((len(texts), 26))
+        for i, t in enumerate(texts):
+            for c in t:
+                if c.isalpha():
+                    out[i, ord(c.lower()) - 97] += 1
+        return out
+
+    m = EmbeddingMatcher(embedder=char_embed, min_similarity=0).match(
+        from_list, to_list
+    )
+    assert m.loc[m.From == "apple", "To"].iloc[0] == "apple"
+    assert m.loc[m.From == "apple", "Similarity"].iloc[0] == 1.0
+
+
+def test_embedding_retrain_false_caches(fixture_lists):
+    from_list, to_list = fixture_lists
+    m = EmbeddingMatcher(min_similarity=0)
+    m.match(from_list, to_list)
+    cached = m.embeddings_to
+    m.match(["apple"], to_list, re_train=False)
+    assert m.embeddings_to is cached
+
+
+def test_save_load_roundtrip(tmp_path, fixture_lists):
+    from_list, to_list = fixture_lists
+    model = PolyMatch("TF-IDF").fit(from_list, to_list)
+    p = str(tmp_path / "model.pkl")
+    model.save(p)
+    loaded = PolyMatch.load(p)
+    out = loaded.transform(["appl"])
+    assert out["TF-IDF"]["To"].iloc[0] == "apple"

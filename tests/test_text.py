@@ -1,0 +1,82 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raylink.text import (
+    batch_ngrams,
+    clean_string,
+    clean_strings_arrow,
+    create_ngrams,
+)
+
+
+def test_clean_string():
+    # polyfuzz/models/_tfidf.py:142-146 semantics
+    assert clean_string("Hello, World!") == "hello world"
+    assert clean_string("  A  B\t\nC  ") == "a b c"
+    assert clean_string("Ab-Cd_12$%") == "abcd12"
+    assert clean_string("") == ""
+    assert clean_string("!!!") == ""
+
+
+def test_clean_strings_arrow_matches_scalar():
+    strings = [
+        "Hello, World!",
+        "  A  B\t\nC  ",
+        "Ab-Cd_12$%",
+        "",
+        "!!!",
+        "Ünïcode Ödd",
+        "MiXeD CaSe 42",
+    ]
+    got = clean_strings_arrow(pa.array(strings)).to_pylist()
+    assert got == [clean_string(s) for s in strings]
+
+
+@pytest.mark.parametrize("rng", [(3, 3), (2, 4), (1, 1), (3, 6)])
+def test_create_ngrams_inclusive_range(rng):
+    grams = create_ngrams("hotel", rng, clean=False)
+    expected = []
+    for n in range(rng[0], rng[1] + 1):
+        expected += ["hotel"[i : i + n] for i in range(len("hotel") - n + 1)]
+    assert grams == expected
+
+
+def test_create_ngrams_space_removal():
+    assert create_ngrams("ab cd", (3, 3), clean=False) == []
+    assert create_ngrams("ab cd", (2, 2), clean=False) == ["ab", "cd"]
+    got = create_ngrams("ab cd", (3, 3), clean=False, remove_space_ngrams=False)
+    assert got == ["ab ", "b c", " cd"]
+
+
+def test_create_ngrams_short_string():
+    assert create_ngrams("ab", (3, 3), clean=False) == []
+
+
+def test_batch_ngrams_matches_scalar():
+    texts = ["apple pie", "", "ab", "hotel", "a b c d", "xyzzy plugh"]
+    cleaned = pa.array(texts)
+    for rng in [(3, 3), (2, 4), (1, 2)]:
+        doc_ids, grams = batch_ngrams(cleaned, rng, remove_space_ngrams=True)
+        got = {}
+        for d, g in zip(doc_ids.tolist(), grams.tolist()):
+            got.setdefault(d, []).append(g.rstrip(b"\x00").decode())
+        for i, t in enumerate(texts):
+            expected = sorted(create_ngrams(t, rng, clean=False))
+            assert sorted(got.get(i, [])) == expected, (rng, t)
+
+
+def test_batch_ngrams_keep_space():
+    doc_ids, grams = batch_ngrams(pa.array(["ab cd"]), (3, 3), remove_space_ngrams=False)
+    got = [g.rstrip(b"\x00").decode() for g in grams.tolist()]
+    assert got == ["ab ", "b c", " cd"]
+
+
+def test_batch_ngrams_sliced_array():
+    arr = pa.array(["junk", "hotel", "apple"])[1:]
+    doc_ids, grams = batch_ngrams(arr, (3, 3))
+    got = {}
+    for d, g in zip(doc_ids.tolist(), grams.tolist()):
+        got.setdefault(d, []).append(g.rstrip(b"\x00").decode())
+    assert got[0] == ["hot", "ote", "tel"]
+    assert got[1] == ["app", "ppl", "ple"]
