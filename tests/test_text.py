@@ -13,7 +13,9 @@ from raylink.text import (
 def test_clean_string():
     # polyfuzz/models/_tfidf.py:142-146 semantics
     assert clean_string("Hello, World!") == "hello world"
-    assert clean_string("  A  B\t\nC  ") == "a b c"
+    # \t\n are deleted by the character-class regex (not spaces), so B and
+    # C fuse — reference behavior, polyfuzz/models/_tfidf.py:144-145
+    assert clean_string("  A  B\t\nC  ") == "a bc"
     assert clean_string("Ab-Cd_12$%") == "abcd12"
     assert clean_string("") == ""
     assert clean_string("!!!") == ""
