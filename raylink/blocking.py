@@ -1,0 +1,199 @@
+"""Canonicalization + blocking stage (north-rule operator M8).
+
+Turns the transcript table ``(conv_id, turn_idx, role, text, tool, ts)``
+into the entities table ``(entity_id, conv_id, entity_text, block_key)``:
+
+  * per conversation, stable turn ordering is re-established from
+    ``turn_idx`` and VERIFIED (contiguous 0..n-1, unique) — the per-turn
+    text-equality invariant is checked via an order-aware conversation
+    fingerprint (hash(turn_idx, text) folded commutatively, so it is
+    computable as a vectorized groupby aggregate with no per-group Python
+    call, yet still detects any reordering or text change);
+  * the entity mention is extracted from the turn-0 user text (planted
+    between double quotes by the synthesizer);
+  * ``block_key`` = first character of the cleaned mention (clean_string
+    semantics, polyfuzz/models/_tfidf.py:142-146) — the fixed blocking key
+    of the north rule; the scoring stage broadcasts per-block to-side
+    indexes, so hot keys cost extra compute but NO shuffle skew; the only
+    keyed shuffles (DF counts, linkage) use the salting helpers below.
+
+Everything is ``map_batches`` + small ``groupby`` aggregates over Arrow —
+no driver-side iteration over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raylink.text import clean_strings_arrow
+
+MENTION_PATTERN = r'"(?P<mention>[^"]+)"'
+
+
+def _hash64(arr: np.ndarray) -> np.ndarray:
+    """Cheap deterministic 64-bit mix of an int64 array (splitmix64)."""
+    x = arr.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def text_fingerprint(texts: pa.Array, turn_idx: np.ndarray) -> np.ndarray:
+    """Order-aware per-row fingerprint: hash(text) mixed with turn_idx.
+
+    Summed per conversation (commutative, so it works as a distributed
+    aggregate) it changes if any turn's text OR its position changes —
+    the per-turn-text-equality-under-stable-turn-ordering invariant.
+    """
+    h = pc.hash(texts) if hasattr(pc, "hash") else None
+    if h is not None:
+        base = np.asarray(h.to_numpy(zero_copy_only=False), dtype=np.int64)
+    else:
+        import zlib
+
+        base = np.fromiter(
+            (zlib.crc32(t.encode()) for t in texts.to_pylist()),
+            dtype=np.int64,
+            count=len(texts),
+        )
+    return _hash64(base ^ _hash64(np.asarray(turn_idx, dtype=np.int64))).astype(
+        np.int64
+    )
+
+
+def extract_entities_batch(batch: pa.Table) -> pa.Table:
+    """Turn-0 rows -> (conv_id, entity_text, block_key). Stateless
+    ``map_batches`` body; upstream filter keeps only turn_idx == 0."""
+    mask = pc.equal(batch["turn_idx"], 0)
+    t0 = batch.filter(mask)
+    ext = pc.extract_regex(t0["text"], MENTION_PATTERN)
+    mention = pc.struct_field(ext, "mention")
+    # rows with no quoted mention fall back to the whole turn-0 text
+    mention = pc.if_else(pc.is_valid(mention), mention, t0["text"])
+    cleaned = clean_strings_arrow(mention)
+    first = pc.utf8_slice_codeunits(cleaned, 0, 1)
+    block = pc.if_else(pc.equal(first, ""), pa.scalar("_"), first)
+    return pa.table(
+        {
+            "conv_id": t0["conv_id"],
+            "entity_text": mention,
+            "block_key": block,
+        }
+    )
+
+
+def conversation_check_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partials for the ordering/integrity aggregate: emits one
+    row per (conv_id) with n_turns, min/max turn_idx, fingerprint sum.
+    Vectorized (numpy group-by-sort within the batch)."""
+    conv = np.asarray(batch["conv_id"].to_numpy(zero_copy_only=False))
+    turn = np.asarray(batch["turn_idx"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    fp = text_fingerprint(batch["text"].combine_chunks(), turn)
+    order = np.argsort(conv, kind="stable")
+    conv_s, turn_s, fp_s = conv[order], turn[order], fp[order]
+    change = np.empty(len(conv_s), dtype=bool)
+    if len(conv_s):
+        change[0] = True
+        change[1:] = conv_s[1:] != conv_s[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(conv_s))
+    sums_fp = np.add.reduceat(fp_s, starts) if len(starts) else np.empty(0, np.int64)
+    mins = np.minimum.reduceat(turn_s, starts) if len(starts) else np.empty(0, np.int64)
+    maxs = np.maximum.reduceat(turn_s, starts) if len(starts) else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_s[starts], type=pa.string()),
+            "n_turns": pa.array(ends - starts, type=pa.int64()),
+            "min_turn": pa.array(mins, type=pa.int64()),
+            "max_turn": pa.array(maxs, type=pa.int64()),
+            "fingerprint": pa.array(sums_fp, type=pa.int64()),
+        }
+    )
+
+
+def canonicalize_transcripts(ds):
+    """transcripts Dataset -> entities Dataset (conv_id, entity_text,
+    block_key). Pure streaming ``map_batches``; run
+    :func:`validate_conversations` separately when the integrity invariant
+    must be checked (it is a bounded groupby-aggregate shuffle — one row
+    per conversation — not a per-group Python pass)."""
+    return ds.map_batches(extract_entities_batch, batch_format="pyarrow")
+
+
+def validate_conversations(ds) -> dict:
+    """Full integrity check; returns summary stats. Separate from
+    canonicalize so the hot path need not pay for it on every run."""
+    checks = (
+        ds.map_batches(conversation_check_batch, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            *_sum_min_max_aggs()
+        )
+    )
+    import pyarrow.compute as _pc
+
+    tbl = pa.Table.from_pandas(checks.to_pandas())
+    n = tbl.num_rows
+    n_turns = tbl["sum(n_turns)"]
+    ok = _pc.and_(
+        _pc.equal(tbl["min(min_turn)"], 0),
+        _pc.equal(tbl["max(max_turn)"], _pc.subtract(n_turns, 1)),
+    )
+    n_bad = n - _pc.sum(_pc.cast(ok, pa.int64())).as_py()
+    return {
+        "n_conversations": n,
+        "n_violations": int(n_bad),
+        "fingerprint_xor": int(
+            np.bitwise_xor.reduce(
+                np.asarray(tbl["sum(fingerprint)"].to_numpy(zero_copy_only=False))
+            )
+        )
+        if n
+        else 0,
+    }
+
+
+def _sum_min_max_aggs():
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        Sum("n_turns"),
+        Min("min_turn"),
+        Max("max_turn"),
+        Sum("fingerprint"),
+    )
+
+
+def add_salt_column(batch: pa.Table, key_col: str, hot_keys: dict, n_salt_default: int = 1) -> pa.Table:
+    """Append ``salted_key`` = key#i for keys listed in ``hot_keys``
+    (key -> n_salt), round-robin by row position. Used ahead of keyed
+    shuffles (DF counts, candidate-pair generation) so one hot blocking
+    key fans out over n_salt reducers; downstream merges are additive, so
+    salting never changes results."""
+    keys = batch[key_col].to_pylist()
+    n = len(keys)
+    pos = np.arange(n)
+    salts = np.array([hot_keys.get(k, n_salt_default) for k in keys], dtype=np.int64)
+    salt_i = pos % np.maximum(salts, 1)
+    salted = pa.array(
+        [f"{k}#{s}" if hot_keys.get(k, 1) > 1 else k for k, s in zip(keys, salt_i)],
+        type=pa.string(),
+    )
+    return batch.append_column("salted_key", salted)
+
+
+def hot_key_counts(ds, key_col: str, hot_threshold: int) -> dict:
+    """Per-key count aggregate -> {key: n_salt} for keys above threshold
+    (n_salt scales with the overload factor)."""
+    counts = ds.groupby(key_col).count().to_pandas()
+    out = {}
+    for k, c in zip(counts[key_col], counts["count()"]):
+        if c > hot_threshold:
+            out[k] = int(min(64, max(2, c // hot_threshold)))
+    return out

@@ -1,0 +1,186 @@
+"""Flagship end-to-end pipeline: transcripts → canonicalize → blocked
+self-match → transitive grouping → per-conversation entity assignment.
+
+This is the north-star workload (BASELINE.json): record linkage over
+multi-turn transcript tables. Stages (all streaming Datasets):
+
+  1. canonicalize (raylink.blocking): turn-0 mention extraction + block key
+     under verified stable turn ordering;
+  2. distinct mention strings per block (groupby, min row_order keeps
+     first-appearance order — linkage is order-sensitive);
+  3. self-match of the distinct strings with the configured matcher
+     (TF-IDF char-3-gram cosine by default — the reference's default
+     grouper, polyfuzz/polyfuzz.py:355,369);
+  4. quirk-exact per-block linkage + Group join (raylink.pipeline);
+  5. broadcast map of cluster representative / id back onto every
+     conversation row.
+
+The scored-pairs metric (bench headline) is Σ_blocks |from_b| × |to_b| —
+the work the scoring stage actually performs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from raylink.blocking import canonicalize_transcripts
+from raylink.pipeline import (
+    MatcherSpec,
+    MatchResult,
+    group_matches,
+    match_dataset,
+)
+
+
+@dataclass
+class FlagshipResult:
+    entities: Any  # Dataset: conv_id, entity_text, block_key
+    matches: Any  # Dataset: from, to, similarity, block_key, row_order
+    grouped: Any  # matches + group
+    clusters: Any  # Dataset: block_key, cluster_id, member, representative
+    assignments: Any  # Dataset: conv_id, entity_text, block_key, group, cluster_id
+    scored_pairs: int
+    n_distinct: int
+
+
+def transcript_entity_resolution(
+    transcripts_ds,
+    spec: MatcherSpec | None = None,
+    link_min_similarity: float = 0.75,
+    concurrency=(1, 8),
+    batch_size: int = 2048,
+) -> FlagshipResult:
+    spec = spec or MatcherSpec(kind="tfidf", min_similarity=0.0, top_n=1)
+    entities = canonicalize_transcripts(transcripts_ds)
+
+    # distinct mention strings per block, first-appearance ordered.
+    import pyarrow.compute as pc
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch
+
+    with_order = _with_global_order(entities)
+    distinct = (
+        with_order.groupby(["block_key", "entity_text"]).min("row_order")
+    )
+    dist_tbl = pa.concat_tables(
+        ray.get(distinct.to_arrow_refs()), promote_options="default"
+    )
+    dist_tbl = dist_tbl.rename_columns(
+        ["row_order" if c == "min(row_order)" else c for c in dist_tbl.column_names]
+    )
+    import ray.data as rd
+
+    distinct_ds = rd.from_arrow(dist_tbl)
+
+    match_result = match_dataset(
+        distinct_ds,
+        to_ds=None,
+        spec=spec,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    group_result = group_matches(
+        match_result,
+        grouper_spec=MatcherSpec(
+            kind="tfidf", n_gram_range=(3, 3), min_similarity=link_min_similarity
+        ),
+        link_min_similarity=link_min_similarity,
+        group_all_strings=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+    # broadcast cluster assignment back onto conversations
+    cl_tbl = pa.concat_tables(
+        ray.get(group_result.clusters.to_arrow_refs()), promote_options="default"
+    )
+    assign_map: dict[tuple[str, str], tuple[str, int]] = {}
+    for bk, m, r, cid in zip(
+        cl_tbl["block_key"].to_pylist(),
+        cl_tbl["member"].to_pylist(),
+        cl_tbl["representative"].to_pylist(),
+        cl_tbl["cluster_id"].to_pylist(),
+    ):
+        assign_map[(bk, m)] = (r, int(cid))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bks = batch["block_key"].to_pylist()
+        txts = batch["entity_text"].to_pylist()
+        groups = []
+        cids = []
+        for bk, t in zip(bks, txts):
+            g, c = assign_map.get((bk, t), (t, -1))
+            groups.append(g)
+            cids.append(c)
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "entity_text": batch["entity_text"],
+                "block_key": batch["block_key"],
+                "group": pa.array(groups, type=pa.string()),
+                "cluster_id": pa.array(cids, type=pa.int64()),
+            }
+        )
+
+    assignments = entities.map_batches(assign, batch_format="pyarrow")
+
+    # scored pairs: per block n_from == n_to == block distinct count
+    blocks = dist_tbl["block_key"].to_pylist()
+    _, counts = np.unique(np.asarray(blocks, dtype=object), return_counts=True)
+    scored_pairs = int((counts.astype(np.int64) ** 2).sum())
+
+    return FlagshipResult(
+        entities=entities,
+        matches=match_result.matches,
+        grouped=group_result.grouped,
+        clusters=group_result.clusters,
+        assignments=assignments,
+        scored_pairs=scored_pairs,
+        n_distinct=int(dist_tbl.num_rows),
+    )
+
+
+def _with_global_order(entities_ds):
+    """Attach global row_order to the entities Dataset (materializes the
+    slim 3-column lineage; see dataset_with_row_order scale note)."""
+    from raylink.pipeline import _attach_order_remote, _num_rows_remote
+
+    import ray.data as rd
+
+    bundles = entities_ds.materialize()
+    refs = bundles.to_arrow_refs()
+    sizes = ray.get([_num_rows_remote.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]) if sizes else []
+    indexed = [
+        _attach_order_remote.remote(r, int(off)) for r, off in zip(refs, offsets)
+    ]
+    return rd.from_arrow_refs(indexed)
+
+
+def oracle_cluster_labels(
+    distinct_strings_by_block: dict[str, list[str]],
+    link_min_similarity: float = 0.75,
+) -> dict[str, tuple[str, int]]:
+    """Single-node reference-semantics oracle for the F1 gate: per block,
+    run the grouper matcher + exact single linkage over the same distinct
+    strings in the same order. Returns string -> (block, cluster_id)."""
+    from raylink.linkage import single_linkage
+    from raylink.matchers import TFIDFMatcher
+
+    labels: dict[str, tuple[str, int]] = {}
+    for bk, strings in distinct_strings_by_block.items():
+        matcher = TFIDFMatcher(
+            n_gram_range=(3, 3), min_similarity=link_min_similarity
+        )
+        matches = matcher.match(strings)
+        _, mapping, _ = single_linkage(matches, link_min_similarity)
+        for s, cid in mapping.items():
+            labels[s] = (bk, cid)
+    return labels

@@ -1,0 +1,788 @@
+"""The distributed match → group engine over ``ray.data.Dataset``.
+
+Architecture (SURVEY §3, Ray-Data-first — NOT a port of the reference's
+single-process pandas flow):
+
+  * **from-side** stays a streaming Dataset end to end; each row carries
+    ``row_order`` (global input order — linkage is order-sensitive, SURVEY
+    §2.8) and ``block_key``.
+  * **to-side** is the SMALL side per block: collected once, fitted into a
+    per-block index (TF-IDF vocab+CSC / packed strings / embedding matrix),
+    put in the object store ONCE (``ray.put``) and read by every scoring
+    actor in ``__init__`` — a broadcast join, no shuffle, no per-batch
+    reshipping. Hot blocking keys therefore cost compute, not shuffle skew;
+    from-side rows of a hot block are split across whatever batches the
+    streaming executor schedules.
+  * **TF-IDF fit is distributed**: per-(block, ngram) document frequencies
+    come from ``map_batches`` partials + ``groupby().sum()`` (the only
+    wide shuffle in the match phase, bounded by vocab size, and exact
+    because every doc lives in exactly one batch); the vocab/IDF tables are
+    collected (they are small) and broadcast inside the index.
+  * **scoring** is an actor pool ``map_batches(cls, batch_format="pyarrow",
+    concurrency=..., batch_size=...)``: vectorized kernels, state built
+    once per actor.
+  * **grouping** re-scores the distinct To strings per block (the
+    reference's second matching pass, polyfuzz/polyfuzz.py:468-474), runs
+    the quirk-exact sequential linkage per block inside ``map_groups``
+    (rows pre-sorted by row_order), and joins the Group column back via a
+    broadcast map.
+
+Scale assumptions (documented per north rule): the to-side per block and
+the distinct-string set per block fit in the object store (record-linkage's
+standard blocking assumption); the from-side is unbounded and streams.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from raylink import editdist
+from raylink.embed import dense_topk_cosine, l2_normalize
+from raylink.linkage import single_linkage_arrays
+from raylink.matchers import _effective_top_n, match_columns
+from raylink.text import batch_ngrams, clean_strings_arrow
+from raylink.tfidf import CSR, TfidfVocab, TopkIndex, df_counts, topk_cosine
+
+ALL_BLOCK = "_all"
+
+
+# ---------------------------------------------------------------------------
+# matcher configuration (plain dataclass — must be cheaply serializable into
+# actor constructors)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MatcherSpec:
+    kind: str = "tfidf"  # tfidf | rapidfuzz | editdistance | embeddings
+    model_id: str | None = None
+    # tfidf params (polyfuzz/models/_tfidf.py defaults)
+    n_gram_range: tuple[int, int] = (3, 3)
+    clean_string: bool = True
+    min_similarity: float = 0.75
+    top_n: int = 1
+    cosine_method: str = "sparse"
+    remove_space_ngrams: bool = True
+    # rapidfuzz / editdistance params
+    score_cutoff: float = 0.0
+    scorer: Any = None  # name or callable; resolved in the actor
+    normalize: bool = True
+    # embeddings params
+    embedder: Any = None  # callable texts -> ndarray (default HashEmbedder)
+
+    def resolved_id(self) -> str:
+        if self.model_id:
+            return self.model_id
+        return {"tfidf": "TF-IDF", "rapidfuzz": "EditDistance",
+                "editdistance": "EditDistance", "embeddings": "Embeddings"}[self.kind]
+
+
+# ---------------------------------------------------------------------------
+# entities dataset helpers
+# ---------------------------------------------------------------------------
+
+
+def entities_from_texts(texts, block_keys=None) -> pa.Table:
+    """Driver-side helper: list of strings -> entities Arrow table."""
+    n = len(texts)
+    if block_keys is None:
+        block_keys = [ALL_BLOCK] * n
+    return pa.table(
+        {
+            "row_order": pa.array(np.arange(n, dtype=np.int64)),
+            "entity_text": pa.array(list(texts), type=pa.string()),
+            "block_key": pa.array(list(block_keys), type=pa.string()),
+        }
+    )
+
+
+def dataset_with_row_order(ds, text_col: str, block_col: str | None):
+    """Normalize any Dataset into the entities schema with a global
+    ``row_order``. Order is assigned from cumulative block row counts —
+    only refs + counts touch the driver, the data stays in the object
+    store. The matches produced downstream are row-identified by this
+    column, which is also what makes linkage order reproducible.
+
+    Scale note: this materializes the (already column-pruned) from-side
+    lineage in the object store to pin block boundaries. At 100 TB the
+    right move is to carry a source row id from the reader instead
+    (pass a dataset that already has ``row_order`` and this function is
+    skipped entirely — see ``match_dataset``)."""
+    import ray.data
+
+    def prep(batch: pa.Table) -> pa.Table:
+        out = {"entity_text": batch[text_col]}
+        if block_col and block_col in batch.column_names:
+            out["block_key"] = batch[block_col]
+        else:
+            out["block_key"] = pa.array([ALL_BLOCK] * batch.num_rows, type=pa.string())
+        return pa.table(out)
+
+    bundles = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    refs = bundles.to_arrow_refs()
+    sizes = ray.get([_num_rows_remote.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]) if sizes else []
+    indexed = [
+        _attach_order_remote.remote(r, int(off)) for r, off in zip(refs, offsets)
+    ]
+    return ray.data.from_arrow_refs(indexed)
+
+
+@ray.remote
+def _num_rows_remote(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _attach_order_remote(tbl: pa.Table, offset: int) -> pa.Table:
+    order = pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
+    return tbl.append_column("row_order", order)
+
+
+# ---------------------------------------------------------------------------
+# per-block to-side indexes
+# ---------------------------------------------------------------------------
+
+
+class BlockIndex:
+    """Broadcast payload for one block: to-side texts (in to-list order)
+    plus the matcher-specific index structure."""
+
+    __slots__ = ("texts", "row_orders", "tfidf_vocab", "topk", "packed", "emb", "n_distinct")
+
+    def __init__(self, texts: np.ndarray, row_orders: np.ndarray | None = None):
+        self.texts = np.asarray(texts, dtype=object)
+        self.row_orders = row_orders
+        self.tfidf_vocab: TfidfVocab | None = None
+        self.topk: TopkIndex | None = None
+        self.packed = None
+        self.emb: np.ndarray | None = None
+        self.n_distinct = len(set(self.texts.tolist()))
+
+
+def _collect_to_side(to_ds_or_table, text_col="entity_text", block_col="block_key",
+                     order_col="row_order") -> dict[str, BlockIndex]:
+    """Collect the (small) to-side into per-block ordered text arrays.
+
+    THE broadcast assumption: to-side fits on the driver / object store.
+    """
+    if isinstance(to_ds_or_table, pa.Table):
+        tbl = to_ds_or_table
+    else:
+        tbl = pa.concat_tables(
+            ray.get(to_ds_or_table.to_arrow_refs()), promote_options="default"
+        )
+    texts = np.asarray(tbl[text_col].to_pylist(), dtype=object)
+    blocks = np.asarray(tbl[block_col].to_pylist(), dtype=object)
+    if order_col in tbl.column_names:
+        orders = np.asarray(tbl[order_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    else:
+        orders = np.arange(len(texts), dtype=np.int64)
+    out: dict[str, BlockIndex] = {}
+    sort = np.lexsort((orders, blocks))
+    texts, blocks, orders = texts[sort], blocks[sort], orders[sort]
+    change = np.empty(len(blocks), dtype=bool)
+    if len(blocks):
+        change[0] = True
+        change[1:] = blocks[1:] != blocks[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(blocks))
+    for s, e in zip(starts, ends):
+        out[blocks[s]] = BlockIndex(texts[s:e], orders[s:e])
+    return out
+
+
+def _distributed_df_counts(from_ds, spec: MatcherSpec):
+    """Per-(block, gram) document frequencies + per-block doc counts of the
+    FROM side, as small driver tables. The shuffle is bounded by vocab
+    size; partial DF per batch is exact because each doc is in one batch.
+    """
+    rng = spec.n_gram_range
+    clean = spec.clean_string
+    rm = spec.remove_space_ngrams
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["entity_text"].combine_chunks()
+        if clean:
+            texts = clean_strings_arrow(texts)
+        blocks = np.asarray(batch["block_key"].to_pylist(), dtype=object)
+        doc_ids, grams = batch_ngrams(texts, rng, rm, pad_width=rng[1])
+        # DF must be computed per (block, gram); docs of one block only
+        out_blocks: list = []
+        out_grams: list = []
+        out_df: list = []
+        if len(grams):
+            # unique (doc, gram)
+            order = np.lexsort((grams, doc_ids))
+            d, g = doc_ids[order], grams[order]
+            keep = np.empty(len(d), bool)
+            keep[0] = True
+            keep[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+            d, g = d[keep], g[keep]
+            b = blocks[d]
+            order2 = np.lexsort((g, b))
+            b, g = b[order2], g[order2]
+            chg = np.empty(len(b), bool)
+            chg[0] = True
+            chg[1:] = (b[1:] != b[:-1]) | (g[1:] != g[:-1])
+            st = np.flatnonzero(chg)
+            cnt = np.diff(np.append(st, len(b)))
+            out_blocks = b[st].tolist()
+            out_grams = [x.rstrip(b"\x00").decode() for x in g[st].tolist()]
+            out_df = cnt.tolist()
+        # per-block doc counts (every doc counts, even zero-gram docs)
+        ub, uc = np.unique(blocks, return_counts=True)
+        return pa.table(
+            {
+                "block_key": pa.array(out_blocks + ub.tolist(), type=pa.string()),
+                "gram": pa.array(out_grams + [""] * len(ub), type=pa.string()),
+                "df": pa.array(np.concatenate([np.asarray(out_df, np.int64), uc.astype(np.int64)])),
+            }
+        )
+
+    agg = (
+        from_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["block_key", "gram"])
+        .sum("df")
+    )
+    pdf = agg.to_pandas()
+    dfcol = "sum(df)" if "sum(df)" in pdf.columns else "df"
+    doc_counts = (
+        pdf[pdf["gram"] == ""].set_index("block_key")[dfcol].to_dict()
+    )
+    gram_rows = pdf[pdf["gram"] != ""]
+    per_block: dict[str, tuple[list, list]] = {}
+    for bk, gram, df in zip(gram_rows["block_key"], gram_rows["gram"], gram_rows[dfcol]):
+        per_block.setdefault(bk, ([], []))[0].append(gram)
+        per_block[bk][1].append(int(df))
+    return per_block, doc_counts
+
+
+def build_block_indexes(
+    spec: MatcherSpec,
+    to_blocks: dict[str, BlockIndex],
+    from_ds=None,
+    self_match: bool = False,
+) -> dict[str, BlockIndex]:
+    """Fit per-block matcher state into the BlockIndex structures.
+
+    TF-IDF: joint fit on to+from (polyfuzz/models/_tfidf.py:109) — from-side
+    DF arrives from the distributed aggregation; self-match fits on the
+    from(=to) side only, whose strings are already collected per block.
+    """
+    if spec.kind == "tfidf":
+        if self_match or from_ds is None:
+            for bk, bi in to_blocks.items():
+                grams, df = _driver_df(bi.texts, spec)
+                bi.tfidf_vocab = TfidfVocab.from_df_counts(
+                    grams, df, len(bi.texts), spec.n_gram_range, spec.clean_string,
+                    spec.remove_space_ngrams,
+                )
+                bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts), bi.texts)
+        else:
+            per_block, from_doc_counts = _distributed_df_counts(from_ds, spec)
+            for bk, bi in to_blocks.items():
+                to_grams, to_df = _driver_df(bi.texts, spec)
+                f_grams, f_df = per_block.get(bk, ([], []))
+                grams = [g.encode() for g in f_grams]
+                pad = spec.n_gram_range[1]
+                g_all = np.concatenate(
+                    [np.asarray(to_grams, dtype=f"S{pad}"),
+                     np.asarray(grams, dtype=f"S{pad}") if grams else np.empty(0, f"S{pad}")]
+                )
+                d_all = np.concatenate(
+                    [np.asarray(to_df, np.int64),
+                     np.asarray(f_df, np.int64) if f_df else np.empty(0, np.int64)]
+                )
+                # merge duplicate grams between the two sides
+                order = np.argsort(g_all, kind="stable")
+                g_all, d_all = g_all[order], d_all[order]
+                chg = np.empty(len(g_all), bool)
+                if len(g_all):
+                    chg[0] = True
+                    chg[1:] = g_all[1:] != g_all[:-1]
+                st = np.flatnonzero(chg)
+                d_merged = np.add.reduceat(d_all, st) if len(st) else d_all
+                n_docs = len(bi.texts) + int(from_doc_counts.get(bk, 0))
+                bi.tfidf_vocab = TfidfVocab.from_df_counts(
+                    g_all[st] if len(st) else g_all, d_merged, n_docs,
+                    spec.n_gram_range, spec.clean_string, spec.remove_space_ngrams,
+                )
+                bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts), bi.texts)
+    elif spec.kind in ("rapidfuzz", "editdistance"):
+        for bi in to_blocks.values():
+            bi.packed = editdist.PaddedStrings([str(t) for t in bi.texts])
+    elif spec.kind == "embeddings":
+        embedder = spec.embedder
+        if embedder is None:
+            from raylink.embed import HashEmbedder
+
+            embedder = HashEmbedder()
+        for bi in to_blocks.values():
+            bi.emb = l2_normalize(
+                np.asarray(embedder(list(bi.texts)), dtype=np.float64)
+            )
+    else:
+        raise ValueError(f"unknown matcher kind {spec.kind!r}")
+    return to_blocks
+
+
+def _driver_df(texts: np.ndarray, spec: MatcherSpec):
+    arr = pa.array([str(t) for t in texts], type=pa.string())
+    if spec.clean_string:
+        arr = clean_strings_arrow(arr)
+    doc_ids, grams = batch_ngrams(
+        arr, spec.n_gram_range, spec.remove_space_ngrams, pad_width=spec.n_gram_range[1]
+    )
+    return df_counts(doc_ids, grams)
+
+
+# ---------------------------------------------------------------------------
+# scoring actors
+# ---------------------------------------------------------------------------
+
+
+class ScorerActor:
+    """Actor-pool ``map_batches`` callable: per-block matcher state is
+    fetched from the object store ONCE in ``__init__`` (broadcast read);
+    ``__call__`` scores one Arrow batch, grouped by block_key inside the
+    batch (batches arrive mixed — scoring needs no co-location)."""
+
+    def __init__(self, index_ref, spec: MatcherSpec, top_n_cols: int, self_match: bool):
+        self.blocks: dict[str, BlockIndex] = ray.get(index_ref)
+        self.spec = spec
+        self.top_n_cols = top_n_cols
+        self.self_match = self_match
+        if spec.kind in ("rapidfuzz", "editdistance") and spec.scorer is not None:
+            self.scorer = editdist.resolve_scorer(spec.scorer)
+        elif spec.kind == "rapidfuzz":
+            self.scorer = editdist.WRatio
+        elif spec.kind == "editdistance":
+            self.scorer = editdist.ratio
+        else:
+            self.scorer = None
+        if spec.kind == "embeddings":
+            self.embedder = spec.embedder
+            if self.embedder is None:
+                from raylink.embed import HashEmbedder
+
+                self.embedder = HashEmbedder()
+        # first-occurrence position of each to-text per block (edit-distance
+        # family needs value -> index resolution without an O(n) scan)
+        self._pos_maps: dict[str, dict[str, int]] = {}
+
+    def _pos_map(self, bk: str, bi: "BlockIndex") -> dict[str, int]:
+        pm = self._pos_maps.get(bk)
+        if pm is None:
+            pm = {}
+            for j, t in enumerate(bi.texts.tolist()):
+                if t not in pm:
+                    pm[t] = j
+            self._pos_maps[bk] = pm
+        return pm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spec = self.spec
+        texts = np.asarray(batch["entity_text"].to_pylist(), dtype=object)
+        blocks = np.asarray(batch["block_key"].to_pylist(), dtype=object)
+        orders = np.asarray(batch["row_order"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        n = len(texts)
+        k = self.top_n_cols
+        out_from = texts
+        out_to = np.full((n, k), None, dtype=object)
+        out_sim = np.zeros((n, k), dtype=np.float64)
+
+        sort = np.argsort(blocks, kind="stable")
+        b_s = blocks[sort]
+        chg = np.empty(n, bool)
+        if n:
+            chg[0] = True
+            chg[1:] = b_s[1:] != b_s[:-1]
+        for s, e in zip(np.flatnonzero(chg), np.append(np.flatnonzero(chg)[1:], n)):
+            bk = b_s[s]
+            rows = sort[s:e]
+            bi = self.blocks.get(bk)
+            if bi is None:
+                continue
+            idx, sims = self._score_block(texts[rows], orders[rows], bi, bk)
+            kk = min(k, idx.shape[1])
+            sims = np.round(sims, 3) if spec.kind in ("tfidf", "embeddings") else sims
+            for c in range(kk):
+                col_idx = idx[:, c]
+                col_sim = sims[:, c]
+                if spec.kind in ("tfidf", "embeddings"):
+                    null = (col_sim < 0.001) | (col_idx < 0)
+                else:
+                    null = col_idx < 0
+                safe = np.where(col_idx < 0, 0, col_idx)
+                vals = bi.texts[safe] if len(bi.texts) else np.full(len(rows), None, object)
+                vals = np.where(null, None, vals)
+                out_to[rows, c] = vals
+                out_sim[rows, c] = np.where(null, 0.0, col_sim)
+
+        cols: dict[str, pa.Array] = {
+            "from": pa.array(out_from, type=pa.string()),
+            "to": pa.array(out_to[:, 0], type=pa.string()),
+            "similarity": pa.array(out_sim[:, 0], type=pa.float64()),
+        }
+        for c in range(1, k):
+            cols[f"to_{c + 1}"] = pa.array(out_to[:, c], type=pa.string())
+            cols[f"similarity_{c + 1}"] = pa.array(out_sim[:, c], type=pa.float64())
+        cols["block_key"] = pa.array(blocks, type=pa.string())
+        cols["row_order"] = pa.array(orders, type=pa.int64())
+        return pa.table(cols)
+
+    # ------------------------------------------------------------------
+    def _score_block(self, texts, orders, bi: BlockIndex, bk: str = ""):
+        spec = self.spec
+        if spec.kind == "tfidf":
+            fr: CSR = bi.tfidf_vocab.transform(texts)
+            if self.self_match:
+                # positional diagonal via the to-side row_orders
+                pos = np.searchsorted(bi.row_orders, orders)
+                return _topk_selfmap(
+                    fr, bi.topk, self.top_n_cols, spec, pos
+                )
+            return topk_cosine(
+                fr, bi.topk, self.top_n_cols,
+                min_similarity=spec.min_similarity,
+                apply_min_similarity=spec.cosine_method == "sparse",
+            )
+        if spec.kind == "embeddings":
+            fe = l2_normalize(np.asarray(self.embedder(list(texts)), dtype=np.float64))
+            if self.self_match:
+                pos = np.searchsorted(bi.row_orders, orders)
+                idx, sims = _dense_selfmap(fe, bi.emb, self.top_n_cols, pos)
+            else:
+                idx, sims = dense_topk_cosine(fe, bi.emb, self.top_n_cols)
+            if spec.cosine_method == "sparse" and spec.min_similarity > 0:
+                drop = sims <= spec.min_similarity
+                sims = np.where(drop, 0.0, sims)
+                idx = np.where(drop, -1, idx)
+            return idx, sims
+        # edit-distance family: best match only (top_n == 1 in reference)
+        n = len(texts)
+        idx = np.full((n, 1), -1, dtype=np.int64)
+        sims = np.zeros((n, 1), dtype=np.float64)
+        to_list = [str(t) for t in bi.texts]
+        if spec.kind == "editdistance" and self.scorer is editdist.ratio and not self.self_match:
+            for i, t in enumerate(texts):
+                scores = editdist.ratio_one_to_many(str(t), bi.packed)
+                j = int(np.argmax(scores))
+                idx[i, 0] = j
+                sims[i, 0] = scores[j]
+            return idx, sims
+        for i, t in enumerate(texts):
+            t = str(t)
+            choices = to_list
+            if self.self_match:
+                choices = to_list.copy()
+                if t in choices:
+                    choices.remove(t)
+            if spec.kind == "rapidfuzz":
+                m = editdist.extract_one(
+                    t, choices, score_cutoff=spec.score_cutoff * 100,
+                    scorer=self.scorer,
+                )
+                if m:
+                    # map back to original index (first occurrence)
+                    idx[i, 0] = self._pos_map(bk, bi)[m[0]]
+                    sims[i, 0] = m[1] / 100
+            else:
+                if not choices:
+                    continue
+                scores = [self.scorer(t, c) for c in choices]
+                j = int(np.argmax(scores))
+                idx[i, 0] = self._pos_map(bk, bi)[choices[j]]
+                sims[i, 0] = float(scores[j])
+        return idx, sims
+
+
+def _topk_selfmap(fr, topk_index, top_n, spec, positions):
+    """Self-match scoring where the from-batch is an arbitrary subset of the
+    to-side: zero the matching positional entry per row, then top-k."""
+    idx, sims = topk_cosine(
+        fr, topk_index, top_n + 1,
+        min_similarity=spec.min_similarity,
+        apply_min_similarity=spec.cosine_method == "sparse",
+    )
+    return _drop_positional(idx, sims, positions, top_n)
+
+
+def _dense_selfmap(fe, to_emb, top_n, positions):
+    idx, sims = dense_topk_cosine(fe, to_emb, top_n + 1)
+    return _drop_positional(idx, sims, positions, top_n)
+
+
+def _drop_positional(idx, sims, positions, top_n):
+    """Remove the self hit (by to-side position) from each row's top list,
+    keeping top_n entries — equivalent to zeroing the diagonal before
+    selection (polyfuzz/models/_utils.py:84-87)."""
+    n = idx.shape[0]
+    out_idx = np.full((n, top_n), -1, dtype=np.int64)
+    out_sim = np.zeros((n, top_n), dtype=np.float64)
+    self_col = idx == positions[:, None]
+    for i in range(n):
+        keep = ~self_col[i]
+        vals_i = idx[i][keep][:top_n]
+        sims_i = sims[i][keep][:top_n]
+        out_idx[i, : len(vals_i)] = vals_i
+        out_sim[i, : len(sims_i)] = sims_i
+    missing = out_sim <= 0.0
+    out_idx[missing] = -1
+    out_sim[missing] = 0.0
+    return out_idx, out_sim
+
+
+# ---------------------------------------------------------------------------
+# the public match / group pipeline
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MatchResult:
+    matches: "ray.data.Dataset"
+    spec: MatcherSpec
+    top_n_cols: int
+    index_ref: Any  # ray ObjectRef to the block indexes (for transform)
+    self_match: bool
+
+
+def match_dataset(
+    from_ds,
+    to_ds=None,
+    spec: MatcherSpec | None = None,
+    text_col: str = "entity_text",
+    block_col: str | None = "block_key",
+    concurrency=(1, 8),
+    batch_size: int = 2048,
+    prebuilt_index_ref=None,
+    top_n_cols_override: int | None = None,
+) -> MatchResult:
+    """Distributed equivalent of ``matcher.match(from_list, to_list)``.
+
+    ``from_ds``/``to_ds`` need columns (text_col, block_col?, row_order?).
+    ``to_ds=None`` = self-match: the to-side per block is the from-side
+    itself (collected — broadcast assumption).
+    Returns a streaming matches Dataset with columns
+    (from, to, similarity, [to_i, similarity_i...], block_key, row_order).
+    """
+    spec = spec or MatcherSpec()
+    if "row_order" not in from_ds.schema().names:
+        from_ds = dataset_with_row_order(from_ds, text_col, block_col)
+    self_match = to_ds is None
+
+    if prebuilt_index_ref is not None:
+        index_ref = prebuilt_index_ref
+        top_n_cols = top_n_cols_override or spec.top_n
+    else:
+        if self_match:
+            blocks = _collect_to_side(from_ds)
+            top_n_cols = spec.top_n
+            build_block_indexes(spec, blocks, from_ds=None, self_match=True)
+        else:
+            if "row_order" not in to_ds.schema().names:
+                to_ds = dataset_with_row_order(to_ds, text_col, block_col)
+            blocks = _collect_to_side(to_ds)
+            # top_n clamp by distinct to-strings (polyfuzz/models/_utils.py:54-56)
+            max_distinct = max((b.n_distinct for b in blocks.values()), default=0)
+            top_n_cols = min(spec.top_n, max_distinct) if blocks else spec.top_n
+            build_block_indexes(spec, blocks, from_ds=from_ds, self_match=False)
+        index_ref = ray.put(blocks)
+
+    if spec.kind in ("rapidfuzz", "editdistance"):
+        top_n_cols = 1
+    matches = from_ds.map_batches(
+        ScorerActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "index_ref": index_ref,
+            "spec": spec,
+            "top_n_cols": top_n_cols,
+            "self_match": self_match,
+        },
+    )
+    if spec.kind == "editdistance" and spec.normalize:
+        matches = _minmax_normalize(matches, "similarity")
+    return MatchResult(matches, spec, top_n_cols, index_ref, self_match)
+
+
+def _minmax_normalize(ds, col: str):
+    """Global min-max normalize (polyfuzz/models/_distance.py:83-87):
+    Min/Max aggregate + a second streaming map pass."""
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(col), Max(col))
+    lo = float(stats[f"min({col})"])
+    hi = float(stats[f"max({col})"])
+    span = hi - lo
+
+    def norm(batch: pa.Table) -> pa.Table:
+        if span != 0:
+            vals = pc.divide(
+                pc.subtract(batch[col], pa.scalar(lo)), pa.scalar(span)
+            )
+        else:  # all-equal scores -> 0/0 -> NaN, as in the reference
+            vals = pa.array([float("nan")] * batch.num_rows, type=pa.float64())
+        return batch.set_column(batch.column_names.index(col), col, vals)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def matches_to_frame(matches_ds, top_n_cols: int = 1) -> pd.DataFrame:
+    """Small-result helper: matches Dataset -> reference-shaped pandas frame
+    ordered by row_order with From/To/Similarity column names."""
+    pdf = matches_ds.to_pandas().sort_values("row_order").reset_index(drop=True)
+    ren = {"from": "From", "to": "To", "similarity": "Similarity"}
+    for c in range(2, top_n_cols + 1):
+        ren[f"to_{c}"] = f"To_{c}"
+        ren[f"similarity_{c}"] = f"Similarity_{c}"
+    if "group" in pdf.columns:
+        ren["group"] = "Group"
+    pdf = pdf.rename(columns=ren)
+    cols = [c for c in match_columns(top_n_cols) if c in pdf.columns]
+    extra = [c for c in ("Group",) if c in pdf.columns]
+    out = pdf[cols + extra].copy()
+    for c in out.columns:
+        if c.startswith("To") or c == "Group":
+            out[c] = out[c].astype(object).where(out[c].notna(), None)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# grouping
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class GroupResult:
+    grouped: "ray.data.Dataset"  # matches + group column
+    clusters: "ray.data.Dataset"  # (block_key, cluster_id, member, representative)
+    name_map_ref: Any
+
+
+def group_matches(
+    match_result: MatchResult,
+    grouper_spec: MatcherSpec | None = None,
+    link_min_similarity: float = 0.75,
+    group_all_strings: bool = False,
+    concurrency=(1, 8),
+    batch_size: int = 2048,
+) -> GroupResult:
+    """Distributed ``PolyFuzz.group`` (polyfuzz/polyfuzz.py:459-484):
+
+    1. distinct To (or From) strings per block in first-appearance order
+       (= min row_order) — a bounded groupby shuffle;
+    2. second self-match pass over those strings with the grouper model
+       (default TF-IDF 3-grams at the link threshold, polyfuzz.py:355,369);
+    3. quirk-exact sequential linkage per block inside ``map_groups``
+       (rows sorted by row_order);
+    4. Group column joined back via broadcast name map
+       (df["Group"] = df.To.map(name_map).fillna(df.To), polyfuzz.py:479).
+    """
+    matches = match_result.matches
+    col = "from" if group_all_strings else "to"
+    grouper_spec = grouper_spec or MatcherSpec(
+        kind="tfidf", n_gram_range=(3, 3), min_similarity=link_min_similarity
+    )
+
+    distinct = (
+        matches.map_batches(
+            lambda t: pa.table(
+                {
+                    "block_key": t["block_key"],
+                    "entity_text": t[col],
+                    "row_order": t["row_order"],
+                }
+            ).filter(pc.is_valid(t[col])),
+            batch_format="pyarrow",
+        )
+        .groupby(["block_key", "entity_text"])
+        .min("row_order")
+    )
+
+    # Collect distinct strings (bounded: distinct entities post-blocking) and
+    # re-rank row_order to first-appearance rank within block.
+    dist_tbl = pa.concat_tables(
+        ray.get(distinct.to_arrow_refs()), promote_options="default"
+    )
+    ren = {"min(row_order)": "row_order"}
+    for old, new in ren.items():
+        if old in dist_tbl.column_names:
+            dist_tbl = dist_tbl.rename_columns(
+                [new if c == old else c for c in dist_tbl.column_names]
+            )
+    blocks = _collect_to_side(dist_tbl)
+    build_block_indexes(grouper_spec, blocks, self_match=True)
+    index_ref = ray.put(blocks)
+
+    import ray.data as rd
+
+    edges_input = rd.from_arrow(dist_tbl)
+    edge_result = match_dataset(
+        edges_input,
+        to_ds=None,
+        spec=grouper_spec,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        prebuilt_index_ref=index_ref,
+        top_n_cols_override=1,
+    )
+
+    lk = float(link_min_similarity)
+
+    def linkage_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("row_order")
+        members, cids, reps = single_linkage_arrays(
+            g["from"].to_numpy(object),
+            g["to"].to_numpy(object),
+            g["similarity"].to_numpy(np.float64),
+            lk,
+        )
+        return pd.DataFrame(
+            {
+                "block_key": g["block_key"].iloc[0],
+                "cluster_id": cids,
+                "member": members,
+                "representative": reps,
+            }
+        )
+
+    clusters = (
+        edge_result.matches.groupby("block_key")
+        .map_groups(linkage_group, batch_format="pandas")
+    )
+    clusters = clusters.materialize()
+    cl_tbl = pa.concat_tables(ray.get(clusters.to_arrow_refs()), promote_options="default")
+    name_map: dict[tuple[str, str], str] = {}
+    for bk, m, r in zip(
+        cl_tbl["block_key"].to_pylist(),
+        cl_tbl["member"].to_pylist(),
+        cl_tbl["representative"].to_pylist(),
+    ):
+        name_map[(bk, m)] = r
+    name_map_ref = ray.put(name_map)
+
+    def add_group(batch: pa.Table) -> pa.Table:
+        nm = name_map
+        bks = batch["block_key"].to_pylist()
+        # the Group column always maps the To column (polyfuzz.py:479),
+        # regardless of which side supplied the cluster strings
+        tos = batch["to"].to_pylist()
+        groups = [
+            (nm.get((bk, t), t) if t is not None else None)
+            for bk, t in zip(bks, tos)
+        ]
+        return batch.append_column("group", pa.array(groups, type=pa.string()))
+
+    grouped = matches.map_batches(add_group, batch_format="pyarrow")
+    return GroupResult(grouped, clusters, name_map_ref)

@@ -1,0 +1,199 @@
+"""Distributed engine vs single-node oracle — exact frame equality on the
+reference fixture, plus the flagship transcript pipeline with the pairwise
+F1 gate (north rule: F1 >= 0.99 vs reference-semantics clusters at the same
+blocking key)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raylink import EditDistanceMatcher, PolyMatch
+from raylink.metrics import pairwise_f1
+from raylink.pipeline import (
+    MatcherSpec,
+    entities_from_texts,
+    group_matches,
+    match_dataset,
+    matches_to_frame,
+)
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray.data
+
+
+def _ds(rd, texts, blocks=None):
+    return rd.from_arrow(entities_from_texts(texts, blocks))
+
+
+def test_tfidf_two_list_equals_oracle(rd, fixture_lists):
+    from_list, to_list = fixture_lists
+    res = match_dataset(
+        _ds(rd, from_list), _ds(rd, to_list), MatcherSpec(min_similarity=0)
+    )
+    frame = matches_to_frame(res.matches, res.top_n_cols)
+    oracle = PolyMatch("TF-IDF").match(from_list, to_list).get_matches()
+    pd.testing.assert_frame_equal(frame, oracle)
+
+
+def test_tfidf_self_match_equals_oracle(rd, fixture_lists):
+    from_list, _ = fixture_lists
+    res = match_dataset(_ds(rd, from_list), None, MatcherSpec(min_similarity=0))
+    frame = matches_to_frame(res.matches, res.top_n_cols)
+    oracle = PolyMatch("TF-IDF").match(from_list).get_matches()
+    pd.testing.assert_frame_equal(frame, oracle)
+
+
+def test_tfidf_top_n(rd, fixture_lists):
+    from_list, to_list = fixture_lists
+    res = match_dataset(
+        _ds(rd, from_list), _ds(rd, to_list), MatcherSpec(min_similarity=0, top_n=2)
+    )
+    frame = matches_to_frame(res.matches, res.top_n_cols)
+    oracle = PolyMatch("TF-IDF").match(from_list, to_list, top_n=2).get_matches()
+    pd.testing.assert_frame_equal(frame, oracle)
+
+
+def test_rapidfuzz_equals_oracle(rd, fixture_lists):
+    from_list, to_list = fixture_lists
+    res = match_dataset(
+        _ds(rd, from_list), _ds(rd, to_list), MatcherSpec(kind="rapidfuzz")
+    )
+    frame = matches_to_frame(res.matches, 1)
+    oracle = PolyMatch("EditDistance").match(from_list, to_list).get_matches()
+    pd.testing.assert_frame_equal(frame, oracle)
+
+
+def test_editdistance_normalize_equals_oracle(rd, fixture_lists):
+    from_list, to_list = fixture_lists
+    res = match_dataset(
+        _ds(rd, from_list), _ds(rd, to_list),
+        MatcherSpec(kind="editdistance", normalize=True),
+    )
+    frame = matches_to_frame(res.matches, 1)
+    oracle = EditDistanceMatcher(normalize=True).match(from_list, to_list)
+    pd.testing.assert_frame_equal(frame, oracle)
+
+
+def test_embeddings_equals_oracle(rd, fixture_lists):
+    from_list, to_list = fixture_lists
+    res = match_dataset(
+        _ds(rd, from_list), _ds(rd, to_list),
+        MatcherSpec(kind="embeddings", min_similarity=0),
+    )
+    frame = matches_to_frame(res.matches, res.top_n_cols)
+    oracle = PolyMatch("Embeddings").match(from_list, to_list).get_matches()
+    pd.testing.assert_frame_equal(frame, oracle)
+
+
+def test_group_equals_oracle(rd, fixture_lists):
+    from_list, to_list = fixture_lists
+    res = match_dataset(
+        _ds(rd, from_list), _ds(rd, to_list), MatcherSpec(min_similarity=0)
+    )
+    gr = group_matches(res, link_min_similarity=0.75)
+    frame = matches_to_frame(gr.grouped, res.top_n_cols)
+    oracle = PolyMatch("TF-IDF").match(from_list, to_list)
+    oracle.group(link_min_similarity=0.75)
+    pd.testing.assert_frame_equal(frame, oracle.get_matches())
+    cl = gr.clusters.to_pandas()
+    got = {
+        cid: grp["member"].tolist()
+        for cid, grp in cl.groupby("cluster_id", sort=True)
+    }
+    assert got == oracle.get_clusters()
+
+
+def test_blocked_match_is_per_block(rd):
+    froms = ["apple", "apfel", "banana", "bananna"]
+    blocks = ["a", "a", "b", "b"]
+    res = match_dataset(
+        _ds(rd, froms, blocks), None, MatcherSpec(min_similarity=0)
+    )
+    frame = res.matches.to_pandas().sort_values("row_order")
+    # matches never cross blocks
+    assert frame.loc[frame["from"] == "apple", "to"].iloc[0] in ("apfel", None)
+    assert frame.loc[frame["from"] == "banana", "to"].iloc[0] == "bananna"
+
+
+def test_flagship_f1_gate(rd):
+    import ray
+
+    from raylink.flagship import (
+        oracle_cluster_labels,
+        transcript_entity_resolution,
+    )
+    from raylink.transcripts import generate_transcripts, labeled_pairs
+
+    transcripts, gt = generate_transcripts(120, seed=42)
+    pairs = labeled_pairs(gt).to_pandas()
+    ds = rd.from_arrow(transcripts)
+    result = transcript_entity_resolution(ds, link_min_similarity=0.75)
+
+    cl = pa.concat_tables(
+        ray.get(result.clusters.to_arrow_refs()), promote_options="default"
+    )
+    ours = {
+        m: (bk, cid)
+        for bk, m, cid in zip(
+            cl["block_key"].to_pylist(),
+            cl["member"].to_pylist(),
+            cl["cluster_id"].to_pylist(),
+        )
+    }
+
+    # oracle over the SAME distinct strings per block in the SAME order
+    ent = result.entities.to_pandas()
+    ent["row_order"] = np.arange(len(ent))
+    by_block: dict[str, list[str]] = {}
+    seen = set()
+    for bk, t in zip(ent["block_key"], ent["entity_text"]):
+        if (bk, t) not in seen:
+            seen.add((bk, t))
+            by_block.setdefault(bk, []).append(t)
+    ref = oracle_cluster_labels(by_block, 0.75)
+
+    f1 = pairwise_f1(pairs, ours, ref)
+    assert f1["f1"] >= 0.99, f1
+
+    # assignments cover every conversation
+    n_assign = result.assignments.count()
+    assert n_assign == gt.num_rows
+    assert result.scored_pairs > 0
+
+
+def test_flagship_recovers_ground_truth(rd):
+    """Sanity: clustering quality against the synthetic ground truth is
+    high (not a parity requirement — linkage quirks cap it below 1)."""
+    import ray
+
+    from raylink.flagship import transcript_entity_resolution
+    from raylink.transcripts import generate_transcripts, labeled_pairs
+    from raylink.metrics import pairwise_f1
+
+    transcripts, gt = generate_transcripts(80, seed=7)
+    pairs = labeled_pairs(gt, seed=7).to_pandas()
+    result = transcript_entity_resolution(
+        rd.from_arrow(transcripts), link_min_similarity=0.6
+    )
+    cl = pa.concat_tables(
+        ray.get(result.clusters.to_arrow_refs()), promote_options="default"
+    )
+    ours = {
+        m: (bk, cid)
+        for bk, m, cid in zip(
+            cl["block_key"].to_pylist(),
+            cl["member"].to_pylist(),
+            cl["cluster_id"].to_pylist(),
+        )
+    }
+    gtd = gt.to_pandas()
+    truth = dict(zip(gtd["variant"], gtd["entity_id"]))
+    quality = pairwise_f1(pairs, ours, truth)
+    assert quality["f1"] > 0.6, quality

@@ -1,0 +1,80 @@
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raylink.transcripts import (
+    canonical_entity_names,
+    entity_variants,
+    generate_transcripts,
+    labeled_pairs,
+)
+
+
+def test_generator_deterministic():
+    t1, g1 = generate_transcripts(50, seed=42)
+    t2, g2 = generate_transcripts(50, seed=42)
+    assert t1.equals(t2)
+    assert g1.equals(g2)
+    t3, _ = generate_transcripts(50, seed=43)
+    assert not t1.equals(t3)
+
+
+def test_schema_matches_input_hint():
+    t, _ = generate_transcripts(10)
+    assert t.schema.names == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert t.schema.field("turn_idx").type == pa.int32()
+    assert t.schema.field("ts").type == pa.timestamp("us")
+
+
+def test_turns_contiguous_and_mention_planted():
+    t, gt = generate_transcripts(30)
+    df = t.to_pandas()
+    for conv_id, grp in df.groupby("conv_id"):
+        turns = sorted(grp["turn_idx"].tolist())
+        assert turns == list(range(len(turns)))
+    gtd = gt.to_pandas().set_index("conv_id")
+    turn0 = df[df.turn_idx == 0].set_index("conv_id")
+    for conv_id, row in turn0.iterrows():
+        variant = gtd.loc[conv_id, "variant"]
+        assert f'"{variant}"' in row["text"]
+
+
+def test_rows_are_shuffled():
+    t, _ = generate_transcripts(30)
+    turn = t["turn_idx"].to_numpy()
+    # a sorted-by-conversation table would have long runs of 0,1,2...
+    assert not np.all(np.diff(turn)[:50] >= 0)
+
+
+def test_hot_block_key():
+    _, gt = generate_transcripts(300)
+    keys = gt["block_key"].to_pylist()
+    vals, counts = np.unique(np.asarray(keys, dtype=object), return_counts=True)
+    top = counts.max() / counts.sum()
+    assert top > 0.2  # the hot key holds a disproportionate share
+
+
+def test_variants_similarity_graded():
+    names = canonical_entity_names(100)
+    variants, eids = entity_variants(names)
+    assert len(set(names)) == 100
+    assert len(variants) >= 100
+    # first variant of each entity is the canonical name
+    first_idx = np.unique(eids, return_index=True)[1]
+    for i in first_idx:
+        assert variants[i] == names[eids[i]]
+
+
+def test_labeled_pairs():
+    _, gt = generate_transcripts(60)
+    pairs = labeled_pairs(gt).to_pandas()
+    assert set(pairs.columns) == {"entity_a", "entity_b", "block_key", "is_match"}
+    pos = pairs[pairs.is_match]
+    neg = pairs[~pairs.is_match]
+    assert len(pos) > 0
+    assert len(neg) >= len(pos) * 3
+    # positives really are same-entity pairs
+    gtd = gt.to_pandas()
+    v2e = dict(zip(gtd["variant"], gtd["entity_id"]))
+    for _, r in pos.head(50).iterrows():
+        assert v2e[r.entity_a] == v2e[r.entity_b]
