@@ -1,0 +1,165 @@
+"""Per-stage Parquet checkpoints with lineage metadata + resume.
+
+North-rule requirement: every stage checkpoints per-partition Parquet with
+lineage metadata (input block ids, row counts, score histograms) so a job
+re-entered after a failure SKIPS completed stages/partitions instead of
+recomputing (the reference can only pickle the whole model,
+polyfuzz/polyfuzz.py:429-457 — this is the distributed replacement).
+
+Layout per stage::
+
+    <root>/<stage>/data/part-*.parquet     (atomic: written to .tmp, renamed)
+    <root>/<stage>/manifest.json           {stage, n_rows, n_files, files:
+                                            [{name, rows}], score_histogram,
+                                            input_stages, params_fingerprint}
+
+``run_stage`` is the composition primitive: if a valid manifest exists and
+the params fingerprint matches, the stage re-enters as a ``read_parquet``
+(zero recompute); otherwise the producer runs and the checkpoint is written
+atomically. Histograms of any ``similarity`` column are recorded per stage
+as the lineage score metric.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _fingerprint(params: dict) -> str:
+    return hashlib.md5(
+        json.dumps(params, sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
+def _score_histogram(tables: list[pa.Table], col: str = "similarity") -> list[int] | None:
+    counts = np.zeros(101, dtype=np.int64)
+    seen = False
+    for t in tables:
+        if col not in t.column_names:
+            continue
+        seen = True
+        vals = np.asarray(t[col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        vals = vals[np.isfinite(vals)]
+        binned = np.clip((vals * 100).astype(np.int64), 0, 100)
+        counts += np.bincount(binned, minlength=101)
+    return counts.tolist() if seen else None
+
+
+def write_checkpoint(
+    ds_or_tables,
+    root: str,
+    stage: str,
+    params: dict | None = None,
+    input_stages: list[str] | None = None,
+) -> dict:
+    """Write a stage checkpoint atomically; returns the manifest dict.
+
+    Accepts a Ray Dataset (its blocks become part files — per-partition
+    resume granularity) or a list of Arrow tables."""
+    import ray
+
+    stage_dir = os.path.join(root, stage)
+    tmp_dir = stage_dir + ".tmp"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(os.path.join(tmp_dir, "data"), exist_ok=True)
+
+    if isinstance(ds_or_tables, list):
+        tables = ds_or_tables
+    else:
+        tables = ray.get(ds_or_tables.to_arrow_refs())
+    files = []
+    n_rows = 0
+    kept: list[pa.Table] = []
+    part = 0
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        name = f"part-{part:05d}.parquet"
+        pq.write_table(t, os.path.join(tmp_dir, "data", name))
+        files.append({"name": name, "rows": t.num_rows})
+        n_rows += t.num_rows
+        kept.append(t)
+        part += 1
+    if part == 0:  # keep schema for empty results
+        empty = tables[0] if tables else pa.table({})
+        pq.write_table(empty, os.path.join(tmp_dir, "data", "part-00000.parquet"))
+        files.append({"name": "part-00000.parquet", "rows": 0})
+    manifest = {
+        "stage": stage,
+        "n_rows": n_rows,
+        "n_files": len(files),
+        "files": files,
+        "score_histogram": _score_histogram(kept),
+        "input_stages": input_stages or [],
+        "params_fingerprint": _fingerprint(params or {}),
+    }
+    with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    if os.path.exists(stage_dir):
+        shutil.rmtree(stage_dir)
+    os.rename(tmp_dir, stage_dir)
+    return manifest
+
+
+def read_manifest(root: str, stage: str) -> dict | None:
+    path = os.path.join(root, stage, "manifest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def checkpoint_valid(root: str, stage: str, params: dict | None = None) -> bool:
+    """A checkpoint is valid iff the manifest exists, its params fingerprint
+    matches, and every listed part file exists with the recorded row count
+    (guards against partial/killed writes — though the atomic rename makes
+    those invisible in the first place)."""
+    m = read_manifest(root, stage)
+    if m is None:
+        return False
+    if m["params_fingerprint"] != _fingerprint(params or {}):
+        return False
+    data_dir = os.path.join(root, stage, "data")
+    for f in m["files"]:
+        p = os.path.join(data_dir, f["name"])
+        if not os.path.exists(p):
+            return False
+        try:
+            if pq.ParquetFile(p).metadata.num_rows != f["rows"]:
+                return False
+        except Exception:
+            return False
+    return True
+
+
+def read_checkpoint(root: str, stage: str):
+    """Resume path: checkpoint dir -> Ray Dataset."""
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(root, stage, "data"))
+
+
+def run_stage(
+    root: str,
+    stage: str,
+    producer,
+    params: dict | None = None,
+    input_stages: list[str] | None = None,
+):
+    """Compose resumable stages: returns (dataset, resumed: bool).
+
+    ``producer()`` must return a Ray Dataset; it is only invoked when no
+    valid checkpoint exists."""
+    if checkpoint_valid(root, stage, params):
+        return read_checkpoint(root, stage), True
+    ds = producer()
+    write_checkpoint(ds, root, stage, params, input_stages)
+    return read_checkpoint(root, stage), False

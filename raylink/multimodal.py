@@ -1,0 +1,157 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video ride through the engine as ``binary`` columns with
+metadata columns (media_type, width/height or sample_rate, etc.). The
+decode / feature-extract / resize / frame-sample stages are actor-pool
+``map_batches`` stages whose RAY-SIDE plumbing (schema, batch sizing,
+actor signature, output layout) is real and tested; the codec itself is
+STUBBED because no image/audio libraries exist in this container:
+``DecoderBackend.decode`` raises ``NotImplementedError`` unless the
+deterministic fake backend is selected (``backend="fake"``), which
+synthesizes pixel/sample arrays from the payload bytes so the pipeline
+shape is exercised end to end.
+
+Memory note: binary rows are large — callers should use a small
+``batch_size`` (default 64 here vs thousands for text) and
+``batch_format="pyarrow"`` so payloads stay zero-copy until the decode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("meta_width", pa.int32()),
+        ("meta_height", pa.int32()),
+        ("meta_sample_rate", pa.int32()),
+        ("meta_n_frames", pa.int32()),
+    ]
+)
+
+
+def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows (payload = seeded bytes) for tests."""
+    rng = np.random.default_rng(seed)
+    types = np.array(["image", "audio", "video"], dtype=object)[
+        rng.integers(0, 3, size=n)
+    ]
+    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 512))).astype(np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(types, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "meta_width": pa.array(rng.integers(16, 64, size=n).astype(np.int32)),
+            "meta_height": pa.array(rng.integers(16, 64, size=n).astype(np.int32)),
+            "meta_sample_rate": pa.array(np.full(n, 16000, dtype=np.int32)),
+            "meta_n_frames": pa.array(rng.integers(1, 30, size=n).astype(np.int32)),
+        }
+    )
+
+
+class DecoderBackend:
+    """Codec seam. Real backends (PIL / torchaudio / pyav) are not
+    installed — selecting them raises at decode time with a clear message;
+    the ``fake`` backend derives deterministic arrays from payload bytes."""
+
+    def __init__(self, backend: str = "fake"):
+        self.backend = backend
+
+    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self.backend != "fake":
+            raise NotImplementedError(
+                f"image codec backend {self.backend!r} is not available in "
+                "this environment; use backend='fake' or install a codec"
+            )
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        seed = int.from_bytes(h, "little")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+    def decode_audio(self, payload: bytes, sample_rate: int) -> np.ndarray:
+        if self.backend != "fake":
+            raise NotImplementedError(
+                f"audio codec backend {self.backend!r} is not available"
+            )
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        rng = np.random.default_rng(int.from_bytes(h, "little"))
+        return (rng.random(sample_rate) * 2 - 1).astype(np.float32)
+
+
+class MediaFeatureActor:
+    """Actor-pool stage: decode + feature-extract.
+
+    __init__ loads the (stub) codec once per actor; __call__ processes one
+    Arrow batch and emits fixed-width feature vectors + shape metadata.
+    Output schema is stable regardless of media type (absent dims are -1).
+    """
+
+    def __init__(self, backend: str = "fake", resize_to: int = 8, n_sample_frames: int = 4):
+        self.codec = DecoderBackend(backend)
+        self.resize_to = resize_to
+        self.n_sample_frames = n_sample_frames
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        """Nearest-neighbor resize to (resize_to, resize_to) — pure numpy."""
+        h, w, _ = img.shape
+        yy = (np.arange(self.resize_to) * h // self.resize_to).clip(0, h - 1)
+        xx = (np.arange(self.resize_to) * w // self.resize_to).clip(0, w - 1)
+        return img[yy][:, xx]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        widths = batch["meta_width"].to_pylist()
+        heights = batch["meta_height"].to_pylist()
+        rates = batch["meta_sample_rate"].to_pylist()
+        frames = batch["meta_n_frames"].to_pylist()
+        feats: list[list[float]] = []
+        shapes: list[str] = []
+        for mt, p, w, h, sr, nf in zip(types, payloads, widths, heights, rates, frames):
+            if mt == "image":
+                img = self._resize(self.codec.decode_image(p, w, h))
+                feats.append((img.astype(np.float64).mean(axis=2) / 255.0).ravel().tolist())
+                shapes.append(f"{self.resize_to}x{self.resize_to}")
+            elif mt == "audio":
+                wav = self.codec.decode_audio(p, sr)
+                seg = np.array_split(wav, self.resize_to * self.resize_to)
+                feats.append([float(np.sqrt((s**2).mean())) for s in seg])
+                shapes.append(f"rms{self.resize_to * self.resize_to}")
+            else:  # video: frame-sample then image features of sampled frames
+                step = max(1, nf // self.n_sample_frames)
+                sampled = list(range(0, nf, step))[: self.n_sample_frames]
+                accum = np.zeros((self.resize_to, self.resize_to))
+                for fi in sampled:
+                    frame = self._resize(
+                        self.codec.decode_image(p + fi.to_bytes(4, "little"), w, h)
+                    )
+                    accum += frame.astype(np.float64).mean(axis=2) / 255.0
+                feats.append((accum / max(1, len(sampled))).ravel().tolist())
+                shapes.append(f"{len(sampled)}f:{self.resize_to}x{self.resize_to}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "media_type": pa.array(types, type=pa.string()),
+                "feature": pa.array(feats, type=pa.list_(pa.float64())),
+                "feature_shape": pa.array(shapes, type=pa.string()),
+            }
+        )
+
+
+def media_features(ds, backend: str = "fake", concurrency=(1, 4), batch_size: int = 64):
+    """Dataset of MEDIA_SCHEMA rows -> feature Dataset (actor pool)."""
+    return ds.map_batches(
+        MediaFeatureActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"backend": backend},
+    )

@@ -1,0 +1,143 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All are stateless-or-actor ``map_batches`` stages over Arrow batches with
+vectorized (pyarrow.compute / numpy) bodies; the heuristics are
+deliberately simple and DETERMINISTIC so the DuckDB oracle can reproduce
+the SQL-expressible ones exactly (token_count, quality ratios, md5
+fingerprint), while lang-id and the rolling fingerprint are rows-only ops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raylink.blocking import _hash64
+
+# tiny deterministic stopword profiles (lang-id heuristic)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "por", "que", "una", "con"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie order
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + a BPE-ish subword count (regex pieces:
+    word chars runs, digits runs, single punctuation)."""
+    texts = batch[text_col]
+    ws = pc.count_substring_regex(pc.utf8_trim_whitespace(texts), r"\S+")
+    bpe = pc.count_substring_regex(texts, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pc.cast(ws, pa.int64()),
+            "n_subtokens": pc.cast(bpe, pa.int64()),
+        }
+    )
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic quality signals: length, alnum ratio, whitespace
+    ratio, mean word length — SQL-expressible and reproduced by the
+    DuckDB oracle."""
+    texts = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(texts), pa.float64())
+    n_alnum = pc.cast(
+        pc.utf8_length(pc.replace_substring_regex(texts, r"[^A-Za-z0-9]", "")),
+        pa.float64(),
+    )
+    n_space = pc.cast(
+        pc.utf8_length(pc.replace_substring_regex(texts, r"[^ ]", "")), pa.float64()
+    )
+    n_words = pc.cast(
+        pc.count_substring_regex(pc.utf8_trim_whitespace(texts), r"\S+"), pa.float64()
+    )
+    safe_chars = pc.if_else(pc.equal(n_chars, 0), pa.scalar(1.0), n_chars)
+    safe_words = pc.if_else(pc.equal(n_words, 0), pa.scalar(1.0), n_words)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "alnum_ratio": pc.divide(n_alnum, safe_chars),
+            "space_ratio": pc.divide(n_space, safe_chars),
+            "mean_word_len": pc.divide(
+                pc.subtract(n_chars, n_space), safe_words
+            ),
+        }
+    )
+
+
+class LangIdActor:
+    """Actor-pool stage: compiled stopword regexes built once per actor
+    (the stateful-stage pattern); per batch a vectorized count per
+    language, argmax with the fixed LANG_ORDER tie-break."""
+
+    def __init__(self):
+        self.patterns = {
+            lang: re.compile(
+                r"\b(" + "|".join(words) + r")\b", re.IGNORECASE
+            )
+            for lang, words in LANG_STOPWORDS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        scores = np.zeros((len(texts), len(LANG_ORDER)), dtype=np.int64)
+        for li, lang in enumerate(LANG_ORDER):
+            pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+            low = pc.utf8_lower(texts)
+            scores[:, li] = pc.count_substring_regex(low, pat).to_numpy(
+                zero_copy_only=False
+            )
+        best = np.argmax(scores, axis=1)  # first max = LANG_ORDER tie-break
+        conf = scores[np.arange(len(texts)), best]
+        langs = np.array(LANG_ORDER, dtype=object)[best]
+        langs[conf == 0] = "unknown"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(langs, type=pa.string()),
+                "stopword_hits": pa.array(conf.astype(np.int64)),
+            }
+        )
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """md5 full-content fingerprint (SQL: md5(text)) + a rolling shingle
+    fingerprint (min of rolling 16-char window hashes over the cleaned
+    text — stable under small appends; rows-only op)."""
+    from raylink.text import batch_ngrams, clean_strings_arrow
+
+    texts = batch[text_col]
+    md5 = [hashlib.md5(t.encode()).hexdigest() for t in texts.to_pylist()]
+    cleaned = clean_strings_arrow(texts)
+    d, grams = batch_ngrams(cleaned, (16, 16), remove_space_ngrams=False, pad_width=16)
+    roll = np.zeros(batch.num_rows, dtype=np.int64)
+    if len(grams):
+        raw = np.frombuffer(grams.tobytes(), dtype=np.uint8).reshape(len(grams), -1)
+        h = np.zeros(len(grams), dtype=np.uint64)
+        for col in range(raw.shape[1]):
+            h = h * np.uint64(1099511628211) + raw[:, col].astype(np.uint64)
+        h = _hash64(h.astype(np.int64)).astype(np.uint64)
+        chg = np.empty(len(d), bool)
+        chg[0] = True
+        chg[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(chg)
+        mins = np.minimum.reduceat(h, starts)
+        roll[d[starts]] = mins.astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "md5": pa.array(md5, type=pa.string()),
+            "rolling_min_hash": pa.array(roll),
+        }
+    )

@@ -1,0 +1,198 @@
+"""ANN, text-stats, multimodal plumbing, checkpoint/resume."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray.data
+
+
+@pytest.fixture(scope="module")
+def emb_ds(rd):
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(200, 16))
+    return (
+        rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                    "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float64())),
+                }
+            )
+        ),
+        mat,
+    )
+
+
+def test_brute_force_topk_exact(emb_ds):
+    from raylink.ann import brute_force_topk
+    from raylink.embed import l2_normalize
+
+    ds, mat = emb_ds
+    queries = mat[:3]
+    out = brute_force_topk(ds, queries, k=5, batch_size=64)
+    qn = l2_normalize(queries)
+    dn = l2_normalize(mat)
+    sims = qn @ dn.T
+    for qi in range(3):
+        expect = np.argsort(-sims[qi], kind="stable")[:5]
+        got = out[out.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == expect.tolist()
+
+
+def test_self_top1(emb_ds):
+    from raylink.ann import self_top1
+
+    ds, mat = emb_ds
+    out = self_top1(ds, batch_size=64)
+    assert len(out) == 200
+    assert (out["vec_id"] != out["best_match_id"]).all()
+
+
+def test_ivf_topk_recall(emb_ds):
+    from raylink.ann import brute_force_topk, ivf_topk
+
+    ds, mat = emb_ds
+    queries = mat[:5]
+    exact = brute_force_topk(ds, queries, k=3)
+    approx = ivf_topk(ds, queries, k=3, n_clusters=8, n_probe=4)
+    hits = 0
+    total = 0
+    for qi in range(5):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.5  # approximate by design
+
+
+def test_token_and_quality(rd):
+    from raylink.textstats import quality_score_batch, token_count_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["Hello big world!", ""], type=pa.string()),
+        }
+    )
+    tk = token_count_batch(batch)
+    assert tk["n_tokens"].to_pylist() == [3, 0]
+    assert tk["n_subtokens"].to_pylist() == [4, 0]
+    q = quality_score_batch(batch)
+    assert q["n_chars"].to_pylist() == [16, 0]
+    assert abs(q["alnum_ratio"].to_pylist()[0] - 13 / 16) < 1e-12
+
+
+def test_lang_id(rd):
+    from raylink.textstats import LangIdActor
+
+    actor = LangIdActor()
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog sat in the garden for the evening",
+                    "der Hund ist nicht mit der Katze und der Maus",
+                    "zzz qqq xxx",
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+    out = actor(batch)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "unknown"]
+
+
+def test_fingerprint(rd):
+    import hashlib
+
+    from raylink.textstats import fingerprint_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": pa.array(["some document content here for hashing"], type=pa.string()),
+        }
+    )
+    out = fingerprint_batch(batch)
+    assert out["md5"].to_pylist()[0] == hashlib.md5(
+        b"some document content here for hashing"
+    ).hexdigest()
+    out2 = fingerprint_batch(batch)
+    assert out["rolling_min_hash"].to_pylist() == out2["rolling_min_hash"].to_pylist()
+
+
+def test_media_features_pipeline(rd):
+    import ray
+
+    from raylink.multimodal import DecoderBackend, media_features, synthesize_media_table
+
+    tbl = synthesize_media_table(30)
+    out = media_features(rd.from_arrow(tbl), backend="fake").to_pandas()
+    assert len(out) == 30
+    assert set(out["media_type"]) == {"image", "audio", "video"}
+    assert all(len(f) == 64 for f in out["feature"])
+    # real codec backends are stubbed with a clear error
+    with pytest.raises(NotImplementedError):
+        DecoderBackend(backend="pil").decode_image(b"x", 4, 4)
+
+
+def test_checkpoint_resume(rd, tmp_path):
+    from raylink.checkpoint import checkpoint_valid, read_manifest, run_stage
+
+    calls = {"n": 0}
+
+    def producer():
+        calls["n"] += 1
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "x": pa.array([1, 2, 3], type=pa.int64()),
+                    "similarity": pa.array([0.1, 0.5, 0.99], type=pa.float64()),
+                }
+            )
+        )
+
+    root = str(tmp_path)
+    ds1, resumed1 = run_stage(root, "score", producer, params={"v": 1})
+    assert not resumed1 and calls["n"] == 1
+    ds2, resumed2 = run_stage(root, "score", producer, params={"v": 1})
+    assert resumed2 and calls["n"] == 1  # skipped recompute
+    pd.testing.assert_frame_equal(
+        ds1.to_pandas().sort_values("x").reset_index(drop=True),
+        ds2.to_pandas().sort_values("x").reset_index(drop=True),
+    )
+    m = read_manifest(root, "score")
+    assert m["n_rows"] == 3
+    hist = m["score_histogram"]
+    assert sum(hist) == 3 and hist[10] == 1 and hist[50] == 1 and hist[99] == 1
+    # changed params invalidate the checkpoint
+    assert not checkpoint_valid(root, "score", params={"v": 2})
+    ds3, resumed3 = run_stage(root, "score", producer, params={"v": 2})
+    assert not resumed3 and calls["n"] == 2
+
+
+def test_checkpoint_detects_corruption(rd, tmp_path):
+    import os
+
+    from raylink.checkpoint import checkpoint_valid, run_stage
+
+    def producer():
+        return rd.from_arrow(pa.table({"x": pa.array([1, 2], type=pa.int64())}))
+
+    root = str(tmp_path)
+    run_stage(root, "s", producer)
+    assert checkpoint_valid(root, "s")
+    data_dir = os.path.join(root, "s", "data")
+    victim = os.path.join(data_dir, sorted(os.listdir(data_dir))[0])
+    os.remove(victim)
+    assert not checkpoint_valid(root, "s")
