@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver initializes Ray BEFORE importing this module; nothing here (or
+in raylink) calls ray.init()/ray.shutdown(). ``entry()`` runs the flagship
+record-linkage pipeline on sf0.001; ``queries()``/``oracle_sql()`` expose
+the operator battery from SURVEY §2 plus the training-data extras, with
+DuckDB oracles for every SQL-expressible operator (kernel-only ops are
+rows-only checks, parity being pytest-gated instead).
 """
 
 from __future__ import annotations
@@ -20,25 +15,44 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on /root/testdata/sf0.001: document near-dedup linkage —
+    read documents, self-match text per lang block with TF-IDF char
+    3-grams, group with the reference's linkage semantics, return the
+    grouped matches (stable schema: from, to, similarity, block_key,
+    row_order, group)."""
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from raylink.pipeline import MatcherSpec, group_matches, match_dataset
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    res = match_dataset(
+        ds,
+        None,
+        MatcherSpec(kind="tfidf", min_similarity=0.0, top_n=1),
+        text_col="text",
+        block_col="lang",
+    )
+    gr = group_matches(res, link_min_similarity=0.75, group_all_strings=True)
+    return gr.grouped
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from raylink.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from raylink.queries import ORACLE_SQL, ensure_transcript_fixture
+
+    # The transcript-query oracles read a deterministic fixture from /tmp;
+    # synthesize it now (idempotent, seed-fixed) so the SQL side never
+    # depends on the Ray side having run first.
+    try:
+        ensure_transcript_fixture("/root/testdata/sf0.01")
+    except Exception:
+        pass  # oracle comparison will surface any real problem
+    return dict(ORACLE_SQL)

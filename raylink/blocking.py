@@ -51,20 +51,15 @@ def text_fingerprint(texts: pa.Array, turn_idx: np.ndarray) -> np.ndarray:
     aggregate) it changes if any turn's text OR its position changes —
     the per-turn-text-equality-under-stable-turn-ordering invariant.
     """
-    h = pc.hash(texts) if hasattr(pc, "hash") else None
-    if h is not None:
-        base = np.asarray(h.to_numpy(zero_copy_only=False), dtype=np.int64)
-    else:
-        import zlib
+    import pandas as pd
 
-        base = np.fromiter(
-            (zlib.crc32(t.encode()) for t in texts.to_pylist()),
-            dtype=np.int64,
-            count=len(texts),
-        )
-    return _hash64(base ^ _hash64(np.asarray(turn_idx, dtype=np.int64))).astype(
-        np.int64
-    )
+    # vectorized deterministic string hash (pandas siphash, fixed key);
+    # pyarrow.compute has no hash kernel in this version
+    base = pd.util.hash_array(
+        np.asarray(texts.to_pylist(), dtype=object), categorize=False
+    ).astype(np.int64, copy=False)
+    mixed = base.astype(np.uint64) ^ _hash64(np.asarray(turn_idx, dtype=np.int64))
+    return _hash64(mixed.astype(np.int64)).astype(np.int64)
 
 
 def extract_entities_batch(batch: pa.Table) -> pa.Table:

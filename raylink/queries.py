@@ -1,0 +1,610 @@
+"""Driver-contract query battery: one entry per implemented operator
+(SURVEY §2 + the training-data extras), each as a callable
+``f(sf_dir) -> Dataset | DataFrame | Table`` with, where SQL-expressible,
+a DuckDB oracle in :data:`ORACLE_SQL` producing identical column names and
+values.
+
+Determinism notes baked into the SQL-checked queries:
+  * PR curve uses the exact decimal threshold grid (i/100) and integer
+    milli-sim sums so no float summation-order noise can differ between
+    numpy and DuckDB;
+  * cosine similarities compared after round(., 4);
+  * min-max normalization and ratio queries use single-division arithmetic
+    (correctly-rounded in both engines).
+
+Transcript queries synthesize their input deterministically (seed 42) to
+``/tmp/raylink_fixtures/<sf-name>`` — written idempotently by BOTH the
+query callable and ``ensure_transcript_fixture``, so the SQL oracle can
+``read_parquet`` the same files regardless of execution order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+FIXTURE_ROOT = "/tmp/raylink_fixtures"
+
+# entity count per driver scale factor for the synthetic transcript table
+SF_ENTITIES = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 8000}
+DEFAULT_ENTITIES = 1000
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str):
+    return _rd().read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def transcript_fixture_dir(sf_dir: str) -> str:
+    return os.path.join(FIXTURE_ROOT, sf_name(sf_dir))
+
+
+def ensure_transcript_fixture(sf_dir: str) -> dict:
+    """Idempotent deterministic synthesis of the transcript tables for this
+    scale (seed 42). Safe to call from both the Ray side and the oracle
+    side; first caller wins, content is identical either way."""
+    from raylink.transcripts import write_transcripts_dataset
+
+    out_dir = transcript_fixture_dir(sf_dir)
+    done = os.path.join(out_dir, ".complete")
+    if os.path.exists(done):
+        import json
+
+        with open(done) as f:
+            return json.load(f)
+    n_entities = SF_ENTITIES.get(sf_name(sf_dir), DEFAULT_ENTITIES)
+    info = write_transcripts_dataset(out_dir, n_entities, seed=42)
+    import json
+
+    with open(done, "w") as f:
+        json.dump(info, f)
+    return info
+
+
+# ---------------------------------------------------------------------------
+# SQL helpers (shared fragments)
+# ---------------------------------------------------------------------------
+
+SQL_CLEAN = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]+', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _clean_sql(col: str) -> str:
+    return SQL_CLEAN.format(col=col)
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_clean_documents(sf_dir: str):
+    """M1 clean_string, vectorized Arrow kernels (SURVEY §2.2)."""
+    from raylink.text import clean_strings_arrow
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": clean_strings_arrow(batch["text"]),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
+def q_ngram_df(sf_dir: str):
+    """A4 TF-IDF fit's distributed document-frequency aggregation."""
+    from raylink.text import batch_ngrams, clean_strings_arrow
+    from raylink.tfidf import df_counts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cleaned = clean_strings_arrow(batch["text"])
+        doc_ids, grams = batch_ngrams(cleaned, (3, 3), True, pad_width=3)
+        g, df = df_counts(doc_ids, grams)
+        return pa.table(
+            {
+                "gram": pa.array([x.rstrip(b"\x00").decode() for x in g.tolist()],
+                                 type=pa.string()),
+                "df": pa.array(df.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "documents")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    return out
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: hash-partitioned keep-first (training-data op)."""
+    from raylink.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents"), "doc_id", "text")
+
+
+def q_minmax_normalize(sf_dir: str):
+    """A2 global min-max normalize as aggregate + second map pass."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events")
+    stats = ds.aggregate(Min("value"), Max("value"))
+    lo, hi = float(stats["min(value)"]), float(stats["max(value)"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        vn = pc.divide(pc.subtract(batch["value"], pa.scalar(lo)), pa.scalar(hi - lo))
+        return pa.table({"event_id": batch["event_id"], "value_norm": vn})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_threshold_filter(sf_dir: str):
+    """M6 strict > threshold filter (linkage input semantics)."""
+    ds = q_minmax_normalize(sf_dir)
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["value_norm"], 0.75)),
+        batch_format="pyarrow",
+    )
+
+
+def q_pr_curve(sf_dir: str):
+    """A1 precision-recall curve as a distributed value-count aggregate
+    (exact: integer milli-sim arithmetic, decimal threshold grid)."""
+    sims_ds = q_minmax_normalize(sf_dir).map_batches(
+        lambda t: pa.table({"sim": pc.round(t["value_norm"], ndigits=3)}),
+        batch_format="pyarrow",
+    )
+    counts = sims_ds.groupby("sim").count().to_pandas()
+    vals = counts["sim"].to_numpy(dtype=np.float64)
+    cnt = counts["count()"].to_numpy(dtype=np.int64)
+    milli = np.rint(vals * 1000).astype(np.int64)
+    total = int(cnt.sum())
+    rows = []
+    for i in range(101):
+        t = i / 100
+        sel = milli / 1000.0 >= t
+        n_ge = int(cnt[sel].sum())
+        s_ge = int((milli[sel] * cnt[sel]).sum())
+        rows.append(
+            (
+                t,
+                n_ge / total,
+                (s_ge / n_ge / 1000.0) if n_ge else None,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["min_precision", "recall", "average_precision"]
+    )
+
+
+def q_canonicalize_events(sf_dir: str):
+    """M8 canonicalization semantics SQL-checked on the events table:
+    per-key stable ordering by (ts, event_id) -> ordered sequence digest."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "first_ts": [g["ts"].iloc[0]],
+                "event_seq": ["|".join(g["event_type"].tolist())],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def q_ann_self_top1(sf_dir: str):
+    """Brute-force cosine top-1 over the embedding column (similarity
+    search baseline; broadcast matrix, streamed batches)."""
+    from raylink.ann import self_top1
+
+    return self_top1(_read(sf_dir, "embeddings"), batch_size=512, round_to=4)
+
+
+def q_token_count(sf_dir: str):
+    from raylink.textstats import token_count_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+
+
+def q_quality_score(sf_dir: str):
+    from raylink.textstats import quality_score_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        quality_score_batch, batch_format="pyarrow"
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from raylink.textstats import LangIdActor
+
+    return _read(sf_dir, "documents").map_batches(
+        LangIdActor, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from raylink.textstats import fingerprint_batch
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = fingerprint_batch(batch)
+        return out.select(["doc_id", "md5"])
+
+    return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
+def q_transcript_canonicalize(sf_dir: str):
+    """Flagship stage 1 SQL-checked: mention extraction + block key from
+    the synthesized transcript fixture."""
+    info = ensure_transcript_fixture(sf_dir)
+    from raylink.blocking import canonicalize_transcripts
+
+    ds = _rd().read_parquet(info["transcripts"])
+    return canonicalize_transcripts(ds)
+
+
+def q_transcript_turn_stats(sf_dir: str):
+    """Ordering-integrity aggregate (per-turn invariant support)."""
+    info = ensure_transcript_fixture(sf_dir)
+    from raylink.blocking import conversation_check_batch
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _rd().read_parquet(info["transcripts"])
+    out = (
+        ds.map_batches(conversation_check_batch, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Min("min_turn", alias_name="min_turn"),
+            Max("max_turn", alias_name="max_turn"),
+        )
+    )
+    return out
+
+
+# ----- rows-only queries (kernels not expressible in SQL) ------------------
+
+
+def q_match_tfidf_documents(sf_dir: str):
+    """E1 match pipeline over document texts, blocked by lang (self-match
+    within block). Rows-only: TF-IDF cosine is kernel work; parity is
+    pytest-gated instead (tests/test_pipeline_ray.py)."""
+    from raylink.pipeline import MatcherSpec, match_dataset
+
+    ds = _read(sf_dir, "documents")
+    res = match_dataset(
+        ds,
+        None,
+        MatcherSpec(kind="tfidf", min_similarity=0.0, top_n=1),
+        text_col="text",
+        block_col="lang",
+    )
+    return res.matches
+
+
+def q_group_documents(sf_dir: str):
+    """E3 group pipeline: clusters table over document texts per lang."""
+    from raylink.pipeline import MatcherSpec, group_matches, match_dataset
+
+    ds = _read(sf_dir, "documents")
+    res = match_dataset(
+        ds, None, MatcherSpec(kind="tfidf", min_similarity=0.0),
+        text_col="text", block_col="lang",
+    )
+    gr = group_matches(res, link_min_similarity=0.75, group_all_strings=True)
+    return gr.clusters
+
+
+def q_match_rapidfuzz(sf_dir: str):
+    """J2 RapidFuzz WRatio matcher (rows-only; short prefixes keep the
+    O(pairs) scorer bounded at oracle scale)."""
+    from raylink.pipeline import MatcherSpec, match_dataset
+
+    def prefix(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text32": pc.utf8_slice_codeunits(batch["text"], 0, 32),
+                "lang": batch["lang"],
+            }
+        )
+
+    ds = _read(sf_dir, "documents").map_batches(prefix, batch_format="pyarrow")
+    from_ds = ds.filter(lambda r: r["doc_id"] % 20 == 0)
+    to_ds = ds.filter(lambda r: r["doc_id"] % 20 == 1)
+    res = match_dataset(
+        from_ds, to_ds, MatcherSpec(kind="rapidfuzz"),
+        text_col="text32", block_col="lang",
+    )
+    return res.matches
+
+
+def q_match_embeddings(sf_dir: str):
+    """T4/J1 embedding matcher with the deterministic hash embedder."""
+    from raylink.pipeline import MatcherSpec, match_dataset
+
+    ds = _read(sf_dir, "documents")
+    res = match_dataset(
+        ds, None, MatcherSpec(kind="embeddings", min_similarity=0.0),
+        text_col="text", block_col="lang",
+    )
+    return res.matches
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force top-10 for a fixed query panel (rows-only)."""
+    from raylink.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings")
+    head = ds.limit(4).to_pandas()
+    queries = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    return brute_force_topk(ds, queries, k=10, batch_size=512)
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dedup over documents (rows-only)."""
+    from raylink.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _read(sf_dir, "documents"), "doc_id", "text",
+        k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
+    )
+
+
+def q_simhash(sf_dir: str):
+    """SimHash values per document (rows-only: hash kernel)."""
+    from raylink.dedup import simhash_batch
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = simhash_batch(batch["text"].combine_chunks(), k=4)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(h.astype(np.int64))}
+        )
+
+    return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
+def q_transcript_flagship(sf_dir: str):
+    """The end-to-end flagship: transcripts -> canonicalize -> blocked
+    self-match -> linkage -> per-conversation assignments (rows-only)."""
+    info = ensure_transcript_fixture(sf_dir)
+    from raylink.flagship import transcript_entity_resolution
+
+    ds = _rd().read_parquet(info["transcripts"])
+    result = transcript_entity_resolution(ds, link_min_similarity=0.75)
+    return result.assignments
+
+
+def q_transcript_pr_curve(sf_dir: str):
+    """A1 over the flagship's match similarities (rows-only; exact
+    value-count path)."""
+    info = ensure_transcript_fixture(sf_dir)
+    from raylink.flagship import transcript_entity_resolution
+    from raylink.metrics import pr_curve_from_value_counts
+
+    ds = _rd().read_parquet(info["transcripts"])
+    result = transcript_entity_resolution(ds, link_min_similarity=0.75)
+    counts = result.matches.groupby("similarity").count().to_pandas()
+    return pr_curve_from_value_counts(
+        counts["similarity"].to_numpy(np.float64),
+        counts["count()"].to_numpy(np.float64),
+        threshold_mode="arange",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "clean_documents": q_clean_documents,
+    "ngram_df": q_ngram_df,
+    "exact_dedup": q_exact_dedup,
+    "minmax_normalize": q_minmax_normalize,
+    "threshold_filter": q_threshold_filter,
+    "pr_curve": q_pr_curve,
+    "canonicalize_events": q_canonicalize_events,
+    "ann_self_top1": q_ann_self_top1,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "transcript_canonicalize": q_transcript_canonicalize,
+    "transcript_turn_stats": q_transcript_turn_stats,
+    # rows-only
+    "match_tfidf_documents": q_match_tfidf_documents,
+    "group_documents": q_group_documents,
+    "match_rapidfuzz": q_match_rapidfuzz,
+    "match_embeddings": q_match_embeddings,
+    "ann_topk": q_ann_topk,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "transcript_flagship": q_transcript_flagship,
+    "transcript_pr_curve": q_transcript_pr_curve,
+}
+
+
+def _oracle_fixture_glob() -> str:
+    # the driver's oracle comparison runs at sf0.01 (TESTDATA.md)
+    return os.path.join(FIXTURE_ROOT, "sf0.01", "transcripts", "*.parquet")
+
+
+_CLEAN_T = _clean_sql("text")
+
+_LANG_COUNT = (
+    "length(regexp_extract_all(lower(text), '\\b({words})\\b'))"
+)
+
+
+def _lang_expr(lang: str) -> str:
+    from raylink.textstats import LANG_STOPWORDS
+
+    return _LANG_COUNT.format(words="|".join(LANG_STOPWORDS[lang]))
+
+
+ORACLE_SQL = {
+    "clean_documents": f"SELECT doc_id, {_CLEAN_T} AS clean_text FROM documents",
+    "ngram_df": f"""
+        WITH cleaned AS (SELECT doc_id, {_CLEAN_T} AS t FROM documents),
+        pos AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(length(t) - 2, 0))) AS i
+            FROM cleaned
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, substring(t, i, 3) AS gram
+            FROM pos
+            WHERE substring(t, i, 3) NOT LIKE '% %'
+        )
+        SELECT gram, count(*) AS df FROM grams GROUP BY gram
+    """,
+    "exact_dedup": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+               count(*) AS n_dups
+        FROM documents GROUP BY md5(text)
+    """,
+    "minmax_normalize": """
+        SELECT event_id,
+               (value - min(value) OVER ()) /
+               (max(value) OVER () - min(value) OVER ()) AS value_norm
+        FROM events
+    """,
+    "threshold_filter": """
+        WITH n AS (
+            SELECT event_id,
+                   (value - min(value) OVER ()) /
+                   (max(value) OVER () - min(value) OVER ()) AS value_norm
+            FROM events
+        )
+        SELECT event_id, value_norm FROM n WHERE value_norm > 0.75
+    """,
+    "pr_curve": """
+        WITH n AS (
+            SELECT CAST(round(((value - min(value) OVER ()) /
+                   (max(value) OVER () - min(value) OVER ())) * 1000) AS BIGINT)
+                   AS milli
+            FROM events
+        ),
+        t AS (SELECT i / 100.0 AS min_precision
+              FROM generate_series(0, 100) AS g(i))
+        SELECT t.min_precision,
+               (SELECT count(*) FROM n WHERE n.milli / 1000.0 >= t.min_precision)
+                   / (SELECT count(*)::DOUBLE FROM n) AS recall,
+               (SELECT CASE WHEN count(*) = 0 THEN NULL
+                       ELSE sum(n.milli) / count(*) / 1000.0 END
+                FROM n WHERE n.milli / 1000.0 >= t.min_precision)
+                   AS average_precision
+        FROM t
+    """,
+    "canonicalize_events": """
+        SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
+               string_agg(event_type, '|' ORDER BY ts, event_id) AS event_seq
+        FROM events GROUP BY user_id
+    """,
+    "ann_self_top1": """
+        WITH sims AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
+                   list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) AS cs
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, other_id, cs,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, other_id ASC) AS rn
+            FROM sims
+        )
+        SELECT vec_id, other_id AS best_match_id, round(cs, 4) AS best_sim
+        FROM ranked WHERE rn = 1
+    """,
+    "token_count": r"""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\s+')) END
+                   AS n_tokens,
+               length(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
+        FROM documents
+    """,
+    "quality_score": r"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                   / greatest(length(text), 1)::DOUBLE AS alnum_ratio,
+               (length(text) - length(replace(text, ' ', '')))
+                   / greatest(length(text), 1)::DOUBLE AS space_ratio,
+               length(replace(text, ' ', ''))
+                   / greatest(CASE WHEN trim(text) = '' THEN 0
+                       ELSE length(regexp_split_to_array(trim(text), '\s+')) END,
+                       1)::DOUBLE AS mean_word_len
+        FROM documents
+    """,
+    "lang_id": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   {_lang_expr('en')} AS en, {_lang_expr('de')} AS de,
+                   {_lang_expr('fr')} AS fr, {_lang_expr('es')} AS es
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
+                    WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                    WHEN de >= fr AND de >= es THEN 'de'
+                    WHEN fr >= es THEN 'fr'
+                    ELSE 'es' END AS lang_pred,
+               greatest(en, de, fr, es) AS stopword_hits
+        FROM s
+    """,
+    "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+    "transcript_canonicalize": f"""
+        WITH t0 AS (
+            SELECT conv_id,
+                   coalesce(regexp_extract(text, '"([^"]+)"', 1), text)
+                       AS entity_text
+            FROM read_parquet('{_oracle_fixture_glob()}')
+            WHERE turn_idx = 0
+        ),
+        c AS (SELECT conv_id, entity_text,
+                     {_clean_sql('entity_text')} AS cleaned FROM t0)
+        SELECT conv_id, entity_text,
+               CASE WHEN cleaned = '' THEN '_'
+                    ELSE substring(cleaned, 1, 1) END AS block_key
+        FROM c
+    """,
+    "transcript_turn_stats": f"""
+        SELECT conv_id, count(*) AS n_turns,
+               min(turn_idx)::BIGINT AS min_turn,
+               max(turn_idx)::BIGINT AS max_turn
+        FROM read_parquet('{_oracle_fixture_glob()}')
+        GROUP BY conv_id
+    """,
+}

@@ -1,0 +1,131 @@
+"""Replicates the driver's correctness harness locally: run every
+``queries()`` entry at sf0.001 and compare SQL-checked ones against
+``oracle_sql()`` via DuckDB (row count, sorted-column value equality)."""
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as mod
+
+    return mod
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def to_pandas(result):
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    sort_cols = list(df.columns)
+    df = df.sort_values(by=sort_cols, ignore_index=True, kind="mergesort")
+    return df
+
+
+def assert_frames_match(ours: pd.DataFrame, oracle: pd.DataFrame, name: str):
+    assert len(ours) == len(oracle), f"{name}: row count {len(ours)} != {len(oracle)}"
+    a, b = canon(ours), canon(oracle)
+    assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    for col in a.columns:
+        va, vb = a[col].to_numpy(), b[col].to_numpy()
+        if np.issubdtype(va.dtype, np.floating) or np.issubdtype(vb.dtype, np.floating):
+            va = va.astype(np.float64)
+            vb = vb.astype(np.float64)
+            both_nan = np.isnan(va) & np.isnan(vb)
+            assert np.array_equal(va[~both_nan], vb[~both_nan]), f"{name}.{col} values differ"
+        else:
+            assert (
+                pd.Series(va).astype(str).tolist()
+                == pd.Series(vb).astype(str).tolist()
+            ), f"{name}.{col} values differ"
+
+
+def test_entry_smoke(entry_mod):
+    result = entry_mod.entry()
+    df = to_pandas(result)
+    assert len(df) > 0
+    assert {"from", "to", "similarity", "group"} <= set(df.columns)
+
+
+def test_every_query_runs(entry_mod):
+    qs = entry_mod.queries()
+    assert len(qs) >= 20
+    for name, fn in qs.items():
+        out = to_pandas(fn(SF_DIR))
+        assert isinstance(out, pd.DataFrame), name
+        assert len(out) >= 0, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "clean_documents",
+        "ngram_df",
+        "exact_dedup",
+        "minmax_normalize",
+        "threshold_filter",
+        "pr_curve",
+        "canonicalize_events",
+        "ann_self_top1",
+        "token_count",
+        "quality_score",
+        "lang_id",
+        "fingerprint",
+    ],
+)
+def test_sql_checked_queries(entry_mod, con, name):
+    ours = to_pandas(entry_mod.queries()[name](SF_DIR))
+    oracle = con.sql(entry_mod.oracle_sql()[name]).df()
+    assert_frames_match(ours, oracle, name)
+
+
+def test_transcript_sql_queries(entry_mod):
+    """Transcript oracles are pinned to the sf0.01 fixture path (the
+    driver's comparison scale); verify at that scale."""
+    from raylink.queries import ensure_transcript_fixture
+
+    ensure_transcript_fixture("/root/testdata/sf0.01")
+    c = duckdb.connect()
+    for name in ["transcript_canonicalize", "transcript_turn_stats"]:
+        ours = to_pandas(entry_mod.queries()[name]("/root/testdata/sf0.01"))
+        oracle = c.sql(entry_mod.oracle_sql()[name]).df()
+        assert_frames_match(ours, oracle, name)
+
+
+def test_oracle_keys_subset_of_queries(entry_mod):
+    qs = set(entry_mod.queries())
+    os_ = set(entry_mod.oracle_sql())
+    assert os_ <= qs
+    assert len(os_) >= 12
