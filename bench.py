@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling evidence).
+
+Plain run: executes the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(num_cpus=$RAY_GRAFT_CPUS)`` (default
+32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "scored_pairs": P, "scored_pairs_per_sec": R}
+
+``--scaling``: runs the flagship twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for the
+north rule's N vs 4N cluster sizes), reports both throughputs + scaling
+efficiency = (t8/t32)/4, and appends the result to BASELINE.md's table
+when run manually (the driver records BENCH_r{N}.json itself).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from raylink.queries import ensure_transcript_fixture
+
+    # fixture synthesis outside the timed region (input, not compute)
+    info = ensure_transcript_fixture(sf_dir)
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    import ray.data as rd
+
+    # warm the page cache (untimed read)
+    rd.read_parquet(info["transcripts"]).count()
+
+    # ---- headline: flagship transcript entity resolution ----
+    from raylink.flagship import transcript_entity_resolution
+
+    t0 = time.perf_counter()
+    result = transcript_entity_resolution(
+        rd.read_parquet(info["transcripts"]),
+        link_min_similarity=0.75,
+        concurrency=(1, max(2, num_cpus - 2)),
+        batch_size=4096,
+    )
+    n_assign = result.assignments.count()
+    timings["flagship_transcripts"] = time.perf_counter() - t0
+    extras["scored_pairs"] = result.scored_pairs
+    extras["n_conversations"] = n_assign
+    extras["n_distinct_entities"] = result.n_distinct
+    extras["scored_pairs_per_sec"] = result.scored_pairs / timings["flagship_transcripts"]
+
+    if not flagship_only:
+        from raylink.queries import QUERIES
+
+        bench_queries = [
+            "match_tfidf_documents",
+            "group_documents",
+            "exact_dedup",
+            "minhash_dedup",
+            "ann_self_top1",
+            "token_count",
+            "lang_id",
+            "pr_curve",
+            "canonicalize_events",
+        ]
+        for name in bench_queries:
+            t0 = time.perf_counter()
+            out = QUERIES[name](sf_dir)
+            if hasattr(out, "count"):
+                out.count()  # consume the stream
+            timings[name] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    return {
+        "metric": "raylink_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": _sf_dir_to_sf(sf_dir),
+        "num_cpus": num_cpus,
+        **{k: (round(v, 1) if isinstance(v, float) else v) for k, v in extras.items()},
+    }
+
+
+def _sf_dir_to_sf(sf_dir: str):
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return base
+
+
+def _run_subprocess(ncpu: int, sf_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        GRAFT_SF_DIR=sf_dir,
+        RAYLINK_FLAGSHIP_ONLY="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def scaling(sf_dir: str) -> dict:
+    lo_cpus, hi_cpus = 8, 32
+    lo = _run_subprocess(lo_cpus, sf_dir)
+    hi = _run_subprocess(hi_cpus, sf_dir)
+    t_lo = lo["queries"]["flagship_transcripts"]
+    t_hi = hi["queries"]["flagship_transcripts"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "raylink_scaling",
+        "unit": "sec",
+        "value": round(t_hi, 3),
+        "sf": _sf_dir_to_sf(sf_dir),
+        "sec_8": round(t_lo, 3),
+        "sec_32": round(t_hi, 3),
+        "pairs_per_sec_8": lo["scored_pairs_per_sec"],
+        "pairs_per_sec_32": hi["scored_pairs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "scored_pairs": lo["scored_pairs"],
+    }
+
+
+def main():
+    sf_dir = _sf_dir()
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling(sf_dir)))
+        return
+    flagship_only = os.environ.get("RAYLINK_FLAGSHIP_ONLY") == "1"
+    result = run_benchmarks(sf_dir, _num_cpus(), flagship_only=flagship_only)
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

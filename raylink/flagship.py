@@ -57,15 +57,10 @@ def transcript_entity_resolution(
     batch_size: int = 2048,
 ) -> FlagshipResult:
     spec = spec or MatcherSpec(kind="tfidf", min_similarity=0.0, top_n=1)
-    entities = canonicalize_transcripts(transcripts_ds)
-
-    # distinct mention strings per block, first-appearance ordered.
-    import pyarrow.compute as pc
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return batch
-
-    with_order = _with_global_order(entities)
+    # canonicalize once; the order-attached materialized dataset serves both
+    # the distinct extraction and the final per-conversation assignment.
+    entities = _with_global_order(canonicalize_transcripts(transcripts_ds))
+    with_order = entities
     distinct = (
         with_order.groupby(["block_key", "entity_text"]).min("row_order")
     )

@@ -689,7 +689,10 @@ def group_matches(
     4. Group column joined back via broadcast name map
        (df["Group"] = df.To.map(name_map).fillna(df.To), polyfuzz.py:479).
     """
-    matches = match_result.matches
+    # matches feeds BOTH the distinct-string extraction and the grouped
+    # output — pin it once instead of re-running the scoring stage.
+    matches = match_result.matches.materialize()
+    match_result.matches = matches
     col = "from" if group_all_strings else "to"
     grouper_spec = grouper_spec or MatcherSpec(
         kind="tfidf", n_gram_range=(3, 3), min_similarity=link_min_similarity

@@ -282,7 +282,6 @@ def topk_cosine(
     if n_to == 0 or k == 0:
         return out_idx, out_sim
     csc = index.csc
-    term_counts = np.diff(csc.indptr)
 
     row_chunk = max(1, min(n_from, max_slab // max(1, n_to)))
     r = 0
@@ -294,51 +293,58 @@ def topk_cosine(
         ) - r
         fk = fr.indices[lo:hi]
         fv = fr.data[lo:hi]
-        slab = np.zeros((r_end - r) * n_to, dtype=np.float64)
-        # chunk the expansion by from-entries so the expanded join stays bounded
-        counts_all = term_counts[fk]
-        e = 0
-        n_entries = len(fk)
-        while e < n_entries:
-            # grow the entry window until expansion budget is hit
-            csum = np.cumsum(counts_all[e:])
-            stop = int(np.searchsorted(csum, max_expand)) + 1
-            e_end = min(n_entries, e + max(1, stop))
-            ck = fk[e:e_end]
-            cv = fv[e:e_end]
-            ci = fi[e:e_end]
-            counts = counts_all[e:e_end]
-            total = int(counts.sum())
-            if total:
-                # expanded positions into the CSC arrays
-                firsts = csc.indptr[ck]
-                offs = np.arange(total, dtype=np.int64) - np.repeat(
-                    np.cumsum(counts) - counts, counts
-                )
-                ptr = np.repeat(firsts, counts) + offs
-                tj = csc.rows[ptr]
-                contrib = np.repeat(cv, counts) * csc.data[ptr]
-                flat = np.repeat(ci, counts) * n_to + tj
-                slab += np.bincount(flat, weights=contrib, minlength=len(slab))
-            e = e_end
-        slab = slab.reshape(r_end - r, n_to)
+        slab = np.zeros((r_end - r, n_to), dtype=np.float64)
+        # term-at-a-time outer-product accumulation: within one term the
+        # (from-row, to-row) pairs are unique, so plain fancy += is a valid
+        # scatter (no np.add.at needed) — this is the CSR x CSC^T matmul
+        # with O(collisions) work and no expanded temp arrays.
+        order = np.argsort(fk, kind="stable")
+        fk_s, fi_s, fv_s = fk[order], fi[order], fv[order]
+        term_change = np.empty(len(fk_s), dtype=bool)
+        if len(fk_s):
+            term_change[0] = True
+            term_change[1:] = fk_s[1:] != fk_s[:-1]
+        starts = np.flatnonzero(term_change)
+        ends = np.append(starts[1:], len(fk_s))
+        for s, e in zip(starts, ends):
+            t = fk_s[s]
+            t_lo, t_hi = csc.indptr[t], csc.indptr[t + 1]
+            if t_lo == t_hi:
+                continue
+            rows_f = fi_s[s:e]
+            vals_f = fv_s[s:e]
+            cols_t = csc.rows[t_lo:t_hi]
+            vals_t = csc.data[t_lo:t_hi]
+            slab[rows_f[:, None], cols_t[None, :]] += (
+                vals_f[:, None] * vals_t[None, :]
+            )
         if self_match:
             diag = np.arange(r, r_end) + from_global_offset
             valid = diag < n_to
             slab[np.flatnonzero(valid), diag[valid]] = 0.0
         if apply_min_similarity and min_similarity > 0:
             slab[slab <= min_similarity] = 0.0
-        # top-k per row (descending); ties broken toward lower to-index
-        if k < n_to:
-            part = np.argpartition(-slab, k - 1, axis=1)[:, :k]
+        # top-k per row, descending, ties toward the lower to-index:
+        # iterative argmax (k passes) beats argpartition for the small k
+        # this workload uses, and argmax's first-max rule gives the
+        # deterministic tie-break for free.
+        if k <= 8 or k >= n_to:
+            work = slab
+            for c in range(k):
+                j = np.argmax(work, axis=1)
+                v = work[np.arange(work.shape[0]), j]
+                out_idx[r:r_end, c] = j
+                out_sim[r:r_end, c] = v
+                if c + 1 < k:
+                    work[np.arange(work.shape[0]), j] = -np.inf
         else:
-            part = np.broadcast_to(np.arange(n_to), (r_end - r, n_to)).copy()
-        vals = np.take_along_axis(slab, part, axis=1)
-        order = np.lexsort((part, -vals), axis=1)[:, :k]
-        top_idx = np.take_along_axis(part, order, axis=1)
-        top_val = np.take_along_axis(vals, order, axis=1)
-        missing = top_val <= 0.0
-        out_idx[r:r_end, :k] = np.where(missing, -1, top_idx)
-        out_sim[r:r_end, :k] = np.where(missing, 0.0, top_val)
+            part = np.argpartition(-slab, k - 1, axis=1)[:, :k]
+            vals = np.take_along_axis(slab, part, axis=1)
+            order2 = np.lexsort((part, -vals), axis=1)[:, :k]
+            out_idx[r:r_end, :k] = np.take_along_axis(part, order2, axis=1)
+            out_sim[r:r_end, :k] = np.take_along_axis(vals, order2, axis=1)
+        missing = out_sim[r:r_end] <= 0.0
+        out_idx[r:r_end][missing] = -1
+        out_sim[r:r_end][missing] = 0.0
         r = r_end
     return out_idx, out_sim
