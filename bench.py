@@ -70,7 +70,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
         rd.read_parquet(info["transcripts"]),
         link_min_similarity=0.75,
         concurrency=(1, max(2, num_cpus - 2)),
-        batch_size=4096,
+        batch_size=1024,
     )
     n_assign = result.assignments.count()
     timings["flagship_transcripts"] = time.perf_counter() - t0

@@ -54,25 +54,19 @@ def transcript_entity_resolution(
     spec: MatcherSpec | None = None,
     link_min_similarity: float = 0.75,
     concurrency=(1, 8),
-    batch_size: int = 2048,
+    batch_size: int = 1024,
 ) -> FlagshipResult:
     spec = spec or MatcherSpec(kind="tfidf", min_similarity=0.0, top_n=1)
     # canonicalize once; the order-attached materialized dataset serves both
     # the distinct extraction and the final per-conversation assignment.
     entities = _with_global_order(canonicalize_transcripts(transcripts_ds))
-    with_order = entities
-    distinct = (
-        with_order.groupby(["block_key", "entity_text"]).min("row_order")
-    )
-    dist_tbl = pa.concat_tables(
-        ray.get(distinct.to_arrow_refs()), promote_options="default"
-    )
-    dist_tbl = dist_tbl.rename_columns(
-        ["row_order" if c == "min(row_order)" else c for c in dist_tbl.column_names]
-    )
-    import ray.data as rd
 
-    distinct_ds = rd.from_arrow(dist_tbl)
+    # distinct mention strings per block, first-appearance ordered
+    # (map_batches partial dedup + tiny driver merge — pre-aggregate pattern)
+    from raylink.pipeline import distinct_entities_table, spread_table
+
+    dist_tbl = distinct_entities_table(entities)
+    distinct_ds = spread_table(dist_tbl)
 
     match_result = match_dataset(
         distinct_ds,

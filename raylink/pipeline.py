@@ -146,6 +146,85 @@ def _attach_order_remote(tbl: pa.Table, offset: int) -> pa.Table:
     return tbl.append_column("row_order", order)
 
 
+def distinct_entities_table(
+    ds,
+    text_col: str = "entity_text",
+    block_col: str = "block_key",
+    order_col: str = "row_order",
+    drop_null_col: str | None = None,
+) -> pa.Table:
+    """Distinct (block, text) pairs with min(order) — the first-appearance
+    rank linkage depends on — via per-batch partial dedup in ``map_batches``
+    plus one driver-side merge of the partials.
+
+    This is the pre-aggregate pattern: each batch ships at most its own
+    distinct set, the driver merges sets bounded by the global distinct
+    count — which must fit in memory anyway (it becomes the broadcast
+    to-side index). A Ray groupby would shuffle the same rows for far more
+    task overhead at this cardinality.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if drop_null_col is not None:
+            batch = batch.filter(pc.is_valid(batch[drop_null_col]))
+        blocks = np.asarray(batch[block_col].to_pylist(), dtype=object)
+        texts = np.asarray(batch[text_col].to_pylist(), dtype=object)
+        orders = np.asarray(
+            batch[order_col].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        b, t, o = _dedup_min(blocks, texts, orders)
+        return pa.table(
+            {
+                "block_key": pa.array(b, type=pa.string()),
+                "entity_text": pa.array(t, type=pa.string()),
+                "row_order": pa.array(o),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()),
+        promote_options="default",
+    )
+    b, t, o = _dedup_min(
+        np.asarray(parts["block_key"].to_pylist(), dtype=object),
+        np.asarray(parts["entity_text"].to_pylist(), dtype=object),
+        np.asarray(parts["row_order"].to_numpy(zero_copy_only=False), dtype=np.int64),
+    )
+    return pa.table(
+        {
+            "block_key": pa.array(b, type=pa.string()),
+            "entity_text": pa.array(t, type=pa.string()),
+            "row_order": pa.array(o),
+        }
+    )
+
+
+def spread_table(tbl: pa.Table, target_rows_per_block: int = 512):
+    """In-memory Arrow table -> Dataset split into enough blocks to keep
+    every core busy (map_batches parallelism = block count; a single
+    from_arrow block would serialize the scoring stage)."""
+    import ray.data as rd
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = max(1, min(cpus * 2, (tbl.num_rows + target_rows_per_block - 1) // target_rows_per_block))
+    if n_blocks <= 1:
+        return rd.from_arrow(tbl)
+    step = (tbl.num_rows + n_blocks - 1) // n_blocks
+    slices = [tbl.slice(i * step, step) for i in range(n_blocks) if i * step < tbl.num_rows]
+    return rd.from_arrow_refs([ray.put(s) for s in slices])
+
+
+def _dedup_min(blocks, texts, orders):
+    if len(blocks) == 0:
+        return blocks, texts, orders
+    order = np.lexsort((orders, texts, blocks))
+    b, t, o = blocks[order], texts[order], orders[order]
+    keep = np.empty(len(b), dtype=bool)
+    keep[0] = True
+    keep[1:] = (b[1:] != b[:-1]) | (t[1:] != t[:-1])
+    return b[keep], t[keep], o[keep]
+
+
 # ---------------------------------------------------------------------------
 # per-block to-side indexes
 # ---------------------------------------------------------------------------
@@ -349,9 +428,30 @@ def _driver_df(texts: np.ndarray, spec: MatcherSpec):
 # ---------------------------------------------------------------------------
 
 
+# Worker-process-global cache: stateless scoring tasks reuse the
+# deserialized block indexes across batches on the same Ray worker, giving
+# actor-pool state amortization WITHOUT actor-pool startup cost (the numpy
+# buffers inside are plasma-shared zero-copy; only the small object-dtype
+# parts deserialize once per worker).
+_SCORER_CACHE: dict = {}
+
+
+def _cached_scorer(index_ref, spec, top_n_cols, self_match) -> "ScorerActor":
+    key = (index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref),
+           spec.kind, top_n_cols, self_match)
+    s = _SCORER_CACHE.get(key)
+    if s is None:
+        if len(_SCORER_CACHE) > 8:
+            _SCORER_CACHE.clear()
+        s = ScorerActor(index_ref, spec, top_n_cols, self_match)
+        _SCORER_CACHE[key] = s
+    return s
+
+
 class ScorerActor:
-    """Actor-pool ``map_batches`` callable: per-block matcher state is
-    fetched from the object store ONCE in ``__init__`` (broadcast read);
+    """Scoring ``map_batches`` callable: per-block matcher state is fetched
+    from the object store ONCE per worker (broadcast read) — either as an
+    actor (``__init__``) or via the worker-global task cache above;
     ``__call__`` scores one Arrow batch, grouped by block_key inside the
     batch (batches arrive mixed — scoring needs no co-location)."""
 
@@ -562,7 +662,7 @@ def match_dataset(
     text_col: str = "entity_text",
     block_col: str | None = "block_key",
     concurrency=(1, 8),
-    batch_size: int = 2048,
+    batch_size: int = 1024,
     prebuilt_index_ref=None,
     top_n_cols_override: int | None = None,
 ) -> MatchResult:
@@ -599,18 +699,34 @@ def match_dataset(
 
     if spec.kind in ("rapidfuzz", "editdistance"):
         top_n_cols = 1
-    matches = from_ds.map_batches(
-        ScorerActor,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={
-            "index_ref": index_ref,
-            "spec": spec,
-            "top_n_cols": top_n_cols,
-            "self_match": self_match,
-        },
-    )
+    if spec.kind == "embeddings":
+        # real stateful stage (model weights load in __init__): actor pool
+        matches = from_ds.map_batches(
+            ScorerActor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={
+                "index_ref": index_ref,
+                "spec": spec,
+                "top_n_cols": top_n_cols,
+                "self_match": self_match,
+            },
+        )
+    else:
+        # index-only state: stateless tasks + worker-global cache (same
+        # amortization as an actor pool, none of the pool-startup latency;
+        # tasks run on Ray's pre-started workers)
+        _tn, _sm = top_n_cols, self_match
+
+        def score_batch(batch: pa.Table, _ref=index_ref, _spec=spec) -> pa.Table:
+            return _cached_scorer(_ref, _spec, _tn, _sm)(batch)
+
+        matches = from_ds.map_batches(
+            score_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     if spec.kind == "editdistance" and spec.normalize:
         matches = _minmax_normalize(matches, "similarity")
     return MatchResult(matches, spec, top_n_cols, index_ref, self_match)
@@ -676,7 +792,7 @@ def group_matches(
     link_min_similarity: float = 0.75,
     group_all_strings: bool = False,
     concurrency=(1, 8),
-    batch_size: int = 2048,
+    batch_size: int = 1024,
 ) -> GroupResult:
     """Distributed ``PolyFuzz.group`` (polyfuzz/polyfuzz.py:459-484):
 
@@ -698,39 +814,15 @@ def group_matches(
         kind="tfidf", n_gram_range=(3, 3), min_similarity=link_min_similarity
     )
 
-    distinct = (
-        matches.map_batches(
-            lambda t: pa.table(
-                {
-                    "block_key": t["block_key"],
-                    "entity_text": t[col],
-                    "row_order": t["row_order"],
-                }
-            ).filter(pc.is_valid(t[col])),
-            batch_format="pyarrow",
-        )
-        .groupby(["block_key", "entity_text"])
-        .min("row_order")
+    dist_tbl = distinct_entities_table(
+        matches, text_col=col, block_col="block_key", order_col="row_order",
+        drop_null_col=col,
     )
-
-    # Collect distinct strings (bounded: distinct entities post-blocking) and
-    # re-rank row_order to first-appearance rank within block.
-    dist_tbl = pa.concat_tables(
-        ray.get(distinct.to_arrow_refs()), promote_options="default"
-    )
-    ren = {"min(row_order)": "row_order"}
-    for old, new in ren.items():
-        if old in dist_tbl.column_names:
-            dist_tbl = dist_tbl.rename_columns(
-                [new if c == old else c for c in dist_tbl.column_names]
-            )
     blocks = _collect_to_side(dist_tbl)
     build_block_indexes(grouper_spec, blocks, self_match=True)
     index_ref = ray.put(blocks)
 
-    import ray.data as rd
-
-    edges_input = rd.from_arrow(dist_tbl)
+    edges_input = spread_table(dist_tbl)
     edge_result = match_dataset(
         edges_input,
         to_ds=None,
