@@ -141,6 +141,24 @@ def _num_rows_remote(tbl: pa.Table) -> int:
 
 
 @ray.remote
+def _fit_tfidf_block_remote(texts, row_orders, n_gram_range, clean, remove_space):
+    """Parallel per-block self-match TF-IDF fit: vocab from the block's own
+    strings (the reference self-match fit, polyfuzz/models/_tfidf.py:114),
+    to-side CSR index built in the same task."""
+    bi = BlockIndex(texts, row_orders)
+    arr = pa.array([str(t) for t in bi.texts], type=pa.string())
+    if clean:
+        arr = clean_strings_arrow(arr)
+    doc_ids, grams = batch_ngrams(arr, n_gram_range, remove_space, pad_width=n_gram_range[1])
+    g, df = df_counts(doc_ids, grams)
+    bi.tfidf_vocab = TfidfVocab.from_df_counts(
+        g, df, len(bi.texts), n_gram_range, clean, remove_space
+    )
+    bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts), bi.texts)
+    return bi
+
+
+@ray.remote
 def _attach_order_remote(tbl: pa.Table, offset: int) -> pa.Table:
     order = pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
     return tbl.append_column("row_order", order)
@@ -358,13 +376,29 @@ def build_block_indexes(
     """
     if spec.kind == "tfidf":
         if self_match or from_ds is None:
-            for bk, bi in to_blocks.items():
-                grams, df = _driver_df(bi.texts, spec)
-                bi.tfidf_vocab = TfidfVocab.from_df_counts(
-                    grams, df, len(bi.texts), spec.n_gram_range, spec.clean_string,
-                    spec.remove_space_ngrams,
-                )
-                bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts), bi.texts)
+            items = list(to_blocks.items())
+            total = sum(len(bi.texts) for _, bi in items)
+            if total > 20_000 and len(items) > 1:
+                # fit blocks in parallel Ray tasks (driver would be the
+                # Amdahl bottleneck at scale otherwise)
+                futs = [
+                    _fit_tfidf_block_remote.remote(
+                        bi.texts, bi.row_orders,
+                        tuple(spec.n_gram_range), spec.clean_string,
+                        spec.remove_space_ngrams,
+                    )
+                    for _, bi in items
+                ]
+                for (bk, _), built in zip(items, ray.get(futs)):
+                    to_blocks[bk] = built
+            else:
+                for bk, bi in items:
+                    grams, df = _driver_df(bi.texts, spec)
+                    bi.tfidf_vocab = TfidfVocab.from_df_counts(
+                        grams, df, len(bi.texts), spec.n_gram_range,
+                        spec.clean_string, spec.remove_space_ngrams,
+                    )
+                    bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts), bi.texts)
         else:
             per_block, from_doc_counts = _distributed_df_counts(from_ds, spec)
             for bk, bi in to_blocks.items():
@@ -436,9 +470,18 @@ def _driver_df(texts: np.ndarray, spec: MatcherSpec):
 _SCORER_CACHE: dict = {}
 
 
+def _spec_key(spec: "MatcherSpec") -> tuple:
+    return (
+        spec.kind, tuple(spec.n_gram_range), spec.clean_string,
+        spec.min_similarity, spec.top_n, spec.cosine_method,
+        spec.remove_space_ngrams, spec.score_cutoff,
+        getattr(spec.scorer, "__name__", str(spec.scorer)), spec.normalize,
+    )
+
+
 def _cached_scorer(index_ref, spec, top_n_cols, self_match) -> "ScorerActor":
     key = (index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref),
-           spec.kind, top_n_cols, self_match)
+           _spec_key(spec), top_n_cols, self_match)
     s = _SCORER_CACHE.get(key)
     if s is None:
         if len(_SCORER_CACHE) > 8:
@@ -653,6 +696,7 @@ class MatchResult:
     top_n_cols: int
     index_ref: Any  # ray ObjectRef to the block indexes (for transform)
     self_match: bool
+    index_blocks: Any = None  # driver-side dict[str, BlockIndex] (reuse)
 
 
 def match_dataset(
@@ -665,6 +709,7 @@ def match_dataset(
     batch_size: int = 1024,
     prebuilt_index_ref=None,
     top_n_cols_override: int | None = None,
+    self_match_override: bool | None = None,
 ) -> MatchResult:
     """Distributed equivalent of ``matcher.match(from_list, to_list)``.
 
@@ -677,7 +722,7 @@ def match_dataset(
     spec = spec or MatcherSpec()
     if "row_order" not in from_ds.schema().names:
         from_ds = dataset_with_row_order(from_ds, text_col, block_col)
-    self_match = to_ds is None
+    self_match = to_ds is None if self_match_override is None else self_match_override
 
     if prebuilt_index_ref is not None:
         index_ref = prebuilt_index_ref
@@ -697,6 +742,7 @@ def match_dataset(
             build_block_indexes(spec, blocks, from_ds=from_ds, self_match=False)
         index_ref = ray.put(blocks)
 
+    built_blocks = blocks if prebuilt_index_ref is None else None
     if spec.kind in ("rapidfuzz", "editdistance"):
         top_n_cols = 1
     if spec.kind == "embeddings":
@@ -729,7 +775,7 @@ def match_dataset(
         )
     if spec.kind == "editdistance" and spec.normalize:
         matches = _minmax_normalize(matches, "similarity")
-    return MatchResult(matches, spec, top_n_cols, index_ref, self_match)
+    return MatchResult(matches, spec, top_n_cols, index_ref, self_match, built_blocks)
 
 
 def _minmax_normalize(ds, col: str):
@@ -818,9 +864,36 @@ def group_matches(
         matches, text_col=col, block_col="block_key", order_col="row_order",
         drop_null_col=col,
     )
-    blocks = _collect_to_side(dist_tbl)
-    build_block_indexes(grouper_spec, blocks, self_match=True)
-    index_ref = ray.put(blocks)
+    # Index reuse: when the grouper's vocabulary-relevant parameters match
+    # the original matcher's AND the distinct strings are exactly the
+    # original self-match from-side, the fitted per-block index is
+    # identical (grouper fit = self-match fit on the same strings,
+    # polyfuzz/polyfuzz.py:474 + _tfidf.py:114) — skip refit + re-put and
+    # let workers hit their cached index.
+    index_ref = None
+    blocks = None
+    if (
+        match_result.self_match
+        and group_all_strings
+        and match_result.index_blocks is not None
+        and match_result.spec.kind == "tfidf" == grouper_spec.kind
+        and tuple(match_result.spec.n_gram_range) == tuple(grouper_spec.n_gram_range)
+        and match_result.spec.clean_string == grouper_spec.clean_string
+        and match_result.spec.remove_space_ngrams == grouper_spec.remove_space_ngrams
+    ):
+        orig = match_result.index_blocks
+        cand = _collect_to_side(dist_tbl)
+        if set(cand) == set(orig) and all(
+            np.array_equal(cand[bk].texts, orig[bk].texts)
+            and np.array_equal(cand[bk].row_orders, orig[bk].row_orders)
+            for bk in cand
+        ):
+            index_ref = match_result.index_ref
+            blocks = orig
+    if index_ref is None:
+        blocks = _collect_to_side(dist_tbl)
+        build_block_indexes(grouper_spec, blocks, self_match=True)
+        index_ref = ray.put(blocks)
 
     edges_input = spread_table(dist_tbl)
     edge_result = match_dataset(

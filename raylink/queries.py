@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 FIXTURE_ROOT = "/tmp/raylink_fixtures"
 
 # entity count per driver scale factor for the synthetic transcript table
-SF_ENTITIES = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 8000}
+SF_ENTITIES = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 30000}
 DEFAULT_ENTITIES = 1000
 
 
@@ -49,7 +49,10 @@ def sf_name(sf_dir: str) -> str:
 
 
 def transcript_fixture_dir(sf_dir: str) -> str:
-    return os.path.join(FIXTURE_ROOT, sf_name(sf_dir))
+    # key by entity count too, so scale changes invalidate the cache
+    name = sf_name(sf_dir)
+    n = SF_ENTITIES.get(name, DEFAULT_ENTITIES)
+    return os.path.join(FIXTURE_ROOT, f"{name}-e{n}")
 
 
 def ensure_transcript_fixture(sf_dir: str) -> dict:

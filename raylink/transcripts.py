@@ -254,7 +254,7 @@ def labeled_pairs(ground_truth: pa.Table, seed: int = 42, neg_ratio: int = 5) ->
 
 
 def write_transcripts_dataset(
-    out_dir: str, n_entities: int, seed: int = 42, shard_rows: int = 250_000
+    out_dir: str, n_entities: int, seed: int = 42, shard_rows: int = 65_536
 ) -> dict:
     """Write transcripts + ground truth + labeled pairs as Parquet under
     ``out_dir`` (sharded so readers parallelize). Returns paths."""

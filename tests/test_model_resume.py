@@ -1,0 +1,121 @@
+"""fit/transform/save/load lifecycle + resumable checkpointed flagship."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray.data
+
+
+def _ds(rd, texts, blocks=None):
+    from raylink.pipeline import entities_from_texts
+
+    return rd.from_arrow(entities_from_texts(texts, blocks))
+
+
+def test_fit_transform_matches_local(rd, fixture_lists):
+    from raylink import PolyMatch
+    from raylink.model import RayLinkModel
+    from raylink.pipeline import MatcherSpec, matches_to_frame
+
+    from_list, to_list = fixture_lists
+    model = RayLinkModel(MatcherSpec(min_similarity=0)).fit(
+        _ds(rd, from_list), _ds(rd, to_list)
+    )
+    out = model.transform(_ds(rd, ["appl", "maus", "house"]))
+    frame = matches_to_frame(out.matches, 1)
+    local = PolyMatch("TF-IDF").fit(from_list, to_list)
+    expect = local.transform(["appl", "maus", "house"])["TF-IDF"]
+    pd.testing.assert_frame_equal(frame, expect)
+
+
+def test_save_load_roundtrip(rd, fixture_lists, tmp_path):
+    from raylink.model import RayLinkModel
+    from raylink.pipeline import MatcherSpec, matches_to_frame
+
+    from_list, to_list = fixture_lists
+    model = RayLinkModel(MatcherSpec(min_similarity=0)).fit(
+        _ds(rd, from_list), _ds(rd, to_list)
+    )
+    before = matches_to_frame(model.transform(_ds(rd, ["appl"])).matches, 1)
+    path = str(tmp_path / "model")
+    model.save(path)
+    loaded = RayLinkModel.load(path)
+    after = matches_to_frame(loaded.transform(_ds(rd, ["appl"])).matches, 1)
+    pd.testing.assert_frame_equal(before, after)
+    assert os.path.exists(os.path.join(path, "to_side.parquet"))
+    assert os.path.exists(os.path.join(path, "spec.json"))
+
+
+def test_save_load_rapidfuzz(rd, fixture_lists, tmp_path):
+    from raylink.model import RayLinkModel
+    from raylink.pipeline import MatcherSpec, matches_to_frame
+
+    from_list, to_list = fixture_lists
+    model = RayLinkModel(MatcherSpec(kind="rapidfuzz")).fit(
+        _ds(rd, from_list), _ds(rd, to_list)
+    )
+    path = str(tmp_path / "m2")
+    model.save(path)
+    loaded = RayLinkModel.load(path)
+    a = matches_to_frame(model.transform(_ds(rd, ["appl"])).matches, 1)
+    b = matches_to_frame(loaded.transform(_ds(rd, ["appl"])).matches, 1)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def transcripts_dir(tmp_path_factory):
+    from raylink.transcripts import write_transcripts_dataset
+
+    out = str(tmp_path_factory.mktemp("tr"))
+    info = write_transcripts_dataset(out, 60, seed=11)
+    return info["transcripts"]
+
+
+def test_flagship_resume_skips_stages(rd, transcripts_dir, tmp_path):
+    from raylink.resume import run_flagship_checkpointed
+
+    root = str(tmp_path / "ckpt")
+    r1 = run_flagship_checkpointed(transcripts_dir, root)
+    assert all(not r1[s][1] for s in ("entities", "matches", "clusters", "assignments"))
+    a1 = r1["assignments"][0].to_pandas().sort_values("conv_id").reset_index(drop=True)
+
+    r2 = run_flagship_checkpointed(transcripts_dir, root)
+    assert all(r2[s][1] for s in ("entities", "matches", "clusters", "assignments"))
+    a2 = r2["assignments"][0].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a1, a2)
+
+
+def test_flagship_resume_after_partial_failure(rd, transcripts_dir, tmp_path):
+    from raylink.resume import run_flagship_checkpointed
+
+    root = str(tmp_path / "ckpt2")
+    r1 = run_flagship_checkpointed(transcripts_dir, root)
+    a1 = r1["assignments"][0].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    # simulate a crash after the match stage: downstream checkpoints lost
+    shutil.rmtree(os.path.join(root, "clusters"))
+    shutil.rmtree(os.path.join(root, "assignments"))
+    r2 = run_flagship_checkpointed(transcripts_dir, root)
+    assert r2["entities"][1] and r2["matches"][1]  # resumed
+    assert not r2["clusters"][1] and not r2["assignments"][1]  # recomputed
+    a2 = r2["assignments"][0].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a1, a2)
+
+
+def test_param_change_invalidates_downstream(rd, transcripts_dir, tmp_path):
+    from raylink.resume import run_flagship_checkpointed
+
+    root = str(tmp_path / "ckpt3")
+    run_flagship_checkpointed(transcripts_dir, root, link_min_similarity=0.75)
+    r2 = run_flagship_checkpointed(transcripts_dir, root, link_min_similarity=0.6)
+    assert r2["entities"][1] and r2["matches"][1]  # unaffected stages resumed
+    assert not r2["clusters"][1]  # threshold change recomputes linkage
