@@ -778,6 +778,30 @@ def match_dataset(
     return MatchResult(matches, spec, top_n_cols, index_ref, self_match, built_blocks)
 
 
+def match_many(
+    from_ds, to_ds=None, specs: list[MatcherSpec] | None = None, **kwargs
+) -> dict[str, MatchResult]:
+    """Multi-model compare (polyfuzz/polyfuzz.py:147-152,486-497): run
+    several matchers over the same inputs; model ids are deduplicated to
+    "Model {i}" on collision exactly like the reference."""
+    specs = list(specs or [MatcherSpec()])
+    ids = [s.resolved_id() for s in specs]
+    if len(set(ids)) != len(ids):
+        ids = [s.model_id or f"Model {i}" for i, s in enumerate(specs)]
+        if len(set(ids)) != len(ids):
+            ids = [f"Model {i}" for i in range(len(specs))]
+    out: dict[str, MatchResult] = {}
+    if "row_order" not in from_ds.schema().names:
+        from_ds = dataset_with_row_order(from_ds, kwargs.get("text_col", "entity_text"),
+                                         kwargs.get("block_col", "block_key"))
+        kwargs = dict(kwargs)
+        kwargs.pop("text_col", None)
+        kwargs.pop("block_col", None)
+    for mid, spec in zip(ids, specs):
+        out[mid] = match_dataset(from_ds, to_ds, spec, **kwargs)
+    return out
+
+
 def _minmax_normalize(ds, col: str):
     """Global min-max normalize (polyfuzz/models/_distance.py:83-87):
     Min/Max aggregate + a second streaming map pass."""

@@ -68,19 +68,25 @@ EPOCH_US = 1_600_000_000_000_000  # fixed base timestamp (us)
 
 def canonical_entity_names(n_entities: int, seed: int = 42) -> list[str]:
     """Deterministic distinct company-style names; ~30% drawn from a hot
-    adjective pool sharing the first letter 's' (the hot blocking key)."""
+    adjective pool sharing the first letter 's' (the hot blocking key).
+
+    The word pools only yield ~11.7k distinct triples; beyond that,
+    repeated triples get a deterministic numeric token appended
+    (vectorized — no rejection loop, so any n_entities terminates)."""
     rng = np.random.default_rng(seed)
+    hot = rng.random(n_entities) < 0.30
+    adj_hot = np.array(HOT_ADJ, dtype=object)[rng.integers(0, len(HOT_ADJ), n_entities)]
+    adj_cold = np.array(ADJ, dtype=object)[rng.integers(0, len(ADJ), n_entities)]
+    adjs = np.where(hot, adj_hot, adj_cold)
+    nouns = np.array(NOUN, dtype=object)[rng.integers(0, len(NOUN), n_entities)]
+    sufs = np.array(SUFFIX, dtype=object)[rng.integers(0, len(SUFFIX), n_entities)]
     names: list[str] = []
-    seen = set()
-    while len(names) < n_entities:
-        hot = rng.random() < 0.30
-        adj = HOT_ADJ[rng.integers(len(HOT_ADJ))] if hot else ADJ[rng.integers(len(ADJ))]
-        noun = NOUN[rng.integers(len(NOUN))]
-        suffix = SUFFIX[rng.integers(len(SUFFIX))]
-        name = f"{adj.capitalize()} {noun.capitalize()} {suffix}"
-        if name not in seen:
-            seen.add(name)
-            names.append(name)
+    counts: dict[str, int] = {}
+    for a, n, s in zip(adjs.tolist(), nouns.tolist(), sufs.tolist()):
+        base = f"{a.capitalize()} {n.capitalize()} {s}"
+        k = counts.get(base, 0)
+        counts[base] = k + 1
+        names.append(base if k == 0 else f"{a.capitalize()} {n.capitalize()} {k + 1} {s}")
     return names
 
 
@@ -224,25 +230,44 @@ def labeled_pairs(ground_truth: pa.Table, seed: int = 42, neg_ratio: int = 5) ->
                 rows.append((a, b, block, True))
     n_pos = len(rows)
     all_variants = gt[["variant", "entity_id", "block_key"]].drop_duplicates()
-    by_block = {b: g for b, g in all_variants.groupby("block_key")}
+    # vectorized negative sampling: draw index pairs within random blocks,
+    # filter same-entity collisions, repeat until the target is met
+    by_block = {
+        b: (
+            g["variant"].to_numpy(dtype=object),
+            g["entity_id"].to_numpy(dtype=np.int64),
+        )
+        for b, g in all_variants.groupby("block_key")
+        if len(g) >= 2
+    }
     blocks = list(by_block)
     target_neg = n_pos * neg_ratio
-    attempts = 0
     n_neg = 0
-    while n_neg < target_neg and attempts < target_neg * 20:
-        attempts += 1
-        b = blocks[int(rng.integers(len(blocks)))]
-        g = by_block[b]
-        if len(g) < 2:
-            continue
-        i, j = rng.integers(0, len(g), size=2)
-        if i == j:
-            continue
-        ra, rb = g.iloc[int(i)], g.iloc[int(j)]
-        if ra["entity_id"] == rb["entity_id"]:
-            continue
-        rows.append((ra["variant"], rb["variant"], b, False))
-        n_neg += 1
+    rounds = 0
+    while n_neg < target_neg and rounds < 40 and blocks:
+        rounds += 1
+        want = target_neg - n_neg
+        bidx = rng.integers(0, len(blocks), size=want)
+        for b_i in np.unique(bidx):
+            b = blocks[int(b_i)]
+            variants_b, eids_b = by_block[b]
+            k = int((bidx == b_i).sum())
+            i = rng.integers(0, len(variants_b), size=k)
+            j = rng.integers(0, len(variants_b), size=k)
+            ok = eids_b[i] != eids_b[j]
+            take = min(int(ok.sum()), target_neg - n_neg)
+            if take <= 0:
+                continue
+            ii, jj = i[ok][:take], j[ok][:take]
+            rows.extend(
+                zip(
+                    variants_b[ii].tolist(),
+                    variants_b[jj].tolist(),
+                    [b] * take,
+                    [False] * take,
+                )
+            )
+            n_neg += take
     return pa.table(
         {
             "entity_a": pa.array([r[0] for r in rows], type=pa.string()),

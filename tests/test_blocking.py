@@ -1,0 +1,111 @@
+"""Canonicalize stage, integrity validation, hot-key salting utilities,
+multi-model compare."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray.data
+
+
+def test_canonicalize_extracts_mentions(rd):
+    from raylink.blocking import canonicalize_transcripts
+    from raylink.transcripts import generate_transcripts
+
+    t, gt = generate_transcripts(40)
+    ents = canonicalize_transcripts(rd.from_arrow(t)).to_pandas()
+    gtd = gt.to_pandas()
+    merged = ents.merge(gtd, on="conv_id")
+    assert (merged["entity_text"] == merged["variant"]).all()
+    assert (merged["block_key_x"] == merged["block_key_y"]).all()
+
+
+def test_validate_conversations_clean_and_corrupted(rd):
+    from raylink.blocking import validate_conversations
+    from raylink.transcripts import generate_transcripts
+
+    t, _ = generate_transcripts(30)
+    ok = validate_conversations(rd.from_arrow(t))
+    assert ok["n_violations"] == 0
+
+    # corrupt: shift one conversation's turn indices (breaks contiguity)
+    df = t.to_pandas()
+    victim = df["conv_id"].iloc[0]
+    df.loc[df.conv_id == victim, "turn_idx"] += 1
+    bad = validate_conversations(rd.from_arrow(pa.Table.from_pandas(df)))
+    assert bad["n_violations"] == 1
+
+
+def test_fingerprint_detects_text_and_order_changes(rd):
+    from raylink.blocking import validate_conversations
+    from raylink.transcripts import generate_transcripts
+
+    t, _ = generate_transcripts(20)
+    base = validate_conversations(rd.from_arrow(t))
+    df = t.to_pandas()
+    # text change in one turn
+    df2 = df.copy()
+    df2.loc[df2.index[0], "text"] = df2.loc[df2.index[0], "text"] + "!"
+    r2 = validate_conversations(rd.from_arrow(pa.Table.from_pandas(df2)))
+    assert r2["fingerprint_xor"] != base["fingerprint_xor"]
+    # swap two turns' texts within one conversation (same multiset of texts,
+    # different order) -> fingerprint changes because turn_idx is mixed in
+    df3 = df.copy()
+    conv = df3["conv_id"].iloc[0]
+    rows = df3.index[df3.conv_id == conv][:2]
+    if len(rows) == 2:
+        a, b = rows
+        df3.loc[a, "text"], df3.loc[b, "text"] = df3.loc[b, "text"], df3.loc[a, "text"]
+        r3 = validate_conversations(rd.from_arrow(pa.Table.from_pandas(df3)))
+        if df.loc[a, "text"] != df.loc[b, "text"]:
+            assert r3["fingerprint_xor"] != base["fingerprint_xor"]
+
+
+def test_hot_key_salting(rd):
+    from raylink.blocking import add_salt_column, hot_key_counts
+
+    keys = ["hot"] * 900 + ["cold"] * 30
+    ds = rd.from_arrow(
+        pa.table({"block_key": pa.array(keys), "v": pa.array(range(930))})
+    )
+    hot = hot_key_counts(ds, "block_key", hot_threshold=100)
+    assert "hot" in hot and hot["hot"] >= 2
+    assert "cold" not in hot
+
+    batch = pa.table({"block_key": pa.array(keys), "v": pa.array(range(930))})
+    salted = add_salt_column(batch, "block_key", hot)
+    sk = salted["salted_key"].to_pylist()
+    hot_variants = {k for k in sk if k.startswith("hot#")}
+    assert len(hot_variants) == hot["hot"]  # fan-out over n_salt reducers
+    assert all(k == "cold" for k in sk if not k.startswith("hot#"))
+    # salted groupby-count merges back to the true count (additive)
+    ds2 = rd.from_arrow(salted)
+    counts = ds2.groupby("salted_key").count().to_pandas()
+    assert counts[counts.salted_key.str.startswith("hot#")]["count()"].sum() == 900
+
+
+def test_match_many(rd, fixture_lists):
+    from raylink.pipeline import MatcherSpec, entities_from_texts, match_many
+
+    from_list, to_list = fixture_lists
+    specs = [
+        MatcherSpec(kind="tfidf", min_similarity=0, model_id="TF-IDF"),
+        MatcherSpec(kind="tfidf", n_gram_range=(3, 6), min_similarity=0),
+        MatcherSpec(kind="rapidfuzz"),
+    ]
+    out = match_many(
+        rd.from_arrow(entities_from_texts(from_list)),
+        rd.from_arrow(entities_from_texts(to_list)),
+        specs,
+    )
+    assert len(out) == 3
+    for mid, res in out.items():
+        assert res.matches.count() == 6

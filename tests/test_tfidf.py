@@ -135,3 +135,38 @@ def test_vocab_serialize_roundtrip():
     a = csr_to_dense(vocab.transform(["apple"]))
     b = csr_to_dense(v2.transform(["apple"]))
     np.testing.assert_allclose(a, b, atol=0)
+
+
+def test_tiled_kernel_matches_untiled():
+    """Large to-side takes the cache-tiled path; force both paths on the
+    same input and require identical results."""
+    import raylink.tfidf as T
+
+    rng = np.random.default_rng(123)
+    words = ["".join(rng.choice(list("abcdefgh"), size=10)) for _ in range(6000)]
+    vocab = fit_tfidf(words)
+    csr = vocab.transform(words)
+    index = TopkIndex(csr, np.array(words, dtype=object))
+    assert index.n_tiles > 1  # 6000 > TILE_COLS covers the tiled path
+    i_tiled, s_tiled = topk_cosine(csr, index, top_n=3, self_match=True)
+    # rebuild an index without tiling to hit the single-slab path
+    index2 = TopkIndex(csr, np.array(words, dtype=object))
+    index2.n_tiles = 1
+    i_flat, s_flat = topk_cosine(csr, index2, top_n=3, self_match=True)
+    np.testing.assert_array_equal(i_tiled, i_flat)
+    np.testing.assert_allclose(s_tiled, s_flat, atol=1e-12)
+
+
+def test_tiled_kernel_min_similarity_and_two_list():
+    rng = np.random.default_rng(7)
+    to_words = ["".join(rng.choice(list("abcde"), size=8)) for _ in range(5000)]
+    from_words = ["".join(rng.choice(list("abcde"), size=8)) for _ in range(300)]
+    vocab = fit_tfidf(to_words + from_words)
+    index = TopkIndex(vocab.transform(to_words), np.array(to_words, dtype=object))
+    fr = vocab.transform(from_words)
+    i_t, s_t = topk_cosine(fr, index, top_n=2, min_similarity=0.5)
+    index2 = TopkIndex(vocab.transform(to_words), np.array(to_words, dtype=object))
+    index2.n_tiles = 1
+    i_f, s_f = topk_cosine(fr, index2, top_n=2, min_similarity=0.5)
+    np.testing.assert_array_equal(i_t, i_f)
+    np.testing.assert_allclose(s_t, s_f, atol=1e-12)
