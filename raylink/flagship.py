@@ -98,14 +98,18 @@ def transcript_entity_resolution(
         cl_tbl["cluster_id"].to_pylist(),
     ):
         assign_map[(bk, m)] = (r, int(cid))
+    assign_ref = ray.put(assign_map)
 
-    def assign(batch: pa.Table) -> pa.Table:
+    def assign(batch: pa.Table, _ref=assign_ref) -> pa.Table:
+        from raylink.pipeline import cached_object
+
+        amap = cached_object(_ref)
         bks = batch["block_key"].to_pylist()
         txts = batch["entity_text"].to_pylist()
         groups = []
         cids = []
         for bk, t in zip(bks, txts):
-            g, c = assign_map.get((bk, t), (t, -1))
+            g, c = amap.get((bk, t), (t, -1))
             groups.append(g)
             cids.append(c)
         return pa.table(

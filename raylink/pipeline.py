@@ -146,15 +146,15 @@ def _fit_tfidf_block_remote(texts, row_orders, n_gram_range, clean, remove_space
     strings (the reference self-match fit, polyfuzz/models/_tfidf.py:114),
     to-side CSR index built in the same task."""
     bi = BlockIndex(texts, row_orders)
-    arr = pa.array([str(t) for t in bi.texts], type=pa.string())
+    arr = bi.texts_arr
     if clean:
         arr = clean_strings_arrow(arr)
     doc_ids, grams = batch_ngrams(arr, n_gram_range, remove_space, pad_width=n_gram_range[1])
     g, df = df_counts(doc_ids, grams)
     bi.tfidf_vocab = TfidfVocab.from_df_counts(
-        g, df, len(bi.texts), n_gram_range, clean, remove_space
+        g, df, len(bi.texts_arr), n_gram_range, clean, remove_space
     )
-    bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts), bi.texts)
+    bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts_arr))
     return bi
 
 
@@ -250,18 +250,45 @@ def _dedup_min(blocks, texts, orders):
 
 class BlockIndex:
     """Broadcast payload for one block: to-side texts (in to-list order)
-    plus the matcher-specific index structure."""
+    plus the matcher-specific index structure.
 
-    __slots__ = ("texts", "row_orders", "tfidf_vocab", "topk", "packed", "emb", "n_distinct")
+    Texts are held as an Arrow string array: (de)serialization through the
+    object store is buffer-based (no per-string Python unpickling per
+    worker) and the scoring hot path assembles its To column via
+    ``Array.take`` without ever materializing Python strings. The lazy
+    ``texts`` property gives a numpy object view for the code paths that
+    genuinely need str objects (edit-distance scorers, embedders,
+    driver-side artifact writing) — computed once per holder.
+    """
 
-    def __init__(self, texts: np.ndarray, row_orders: np.ndarray | None = None):
-        self.texts = np.asarray(texts, dtype=object)
+    __slots__ = ("texts_arr", "row_orders", "tfidf_vocab", "topk", "packed",
+                 "emb", "n_distinct", "_texts_np")
+
+    def __init__(self, texts, row_orders: np.ndarray | None = None):
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if isinstance(texts, pa.Array):
+            self.texts_arr = texts
+        else:
+            self.texts_arr = pa.array(
+                [str(t) for t in texts], type=pa.string()
+            )
         self.row_orders = row_orders
         self.tfidf_vocab: TfidfVocab | None = None
         self.topk: TopkIndex | None = None
         self.packed = None
         self.emb: np.ndarray | None = None
-        self.n_distinct = len(set(self.texts.tolist()))
+        self.n_distinct = len(pc.unique(self.texts_arr))
+        self._texts_np = None
+
+    @property
+    def texts(self) -> np.ndarray:
+        if self._texts_np is None:
+            self._texts_np = np.asarray(self.texts_arr.to_pylist(), dtype=object)
+        return self._texts_np
+
+    def __len__(self) -> int:
+        return len(self.texts_arr)
 
 
 def _collect_to_side(to_ds_or_table, text_col="entity_text", block_col="block_key",
@@ -276,15 +303,19 @@ def _collect_to_side(to_ds_or_table, text_col="entity_text", block_col="block_ke
         tbl = pa.concat_tables(
             ray.get(to_ds_or_table.to_arrow_refs()), promote_options="default"
         )
-    texts = np.asarray(tbl[text_col].to_pylist(), dtype=object)
     blocks = np.asarray(tbl[block_col].to_pylist(), dtype=object)
     if order_col in tbl.column_names:
         orders = np.asarray(tbl[order_col].to_numpy(zero_copy_only=False), dtype=np.int64)
     else:
-        orders = np.arange(len(texts), dtype=np.int64)
+        orders = np.arange(len(blocks), dtype=np.int64)
     out: dict[str, BlockIndex] = {}
     sort = np.lexsort((orders, blocks))
-    texts, blocks, orders = texts[sort], blocks[sort], orders[sort]
+    texts_sorted = (
+        tbl[text_col].combine_chunks().take(pa.array(sort))
+        if len(sort)
+        else pa.array([], type=pa.string())
+    )
+    blocks, orders = blocks[sort], orders[sort]
     change = np.empty(len(blocks), dtype=bool)
     if len(blocks):
         change[0] = True
@@ -292,7 +323,10 @@ def _collect_to_side(to_ds_or_table, text_col="entity_text", block_col="block_ke
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], len(blocks))
     for s, e in zip(starts, ends):
-        out[blocks[s]] = BlockIndex(texts[s:e], orders[s:e])
+        # Arrow slice is zero-copy; combine to drop the parent buffer refs
+        out[blocks[s]] = BlockIndex(
+            texts_sorted.slice(s, e - s), orders[s:e]
+        )
     return out
 
 
@@ -377,13 +411,13 @@ def build_block_indexes(
     if spec.kind == "tfidf":
         if self_match or from_ds is None:
             items = list(to_blocks.items())
-            total = sum(len(bi.texts) for _, bi in items)
+            total = sum(len(bi.texts_arr) for _, bi in items)
             if total > 20_000 and len(items) > 1:
                 # fit blocks in parallel Ray tasks (driver would be the
                 # Amdahl bottleneck at scale otherwise)
                 futs = [
                     _fit_tfidf_block_remote.remote(
-                        bi.texts, bi.row_orders,
+                        bi.texts_arr, bi.row_orders,
                         tuple(spec.n_gram_range), spec.clean_string,
                         spec.remove_space_ngrams,
                     )
@@ -393,16 +427,16 @@ def build_block_indexes(
                     to_blocks[bk] = built
             else:
                 for bk, bi in items:
-                    grams, df = _driver_df(bi.texts, spec)
+                    grams, df = _driver_df(bi.texts_arr, spec)
                     bi.tfidf_vocab = TfidfVocab.from_df_counts(
-                        grams, df, len(bi.texts), spec.n_gram_range,
+                        grams, df, len(bi.texts_arr), spec.n_gram_range,
                         spec.clean_string, spec.remove_space_ngrams,
                     )
-                    bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts), bi.texts)
+                    bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts_arr))
         else:
             per_block, from_doc_counts = _distributed_df_counts(from_ds, spec)
             for bk, bi in to_blocks.items():
-                to_grams, to_df = _driver_df(bi.texts, spec)
+                to_grams, to_df = _driver_df(bi.texts_arr, spec)
                 f_grams, f_df = per_block.get(bk, ([], []))
                 grams = [g.encode() for g in f_grams]
                 pad = spec.n_gram_range[1]
@@ -423,12 +457,12 @@ def build_block_indexes(
                     chg[1:] = g_all[1:] != g_all[:-1]
                 st = np.flatnonzero(chg)
                 d_merged = np.add.reduceat(d_all, st) if len(st) else d_all
-                n_docs = len(bi.texts) + int(from_doc_counts.get(bk, 0))
+                n_docs = len(bi.texts_arr) + int(from_doc_counts.get(bk, 0))
                 bi.tfidf_vocab = TfidfVocab.from_df_counts(
                     g_all[st] if len(st) else g_all, d_merged, n_docs,
                     spec.n_gram_range, spec.clean_string, spec.remove_space_ngrams,
                 )
-                bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts), bi.texts)
+                bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts_arr))
     elif spec.kind in ("rapidfuzz", "editdistance"):
         for bi in to_blocks.values():
             bi.packed = editdist.PaddedStrings([str(t) for t in bi.texts])
@@ -447,8 +481,11 @@ def build_block_indexes(
     return to_blocks
 
 
-def _driver_df(texts: np.ndarray, spec: MatcherSpec):
-    arr = pa.array([str(t) for t in texts], type=pa.string())
+def _driver_df(texts, spec: MatcherSpec):
+    if isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array([str(t) for t in texts], type=pa.string())
     if spec.clean_string:
         arr = clean_strings_arrow(arr)
     doc_ids, grams = batch_ngrams(
@@ -477,6 +514,23 @@ def _spec_key(spec: "MatcherSpec") -> tuple:
         spec.remove_space_ngrams, spec.score_cutoff,
         getattr(spec.scorer, "__name__", str(spec.scorer)), spec.normalize,
     )
+
+
+_BROADCAST_CACHE: dict = {}
+
+
+def cached_object(ref):
+    """Worker-global fetch-once for ray.put broadcasts referenced from task
+    closures (a dict pickled into every task closure costs per-task; a ref
+    + this cache costs once per worker)."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    obj = _BROADCAST_CACHE.get(key)
+    if obj is None:
+        if len(_BROADCAST_CACHE) > 16:
+            _BROADCAST_CACHE.clear()
+        obj = ray.get(ref)
+        _BROADCAST_CACHE[key] = obj
+    return obj
 
 
 def _cached_scorer(index_ref, spec, top_n_cols, self_match) -> "ScorerActor":
@@ -533,14 +587,19 @@ class ScorerActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
-        texts = np.asarray(batch["entity_text"].to_pylist(), dtype=object)
+        text_arr = batch["entity_text"].combine_chunks()
         blocks = np.asarray(batch["block_key"].to_pylist(), dtype=object)
         orders = np.asarray(batch["row_order"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        n = len(texts)
+        n = len(blocks)
         k = self.top_n_cols
-        out_from = texts
-        out_to = np.full((n, k), None, dtype=object)
+        # global (row, col) -> (block-local to-index, sim); -1 pad
+        out_idx = np.full((n, k), -1, dtype=np.int64)
         out_sim = np.zeros((n, k), dtype=np.float64)
+        # per-row offset of its block's texts inside the concatenated
+        # take-source, so output strings resolve via one Arrow take
+        take_base = np.zeros(n, dtype=np.int64)
+        take_sources: list[pa.Array] = []
+        base = 0
 
         sort = np.argsort(blocks, kind="stable")
         b_s = blocks[sort]
@@ -548,38 +607,52 @@ class ScorerActor:
         if n:
             chg[0] = True
             chg[1:] = b_s[1:] != b_s[:-1]
-        for s, e in zip(np.flatnonzero(chg), np.append(np.flatnonzero(chg)[1:], n)):
+        starts = np.flatnonzero(chg)
+        needs_py_texts = spec.kind in ("rapidfuzz", "editdistance", "embeddings")
+        for s, e in zip(starts, np.append(starts[1:], n)):
             bk = b_s[s]
             rows = sort[s:e]
             bi = self.blocks.get(bk)
             if bi is None:
                 continue
-            idx, sims = self._score_block(texts[rows], orders[rows], bi, bk)
+            if needs_py_texts:
+                block_texts = np.asarray(
+                    text_arr.take(pa.array(rows)).to_pylist(), dtype=object
+                )
+            else:
+                block_texts = text_arr.take(pa.array(rows))
+            idx, sims = self._score_block(block_texts, orders[rows], bi, bk)
             kk = min(k, idx.shape[1])
-            sims = np.round(sims, 3) if spec.kind in ("tfidf", "embeddings") else sims
-            for c in range(kk):
-                col_idx = idx[:, c]
-                col_sim = sims[:, c]
-                if spec.kind in ("tfidf", "embeddings"):
-                    null = (col_sim < 0.001) | (col_idx < 0)
-                else:
-                    null = col_idx < 0
-                safe = np.where(col_idx < 0, 0, col_idx)
-                vals = bi.texts[safe] if len(bi.texts) else np.full(len(rows), None, object)
-                vals = np.where(null, None, vals)
-                out_to[rows, c] = vals
-                out_sim[rows, c] = np.where(null, 0.0, col_sim)
+            if spec.kind in ("tfidf", "embeddings"):
+                sims = np.round(sims, 3)
+                null = (sims < 0.001) | (idx < 0)
+                idx = np.where(null, -1, idx)
+                sims = np.where(null, 0.0, sims)
+            out_idx[rows, :kk] = idx[:, :kk]
+            out_sim[rows, :kk] = sims[:, :kk]
+            take_base[rows] = base
+            take_sources.append(bi.texts_arr)
+            base += len(bi.texts_arr)
 
-        cols: dict[str, pa.Array] = {
-            "from": pa.array(out_from, type=pa.string()),
-            "to": pa.array(out_to[:, 0], type=pa.string()),
-            "similarity": pa.array(out_sim[:, 0], type=pa.float64()),
-        }
-        for c in range(1, k):
-            cols[f"to_{c + 1}"] = pa.array(out_to[:, c], type=pa.string())
-            cols[f"similarity_{c + 1}"] = pa.array(out_sim[:, c], type=pa.float64())
-        cols["block_key"] = pa.array(blocks, type=pa.string())
-        cols["row_order"] = pa.array(orders, type=pa.int64())
+        source = (
+            pa.concat_arrays(take_sources)
+            if take_sources
+            else pa.array([], type=pa.string())
+        )
+        cols: dict[str, pa.Array] = {"from": text_arr}
+        for c in range(k):
+            col_idx = out_idx[:, c]
+            take_idx = np.where(col_idx < 0, 0, col_idx + take_base)
+            # Arrow take with null indices yields nulls — exactly the pad
+            taken = source.take(
+                pa.array(take_idx, type=pa.int64(), mask=col_idx < 0)
+            ) if len(source) else pa.array([None] * n, type=pa.string())
+            to_name = "to" if c == 0 else f"to_{c + 1}"
+            sim_name = "similarity" if c == 0 else f"similarity_{c + 1}"
+            cols[to_name] = taken
+            cols[sim_name] = pa.array(out_sim[:, c], type=pa.float64())
+        cols["block_key"] = batch["block_key"].combine_chunks()
+        cols["row_order"] = batch["row_order"].combine_chunks()
         return pa.table(cols)
 
     # ------------------------------------------------------------------
@@ -908,7 +981,7 @@ def group_matches(
         orig = match_result.index_blocks
         cand = _collect_to_side(dist_tbl)
         if set(cand) == set(orig) and all(
-            np.array_equal(cand[bk].texts, orig[bk].texts)
+            cand[bk].texts_arr.equals(orig[bk].texts_arr)
             and np.array_equal(cand[bk].row_orders, orig[bk].row_orders)
             for bk in cand
         ):
@@ -964,8 +1037,8 @@ def group_matches(
         name_map[(bk, m)] = r
     name_map_ref = ray.put(name_map)
 
-    def add_group(batch: pa.Table) -> pa.Table:
-        nm = name_map
+    def add_group(batch: pa.Table, _ref=name_map_ref) -> pa.Table:
+        nm = cached_object(_ref)  # broadcast read, once per worker
         bks = batch["block_key"].to_pylist()
         # the Group column always maps the To column (polyfuzz.py:479),
         # regardless of which side supplied the cluster strings

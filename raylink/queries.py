@@ -458,7 +458,7 @@ QUERIES = {
 
 def _oracle_fixture_glob() -> str:
     # the driver's oracle comparison runs at sf0.01 (TESTDATA.md)
-    return os.path.join(FIXTURE_ROOT, "sf0.01", "transcripts", "*.parquet")
+    return os.path.join(transcript_fixture_dir("sf0.01"), "transcripts", "*.parquet")
 
 
 _CLEAN_T = _clean_sql("text")

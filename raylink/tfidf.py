@@ -249,9 +249,13 @@ class TopkIndex:
 
     __slots__ = ("csc", "texts", "tile_indptr", "tile_rows", "tile_data", "n_tiles")
 
-    def __init__(self, to_csr: CSR, texts: np.ndarray):
+    def __init__(self, to_csr: CSR, texts=None):
         self.csc = csr_to_csc(to_csr)
-        self.texts = np.asarray(texts, dtype=object)
+        # texts ride on BlockIndex in the pipeline; kept here only for
+        # standalone kernel users/tests
+        self.texts = (
+            np.asarray(texts, dtype=object) if isinstance(texts, (list, np.ndarray)) else texts
+        )
         n_to = self.csc.n_rows
         V = to_csr.n_cols
         if n_to > TILE_COLS:
