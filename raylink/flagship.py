@@ -47,6 +47,7 @@ class FlagshipResult:
     assignments: Any  # Dataset: conv_id, entity_text, block_key, group, cluster_id
     scored_pairs: int
     n_distinct: int
+    timings: dict | None = None  # per-stage wall seconds
 
 
 def transcript_entity_resolution(
@@ -56,18 +57,26 @@ def transcript_entity_resolution(
     concurrency=(1, 8),
     batch_size: int = 1024,
 ) -> FlagshipResult:
+    import time
+
+    timings: dict[str, float] = {}
     spec = spec or MatcherSpec(kind="tfidf", min_similarity=0.0, top_n=1)
     # canonicalize once; the order-attached materialized dataset serves both
     # the distinct extraction and the final per-conversation assignment.
+    t0 = time.perf_counter()
     entities = _with_global_order(canonicalize_transcripts(transcripts_ds))
+    timings["canonicalize"] = time.perf_counter() - t0
 
     # distinct mention strings per block, first-appearance ordered
     # (map_batches partial dedup + tiny driver merge — pre-aggregate pattern)
     from raylink.pipeline import distinct_entities_table, spread_table
 
+    t0 = time.perf_counter()
     dist_tbl = distinct_entities_table(entities)
     distinct_ds = spread_table(dist_tbl)
+    timings["distinct"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
     match_result = match_dataset(
         distinct_ds,
         to_ds=None,
@@ -75,6 +84,12 @@ def transcript_entity_resolution(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+    # pin the scoring output here so the timing isolates fit + scoring —
+    # the north rule's throughput metric is about this stage
+    match_result.matches = match_result.matches.materialize()
+    timings["score"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     group_result = group_matches(
         match_result,
         grouper_spec=MatcherSpec(
@@ -85,8 +100,10 @@ def transcript_entity_resolution(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+    timings["group"] = time.perf_counter() - t0
 
     # broadcast cluster assignment back onto conversations
+    t0 = time.perf_counter()
     cl_tbl = pa.concat_tables(
         ray.get(group_result.clusters.to_arrow_refs()), promote_options="default"
     )
@@ -123,6 +140,7 @@ def transcript_entity_resolution(
         )
 
     assignments = entities.map_batches(assign, batch_format="pyarrow")
+    timings["assign_build"] = time.perf_counter() - t0
 
     # scored pairs: per block n_from == n_to == block distinct count
     blocks = dist_tbl["block_key"].to_pylist()
@@ -137,6 +155,7 @@ def transcript_entity_resolution(
         assignments=assignments,
         scored_pairs=scored_pairs,
         n_distinct=int(dist_tbl.num_rows),
+        timings=timings,
     )
 
 

@@ -220,16 +220,25 @@ def distinct_entities_table(
 def spread_table(tbl: pa.Table, target_rows_per_block: int = 512):
     """In-memory Arrow table -> Dataset split into enough blocks to keep
     every core busy (map_batches parallelism = block count; a single
-    from_arrow block would serialize the scoring stage)."""
+    from_arrow block would serialize the scoring stage).
+
+    Rows are INTERLEAVED round-robin across slices, not sliced
+    contiguously: the table is typically sorted by block_key, and scoring
+    work per row is proportional to its block's to-side size — contiguous
+    slices would hand all the hot-block rows to a few straggler tasks
+    (this is the skew handling for the hot blocking key: from-side split,
+    to-side broadcast, SURVEY §4)."""
     import ray.data as rd
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_blocks = max(1, min(cpus * 2, (tbl.num_rows + target_rows_per_block - 1) // target_rows_per_block))
+    n_blocks = max(1, min(cpus * 4, (tbl.num_rows + target_rows_per_block - 1) // target_rows_per_block))
     if n_blocks <= 1:
         return rd.from_arrow(tbl)
-    step = (tbl.num_rows + n_blocks - 1) // n_blocks
-    slices = [tbl.slice(i * step, step) for i in range(n_blocks) if i * step < tbl.num_rows]
-    return rd.from_arrow_refs([ray.put(s) for s in slices])
+    idx = np.arange(tbl.num_rows)
+    slices = [
+        tbl.take(pa.array(idx[i::n_blocks])) for i in range(n_blocks)
+    ]
+    return rd.from_arrow_refs([ray.put(s) for s in slices if s.num_rows])
 
 
 def _dedup_min(blocks, texts, orders):
@@ -849,6 +858,111 @@ def match_dataset(
     if spec.kind == "editdistance" and spec.normalize:
         matches = _minmax_normalize(matches, "similarity")
     return MatchResult(matches, spec, top_n_cols, index_ref, self_match, built_blocks)
+
+
+def merge_topk_matches(partials: list[pa.Table], top_n_cols: int) -> pa.Table:
+    """K4 cross-partition top-k merge (SURVEY §2.6): combine per-shard
+    match tables (same from-rows scored against DIFFERENT to-side shards)
+    into the global top-k per from-row.
+
+    Candidates order by (-similarity, shard, slot) so ties resolve to the
+    earlier shard — matching the single-index kernel's lowest-to-index
+    rule when shards partition the to-list in order."""
+    k = top_n_cols
+    n = partials[0].num_rows
+    n_shards = len(partials)
+    vals = np.zeros((n, n_shards * k), dtype=np.float64)
+    toss = np.empty((n, n_shards * k), dtype=object)
+    pos = np.empty((n, n_shards * k), dtype=np.int64)
+    for si, t in enumerate(partials):
+        for c in range(k):
+            sim_col = "similarity" if c == 0 else f"similarity_{c + 1}"
+            to_col = "to" if c == 0 else f"to_{c + 1}"
+            vals[:, si * k + c] = np.asarray(
+                t[sim_col].to_numpy(zero_copy_only=False)
+            )
+            toss[:, si * k + c] = np.asarray(t[to_col].to_pylist(), dtype=object)
+            pos[:, si * k + c] = si * k + c
+    sel = np.lexsort((pos, -vals), axis=1)[:, :k]
+    out_vals = np.take_along_axis(vals, sel, axis=1)
+    out_tos = np.take_along_axis(toss, sel, axis=1)
+    missing = out_vals <= 0.0
+    out_tos[missing] = None
+    out_vals[missing] = 0.0
+    cols: dict[str, pa.Array] = {"from": partials[0]["from"].combine_chunks()}
+    for c in range(k):
+        to_col = "to" if c == 0 else f"to_{c + 1}"
+        sim_col = "similarity" if c == 0 else f"similarity_{c + 1}"
+        cols[to_col] = pa.array(out_tos[:, c], type=pa.string())
+        cols[sim_col] = pa.array(out_vals[:, c], type=pa.float64())
+    for extra in ("block_key", "row_order"):
+        if extra in partials[0].column_names:
+            cols[extra] = partials[0][extra].combine_chunks()
+    return pa.table(cols)
+
+
+def match_dataset_sharded_to(
+    from_ds,
+    to_ds,
+    spec: MatcherSpec | None = None,
+    n_shards: int = 2,
+    **kwargs,
+):
+    """Scale path for a to-side too large to broadcast whole: split the
+    to-side into ``n_shards`` row shards, run :func:`match_dataset` per
+    shard (each broadcast is 1/n_shards the size), then merge per-row
+    top-k partials (``groupby(from_id)`` logically; here a driver-side
+    zip-merge since partials are row-aligned). Returns the merged matches
+    as an Arrow table.
+
+    Note: the fit stays JOINT (vocab from to+from over the full to-side)
+    so shard scores are comparable — only the scoring index is sharded.
+    """
+    spec = spec or MatcherSpec()
+    if spec.kind != "tfidf":
+        raise ValueError("sharded to-side merge currently supports tfidf")
+    if "row_order" not in from_ds.schema().names:
+        from_ds = dataset_with_row_order(
+            from_ds, kwargs.pop("text_col", "entity_text"),
+            kwargs.pop("block_col", "block_key"),
+        )
+    if "row_order" not in to_ds.schema().names:
+        to_ds = dataset_with_row_order(to_ds, "entity_text", "block_key")
+    to_tbl = pa.concat_tables(
+        ray.get(to_ds.to_arrow_refs()), promote_options="default"
+    )
+    # order shards by row_order so shard order == to-list order (tie rule)
+    sort_idx = pc.sort_indices(to_tbl, sort_keys=[("row_order", "ascending")])
+    to_tbl = to_tbl.take(sort_idx)
+    shard_size = (to_tbl.num_rows + n_shards - 1) // n_shards
+
+    # joint vocabulary over the FULL to-side + from-side
+    full_blocks = _collect_to_side(to_tbl)
+    build_block_indexes(spec, full_blocks, from_ds=from_ds, self_match=False)
+
+    import ray.data as rd
+
+    partials: list[pa.Table] = []
+    k = min(spec.top_n, max((b.n_distinct for b in full_blocks.values()), default=1))
+    for si in range(n_shards):
+        shard = to_tbl.slice(si * shard_size, shard_size)
+        if shard.num_rows == 0:
+            continue
+        shard_blocks = _collect_to_side(shard)
+        for bk, bi in shard_blocks.items():
+            bi.tfidf_vocab = full_blocks[bk].tfidf_vocab
+            bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts_arr))
+        ref = ray.put(shard_blocks)
+        res = match_dataset(
+            from_ds, to_ds=to_ds, spec=spec, prebuilt_index_ref=ref,
+            top_n_cols_override=k, self_match_override=False, **kwargs,
+        )
+        part = pa.concat_tables(
+            ray.get(res.matches.to_arrow_refs()), promote_options="default"
+        )
+        part = part.take(pc.sort_indices(part, sort_keys=[("row_order", "ascending")]))
+        partials.append(part)
+    return merge_topk_matches(partials, k)
 
 
 def match_many(

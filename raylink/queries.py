@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 FIXTURE_ROOT = "/tmp/raylink_fixtures"
 
 # entity count per driver scale factor for the synthetic transcript table
-SF_ENTITIES = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 30000}
+SF_ENTITIES = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 60000}
 DEFAULT_ENTITIES = 1000
 
 

@@ -405,7 +405,7 @@ def _topk_cosine_tiled(
     self_match: bool,
     from_global_offset: int,
     apply_min_similarity: bool,
-    row_chunk: int = 1024,
+    row_chunk: int = 512,
 ) -> None:
     """Cache-blocked variant of the kernel for large to-sides.
 

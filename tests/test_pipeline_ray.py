@@ -197,3 +197,30 @@ def test_flagship_recovers_ground_truth(rd):
     truth = dict(zip(gtd["variant"], gtd["entity_id"]))
     quality = pairwise_f1(pairs, ours, truth)
     assert quality["f1"] > 0.6, quality
+
+
+def test_sharded_to_side_matches_broadcast(rd):
+    """K4 cross-partition top-k merge: sharding the to-side must reproduce
+    the broadcast-index result (same joint vocabulary, ordered shards)."""
+    import numpy as np
+
+    from raylink.pipeline import (
+        MatcherSpec,
+        match_dataset,
+        match_dataset_sharded_to,
+        matches_to_frame,
+    )
+
+    rng = np.random.default_rng(21)
+    to_list = ["".join(rng.choice(list("abcdef"), size=7)) for _ in range(40)]
+    from_list = ["".join(rng.choice(list("abcdef"), size=7)) for _ in range(25)]
+    spec = MatcherSpec(min_similarity=0, top_n=2)
+    base = match_dataset(_ds(rd, from_list), _ds(rd, to_list), spec)
+    base_frame = matches_to_frame(base.matches, base.top_n_cols)
+    merged = match_dataset_sharded_to(
+        _ds(rd, from_list), _ds(rd, to_list), spec, n_shards=3
+    )
+    import ray.data as rdm
+
+    sharded_frame = matches_to_frame(rdm.from_arrow(merged), base.top_n_cols)
+    pd.testing.assert_frame_equal(sharded_frame, base_frame)
