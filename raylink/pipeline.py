@@ -34,7 +34,7 @@ standard blocking assumption); the from-side is unbounded and streams.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
@@ -1136,8 +1136,13 @@ def group_matches(
             }
         )
 
+    # pin the edge scores before the linkage shuffle: feeding the scoring
+    # stream straight into groupby de-parallelizes the scoring tasks
+    # (measured 2.5x slower fused), and the edge table is bounded by the
+    # distinct-string count anyway
+    edge_matches = edge_result.matches.materialize()
     clusters = (
-        edge_result.matches.groupby("block_key")
+        edge_matches.groupby("block_key")
         .map_groups(linkage_group, batch_format="pandas")
     )
     clusters = clusters.materialize()
