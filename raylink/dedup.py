@@ -187,6 +187,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 200,
+    components: str = "driver",
 ):
     """Full MinHash-LSH near-dup pipeline. Returns a pandas frame
     (doc_id, dup_group) for every doc in a near-dup group, where dup_group
@@ -194,7 +195,11 @@ def minhash_lsh_dedup(
 
     Verification is exact Jaccard over shingle sets of the CANDIDATE docs
     only (fetched via a filtered second read — candidates are a tiny
-    fraction of the corpus)."""
+    fraction of the corpus). ``components="distributed"`` runs the
+    transitive closure as iterative min-label propagation on Ray
+    (raylink.linkage.distributed_connected_components) instead of
+    driver-side union-find — the scale path when the verified edge set is
+    itself large."""
     import ray
 
     band_ds = ds.map_batches(
@@ -226,9 +231,7 @@ def minhash_lsh_dedup(
     for did, grp in sh.groupby("doc_id"):
         sets[int(did)] = set(grp["shingle"].tolist())
 
-    from raylink.linkage import UnionFind
-
-    uf = UnionFind()
+    verified: list[tuple[int, int]] = []
     for a, b in zip(cand["a"].tolist(), cand["b"].tolist()):
         sa, sb = sets.get(int(a), set()), sets.get(int(b), set())
         if not sa or not sb:
@@ -236,7 +239,32 @@ def minhash_lsh_dedup(
         inter = len(sa & sb)
         union = len(sa | sb)
         if union and inter / union >= jaccard_threshold:
-            uf.union(int(a), int(b))
+            verified.append((int(a), int(b)))
+    if not verified:
+        return pd.DataFrame({"doc_id": [], "dup_group": []}).astype(np.int64)
+
+    if components == "distributed":
+        import ray.data as rd
+
+        from raylink.linkage import distributed_connected_components
+
+        edges = pa.table(
+            {
+                "a": pa.array([e[0] for e in verified], type=pa.int64()),
+                "b": pa.array([e[1] for e in verified], type=pa.int64()),
+            }
+        )
+        labels = distributed_connected_components(rd.from_arrow(edges)).to_pandas()
+        out = labels.rename(columns={"node": "doc_id", "label": "dup_group"})
+        return out.astype(np.int64).sort_values(
+            ["dup_group", "doc_id"], ignore_index=True
+        )
+
+    from raylink.linkage import UnionFind
+
+    uf = UnionFind()
+    for a, b in verified:
+        uf.union(a, b)
     rows = []
     for root, members in uf.groups().items():
         if len(members) < 2:

@@ -114,6 +114,105 @@ class UnionFind:
         return out
 
 
+def distributed_connected_components(
+    edges_ds,
+    left_col: str = "a",
+    right_col: str = "b",
+    max_iters: int = 50,
+):
+    """Distributed connected components over an edge Dataset via iterative
+    min-label propagation — the scale path for transitive closure when the
+    edge set is too large for driver-side union-find (north-star clustering
+    stage; used by the near-dup pipelines, where true transitivity IS the
+    wanted semantics — the reference-parity grouper instead replays the
+    quirk-exact sequential linkage per block).
+
+    Each round: emit (node, candidate_label) for both endpoints of every
+    edge with the CURRENT labels attached, take per-node min via a bounded
+    groupby, stop when no label changed (checked via a global sum of
+    changes). Converges in O(diameter) rounds. Returns a Dataset
+    (node, label) where label = min node id of the component.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    # initial labels: node -> node
+    def init_nodes(batch: pa.Table) -> pa.Table:
+        vals = np.concatenate(
+            [
+                np.asarray(batch[left_col].to_numpy(zero_copy_only=False)),
+                np.asarray(batch[right_col].to_numpy(zero_copy_only=False)),
+            ]
+        )
+        return pa.table({"node": pa.array(np.unique(vals))})
+
+    nodes = (
+        edges_ds.map_batches(init_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .drop_columns(["count()"])
+    )
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    edges = edges_ds.materialize()
+    for _ in range(max_iters):
+        # broadcast the current label map (bounded by node count — for
+        # truly unbounded node sets this becomes a repartition-join on
+        # node id; the candidate sets these pipelines produce are small)
+        lbl_tbl = pa.concat_tables(
+            ray.get(labels.to_arrow_refs()), promote_options="default"
+        )
+        lmap = dict(
+            zip(lbl_tbl["node"].to_pylist(), lbl_tbl["label"].to_pylist())
+        )
+        lref = ray.put(lmap)
+
+        def propose(batch: pa.Table, _l=lref) -> pa.Table:
+            from raylink.pipeline import cached_object
+
+            lm = cached_object(_l)
+            a = batch[left_col].to_pylist()
+            b = batch[right_col].to_pylist()
+            n_out = []
+            c_out = []
+            for x, y in zip(a, b):
+                lx, ly = lm[x], lm[y]
+                m = min(lx, ly)
+                n_out += [x, y]
+                c_out += [m, m]
+            return pa.table({"node": pa.array(n_out), "cand": pa.array(c_out)})
+
+        proposed = (
+            edges.map_batches(propose, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="new_label"))
+        )
+        new_tbl = pa.concat_tables(
+            ray.get(proposed.to_arrow_refs()), promote_options="default"
+        )
+        changed = 0
+        merged_nodes = []
+        merged_labels = []
+        nm = dict(zip(new_tbl["node"].to_pylist(), new_tbl["new_label"].to_pylist()))
+        for node, old in lmap.items():
+            new = min(old, nm.get(node, old))
+            if new != old:
+                changed += 1
+            merged_nodes.append(node)
+            merged_labels.append(new)
+        labels = rd.from_arrow(
+            pa.table({"node": pa.array(merged_nodes), "label": pa.array(merged_labels)})
+        ).materialize()
+        if changed == 0:
+            break
+    return labels
+
+
 def connected_components_labels(
     left: np.ndarray, right: np.ndarray
 ) -> dict:

@@ -103,3 +103,18 @@ def test_embedding_cosine_pairs(rd):
     )
     out = embedding_cosine_pairs(ds, "vec_id", "embedding", threshold=0.99)
     assert list(zip(out["a"], out["b"])) == [(10, 11)]
+
+
+def test_minhash_distributed_components_matches_driver(rd):
+    from raylink.dedup import minhash_lsh_dedup
+
+    near = BASE.replace("quick", "quikc")
+    texts = [BASE, near, "unrelated words entirely different", BASE + " extra tail"]
+    a = minhash_lsh_dedup(_docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5)
+    b = minhash_lsh_dedup(
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5,
+        components="distributed",
+    )
+    ga = a.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
+    gb = b.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
+    assert set(ga) == set(gb)

@@ -116,3 +116,33 @@ def test_union_find_and_components():
     uf.union(1, 2)
     uf.union(3, 2)
     assert uf.find(3) == uf.find(1)
+
+
+def test_distributed_connected_components():
+    import pyarrow as pa
+    import pytest
+
+    pytest.importorskip("ray")
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from raylink.linkage import distributed_connected_components
+
+    # two chains + a singleton-free edge set: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 10, 20, 21], type=pa.int64()),
+            "b": pa.array([2, 3, 4, 11, 21, 22], type=pa.int64()),
+        }
+    )
+    labels = distributed_connected_components(rd.from_arrow(edges)).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == got[22] == 20
