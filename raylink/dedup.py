@@ -35,6 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raylink.blocking import _hash64
+from raylink.text import batch_ngrams, clean_strings_arrow
 
 
 def _md5_hex(texts: list[str]) -> list[str]:
@@ -73,8 +74,6 @@ def _shingle_hashes(texts: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc k-char shingle hashes (int64), vectorized via the ngram
     byte-window machinery. Returns (doc_ids, hashes) with duplicates
     removed per doc."""
-    from raylink.text import batch_ngrams, clean_strings_arrow
-
     cleaned = clean_strings_arrow(texts)
     doc_ids, grams = batch_ngrams(cleaned, (k, k), remove_space_ngrams=False, pad_width=k)
     if len(grams) == 0:

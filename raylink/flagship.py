@@ -116,11 +116,10 @@ def transcript_entity_resolution(
     ):
         assign_map[(bk, m)] = (r, int(cid))
     assign_ref = ray.put(assign_map)
+    from raylink.pipeline import cached_object as _cached_object
 
-    def assign(batch: pa.Table, _ref=assign_ref) -> pa.Table:
-        from raylink.pipeline import cached_object
-
-        amap = cached_object(_ref)
+    def assign(batch: pa.Table, _ref=assign_ref, _co=_cached_object) -> pa.Table:
+        amap = _co(_ref)
         bks = batch["block_key"].to_pylist()
         txts = batch["entity_text"].to_pylist()
         groups = []

@@ -172,10 +172,10 @@ def distributed_connected_components(
         )
         lref = ray.put(lmap)
 
-        def propose(batch: pa.Table, _l=lref) -> pa.Table:
-            from raylink.pipeline import cached_object
+        from raylink.pipeline import cached_object as _co
 
-            lm = cached_object(_l)
+        def propose(batch: pa.Table, _l=lref, _co=_co) -> pa.Table:
+            lm = _co(_l)
             a = batch[left_col].to_pylist()
             b = batch[right_col].to_pylist()
             n_out = []

@@ -44,7 +44,7 @@ import pyarrow.compute as pc
 import ray
 
 from raylink import editdist
-from raylink.embed import dense_topk_cosine, l2_normalize
+from raylink.embed import HashEmbedder, dense_topk_cosine, l2_normalize
 from raylink.linkage import single_linkage_arrays
 from raylink.matchers import _effective_top_n, match_columns
 from raylink.text import batch_ngrams, clean_strings_arrow
@@ -478,8 +478,6 @@ def build_block_indexes(
     elif spec.kind == "embeddings":
         embedder = spec.embedder
         if embedder is None:
-            from raylink.embed import HashEmbedder
-
             embedder = HashEmbedder()
         for bi in to_blocks.values():
             bi.emb = l2_normalize(
@@ -577,8 +575,6 @@ class ScorerActor:
         if spec.kind == "embeddings":
             self.embedder = spec.embedder
             if self.embedder is None:
-                from raylink.embed import HashEmbedder
-
                 self.embedder = HashEmbedder()
         # first-occurrence position of each to-text per block (edit-distance
         # family needs value -> index resolution without an O(n) scan)

@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raylink.blocking import _hash64
+from raylink.text import batch_ngrams, clean_strings_arrow
 
 # tiny deterministic stopword profiles (lang-id heuristic)
 LANG_STOPWORDS = {
@@ -115,8 +116,6 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """md5 full-content fingerprint (SQL: md5(text)) + a rolling shingle
     fingerprint (min of rolling 16-char window hashes over the cleaned
     text — stable under small appends; rows-only op)."""
-    from raylink.text import batch_ngrams, clean_strings_arrow
-
     texts = batch[text_col]
     md5 = [hashlib.md5(t.encode()).hexdigest() for t in texts.to_pylist()]
     cleaned = clean_strings_arrow(texts)
