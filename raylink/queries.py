@@ -59,22 +59,40 @@ def ensure_transcript_fixture(sf_dir: str) -> dict:
     """Idempotent deterministic synthesis of the transcript tables for this
     scale (seed 42). Safe to call from both the Ray side and the oracle
     side; first caller wins, content is identical either way."""
+    import json
+    import shutil
+    import time
+
     from raylink.transcripts import write_transcripts_dataset
 
     out_dir = transcript_fixture_dir(sf_dir)
     done = os.path.join(out_dir, ".complete")
     if os.path.exists(done):
-        import json
-
         with open(done) as f:
             return json.load(f)
+    # atomic publish: synthesize into a private tmp dir, rename into place;
+    # concurrent callers (bench + correctness harness) race benignly — the
+    # loser sees the winner's .complete marker or retries the rename
     n_entities = SF_ENTITIES.get(sf_name(sf_dir), DEFAULT_ENTITIES)
-    info = write_transcripts_dataset(out_dir, n_entities, seed=42)
-    import json
-
-    with open(done, "w") as f:
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+    info = write_transcripts_dataset(tmp_dir, n_entities, seed=42)
+    info = {
+        k: (v.replace(tmp_dir, out_dir) if isinstance(v, str) else v)
+        for k, v in info.items()
+    }
+    with open(os.path.join(tmp_dir, ".complete"), "w") as f:
         json.dump(info, f)
-    return info
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        # somebody else won the race; wait for their marker
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        for _ in range(600):
+            if os.path.exists(done):
+                break
+            time.sleep(1)
+    with open(done) as f:
+        return json.load(f)
 
 
 # ---------------------------------------------------------------------------
