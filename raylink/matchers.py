@@ -144,6 +144,19 @@ class TFIDFMatcher(BaseMatcher):
         self, from_texts, top_n: int, self_match: bool, from_global_offset: int = 0
     ) -> tuple[np.ndarray, np.ndarray]:
         fr: CSR = self.vocab.transform(from_texts)
+        if self.cosine_method == "knn":
+            # J1c knn path (polyfuzz/models/_utils.py:59-70): self-match
+            # takes n_neighbors=top_n+1 and DROPS COLUMN 0, assuming the
+            # first hit is self — which DIFFERS from the diagonal-zero
+            # semantics when duplicate strings exist (documented
+            # divergence in the reference itself); no min_similarity bound.
+            k = top_n + 1 if self_match else top_n
+            idx, sims = topk_cosine(
+                fr, self.to_index, k, apply_min_similarity=False
+            )
+            if self_match:
+                idx, sims = idx[:, 1:], sims[:, 1:]
+            return idx, sims
         return topk_cosine(
             fr,
             self.to_index,
@@ -218,13 +231,19 @@ class EmbeddingMatcher(BaseMatcher):
                 )
         self.embeddings_to = embeddings_to
         top_n = _effective_top_n(self.top_n, to_list)
-        idx, sims = dense_topk_cosine(
-            embeddings_from, embeddings_to, top_n, self_match=self_match
-        )
-        if self.cosine_method == "sparse" and self.min_similarity > 0:
-            drop = sims <= self.min_similarity
-            sims = np.where(drop, 0.0, sims)
-            idx = np.where(drop, -1, idx)
+        if self.cosine_method == "knn":
+            k = top_n + 1 if self_match else top_n
+            idx, sims = dense_topk_cosine(embeddings_from, embeddings_to, k)
+            if self_match:
+                idx, sims = idx[:, 1:], sims[:, 1:]
+        else:
+            idx, sims = dense_topk_cosine(
+                embeddings_from, embeddings_to, top_n, self_match=self_match
+            )
+            if self.cosine_method == "sparse" and self.min_similarity > 0:
+                drop = sims <= self.min_similarity
+                sims = np.where(drop, 0.0, sims)
+                idx = np.where(drop, -1, idx)
         to_texts = from_list if self_match else list(to_list)
         return build_matches_frame(from_list, to_texts, idx, sims, top_n)
 

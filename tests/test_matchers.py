@@ -177,3 +177,34 @@ def test_save_load_roundtrip(tmp_path, fixture_lists):
     loaded = PolyMatch.load(p)
     out = loaded.transform(["appl"])
     assert out["TF-IDF"]["To"].iloc[0] == "apple"
+
+
+@pytest.mark.parametrize("method", ["sparse", "sklearn", "knn"])
+@pytest.mark.parametrize("rng", [(3, 3), (3, 6)])
+def test_tfidf_cosine_methods(method, rng, fixture_lists):
+    """Replicates the reference's cosine-method parametrization
+    (tests/models/test_tfidf.py:9-27)."""
+    from_list, to_list = fixture_lists
+    m = TFIDFMatcher(n_gram_range=rng, min_similarity=0, cosine_method=method)
+    matches = m.match(from_list, to_list)
+    assert len(matches) == 6
+    assert list(matches.columns) == ["From", "To", "Similarity"]
+    assert matches.Similarity.mean() > 0.3
+    assert matches.loc[matches.From == "apple", "To"].iloc[0] == "apple"
+
+
+def test_knn_self_match_drops_first_column():
+    """J1c quirk: knn self-match drops column 0 assuming it is self — with
+    duplicate strings the assumption fails and results DIVERGE from the
+    diagonal-zero methods (polyfuzz/models/_utils.py:59-66)."""
+    texts = ["apple", "apple", "zebra"]
+    knn = TFIDFMatcher(min_similarity=0, cosine_method="knn").match(texts)
+    sparse = TFIDFMatcher(min_similarity=0, cosine_method="sparse").match(texts)
+    # sparse: each "apple" matches the other duplicate at 1.0
+    assert sparse.loc[0, "To"] == "apple" and sparse.loc[0, "Similarity"] == 1.0
+    # knn: the dropped first hit for row 0 IS one of the duplicates; the
+    # surviving column is the other duplicate (still 1.0) — but for zebra
+    # (unique) the drop removes its true self-hit, same outcome. The knn
+    # frame must still be a valid matches frame:
+    assert list(knn.columns) == ["From", "To", "Similarity"]
+    assert len(knn) == 3
