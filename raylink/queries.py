@@ -292,6 +292,31 @@ def q_transcript_canonicalize(sf_dir: str):
     return canonicalize_transcripts(ds)
 
 
+def q_transcript_conv_text(sf_dir: str):
+    """Per-conversation ordered text digest — the per-turn-text-equality-
+    under-stable-turn-ordering invariant exercised DIRECTLY on the
+    transcript table and SQL-checked: rows arrive shuffled, the pipeline
+    must re-establish turn order before concatenating."""
+    info = ensure_transcript_fixture(sf_dir)
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "n_turns": [len(g)],
+                "role_seq": ["|".join(g["role"].tolist())],
+                "text_digest": ["|".join(g["text"].tolist())],
+            }
+        )
+
+    return (
+        _rd().read_parquet(info["transcripts"])
+        .groupby("conv_id")
+        .map_groups(per_conv, batch_format="pandas")
+    )
+
+
 def q_transcript_turn_stats(sf_dir: str):
     """Ordering-integrity aggregate (per-turn invariant support)."""
     info = ensure_transcript_fixture(sf_dir)
@@ -460,6 +485,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "transcript_canonicalize": q_transcript_canonicalize,
+    "transcript_conv_text": q_transcript_conv_text,
     "transcript_turn_stats": q_transcript_turn_stats,
     # rows-only
     "match_tfidf_documents": q_match_tfidf_documents,
@@ -620,6 +646,13 @@ ORACLE_SQL = {
                CASE WHEN cleaned = '' THEN '_'
                     ELSE substring(cleaned, 1, 1) END AS block_key
         FROM c
+    """,
+    "transcript_conv_text": f"""
+        SELECT conv_id, count(*) AS n_turns,
+               string_agg(role, '|' ORDER BY turn_idx) AS role_seq,
+               string_agg(text, '|' ORDER BY turn_idx) AS text_digest
+        FROM read_parquet('{_oracle_fixture_glob()}')
+        GROUP BY conv_id
     """,
     "transcript_turn_stats": f"""
         SELECT conv_id, count(*) AS n_turns,

@@ -118,7 +118,7 @@ def test_transcript_sql_queries(entry_mod):
 
     ensure_transcript_fixture("/root/testdata/sf0.01")
     c = duckdb.connect()
-    for name in ["transcript_canonicalize", "transcript_turn_stats"]:
+    for name in ["transcript_canonicalize", "transcript_conv_text", "transcript_turn_stats"]:
         ours = to_pandas(entry_mod.queries()[name]("/root/testdata/sf0.01"))
         oracle = c.sql(entry_mod.oracle_sql()[name]).df()
         assert_frames_match(ours, oracle, name)
