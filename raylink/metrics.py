@@ -88,6 +88,32 @@ def pr_curve_from_value_counts(
     )
 
 
+def pr_curves_for_matches(
+    matches_by_model: dict, precision_steps: float = 0.01,
+    threshold_mode: str = "arange", similarity_col: str = "similarity",
+):
+    """Per-model precision-recall curves as Ray Data aggregations — the
+    distributed ``visualize_precision_recall`` numbers
+    (polyfuzz/polyfuzz.py:286-329): for each model's matches Dataset, a
+    ``groupby(similarity).count()`` (distinct sims are bounded, see module
+    docstring) finalized exactly on the driver. Returns a single frame
+    (model_id, min_precision, recall, average_precision)."""
+    import pandas as pd
+
+    frames = []
+    for model_id, ds in matches_by_model.items():
+        counts = ds.groupby(similarity_col).count().to_pandas()
+        curve = pr_curve_from_value_counts(
+            counts[similarity_col].to_numpy(np.float64),
+            counts["count()"].to_numpy(np.float64),
+            precision_steps,
+            threshold_mode=threshold_mode,
+        )
+        curve.insert(0, "model_id", model_id)
+        frames.append(curve)
+    return pd.concat(frames, ignore_index=True)
+
+
 def pairwise_f1(
     pairs: pd.DataFrame,
     labels_ours: dict,

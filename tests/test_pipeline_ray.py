@@ -224,3 +224,35 @@ def test_sharded_to_side_matches_broadcast(rd):
 
     sharded_frame = matches_to_frame(rdm.from_arrow(merged), base.top_n_cols)
     pd.testing.assert_frame_equal(sharded_frame, base_frame)
+
+
+def test_pr_curves_per_model(rd, fixture_lists):
+    """Distributed per-model PR curves equal the local reference math
+    (visualize_precision_recall numbers, polyfuzz/polyfuzz.py:286-329)."""
+    from raylink.metrics import pr_curves_for_matches, precision_recall_curve
+    from raylink.pipeline import MatcherSpec, match_many
+
+    from_list, to_list = fixture_lists
+    specs = [
+        MatcherSpec(kind="tfidf", min_similarity=0, model_id="TF-IDF"),
+        MatcherSpec(kind="rapidfuzz", model_id="RF"),
+    ]
+    results = match_many(
+        rd.from_arrow(entities_from_texts(from_list)),
+        rd.from_arrow(entities_from_texts(to_list)),
+        specs,
+    )
+    curves = pr_curves_for_matches(
+        {mid: r.matches for mid, r in results.items()}
+    )
+    assert set(curves["model_id"]) == {"TF-IDF", "RF"}
+    # cross-check against the single-node oracle's curve per model
+    local = PolyMatch("TF-IDF").match(from_list, to_list).get_matches()
+    mp, rc, ap = precision_recall_curve(local)
+    sub = curves[curves.model_id == "TF-IDF"]
+    np.testing.assert_allclose(sub["min_precision"].to_numpy(), mp)
+    np.testing.assert_allclose(sub["recall"].to_numpy(), rc)
+    got_ap = sub["average_precision"].to_numpy()
+    exp_ap = np.asarray(ap)
+    mask = ~(np.isnan(got_ap) & np.isnan(exp_ap))
+    np.testing.assert_allclose(got_ap[mask], exp_ap[mask])
