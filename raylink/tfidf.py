@@ -247,10 +247,12 @@ class TopkIndex:
     between collapsing and scaling when many scoring tasks run per node.
     """
 
-    __slots__ = ("csc", "texts", "tile_indptr", "tile_rows", "tile_data", "n_tiles")
+    __slots__ = ("csc", "to_csr", "texts", "tile_indptr", "tile_rows",
+                 "tile_data", "tile_data_f32", "n_tiles")
 
     def __init__(self, to_csr: CSR, texts=None):
         self.csc = csr_to_csc(to_csr)
+        self.to_csr = to_csr  # row-major view, used by the exact rescore
         # texts ride on BlockIndex in the pipeline; kept here only for
         # standalone kernel users/tests
         self.texts = (
@@ -269,6 +271,7 @@ class TopkIndex:
             order = np.lexsort((rows, terms, tile_of))
             self.tile_rows = rows[order]
             self.tile_data = data[order]
+            self.tile_data_f32 = self.tile_data.astype(np.float32)
             flat = tile_of[order] * V + terms[order]
             counts = np.bincount(flat, minlength=self.n_tiles * V)
             indptr = np.zeros(self.n_tiles * V + 1, dtype=np.int64)
@@ -279,6 +282,7 @@ class TopkIndex:
             self.tile_indptr = None
             self.tile_rows = None
             self.tile_data = None
+            self.tile_data_f32 = None
 
     @property
     def n_to(self) -> int:
@@ -318,9 +322,11 @@ def topk_cosine(
     if n_to == 0 or k == 0:
         return out_idx, out_sim
     if index.n_tiles > 1 and k <= 16:
-        _topk_cosine_tiled(
+        from raylink._tiled_kernel import topk_cosine_tiled
+
+        topk_cosine_tiled(
             fr, index, k, out_idx, out_sim, min_similarity, self_match,
-            from_global_offset, apply_min_similarity,
+            from_global_offset, apply_min_similarity, TILE_COLS,
         )
         missing = out_sim <= 0.0
         out_idx[missing] = -1
@@ -393,105 +399,3 @@ def topk_cosine(
         out_sim[r:r_end][missing] = 0.0
         r = r_end
     return out_idx, out_sim
-
-
-def _topk_cosine_tiled(
-    fr: CSR,
-    index: TopkIndex,
-    k: int,
-    out_idx: np.ndarray,
-    out_sim: np.ndarray,
-    min_similarity: float,
-    self_match: bool,
-    from_global_offset: int,
-    apply_min_similarity: bool,
-    row_chunk: int = 512,
-) -> None:
-    """Cache-blocked variant of the kernel for large to-sides.
-
-    The to-side is swept in TILE_COLS-wide column tiles; the accumulation
-    slab is (row_chunk x TILE_COLS) — small enough to stay cache-resident
-    while the per-term outer-product scatters hit it, so DRAM traffic is
-    dominated by the actual collision gathers, not slab churn (this is
-    what lets dozens of concurrent scoring tasks scale on one node).
-    Results are bit-identical to the single-slab path: per tile the
-    iterative argmax picks lowest-index-first on ties, and the cross-tile
-    merge orders candidates by (-value, column)."""
-    n_from = fr.n_rows
-    n_to = index.n_to
-    V = fr.n_cols
-    tile_indptr = index.tile_indptr
-    tile_rows = index.tile_rows
-    tile_data = index.tile_data
-
-    r = 0
-    while r < n_from:
-        r_end = min(n_from, r + row_chunk)
-        nrows = r_end - r
-        lo, hi = fr.indptr[r], fr.indptr[r_end]
-        fi = np.repeat(
-            np.arange(r, r_end, dtype=np.int64), np.diff(fr.indptr[r : r_end + 1])
-        ) - r
-        fk = fr.indices[lo:hi]
-        fv = fr.data[lo:hi]
-        order = np.argsort(fk, kind="stable")
-        fk_s, fi_s, fv_s = fk[order], fi[order], fv[order]
-        term_change = np.empty(len(fk_s), dtype=bool)
-        if len(fk_s):
-            term_change[0] = True
-            term_change[1:] = fk_s[1:] != fk_s[:-1]
-        starts = np.flatnonzero(term_change)
-        ends = np.append(starts[1:], len(fk_s))
-        chunk_terms = fk_s[starts]
-
-        best_val = np.zeros((nrows, k), dtype=np.float64)
-        best_col = np.full((nrows, k), n_to, dtype=np.int64)  # sentinel high
-        if self_match:
-            diag = np.arange(r, r_end) + from_global_offset
-        arange_rows = np.arange(nrows)
-        slab = np.empty((nrows, TILE_COLS), dtype=np.float64)
-        for tile in range(index.n_tiles):
-            t_lo_col = tile * TILE_COLS
-            width = min(TILE_COLS, n_to - t_lo_col)
-            base = tile * V
-            slab[:, :width] = 0.0
-            sl = slab[:, :width]
-            any_hit = False
-            for s, e, tm in zip(starts, ends, chunk_terms):
-                p_lo = tile_indptr[base + tm]
-                p_hi = tile_indptr[base + tm + 1]
-                if p_lo == p_hi:
-                    continue
-                any_hit = True
-                cols_local = tile_rows[p_lo:p_hi] - t_lo_col
-                sl[fi_s[s:e][:, None], cols_local[None, :]] += (
-                    fv_s[s:e][:, None] * tile_data[p_lo:p_hi][None, :]
-                )
-            if not any_hit:
-                continue
-            if self_match:
-                in_tile = (diag >= t_lo_col) & (diag < t_lo_col + width)
-                sl[np.flatnonzero(in_tile), diag[in_tile] - t_lo_col] = 0.0
-            if apply_min_similarity and min_similarity > 0:
-                sl[sl <= min_similarity] = 0.0
-            kk = min(k, width)
-            t_val = np.zeros((nrows, k), dtype=np.float64)
-            t_col = np.full((nrows, k), n_to, dtype=np.int64)
-            for c in range(kk):
-                j = np.argmax(sl, axis=1)
-                v = sl[arange_rows, j]
-                t_val[:, c] = v
-                t_col[:, c] = np.where(v > 0, j + t_lo_col, n_to)
-                if c + 1 < kk:
-                    sl[arange_rows, j] = -np.inf
-            # merge tile candidates into the running top-k:
-            # order by (-value, column) => deterministic lowest-col ties
-            cand_val = np.concatenate([best_val, t_val], axis=1)
-            cand_col = np.concatenate([best_col, t_col], axis=1)
-            sel = np.lexsort((cand_col, -cand_val), axis=1)[:, :k]
-            best_val = np.take_along_axis(cand_val, sel, axis=1)
-            best_col = np.take_along_axis(cand_col, sel, axis=1)
-        valid = (best_val > 0) & (best_col < n_to)
-        out_idx[r:r_end, :k] = np.where(valid, best_col, -1)
-        out_sim[r:r_end, :k] = np.where(valid, best_val, 0.0)
-        r = r_end
