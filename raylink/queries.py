@@ -439,6 +439,55 @@ def q_simhash(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
 
 
+def q_fit_transform(sf_dir: str):
+    """E2 production lifecycle (rows-only): fit the TF-IDF index on even
+    doc_ids as the golden to-side, transform the odd doc_ids against the
+    FROZEN vocabulary/index (re_train=False semantics)."""
+    from raylink.model import RayLinkModel
+    from raylink.pipeline import MatcherSpec, dataset_with_row_order
+
+    def half(parity: int):
+        return _read(sf_dir, "documents").map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    to_ds = half(0)
+    from_ds = half(1)
+    model = RayLinkModel(MatcherSpec(kind="tfidf", min_similarity=0.0)).fit(
+        dataset_with_row_order(from_ds, "text", "lang"),
+        dataset_with_row_order(to_ds, "text", "lang"),
+    )
+    out = model.transform(dataset_with_row_order(from_ds, "text", "lang"))
+    return out.matches
+
+
+def q_multi_model_compare(sf_dir: str):
+    """Multi-model compare (polyfuzz.py:147-152) through the contract
+    (rows-only): two matchers over the same inputs, stacked with a
+    model_id column."""
+    import ray.data as rd
+
+    from raylink.pipeline import MatcherSpec, dataset_with_row_order, match_many
+
+    ds = dataset_with_row_order(_read(sf_dir, "documents"), "text", "lang")
+    results = match_many(
+        ds, None,
+        [
+            MatcherSpec(kind="tfidf", min_similarity=0.0, model_id="TF-IDF"),
+            MatcherSpec(kind="embeddings", min_similarity=0.0, model_id="Embeddings"),
+        ],
+    )
+    frames = []
+    for mid, res in results.items():
+        pdf = res.matches.to_pandas()
+        pdf.insert(0, "model_id", mid)
+        frames.append(pdf)
+    return pd.concat(frames, ignore_index=True)
+
+
 def q_transcript_flagship(sf_dir: str):
     """The end-to-end flagship: transcripts -> canonicalize -> blocked
     self-match -> linkage -> per-conversation assignments (rows-only)."""
@@ -495,6 +544,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
+    "fit_transform": q_fit_transform,
+    "multi_model_compare": q_multi_model_compare,
     "transcript_flagship": q_transcript_flagship,
     "transcript_pr_curve": q_transcript_pr_curve,
 }
