@@ -25,17 +25,11 @@ from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
 from raylink.blocking import canonicalize_transcripts
-from raylink.pipeline import (
-    MatcherSpec,
-    MatchResult,
-    group_matches,
-    match_dataset,
-)
+from raylink.pipeline import MatcherSpec, group_matches, match_dataset
 
 
 @dataclass

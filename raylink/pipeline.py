@@ -46,7 +46,7 @@ import ray
 from raylink import editdist
 from raylink.embed import HashEmbedder, dense_topk_cosine, l2_normalize
 from raylink.linkage import single_linkage_arrays
-from raylink.matchers import _effective_top_n, match_columns
+from raylink.matchers import match_columns
 from raylink.text import batch_ngrams, clean_strings_arrow
 from raylink.tfidf import CSR, TfidfVocab, TopkIndex, df_counts, topk_cosine
 
