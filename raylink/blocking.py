@@ -74,13 +74,16 @@ def extract_entities_batch(batch: pa.Table) -> pa.Table:
     cleaned = clean_strings_arrow(mention)
     first = pc.utf8_slice_codeunits(cleaned, 0, 1)
     block = pc.if_else(pc.equal(first, ""), pa.scalar("_"), first)
-    return pa.table(
-        {
-            "conv_id": t0["conv_id"],
-            "entity_text": mention,
-            "block_key": block,
-        }
-    )
+    cols = {
+        "conv_id": t0["conv_id"],
+        "entity_text": mention,
+        "block_key": block,
+    }
+    if "row_order" in t0.column_names:
+        # source order captured upstream travels with the rows (linkage
+        # scan order must be reproducible run to run)
+        cols["row_order"] = t0["row_order"]
+    return pa.table(cols)
 
 
 def conversation_check_batch(batch: pa.Table) -> pa.Table:

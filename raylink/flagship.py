@@ -58,7 +58,13 @@ def transcript_entity_resolution(
     # canonicalize once; the order-attached materialized dataset serves both
     # the distinct extraction and the final per-conversation assignment.
     t0 = time.perf_counter()
-    entities = _with_global_order(canonicalize_transcripts(transcripts_ds))
+    # order is pinned on the RAW transcripts (source block order is the
+    # only deterministic one) and travels through canonicalization
+    from raylink.pipeline import attach_global_order
+
+    entities = canonicalize_transcripts(
+        attach_global_order(transcripts_ds)
+    ).materialize()
     timings["canonicalize"] = time.perf_counter() - t0
 
     # distinct mention strings per block, first-appearance ordered
@@ -153,20 +159,12 @@ def transcript_entity_resolution(
 
 
 def _with_global_order(entities_ds):
-    """Attach global row_order to the entities Dataset (materializes the
-    slim 3-column lineage; see dataset_with_row_order scale note)."""
-    from raylink.pipeline import _attach_order_remote, _num_rows_remote
+    """Deprecated shim: order must be pinned at the SOURCE (see
+    pipeline.attach_global_order) — kept for callers that already hold an
+    entities dataset without row_order."""
+    from raylink.pipeline import attach_global_order
 
-    import ray.data as rd
-
-    bundles = entities_ds.materialize()
-    refs = bundles.to_arrow_refs()
-    sizes = ray.get([_num_rows_remote.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]) if sizes else []
-    indexed = [
-        _attach_order_remote.remote(r, int(off)) for r, off in zip(refs, offsets)
-    ]
-    return rd.from_arrow_refs(indexed)
+    return attach_global_order(entities_ds)
 
 
 def oracle_cluster_labels(

@@ -103,29 +103,36 @@ def entities_from_texts(texts, block_keys=None) -> pa.Table:
     )
 
 
-def dataset_with_row_order(ds, text_col: str, block_col: str | None):
-    """Normalize any Dataset into the entities schema with a global
-    ``row_order``. Order is assigned from cumulative block row counts —
-    only refs + counts touch the driver, the data stays in the object
-    store. The matches produced downstream are row-identified by this
-    column, which is also what makes linkage order reproducible.
+from contextlib import contextmanager
 
-    Scale note: this materializes the (already column-pruned) from-side
-    lineage in the object store to pin block boundaries. At 100 TB the
-    right move is to carry a source row id from the reader instead
-    (pass a dataset that already has ``row_order`` and this function is
-    skipped entirely — see ``match_dataset``)."""
+
+@contextmanager
+def ordered_execution():
+    """Force deterministic block ordering for the materialization that
+    PINS row_order. Without it the streaming executor emits blocks in
+    completion order, so row_order — and therefore the order-sensitive
+    linkage output — would differ run to run on multi-block inputs.
+    Scoped to the one materialize that needs it (preserve_order throttles
+    pipelining, so it must not leak into the scoring stages)."""
+    from ray.data import DataContext
+
+    opts = DataContext.get_current().execution_options
+    old = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        yield
+    finally:
+        opts.preserve_order = old
+
+
+def attach_global_order(ds):
+    """Materialize (order-preserving) and append a global ``row_order``
+    from cumulative block row counts — only refs + counts touch the
+    driver."""
     import ray.data
 
-    def prep(batch: pa.Table) -> pa.Table:
-        out = {"entity_text": batch[text_col]}
-        if block_col and block_col in batch.column_names:
-            out["block_key"] = batch[block_col]
-        else:
-            out["block_key"] = pa.array([ALL_BLOCK] * batch.num_rows, type=pa.string())
-        return pa.table(out)
-
-    bundles = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    with ordered_execution():
+        bundles = ds.materialize()
     refs = bundles.to_arrow_refs()
     sizes = ray.get([_num_rows_remote.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]) if sizes else []
@@ -133,6 +140,37 @@ def dataset_with_row_order(ds, text_col: str, block_col: str | None):
         _attach_order_remote.remote(r, int(off)) for r, off in zip(refs, offsets)
     ]
     return ray.data.from_arrow_refs(indexed)
+
+
+def dataset_with_row_order(ds, text_col: str, block_col: str | None):
+    """Normalize any Dataset into the entities schema with a global
+    ``row_order``. Order is assigned from cumulative block row counts —
+    only refs + counts touch the driver, the data stays in the object
+    store. The matches produced downstream are row-identified by this
+    column, which is also what makes linkage order reproducible.
+
+    Order is captured AT THE SOURCE (the raw read's block order is
+    deterministic; downstream map stages are not — their output block
+    order varies run to run even under preserve_order) and then travels
+    with the rows, so everything derived from it is reproducible.
+
+    Scale note: this materializes the source in the object store to pin
+    block boundaries. At 100 TB the right move is to carry a source row
+    id from the reader instead (pass a dataset that already has
+    ``row_order`` and this function is skipped entirely — see
+    ``match_dataset``)."""
+
+    ordered = attach_global_order(ds)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        out = {"row_order": batch["row_order"], "entity_text": batch[text_col]}
+        if block_col and block_col in batch.column_names:
+            out["block_key"] = batch[block_col]
+        else:
+            out["block_key"] = pa.array([ALL_BLOCK] * batch.num_rows, type=pa.string())
+        return pa.table(out)
+
+    return ordered.map_batches(prep, batch_format="pyarrow")
 
 
 @ray.remote

@@ -36,7 +36,6 @@ def run_flagship_checkpointed(
     import ray.data as rd
 
     from raylink.blocking import canonicalize_transcripts
-    from raylink.flagship import _with_global_order
     from raylink.pipeline import distinct_entities_table, spread_table
 
     spec = spec or MatcherSpec(kind="tfidf", min_similarity=0.0, top_n=1)
@@ -45,11 +44,13 @@ def run_flagship_checkpointed(
     spec_d.pop("scorer", None)
     base_params = {"transcripts": transcripts_path, "spec": spec_d}
 
+    from raylink.pipeline import attach_global_order
+
     entities_ds, entities_resumed = run_stage(
         checkpoint_root,
         "entities",
-        lambda: _with_global_order(
-            canonicalize_transcripts(rd.read_parquet(transcripts_path))
+        lambda: canonicalize_transcripts(
+            attach_global_order(rd.read_parquet(transcripts_path))
         ),
         params=base_params,
     )
