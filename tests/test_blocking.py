@@ -109,3 +109,39 @@ def test_match_many(rd, fixture_lists):
     assert len(out) == 3
     for mid, res in out.items():
         assert res.matches.count() == 6
+
+
+def test_distributed_custom_scorer(rd, fixture_lists):
+    """User-extension surface distributed: named and callable scorers ride
+    inside MatcherSpec into the scoring tasks."""
+    import pandas as pd
+
+    from raylink import RapidFuzzMatcher
+    from raylink.pipeline import MatcherSpec, entities_from_texts, match_dataset, matches_to_frame
+
+    from_list, to_list = fixture_lists
+    res = match_dataset(
+        rd.from_arrow(entities_from_texts(from_list)),
+        rd.from_arrow(entities_from_texts(to_list)),
+        MatcherSpec(kind="rapidfuzz", scorer="token_sort_ratio"),
+    )
+    frame = matches_to_frame(res.matches, 1)
+    oracle = RapidFuzzMatcher(scorer="token_sort_ratio").match(from_list, to_list)
+    pd.testing.assert_frame_equal(frame, oracle)
+
+    def jaccard_chars(a: str, b: str) -> float:
+        sa, sb = set(a), set(b)
+        return 100.0 * len(sa & sb) / max(1, len(sa | sb))
+
+    res2 = match_dataset(
+        rd.from_arrow(entities_from_texts(from_list)),
+        rd.from_arrow(entities_from_texts(to_list)),
+        MatcherSpec(kind="editdistance", scorer=jaccard_chars, normalize=False),
+    )
+    frame2 = matches_to_frame(res2.matches, 1)
+    from raylink import EditDistanceMatcher
+
+    oracle2 = EditDistanceMatcher(scorer=jaccard_chars, normalize=False).match(
+        from_list, to_list
+    )
+    pd.testing.assert_frame_equal(frame2, oracle2)

@@ -82,3 +82,39 @@ def test_batch_ngrams_sliced_array():
         got.setdefault(d, []).append(g.rstrip(b"\x00").decode())
     assert got[0] == ["hot", "ote", "tel"]
     assert got[1] == ["app", "ppl", "ple"]
+
+
+def test_clean_string_properties_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=60))
+    def prop(s):
+        c = clean_string(s)
+        assert c == clean_string(c)  # idempotent
+        assert all(ch.islower() or ch.isdigit() or ch == " " for ch in c)
+        assert not c.startswith(" ") and not c.endswith(" ")
+        assert "  " not in c
+        # arrow kernel agrees
+        assert clean_strings_arrow(pa.array([s]))[0].as_py() == c
+
+    prop()
+
+
+def test_ratio_properties_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    from raylink import editdist as ed
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet="abcdef ", max_size=20), st.text(alphabet="abcdef ", max_size=20))
+    def prop(a, b):
+        r = ed.ratio(a, b)
+        assert 0.0 <= r <= 100.0
+        assert r == ed.ratio(b, a)  # symmetric
+        if a == b:
+            assert r == 100.0
+        w = ed.WRatio(a, b)
+        assert 0.0 <= w <= 100.0
+
+    prop()
