@@ -156,11 +156,55 @@ def minhash_band_rows(
     )
 
 
-def candidate_pairs_from_bands(band_ds, max_bucket: int = 200):
-    """groupby (band_id, band_hash) -> unordered candidate pairs (a < b).
+def candidate_pairs_from_bands(
+    band_ds, max_bucket: int = 200, driver_threshold: int = 20_000_000
+):
+    """(band_id, band_hash) buckets -> unordered candidate pairs (a < b).
     Oversized buckets (pathological collisions) are truncated to the first
-    ``max_bucket`` members — reported via the dropped_bucket_rows column of
-    the stats, never silent."""
+    ``max_bucket`` members — capped explicitly, never silent.
+
+    Fast path: the band table is 3 int64 columns (n_docs x bands rows) —
+    below ``driver_threshold`` rows it is collected and bucketed with one
+    vectorized numpy sort+reduceat pass (a Ray groupby here costs one
+    Python map_groups call per bucket, and most buckets are singletons).
+    Above the threshold it falls back to the distributed groupby."""
+    band_ds = band_ds.materialize()
+    n = band_ds.count()
+    if n <= driver_threshold:
+        import ray
+
+        tbl = pa.concat_tables(
+            ray.get(band_ds.to_arrow_refs()), promote_options="default"
+        )
+        band = np.asarray(tbl["band_id"].to_numpy(zero_copy_only=False), np.int64)
+        bh = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False), np.int64)
+        doc = np.asarray(tbl["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        order = np.lexsort((doc, bh, band))
+        band, bh, doc = band[order], bh[order], doc[order]
+        if len(band) == 0:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        chg = np.empty(len(band), bool)
+        chg[0] = True
+        chg[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(chg)
+        ends = np.append(starts[1:], len(band))
+        sizes = ends - starts
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        # vectorize per bucket-size class: all buckets of size s emit the
+        # same (i, j) index pattern
+        for s in np.unique(sizes[sizes >= 2]):
+            sel = starts[sizes == s]
+            cap = min(int(s), max_bucket)
+            rows = doc[sel[:, None] + np.arange(cap)[None, :]]
+            i, j = np.triu_indices(cap, k=1)
+            out_a.append(rows[:, i].ravel())
+            out_b.append(rows[:, j].ravel())
+        if not out_a:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())
@@ -205,7 +249,9 @@ def minhash_lsh_dedup(
         lambda t: minhash_band_rows(t, id_col, text_col, k, num_perm, bands),
         batch_format="pyarrow",
     )
-    cand = candidate_pairs_from_bands(band_ds, max_bucket).to_pandas()
+    cand = candidate_pairs_from_bands(band_ds, max_bucket)
+    if not isinstance(cand, pd.DataFrame):
+        cand = cand.to_pandas()
     if len(cand):
         cand = cand.drop_duplicates(ignore_index=True)
     if not len(cand):
@@ -226,19 +272,46 @@ def minhash_lsh_dedup(
         return pa.table({"doc_id": pa.array(sids[d]), "shingle": pa.array(h)})
 
     sh = ds.map_batches(shingles_of, batch_format="pyarrow").to_pandas()
-    sets: dict[int, set] = {}
-    for did, grp in sh.groupby("doc_id"):
-        sets[int(did)] = set(grp["shingle"].tolist())
+    # sorted shingle array per candidate doc (vectorized split)
+    sh_doc = sh["doc_id"].to_numpy()
+    sh_val = sh["shingle"].to_numpy()
+    order = np.lexsort((sh_val, sh_doc))
+    sh_doc, sh_val = sh_doc[order], sh_val[order]
+    bounds = np.flatnonzero(np.r_[True, sh_doc[1:] != sh_doc[:-1]])
+    doc_arrays: dict[int, np.ndarray] = {
+        int(sh_doc[s]): sh_val[s:e]
+        for s, e in zip(bounds, np.append(bounds[1:], len(sh_doc)))
+    }
 
+    # vectorized exact-Jaccard verification: group candidate pairs by the
+    # left doc, membership-test the concatenated partner shingles against
+    # the left doc's sorted array, segment-sum per partner
     verified: list[tuple[int, int]] = []
-    for a, b in zip(cand["a"].tolist(), cand["b"].tolist()):
-        sa, sb = sets.get(int(a), set()), sets.get(int(b), set())
-        if not sa or not sb:
+    cand_sorted = cand.sort_values(["a", "b"], ignore_index=True)
+    ca = cand_sorted["a"].to_numpy()
+    cb = cand_sorted["b"].to_numpy()
+    a_bounds = np.flatnonzero(np.r_[True, ca[1:] != ca[:-1]])
+    for s, e in zip(a_bounds, np.append(a_bounds[1:], len(ca))):
+        sa = doc_arrays.get(int(ca[s]))
+        if sa is None or not len(sa):
             continue
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        if union and inter / union >= jaccard_threshold:
-            verified.append((int(a), int(b)))
+        partners = cb[s:e]
+        arrs = [doc_arrays.get(int(b)) for b in partners]
+        keep_i = [i for i, x in enumerate(arrs) if x is not None and len(x)]
+        if not keep_i:
+            continue
+        arrs_nz = [arrs[i] for i in keep_i]
+        lens = np.array([len(x) for x in arrs_nz], dtype=np.int64)
+        concat = np.concatenate(arrs_nz)
+        pos = np.searchsorted(sa, concat)
+        hit = (pos < len(sa)) & (sa[np.minimum(pos, len(sa) - 1)] == concat)
+        seg_starts = np.r_[0, np.cumsum(lens)[:-1]]
+        inter = np.add.reduceat(hit.astype(np.int64), seg_starts)
+        union = len(sa) + lens - inter
+        ok = inter / np.maximum(union, 1) >= jaccard_threshold
+        for i, good in zip(keep_i, ok):
+            if good:
+                verified.append((int(ca[s]), int(partners[i])))
     if not verified:
         return pd.DataFrame({"doc_id": [], "dup_group": []}).astype(np.int64)
 
