@@ -67,7 +67,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
 
     t0 = time.perf_counter()
     result = transcript_entity_resolution(
-        rd.read_parquet(info["transcripts"]),
+        rd.read_parquet(
+            info["transcripts"], columns=["conv_id", "turn_idx", "text"]
+        ),
         link_min_similarity=0.75,
         concurrency=(1, max(2, num_cpus - 2)),
         batch_size=1024,

@@ -99,6 +99,7 @@ def transcript_entity_resolution(
         group_all_strings=True,
         concurrency=concurrency,
         batch_size=batch_size,
+        distinct_hint_tbl=dist_tbl,
     )
     timings["group"] = time.perf_counter() - t0
 

@@ -1084,6 +1084,7 @@ def group_matches(
     group_all_strings: bool = False,
     concurrency=(1, 8),
     batch_size: int = 1024,
+    distinct_hint_tbl: pa.Table | None = None,
 ) -> GroupResult:
     """Distributed ``PolyFuzz.group`` (polyfuzz/polyfuzz.py:459-484):
 
@@ -1105,10 +1106,20 @@ def group_matches(
         kind="tfidf", n_gram_range=(3, 3), min_similarity=link_min_similarity
     )
 
-    dist_tbl = distinct_entities_table(
-        matches, text_col=col, block_col="block_key", order_col="row_order",
-        drop_null_col=col,
-    )
+    if (
+        distinct_hint_tbl is not None
+        and match_result.self_match
+        and group_all_strings
+    ):
+        # the match pass was a self-match over exactly these distinct rows,
+        # so unique(From) in first-appearance order IS the hint table —
+        # skip re-deriving it from the matches stream
+        dist_tbl = distinct_hint_tbl
+    else:
+        dist_tbl = distinct_entities_table(
+            matches, text_col=col, block_col="block_key", order_col="row_order",
+            drop_null_col=col,
+        )
     # Index reuse: when the grouper's vocabulary-relevant parameters match
     # the original matcher's AND the distinct strings are exactly the
     # original self-match from-side, the fitted per-block index is

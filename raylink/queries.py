@@ -494,7 +494,9 @@ def q_transcript_flagship(sf_dir: str):
     info = ensure_transcript_fixture(sf_dir)
     from raylink.flagship import transcript_entity_resolution
 
-    ds = _rd().read_parquet(info["transcripts"])
+    ds = _rd().read_parquet(
+        info["transcripts"], columns=["conv_id", "turn_idx", "text"]
+    )
     result = transcript_entity_resolution(ds, link_min_similarity=0.75)
     return result.assignments
 
