@@ -999,6 +999,102 @@ def match_dataset_sharded_to(
     return merge_topk_matches(partials, k)
 
 
+def merge_clusters_across_blocks(
+    clusters_ds,
+    spec: MatcherSpec | None = None,
+    link_min_similarity: float = 0.75,
+    batch_size: int = 1024,
+):
+    """Cross-block entity merge (SURVEY §7.1 step 5): blocking can split an
+    entity's variants across blocks (e.g. a typo in the blocking
+    character), which per-block linkage cannot repair. This stage
+    self-matches the per-block cluster REPRESENTATIVES globally (a single
+    broadcast index over representatives only — tiny post-blocking) and
+    union-finds clusters whose representatives clear the link threshold.
+
+    Input: the clusters Dataset (block_key, cluster_id, member,
+    representative). Returns it with a ``global_cluster_id`` column
+    (canonical = lexicographically-minimal (block_key, cluster_id) pair
+    encoded as "block/cid"). Within-block results are untouched — this
+    only merges across blocks, so reference parity at a fixed blocking key
+    is preserved when every entity stays within one block.
+    """
+    import ray.data as rd
+
+    from raylink.linkage import UnionFind
+
+    spec = spec or MatcherSpec(
+        kind="tfidf", n_gram_range=(3, 3), min_similarity=link_min_similarity
+    )
+    cl_tbl = pa.concat_tables(
+        ray.get(clusters_ds.to_arrow_refs()), promote_options="default"
+    )
+    # distinct representatives with their (block, cluster) identity
+    reps = pd.DataFrame(
+        {
+            "block_key": cl_tbl["block_key"].to_pylist(),
+            "cluster_id": cl_tbl["cluster_id"].to_pylist(),
+            "representative": cl_tbl["representative"].to_pylist(),
+        }
+    ).drop_duplicates(["block_key", "cluster_id"], ignore_index=True)
+
+    rep_entities = pa.table(
+        {
+            "row_order": pa.array(np.arange(len(reps), dtype=np.int64)),
+            "entity_text": pa.array(reps["representative"], type=pa.string()),
+            "block_key": pa.array([ALL_BLOCK] * len(reps), type=pa.string()),
+        }
+    )
+    res = match_dataset(
+        spread_table(rep_entities), None, spec, batch_size=batch_size
+    )
+    edges = pa.concat_tables(
+        ray.get(res.matches.to_arrow_refs()), promote_options="default"
+    )
+    key = [
+        f"{b}/{c}" for b, c in zip(reps["block_key"], reps["cluster_id"])
+    ]
+    rep_to_keys: dict[str, list[str]] = {}
+    for k, r in zip(key, reps["representative"]):
+        rep_to_keys.setdefault(r, []).append(k)
+    uf = UnionFind()
+    for k in key:
+        uf.find(k)
+    # same representative string in two blocks -> same entity
+    for ks in rep_to_keys.values():
+        for other in ks[1:]:
+            uf.union(ks[0], other)
+    for frm, to, sim in zip(
+        edges["from"].to_pylist(), edges["to"].to_pylist(),
+        edges["similarity"].to_pylist(),
+    ):
+        if to is not None and sim > link_min_similarity:
+            for a in rep_to_keys.get(frm, []):
+                for b in rep_to_keys.get(to, []):
+                    uf.union(a, b)
+    canon: dict[str, str] = {}
+    for _root, members in uf.groups().items():
+        label = min(members)
+        for k in members:
+            canon[k] = label
+    gmap_ref = ray.put(canon)
+
+    def add_global(batch: pa.Table, _ref=gmap_ref) -> pa.Table:
+        gm = cached_object(_ref)
+        keys = [
+            f"{b}/{c}"
+            for b, c in zip(
+                batch["block_key"].to_pylist(), batch["cluster_id"].to_pylist()
+            )
+        ]
+        return batch.append_column(
+            "global_cluster_id",
+            pa.array([gm.get(k, k) for k in keys], type=pa.string()),
+        )
+
+    return clusters_ds.map_batches(add_global, batch_format="pyarrow")
+
+
 def match_many(
     from_ds, to_ds=None, specs: list[MatcherSpec] | None = None, **kwargs
 ) -> dict[str, MatchResult]:

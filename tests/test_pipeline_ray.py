@@ -256,3 +256,40 @@ def test_pr_curves_per_model(rd, fixture_lists):
     exp_ap = np.asarray(ap)
     mask = ~(np.isnan(got_ap) & np.isnan(exp_ap))
     np.testing.assert_allclose(got_ap[mask], exp_ap[mask])
+
+
+def test_cross_block_cluster_merge(rd):
+    """SURVEY §7.1(5): variants split across blocks by a first-character
+    typo merge via their representatives; within-block results untouched."""
+    from raylink.pipeline import (
+        MatcherSpec,
+        group_matches,
+        match_dataset,
+        merge_clusters_across_blocks,
+    )
+
+    # singleton strings never form clusters (reference group() semantics),
+    # so each block carries a clusterable pair; the 't' pair is a
+    # first-character typo family of the 's' entity
+    froms = [
+        "stellar dynamics inc", "stellar dynamics incx",    # block s
+        "tstellar dynamics inc", "tstellar dynamics incx",  # typo -> block t
+        "banana corp", "banana corps",                      # block b
+    ]
+    blocks = [t[0] for t in froms]
+    res = match_dataset(_ds(rd, froms, blocks), None, MatcherSpec(min_similarity=0))
+    gr = group_matches(res, link_min_similarity=0.6, group_all_strings=True)
+    merged = merge_clusters_across_blocks(
+        gr.clusters, link_min_similarity=0.6
+    ).to_pandas()
+    by_member = dict(zip(merged["member"], merged["global_cluster_id"]))
+    # cross-block variants share a global id
+    assert by_member["stellar dynamics inc"] == by_member["tstellar dynamics inc"]
+    # unrelated blocks stay separate
+    assert by_member["banana corp"] != by_member["stellar dynamics inc"]
+    # within-block cluster ids unchanged
+    orig = gr.clusters.to_pandas().sort_values(["block_key", "member"], ignore_index=True)
+    after = merged[orig.columns.tolist()].sort_values(["block_key", "member"], ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(orig, after)
