@@ -1242,21 +1242,46 @@ def group_matches(
         ):
             index_ref = match_result.index_ref
             blocks = orig
-    if index_ref is None:
+    # Edge reuse: when the index is reused (same strings, same vocab
+    # parameters), the grouper's top-1 IS the match pass's top-1 — the
+    # grouper only differs by the sparse lower-bound mask, and "mask then
+    # take top-1 then linkage-filter rounded > t" yields exactly the same
+    # surviving (From, To) sequence as "take top-1 then linkage-filter
+    # rounded > t": the mask can only null rows whose raw sim <= t, which
+    # round to <= t and are dropped by the strict > filter anyway. Guard:
+    # the match pass's own mask bound must sit safely below the link
+    # threshold so it never removed a row the grouper would keep.
+    edge_matches = None
+    if index_ref is not None and index_ref is match_result.index_ref and (
+        match_result.spec.min_similarity <= link_min_similarity - 0.001
+        or not (
+            match_result.spec.cosine_method == "sparse"
+            and match_result.spec.min_similarity > 0
+        )
+    ):
+        edge_matches = matches  # already materialized; skips a full
+        # scoring pass over the same pair count
+
+    if edge_matches is None:
+        if index_ref is None:
+            blocks = _collect_to_side(dist_tbl)
+            build_block_indexes(grouper_spec, blocks, self_match=True)
+            index_ref = ray.put(blocks)
+        edges_input = spread_table(dist_tbl)
+        edge_result = match_dataset(
+            edges_input,
+            to_ds=None,
+            spec=grouper_spec,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            prebuilt_index_ref=index_ref,
+            top_n_cols_override=1,
+        )
+        edge_matches = edge_result.matches.materialize()
+    elif index_ref is None:
         blocks = _collect_to_side(dist_tbl)
         build_block_indexes(grouper_spec, blocks, self_match=True)
         index_ref = ray.put(blocks)
-
-    edges_input = spread_table(dist_tbl)
-    edge_result = match_dataset(
-        edges_input,
-        to_ds=None,
-        spec=grouper_spec,
-        concurrency=concurrency,
-        batch_size=batch_size,
-        prebuilt_index_ref=index_ref,
-        top_n_cols_override=1,
-    )
 
     lk = float(link_min_similarity)
 
@@ -1277,11 +1302,10 @@ def group_matches(
             }
         )
 
-    # pin the edge scores before the linkage shuffle: feeding the scoring
-    # stream straight into groupby de-parallelizes the scoring tasks
-    # (measured 2.5x slower fused), and the edge table is bounded by the
-    # distinct-string count anyway
-    edge_matches = edge_result.matches.materialize()
+    # edge_matches is materialized before the linkage shuffle: feeding a
+    # scoring stream straight into groupby de-parallelizes the scoring
+    # tasks (measured 2.5x slower fused), and the edge table is bounded by
+    # the distinct-string count anyway
     clusters = (
         edge_matches.groupby("block_key")
         .map_groups(linkage_group, batch_format="pandas")

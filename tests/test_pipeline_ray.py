@@ -293,3 +293,29 @@ def test_cross_block_cluster_merge(rd):
     import pandas as pd
 
     pd.testing.assert_frame_equal(orig, after)
+
+
+def test_edge_reuse_equals_full_grouper_pass(rd):
+    """The edge-reuse shortcut (derive grouper edges from the match pass)
+    must produce identical clusters to the full second scoring pass."""
+    from raylink.pipeline import MatcherSpec, group_matches, match_dataset
+
+    rng = np.random.default_rng(77)
+    words = ["".join(rng.choice(list("abcdef"), size=7)) for _ in range(60)]
+    blocks = [w[0] for w in words]
+
+    def run(defeat_reuse: bool):
+        res = match_dataset(
+            _ds(rd, words, blocks), None, MatcherSpec(min_similarity=0)
+        )
+        if defeat_reuse:
+            res.index_blocks = None  # forces the full grouper scoring pass
+        gr = group_matches(res, link_min_similarity=0.5, group_all_strings=True)
+        return (
+            gr.clusters.to_pandas()
+            .sort_values(["block_key", "member"], ignore_index=True)
+        )
+
+    fast = run(defeat_reuse=False)
+    full = run(defeat_reuse=True)
+    pd.testing.assert_frame_equal(fast, full)
