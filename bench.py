@@ -9,11 +9,12 @@ Plain run: executes the headline pipelines over ``$GRAFT_SF_DIR`` (default
      "queries": {...}, "sf": ..., "num_cpus": N,
      "scored_pairs": P, "scored_pairs_per_sec": R}
 
-``--scaling``: runs the flagship twice in FRESH subprocesses at
-num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for the
-north rule's N vs 4N cluster sizes), reports both throughputs + scaling
-efficiency = (t8/t32)/4, and appends the result to BASELINE.md's table
-when run manually (the driver records BENCH_r{N}.json itself).
+``--scaling``: runs the flagship in FRESH subprocesses at num_cpus=2, 8
+and 32 on the same input (2 vs 8 = the sandbox stand-in for the north
+rule's N vs 4N cluster sizes — see the ``scaling()`` docstring for why the
+8-vs-32 pair is reported but not used for the criterion), printing both
+throughputs + the scoring-stage scaling efficiency; results are recorded
+in BASELINE.md (the driver records BENCH_r{N}.json itself).
 """
 
 from __future__ import annotations
