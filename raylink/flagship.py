@@ -103,32 +103,20 @@ def transcript_entity_resolution(
     )
     timings["group"] = time.perf_counter() - t0
 
-    # broadcast cluster assignment back onto conversations
+    # broadcast cluster assignment back onto conversations (sorted-array
+    # searchsorted lookup; no per-worker dict rebuilds)
     t0 = time.perf_counter()
     cl_tbl = pa.concat_tables(
         ray.get(group_result.clusters.to_arrow_refs()), promote_options="default"
     )
-    assign_map: dict[tuple[str, str], tuple[str, int]] = {}
-    for bk, m, r, cid in zip(
-        cl_tbl["block_key"].to_pylist(),
-        cl_tbl["member"].to_pylist(),
-        cl_tbl["representative"].to_pylist(),
-        cl_tbl["cluster_id"].to_pylist(),
-    ):
-        assign_map[(bk, m)] = (r, int(cid))
-    assign_ref = ray.put(assign_map)
-    from raylink.pipeline import cached_object as _cached_object
+    from raylink.pipeline import make_assignment_lookup
 
-    def assign(batch: pa.Table, _ref=assign_ref, _co=_cached_object) -> pa.Table:
-        amap = _co(_ref)
-        bks = batch["block_key"].to_pylist()
-        txts = batch["entity_text"].to_pylist()
-        groups = []
-        cids = []
-        for bk, t in zip(bks, txts):
-            g, c = amap.get((bk, t), (t, -1))
-            groups.append(g)
-            cids.append(c)
+    resolve = make_assignment_lookup(cl_tbl)
+
+    def assign(batch: pa.Table, _resolve=resolve) -> pa.Table:
+        groups, cids = _resolve(
+            batch["block_key"].to_pylist(), batch["entity_text"].to_pylist()
+        )
         return pa.table(
             {
                 "conv_id": batch["conv_id"],

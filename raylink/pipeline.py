@@ -578,6 +578,63 @@ def cached_object(ref):
     return obj
 
 
+def cached_derived(ref, fn, tag: str):
+    """Worker-global cache of ``fn(ray.get(ref))`` — for broadcasts that
+    need a once-per-worker derived form (e.g. arrow arrays -> numpy lookup
+    arrays)."""
+    key = ("derived", ref.hex() if hasattr(ref, "hex") else id(ref), tag)
+    obj = _BROADCAST_CACHE.get(key)
+    if obj is None:
+        if len(_BROADCAST_CACHE) > 16:
+            _BROADCAST_CACHE.clear()
+        obj = fn(ray.get(ref))
+        _BROADCAST_CACHE[key] = obj
+    return obj
+
+
+def make_assignment_lookup(cl_tbl: pa.Table):
+    """Cluster table -> broadcast-ready sorted lookup (composite key
+    "block\\x1fmember" -> (representative, cluster_id)) + the batch-side
+    resolver. Arrow arrays ship buffer-based; each worker derives numpy
+    views once; per-batch resolution is one vectorized searchsorted —
+    no 100k-entry Python dicts pickled or rebuilt anywhere."""
+    keys = [
+        f"{b}\x1f{m}"
+        for b, m in zip(
+            cl_tbl["block_key"].to_pylist(), cl_tbl["member"].to_pylist()
+        )
+    ]
+    order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
+    payload = (
+        pa.array(np.asarray(keys, dtype=object)[order], type=pa.string()),
+        cl_tbl["representative"].combine_chunks().take(pa.array(order)),
+        cl_tbl["cluster_id"].combine_chunks().take(pa.array(order)),
+    )
+    ref = ray.put(payload)
+
+    def _derive(p):
+        k, r, c = p
+        return (
+            np.asarray(k.to_pylist(), dtype=object),
+            np.asarray(r.to_pylist(), dtype=object),
+            np.asarray(c.to_numpy(zero_copy_only=False), dtype=np.int64),
+        )
+
+    def resolve(blocks: list, texts: list):
+        k, r, c = cached_derived(ref, _derive, "assign")
+        bk = np.asarray(
+            [f"{b}\x1f{t}" for b, t in zip(blocks, texts)], dtype=object
+        )
+        pos = np.searchsorted(k, bk)
+        pos_c = np.minimum(pos, max(len(k) - 1, 0))
+        hit = (pos < len(k)) & (k[pos_c] == bk) if len(k) else np.zeros(len(bk), bool)
+        groups = np.where(hit, r[pos_c] if len(k) else None, np.asarray(texts, dtype=object))
+        cids = np.where(hit, c[pos_c] if len(k) else -1, -1)
+        return groups, cids.astype(np.int64)
+
+    return resolve
+
+
 def _cached_scorer(index_ref, spec, top_n_cols, self_match) -> "ScorerActor":
     key = (index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref),
            _spec_key(spec), top_n_cols, self_match)

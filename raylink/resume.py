@@ -90,32 +90,24 @@ def run_flagship_checkpointed(
     )
 
     def produce_assignments():
+        from raylink.pipeline import make_assignment_lookup
+
         cl_tbl = pa.concat_tables(
             ray.get(clusters_ds.to_arrow_refs()), promote_options="default"
         )
-        assign_map = {
-            (bk, m): (r, int(cid))
-            for bk, m, r, cid in zip(
-                cl_tbl["block_key"].to_pylist(),
-                cl_tbl["member"].to_pylist(),
-                cl_tbl["representative"].to_pylist(),
-                cl_tbl["cluster_id"].to_pylist(),
-            )
-        }
+        resolve = make_assignment_lookup(cl_tbl)
 
-        def assign(batch: pa.Table) -> pa.Table:
-            bks = batch["block_key"].to_pylist()
-            txts = batch["entity_text"].to_pylist()
-            pairs = [assign_map.get((bk, t), (t, -1)) for bk, t in zip(bks, txts)]
+        def assign(batch: pa.Table, _resolve=resolve) -> pa.Table:
+            groups, cids = _resolve(
+                batch["block_key"].to_pylist(), batch["entity_text"].to_pylist()
+            )
             return pa.table(
                 {
                     "conv_id": batch["conv_id"],
                     "entity_text": batch["entity_text"],
                     "block_key": batch["block_key"],
-                    "group": pa.array([p[0] for p in pairs], type=pa.string()),
-                    "cluster_id": pa.array(
-                        np.asarray([p[1] for p in pairs], dtype=np.int64)
-                    ),
+                    "group": pa.array(groups, type=pa.string()),
+                    "cluster_id": pa.array(cids, type=pa.int64()),
                 }
             )
 
