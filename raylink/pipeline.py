@@ -1309,12 +1309,29 @@ def group_matches(
     # the match pass's own mask bound must sit safely below the link
     # threshold so it never removed a row the grouper would keep.
     edge_matches = None
-    if index_ref is not None and index_ref is match_result.index_ref and (
+    _match_mask_ok = (
         match_result.spec.min_similarity <= link_min_similarity - 0.001
         or not (
             match_result.spec.cosine_method == "sparse"
             and match_result.spec.min_similarity > 0
         )
+    )
+    _grouper_mask_ok = (
+        grouper_spec.cosine_method != "sparse"
+        or grouper_spec.min_similarity <= link_min_similarity
+    )
+    # knn has drop-first-column (not diagonal-zero) self-match semantics on
+    # either side, which breaks the top-1 equivalence the shortcut relies on
+    _methods_ok = (
+        match_result.spec.cosine_method in ("sparse", "sklearn")
+        and grouper_spec.cosine_method in ("sparse", "sklearn")
+    )
+    if (
+        index_ref is not None
+        and index_ref is match_result.index_ref
+        and _match_mask_ok
+        and _grouper_mask_ok
+        and _methods_ok
     ):
         edge_matches = matches  # already materialized; skips a full
         # scoring pass over the same pair count
