@@ -319,3 +319,62 @@ def test_edge_reuse_equals_full_grouper_pass(rd):
     fast = run(defeat_reuse=False)
     full = run(defeat_reuse=True)
     pd.testing.assert_frame_equal(fast, full)
+
+
+def test_assignment_lookup_empty_and_basic(rd):
+    import pyarrow as pa
+
+    from raylink.pipeline import make_assignment_lookup
+
+    empty = pa.table(
+        {
+            "block_key": pa.array([], type=pa.string()),
+            "member": pa.array([], type=pa.string()),
+            "representative": pa.array([], type=pa.string()),
+            "cluster_id": pa.array([], type=pa.int64()),
+        }
+    )
+    resolve = make_assignment_lookup(empty)
+    groups, cids = resolve(["a", "b"], ["x", "y"])
+    assert groups.tolist() == ["x", "y"]  # unmatched fall back to the text
+    assert cids.tolist() == [-1, -1]
+
+    tbl = pa.table(
+        {
+            "block_key": pa.array(["a", "a", "b"], type=pa.string()),
+            "member": pa.array(["x", "z", "x"], type=pa.string()),
+            "representative": pa.array(["rx", "rz", "rbx"], type=pa.string()),
+            "cluster_id": pa.array([1, 2, 0], type=pa.int64()),
+        }
+    )
+    resolve = make_assignment_lookup(tbl)
+    groups, cids = resolve(["a", "b", "c"], ["z", "x", "q"])
+    assert groups.tolist() == ["rz", "rbx", "q"]
+    assert cids.tolist() == [2, 0, -1]
+
+
+def test_flagship_with_no_clusters(rd):
+    """All-singleton input: no pairs clear the link threshold, clusters are
+    empty, every conversation keeps its own mention as the group."""
+    import pyarrow as pa
+
+    from raylink.flagship import transcript_entity_resolution
+
+    rows = {
+        "conv_id": ["c1", "c1", "c2", "c3"],
+        "turn_idx": [0, 1, 0, 0],
+        "role": ["user", "assistant", "user", "user"],
+        "text": [
+            'about "alpha one" x', "filler",
+            'about "beta two" y', 'about "gamma three" z',
+        ],
+        "tool": ["", "", "", ""],
+        "ts": [1, 2, 3, 4],
+    }
+    import pandas as pd
+
+    t = pa.Table.from_pandas(pd.DataFrame(rows))
+    res = transcript_entity_resolution(rd.from_arrow(t), link_min_similarity=0.99)
+    out = res.assignments.to_pandas().sort_values("conv_id")
+    assert (out["group"] == out["entity_text"]).all()
+    assert (out["cluster_id"] == -1).all()
