@@ -883,6 +883,7 @@ def match_dataset(
     prebuilt_index_ref=None,
     top_n_cols_override: int | None = None,
     self_match_override: bool | None = None,
+    max_broadcast_to_rows: int = 2_000_000,
 ) -> MatchResult:
     """Distributed equivalent of ``matcher.match(from_list, to_list)``.
 
@@ -891,8 +892,42 @@ def match_dataset(
     itself (collected — broadcast assumption).
     Returns a streaming matches Dataset with columns
     (from, to, similarity, [to_i, similarity_i...], block_key, row_order).
+
+    When a TWO-LIST tfidf to-side exceeds ``max_broadcast_to_rows``, the
+    call automatically switches to the sharded-index path
+    (:func:`match_dataset_sharded_to`): the vocabulary stays joint over the
+    full to-side so scores are comparable, but each broadcast index covers
+    only one shard and per-shard top-k partials are merged per row —
+    identical results, bounded broadcast size.
     """
     spec = spec or MatcherSpec()
+    if (
+        to_ds is not None
+        and prebuilt_index_ref is None
+        and spec.kind == "tfidf"
+    ):
+        try:
+            n_to_rows = to_ds.count()
+        except Exception:
+            n_to_rows = 0
+        if n_to_rows > max_broadcast_to_rows:
+            import math
+
+            import ray.data as rd
+
+            n_shards = math.ceil(n_to_rows / max_broadcast_to_rows)
+            merged = match_dataset_sharded_to(
+                from_ds, to_ds, spec, n_shards=n_shards,
+                text_col=text_col, block_col=block_col,
+                concurrency=concurrency, batch_size=batch_size,
+            )
+            k = sum(
+                1 for c in merged.column_names if c == "to" or c.startswith("to_")
+            )
+            return MatchResult(
+                matches=spread_table(merged), spec=spec, top_n_cols=k,
+                index_ref=None, self_match=False, index_blocks=None,
+            )
     if "row_order" not in from_ds.schema().names:
         from_ds = dataset_with_row_order(from_ds, text_col, block_col)
     self_match = to_ds is None if self_match_override is None else self_match_override

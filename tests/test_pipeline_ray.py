@@ -378,3 +378,22 @@ def test_flagship_with_no_clusters(rd):
     out = res.assignments.to_pandas().sort_values("conv_id")
     assert (out["group"] == out["entity_text"]).all()
     assert (out["cluster_id"] == -1).all()
+
+
+def test_auto_shard_switch_matches_broadcast(rd):
+    """A to-side above max_broadcast_to_rows automatically takes the
+    sharded-index path and must reproduce the broadcast result."""
+    from raylink.pipeline import MatcherSpec, match_dataset, matches_to_frame
+
+    rng = np.random.default_rng(5)
+    to_list = ["".join(rng.choice(list("abcdef"), size=7)) for _ in range(30)]
+    from_list = ["".join(rng.choice(list("abcdef"), size=7)) for _ in range(20)]
+    spec = MatcherSpec(min_similarity=0, top_n=2)
+    base = match_dataset(_ds(rd, from_list), _ds(rd, to_list), spec)
+    auto = match_dataset(
+        _ds(rd, from_list), _ds(rd, to_list), spec, max_broadcast_to_rows=8
+    )
+    pd.testing.assert_frame_equal(
+        matches_to_frame(auto.matches, auto.top_n_cols),
+        matches_to_frame(base.matches, base.top_n_cols),
+    )
