@@ -92,10 +92,10 @@ class LangIdActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"]
+        low = pc.utf8_lower(texts)
         scores = np.zeros((len(texts), len(LANG_ORDER)), dtype=np.int64)
         for li, lang in enumerate(LANG_ORDER):
             pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
-            low = pc.utf8_lower(texts)
             scores[:, li] = pc.count_substring_regex(low, pat).to_numpy(
                 zero_copy_only=False
             )
