@@ -220,23 +220,18 @@ def q_pr_curve(sf_dir: str):
 
 def q_canonicalize_events(sf_dir: str):
     """M8 canonicalization semantics SQL-checked on the events table:
-    per-key stable ordering by (ts, event_id) -> ordered sequence digest."""
+    per-key stable ordering by (ts, event_id) -> ordered sequence digest.
+    Vectorized: sort-shuffle + per-block reduceat/binary_join aggregation
+    (raylink.groupseq) — no per-group Python."""
+    from raylink.groupseq import ordered_seq_agg
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "first_ts": [g["ts"].iloc[0]],
-                "event_seq": ["|".join(g["event_type"].tolist())],
-            }
-        )
-
-    return (
-        _read(sf_dir, "events")
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+    return ordered_seq_agg(
+        _read(sf_dir, "events"),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        count_name="n_events",
+        firsts=(("ts", "first_ts"),),
+        joins=(("event_type", "event_seq", "|"),),
     )
 
 
@@ -265,10 +260,10 @@ def q_quality_score(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    from raylink.textstats import LangIdActor
+    from raylink.textstats import lang_id_batch
 
     return _read(sf_dir, "documents").map_batches(
-        LangIdActor, batch_format="pyarrow", concurrency=(1, 2)
+        lang_id_batch, batch_format="pyarrow"
     )
 
 
@@ -298,22 +293,17 @@ def q_transcript_conv_text(sf_dir: str):
     transcript table and SQL-checked: rows arrive shuffled, the pipeline
     must re-establish turn order before concatenating."""
     info = ensure_transcript_fixture(sf_dir)
+    from raylink.groupseq import ordered_seq_agg
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx")
-        return pd.DataFrame(
-            {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "n_turns": [len(g)],
-                "role_seq": ["|".join(g["role"].tolist())],
-                "text_digest": ["|".join(g["text"].tolist())],
-            }
-        )
-
-    return (
-        _rd().read_parquet(info["transcripts"])
-        .groupby("conv_id")
-        .map_groups(per_conv, batch_format="pandas")
+    return ordered_seq_agg(
+        _rd().read_parquet(info["transcripts"]),
+        key_col="conv_id",
+        order_cols=["turn_idx"],
+        count_name="n_turns",
+        joins=(
+            ("role", "role_seq", "|"),
+            ("text", "text_digest", "|"),
+        ),
     )
 
 
@@ -407,13 +397,21 @@ def q_match_embeddings(sf_dir: str):
 
 
 def q_ann_topk(sf_dir: str):
-    """Brute-force top-10 for a fixed query panel (rows-only)."""
+    """Brute-force top-10 for a deterministic query panel (vec_id < 4),
+    SQL-checked: list_cosine_similarity + row_number <= k, cosines
+    compared after round(., 4)."""
     from raylink.ann import brute_force_topk
 
     ds = _read(sf_dir, "embeddings")
-    head = ds.limit(4).to_pandas()
+    head = (
+        ds.filter(lambda r: r["vec_id"] < 4)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
     queries = np.stack(head["embedding"].to_numpy()).astype(np.float64)
-    return brute_force_topk(ds, queries, k=10, batch_size=512)
+    out = brute_force_topk(ds, queries, k=10, batch_size=512)
+    out["cosine"] = out["cosine"].round(4)
+    return out
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -559,6 +557,39 @@ def _oracle_fixture_glob() -> str:
 
 
 _CLEAN_T = _clean_sql("text")
+
+# Shared TF-IDF CTE prelude over the documents table: per-lang JOINT corpus
+# (sklearn-parity: smooth idf ln((1+n)/(1+df))+1, raw counts, L2 rows —
+# polyfuzz/models/_tfidf.py:109-116 semantics re-derived in SQL, which makes
+# the TF-IDF cosine kernel itself DuckDB-oracled end to end).
+_TFIDF_CTES = f"""
+    docs AS (SELECT doc_id, lang, {_CLEAN_T} AS t FROM documents),
+    pos AS (
+        SELECT doc_id, lang, t,
+               unnest(generate_series(1, greatest(length(t) - 2, 0))) AS i
+        FROM docs
+    ),
+    gr AS (
+        SELECT doc_id, lang, substring(t, i, 3) AS g
+        FROM pos WHERE substring(t, i, 3) NOT LIKE '% %'
+    ),
+    tf AS (SELECT doc_id, lang, g, count(*) AS c FROM gr GROUP BY doc_id, lang, g),
+    dfreq AS (SELECT lang, g, count(*) AS df FROM tf GROUP BY lang, g),
+    nd AS (SELECT lang, count(*) AS n FROM docs GROUP BY lang),
+    idf AS (
+        SELECT dfreq.lang, dfreq.g, ln((1.0 + nd.n) / (1.0 + dfreq.df)) + 1.0 AS idf
+        FROM dfreq JOIN nd ON dfreq.lang = nd.lang
+    ),
+    w AS (
+        SELECT tf.doc_id, tf.lang, tf.g, tf.c * idf.idf AS w
+        FROM tf JOIN idf ON tf.lang = idf.lang AND tf.g = idf.g
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    wn AS (
+        SELECT w.doc_id, w.lang, w.g, w.w / nrm.nrm AS wn
+        FROM w JOIN nrm ON w.doc_id = nrm.doc_id
+    )
+"""
 
 _LANG_COUNT = (
     "length(regexp_extract_all(lower(text), '\\b({words})\\b'))"
@@ -713,5 +744,115 @@ ORACLE_SQL = {
                max(turn_idx)::BIGINT AS max_turn
         FROM read_parquet('{_oracle_fixture_glob()}')
         GROUP BY conv_id
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4),
+        sims AS (
+            SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+                   list_cosine_similarity(q.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) AS cs
+            FROM q JOIN embeddings b ON true
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cs,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cs DESC, vec_id ASC) AS rn
+            FROM sims
+        )
+        SELECT query_id, rn AS rank, vec_id, round(cs, 4) AS cosine
+        FROM ranked WHERE rn <= 10
+    """,
+    # full TF-IDF cosine top-1 in SQL: self-match over all documents per
+    # lang block; tie-break sim DESC then to-position ASC (the kernel's
+    # argmax first-max rule); round(.,3) + the <0.001 null rule applied
+    # AFTER selection, exactly like the scoring actor.
+    "match_tfidf_documents": f"""
+        WITH {_TFIDF_CTES},
+        dot AS (
+            SELECT a.doc_id AS fid, b.doc_id AS tid, sum(a.wn * b.wn) AS s
+            FROM wn a JOIN wn b ON a.lang = b.lang AND a.g = b.g
+            WHERE a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        best AS (
+            SELECT fid, tid, s,
+                   row_number() OVER (PARTITION BY fid
+                                      ORDER BY s DESC, tid ASC) AS rn
+            FROM dot WHERE s > 0
+        )
+        SELECT d.text AS "from",
+               CASE WHEN round(best.s, 3) >= 0.001 THEN t2.text
+                    ELSE NULL END AS "to",
+               CASE WHEN round(best.s, 3) >= 0.001 THEN round(best.s, 3)
+                    ELSE 0.0 END AS similarity,
+               d.lang AS block_key,
+               d.doc_id AS row_order
+        FROM documents d
+        LEFT JOIN best ON best.fid = d.doc_id AND best.rn = 1
+        LEFT JOIN documents t2 ON t2.doc_id = best.tid
+    """,
+    # E2 fit/transform lifecycle: to-side = even doc_ids, from = odd, vocab
+    # fit JOINTLY over both sides per lang (polyfuzz/models/_tfidf.py:109)
+    # — the joint corpus is exactly the whole documents table.
+    "fit_transform": f"""
+        WITH {_TFIDF_CTES},
+        dot AS (
+            SELECT a.doc_id AS fid, b.doc_id AS tid, sum(a.wn * b.wn) AS s
+            FROM wn a JOIN wn b ON a.lang = b.lang AND a.g = b.g
+            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        best AS (
+            SELECT fid, tid, s,
+                   row_number() OVER (PARTITION BY fid
+                                      ORDER BY s DESC, tid ASC) AS rn
+            FROM dot WHERE s > 0
+        ),
+        fr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1)
+        SELECT fr.text AS "from",
+               CASE WHEN round(best.s, 3) >= 0.001 THEN t2.text
+                    ELSE NULL END AS "to",
+               CASE WHEN round(best.s, 3) >= 0.001 THEN round(best.s, 3)
+                    ELSE 0.0 END AS similarity,
+               fr.lang AS block_key,
+               (fr.doc_id - 1) // 2 AS row_order
+        FROM fr
+        LEFT JOIN best ON best.fid = fr.doc_id AND best.rn = 1
+        LEFT JOIN documents t2 ON t2.doc_id = best.tid
+    """,
+    # MinHash-LSH near-dedup oracled EXACTLY: all-pairs 5-shingle Jaccard
+    # >= threshold + connected components via a recursive CTE. Valid
+    # because (a) verification keeps only true-Jaccard pairs, and (b) on
+    # the fixture the LSH candidate graph provably yields the same
+    # components as the complete graph (checked; both are deterministic).
+    "minhash_dedup": f"""
+        WITH RECURSIVE
+        docs AS (SELECT doc_id, {_CLEAN_T} AS t FROM documents),
+        pos AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(length(t) - 4, 0))) AS i
+            FROM docs
+        ),
+        sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS s FROM pos),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+            SELECT inter.a, inter.b FROM inter
+            JOIN sz sa ON sa.doc_id = inter.a
+            JOIN sz sb ON sb.doc_id = inter.b
+            WHERE inter.i / CAST(sa.n + sb.n - inter.i AS DOUBLE) >= 0.8
+        ),
+        ue AS (SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges),
+        nodes AS (SELECT DISTINCT x FROM ue),
+        reach AS (
+            SELECT x, x AS r FROM nodes
+            UNION
+            SELECT ue.x, reach.r FROM ue JOIN reach ON reach.x = ue.y
+        )
+        SELECT x AS doc_id, min(r) AS dup_group FROM reach GROUP BY x
     """,
 }

@@ -11,7 +11,6 @@ fingerprint), while lang-id and the rolling fingerprint are rows-only ops.
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pandas as pd
@@ -77,39 +76,45 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-class LangIdActor:
-    """Actor-pool stage: compiled stopword regexes built once per actor
-    (the stateful-stage pattern); per batch a vectorized count per
-    language, argmax with the fixed LANG_ORDER tie-break."""
+# one precompiled alternation per language (Arrow re2 patterns are
+# module-level constants — the stage itself is stateless, so it runs as
+# plain parallel map_batches tasks, not a capped actor pool)
+_LANG_PATTERNS = {
+    lang: r"\b(" + "|".join(words) + r")\b"
+    for lang, words in LANG_STOPWORDS.items()
+}
 
-    def __init__(self):
-        self.patterns = {
-            lang: re.compile(
-                r"\b(" + "|".join(words) + r")\b", re.IGNORECASE
-            )
-            for lang, words in LANG_STOPWORDS.items()
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stateless language-ID stage: one lowercase pass, one vectorized
+    stopword count per language, argmax with the fixed LANG_ORDER
+    tie-break. SQL-oracled (queries.py lang_id)."""
+    texts = batch[text_col]
+    low = pc.utf8_lower(texts)
+    scores = np.zeros((len(texts), len(LANG_ORDER)), dtype=np.int64)
+    for li, lang in enumerate(LANG_ORDER):
+        scores[:, li] = pc.count_substring_regex(
+            low, _LANG_PATTERNS[lang]
+        ).to_numpy(zero_copy_only=False)
+    best = np.argmax(scores, axis=1)  # first max = LANG_ORDER tie-break
+    conf = scores[np.arange(len(texts)), best]
+    langs = np.array(LANG_ORDER, dtype=object)[best]
+    langs[conf == 0] = "unknown"
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array(langs, type=pa.string()),
+            "stopword_hits": pa.array(conf.astype(np.int64)),
         }
+    )
+
+
+class LangIdActor:
+    """Back-compat callable wrapper around :func:`lang_id_batch` (the
+    stage needs no per-actor state; prefer the function)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"]
-        low = pc.utf8_lower(texts)
-        scores = np.zeros((len(texts), len(LANG_ORDER)), dtype=np.int64)
-        for li, lang in enumerate(LANG_ORDER):
-            pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
-            scores[:, li] = pc.count_substring_regex(low, pat).to_numpy(
-                zero_copy_only=False
-            )
-        best = np.argmax(scores, axis=1)  # first max = LANG_ORDER tie-break
-        conf = scores[np.arange(len(texts)), best]
-        langs = np.array(LANG_ORDER, dtype=object)[best]
-        langs[conf == 0] = "unknown"
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "lang_pred": pa.array(langs, type=pa.string()),
-                "stopword_hits": pa.array(conf.astype(np.int64)),
-            }
-        )
+        return lang_id_batch(batch)
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -103,6 +103,10 @@ def test_every_query_runs(entry_mod):
         "quality_score",
         "lang_id",
         "fingerprint",
+        "ann_topk",
+        "match_tfidf_documents",
+        "fit_transform",
+        "minhash_dedup",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):
