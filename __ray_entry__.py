@@ -61,7 +61,8 @@ def _ensure_workers_can_import() -> None:
         "raylink.pipeline", "raylink.flagship", "raylink.model",
         "raylink.resume", "raylink.checkpoint", "raylink.transcripts",
         "raylink.dedup", "raylink.ann", "raylink.textstats",
-        "raylink.multimodal", "raylink.queries",
+        "raylink.multimodal", "raylink.queries", "raylink.sources",
+        "raylink.groupseq",
     ]:
         importlib.import_module(name)
     from ray import cloudpickle

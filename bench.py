@@ -65,10 +65,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
 
     # ---- headline: flagship transcript entity resolution ----
     from raylink.flagship import transcript_entity_resolution
+    from raylink.sources import read_parquet_with_row_order
 
     t0 = time.perf_counter()
     result = transcript_entity_resolution(
-        rd.read_parquet(
+        read_parquet_with_row_order(
             info["transcripts"], columns=["conv_id", "turn_idx", "text"]
         ),
         link_min_similarity=0.75,

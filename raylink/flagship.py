@@ -58,13 +58,19 @@ def transcript_entity_resolution(
     # canonicalize once; the order-attached materialized dataset serves both
     # the distinct extraction and the final per-conversation assignment.
     t0 = time.perf_counter()
-    # order is pinned on the RAW transcripts (source block order is the
-    # only deterministic one) and travels through canonicalization
-    from raylink.pipeline import attach_global_order
+    # Order is pinned AT THE SOURCE. Preferred contract: the caller reads
+    # with raylink.sources.read_parquet_with_row_order, so row_order is a
+    # metadata property (footer offsets) and nothing materializes here.
+    # Fallback for in-memory inputs without the column: attach_global_order
+    # (order-preserving materialize — bounded inputs only).
+    if "row_order" not in transcripts_ds.schema().names:
+        from raylink.pipeline import attach_global_order
 
-    entities = canonicalize_transcripts(
-        attach_global_order(transcripts_ds)
-    ).materialize()
+        transcripts_ds = attach_global_order(transcripts_ds)
+    # entities (one row per conversation) is the small derived table that
+    # feeds BOTH the distinct extraction and the final assignment join —
+    # pin it once instead of re-running canonicalization
+    entities = canonicalize_transcripts(transcripts_ds).materialize()
     timings["canonicalize"] = time.perf_counter() - t0
 
     # distinct mention strings per block, first-appearance ordered

@@ -762,7 +762,7 @@ class ScorerActor:
             fr: CSR = bi.tfidf_vocab.transform(texts)
             if self.self_match:
                 # positional diagonal via the to-side row_orders
-                pos = np.searchsorted(bi.row_orders, orders)
+                pos = _self_positions(bi.row_orders, orders)
                 return _topk_selfmap(
                     fr, bi.topk, self.top_n_cols, spec, pos
                 )
@@ -774,7 +774,7 @@ class ScorerActor:
         if spec.kind == "embeddings":
             fe = l2_normalize(np.asarray(self.embedder(list(texts)), dtype=np.float64))
             if self.self_match:
-                pos = np.searchsorted(bi.row_orders, orders)
+                pos = _self_positions(bi.row_orders, orders)
                 idx, sims = _dense_selfmap(fe, bi.emb, self.top_n_cols, pos)
             else:
                 idx, sims = dense_topk_cosine(fe, bi.emb, self.top_n_cols)
@@ -819,6 +819,19 @@ class ScorerActor:
                 idx[i, 0] = self._pos_map(bk, bi)[choices[j]]
                 sims[i, 0] = float(scores[j])
         return idx, sims
+
+
+def _self_positions(row_orders: np.ndarray, orders: np.ndarray) -> np.ndarray:
+    """Per-row to-side position of the row ITSELF, or -2 when the row's
+    row_order is absent from this index (sharded self-match: only the shard
+    that owns the row drops its positional diagonal)."""
+    n_to = len(row_orders)
+    if n_to == 0:
+        return np.full(len(orders), -2, dtype=np.int64)
+    pos = np.searchsorted(row_orders, orders)
+    posc = np.minimum(pos, n_to - 1)
+    ok = (pos < n_to) & (row_orders[posc] == orders)
+    return np.where(ok, posc, -2)
 
 
 def _topk_selfmap(fr, topk_index, top_n, spec, positions):

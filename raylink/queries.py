@@ -491,8 +491,9 @@ def q_transcript_flagship(sf_dir: str):
     self-match -> linkage -> per-conversation assignments (rows-only)."""
     info = ensure_transcript_fixture(sf_dir)
     from raylink.flagship import transcript_entity_resolution
+    from raylink.sources import read_parquet_with_row_order
 
-    ds = _rd().read_parquet(
+    ds = read_parquet_with_row_order(
         info["transcripts"], columns=["conv_id", "turn_idx", "text"]
     )
     result = transcript_entity_resolution(ds, link_min_similarity=0.75)
@@ -505,8 +506,11 @@ def q_transcript_pr_curve(sf_dir: str):
     info = ensure_transcript_fixture(sf_dir)
     from raylink.flagship import transcript_entity_resolution
     from raylink.metrics import pr_curve_from_value_counts
+    from raylink.sources import read_parquet_with_row_order
 
-    ds = _rd().read_parquet(info["transcripts"])
+    ds = read_parquet_with_row_order(
+        info["transcripts"], columns=["conv_id", "turn_idx", "text"]
+    )
     result = transcript_entity_resolution(ds, link_min_similarity=0.75)
     counts = result.matches.groupby("similarity").count().to_pandas()
     return pr_curve_from_value_counts(
