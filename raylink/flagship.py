@@ -50,6 +50,7 @@ def transcript_entity_resolution(
     link_min_similarity: float = 0.75,
     concurrency=(1, 8),
     batch_size: int = 1024,
+    max_broadcast_to_rows: int = 2_000_000,
 ) -> FlagshipResult:
     import time
 
@@ -89,6 +90,7 @@ def transcript_entity_resolution(
         spec=spec,
         concurrency=concurrency,
         batch_size=batch_size,
+        max_broadcast_to_rows=max_broadcast_to_rows,
     )
     # pin the scoring output here so the timing isolates fit + scoring —
     # the north rule's throughput metric is about this stage

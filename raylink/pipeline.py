@@ -883,6 +883,254 @@ class MatchResult:
     index_ref: Any  # ray ObjectRef to the block indexes (for transform)
     self_match: bool
     index_blocks: Any = None  # driver-side dict[str, BlockIndex] (reuse)
+    sharded_self: bool = False  # produced by the sharded self-match path
+
+
+def build_selfmatch_vocabs(from_ds, spec: MatcherSpec) -> dict[str, "TfidfVocab"]:
+    """Per-block TF-IDF vocab for a self-match fit, computed DISTRIBUTED:
+    DF counts come from map_batches partials + a bounded groupby (the same
+    machinery as the two-list joint fit) — no block's strings are ever
+    collected to the driver. Only the (vocab, idf) tables land here, and
+    those are bounded by the ngram alphabet, not the corpus."""
+    per_block, doc_counts = _distributed_df_counts(from_ds, spec)
+    pad = spec.n_gram_range[1]
+    vocabs: dict[str, TfidfVocab] = {}
+    for bk, n in doc_counts.items():
+        grams, df = per_block.get(bk, ([], []))
+        g = (
+            np.asarray([x.encode() for x in grams], dtype=f"S{pad}")
+            if grams
+            else np.empty(0, f"S{pad}")
+        )
+        vocabs[bk] = TfidfVocab.from_df_counts(
+            g, np.asarray(df, np.int64), int(n), spec.n_gram_range,
+            spec.clean_string, spec.remove_space_ngrams,
+        )
+    return vocabs
+
+
+@ray.remote(num_returns=2)
+def _build_selfmatch_shard_remote(vocab_map, spec_params, *tables):
+    """Build one to-side shard's per-block indexes in a Ray task. Input
+    tables are consecutive sorted (block_key, row_order) blocks; returns
+    (dict[str, BlockIndex], dict[str, n_rows])."""
+    n_gram_range, clean, remove_space = spec_params
+    tbl = pa.concat_tables(tables, promote_options="default")
+    blocks = _collect_to_side(tbl)
+    counts: dict[str, int] = {}
+    for bk, bi in blocks.items():
+        vocab = vocab_map[bk]
+        bi.tfidf_vocab = vocab
+        bi.topk = TopkIndex(vocab.transform(bi.texts_arr))
+        counts[bk] = len(bi.texts_arr)
+    return blocks, counts
+
+
+_GPOS_PAD = np.int64(1) << 62  # sorts missing candidates last
+
+
+class ShardedSelfScorer:
+    """Self-match scoring against a SHARDED to-side: the per-shard indexes
+    live in the object store as separate refs; each scoring task walks the
+    shards (node-local plasma reads — one copy per node, zero-copy numpy),
+    keeps a running per-row top-k, and resolves ties exactly like the
+    single-index kernel (max sim, then lowest global to-position). No shard
+    partial tables exist and nothing merges on the driver — K4 (SURVEY
+    §2.6) realized as a per-batch in-memory merge."""
+
+    def __init__(self, shard_refs, vocab_ref, shard_base, spec: MatcherSpec,
+                 top_n_cols: int):
+        self.shard_refs = list(shard_refs)
+        self.vocabs: dict[str, TfidfVocab] = ray.get(vocab_ref)
+        # shard_base: dict[block_key -> np.ndarray(n_shards,)] global
+        # to-position of each shard's first row of that block (-1 = absent)
+        self.shard_base = shard_base
+        self.spec = spec
+        self.k = top_n_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spec = self.spec
+        k = self.k
+        text_arr = batch["entity_text"].combine_chunks()
+        blocks = np.asarray(batch["block_key"].to_pylist(), dtype=object)
+        orders = np.asarray(
+            batch["row_order"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        n = len(blocks)
+        out_sim = np.zeros((n, k), dtype=np.float64)
+        out_to = np.full((n, k), None, dtype=object)
+        shards = [cached_object(r) for r in self.shard_refs]
+
+        sort = np.argsort(blocks, kind="stable")
+        b_s = blocks[sort]
+        chg = np.empty(n, bool)
+        if n:
+            chg[0] = True
+            chg[1:] = b_s[1:] != b_s[:-1]
+        for s, e in zip(np.flatnonzero(chg), np.append(np.flatnonzero(chg)[1:], n)):
+            bk = b_s[s]
+            rows = sort[s:e]
+            vocab = self.vocabs.get(bk)
+            bases = self.shard_base.get(bk)
+            if vocab is None or bases is None:
+                continue
+            fr = vocab.transform(text_arr.take(pa.array(rows)))
+            sims_parts: list[np.ndarray] = []
+            gpos_parts: list[np.ndarray] = []
+            shard_parts: list[np.ndarray] = []
+            local_parts: list[np.ndarray] = []
+            for si, sh in enumerate(shards):
+                if bases[si] < 0:
+                    continue
+                bi = sh.get(bk)
+                if bi is None:
+                    continue
+                pos = _self_positions(bi.row_orders, orders[rows])
+                idx, sims = _topk_selfmap(fr, bi.topk, k, spec, pos)
+                gpos = np.where(idx >= 0, idx + bases[si], _GPOS_PAD)
+                sims_parts.append(sims)
+                gpos_parts.append(gpos)
+                shard_parts.append(np.full_like(idx, si))
+                local_parts.append(idx)
+            if not sims_parts:
+                continue
+            sims_all = np.concatenate(sims_parts, axis=1)
+            gpos_all = np.concatenate(gpos_parts, axis=1)
+            shard_all = np.concatenate(shard_parts, axis=1)
+            local_all = np.concatenate(local_parts, axis=1)
+            sel = np.lexsort((gpos_all, -sims_all), axis=1)[:, :k]
+            sel_sims = np.take_along_axis(sims_all, sel, axis=1)
+            sel_shard = np.take_along_axis(shard_all, sel, axis=1)
+            sel_local = np.take_along_axis(local_all, sel, axis=1)
+            rs = np.round(sel_sims, 3)
+            null = (rs < 0.001) | (sel_local < 0)
+            rs = np.where(null, 0.0, rs)
+            to_obj = np.full(sel_local.shape, None, dtype=object)
+            for si in np.unique(sel_shard[~null]) if (~null).any() else []:
+                mask = (sel_shard == si) & ~null
+                taken = shards[si][bk].texts_arr.take(
+                    pa.array(sel_local[mask], type=pa.int64())
+                )
+                to_obj[mask] = np.asarray(taken.to_pylist(), dtype=object)
+            out_sim[rows[:, None], np.arange(k)[None, :]] = rs
+            out_to[rows[:, None], np.arange(k)[None, :]] = to_obj
+
+        cols: dict[str, pa.Array] = {"from": text_arr}
+        for c in range(k):
+            to_name = "to" if c == 0 else f"to_{c + 1}"
+            sim_name = "similarity" if c == 0 else f"similarity_{c + 1}"
+            cols[to_name] = pa.array(out_to[:, c], type=pa.string())
+            cols[sim_name] = pa.array(out_sim[:, c], type=pa.float64())
+        cols["block_key"] = batch["block_key"].combine_chunks()
+        cols["row_order"] = batch["row_order"].combine_chunks()
+        return pa.table(cols)
+
+
+_SHARDED_SCORER_CACHE: dict = {}
+
+
+def _cached_sharded_scorer(shard_refs, vocab_ref, shard_base, spec, k):
+    key = (
+        tuple(r.hex() for r in shard_refs),
+        vocab_ref.hex(),
+        _spec_key(spec),
+        k,
+    )
+    s = _SHARDED_SCORER_CACHE.get(key)
+    if s is None:
+        if len(_SHARDED_SCORER_CACHE) > 4:
+            _SHARDED_SCORER_CACHE.clear()
+        s = ShardedSelfScorer(shard_refs, vocab_ref, shard_base, spec, k)
+        _SHARDED_SCORER_CACHE[key] = s
+    return s
+
+
+def match_dataset_sharded_self(
+    from_ds,
+    spec: MatcherSpec | None = None,
+    batch_size: int = 1024,
+    max_broadcast_to_rows: int = 2_000_000,
+    n_shards: int | None = None,
+) -> MatchResult:
+    """Self-match whose to-side exceeds the single-broadcast bound (K4 for
+    the self-match path — VERDICT.md round-1 scale-killer #2):
+
+      1. per-block vocab fit fully distributed (DF groupby);
+      2. to-side sorted by (block_key, row_order) — one range shuffle —
+         and its sorted blocks grouped into ~equal row shards, each shard's
+         per-block CSR index built in its own Ray task and LEFT in the
+         object store (driver handles only refs + per-shard block counts);
+      3. scoring tasks stream the from-side and merge per-row top-k across
+         shard indexes in memory (ties: lowest global to-position, the
+         single-index argmax rule), so results are byte-identical to the
+         broadcast path.
+
+    ``from_ds`` must already carry the entities schema with row_order."""
+    spec = spec or MatcherSpec()
+    if spec.kind != "tfidf":
+        raise ValueError("sharded self-match currently supports tfidf")
+    import math
+
+    vocabs = build_selfmatch_vocabs(from_ds, spec)
+    vocab_ref = ray.put(vocabs)
+
+    sorted_ds = from_ds.sort(["block_key", "row_order"]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    sizes = ray.get([_num_rows_remote.remote(r) for r in refs])
+    total = int(sum(sizes))
+    if n_shards is None:
+        n_shards = max(1, math.ceil(total / max_broadcast_to_rows))
+    target = math.ceil(total / n_shards) if n_shards else total
+
+    spec_params = (
+        tuple(spec.n_gram_range), spec.clean_string, spec.remove_space_ngrams
+    )
+    shard_refs: list = []
+    count_refs: list = []
+    group: list = []
+    acc = 0
+    for r, sz in zip(refs, sizes):
+        group.append(r)
+        acc += sz
+        if acc >= target:
+            i_ref, c_ref = _build_selfmatch_shard_remote.remote(
+                vocab_ref, spec_params, *group
+            )
+            shard_refs.append(i_ref)
+            count_refs.append(c_ref)
+            group, acc = [], 0
+    if group:
+        i_ref, c_ref = _build_selfmatch_shard_remote.remote(
+            vocab_ref, spec_params, *group
+        )
+        shard_refs.append(i_ref)
+        count_refs.append(c_ref)
+    counts = ray.get(count_refs)
+    n_sh = len(shard_refs)
+    shard_base: dict[str, np.ndarray] = {}
+    for si, cd in enumerate(counts):
+        for bk, c in cd.items():
+            shard_base.setdefault(bk, np.full(n_sh, -1, dtype=np.int64))
+    running: dict[str, int] = {bk: 0 for bk in shard_base}
+    for si, cd in enumerate(counts):
+        for bk, c in cd.items():
+            shard_base[bk][si] = running[bk]
+            running[bk] += int(c)
+
+    k = spec.top_n
+    _spec, _k = spec, k
+    _refs, _vref, _base = shard_refs, vocab_ref, shard_base
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        return _cached_sharded_scorer(_refs, _vref, _base, _spec, _k)(batch)
+
+    matches = from_ds.map_batches(
+        score_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    return MatchResult(
+        matches, spec, k, index_ref=None, self_match=True,
+        index_blocks=None, sharded_self=True,
+    )
 
 
 def match_dataset(
@@ -944,6 +1192,17 @@ def match_dataset(
     if "row_order" not in from_ds.schema().names:
         from_ds = dataset_with_row_order(from_ds, text_col, block_col)
     self_match = to_ds is None if self_match_override is None else self_match_override
+
+    if self_match and prebuilt_index_ref is None and spec.kind == "tfidf":
+        # auto-switch to the sharded self-match path when the to-side
+        # (= the from-side itself) exceeds the single-broadcast bound;
+        # pinning first is free — the broadcast path collects it anyway
+        from_ds = from_ds.materialize()
+        if from_ds.count() > max_broadcast_to_rows:
+            return match_dataset_sharded_self(
+                from_ds, spec, batch_size=batch_size,
+                max_broadcast_to_rows=max_broadcast_to_rows,
+            )
 
     if prebuilt_index_ref is not None:
         index_ref = prebuilt_index_ref
@@ -1374,9 +1633,25 @@ def group_matches(
         match_result.spec.cosine_method in ("sparse", "sklearn")
         and grouper_spec.cosine_method in ("sparse", "sklearn")
     )
+    # Sharded analogue of the index-reuse check: when the match pass ran
+    # the sharded self-match over EXACTLY the distinct strings (the hint
+    # table) with the grouper's vocab parameters, its matches ARE the
+    # grouper edges — same strings, same joint-fit vocab, same kernel.
+    _sharded_edge_ok = (
+        match_result.sharded_self
+        and match_result.self_match
+        and group_all_strings
+        and distinct_hint_tbl is not None
+        and match_result.spec.kind == "tfidf" == grouper_spec.kind
+        and tuple(match_result.spec.n_gram_range) == tuple(grouper_spec.n_gram_range)
+        and match_result.spec.clean_string == grouper_spec.clean_string
+        and match_result.spec.remove_space_ngrams == grouper_spec.remove_space_ngrams
+    )
     if (
-        index_ref is not None
-        and index_ref is match_result.index_ref
+        (
+            (index_ref is not None and index_ref is match_result.index_ref)
+            or _sharded_edge_ok
+        )
         and _match_mask_ok
         and _grouper_mask_ok
         and _methods_ok
@@ -1385,25 +1660,35 @@ def group_matches(
         # scoring pass over the same pair count
 
     if edge_matches is None:
-        if index_ref is None:
-            blocks = _collect_to_side(dist_tbl)
-            build_block_indexes(grouper_spec, blocks, self_match=True)
-            index_ref = ray.put(blocks)
         edges_input = spread_table(dist_tbl)
-        edge_result = match_dataset(
-            edges_input,
-            to_ds=None,
-            spec=grouper_spec,
-            concurrency=concurrency,
-            batch_size=batch_size,
-            prebuilt_index_ref=index_ref,
-            top_n_cols_override=1,
-        )
+        if index_ref is not None:
+            edge_result = match_dataset(
+                edges_input,
+                to_ds=None,
+                spec=grouper_spec,
+                concurrency=concurrency,
+                batch_size=batch_size,
+                prebuilt_index_ref=index_ref,
+                top_n_cols_override=1,
+            )
+        else:
+            # no reusable index: plain self-match over the distinct strings
+            # — match_dataset collects or auto-shards the to-side itself
+            from dataclasses import replace as _dc_replace
+
+            gs = (
+                grouper_spec
+                if grouper_spec.top_n == 1
+                else _dc_replace(grouper_spec, top_n=1)
+            )
+            edge_result = match_dataset(
+                edges_input,
+                to_ds=None,
+                spec=gs,
+                concurrency=concurrency,
+                batch_size=batch_size,
+            )
         edge_matches = edge_result.matches.materialize()
-    elif index_ref is None:
-        blocks = _collect_to_side(dist_tbl)
-        build_block_indexes(grouper_spec, blocks, self_match=True)
-        index_ref = ray.put(blocks)
 
     lk = float(link_min_similarity)
 

@@ -397,3 +397,54 @@ def test_auto_shard_switch_matches_broadcast(rd):
         matches_to_frame(auto.matches, auto.top_n_cols),
         matches_to_frame(base.matches, base.top_n_cols),
     )
+
+
+def test_sharded_self_match_equals_broadcast(rd, fixture_lists):
+    """Self-match above max_broadcast_to_rows auto-switches to the sharded
+    path (K4 for self-match) and must be byte-identical to broadcast —
+    including positional-diagonal drops, round-3/null rules, and ties."""
+    from raylink.pipeline import MatcherSpec, match_dataset, matches_to_frame
+
+    rng = np.random.default_rng(11)
+    texts = ["".join(rng.choice(list("abcde"), size=6)) for _ in range(40)]
+    texts += texts[:5]  # duplicates: positional (not value) self-drop
+    blocks = [t[0] for t in texts]
+    for top_n in (1, 2):
+        spec = MatcherSpec(min_similarity=0, top_n=top_n)
+        base = match_dataset(_ds(rd, texts, blocks), None, spec)
+        shard = match_dataset(
+            _ds(rd, texts, blocks), None, spec, max_broadcast_to_rows=7
+        )
+        assert shard.sharded_self and not base.sharded_self
+        pd.testing.assert_frame_equal(
+            matches_to_frame(shard.matches, shard.top_n_cols),
+            matches_to_frame(base.matches, base.top_n_cols),
+        )
+
+
+def test_sharded_self_flagship_byte_identical(rd):
+    """Forced-tiny broadcast bound through the WHOLE flagship (match +
+    grouper edge reuse + linkage) reproduces broadcast output exactly."""
+    from raylink.flagship import transcript_entity_resolution
+    from raylink.queries import ensure_transcript_fixture
+    from raylink.sources import read_parquet_with_row_order
+
+    info = ensure_transcript_fixture("/root/testdata/sf0.001")
+    cols = ["conv_id", "turn_idx", "text"]
+    base = transcript_entity_resolution(
+        read_parquet_with_row_order(info["transcripts"], columns=cols),
+        link_min_similarity=0.75,
+    )
+    shard = transcript_entity_resolution(
+        read_parquet_with_row_order(info["transcripts"], columns=cols),
+        link_min_similarity=0.75,
+        max_broadcast_to_rows=50,
+    )
+    for name, key in [
+        ("clusters", ["block_key", "cluster_id", "member"]),
+        ("assignments", ["conv_id"]),
+        ("matches", ["row_order"]),
+    ]:
+        a = getattr(base, name).to_pandas().sort_values(key, ignore_index=True)
+        b = getattr(shard, name).to_pandas().sort_values(key, ignore_index=True)
+        pd.testing.assert_frame_equal(a, b[a.columns])
