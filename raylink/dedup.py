@@ -221,6 +221,100 @@ def candidate_pairs_from_bands(
     )
 
 
+def _verify_pairs_distributed(
+    sh_ds, cand: pd.DataFrame, jaccard_threshold: float
+) -> list[tuple[int, int]]:
+    """Exact-Jaccard verification as two keyed shuffles (the scale path —
+    VERDICT.md round-1 #3): candidate membership rows are co-shuffled with
+    the shingle rows on doc_id (each candidate doc's shingle set fans out
+    to its pairs), then pairs reduce on pair_id to intersection/union
+    counts. Work and memory scale with Σ_pairs (|A|+|B|) across the
+    cluster; the driver only sees the verified edge list."""
+    import ray.data as rd
+
+    n_pairs = len(cand)
+    pair_id = np.arange(n_pairs, dtype=np.int64)
+    mem = pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
+            ),
+            "shingle": pa.array(np.zeros(2 * n_pairs, dtype=np.int64)),
+            "pair_id": pa.array(np.concatenate([pair_id, pair_id])),
+            "side": pa.array(
+                np.concatenate(
+                    [np.zeros(n_pairs, np.int64), np.ones(n_pairs, np.int64)]
+                )
+            ),
+        }
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        m1 = np.full(batch.num_rows, -1, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "shingle": batch["shingle"],
+                "pair_id": pa.array(m1),
+                "side": pa.array(m1),
+            }
+        )
+
+    union = sh_ds.map_batches(tag, batch_format="pyarrow").union(
+        rd.from_arrow(mem)
+    )
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        is_mem = g["pair_id"].to_numpy() >= 0
+        sh = g.loc[~is_mem, "shingle"].to_numpy()
+        mems = g[is_mem]
+        if not len(mems) or not len(sh):
+            return pd.DataFrame(
+                {"pair_id": [], "side": [], "doc_id": [], "shingle": []}
+            ).astype(np.int64)
+        n_sh = len(sh)
+        return pd.DataFrame(
+            {
+                "pair_id": np.repeat(mems["pair_id"].to_numpy(), n_sh),
+                "side": np.repeat(mems["side"].to_numpy(), n_sh),
+                "doc_id": np.repeat(mems["doc_id"].to_numpy(), n_sh),
+                "shingle": np.tile(sh, len(mems)),
+            }
+        )
+
+    exploded = union.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+    thr = float(jaccard_threshold)
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        s0 = g.loc[side == 0, "shingle"].to_numpy()
+        s1 = g.loc[side == 1, "shingle"].to_numpy()
+        empty = pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        if not len(s0) or not len(s1):
+            return empty
+        inter = np.intersect1d(s0, s1).size
+        union_n = len(s0) + len(s1) - inter
+        if inter / max(union_n, 1) < thr:
+            return empty
+        return pd.DataFrame(
+            {
+                "a": [int(g.loc[side == 0, "doc_id"].iloc[0])],
+                "b": [int(g.loc[side == 1, "doc_id"].iloc[0])],
+            }
+        )
+
+    out = (
+        exploded.groupby("pair_id")
+        .map_groups(per_pair, batch_format="pandas")
+        .to_pandas()
+    )
+    return [
+        (int(a), int(b))
+        for a, b in zip(out["a"].to_numpy(), out["b"].to_numpy())
+    ]
+
+
 def minhash_lsh_dedup(
     ds,
     id_col: str,
@@ -231,6 +325,8 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.7,
     max_bucket: int = 200,
     components: str = "driver",
+    verification: str = "auto",
+    driver_verify_max_pairs: int = 200_000,
 ):
     """Full MinHash-LSH near-dup pipeline. Returns a pandas frame
     (doc_id, dup_group) for every doc in a near-dup group, where dup_group
@@ -238,8 +334,12 @@ def minhash_lsh_dedup(
 
     Verification is exact Jaccard over shingle sets of the CANDIDATE docs
     only (fetched via a filtered second read — candidates are a tiny
-    fraction of the corpus). ``components="distributed"`` runs the
-    transitive closure as iterative min-label propagation on Ray
+    fraction of the corpus). ``verification``: "driver" keeps the
+    vectorized driver-side pass, "distributed" shuffles (pair, shingle)
+    rows through two keyed groupbys so verification scales with the
+    cluster, "auto" (default) switches to distributed above
+    ``driver_verify_max_pairs`` candidates. ``components="distributed"``
+    runs the transitive closure as iterative min-label propagation on Ray
     (raylink.linkage.distributed_connected_components) instead of
     driver-side union-find — the scale path when the verified edge set is
     itself large."""
@@ -271,7 +371,16 @@ def minhash_lsh_dedup(
         sids = np.asarray(sel[id_col].to_numpy(zero_copy_only=False))
         return pa.table({"doc_id": pa.array(sids[d]), "shingle": pa.array(h)})
 
-    sh = ds.map_batches(shingles_of, batch_format="pyarrow").to_pandas()
+    sh_ds_cand = ds.map_batches(shingles_of, batch_format="pyarrow")
+    if verification == "distributed" or (
+        verification == "auto" and len(cand) > driver_verify_max_pairs
+    ):
+        verified = _verify_pairs_distributed(
+            sh_ds_cand, cand, jaccard_threshold
+        )
+        return _components_output(verified, components)
+
+    sh = sh_ds_cand.to_pandas()
     # sorted shingle array per candidate doc (vectorized split)
     sh_doc = sh["doc_id"].to_numpy()
     sh_val = sh["shingle"].to_numpy()
@@ -312,6 +421,14 @@ def minhash_lsh_dedup(
         for i, good in zip(keep_i, ok):
             if good:
                 verified.append((int(ca[s]), int(partners[i])))
+    return _components_output(verified, components)
+
+
+def _components_output(
+    verified: list[tuple[int, int]], components: str
+) -> pd.DataFrame:
+    """Verified edges -> (doc_id, dup_group) via transitive closure:
+    driver union-find, or distributed min-label propagation."""
     if not verified:
         return pd.DataFrame({"doc_id": [], "dup_group": []}).astype(np.int64)
 
@@ -495,9 +612,10 @@ def embedding_cosine_pairs(
 ):
     """Pairs of rows with cosine >= threshold over an embedding column.
 
-    Baseline scale path: the (normalized) full matrix is broadcast once via
+    EXACT baseline: the (normalized) full matrix is broadcast once via
     ray.put; each streamed batch does one matmul against it — O(n^2 d)
     compute but no shuffle, bounded memory. Returns pandas (a, b, cosine).
+    Scale path without the full-matrix broadcast: :func:`embedding_lsh_pairs`.
     """
     import ray
 
@@ -520,4 +638,220 @@ def embedding_cosine_pairs(
         return pd.DataFrame({"a": a[keep], "b": b[keep], "cosine": sim[ii, jj][keep]})
 
     out = ds.map_batches(score, batch_format="pandas", batch_size=batch_size).to_pandas()
+    if "a" not in out.columns:  # all batches empty -> schema-less frame
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    return out.sort_values(["a", "b"], ignore_index=True)
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 77) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_bits))
+
+
+def embedding_lsh_band_rows(
+    batch, id_col: str, emb_col: str, planes: np.ndarray, bands: int
+):
+    """map_batches body: random-hyperplane sign bits -> (band_id,
+    band_hash, doc_id) rows, mirroring the minhash banding structure."""
+    from raylink.embed import l2_normalize
+
+    ids = np.asarray(batch[id_col].to_numpy())
+    mat = l2_normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float64))
+    bits = (mat @ planes) > 0  # (n, n_bits)
+    n_bits = planes.shape[1]
+    per_band = n_bits // bands
+    out_band, out_hash, out_id = [], [], []
+    weights = (np.uint64(1) << np.arange(per_band, dtype=np.uint64))
+    for bnd in range(bands):
+        chunk = bits[:, bnd * per_band : (bnd + 1) * per_band]
+        h = (chunk.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        out_band.append(np.full(len(ids), bnd, dtype=np.int32))
+        out_hash.append(h.astype(np.int64))
+        out_id.append(ids)
+    return pa.table(
+        {
+            "band_id": pa.array(np.concatenate(out_band)),
+            "band_hash": pa.array(np.concatenate(out_hash)),
+            "doc_id": pa.array(np.concatenate(out_id)),
+        }
+    )
+
+
+def embedding_lsh_pairs(
+    ds,
+    id_col: str,
+    emb_col: str,
+    threshold: float = 0.9,
+    n_bits: int = 64,
+    bands: int = 8,
+    seed: int = 77,
+    max_bucket: int = 500,
+    batch_size: int = 1024,
+    verification: str = "auto",
+    driver_verify_max_pairs: int = 200_000,
+):
+    """Embedding near-dup pairs WITHOUT a full-matrix broadcast (the
+    random-hyperplane-LSH scale path): sign-bit signatures per batch,
+    band bucketing (reusing the minhash banding/candidate machinery),
+    then exact-cosine verification of candidates only. Returns pandas
+    (a, b, cosine) with a < b, sorted.
+
+    Verification: driver-side gather of candidate vectors below
+    ``driver_verify_max_pairs``, else a distributed pair/vector co-shuffle
+    (two bounded groupbys — same shape as the minhash verifier).
+    Probabilistic recall (documented, not exactness): for cosine>=0.95,
+    64 bits x 8 bands gives ~0.99 pair recall."""
+    import ray
+
+    from raylink.embed import l2_normalize
+
+    first = ds.limit(1).to_pandas()
+    dim = len(first[emb_col].iloc[0])
+    planes = _hyperplanes(dim, n_bits, seed)
+    planes_ref = ray.put(planes)
+
+    def band_rows(batch: pd.DataFrame) -> pa.Table:
+        return embedding_lsh_band_rows(
+            batch, id_col, emb_col, ray.get(planes_ref), bands
+        )
+
+    band_ds = ds.map_batches(
+        band_rows, batch_format="pandas", batch_size=batch_size
+    )
+    cand = candidate_pairs_from_bands(band_ds, max_bucket)
+    if not isinstance(cand, pd.DataFrame):
+        cand = cand.to_pandas()
+    if len(cand):
+        cand = cand.drop_duplicates(ignore_index=True)
+    empty = pd.DataFrame({"a": [], "b": [], "cosine": []})
+    if not len(cand):
+        return empty
+
+    distributed = verification == "distributed" or (
+        verification == "auto" and len(cand) > driver_verify_max_pairs
+    )
+    cand_ids = np.unique(
+        np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
+    )
+
+    def cand_vecs(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        sel = np.isin(ids, cand_ids)
+        return batch.loc[sel, [id_col, emb_col]]
+
+    vec_ds = ds.map_batches(
+        cand_vecs, batch_format="pandas", batch_size=batch_size
+    )
+    if not distributed:
+        vecs = vec_ds.to_pandas()
+        ids = vecs[id_col].to_numpy()
+        mat = l2_normalize(
+            np.stack(vecs[emb_col].to_numpy()).astype(np.float64)
+        )
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        ai = np.searchsorted(ids, cand["a"].to_numpy())
+        bi = np.searchsorted(ids, cand["b"].to_numpy())
+        cos = np.einsum("ij,ij->i", mat[ai], mat[bi])
+        keep = cos >= threshold
+        out = pd.DataFrame(
+            {
+                "a": cand["a"].to_numpy()[keep],
+                "b": cand["b"].to_numpy()[keep],
+                "cosine": cos[keep],
+            }
+        )
+        return out.sort_values(["a", "b"], ignore_index=True)
+
+    # distributed verification: vectors fan out to their pairs on doc_id,
+    # pairs reduce on pair_id
+    import ray.data as rd
+
+    n_pairs = len(cand)
+    pair_id = np.arange(n_pairs, dtype=np.int64)
+    mem = pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
+            ),
+            "pair_id": pa.array(np.concatenate([pair_id, pair_id])),
+            "side": pa.array(
+                np.concatenate(
+                    [np.zeros(n_pairs, np.int64), np.ones(n_pairs, np.int64)]
+                )
+            ),
+        }
+    )
+
+    def tag_vec(batch: pd.DataFrame) -> pd.DataFrame:
+        # plain Python lists (not ndarrays) so the shuffled object column
+        # never trips Ray's tensor-extension concat
+        return pd.DataFrame(
+            {
+                "doc_id": batch[id_col].to_numpy(),
+                "pair_id": np.full(len(batch), -1, dtype=np.int64),
+                "side": np.full(len(batch), -1, dtype=np.int64),
+                "vec": [list(map(float, v)) for v in batch[emb_col]],
+            }
+        )
+
+    mem_pdf = mem.to_pandas()
+    mem_pdf["vec"] = [[] for _ in range(len(mem_pdf))]
+    union = vec_ds.map_batches(tag_vec, batch_format="pandas").union(
+        rd.from_pandas(mem_pdf)
+    )
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        is_mem = g["pair_id"].to_numpy() >= 0
+        vec_rows = g[~is_mem]
+        mems = g[is_mem]
+        if not len(mems) or not len(vec_rows):
+            return pd.DataFrame(
+                {"pair_id": [], "side": [], "doc_id": [], "vec": []}
+            )
+        v = list(map(float, vec_rows["vec"].iloc[0]))
+        return pd.DataFrame(
+            {
+                "pair_id": mems["pair_id"].to_numpy(),
+                "side": mems["side"].to_numpy(),
+                "doc_id": mems["doc_id"].to_numpy(),
+                "vec": [v] * len(mems),
+            }
+        )
+
+    exploded = union.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+    thr = float(threshold)
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        s0 = g[side == 0]
+        s1 = g[side == 1]
+        if not len(s0) or not len(s1):
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        v0 = l2_normalize(
+            np.asarray(s0["vec"].iloc[0], dtype=np.float64)[None, :]
+        )[0]
+        v1 = l2_normalize(
+            np.asarray(s1["vec"].iloc[0], dtype=np.float64)[None, :]
+        )[0]
+        cos = float(v0 @ v1)
+        if cos < thr:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "a": [int(s0["doc_id"].iloc[0])],
+                "b": [int(s1["doc_id"].iloc[0])],
+                "cosine": [cos],
+            }
+        )
+
+    out = (
+        exploded.groupby("pair_id")
+        .map_groups(per_pair, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return empty
+    out["a"] = out["a"].astype(np.int64)
+    out["b"] = out["b"].astype(np.int64)
     return out.sort_values(["a", "b"], ignore_index=True)

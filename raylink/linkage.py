@@ -119,6 +119,7 @@ def distributed_connected_components(
     left_col: str = "a",
     right_col: str = "b",
     max_iters: int = 50,
+    broadcast_max_nodes: int = 2_000_000,
 ):
     """Distributed connected components over an edge Dataset via iterative
     min-label propagation — the scale path for transitive closure when the
@@ -127,18 +128,23 @@ def distributed_connected_components(
     wanted semantics — the reference-parity grouper instead replays the
     quirk-exact sequential linkage per block).
 
-    Each round: emit (node, candidate_label) for both endpoints of every
-    edge with the CURRENT labels attached, take per-node min via a bounded
-    groupby, stop when no label changed (checked via a global sum of
-    changes). Converges in O(diameter) rounds. Returns a Dataset
-    (node, label) where label = min node id of the component.
+    Two physical modes, same result:
+
+      * node set fits the broadcast bound: a sorted (node, label) pair of
+        arrays is broadcast per round; edge tasks do two vectorized
+        searchsorted lookups, a bounded groupby-min reduces proposals, and
+        the driver merges with one numpy pass (no Python per edge or node);
+      * above the bound: NOTHING is broadcast — labels and edge-endpoint
+        rows co-shuffle on hash(node) partitions, each partition joins
+        vectorized (sort + searchsorted), per-edge minima reduce on edge
+        partitions, and per-node minima reduce back. Three keyed shuffles
+        per round, Python overhead O(partitions), memory O(partition).
+
+    Converges in O(diameter) rounds. Returns a Dataset (node, label) with
+    label = min node id of the component.
     """
     import pyarrow as pa
-    import ray
-    import ray.data as rd
-    from ray.data.aggregate import Min
 
-    # initial labels: node -> node
     def init_nodes(batch: pa.Table) -> pa.Table:
         vals = np.concatenate(
             [
@@ -153,39 +159,48 @@ def distributed_connected_components(
         .groupby("node")
         .count()
         .drop_columns(["count()"])
-    )
-    labels = nodes.map_batches(
-        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
-        batch_format="pyarrow",
     ).materialize()
+    n_nodes = nodes.count()
+    if n_nodes <= broadcast_max_nodes:
+        return _cc_broadcast(edges_ds, nodes, left_col, right_col, max_iters)
+    return _cc_partition_join(edges_ds, nodes, left_col, right_col, max_iters)
+
+
+def _cc_broadcast(edges_ds, nodes, left_col, right_col, max_iters):
+    """Label propagation with a broadcast sorted label array: vectorized
+    lookups everywhere, driver work O(n_nodes) numpy per round."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from raylink.pipeline import cached_object as _co
+
+    node_tbl = pa.concat_tables(
+        ray.get(nodes.to_arrow_refs()), promote_options="default"
+    )
+    node_arr = np.asarray(node_tbl["node"].to_numpy(zero_copy_only=False))
+    order = np.argsort(node_arr, kind="stable")
+    node_arr = node_arr[order]
+    labels = node_arr.copy()
 
     edges = edges_ds.materialize()
     for _ in range(max_iters):
-        # broadcast the current label map (bounded by node count — for
-        # truly unbounded node sets this becomes a repartition-join on
-        # node id; the candidate sets these pipelines produce are small)
-        lbl_tbl = pa.concat_tables(
-            ray.get(labels.to_arrow_refs()), promote_options="default"
-        )
-        lmap = dict(
-            zip(lbl_tbl["node"].to_pylist(), lbl_tbl["label"].to_pylist())
-        )
-        lref = ray.put(lmap)
+        lref = ray.put((node_arr, labels))
 
-        from raylink.pipeline import cached_object as _co
-
-        def propose(batch: pa.Table, _l=lref, _co=_co) -> pa.Table:
-            lm = _co(_l)
-            a = batch[left_col].to_pylist()
-            b = batch[right_col].to_pylist()
-            n_out = []
-            c_out = []
-            for x, y in zip(a, b):
-                lx, ly = lm[x], lm[y]
-                m = min(lx, ly)
-                n_out += [x, y]
-                c_out += [m, m]
-            return pa.table({"node": pa.array(n_out), "cand": pa.array(c_out)})
+        def propose(batch: pa.Table, _l=lref) -> pa.Table:
+            na, lab = _co(_l)
+            a = np.asarray(batch[left_col].to_numpy(zero_copy_only=False))
+            b = np.asarray(batch[right_col].to_numpy(zero_copy_only=False))
+            la = lab[np.searchsorted(na, a)]
+            lb = lab[np.searchsorted(na, b)]
+            m = np.minimum(la, lb)
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate([a, b])),
+                    "cand": pa.array(np.concatenate([m, m])),
+                }
+            )
 
         proposed = (
             edges.map_batches(propose, batch_format="pyarrow")
@@ -195,22 +210,181 @@ def distributed_connected_components(
         new_tbl = pa.concat_tables(
             ray.get(proposed.to_arrow_refs()), promote_options="default"
         )
-        changed = 0
-        merged_nodes = []
-        merged_labels = []
-        nm = dict(zip(new_tbl["node"].to_pylist(), new_tbl["new_label"].to_pylist()))
-        for node, old in lmap.items():
-            new = min(old, nm.get(node, old))
-            if new != old:
-                changed += 1
-            merged_nodes.append(node)
-            merged_labels.append(new)
-        labels = rd.from_arrow(
-            pa.table({"node": pa.array(merged_nodes), "label": pa.array(merged_labels)})
-        ).materialize()
+        pn = np.asarray(new_tbl["node"].to_numpy(zero_copy_only=False))
+        pl = np.asarray(new_tbl["new_label"].to_numpy(zero_copy_only=False))
+        idx = np.searchsorted(node_arr, pn)
+        merged = labels.copy()
+        np.minimum.at(merged, idx, pl)
+        changed = int((merged != labels).sum())
+        labels = merged
         if changed == 0:
             break
-    return labels
+    return rd.from_arrow(
+        pa.table({"node": pa.array(node_arr), "label": pa.array(labels)})
+    )
+
+
+def _hash_parts(vals: np.ndarray, n_parts: int) -> np.ndarray:
+    import pandas as pd
+
+    return (
+        pd.util.hash_array(np.asarray(vals), categorize=False)
+        % np.uint64(n_parts)
+    ).astype(np.int64)
+
+
+def _split_by(tbl, part: np.ndarray, n_parts: int) -> list:
+    import pyarrow as pa
+
+    return [
+        tbl.take(pa.array(np.flatnonzero(part == p), type=pa.int64()))
+        for p in range(n_parts)
+    ]
+
+
+def _cc_partition_join(
+    edges_ds, nodes, left_col, right_col, max_iters, n_parts: int | None = None
+):
+    """Label propagation with NO broadcast state: a raw-Ray-task hash
+    exchange (the one place the Dataset API genuinely can't express the
+    semantics — iterative joins over a PINNED hash partitioning; a Ray Data
+    groupby would re-sort every table every round).
+
+    State: labels live as P node-hash partitions (sorted by node) in the
+    object store; edge-endpoint rows are pre-partitioned the same way ONCE.
+    Per round, three waves of P tasks exchange sub-tables through the
+    object store: (1) per node-partition, attach labels to endpoint rows
+    (vectorized searchsorted) and scatter by edge partition; (2) per
+    edge-partition, per-edge min (sort + reduceat) scattered back by node
+    hash; (3) per node-partition, fold proposals into the labels and count
+    changes. Driver handles only refs and the per-round change count.
+    Converges in O(diameter) rounds — near-dup components are dense, so
+    diameter is small in practice."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    if n_parts is None:
+        n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    P = n_parts
+
+    @ray.remote
+    def _mem_split(tbl: pa.Table, blk: int) -> list:
+        a = np.asarray(tbl[left_col].to_numpy(zero_copy_only=False))
+        b = np.asarray(tbl[right_col].to_numpy(zero_copy_only=False))
+        eid = (np.int64(blk) << np.int64(40)) + np.arange(len(a), dtype=np.int64)
+        mem = pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "edge_id": pa.array(np.concatenate([eid, eid])),
+            }
+        )
+        part = _hash_parts(
+            np.asarray(mem["node"].to_numpy(zero_copy_only=False)), P
+        )
+        return _split_by(mem, part, P)
+
+    @ray.remote
+    def _label_split(tbl: pa.Table) -> list:
+        node = np.asarray(tbl["node"].to_numpy(zero_copy_only=False))
+        lab = pa.table({"node": tbl["node"], "label": tbl["node"]})
+        return _split_by(lab, _hash_parts(node, P), P)
+
+    @ray.remote
+    def _concat_sorted(*tbls) -> pa.Table:
+        t = pa.concat_tables([x for x in tbls], promote_options="default")
+        node = np.asarray(t["node"].to_numpy(zero_copy_only=False))
+        return t.take(pa.array(np.argsort(node, kind="stable"), type=pa.int64()))
+
+    @ray.remote
+    def _join_scatter(labels_tbl: pa.Table, mem_tbl: pa.Table) -> list:
+        ln = np.asarray(labels_tbl["node"].to_numpy(zero_copy_only=False))
+        lv = np.asarray(labels_tbl["label"].to_numpy(zero_copy_only=False))
+        mn = np.asarray(mem_tbl["node"].to_numpy(zero_copy_only=False))
+        eid = np.asarray(mem_tbl["edge_id"].to_numpy(zero_copy_only=False))
+        lab = lv[np.searchsorted(ln, mn)] if len(ln) else lv[:0]
+        out = pa.table(
+            {
+                "edge_id": pa.array(eid),
+                "node": pa.array(mn),
+                "label": pa.array(lab),
+            }
+        )
+        return _split_by(out, (eid % P).astype(np.int64), P)
+
+    @ray.remote
+    def _edge_min_scatter(*tbls) -> list:
+        t = pa.concat_tables([x for x in tbls], promote_options="default")
+        eid = np.asarray(t["edge_id"].to_numpy(zero_copy_only=False))
+        node = np.asarray(t["node"].to_numpy(zero_copy_only=False))
+        lab = np.asarray(t["label"].to_numpy(zero_copy_only=False))
+        o = np.argsort(eid, kind="stable")
+        eid, node, lab = eid[o], node[o], lab[o]
+        if len(eid):
+            starts = np.flatnonzero(np.r_[True, eid[1:] != eid[:-1]])
+            counts = np.diff(np.append(starts, len(eid)))
+            mins = np.repeat(np.minimum.reduceat(lab, starts), counts)
+        else:
+            mins = lab
+        out = pa.table({"node": pa.array(node), "cand": pa.array(mins)})
+        return _split_by(out, _hash_parts(node, P), P)
+
+    @ray.remote(num_returns=2)
+    def _node_fold(labels_tbl: pa.Table, *prop_tbls):
+        props = pa.concat_tables(
+            [x for x in prop_tbls], promote_options="default"
+        )
+        ln = np.asarray(labels_tbl["node"].to_numpy(zero_copy_only=False))
+        lv = np.asarray(labels_tbl["label"].to_numpy(zero_copy_only=False))
+        pn = np.asarray(props["node"].to_numpy(zero_copy_only=False))
+        pc = np.asarray(props["cand"].to_numpy(zero_copy_only=False))
+        new = lv.copy()
+        if len(pn):
+            idx = np.searchsorted(ln, pn)
+            np.minimum.at(new, idx, pc)
+        changed = int((new != lv).sum())
+        return (
+            pa.table({"node": pa.array(ln), "label": pa.array(new)}),
+            changed,
+        )
+
+    # one-time partitioning of membership rows and initial labels
+    edge_refs = edges_ds.materialize().to_arrow_refs()
+    mem_lists = [
+        _mem_split.options(num_returns=P).remote(r, i)
+        for i, r in enumerate(edge_refs)
+    ]
+    node_refs = nodes.to_arrow_refs()
+    lab_lists = [
+        _label_split.options(num_returns=P).remote(r) for r in node_refs
+    ]
+    mem_p = [
+        _concat_sorted.remote(*[lst[p] for lst in mem_lists]) for p in range(P)
+    ]
+    labels_p = [
+        _concat_sorted.remote(*[lst[p] for lst in lab_lists]) for p in range(P)
+    ]
+
+    for _ in range(max_iters):
+        joined = [
+            _join_scatter.options(num_returns=P).remote(labels_p[p], mem_p[p])
+            for p in range(P)
+        ]
+        props = [
+            _edge_min_scatter.options(num_returns=P).remote(
+                *[joined[p][q] for p in range(P)]
+            )
+            for q in range(P)
+        ]
+        folds = [
+            _node_fold.remote(labels_p[p], *[props[q][p] for q in range(P)])
+            for p in range(P)
+        ]
+        labels_p = [f[0] for f in folds]
+        changed = sum(ray.get([f[1] for f in folds]))
+        if changed == 0:
+            break
+    return rd.from_arrow_refs(labels_p)
 
 
 def connected_components_labels(

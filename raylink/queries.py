@@ -414,6 +414,31 @@ def q_ann_topk(sf_dir: str):
     return out
 
 
+def q_embedding_cosine_pairs(sf_dir: str):
+    """Embedding near-dup pairs (exact baseline: streamed batches vs one
+    broadcast matrix), SQL-checked via list_cosine_similarity; cosines
+    compared after round(., 4). The no-broadcast scale path
+    (embedding_lsh_pairs) is recall-tested in pytest instead."""
+    from raylink.dedup import embedding_cosine_pairs
+
+    out = embedding_cosine_pairs(
+        _read(sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard pairs via the inverted-index self-join,
+    SQL-checked (integer intersection/union counts divide identically in
+    both engines)."""
+    from raylink.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents"), "doc_id", "text", k=8, threshold=0.5
+    )
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash-LSH near-dedup over documents (rows-only)."""
     from raylink.dedup import minhash_lsh_dedup
@@ -546,6 +571,8 @@ QUERIES = {
     "match_rapidfuzz": q_match_rapidfuzz,
     "match_embeddings": q_match_embeddings,
     "ann_topk": q_ann_topk,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "fit_transform": q_fit_transform,
@@ -823,6 +850,36 @@ ORACLE_SQL = {
         FROM fr
         LEFT JOIN best ON best.fid = fr.doc_id AND best.rn = 1
         LEFT JOIN documents t2 ON t2.doc_id = best.tid
+    """,
+    "embedding_cosine_pairs": """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4)
+                   AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.4
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH docs AS (SELECT doc_id, {_CLEAN_T} AS t FROM documents),
+        pos AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(length(t) - 7, 0))) AS i
+            FROM docs
+        ),
+        sh AS (SELECT DISTINCT doc_id, substring(t, i, 8) AS s FROM pos),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT inter.a, inter.b,
+               inter.i / CAST(sa.n + sb.n - inter.i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = inter.a
+        JOIN sz sb ON sb.doc_id = inter.b
+        WHERE inter.i / CAST(sa.n + sb.n - inter.i AS DOUBLE) >= 0.5
     """,
     # MinHash-LSH near-dedup oracled EXACTLY: all-pairs 5-shingle Jaccard
     # >= threshold + connected components via a recursive CTE. Valid

@@ -118,3 +118,121 @@ def test_minhash_distributed_components_matches_driver(rd):
     ga = a.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
     gb = b.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
     assert set(ga) == set(gb)
+
+
+def test_minhash_distributed_verification_matches_driver(rd):
+    """Forced-distributed exact-Jaccard verification (pair/shingle
+    co-shuffle) must reproduce the driver-side pass bit for bit."""
+    from raylink.dedup import minhash_lsh_dedup
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa"]
+    texts = []
+    for i in range(30):
+        base = " ".join(rng.choice(words, size=20))
+        texts.append(base)
+        if i % 3 == 0:
+            texts.append(base.replace("alpha", "alphx", 1))
+    drv = minhash_lsh_dedup(
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6,
+        verification="driver",
+    )
+    dist = minhash_lsh_dedup(
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6,
+        verification="distributed",
+    )
+    pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_cc_partition_join_matches_union_find(rd):
+    """The no-broadcast partition-join CC mode equals union-find labels on
+    randomized graphs (chains force multiple propagation rounds)."""
+    from raylink.linkage import (
+        connected_components_labels,
+        distributed_connected_components,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial in range(2):
+        n = 60
+        m = 80
+        a = rng.integers(0, n, size=m).astype(np.int64)
+        b = rng.integers(0, n, size=m).astype(np.int64)
+        # chain forces many propagation rounds (diameter 19)
+        chain = np.arange(100, 120, dtype=np.int64)
+        a = np.concatenate([a, chain[:-1]])
+        b = np.concatenate([b, chain[1:]])
+        edges = rd.from_arrow(
+            pa.table({"a": pa.array(a), "b": pa.array(b)})
+        )
+        # force the partition-join mode with a tiny broadcast bound
+        labels = distributed_connected_components(
+            edges, broadcast_max_nodes=1
+        ).to_pandas()
+        got = dict(zip(labels["node"], labels["label"]))
+        want = connected_components_labels(a, b)
+        assert got == want
+
+
+def test_cc_broadcast_vectorized_matches_union_find(rd):
+    from raylink.linkage import (
+        connected_components_labels,
+        distributed_connected_components,
+    )
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 40, size=50).astype(np.int64)
+    b = rng.integers(0, 40, size=50).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+    labels = distributed_connected_components(edges).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == connected_components_labels(a, b)
+
+
+def _planted_embeddings(rd, n=200, dim=32, n_dups=25, noise=0.05, seed=13):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    vecs = [base[i] for i in range(n)]
+    # planted near-dups: small perturbations of the first n_dups rows
+    for i in range(n_dups):
+        vecs.append(base[i] + noise * rng.standard_normal(dim))
+    ids = np.arange(len(vecs), dtype=np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+
+
+def test_embedding_lsh_recall_vs_brute_force(rd):
+    """LSH-bucketed near-dup path: recall >= 0.95 vs the exact baseline at
+    the near-dup threshold, zero false positives (candidates are verified
+    with exact cosine), no full-matrix broadcast."""
+    from raylink.dedup import embedding_cosine_pairs, embedding_lsh_pairs
+
+    ds = _planted_embeddings(rd)
+    exact = embedding_cosine_pairs(ds, "vec_id", "embedding", threshold=0.9)
+    lsh = embedding_lsh_pairs(ds, "vec_id", "embedding", threshold=0.9)
+    exact_set = set(zip(exact["a"], exact["b"]))
+    lsh_set = set(zip(lsh["a"], lsh["b"]))
+    assert len(exact_set) >= 20  # the planted dups are found by brute force
+    assert lsh_set <= exact_set  # verification makes precision exact
+    assert len(lsh_set & exact_set) / len(exact_set) >= 0.95
+
+
+def test_embedding_lsh_distributed_verification(rd):
+    from raylink.dedup import embedding_lsh_pairs
+
+    ds = _planted_embeddings(rd, n=80, n_dups=10)
+    drv = embedding_lsh_pairs(
+        ds, "vec_id", "embedding", threshold=0.9, verification="driver"
+    )
+    dist = embedding_lsh_pairs(
+        ds, "vec_id", "embedding", threshold=0.9, verification="distributed"
+    )
+    pd.testing.assert_frame_equal(drv, dist)

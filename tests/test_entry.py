@@ -107,6 +107,8 @@ def test_every_query_runs(entry_mod):
         "match_tfidf_documents",
         "fit_transform",
         "minhash_dedup",
+        "embedding_cosine_pairs",
+        "ngram_jaccard_pairs",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):
