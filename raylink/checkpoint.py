@@ -163,3 +163,127 @@ def run_stage(
     ds = producer()
     write_checkpoint(ds, root, stage, params, input_stages)
     return read_checkpoint(root, stage), False
+
+
+# ---------------------------------------------------------------------------
+# per-PARTITION resume (finer than run_stage's all-or-nothing granularity)
+# ---------------------------------------------------------------------------
+
+
+def _part_paths(root: str, stage: str, key: str) -> tuple[str, str]:
+    # markers live OUTSIDE data/ so read_parquet on the data dir sees only
+    # parquet part files
+    return (
+        os.path.join(root, stage, "data", f"part-{key}.parquet"),
+        os.path.join(root, stage, "marks", f"part-{key}.done.json"),
+    )
+
+
+def partition_done(root: str, stage: str, key: str) -> bool:
+    """A partition is complete iff its done-marker exists and the part file
+    carries the recorded row count (markers are renamed into place after
+    the data file, so a kill can never leave a marker without data)."""
+    part, done = _part_paths(root, stage, key)
+    if not (os.path.exists(done) and os.path.exists(part)):
+        return False
+    try:
+        with open(done) as f:
+            meta = json.load(f)
+        return pq.ParquetFile(part).metadata.num_rows == meta["rows"]
+    except Exception:
+        return False
+
+
+def run_partitioned_stage(
+    root: str,
+    stage: str,
+    keys: list[str],
+    produce_partition,
+    params: dict | None = None,
+    input_stages: list[str] | None = None,
+):
+    """Partition-granular resumable stage: returns (dataset, n_skipped).
+
+    ``keys`` are STABLE partition identifiers (derive them from the data —
+    input row groups, key ranges — never from runtime block boundaries);
+    ``produce_partition(key)`` returns that partition's Arrow table (or a
+    Dataset, which is collected). A re-entered job recomputes ONLY the
+    partitions whose done-markers are missing — this is the kill-mid-stage
+    granularity run_stage cannot give (north-rule resume requirement).
+
+    A params change (fingerprint mismatch) wipes the whole stage first, so
+    stale partitions can never mix with fresh ones."""
+    import ray
+
+    stage_dir = os.path.join(root, stage)
+    data_dir = os.path.join(stage_dir, "data")
+    params_path = os.path.join(stage_dir, "params.json")
+    fp = _fingerprint(params or {})
+    if os.path.exists(params_path):
+        try:
+            with open(params_path) as f:
+                old = json.load(f)["params_fingerprint"]
+        except Exception:
+            old = None
+        if old != fp:
+            shutil.rmtree(stage_dir)
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(os.path.join(stage_dir, "marks"), exist_ok=True)
+    if not os.path.exists(params_path):
+        with open(params_path + ".tmp", "w") as f:
+            json.dump({"params_fingerprint": fp}, f)
+        os.rename(params_path + ".tmp", params_path)
+
+    n_skipped = 0
+    for key in keys:
+        if partition_done(root, stage, key):
+            n_skipped += 1
+            continue
+        out = produce_partition(key)
+        if not isinstance(out, pa.Table):
+            out = pa.concat_tables(
+                ray.get(out.to_arrow_refs()), promote_options="default"
+            )
+        part, done = _part_paths(root, stage, key)
+        pq.write_table(out, part + ".tmp")
+        os.replace(part + ".tmp", part)
+        with open(done + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "rows": out.num_rows,
+                    "score_histogram": _score_histogram([out]),
+                },
+                f,
+            )
+        os.replace(done + ".tmp", done)
+
+    # finalize the stage manifest from the per-partition markers
+    files = []
+    n_rows = 0
+    hist = None
+    for key in keys:
+        part, done = _part_paths(root, stage, key)
+        with open(done) as f:
+            meta = json.load(f)
+        files.append({"name": os.path.basename(part), "rows": meta["rows"]})
+        n_rows += meta["rows"]
+        h = meta.get("score_histogram")
+        if h is not None:
+            hist = h if hist is None else [a + b for a, b in zip(hist, h)]
+    manifest = {
+        "stage": stage,
+        "n_rows": n_rows,
+        "n_files": len(files),
+        "files": files,
+        "score_histogram": hist,
+        "input_stages": input_stages or [],
+        "params_fingerprint": fp,
+        "partition_keys": list(keys),
+    }
+    with open(os.path.join(stage_dir, "manifest.json.tmp"), "w") as f:
+        json.dump(manifest, f)
+    os.replace(
+        os.path.join(stage_dir, "manifest.json.tmp"),
+        os.path.join(stage_dir, "manifest.json"),
+    )
+    return read_checkpoint(root, stage), n_skipped

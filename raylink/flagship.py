@@ -51,6 +51,7 @@ def transcript_entity_resolution(
     concurrency=(1, 8),
     batch_size: int = 1024,
     max_broadcast_to_rows: int = 2_000_000,
+    distinct_distributed_over: int = 20_000_000,
 ) -> FlagshipResult:
     import time
 
@@ -74,13 +75,40 @@ def transcript_entity_resolution(
     entities = canonicalize_transcripts(transcripts_ds).materialize()
     timings["canonicalize"] = time.perf_counter() - t0
 
-    # distinct mention strings per block, first-appearance ordered
-    # (map_batches partial dedup + tiny driver merge — pre-aggregate pattern)
-    from raylink.pipeline import distinct_entities_table, spread_table
+    # distinct mention strings per block, first-appearance ordered.
+    # Fast path (distinct set within the broadcast assumption): map_batches
+    # partial dedup + tiny driver merge, then driver-side round-robin
+    # interleave for hot-block skew. Scale path (above
+    # ``distinct_distributed_over`` entity rows): the distinct set never
+    # touches the driver — a composite-key groupby keeps it distributed
+    # (hot blocks spread across reduce partitions, which replaces the
+    # interleave), and the sharded self-match consumes it directly.
+    from raylink.pipeline import (
+        distinct_entities_dataset,
+        distinct_entities_table,
+        spread_table,
+    )
 
     t0 = time.perf_counter()
-    dist_tbl = distinct_entities_table(entities)
-    distinct_ds = spread_table(dist_tbl)
+    distributed_distinct = entities.count() > distinct_distributed_over
+    if distributed_distinct:
+        dist_tbl = None
+        distinct_ds = distinct_entities_dataset(entities).materialize()
+        block_counts = (
+            distinct_ds.groupby("block_key").count().to_pandas()
+        )
+        counts = block_counts["count()"].to_numpy(dtype=np.int64)
+        scored_pairs = int((counts**2).sum())
+        n_distinct = int(counts.sum())
+    else:
+        dist_tbl = distinct_entities_table(entities)
+        distinct_ds = spread_table(dist_tbl)
+        blocks = dist_tbl["block_key"].to_pylist()
+        _, counts = np.unique(
+            np.asarray(blocks, dtype=object), return_counts=True
+        )
+        scored_pairs = int((counts.astype(np.int64) ** 2).sum())
+        n_distinct = int(dist_tbl.num_rows)
     timings["distinct"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -108,6 +136,7 @@ def transcript_entity_resolution(
         concurrency=concurrency,
         batch_size=batch_size,
         distinct_hint_tbl=dist_tbl,
+        distinct_is_from_side=distributed_distinct,
     )
     timings["group"] = time.perf_counter() - t0
 
@@ -138,11 +167,6 @@ def transcript_entity_resolution(
     assignments = entities.map_batches(assign, batch_format="pyarrow")
     timings["assign_build"] = time.perf_counter() - t0
 
-    # scored pairs: per block n_from == n_to == block distinct count
-    blocks = dist_tbl["block_key"].to_pylist()
-    _, counts = np.unique(np.asarray(blocks, dtype=object), return_counts=True)
-    scored_pairs = int((counts.astype(np.int64) ** 2).sum())
-
     return FlagshipResult(
         entities=entities,
         matches=match_result.matches,
@@ -150,7 +174,7 @@ def transcript_entity_resolution(
         clusters=group_result.clusters,
         assignments=assignments,
         scored_pairs=scored_pairs,
-        n_distinct=int(dist_tbl.num_rows),
+        n_distinct=n_distinct,
         timings=timings,
     )
 

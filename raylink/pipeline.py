@@ -255,6 +255,46 @@ def distinct_entities_table(
     )
 
 
+def distinct_entities_dataset(
+    ds,
+    text_col: str = "entity_text",
+    block_col: str = "block_key",
+    order_col: str = "row_order",
+    drop_null_col: str | None = None,
+):
+    """Distributed variant of :func:`distinct_entities_table`: per-batch
+    partial dedup slims the exchange, then an exact
+    ``groupby([block, text]).min(order)`` — the distinct set NEVER lands on
+    the driver (the scale path when it exceeds the broadcast assumption;
+    pair it with the sharded self-match). The composite groupby key spreads
+    a hot block_key across reduce partitions, so the output feeds scoring
+    without the driver-side interleave."""
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if drop_null_col is not None:
+            batch = batch.filter(pc.is_valid(batch[drop_null_col]))
+        blocks = np.asarray(batch[block_col].to_pylist(), dtype=object)
+        texts = np.asarray(batch[text_col].to_pylist(), dtype=object)
+        orders = np.asarray(
+            batch[order_col].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        b, t, o = _dedup_min(blocks, texts, orders)
+        return pa.table(
+            {
+                "block_key": pa.array(b, type=pa.string()),
+                "entity_text": pa.array(t, type=pa.string()),
+                "row_order": pa.array(o),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["block_key", "entity_text"])
+        .aggregate(Min("row_order", alias_name="row_order"))
+    )
+
+
 def spread_table(tbl: pa.Table, target_rows_per_block: int = 512):
     """In-memory Arrow table -> Dataset split into enough blocks to keep
     every core busy (map_batches parallelism = block count; a single
@@ -1545,6 +1585,7 @@ def group_matches(
     concurrency=(1, 8),
     batch_size: int = 1024,
     distinct_hint_tbl: pa.Table | None = None,
+    distinct_is_from_side: bool = False,
 ) -> GroupResult:
     """Distributed ``PolyFuzz.group`` (polyfuzz/polyfuzz.py:459-484):
 
@@ -1576,10 +1617,18 @@ def group_matches(
         # skip re-deriving it from the matches stream
         dist_tbl = distinct_hint_tbl
     else:
-        dist_tbl = distinct_entities_table(
-            matches, text_col=col, block_col="block_key", order_col="row_order",
-            drop_null_col=col,
-        )
+        dist_tbl = None  # derived lazily — the edge-reuse shortcuts never
+        # need it (``distinct_is_from_side`` asserts the match pass's
+        # from-side WAS the distinct set without materializing it)
+
+    def _ensure_dist_tbl() -> pa.Table:
+        nonlocal dist_tbl
+        if dist_tbl is None:
+            dist_tbl = distinct_entities_table(
+                matches, text_col=col, block_col="block_key",
+                order_col="row_order", drop_null_col=col,
+            )
+        return dist_tbl
     # Index reuse: when the grouper's vocabulary-relevant parameters match
     # the original matcher's AND the distinct strings are exactly the
     # original self-match from-side, the fitted per-block index is
@@ -1598,7 +1647,7 @@ def group_matches(
         and match_result.spec.remove_space_ngrams == grouper_spec.remove_space_ngrams
     ):
         orig = match_result.index_blocks
-        cand = _collect_to_side(dist_tbl)
+        cand = _collect_to_side(_ensure_dist_tbl())
         if set(cand) == set(orig) and all(
             cand[bk].texts_arr.equals(orig[bk].texts_arr)
             and np.array_equal(cand[bk].row_orders, orig[bk].row_orders)
@@ -1641,7 +1690,7 @@ def group_matches(
         match_result.sharded_self
         and match_result.self_match
         and group_all_strings
-        and distinct_hint_tbl is not None
+        and (distinct_hint_tbl is not None or distinct_is_from_side)
         and match_result.spec.kind == "tfidf" == grouper_spec.kind
         and tuple(match_result.spec.n_gram_range) == tuple(grouper_spec.n_gram_range)
         and match_result.spec.clean_string == grouper_spec.clean_string
@@ -1660,7 +1709,7 @@ def group_matches(
         # scoring pass over the same pair count
 
     if edge_matches is None:
-        edges_input = spread_table(dist_tbl)
+        edges_input = spread_table(_ensure_dist_tbl())
         if index_ref is not None:
             edge_result = match_dataset(
                 edges_input,

@@ -119,3 +119,52 @@ def test_param_change_invalidates_downstream(rd, transcripts_dir, tmp_path):
     r2 = run_flagship_checkpointed(transcripts_dir, root, link_min_similarity=0.6)
     assert r2["entities"][1] and r2["matches"][1]  # unaffected stages resumed
     assert not r2["clusters"][1]  # threshold change recomputes linkage
+
+
+def test_kill_mid_scoring_resumes_missing_partitions_only(rd, tmp_path):
+    """Per-partition resume: a stage killed after some partitions wrote
+    re-enters and recomputes ONLY the missing partitions, byte-identical
+    to an uninterrupted run."""
+    import pyarrow as pa
+
+    from raylink.checkpoint import run_partitioned_stage
+
+    root = str(tmp_path / "ckpt")
+    calls: list[str] = []
+
+    def produce(key: str) -> pa.Table:
+        calls.append(key)
+        i = int(key)
+        return pa.table({"part": [i] * 3, "v": list(range(i, i + 3))})
+
+    keys = [f"{i:05d}" for i in range(5)]
+
+    class Boom(RuntimeError):
+        pass
+
+    def produce_then_die(key: str) -> pa.Table:
+        if len(calls) == 2 and key not in calls:
+            raise Boom()  # "kill" after two partitions landed
+        return produce(key)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        run_partitioned_stage(root, "score", keys, produce_then_die)
+    assert calls == keys[:2]
+
+    ds, n_skipped = run_partitioned_stage(root, "score", keys, produce)
+    assert n_skipped == 2  # the two landed partitions were NOT recomputed
+    assert calls == keys[:2] + keys[2:]
+    out = ds.to_pandas().sort_values(["part", "v"], ignore_index=True)
+    assert len(out) == 15
+
+    # fully-complete stage: nothing recomputes
+    ds2, n_skipped2 = run_partitioned_stage(root, "score", keys, produce)
+    assert n_skipped2 == 5 and len(calls) == 5
+
+    # params change wipes and recomputes everything
+    ds3, n_skipped3 = run_partitioned_stage(
+        root, "score", keys, produce, params={"v": 2}
+    )
+    assert n_skipped3 == 0 and len(calls) == 10

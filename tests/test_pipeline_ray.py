@@ -448,3 +448,36 @@ def test_sharded_self_flagship_byte_identical(rd):
         a = getattr(base, name).to_pandas().sort_values(key, ignore_index=True)
         b = getattr(shard, name).to_pandas().sort_values(key, ignore_index=True)
         pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_distributed_distinct_flagship_identical(rd):
+    """Forced distributed-distinct (groupby path, no driver merge) alone
+    and combined with the sharded self-match reproduces the default
+    flagship output exactly."""
+    from raylink.flagship import transcript_entity_resolution
+    from raylink.queries import ensure_transcript_fixture
+    from raylink.sources import read_parquet_with_row_order
+
+    info = ensure_transcript_fixture("/root/testdata/sf0.001")
+    cols = ["conv_id", "turn_idx", "text"]
+
+    def run(**kw):
+        return transcript_entity_resolution(
+            read_parquet_with_row_order(info["transcripts"], columns=cols),
+            link_min_similarity=0.75,
+            **kw,
+        )
+
+    base = run()
+    dd = run(distinct_distributed_over=0)
+    both = run(distinct_distributed_over=0, max_broadcast_to_rows=50)
+    assert dd.scored_pairs == base.scored_pairs
+    assert dd.n_distinct == base.n_distinct
+    for variant in (dd, both):
+        for name, key in [
+            ("clusters", ["block_key", "cluster_id", "member"]),
+            ("assignments", ["conv_id"]),
+        ]:
+            a = getattr(base, name).to_pandas().sort_values(key, ignore_index=True)
+            b = getattr(variant, name).to_pandas().sort_values(key, ignore_index=True)
+            pd.testing.assert_frame_equal(a, b[a.columns])
