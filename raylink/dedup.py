@@ -221,92 +221,166 @@ def candidate_pairs_from_bands(
     )
 
 
-def _verify_pairs_distributed(
-    sh_ds, cand: pd.DataFrame, jaccard_threshold: float
+def _ranges_gather(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized variable-length range gather: indices covering
+    [starts[i], starts[i]+lens[i]) for every i, concatenated."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    base = np.repeat(starts, lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.r_[0, np.cumsum(lens)[:-1]], lens
+    )
+    return base + within
+
+
+def _doc_arrays_from_sorted(
+    sh_doc: np.ndarray, sh_val: np.ndarray
+) -> dict[int, np.ndarray]:
+    """(doc, shingle) rows -> {doc: sorted shingle array} (one slice per
+    doc; the per-doc dict build is O(unique docs), values are views)."""
+    o = np.lexsort((sh_val, sh_doc))
+    sh_doc, sh_val = sh_doc[o], sh_val[o]
+    bounds = np.flatnonzero(np.r_[True, sh_doc[1:] != sh_doc[:-1]])
+    return {
+        int(sh_doc[s]): sh_val[s:e]
+        for s, e in zip(bounds, np.append(bounds[1:], len(sh_doc)))
+    }
+
+
+def _verify_with_doc_arrays(
+    ca: np.ndarray,
+    cb: np.ndarray,
+    doc_arrays: dict[int, np.ndarray],
+    jaccard_threshold: float,
 ) -> list[tuple[int, int]]:
-    """Exact-Jaccard verification as two keyed shuffles (the scale path —
-    VERDICT.md round-1 #3): candidate membership rows are co-shuffled with
-    the shingle rows on doc_id (each candidate doc's shingle set fans out
-    to its pairs), then pairs reduce on pair_id to intersection/union
-    counts. Work and memory scale with Σ_pairs (|A|+|B|) across the
-    cluster; the driver only sees the verified edge list."""
+    """Vectorized exact-Jaccard verification kernel (shared by the driver
+    path and each distributed partition): group candidate pairs by the
+    left doc, membership-test the concatenated partner shingles against
+    the left doc's sorted array, segment-sum per partner."""
+    verified: list[tuple[int, int]] = []
+    order = np.lexsort((cb, ca))
+    ca, cb = ca[order], cb[order]
+    a_bounds = np.flatnonzero(np.r_[True, ca[1:] != ca[:-1]])
+    for s, e in zip(a_bounds, np.append(a_bounds[1:], len(ca))):
+        sa = doc_arrays.get(int(ca[s]))
+        if sa is None or not len(sa):
+            continue
+        partners = cb[s:e]
+        arrs = [doc_arrays.get(int(b)) for b in partners]
+        keep_i = [i for i, x in enumerate(arrs) if x is not None and len(x)]
+        if not keep_i:
+            continue
+        arrs_nz = [arrs[i] for i in keep_i]
+        lens = np.array([len(x) for x in arrs_nz], dtype=np.int64)
+        concat = np.concatenate(arrs_nz)
+        pos = np.searchsorted(sa, concat)
+        hit = (pos < len(sa)) & (sa[np.minimum(pos, len(sa) - 1)] == concat)
+        seg_starts = np.r_[0, np.cumsum(lens)[:-1]]
+        inter = np.add.reduceat(hit.astype(np.int64), seg_starts)
+        union = len(sa) + lens - inter
+        ok = inter / np.maximum(union, 1) >= jaccard_threshold
+        for i, good in zip(keep_i, ok):
+            if good:
+                verified.append((int(ca[s]), int(partners[i])))
+    return verified
+
+
+def _verify_pairs_distributed(
+    sh_ds, cand: pd.DataFrame, jaccard_threshold: float, n_parts: int | None = None
+) -> list[tuple[int, int]]:
+    """Exact-Jaccard verification distributed by PAIR partitions (the
+    scale path — VERDICT.md round-1 #3): pairs are hash-partitioned by
+    their left doc; each candidate doc's shingle rows are replicated to
+    the partitions that need that doc ONCE (not once per pair — a
+    broadcast need-map drives a vectorized range-gather), then a single
+    keyed groupby co-locates each partition's pairs with all the shingle
+    sets they touch and runs the same vectorized kernel as the driver
+    path. Shuffle volume is O(candidate-doc shingles x replication),
+    per-group Python is O(partitions)."""
+    import ray
     import ray.data as rd
 
-    n_pairs = len(cand)
-    pair_id = np.arange(n_pairs, dtype=np.int64)
-    mem = pa.table(
-        {
-            "doc_id": pa.array(
-                np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
-            ),
-            "shingle": pa.array(np.zeros(2 * n_pairs, dtype=np.int64)),
-            "pair_id": pa.array(np.concatenate([pair_id, pair_id])),
-            "side": pa.array(
-                np.concatenate(
-                    [np.zeros(n_pairs, np.int64), np.ones(n_pairs, np.int64)]
-                )
-            ),
-        }
-    )
+    if n_parts is None:
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    P = n_parts
 
-    def tag(batch: pa.Table) -> pa.Table:
-        m1 = np.full(batch.num_rows, -1, dtype=np.int64)
+    ca = cand["a"].to_numpy().astype(np.int64)
+    cb = cand["b"].to_numpy().astype(np.int64)
+    ppart = (ca % P).astype(np.int64)
+    # need-map: (doc -> partitions that need its set), deduped
+    need = np.unique(
+        np.stack(
+            [np.concatenate([ca, cb]), np.concatenate([ppart, ppart])], axis=1
+        ),
+        axis=0,
+    )
+    nd, npart = need[:, 0], need[:, 1]
+    run_starts = np.flatnonzero(np.r_[True, nd[1:] != nd[:-1]])
+    run_docs = nd[run_starts]
+    run_lens = np.diff(np.append(run_starts, len(nd)))
+    need_ref = ray.put((run_docs, run_starts, run_lens, npart))
+
+    def fan(batch: pa.Table) -> pa.Table:
+        rdocs, rstarts, rlens, rparts = ray.get(need_ref)
+        doc = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False))
+        sh = np.asarray(batch["shingle"].to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(rdocs, doc)
+        posc = np.minimum(pos, max(len(rdocs) - 1, 0))
+        ok = (
+            (pos < len(rdocs)) & (rdocs[posc] == doc)
+            if len(rdocs)
+            else np.zeros(len(doc), bool)
+        )
+        doc, sh, posc = doc[ok], sh[ok], posc[ok]
+        lens = rlens[posc]
+        idx = _ranges_gather(rstarts[posc], lens)
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "shingle": batch["shingle"],
-                "pair_id": pa.array(m1),
-                "side": pa.array(m1),
+                "part": pa.array(rparts[idx]),
+                "doc_id": pa.array(np.repeat(doc, lens)),
+                "shingle": pa.array(np.repeat(sh, lens)),
+                "a": pa.array(np.full(int(lens.sum()), -1, dtype=np.int64)),
+                "b": pa.array(np.full(int(lens.sum()), -1, dtype=np.int64)),
             }
         )
 
-    union = sh_ds.map_batches(tag, batch_format="pyarrow").union(
-        rd.from_arrow(mem)
+    pair_rows = pa.table(
+        {
+            "part": pa.array(ppart),
+            "doc_id": pa.array(np.full(len(ca), -1, dtype=np.int64)),
+            "shingle": pa.array(np.full(len(ca), -1, dtype=np.int64)),
+            "a": pa.array(ca),
+            "b": pa.array(cb),
+        }
     )
-
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        is_mem = g["pair_id"].to_numpy() >= 0
-        sh = g.loc[~is_mem, "shingle"].to_numpy()
-        mems = g[is_mem]
-        if not len(mems) or not len(sh):
-            return pd.DataFrame(
-                {"pair_id": [], "side": [], "doc_id": [], "shingle": []}
-            ).astype(np.int64)
-        n_sh = len(sh)
-        return pd.DataFrame(
-            {
-                "pair_id": np.repeat(mems["pair_id"].to_numpy(), n_sh),
-                "side": np.repeat(mems["side"].to_numpy(), n_sh),
-                "doc_id": np.repeat(mems["doc_id"].to_numpy(), n_sh),
-                "shingle": np.tile(sh, len(mems)),
-            }
-        )
-
-    exploded = union.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+    union = sh_ds.map_batches(fan, batch_format="pyarrow").union(
+        rd.from_arrow(pair_rows)
+    )
 
     thr = float(jaccard_threshold)
 
-    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        s0 = g.loc[side == 0, "shingle"].to_numpy()
-        s1 = g.loc[side == 1, "shingle"].to_numpy()
-        empty = pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        if not len(s0) or not len(s1):
-            return empty
-        inter = np.intersect1d(s0, s1).size
-        union_n = len(s0) + len(s1) - inter
-        if inter / max(union_n, 1) < thr:
-            return empty
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_pair = g["a"].to_numpy() >= 0
+        pca = g.loc[is_pair, "a"].to_numpy().astype(np.int64)
+        pcb = g.loc[is_pair, "b"].to_numpy().astype(np.int64)
+        if not len(pca):
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        doc_arrays = _doc_arrays_from_sorted(
+            g.loc[~is_pair, "doc_id"].to_numpy().astype(np.int64),
+            g.loc[~is_pair, "shingle"].to_numpy().astype(np.int64),
+        )
+        got = _verify_with_doc_arrays(pca, pcb, doc_arrays, thr)
         return pd.DataFrame(
             {
-                "a": [int(g.loc[side == 0, "doc_id"].iloc[0])],
-                "b": [int(g.loc[side == 1, "doc_id"].iloc[0])],
+                "a": np.array([x[0] for x in got], dtype=np.int64),
+                "b": np.array([x[1] for x in got], dtype=np.int64),
             }
         )
 
     out = (
-        exploded.groupby("pair_id")
-        .map_groups(per_pair, batch_format="pandas")
+        union.groupby("part")
+        .map_groups(verify_part, batch_format="pandas")
         .to_pandas()
     )
     return [
@@ -326,7 +400,7 @@ def minhash_lsh_dedup(
     max_bucket: int = 200,
     components: str = "driver",
     verification: str = "auto",
-    driver_verify_max_pairs: int = 200_000,
+    driver_verify_max_pairs: int = 2_000_000,
 ):
     """Full MinHash-LSH near-dup pipeline. Returns a pandas frame
     (doc_id, dup_group) for every doc in a near-dup group, where dup_group
@@ -381,46 +455,13 @@ def minhash_lsh_dedup(
         return _components_output(verified, components)
 
     sh = sh_ds_cand.to_pandas()
-    # sorted shingle array per candidate doc (vectorized split)
-    sh_doc = sh["doc_id"].to_numpy()
-    sh_val = sh["shingle"].to_numpy()
-    order = np.lexsort((sh_val, sh_doc))
-    sh_doc, sh_val = sh_doc[order], sh_val[order]
-    bounds = np.flatnonzero(np.r_[True, sh_doc[1:] != sh_doc[:-1]])
-    doc_arrays: dict[int, np.ndarray] = {
-        int(sh_doc[s]): sh_val[s:e]
-        for s, e in zip(bounds, np.append(bounds[1:], len(sh_doc)))
-    }
-
-    # vectorized exact-Jaccard verification: group candidate pairs by the
-    # left doc, membership-test the concatenated partner shingles against
-    # the left doc's sorted array, segment-sum per partner
-    verified: list[tuple[int, int]] = []
-    cand_sorted = cand.sort_values(["a", "b"], ignore_index=True)
-    ca = cand_sorted["a"].to_numpy()
-    cb = cand_sorted["b"].to_numpy()
-    a_bounds = np.flatnonzero(np.r_[True, ca[1:] != ca[:-1]])
-    for s, e in zip(a_bounds, np.append(a_bounds[1:], len(ca))):
-        sa = doc_arrays.get(int(ca[s]))
-        if sa is None or not len(sa):
-            continue
-        partners = cb[s:e]
-        arrs = [doc_arrays.get(int(b)) for b in partners]
-        keep_i = [i for i, x in enumerate(arrs) if x is not None and len(x)]
-        if not keep_i:
-            continue
-        arrs_nz = [arrs[i] for i in keep_i]
-        lens = np.array([len(x) for x in arrs_nz], dtype=np.int64)
-        concat = np.concatenate(arrs_nz)
-        pos = np.searchsorted(sa, concat)
-        hit = (pos < len(sa)) & (sa[np.minimum(pos, len(sa) - 1)] == concat)
-        seg_starts = np.r_[0, np.cumsum(lens)[:-1]]
-        inter = np.add.reduceat(hit.astype(np.int64), seg_starts)
-        union = len(sa) + lens - inter
-        ok = inter / np.maximum(union, 1) >= jaccard_threshold
-        for i, good in zip(keep_i, ok):
-            if good:
-                verified.append((int(ca[s]), int(partners[i])))
+    doc_arrays = _doc_arrays_from_sorted(
+        sh["doc_id"].to_numpy(), sh["shingle"].to_numpy()
+    )
+    verified = _verify_with_doc_arrays(
+        cand["a"].to_numpy(), cand["b"].to_numpy(), doc_arrays,
+        jaccard_threshold,
+    )
     return _components_output(verified, components)
 
 
@@ -688,7 +729,7 @@ def embedding_lsh_pairs(
     max_bucket: int = 500,
     batch_size: int = 1024,
     verification: str = "auto",
-    driver_verify_max_pairs: int = 200_000,
+    driver_verify_max_pairs: int = 2_000_000,
 ):
     """Embedding near-dup pairs WITHOUT a full-matrix broadcast (the
     random-hyperplane-LSH scale path): sign-bit signatures per batch,
