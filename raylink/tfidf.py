@@ -230,7 +230,15 @@ def df_counts(doc_ids: np.ndarray, grams: np.ndarray) -> tuple[np.ndarray, np.nd
 # ---------------------------------------------------------------------------
 
 
-TILE_COLS = 4096  # to-side tile width for the cache-blocked kernel
+import os
+
+# Cache-blocked kernel geometry. Defaults are measured on this box (see
+# BASELINE.md tile sweep); env overrides exist for re-tuning on different
+# hardware without code edits. The tile width is FROZEN INTO TopkIndex at
+# build time (index.tile_cols) so driver-built indexes and worker-side
+# scoring can never disagree about the layout.
+TILE_COLS = int(os.environ.get("RAYLINK_TILE_COLS", "4096"))
+ROW_CHUNK = int(os.environ.get("RAYLINK_ROW_CHUNK", "512"))
 
 
 class TopkIndex:
@@ -248,9 +256,9 @@ class TopkIndex:
     """
 
     __slots__ = ("csc", "to_csr", "texts", "tile_indptr", "tile_rows",
-                 "tile_data", "tile_data_f32", "n_tiles")
+                 "tile_data", "tile_data_f32", "n_tiles", "tile_cols")
 
-    def __init__(self, to_csr: CSR, texts=None):
+    def __init__(self, to_csr: CSR, texts=None, tile_cols: int | None = None):
         self.csc = csr_to_csc(to_csr)
         self.to_csr = to_csr  # row-major view, used by the exact rescore
         # texts ride on BlockIndex in the pipeline; kept here only for
@@ -260,14 +268,16 @@ class TopkIndex:
         )
         n_to = self.csc.n_rows
         V = to_csr.n_cols
-        if n_to > TILE_COLS:
-            self.n_tiles = (n_to + TILE_COLS - 1) // TILE_COLS
+        self.tile_cols = int(tile_cols or TILE_COLS)
+        if n_to > self.tile_cols:
+            tc = self.tile_cols
+            self.n_tiles = (n_to + tc - 1) // tc
             terms = np.repeat(
                 np.arange(V, dtype=np.int64), np.diff(self.csc.indptr)
             )
             rows = self.csc.rows
             data = self.csc.data
-            tile_of = rows // TILE_COLS
+            tile_of = rows // tc
             order = np.lexsort((rows, terms, tile_of))
             self.tile_rows = rows[order]
             self.tile_data = data[order]
@@ -326,7 +336,8 @@ def topk_cosine(
 
         topk_cosine_tiled(
             fr, index, k, out_idx, out_sim, min_similarity, self_match,
-            from_global_offset, apply_min_similarity, TILE_COLS,
+            from_global_offset, apply_min_similarity,
+            getattr(index, "tile_cols", TILE_COLS), row_chunk=ROW_CHUNK,
         )
         missing = out_sim <= 0.0
         out_idx[missing] = -1
