@@ -200,6 +200,159 @@ def WRatio(s1: str, s2: str) -> float:
     )
 
 
+class WRatioToSide:
+    """Per-block to-side state for the packed one-vs-many WRatio: processed
+    forms, their padded codepoint matrices (base + token-sorted), and token
+    sets — built once per block (actor-state pattern), reused per query."""
+
+    __slots__ = ("orig", "proc", "lens", "packed_proc", "packed_tsort",
+                 "token_sets")
+
+    def __init__(self, strings: list[str]):
+        self.orig = list(strings)
+        self.proc = [default_process(s) for s in self.orig]
+        self.lens = np.array([len(p) for p in self.proc], dtype=np.int64)
+        self.packed_proc = PaddedStrings(self.proc)
+        self.packed_tsort = PaddedStrings([_token_sort(p) for p in self.proc])
+        self.token_sets = [set(p.split()) for p in self.proc]
+
+
+def _token_set_ratio_sets(t1: set, t2: set) -> float:
+    inter = " ".join(sorted(t1 & t2))
+    d1 = " ".join(sorted(t1 - t2))
+    d2 = " ".join(sorted(t2 - t1))
+    c1 = (inter + " " + d1).strip()
+    c2 = (inter + " " + d2).strip()
+    return max(ratio(inter, c1), ratio(inter, c2), ratio(c1, c2))
+
+
+def _partial_token_set_ratio_sets(t1: set, t2: set) -> float:
+    inter = " ".join(sorted(t1 & t2))
+    d1 = " ".join(sorted(t1 - t2))
+    d2 = " ".join(sorted(t2 - t1))
+    c1 = (inter + " " + d1).strip()
+    c2 = (inter + " " + d2).strip()
+    return max(
+        partial_ratio(inter, c1), partial_ratio(inter, c2), partial_ratio(c1, c2)
+    )
+
+
+def lcs_rowwise(qp: PaddedStrings, tp: PaddedStrings) -> np.ndarray:
+    """LCS of row i of ``qp`` vs row i of ``tp`` for every i — the batched
+    pairwise DP (one numpy update per query COLUMN, not per pair). Rows
+    whose query is exhausted (pad -1) carry their state forward."""
+    n, wq = qp.mat.shape
+    _, wt = tp.mat.shape
+    if n == 0 or wq == 0 or wt == 0:
+        return np.zeros(n, dtype=np.int64)
+    prev = np.zeros((n, wt + 1), dtype=np.int64)
+    cur = np.zeros_like(prev)
+    for qi in range(wq):
+        ch = qp.mat[:, qi]
+        active = ch >= 0
+        if not active.any():
+            break
+        eq = tp.mat == ch[:, None]
+        np.maximum(prev[:, 1:], prev[:, :-1] + eq, out=cur[:, 1:])
+        np.maximum.accumulate(cur[:, 1:], axis=1, out=cur[:, 1:])
+        cur[~active] = prev[~active]
+        prev, cur = cur, prev
+    return prev[np.arange(n), tp.lens]
+
+
+def wratio_one_to_many(query: str, ts: WRatioToSide) -> np.ndarray:
+    """WRatio of ``query`` vs every to-side string, numerically identical
+    to per-pair :func:`WRatio`, with every DP batched:
+
+      * base ratio + token_sort ratio: packed one-vs-many DPs;
+      * token_set (short branch): ratio(inter, c1) and ratio(inter, c2)
+        collapse to closed forms (inter is a PREFIX of both combined
+        strings, so LCS = len(inter)); the remaining ratio(c1, c2) runs as
+        ONE row-wise batched DP over all short pairs;
+      * only the rare long branch (length ratio >= 1.5: the partial_*
+        family) stays per pair.
+    """
+    n = len(ts.orig)
+    out = np.zeros(n, dtype=np.float64)
+    p1 = default_process(query)
+    l1 = len(p1)
+    if l1 == 0 or n == 0:
+        return out
+    base = ratio_one_to_many(p1, ts.packed_proc)
+    tsort = ratio_one_to_many(_token_sort(p1), ts.packed_tsort)
+    lens = ts.lens
+    valid = lens > 0
+    len_ratio = np.maximum(l1, lens) / np.maximum(np.minimum(l1, lens), 1)
+    t1 = set(p1.split())
+    unbase = 0.95
+    short_i = np.flatnonzero(valid & (len_ratio < 1.5))
+    if len(short_i):
+        c1s: list[str] = []
+        c2s: list[str] = []
+        li_arr = np.empty(len(short_i), dtype=np.int64)
+        for k, i in enumerate(short_i):
+            t2 = ts.token_sets[i]
+            inter = " ".join(sorted(t1 & t2))
+            d1 = " ".join(sorted(t1 - t2))
+            d2 = " ".join(sorted(t2 - t1))
+            c1s.append((inter + " " + d1).strip())
+            c2s.append((inter + " " + d2).strip())
+            li_arr[k] = len(inter)
+        lc1 = np.array([len(c) for c in c1s], dtype=np.int64)
+        lc2 = np.array([len(c) for c in c2s], dtype=np.int64)
+        # closed forms: inter is a prefix of c1/c2 -> LCS == len(inter)
+        with np.errstate(invalid="ignore"):
+            r_i1 = np.where(li_arr + lc1 == 0, 100.0,
+                            200.0 * li_arr / np.maximum(li_arr + lc1, 1))
+            r_i2 = np.where(li_arr + lc2 == 0, 100.0,
+                            200.0 * li_arr / np.maximum(li_arr + lc2, 1))
+        lcs12 = lcs_rowwise(PaddedStrings(c1s), PaddedStrings(c2s))
+        r_12 = np.where(lc1 + lc2 == 0, 100.0,
+                        200.0 * lcs12 / np.maximum(lc1 + lc2, 1))
+        tset = np.maximum(np.maximum(r_i1, r_i2), r_12)
+        out[short_i] = np.maximum(
+            base[short_i],
+            np.maximum(tsort[short_i], tset) * unbase,
+        )
+    long_i = np.flatnonzero(valid & (len_ratio >= 1.5))
+    for i in long_i:
+        ps = 0.9 if len_ratio[i] < 8 else 0.6
+        p2 = ts.proc[i]
+        out[i] = max(
+            base[i],
+            partial_ratio(p1, p2) * ps,
+            partial_ratio(_token_sort(p1), _token_sort(p2)) * unbase * ps,
+            _partial_token_set_ratio_sets(t1, ts.token_sets[i]) * unbase * ps,
+        )
+    return out
+
+
+def extract_one_packed(
+    query: str,
+    ts: WRatioToSide,
+    score_cutoff: float = 0.0,
+    exclude_first_equal: str | None = None,
+) -> tuple[int, float] | None:
+    """Packed ``extractOne``: first-max over the WRatio score vector
+    (np.argmax's first-occurrence rule = the reference's tie-to-first
+    scan). ``exclude_first_equal`` reproduces self-match's
+    ``to_list.remove(query)`` — mask ONLY the first value-equal entry.
+    Returns (to index, score) or None below the cutoff."""
+    scores = wratio_one_to_many(query, ts)
+    if exclude_first_equal is not None:
+        for j, s in enumerate(ts.orig):
+            if s == exclude_first_equal:
+                scores = scores.copy()
+                scores[j] = -np.inf
+                break
+    if not len(scores):
+        return None
+    j = int(np.argmax(scores))
+    if scores[j] < score_cutoff or scores[j] == -np.inf:
+        return None
+    return j, float(scores[j])
+
+
 SCORERS = {
     "ratio": ratio,
     "partial_ratio": partial_ratio,

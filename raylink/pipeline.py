@@ -714,6 +714,15 @@ class ScorerActor:
         # first-occurrence position of each to-text per block (edit-distance
         # family needs value -> index resolution without an O(n) scan)
         self._pos_maps: dict[str, dict[str, int]] = {}
+        # packed WRatio to-side state per block (built once per actor)
+        self._wr_states: dict[str, "editdist.WRatioToSide"] = {}
+
+    def _wr_state(self, bk: str, bi: "BlockIndex") -> "editdist.WRatioToSide":
+        st = self._wr_states.get(bk)
+        if st is None:
+            st = editdist.WRatioToSide([str(t) for t in bi.texts])
+            self._wr_states[bk] = st
+        return st
 
     def _pos_map(self, bk: str, bi: "BlockIndex") -> dict[str, int]:
         pm = self._pos_maps.get(bk)
@@ -834,6 +843,23 @@ class ScorerActor:
                 j = int(np.argmax(scores))
                 idx[i, 0] = j
                 sims[i, 0] = scores[j]
+            return idx, sims
+        if spec.kind == "rapidfuzz" and self.scorer is editdist.WRatio:
+            # packed one-vs-many WRatio: base + token_sort DPs sweep the
+            # whole to-side per query; first-max/cutoff semantics identical
+            # to extract_one (see editdist.extract_one_packed)
+            ts = self._wr_state(bk, bi)
+            pm = self._pos_map(bk, bi)
+            for i, t in enumerate(texts):
+                t = str(t)
+                m = editdist.extract_one_packed(
+                    t, ts, score_cutoff=spec.score_cutoff * 100,
+                    exclude_first_equal=t if self.self_match else None,
+                )
+                if m:
+                    j, s = m
+                    idx[i, 0] = pm[ts.orig[j]]
+                    sims[i, 0] = s / 100
             return idx, sims
         for i, t in enumerate(texts):
             t = str(t)

@@ -84,3 +84,45 @@ def test_resolve_scorer():
     assert ed.resolve_scorer(ed.ratio) is ed.ratio
     with pytest.raises(ValueError):
         ed.resolve_scorer("nope")
+
+
+def test_wratio_one_to_many_equals_pairwise():
+    import numpy as np
+
+    from raylink.editdist import (
+        WRatio,
+        WRatioToSide,
+        extract_one,
+        extract_one_packed,
+        wratio_one_to_many,
+    )
+
+    rng = np.random.default_rng(21)
+    words = ["apple", "grape", "mouse", "house", "similarity", "recal", "a"]
+    to_list = []
+    for _ in range(40):
+        n = rng.integers(1, 5)
+        to_list.append(" ".join(rng.choice(words, size=n)))
+    to_list += ["", "   ", "apple apple", "x" * 30]  # edge cases
+    ts = WRatioToSide(to_list)
+    queries = [" ".join(rng.choice(words, size=rng.integers(1, 6))) for _ in range(25)]
+    queries += ["apple", "", "x" * 25, "apple grape mouse house similarity"]
+    for q in queries:
+        packed = wratio_one_to_many(q, ts)
+        pair = np.array([WRatio(q, c) for c in to_list])
+        assert np.allclose(packed, pair), q
+        # extract semantics: packed first-max == reference scan
+        ref = extract_one(q, to_list, score_cutoff=0.0, scorer=WRatio)
+        got = extract_one_packed(q, ts, score_cutoff=0.0)
+        if ref is None:
+            assert got is None
+        else:
+            assert got is not None
+            assert ts.orig[got[0]] == ref[0] or pair[got[0]] == ref[1]
+            assert got[1] == ref[1]
+        # cutoff semantics
+        ref_c = extract_one(q, to_list, score_cutoff=80.0, scorer=WRatio)
+        got_c = extract_one_packed(q, ts, score_cutoff=80.0)
+        assert (ref_c is None) == (got_c is None)
+        if ref_c is not None:
+            assert got_c[1] == ref_c[1]
