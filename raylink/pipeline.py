@@ -995,17 +995,17 @@ def _build_selfmatch_shard_remote(vocab_map, spec_params, *tables):
 _GPOS_PAD = np.int64(1) << 62  # sorts missing candidates last
 
 
-class ShardedSelfScorer:
-    """Self-match scoring against a SHARDED to-side: the per-shard indexes
-    live in the object store as separate refs; each scoring task walks the
-    shards (node-local plasma reads — one copy per node, zero-copy numpy),
-    keeps a running per-row top-k, and resolves ties exactly like the
-    single-index kernel (max sim, then lowest global to-position). No shard
-    partial tables exist and nothing merges on the driver — K4 (SURVEY
-    §2.6) realized as a per-batch in-memory merge."""
+class ShardedScorer:
+    """Scoring (self-match OR two-list) against a SHARDED to-side: the
+    per-shard indexes live in the object store as separate refs; each
+    scoring task walks the shards (node-local plasma reads — one copy per
+    node, zero-copy numpy), keeps a running per-row top-k, and resolves
+    ties exactly like the single-index kernel (max sim, then lowest global
+    to-position). No shard partial tables exist and nothing merges on the
+    driver — K4 (SURVEY §2.6) realized as a per-batch in-memory merge."""
 
     def __init__(self, shard_refs, vocab_ref, shard_base, spec: MatcherSpec,
-                 top_n_cols: int):
+                 top_n_cols: int, self_match: bool = True):
         self.shard_refs = list(shard_refs)
         self.vocabs: dict[str, TfidfVocab] = ray.get(vocab_ref)
         # shard_base: dict[block_key -> np.ndarray(n_shards,)] global
@@ -1013,6 +1013,7 @@ class ShardedSelfScorer:
         self.shard_base = shard_base
         self.spec = spec
         self.k = top_n_cols
+        self.self_match = self_match
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
@@ -1051,8 +1052,15 @@ class ShardedSelfScorer:
                 bi = sh.get(bk)
                 if bi is None:
                     continue
-                pos = _self_positions(bi.row_orders, orders[rows])
-                idx, sims = _topk_selfmap(fr, bi.topk, k, spec, pos)
+                if self.self_match:
+                    pos = _self_positions(bi.row_orders, orders[rows])
+                    idx, sims = _topk_selfmap(fr, bi.topk, k, spec, pos)
+                else:
+                    idx, sims = topk_cosine(
+                        fr, bi.topk, k,
+                        min_similarity=spec.min_similarity,
+                        apply_min_similarity=spec.cosine_method == "sparse",
+                    )
                 gpos = np.where(idx >= 0, idx + bases[si], _GPOS_PAD)
                 sims_parts.append(sims)
                 gpos_parts.append(gpos)
@@ -1095,33 +1103,80 @@ class ShardedSelfScorer:
 _SHARDED_SCORER_CACHE: dict = {}
 
 
-def _cached_sharded_scorer(shard_refs, vocab_ref, shard_base, spec, k):
+def _cached_sharded_scorer(shard_refs, vocab_ref, shard_base, spec, k, sm):
     key = (
         tuple(r.hex() for r in shard_refs),
         vocab_ref.hex(),
         _spec_key(spec),
         k,
+        sm,
     )
     s = _SHARDED_SCORER_CACHE.get(key)
     if s is None:
         if len(_SHARDED_SCORER_CACHE) > 4:
             _SHARDED_SCORER_CACHE.clear()
-        s = ShardedSelfScorer(shard_refs, vocab_ref, shard_base, spec, k)
+        s = ShardedScorer(shard_refs, vocab_ref, shard_base, spec, k, sm)
         _SHARDED_SCORER_CACHE[key] = s
     return s
 
 
-def match_dataset_sharded_self(
+def build_joint_vocabs(from_ds, to_ds, spec: MatcherSpec) -> dict[str, "TfidfVocab"]:
+    """Per-block JOINT (to+from, polyfuzz/models/_tfidf.py:109) TF-IDF
+    vocab with BOTH sides' DF counted distributed — neither side's strings
+    are collected to the driver (the two-list analogue of
+    :func:`build_selfmatch_vocabs`)."""
+    pad = spec.n_gram_range[1]
+    pb_from, dc_from = _distributed_df_counts(from_ds, spec)
+    pb_to, dc_to = _distributed_df_counts(to_ds, spec)
+    vocabs: dict[str, TfidfVocab] = {}
+    for bk in set(dc_from) | set(dc_to):
+        g_parts = []
+        d_parts = []
+        for pb in (pb_from, pb_to):
+            grams, df = pb.get(bk, ([], []))
+            if grams:
+                g_parts.append(
+                    np.asarray([x.encode() for x in grams], dtype=f"S{pad}")
+                )
+                d_parts.append(np.asarray(df, np.int64))
+        if g_parts:
+            g_all = np.concatenate(g_parts)
+            d_all = np.concatenate(d_parts)
+            order = np.argsort(g_all, kind="stable")
+            g_all, d_all = g_all[order], d_all[order]
+            chg = np.empty(len(g_all), bool)
+            chg[0] = True
+            chg[1:] = g_all[1:] != g_all[:-1]
+            st = np.flatnonzero(chg)
+            g_all = g_all[st]
+            d_all = np.add.reduceat(d_all, st)
+        else:
+            g_all = np.empty(0, f"S{pad}")
+            d_all = np.empty(0, np.int64)
+        n_docs = int(dc_from.get(bk, 0)) + int(dc_to.get(bk, 0))
+        vocabs[bk] = TfidfVocab.from_df_counts(
+            g_all, d_all, n_docs, spec.n_gram_range,
+            spec.clean_string, spec.remove_space_ngrams,
+        )
+    return vocabs
+
+
+def match_dataset_sharded(
     from_ds,
+    to_ds=None,
     spec: MatcherSpec | None = None,
+    text_col: str = "entity_text",
+    block_col: str | None = "block_key",
     batch_size: int = 1024,
     max_broadcast_to_rows: int = 2_000_000,
     n_shards: int | None = None,
 ) -> MatchResult:
-    """Self-match whose to-side exceeds the single-broadcast bound (K4 for
-    the self-match path — VERDICT.md round-1 scale-killer #2):
+    """Match whose to-side exceeds the single-broadcast bound — K4 for
+    BOTH the self-match (``to_ds=None``, VERDICT round-1 scale-killer #2)
+    and the two-list case:
 
-      1. per-block vocab fit fully distributed (DF groupby);
+      1. per-block vocab fit fully distributed (DF groupby; joint over
+         to+from in the two-list case so shard scores are comparable);
       2. to-side sorted by (block_key, row_order) — one range shuffle —
          and its sorted blocks grouped into ~equal row shards, each shard's
          per-block CSR index built in its own Ray task and LEFT in the
@@ -1129,18 +1184,26 @@ def match_dataset_sharded_self(
       3. scoring tasks stream the from-side and merge per-row top-k across
          shard indexes in memory (ties: lowest global to-position, the
          single-index argmax rule), so results are byte-identical to the
-         broadcast path.
-
-    ``from_ds`` must already carry the entities schema with row_order."""
+         broadcast path. No shard partial tables, no driver merge."""
     spec = spec or MatcherSpec()
     if spec.kind != "tfidf":
-        raise ValueError("sharded self-match currently supports tfidf")
+        raise ValueError("sharded matching currently supports tfidf")
     import math
 
-    vocabs = build_selfmatch_vocabs(from_ds, spec)
+    if "row_order" not in from_ds.schema().names:
+        from_ds = dataset_with_row_order(from_ds, text_col, block_col)
+    self_match = to_ds is None
+    if self_match:
+        to_side = from_ds
+        vocabs = build_selfmatch_vocabs(from_ds, spec)
+    else:
+        if "row_order" not in to_ds.schema().names:
+            to_ds = dataset_with_row_order(to_ds, text_col, block_col)
+        to_side = to_ds
+        vocabs = build_joint_vocabs(from_ds, to_ds, spec)
     vocab_ref = ray.put(vocabs)
 
-    sorted_ds = from_ds.sort(["block_key", "row_order"]).materialize()
+    sorted_ds = to_side.sort(["block_key", "row_order"]).materialize()
     refs = sorted_ds.to_arrow_refs()
     sizes = ray.get([_num_rows_remote.remote(r) for r in refs])
     total = int(sum(sizes))
@@ -1184,18 +1247,45 @@ def match_dataset_sharded_self(
             running[bk] += int(c)
 
     k = spec.top_n
-    _spec, _k = spec, k
+    if not self_match and spec.top_n > 1:
+        # top_n clamp by distinct to-strings (polyfuzz/models/_utils.py:54)
+        # — distributed distinct count, small result
+        dcounts = (
+            distinct_entities_dataset(to_side)
+            .groupby("block_key")
+            .count()
+            .to_pandas()
+        )
+        max_distinct = (
+            int(dcounts["count()"].max()) if len(dcounts) else spec.top_n
+        )
+        k = min(spec.top_n, max_distinct)
+    _spec, _k, _sm = spec, k, self_match
     _refs, _vref, _base = shard_refs, vocab_ref, shard_base
 
     def score_batch(batch: pa.Table) -> pa.Table:
-        return _cached_sharded_scorer(_refs, _vref, _base, _spec, _k)(batch)
+        return _cached_sharded_scorer(_refs, _vref, _base, _spec, _k, _sm)(batch)
 
     matches = from_ds.map_batches(
         score_batch, batch_format="pyarrow", batch_size=batch_size
     )
     return MatchResult(
-        matches, spec, k, index_ref=None, self_match=True,
-        index_blocks=None, sharded_self=True,
+        matches, spec, k, index_ref=None, self_match=self_match,
+        index_blocks=None, sharded_self=self_match,
+    )
+
+
+def match_dataset_sharded_self(
+    from_ds,
+    spec: MatcherSpec | None = None,
+    batch_size: int = 1024,
+    max_broadcast_to_rows: int = 2_000_000,
+    n_shards: int | None = None,
+) -> MatchResult:
+    """Back-compat alias: self-match case of :func:`match_dataset_sharded`."""
+    return match_dataset_sharded(
+        from_ds, None, spec, batch_size=batch_size,
+        max_broadcast_to_rows=max_broadcast_to_rows, n_shards=n_shards,
     )
 
 
@@ -1220,12 +1310,12 @@ def match_dataset(
     Returns a streaming matches Dataset with columns
     (from, to, similarity, [to_i, similarity_i...], block_key, row_order).
 
-    When a TWO-LIST tfidf to-side exceeds ``max_broadcast_to_rows``, the
-    call automatically switches to the sharded-index path
-    (:func:`match_dataset_sharded_to`): the vocabulary stays joint over the
-    full to-side so scores are comparable, but each broadcast index covers
-    only one shard and per-shard top-k partials are merged per row —
-    identical results, bounded broadcast size.
+    When a tfidf to-side (two-list OR self-match) exceeds
+    ``max_broadcast_to_rows``, the call automatically switches to the
+    sharded-index path (:func:`match_dataset_sharded`): the vocabulary
+    stays joint over the full corpus so scores are comparable, each
+    object-store index covers one shard, and scoring tasks merge per-row
+    top-k across shards in memory — identical results, bounded broadcast.
     """
     spec = spec or MatcherSpec()
     if (
@@ -1238,22 +1328,11 @@ def match_dataset(
         except Exception:
             n_to_rows = 0
         if n_to_rows > max_broadcast_to_rows:
-            import math
-
-            import ray.data as rd
-
-            n_shards = math.ceil(n_to_rows / max_broadcast_to_rows)
-            merged = match_dataset_sharded_to(
-                from_ds, to_ds, spec, n_shards=n_shards,
+            return match_dataset_sharded(
+                from_ds, to_ds, spec,
                 text_col=text_col, block_col=block_col,
-                concurrency=concurrency, batch_size=batch_size,
-            )
-            k = sum(
-                1 for c in merged.column_names if c == "to" or c.startswith("to_")
-            )
-            return MatchResult(
-                matches=spread_table(merged), spec=spec, top_n_cols=k,
-                index_ref=None, self_match=False, index_blocks=None,
+                batch_size=batch_size,
+                max_broadcast_to_rows=max_broadcast_to_rows,
             )
     if "row_order" not in from_ds.schema().names:
         from_ds = dataset_with_row_order(from_ds, text_col, block_col)
@@ -1324,47 +1403,6 @@ def match_dataset(
     return MatchResult(matches, spec, top_n_cols, index_ref, self_match, built_blocks)
 
 
-def merge_topk_matches(partials: list[pa.Table], top_n_cols: int) -> pa.Table:
-    """K4 cross-partition top-k merge (SURVEY §2.6): combine per-shard
-    match tables (same from-rows scored against DIFFERENT to-side shards)
-    into the global top-k per from-row.
-
-    Candidates order by (-similarity, shard, slot) so ties resolve to the
-    earlier shard — matching the single-index kernel's lowest-to-index
-    rule when shards partition the to-list in order."""
-    k = top_n_cols
-    n = partials[0].num_rows
-    n_shards = len(partials)
-    vals = np.zeros((n, n_shards * k), dtype=np.float64)
-    toss = np.empty((n, n_shards * k), dtype=object)
-    pos = np.empty((n, n_shards * k), dtype=np.int64)
-    for si, t in enumerate(partials):
-        for c in range(k):
-            sim_col = "similarity" if c == 0 else f"similarity_{c + 1}"
-            to_col = "to" if c == 0 else f"to_{c + 1}"
-            vals[:, si * k + c] = np.asarray(
-                t[sim_col].to_numpy(zero_copy_only=False)
-            )
-            toss[:, si * k + c] = np.asarray(t[to_col].to_pylist(), dtype=object)
-            pos[:, si * k + c] = si * k + c
-    sel = np.lexsort((pos, -vals), axis=1)[:, :k]
-    out_vals = np.take_along_axis(vals, sel, axis=1)
-    out_tos = np.take_along_axis(toss, sel, axis=1)
-    missing = out_vals <= 0.0
-    out_tos[missing] = None
-    out_vals[missing] = 0.0
-    cols: dict[str, pa.Array] = {"from": partials[0]["from"].combine_chunks()}
-    for c in range(k):
-        to_col = "to" if c == 0 else f"to_{c + 1}"
-        sim_col = "similarity" if c == 0 else f"similarity_{c + 1}"
-        cols[to_col] = pa.array(out_tos[:, c], type=pa.string())
-        cols[sim_col] = pa.array(out_vals[:, c], type=pa.float64())
-    for extra in ("block_key", "row_order"):
-        if extra in partials[0].column_names:
-            cols[extra] = partials[0][extra].combine_chunks()
-    return pa.table(cols)
-
-
 def match_dataset_sharded_to(
     from_ds,
     to_ds,
@@ -1372,61 +1410,17 @@ def match_dataset_sharded_to(
     n_shards: int = 2,
     **kwargs,
 ):
-    """Scale path for a to-side too large to broadcast whole: split the
-    to-side into ``n_shards`` row shards, run :func:`match_dataset` per
-    shard (each broadcast is 1/n_shards the size), then merge per-row
-    top-k partials (``groupby(from_id)`` logically; here a driver-side
-    zip-merge since partials are row-aligned). Returns the merged matches
-    as an Arrow table.
-
-    Note: the fit stays JOINT (vocab from to+from over the full to-side)
-    so shard scores are comparable — only the scoring index is sharded.
-    """
-    spec = spec or MatcherSpec()
-    if spec.kind != "tfidf":
-        raise ValueError("sharded to-side merge currently supports tfidf")
-    if "row_order" not in from_ds.schema().names:
-        from_ds = dataset_with_row_order(
-            from_ds, kwargs.pop("text_col", "entity_text"),
-            kwargs.pop("block_col", "block_key"),
-        )
-    if "row_order" not in to_ds.schema().names:
-        to_ds = dataset_with_row_order(to_ds, "entity_text", "block_key")
-    to_tbl = pa.concat_tables(
-        ray.get(to_ds.to_arrow_refs()), promote_options="default"
+    """Back-compat table-returning wrapper over the two-list case of
+    :func:`match_dataset_sharded` (round 1 merged driver-side shard
+    partials; the streaming per-batch merge replaced that — VERDICT
+    round-1 K4 note)."""
+    kwargs.pop("concurrency", None)
+    res = match_dataset_sharded(
+        from_ds, to_ds, spec, n_shards=n_shards, **kwargs
     )
-    # order shards by row_order so shard order == to-list order (tie rule)
-    sort_idx = pc.sort_indices(to_tbl, sort_keys=[("row_order", "ascending")])
-    to_tbl = to_tbl.take(sort_idx)
-    shard_size = (to_tbl.num_rows + n_shards - 1) // n_shards
-
-    # joint vocabulary over the FULL to-side + from-side
-    full_blocks = _collect_to_side(to_tbl)
-    build_block_indexes(spec, full_blocks, from_ds=from_ds, self_match=False)
-
-    import ray.data as rd
-
-    partials: list[pa.Table] = []
-    k = min(spec.top_n, max((b.n_distinct for b in full_blocks.values()), default=1))
-    for si in range(n_shards):
-        shard = to_tbl.slice(si * shard_size, shard_size)
-        if shard.num_rows == 0:
-            continue
-        shard_blocks = _collect_to_side(shard)
-        for bk, bi in shard_blocks.items():
-            bi.tfidf_vocab = full_blocks[bk].tfidf_vocab
-            bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts_arr))
-        ref = ray.put(shard_blocks)
-        res = match_dataset(
-            from_ds, to_ds=to_ds, spec=spec, prebuilt_index_ref=ref,
-            top_n_cols_override=k, self_match_override=False, **kwargs,
-        )
-        part = pa.concat_tables(
-            ray.get(res.matches.to_arrow_refs()), promote_options="default"
-        )
-        part = part.take(pc.sort_indices(part, sort_keys=[("row_order", "ascending")]))
-        partials.append(part)
-    return merge_topk_matches(partials, k)
+    return pa.concat_tables(
+        ray.get(res.matches.to_arrow_refs()), promote_options="default"
+    )
 
 
 def merge_clusters_across_blocks(
