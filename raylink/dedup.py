@@ -531,57 +531,133 @@ def simhash_batch(texts: pa.Array, k: int = 4) -> np.ndarray:
     return out
 
 
-def simhash_dedup(ds, id_col: str, text_col: str, k: int = 4, max_hamming: int = 3):
+def _simhash_bucket_edges(
+    keys: np.ndarray,
+    ids: np.ndarray,
+    hs: np.ndarray,
+    max_hamming: int,
+    max_bucket: int = 500,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bucket rows by (already composite) key and emit verified near-dup
+    edges (true Hamming <= max_hamming), fully vectorized: buckets of
+    equal size are processed together as (n_buckets, s, s) xor/popcount
+    tensors — no per-bucket Python. ``keys`` need not be pre-sorted."""
+    if len(keys) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.argsort(keys, kind="stable")
+    ks, iis, hss = keys[order], ids[order], hs[order]
+    chg = np.r_[True, ks[1:] != ks[:-1]]
+    starts = np.flatnonzero(chg)
+    sizes = np.diff(np.append(starts, len(ks)))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s in np.unique(sizes[(sizes >= 2) & (sizes <= max_bucket)]):
+        sel = starts[sizes == s]
+        rows_h = hss[sel[:, None] + np.arange(s)[None, :]]  # (nb, s)
+        rows_i = iis[sel[:, None] + np.arange(s)[None, :]]
+        i, j = np.triu_indices(int(s), k=1)
+        x = rows_h[:, i] ^ rows_h[:, j]  # (nb, n_pairs)
+        bytes_view = np.ascontiguousarray(x).view(np.uint8).reshape(
+            x.shape[0], x.shape[1], 8
+        )
+        dist = np.unpackbits(bytes_view, axis=2).sum(axis=2)
+        bi, pi = np.nonzero(dist <= max_hamming)
+        out_a.append(rows_i[bi, i[pi]].astype(np.int64))
+        out_b.append(rows_i[bi, j[pi]].astype(np.int64))
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def simhash_dedup(
+    ds,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    max_hamming: int = 3,
+    bucketing: str = "auto",
+    driver_max_docs: int = 5_000_000,
+    components: str = "driver",
+):
     """Near-dup groups by simhash: 4 x 16-bit bands bucket candidates (any
     pair within Hamming <= 3 shares at least one exact band), verified by
     true Hamming distance, grouped by connected components. Returns pandas
-    (doc_id, dup_group)."""
+    (doc_id, dup_group).
+
+    ``bucketing``: "driver" collects the (doc_id, simhash) table — two
+    int64 columns — and buckets it with the vectorized scan; "distributed"
+    shuffles (band, band_value) rows to hash partitions and runs the same
+    scan per partition (full-corpus scale path, Python overhead
+    O(partitions)); "auto" switches above ``driver_max_docs``."""
+    import ray
 
     def sims(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
         h = simhash_batch(batch[text_col].combine_chunks(), k)
         return pa.table({"doc_id": ids, "simhash": pa.array(h.astype(np.int64))})
 
-    tbl = ds.map_batches(sims, batch_format="pyarrow").to_pandas()
-    ids = tbl["doc_id"].to_numpy()
-    hs = tbl["simhash"].to_numpy().astype(np.uint64)
-    from raylink.linkage import UnionFind
+    sim_ds = ds.map_batches(sims, batch_format="pyarrow")
 
-    uf = UnionFind()
-    for band in range(4):
-        key = (hs >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-        order = np.argsort(key, kind="stable")
-        ks, iis, hss = key[order], ids[order], hs[order]
-        chg = np.empty(len(ks), bool)
-        if len(ks):
-            chg[0] = True
-            chg[1:] = ks[1:] != ks[:-1]
-        starts = np.flatnonzero(chg)
-        ends = np.append(starts[1:], len(ks))
-        for s, e in zip(starts, ends):
-            if e - s < 2 or e - s > 500:
-                continue
-            bucket_h = hss[s:e]
-            bucket_i = iis[s:e]
-            x = bucket_h[:, None] ^ bucket_h[None, :]
-            # popcount via unpackbits on the byte view
-            bytes_view = np.ascontiguousarray(x).view(np.uint8).reshape(
-                len(bucket_h), len(bucket_h), 8
-            )
-            dist = np.unpackbits(bytes_view, axis=2).sum(axis=2)
-            close = np.argwhere((dist <= max_hamming) & np.triu(np.ones_like(dist, dtype=bool), 1))
-            for i, j in close:
-                uf.union(int(bucket_i[i]), int(bucket_i[j]))
-    rows = []
-    for root, members in uf.groups().items():
-        if len(members) < 2:
-            continue
-        canon = min(members)
-        for m in members:
-            rows.append((m, canon))
-    return pd.DataFrame(rows, columns=["doc_id", "dup_group"]).astype(np.int64).sort_values(
-        ["dup_group", "doc_id"], ignore_index=True
+    distributed = bucketing == "distributed" or (
+        bucketing == "auto" and ds.count() > driver_max_docs
     )
+    if not distributed:
+        tbl = sim_ds.to_pandas()
+        ids = tbl["doc_id"].to_numpy()
+        hs = tbl["simhash"].to_numpy().astype(np.uint64)
+        edges_a: list[np.ndarray] = []
+        edges_b: list[np.ndarray] = []
+        for band in range(4):
+            key = (hs >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            a, b = _simhash_bucket_edges(key, ids, hs, max_hamming)
+            edges_a.append(a)
+            edges_b.append(b)
+        verified = list(
+            zip(np.concatenate(edges_a).tolist(), np.concatenate(edges_b).tolist())
+        )
+        return _components_output(verified, components)
+
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False))
+        hs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bands_l, keys_l, ids_l, hs_l = [], [], [], []
+        for band in range(4):
+            key = (hs >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            bands_l.append(np.full(len(ids), band, dtype=np.int64))
+            keys_l.append(key.astype(np.int64))
+            ids_l.append(ids)
+            hs_l.append(hs.astype(np.int64))
+        band_arr = np.concatenate(bands_l)
+        key_arr = np.concatenate(keys_l)
+        comp = band_arr * 65536 + key_arr  # composite bucket key
+        return pa.table(
+            {
+                "bkey": pa.array(comp),
+                "doc_id": pa.array(np.concatenate(ids_l)),
+                "simhash": pa.array(np.concatenate(hs_l)),
+                "part": pa.array((comp % P).astype(np.int64)),
+            }
+        )
+
+    def scan_part(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = _simhash_bucket_edges(
+            g["bkey"].to_numpy(),
+            g["doc_id"].to_numpy(),
+            g["simhash"].to_numpy().astype(np.uint64),
+            max_hamming,
+        )
+        return pd.DataFrame({"a": a, "b": b})
+
+    edges = (
+        sim_ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(scan_part, batch_format="pandas")
+        .to_pandas()
+    )
+    verified = list(zip(edges["a"].tolist(), edges["b"].tolist()))
+    return _components_output(verified, components)
 
 
 # ---------------------------------------------------------------------------

@@ -414,6 +414,50 @@ def q_ann_topk(sf_dir: str):
     return out
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN (sub-linear scale path) for the fixed vec_id<4 panel —
+    rows-only by design: recall < 1 vs brute force, but the seeded
+    centroid fit makes the output deterministic."""
+    from raylink.ann import ivf_topk
+
+    ds = _read(sf_dir, "embeddings")
+    head = (
+        ds.filter(lambda r: r["vec_id"] < 4).to_pandas().sort_values("vec_id")
+    )
+    queries = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    out = ivf_topk(ds, queries, k=10, n_clusters=16, n_probe=4, seed=0)
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
+def q_multimodal_features(sf_dir: str):
+    """Multimodal feature plumbing through the driver contract (rows-only;
+    deterministic fake codec — real backends are a documented stub):
+    synthetic media rows -> actor-pool decode/resize/frame-sample ->
+    fixed-width features, reported as a rounded checksum per row."""
+    import ray.data as rd
+
+    from raylink.multimodal import media_features, synthesize_media_table
+
+    ds = rd.from_arrow(synthesize_media_table(200, seed=42))
+    feats = media_features(ds, backend="fake", concurrency=(1, 2))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        sums = [
+            round(float(np.sum(f)), 4) for f in batch["feature"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "feature_shape": batch["feature_shape"],
+                "feature_sum": pa.array(sums, type=pa.float64()),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_embedding_cosine_pairs(sf_dir: str):
     """Embedding near-dup pairs (exact baseline: streamed batches vs one
     broadcast matrix), SQL-checked via list_cosine_similarity; cosines
@@ -571,6 +615,8 @@ QUERIES = {
     "match_rapidfuzz": q_match_rapidfuzz,
     "match_embeddings": q_match_embeddings,
     "ann_topk": q_ann_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_features": q_multimodal_features,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_dedup": q_minhash_dedup,

@@ -236,3 +236,17 @@ def test_embedding_lsh_distributed_verification(rd):
         ds, "vec_id", "embedding", threshold=0.9, verification="distributed"
     )
     pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_simhash_distributed_bucketing_matches_driver(rd):
+    from raylink.dedup import simhash_dedup
+
+    near = BASE.replace("quick", "quikc")
+    texts = [BASE, near, "unrelated words entirely different", BASE + " tail",
+             BASE.replace("fox", "fxo"), "another distinct document here"]
+    drv = simhash_dedup(_docs(rd, texts), "doc_id", "text", bucketing="driver")
+    dist = simhash_dedup(
+        _docs(rd, texts), "doc_id", "text", bucketing="distributed"
+    )
+    pd.testing.assert_frame_equal(drv, dist)
+    assert len(drv) >= 2  # the planted near-dups are found
