@@ -44,13 +44,13 @@ def run_flagship_checkpointed(
     spec_d.pop("scorer", None)
     base_params = {"transcripts": transcripts_path, "spec": spec_d}
 
-    from raylink.pipeline import attach_global_order
+    from raylink.sources import read_parquet_with_row_order
 
     entities_ds, entities_resumed = run_stage(
         checkpoint_root,
         "entities",
         lambda: canonicalize_transcripts(
-            attach_global_order(rd.read_parquet(transcripts_path))
+            read_parquet_with_row_order(transcripts_path)
         ),
         params=base_params,
     )

@@ -69,9 +69,10 @@ def main() -> None:
         resumed = {k: v[1] for k, v in result.items() if isinstance(v, tuple)}
     else:
         from raylink.flagship import transcript_entity_resolution
+        from raylink.sources import read_parquet_with_row_order
 
         res = transcript_entity_resolution(
-            rd.read_parquet(args.transcripts),
+            read_parquet_with_row_order(args.transcripts),
             link_min_similarity=args.link_min_similarity,
         )
         assignments = res.assignments
