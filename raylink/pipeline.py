@@ -976,18 +976,23 @@ def build_selfmatch_vocabs(from_ds, spec: MatcherSpec) -> dict[str, "TfidfVocab"
 
 
 @ray.remote(num_returns=2)
-def _build_selfmatch_shard_remote(vocab_map, spec_params, *tables):
+def _build_selfmatch_shard_remote(kind, state, *tables):
     """Build one to-side shard's per-block indexes in a Ray task. Input
-    tables are consecutive sorted (block_key, row_order) blocks; returns
-    (dict[str, BlockIndex], dict[str, n_rows])."""
-    n_gram_range, clean, remove_space = spec_params
+    tables are consecutive sorted (block_key, row_order) blocks; ``state``
+    is the per-block vocab map (tfidf) or the embedder callable
+    (embeddings). Returns (dict[str, BlockIndex], dict[str, n_rows])."""
     tbl = pa.concat_tables(tables, promote_options="default")
     blocks = _collect_to_side(tbl)
     counts: dict[str, int] = {}
     for bk, bi in blocks.items():
-        vocab = vocab_map[bk]
-        bi.tfidf_vocab = vocab
-        bi.topk = TopkIndex(vocab.transform(bi.texts_arr))
+        if kind == "tfidf":
+            vocab = state[bk]
+            bi.tfidf_vocab = vocab
+            bi.topk = TopkIndex(vocab.transform(bi.texts_arr))
+        else:  # embeddings
+            bi.emb = l2_normalize(
+                np.asarray(state(list(bi.texts)), dtype=np.float64)
+            )
         counts[bk] = len(bi.texts_arr)
     return blocks, counts
 
@@ -1004,10 +1009,11 @@ class ShardedScorer:
     to-position). No shard partial tables exist and nothing merges on the
     driver — K4 (SURVEY §2.6) realized as a per-batch in-memory merge."""
 
-    def __init__(self, shard_refs, vocab_ref, shard_base, spec: MatcherSpec,
+    def __init__(self, shard_refs, state_ref, shard_base, spec: MatcherSpec,
                  top_n_cols: int, self_match: bool = True):
         self.shard_refs = list(shard_refs)
-        self.vocabs: dict[str, TfidfVocab] = ray.get(vocab_ref)
+        # tfidf: dict[block -> TfidfVocab]; embeddings: the embedder callable
+        self.state = ray.get(state_ref)
         # shard_base: dict[block_key -> np.ndarray(n_shards,)] global
         # to-position of each shard's first row of that block (-1 = absent)
         self.shard_base = shard_base
@@ -1037,11 +1043,21 @@ class ShardedScorer:
         for s, e in zip(np.flatnonzero(chg), np.append(np.flatnonzero(chg)[1:], n)):
             bk = b_s[s]
             rows = sort[s:e]
-            vocab = self.vocabs.get(bk)
             bases = self.shard_base.get(bk)
-            if vocab is None or bases is None:
+            if bases is None:
                 continue
-            fr = vocab.transform(text_arr.take(pa.array(rows)))
+            if spec.kind == "tfidf":
+                vocab = self.state.get(bk)
+                if vocab is None:
+                    continue
+                fr = vocab.transform(text_arr.take(pa.array(rows)))
+            else:  # embeddings: state is the embedder callable
+                fr = l2_normalize(
+                    np.asarray(
+                        self.state(text_arr.take(pa.array(rows)).to_pylist()),
+                        dtype=np.float64,
+                    )
+                )
             sims_parts: list[np.ndarray] = []
             gpos_parts: list[np.ndarray] = []
             shard_parts: list[np.ndarray] = []
@@ -1052,15 +1068,26 @@ class ShardedScorer:
                 bi = sh.get(bk)
                 if bi is None:
                     continue
-                if self.self_match:
-                    pos = _self_positions(bi.row_orders, orders[rows])
-                    idx, sims = _topk_selfmap(fr, bi.topk, k, spec, pos)
-                else:
-                    idx, sims = topk_cosine(
-                        fr, bi.topk, k,
-                        min_similarity=spec.min_similarity,
-                        apply_min_similarity=spec.cosine_method == "sparse",
-                    )
+                if spec.kind == "tfidf":
+                    if self.self_match:
+                        pos = _self_positions(bi.row_orders, orders[rows])
+                        idx, sims = _topk_selfmap(fr, bi.topk, k, spec, pos)
+                    else:
+                        idx, sims = topk_cosine(
+                            fr, bi.topk, k,
+                            min_similarity=spec.min_similarity,
+                            apply_min_similarity=spec.cosine_method == "sparse",
+                        )
+                else:  # embeddings (dense)
+                    if self.self_match:
+                        pos = _self_positions(bi.row_orders, orders[rows])
+                        idx, sims = _dense_selfmap(fr, bi.emb, k, pos)
+                    else:
+                        idx, sims = dense_topk_cosine(fr, bi.emb, k)
+                    if spec.cosine_method == "sparse" and spec.min_similarity > 0:
+                        drop = sims <= spec.min_similarity
+                        sims = np.where(drop, 0.0, sims)
+                        idx = np.where(drop, -1, idx)
                 gpos = np.where(idx >= 0, idx + bases[si], _GPOS_PAD)
                 sims_parts.append(sims)
                 gpos_parts.append(gpos)
@@ -1186,8 +1213,8 @@ def match_dataset_sharded(
          single-index argmax rule), so results are byte-identical to the
          broadcast path. No shard partial tables, no driver merge."""
     spec = spec or MatcherSpec()
-    if spec.kind != "tfidf":
-        raise ValueError("sharded matching currently supports tfidf")
+    if spec.kind not in ("tfidf", "embeddings"):
+        raise ValueError("sharded matching supports tfidf and embeddings")
     import math
 
     if "row_order" not in from_ds.schema().names:
@@ -1195,13 +1222,19 @@ def match_dataset_sharded(
     self_match = to_ds is None
     if self_match:
         to_side = from_ds
-        vocabs = build_selfmatch_vocabs(from_ds, spec)
     else:
         if "row_order" not in to_ds.schema().names:
             to_ds = dataset_with_row_order(to_ds, text_col, block_col)
         to_side = to_ds
-        vocabs = build_joint_vocabs(from_ds, to_ds, spec)
-    vocab_ref = ray.put(vocabs)
+    if spec.kind == "tfidf":
+        state = (
+            build_selfmatch_vocabs(from_ds, spec)
+            if self_match
+            else build_joint_vocabs(from_ds, to_ds, spec)
+        )
+    else:  # embeddings: no fit — the embedder itself is the shared state
+        state = spec.embedder if spec.embedder is not None else HashEmbedder()
+    state_ref = ray.put(state)
 
     sorted_ds = to_side.sort(["block_key", "row_order"]).materialize()
     refs = sorted_ds.to_arrow_refs()
@@ -1211,9 +1244,6 @@ def match_dataset_sharded(
         n_shards = max(1, math.ceil(total / max_broadcast_to_rows))
     target = math.ceil(total / n_shards) if n_shards else total
 
-    spec_params = (
-        tuple(spec.n_gram_range), spec.clean_string, spec.remove_space_ngrams
-    )
     shard_refs: list = []
     count_refs: list = []
     group: list = []
@@ -1223,14 +1253,14 @@ def match_dataset_sharded(
         acc += sz
         if acc >= target:
             i_ref, c_ref = _build_selfmatch_shard_remote.remote(
-                vocab_ref, spec_params, *group
+                spec.kind, state_ref, *group
             )
             shard_refs.append(i_ref)
             count_refs.append(c_ref)
             group, acc = [], 0
     if group:
         i_ref, c_ref = _build_selfmatch_shard_remote.remote(
-            vocab_ref, spec_params, *group
+            spec.kind, state_ref, *group
         )
         shard_refs.append(i_ref)
         count_refs.append(c_ref)
@@ -1261,7 +1291,7 @@ def match_dataset_sharded(
         )
         k = min(spec.top_n, max_distinct)
     _spec, _k, _sm = spec, k, self_match
-    _refs, _vref, _base = shard_refs, vocab_ref, shard_base
+    _refs, _vref, _base = shard_refs, state_ref, shard_base
 
     def score_batch(batch: pa.Table) -> pa.Table:
         return _cached_sharded_scorer(_refs, _vref, _base, _spec, _k, _sm)(batch)
@@ -1321,7 +1351,7 @@ def match_dataset(
     if (
         to_ds is not None
         and prebuilt_index_ref is None
-        and spec.kind == "tfidf"
+        and spec.kind in ("tfidf", "embeddings")
     ):
         try:
             n_to_rows = to_ds.count()
@@ -1338,7 +1368,11 @@ def match_dataset(
         from_ds = dataset_with_row_order(from_ds, text_col, block_col)
     self_match = to_ds is None if self_match_override is None else self_match_override
 
-    if self_match and prebuilt_index_ref is None and spec.kind == "tfidf":
+    if (
+        self_match
+        and prebuilt_index_ref is None
+        and spec.kind in ("tfidf", "embeddings")
+    ):
         # auto-switch to the sharded self-match path when the to-side
         # (= the from-side itself) exceeds the single-broadcast bound;
         # pinning first is free — the broadcast path collects it anyway

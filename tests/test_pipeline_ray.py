@@ -481,3 +481,34 @@ def test_distributed_distinct_flagship_identical(rd):
             a = getattr(base, name).to_pandas().sort_values(key, ignore_index=True)
             b = getattr(variant, name).to_pandas().sort_values(key, ignore_index=True)
             pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_sharded_embeddings_matches_broadcast(rd):
+    """K4 beyond tfidf: the embeddings matcher (self-match AND two-list)
+    auto-shards above the broadcast bound with byte-identical output."""
+    from raylink.pipeline import MatcherSpec, match_dataset, matches_to_frame
+
+    rng = np.random.default_rng(17)
+    texts = ["".join(rng.choice(list("abcdef"), size=6)) for _ in range(36)]
+    texts += texts[:4]  # duplicates exercise the positional self-drop
+    blocks = [t[0] for t in texts]
+    spec = MatcherSpec(kind="embeddings", min_similarity=0, top_n=2)
+    base = match_dataset(_ds(rd, texts, blocks), None, spec)
+    shard = match_dataset(
+        _ds(rd, texts, blocks), None, spec, max_broadcast_to_rows=7
+    )
+    pd.testing.assert_frame_equal(
+        matches_to_frame(shard.matches, shard.top_n_cols),
+        matches_to_frame(base.matches, base.top_n_cols),
+    )
+    to_list = ["".join(rng.choice(list("abcdef"), size=6)) for _ in range(30)]
+    spec2 = MatcherSpec(kind="embeddings", min_similarity=0, top_n=2)
+    base2 = match_dataset(_ds(rd, texts, blocks), _ds(rd, to_list, [t[0] for t in to_list]), spec2)
+    shard2 = match_dataset(
+        _ds(rd, texts, blocks), _ds(rd, to_list, [t[0] for t in to_list]),
+        spec2, max_broadcast_to_rows=6,
+    )
+    pd.testing.assert_frame_equal(
+        matches_to_frame(shard2.matches, shard2.top_n_cols),
+        matches_to_frame(base2.matches, base2.top_n_cols),
+    )
