@@ -312,11 +312,30 @@ def spread_table(tbl: pa.Table, target_rows_per_block: int = 512):
     n_blocks = max(1, min(cpus * 4, (tbl.num_rows + target_rows_per_block - 1) // target_rows_per_block))
     if n_blocks <= 1:
         return rd.from_arrow(tbl)
-    idx = np.arange(tbl.num_rows)
-    slices = [
-        tbl.take(pa.array(idx[i::n_blocks])) for i in range(n_blocks)
-    ]
-    return rd.from_arrow_refs([ray.put(s) for s in slices if s.num_rows])
+    # ONE take of the full interleave permutation (contiguous ranges of the
+    # permuted table are the round-robin slices), then ONE remote task
+    # splits it into n_blocks object-store entries — per-slice driver-side
+    # ray.puts cost ~10 ms each and dominated this function at 100+ slices
+    n = tbl.num_rows
+    idx = np.arange(n)
+    perm = np.concatenate([idx[i::n_blocks] for i in range(n_blocks)])
+    permuted = tbl.take(pa.array(perm))
+    sizes = [len(idx[i::n_blocks]) for i in range(n_blocks)]
+    offsets = np.r_[0, np.cumsum(sizes)[:-1]].astype(np.int64)
+    refs = _split_table_remote.options(num_returns=n_blocks).remote(
+        permuted, offsets.tolist(), [int(s) for s in sizes]
+    )
+    if n_blocks == 1:
+        refs = [refs]
+    return rd.from_arrow_refs(list(refs))
+
+
+@ray.remote
+def _split_table_remote(tbl: pa.Table, offsets, sizes):
+    # combine_chunks per slice so each returned table owns compact buffers
+    return tuple(
+        tbl.slice(o, s).combine_chunks() for o, s in zip(offsets, sizes)
+    )
 
 
 def _dedup_min(blocks, texts, orders):
@@ -1822,26 +1841,20 @@ def group_matches(
     )
     clusters = clusters.materialize()
     cl_tbl = pa.concat_tables(ray.get(clusters.to_arrow_refs()), promote_options="default")
-    name_map: dict[tuple[str, str], str] = {}
-    for bk, m, r in zip(
-        cl_tbl["block_key"].to_pylist(),
-        cl_tbl["member"].to_pylist(),
-        cl_tbl["representative"].to_pylist(),
-    ):
-        name_map[(bk, m)] = r
-    name_map_ref = ray.put(name_map)
+    # broadcast sorted-array lookup (make_assignment_lookup) — no
+    # hundreds-of-thousands-entry Python dict built or pickled anywhere
+    resolve = make_assignment_lookup(cl_tbl)
 
-    def add_group(batch: pa.Table, _ref=name_map_ref) -> pa.Table:
-        nm = cached_object(_ref)  # broadcast read, once per worker
+    def add_group(batch: pa.Table, _resolve=resolve) -> pa.Table:
         bks = batch["block_key"].to_pylist()
         # the Group column always maps the To column (polyfuzz.py:479),
         # regardless of which side supplied the cluster strings
         tos = batch["to"].to_pylist()
+        groups, _cids = _resolve(bks, tos)
         groups = [
-            (nm.get((bk, t), t) if t is not None else None)
-            for bk, t in zip(bks, tos)
+            (g if t is not None else None) for g, t in zip(groups, tos)
         ]
         return batch.append_column("group", pa.array(groups, type=pa.string()))
 
     grouped = matches.map_batches(add_group, batch_format="pyarrow")
-    return GroupResult(grouped, clusters, name_map_ref)
+    return GroupResult(grouped, clusters, resolve)
