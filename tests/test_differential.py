@@ -124,3 +124,32 @@ def test_random_linkage_frames(seed):
         )
         assert dict(zip(members.tolist(), cids.tolist())) == mapping
         assert dict(zip(members.tolist(), reps.tolist())) == namesmap
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_random_sharded_equals_oracle(rd, seed):
+    """The sharded path (forced tiny broadcast bound) must equal the
+    single-node oracle on random workloads — duplicates, empties, unicode
+    — for tfidf two-list AND self-match."""
+    froms, tos = _random_lists(seed, 22, 15)
+    top_n = [1, 2][seed % 2]
+    # two-list sharded
+    res = match_dataset(
+        rd.from_arrow(entities_from_texts(froms)),
+        rd.from_arrow(entities_from_texts(tos)),
+        MatcherSpec(min_similarity=0, top_n=top_n),
+        max_broadcast_to_rows=4,
+    )
+    frame = matches_to_frame(res.matches, res.top_n_cols)
+    oracle = PolyMatch("TF-IDF").match(froms, tos, top_n=top_n).get_matches()
+    pd.testing.assert_frame_equal(frame, oracle)
+    # self-match sharded
+    res2 = match_dataset(
+        rd.from_arrow(entities_from_texts(froms)),
+        None,
+        MatcherSpec(min_similarity=0, top_n=top_n),
+        max_broadcast_to_rows=4,
+    )
+    frame2 = matches_to_frame(res2.matches, res2.top_n_cols)
+    oracle2 = PolyMatch("TF-IDF").match(froms, top_n=top_n).get_matches()
+    pd.testing.assert_frame_equal(frame2, oracle2)
