@@ -88,26 +88,57 @@ def pr_curve_from_value_counts(
     )
 
 
+def value_counts_bounded(ds, col: str):
+    """Value counts of a BOUNDED-cardinality column (e.g. round-3
+    similarities: ≤ 1001 distinct values) without a Ray groupby shuffle:
+    per-batch ``np.unique`` partials (each at most the cardinality) merged
+    once on the driver. Returns (values float64, counts float64). A
+    groupby here pays a full sort-shuffle to produce ≤ 1001 rows."""
+    import pyarrow as pa
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(
+            batch[col].to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        u, c = np.unique(vals, return_counts=True)
+        return pa.table(
+            {"value": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    v = np.asarray(parts["value"].to_numpy(zero_copy_only=False))
+    n = np.asarray(parts["n"].to_numpy(zero_copy_only=False), dtype=np.float64)
+    order = np.argsort(v, kind="stable")
+    v, n = v[order], n[order]
+    if len(v):
+        starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+        return v[starts], np.add.reduceat(n, starts)
+    return v, n
+
+
 def pr_curves_for_matches(
     matches_by_model: dict, precision_steps: float = 0.01,
     threshold_mode: str = "arange", similarity_col: str = "similarity",
 ):
     """Per-model precision-recall curves as Ray Data aggregations — the
     distributed ``visualize_precision_recall`` numbers
-    (polyfuzz/polyfuzz.py:286-329): for each model's matches Dataset, a
-    ``groupby(similarity).count()`` (distinct sims are bounded, see module
-    docstring) finalized exactly on the driver. Returns a single frame
+    (polyfuzz/polyfuzz.py:286-329): per model, a bounded value-count
+    pre-aggregate (see :func:`value_counts_bounded`) finalized exactly on
+    the driver. Returns a single frame
     (model_id, min_precision, recall, average_precision)."""
     import pandas as pd
 
     frames = []
     for model_id, ds in matches_by_model.items():
-        counts = ds.groupby(similarity_col).count().to_pandas()
+        vals, cnts = value_counts_bounded(ds, similarity_col)
         curve = pr_curve_from_value_counts(
-            counts[similarity_col].to_numpy(np.float64),
-            counts["count()"].to_numpy(np.float64),
-            precision_steps,
-            threshold_mode=threshold_mode,
+            vals, cnts, precision_steps, threshold_mode=threshold_mode
         )
         curve.insert(0, "model_id", model_id)
         frames.append(curve)

@@ -191,13 +191,14 @@ def q_threshold_filter(sf_dir: str):
 def q_pr_curve(sf_dir: str):
     """A1 precision-recall curve as a distributed value-count aggregate
     (exact: integer milli-sim arithmetic, decimal threshold grid)."""
+    from raylink.metrics import value_counts_bounded
+
     sims_ds = q_minmax_normalize(sf_dir).map_batches(
         lambda t: pa.table({"sim": pc.round(t["value_norm"], ndigits=3)}),
         batch_format="pyarrow",
     )
-    counts = sims_ds.groupby("sim").count().to_pandas()
-    vals = counts["sim"].to_numpy(dtype=np.float64)
-    cnt = counts["count()"].to_numpy(dtype=np.int64)
+    vals, cntf = value_counts_bounded(sims_ds, "sim")
+    cnt = cntf.astype(np.int64)
     milli = np.rint(vals * 1000).astype(np.int64)
     total = int(cnt.sum())
     rows = []
@@ -581,12 +582,10 @@ def q_transcript_pr_curve(sf_dir: str):
         info["transcripts"], columns=["conv_id", "turn_idx", "text"]
     )
     result = transcript_entity_resolution(ds, link_min_similarity=0.75)
-    counts = result.matches.groupby("similarity").count().to_pandas()
-    return pr_curve_from_value_counts(
-        counts["similarity"].to_numpy(np.float64),
-        counts["count()"].to_numpy(np.float64),
-        threshold_mode="arange",
-    )
+    from raylink.metrics import value_counts_bounded
+
+    vals, cnts = value_counts_bounded(result.matches, "similarity")
+    return pr_curve_from_value_counts(vals, cnts, threshold_mode="arange")
 
 
 # ---------------------------------------------------------------------------
