@@ -1659,6 +1659,7 @@ def group_matches(
     batch_size: int = 1024,
     distinct_hint_tbl: pa.Table | None = None,
     distinct_is_from_side: bool = False,
+    linkage_driver_max_rows: int = 2_000_000,
 ) -> GroupResult:
     """Distributed ``PolyFuzz.group`` (polyfuzz/polyfuzz.py:459-484):
 
@@ -1831,16 +1832,78 @@ def group_matches(
             }
         )
 
-    # edge_matches is materialized before the linkage shuffle: feeding a
+    # edge_matches is materialized before the linkage exchange: feeding a
     # scoring stream straight into groupby de-parallelizes the scoring
     # tasks (measured 2.5x slower fused), and the edge table is bounded by
-    # the distinct-string count anyway
-    clusters = (
-        edge_matches.groupby("block_key")
-        .map_groups(linkage_group, batch_format="pandas")
-    )
-    clusters = clusters.materialize()
-    cl_tbl = pa.concat_tables(ray.get(clusters.to_arrow_refs()), promote_options="default")
+    # the distinct-string count anyway.
+    # Linkage is inherently SEQUENTIAL per block (the reference's
+    # order-sensitive scan), so the groupby only buys cross-block
+    # parallelism — below the driver bound one local sorted pass beats the
+    # ~1-2s fixed sort-shuffle (the hot block dominates either way).
+    n_edges = edge_matches.count()
+    if n_edges <= linkage_driver_max_rows:
+        import ray.data as _rd
+
+        etbl = pa.concat_tables(
+            ray.get(edge_matches.to_arrow_refs()), promote_options="default"
+        )
+        blocks_np = np.asarray(etbl["block_key"].to_pylist(), dtype=object)
+        orders_np = np.asarray(
+            etbl["row_order"].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        order = np.lexsort((orders_np, blocks_np))
+        blocks_np = blocks_np[order]
+        froms_np = np.asarray(etbl["from"].to_pylist(), dtype=object)[order]
+        tos_np = np.asarray(etbl["to"].to_pylist(), dtype=object)[order]
+        sims_np = np.asarray(
+            etbl["similarity"].to_numpy(zero_copy_only=False), dtype=np.float64
+        )[order]
+        out_bk: list[np.ndarray] = []
+        out_cid: list[np.ndarray] = []
+        out_mem: list[np.ndarray] = []
+        out_rep: list[np.ndarray] = []
+        if len(blocks_np):
+            starts = np.flatnonzero(
+                np.r_[True, blocks_np[1:] != blocks_np[:-1]]
+            )
+            for s, e in zip(starts, np.append(starts[1:], len(blocks_np))):
+                members, cids, reps = single_linkage_arrays(
+                    froms_np[s:e], tos_np[s:e], sims_np[s:e], lk
+                )
+                out_bk.append(
+                    np.full(len(members), blocks_np[s], dtype=object)
+                )
+                out_cid.append(cids)
+                out_mem.append(members)
+                out_rep.append(reps)
+        cl_tbl = pa.table(
+            {
+                "block_key": pa.array(
+                    np.concatenate(out_bk) if out_bk else [], type=pa.string()
+                ),
+                "cluster_id": pa.array(
+                    np.concatenate(out_cid) if out_cid else [],
+                    type=pa.int64(),
+                ),
+                "member": pa.array(
+                    np.concatenate(out_mem) if out_mem else [],
+                    type=pa.string(),
+                ),
+                "representative": pa.array(
+                    np.concatenate(out_rep) if out_rep else [],
+                    type=pa.string(),
+                ),
+            }
+        )
+        clusters = _rd.from_arrow(cl_tbl)
+    else:
+        clusters = (
+            edge_matches.groupby("block_key")
+            .map_groups(linkage_group, batch_format="pandas")
+        ).materialize()
+        cl_tbl = pa.concat_tables(
+            ray.get(clusters.to_arrow_refs()), promote_options="default"
+        )
     # broadcast sorted-array lookup (make_assignment_lookup) — no
     # hundreds-of-thousands-entry Python dict built or pickled anywhere
     resolve = make_assignment_lookup(cl_tbl)

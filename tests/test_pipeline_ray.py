@@ -512,3 +512,31 @@ def test_sharded_embeddings_matches_broadcast(rd):
         matches_to_frame(shard2.matches, shard2.top_n_cols),
         matches_to_frame(base2.matches, base2.top_n_cols),
     )
+
+
+def test_linkage_driver_fastpath_equals_groupby(rd):
+    """Driver-local linkage (edge count under the bound) must equal the
+    distributed groupby path exactly."""
+    from raylink.pipeline import MatcherSpec, group_matches, match_dataset
+
+    rng = np.random.default_rng(23)
+    texts = ["".join(rng.choice(list("abcd"), size=5)) for _ in range(60)]
+    blocks = [t[0] for t in texts]
+
+    def run(**kw):
+        res = match_dataset(
+            _ds(rd, texts, blocks), None, MatcherSpec(min_similarity=0)
+        )
+        return group_matches(
+            res, link_min_similarity=0.5, group_all_strings=True, **kw
+        )
+
+    a = run()  # driver fast path (small)
+    b = run(linkage_driver_max_rows=0)  # forced groupby path
+    key = ["block_key", "cluster_id", "member"]
+    ca = a.clusters.to_pandas().sort_values(key, ignore_index=True)
+    cb = b.clusters.to_pandas().sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(ca, cb)
+    ga = a.grouped.to_pandas().sort_values("row_order", ignore_index=True)
+    gb = b.grouped.to_pandas().sort_values("row_order", ignore_index=True)
+    pd.testing.assert_frame_equal(ga, gb[ga.columns])
