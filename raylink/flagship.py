@@ -52,6 +52,7 @@ def transcript_entity_resolution(
     batch_size: int = 1024,
     max_broadcast_to_rows: int = 2_000_000,
     distinct_distributed_over: int = 20_000_000,
+    assign_broadcast_max_rows: int = 20_000_000,
 ) -> FlagshipResult:
     import time
 
@@ -140,31 +141,39 @@ def transcript_entity_resolution(
     )
     timings["group"] = time.perf_counter() - t0
 
-    # broadcast cluster assignment back onto conversations (sorted-array
-    # searchsorted lookup; no per-worker dict rebuilds)
+    # cluster assignment back onto conversations: broadcast sorted-array
+    # lookup below the bound (one cluster-table copy in the object store),
+    # else a hash-partitioned co-shuffle join (the cluster table never
+    # lands on the driver — pairs with the distributed-distinct regime)
     t0 = time.perf_counter()
-    cl_tbl = pa.concat_tables(
-        ray.get(group_result.clusters.to_arrow_refs()), promote_options="default"
-    )
-    from raylink.pipeline import make_assignment_lookup
-
-    resolve = make_assignment_lookup(cl_tbl)
-
-    def assign(batch: pa.Table, _resolve=resolve) -> pa.Table:
-        groups, cids = _resolve(
-            batch["block_key"].to_pylist(), batch["entity_text"].to_pylist()
+    if n_distinct <= assign_broadcast_max_rows:
+        cl_tbl = pa.concat_tables(
+            ray.get(group_result.clusters.to_arrow_refs()),
+            promote_options="default",
         )
-        return pa.table(
-            {
-                "conv_id": batch["conv_id"],
-                "entity_text": batch["entity_text"],
-                "block_key": batch["block_key"],
-                "group": pa.array(groups, type=pa.string()),
-                "cluster_id": pa.array(cids, type=pa.int64()),
-            }
-        )
+        from raylink.pipeline import make_assignment_lookup
 
-    assignments = entities.map_batches(assign, batch_format="pyarrow")
+        resolve = make_assignment_lookup(cl_tbl)
+
+        def assign(batch: pa.Table, _resolve=resolve) -> pa.Table:
+            groups, cids = _resolve(
+                batch["block_key"].to_pylist(), batch["entity_text"].to_pylist()
+            )
+            return pa.table(
+                {
+                    "conv_id": batch["conv_id"],
+                    "entity_text": batch["entity_text"],
+                    "block_key": batch["block_key"],
+                    "group": pa.array(groups, type=pa.string()),
+                    "cluster_id": pa.array(cids, type=pa.int64()),
+                }
+            )
+
+        assignments = entities.map_batches(assign, batch_format="pyarrow")
+    else:
+        assignments = assign_clusters_distributed(
+            entities, group_result.clusters
+        )
     timings["assign_build"] = time.perf_counter() - t0
 
     return FlagshipResult(
@@ -208,3 +217,108 @@ def oracle_cluster_labels(
         for s, cid in mapping.items():
             labels[s] = (bk, cid)
     return labels
+
+
+def assign_clusters_distributed(entities_ds, clusters_ds, n_parts: int | None = None):
+    """Cluster-assignment join with NO driver/broadcast cluster table:
+    entity rows and cluster rows co-shuffle on hash(block_key, member)
+    partitions; each partition joins vectorized (sort + searchsorted).
+    Misses keep group = entity_text / cluster_id = -1, matching the
+    broadcast lookup's semantics exactly."""
+    import pandas as pd
+    import ray
+
+    if n_parts is None:
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    P = n_parts
+
+    def _part(blocks, texts):
+        keys = np.asarray(
+            [f"{b}\x1f{t}" for b, t in zip(blocks, texts)], dtype=object
+        )
+        import pandas as _pd
+
+        part = (
+            _pd.util.hash_array(keys, categorize=False) % np.uint64(P)
+        ).astype(np.int64)
+        return keys, part
+
+    def tag_entities(batch: pa.Table) -> pa.Table:
+        keys, part = _part(
+            batch["block_key"].to_pylist(), batch["entity_text"].to_pylist()
+        )
+        return pa.table(
+            {
+                "part": pa.array(part),
+                "key": pa.array(keys, type=pa.string()),
+                "conv_id": batch["conv_id"],
+                "entity_text": batch["entity_text"],
+                "block_key": batch["block_key"],
+                "representative": pa.array(
+                    [None] * batch.num_rows, type=pa.string()
+                ),
+                "cluster_id": pa.array(
+                    np.full(batch.num_rows, -1, dtype=np.int64)
+                ),
+                "is_cluster": pa.array(np.zeros(batch.num_rows, np.int8)),
+            }
+        )
+
+    def tag_clusters(batch: pa.Table) -> pa.Table:
+        keys, part = _part(
+            batch["block_key"].to_pylist(), batch["member"].to_pylist()
+        )
+        return pa.table(
+            {
+                "part": pa.array(part),
+                "key": pa.array(keys, type=pa.string()),
+                "conv_id": pa.array([None] * batch.num_rows, type=pa.string()),
+                "entity_text": batch["member"],
+                "block_key": batch["block_key"],
+                "representative": batch["representative"],
+                "cluster_id": pa.array(
+                    np.asarray(
+                        batch["cluster_id"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64,
+                    )
+                ),
+                "is_cluster": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+
+    union = entities_ds.map_batches(tag_entities, batch_format="pyarrow").union(
+        clusters_ds.map_batches(tag_clusters, batch_format="pyarrow")
+    )
+
+    def join_part(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        is_cl = g["is_cluster"].to_numpy() == 1
+        ck = g.loc[is_cl, "key"].to_numpy()
+        crep = g.loc[is_cl, "representative"].to_numpy()
+        ccid = g.loc[is_cl, "cluster_id"].to_numpy()
+        o = np.argsort(ck, kind="stable")
+        ck, crep, ccid = ck[o], crep[o], ccid[o]
+        ent = g[~is_cl]
+        ek = ent["key"].to_numpy()
+        pos = np.searchsorted(ck, ek)
+        posc = np.minimum(pos, max(len(ck) - 1, 0))
+        hit = (
+            (pos < len(ck)) & (ck[posc] == ek)
+            if len(ck)
+            else np.zeros(len(ek), bool)
+        )
+        texts = ent["entity_text"].to_numpy()
+        groups = np.where(hit, crep[posc] if len(ck) else None, texts)
+        cids = np.where(hit, ccid[posc] if len(ck) else -1, -1)
+        return pd.DataFrame(
+            {
+                "conv_id": ent["conv_id"].to_numpy(),
+                "entity_text": texts,
+                "block_key": ent["block_key"].to_numpy(),
+                "group": groups,
+                "cluster_id": cids.astype(np.int64),
+            }
+        )
+
+    return union.groupby("part").map_groups(join_part, batch_format="pandas")

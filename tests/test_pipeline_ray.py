@@ -540,3 +540,24 @@ def test_linkage_driver_fastpath_equals_groupby(rd):
     ga = a.grouped.to_pandas().sort_values("row_order", ignore_index=True)
     gb = b.grouped.to_pandas().sort_values("row_order", ignore_index=True)
     pd.testing.assert_frame_equal(ga, gb[ga.columns])
+
+
+def test_distributed_assignment_join_equals_broadcast(rd):
+    from raylink.flagship import transcript_entity_resolution
+    from raylink.queries import ensure_transcript_fixture
+    from raylink.sources import read_parquet_with_row_order
+
+    info = ensure_transcript_fixture("/root/testdata/sf0.001")
+    cols = ["conv_id", "turn_idx", "text"]
+    base = transcript_entity_resolution(
+        read_parquet_with_row_order(info["transcripts"], columns=cols),
+        link_min_similarity=0.75,
+    )
+    dist = transcript_entity_resolution(
+        read_parquet_with_row_order(info["transcripts"], columns=cols),
+        link_min_similarity=0.75,
+        assign_broadcast_max_rows=0,  # force the co-shuffle join
+    )
+    a = base.assignments.to_pandas().sort_values("conv_id", ignore_index=True)
+    b = dist.assignments.to_pandas().sort_values("conv_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
