@@ -118,4 +118,10 @@ def oracle_sql() -> dict[str, str]:
         ensure_transcript_fixture("/root/testdata/sf0.01")
     except Exception:
         pass  # oracle comparison will surface any real problem
+    try:
+        from raylink.queries import ensure_embedding_lsh_fixture
+
+        ensure_embedding_lsh_fixture()
+    except Exception:
+        pass
     return dict(ORACLE_SQL)

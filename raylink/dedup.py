@@ -35,6 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raylink.blocking import _hash64
+from raylink.embed import l2_normalize
 from raylink.text import batch_ngrams, clean_strings_arrow
 
 
@@ -736,8 +737,6 @@ def embedding_cosine_pairs(
     """
     import ray
 
-    from raylink.embed import l2_normalize
-
     full = ds.select_columns([id_col, emb_col]).to_pandas()
     ids = full[id_col].to_numpy()
     mat = l2_normalize(np.stack(full[emb_col].to_numpy()).astype(np.float64))
@@ -770,8 +769,6 @@ def embedding_lsh_band_rows(
 ):
     """map_batches body: random-hyperplane sign bits -> (band_id,
     band_hash, doc_id) rows, mirroring the minhash banding structure."""
-    from raylink.embed import l2_normalize
-
     ids = np.asarray(batch[id_col].to_numpy())
     mat = l2_normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float64))
     bits = (mat @ planes) > 0  # (n, n_bits)
@@ -819,8 +816,6 @@ def embedding_lsh_pairs(
     Probabilistic recall (documented, not exactness): for cosine>=0.95,
     64 bits x 8 bands gives ~0.99 pair recall."""
     import ray
-
-    from raylink.embed import l2_normalize
 
     first = ds.limit(1).to_pandas()
     dim = len(first[emb_col].iloc[0])

@@ -459,6 +459,60 @@ def q_multimodal_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+EMBLSH_DIR = os.path.join(FIXTURE_ROOT, "emblsh-n2000-d200")
+
+
+def ensure_embedding_lsh_fixture() -> str:
+    """Idempotent planted near-dup embedding fixture (seed 7): 2000 base
+    vectors + 200 small perturbations of the first 200 — every planted
+    pair sits at cosine ~0.95+, where the LSH path's recall is exactly 1
+    (verified against brute force), making it SQL-oracle-able."""
+    path = os.path.join(EMBLSH_DIR, "embeddings.parquet")
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n, dim, n_dups, noise = 2000, 32, 200, 0.05
+    base = rng.standard_normal((n, dim))
+    vecs = [base[i] for i in range(n)]
+    for i in range(n_dups):
+        vecs.append(base[i] + noise * rng.standard_normal(dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float64())
+            ),
+        }
+    )
+    tmp = f"{EMBLSH_DIR}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"))
+    try:
+        os.rename(tmp, EMBLSH_DIR)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def q_embedding_lsh_pairs(sf_dir: str):
+    """The no-broadcast LSH near-dup scale path, SQL-checked on the
+    planted fixture (random-hyperplane banding + exact-cosine
+    verification; recall is exactly 1 at this threshold on this fixture,
+    so brute-force SQL is a valid oracle)."""
+    from raylink.dedup import embedding_lsh_pairs
+
+    path = ensure_embedding_lsh_fixture()
+    out = embedding_lsh_pairs(
+        _rd().read_parquet(path), "vec_id", "embedding", threshold=0.9
+    )
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
 def q_embedding_cosine_pairs(sf_dir: str):
     """Embedding near-dup pairs (exact baseline: streamed batches vs one
     broadcast matrix), SQL-checked via list_cosine_similarity; cosines
@@ -617,6 +671,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
@@ -904,6 +959,17 @@ ORACLE_SQL = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                      b.embedding::DOUBLE[]) >= 0.4
+    """,
+    "embedding_lsh_pairs": f"""
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4)
+                   AS cosine
+        FROM read_parquet('{os.path.join(EMBLSH_DIR, "embeddings.parquet")}') a
+        JOIN read_parquet('{os.path.join(EMBLSH_DIR, "embeddings.parquet")}') b
+          ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.9
     """,
     "ngram_jaccard_pairs": f"""
         WITH docs AS (SELECT doc_id, {_CLEAN_T} AS t FROM documents),

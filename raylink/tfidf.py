@@ -28,6 +28,7 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
+from raylink._tiled_kernel import topk_cosine_tiled
 from raylink.text import batch_ngrams, clean_strings_arrow, doc_term_counts
 
 
@@ -332,8 +333,6 @@ def topk_cosine(
     if n_to == 0 or k == 0:
         return out_idx, out_sim
     if index.n_tiles > 1 and k <= 16:
-        from raylink._tiled_kernel import topk_cosine_tiled
-
         topk_cosine_tiled(
             fr, index, k, out_idx, out_sim, min_similarity, self_match,
             from_global_offset, apply_min_similarity,

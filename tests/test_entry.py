@@ -108,6 +108,7 @@ def test_every_query_runs(entry_mod):
         "fit_transform",
         "minhash_dedup",
         "embedding_cosine_pairs",
+        "embedding_lsh_pairs",
         "ngram_jaccard_pairs",
     ],
 )
