@@ -78,3 +78,36 @@ def test_labeled_pairs():
     v2e = dict(zip(gtd["variant"], gtd["entity_id"]))
     for _, r in pos.head(50).iterrows():
         assert v2e[r.entity_a] == v2e[r.entity_b]
+
+
+def test_read_parquet_with_row_order(ray_session, tmp_path):
+    """Reader contract: row_order equals the global position over sorted
+    files × row groups, derived from footers only; columns prune."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raylink.sources import read_parquet_with_row_order
+
+    d = tmp_path / "src"
+    d.mkdir()
+    n_per = [5, 3, 7]
+    off = 0
+    for i, n in enumerate(n_per):
+        pq.write_table(
+            pa.table(
+                {
+                    "x": pa.array(np.arange(off, off + n, dtype=np.int64)),
+                    "y": pa.array(["v"] * n),
+                    "z": pa.array(np.zeros(n)),
+                }
+            ),
+            str(d / f"part-{i:03d}.parquet"),
+        )
+        off += n
+    ds = read_parquet_with_row_order(str(d), columns=["x", "y"])
+    pdf = ds.to_pandas().sort_values("row_order", ignore_index=True)
+    assert list(pdf.columns) == ["x", "y", "row_order"]  # z pruned
+    assert pdf["row_order"].tolist() == list(range(sum(n_per)))
+    # row_order i corresponds to the i-th row in (file, row) order
+    assert pdf["x"].tolist() == list(range(sum(n_per)))
