@@ -178,6 +178,76 @@ def _num_rows_remote(tbl: pa.Table) -> int:
     return tbl.num_rows
 
 
+_PARALLEL_FIT_CHUNK = 16_384
+
+
+@ray.remote
+def _df_chunk_remote(texts_arr, n_gram_range, clean, remove_space):
+    """DF counts of one chunk of a big block (each doc lives entirely in
+    one chunk, so per-chunk DFs sum to the exact block DF)."""
+    arr = clean_strings_arrow(texts_arr) if clean else texts_arr
+    doc_ids, grams = batch_ngrams(
+        arr, n_gram_range, remove_space, pad_width=n_gram_range[1]
+    )
+    return df_counts(doc_ids, grams)
+
+
+@ray.remote
+def _transform_chunk_remote(vocab, texts_arr):
+    return vocab.transform(texts_arr)
+
+
+@ray.remote
+def _assemble_topk_remote(*csrs):
+    """Concat row-chunk CSRs (offset indptrs) and build the TopkIndex
+    (incl. the tiled layout) in one task."""
+    indptrs = [csrs[0].indptr]
+    for c in csrs[1:]:
+        indptrs.append(c.indptr[1:] + indptrs[-1][-1])
+    merged = CSR(
+        indptr=np.concatenate(indptrs),
+        indices=np.concatenate([c.indices for c in csrs]),
+        data=np.concatenate([c.data for c in csrs]),
+        n_cols=csrs[0].n_cols,
+    )
+    return TopkIndex(merged)
+
+
+def _fit_big_block_parallel(bi: "BlockIndex", spec: MatcherSpec):
+    """Chunked fit of one oversized block: DF partials, vocab merge, and
+    CSR transform all fan out across Ray tasks — the hottest blocking key
+    stops being a single-task straggler in the broadcast-fit path."""
+    pad = spec.n_gram_range[1]
+    n = len(bi.texts_arr)
+    chunks = [
+        bi.texts_arr.slice(s, _PARALLEL_FIT_CHUNK)
+        for s in range(0, n, _PARALLEL_FIT_CHUNK)
+    ]
+    df_parts = ray.get(
+        [
+            _df_chunk_remote.remote(
+                c, tuple(spec.n_gram_range), spec.clean_string,
+                spec.remove_space_ngrams,
+            )
+            for c in chunks
+        ]
+    )
+    g_all = np.concatenate([g for g, _ in df_parts]) if df_parts else np.empty(0, f"S{pad}")
+    d_all = np.concatenate([d for _, d in df_parts]) if df_parts else np.empty(0, np.int64)
+    if len(g_all):
+        order = np.argsort(g_all, kind="stable")
+        g_all, d_all = g_all[order], d_all[order]
+        st = np.flatnonzero(np.r_[True, g_all[1:] != g_all[:-1]])
+        g_all, d_all = g_all[st], np.add.reduceat(d_all, st)
+    bi.tfidf_vocab = TfidfVocab.from_df_counts(
+        g_all, d_all, n, spec.n_gram_range, spec.clean_string,
+        spec.remove_space_ngrams,
+    )
+    vocab_ref = ray.put(bi.tfidf_vocab)
+    csr_refs = [_transform_chunk_remote.remote(vocab_ref, c) for c in chunks]
+    return _assemble_topk_remote.remote(*csr_refs)
+
+
 @ray.remote
 def _fit_tfidf_block_remote(texts, row_orders, n_gram_range, clean, remove_space):
     """Parallel per-block self-match TF-IDF fit: vocab from the block's own
@@ -520,17 +590,36 @@ def build_block_indexes(
             total = sum(len(bi.texts_arr) for _, bi in items)
             if total > 20_000 and len(items) > 1:
                 # fit blocks in parallel Ray tasks (driver would be the
-                # Amdahl bottleneck at scale otherwise)
+                # Amdahl bottleneck at scale otherwise); oversized blocks
+                # additionally fan their own fit out across chunk tasks so
+                # the hottest blocking key is not a single-task straggler
+                big = [
+                    (bk, bi)
+                    for bk, bi in items
+                    if len(bi.texts_arr) > _PARALLEL_FIT_CHUNK
+                ]
+                small = [
+                    (bk, bi)
+                    for bk, bi in items
+                    if len(bi.texts_arr) <= _PARALLEL_FIT_CHUNK
+                ]
+                big_topk_refs = {
+                    bk: _fit_big_block_parallel(bi, spec) for bk, bi in big
+                }
                 futs = [
                     _fit_tfidf_block_remote.remote(
                         bi.texts_arr, bi.row_orders,
                         tuple(spec.n_gram_range), spec.clean_string,
                         spec.remove_space_ngrams,
                     )
-                    for _, bi in items
+                    for _, bi in small
                 ]
-                for (bk, _), built in zip(items, ray.get(futs)):
+                for (bk, _), built in zip(small, ray.get(futs)):
                     to_blocks[bk] = built
+                for bk, topk in zip(
+                    big_topk_refs, ray.get(list(big_topk_refs.values()))
+                ):
+                    to_blocks[bk].topk = topk
             else:
                 for bk, bi in items:
                     grams, df = _driver_df(bi.texts_arr, spec)

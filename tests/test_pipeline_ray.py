@@ -561,3 +561,25 @@ def test_distributed_assignment_join_equals_broadcast(rd):
     a = base.assignments.to_pandas().sort_values("conv_id", ignore_index=True)
     b = dist.assignments.to_pandas().sort_values("conv_id", ignore_index=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_chunked_block_fit_equals_single_task(rd, monkeypatch):
+    """Oversized-block chunked fit (DF partials + CSR chunk concat) must
+    reproduce the single-task fit bit for bit."""
+    import raylink.pipeline as P
+    from raylink.pipeline import MatcherSpec, match_dataset, matches_to_frame
+
+    rng = np.random.default_rng(29)
+    # >20k total rows + 2 blocks engages the parallel fit branch; block
+    # 'a' then exceeds the (patched) chunk size and takes the chunked DAG
+    texts = ["a" + "".join(rng.choice(list("bcdef"), size=6)) for _ in range(18000)]
+    texts += ["z" + "".join(rng.choice(list("bcdef"), size=6)) for _ in range(3000)]
+    blocks = [t[0] for t in texts]
+    spec = MatcherSpec(min_similarity=0, top_n=2)
+    base = match_dataset(_ds(rd, texts, blocks), None, spec)
+    base_frame = matches_to_frame(base.matches, base.top_n_cols)
+    monkeypatch.setattr(P, "_PARALLEL_FIT_CHUNK", 4000)  # force chunking
+    chunked = match_dataset(_ds(rd, texts, blocks), None, spec)
+    pd.testing.assert_frame_equal(
+        matches_to_frame(chunked.matches, chunked.top_n_cols), base_frame
+    )
