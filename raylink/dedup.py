@@ -875,91 +875,111 @@ def embedding_lsh_pairs(
         )
         return out.sort_values(["a", "b"], ignore_index=True)
 
-    # distributed verification: vectors fan out to their pairs on doc_id,
-    # pairs reduce on pair_id
+    # distributed verification, pair-partitioned like the minhash verifier:
+    # pairs hash-partition by left doc; each needed doc's (id, vector) row
+    # replicates to its partitions ONCE via a broadcast need-map; one keyed
+    # groupby co-locates a partition's pairs with all vectors they touch
+    # and verifies with one stacked einsum — per-group Python is
+    # O(partitions), never O(pairs) or O(docs)
+    import ray
     import ray.data as rd
 
-    n_pairs = len(cand)
-    pair_id = np.arange(n_pairs, dtype=np.int64)
-    mem = pa.table(
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    ca = cand["a"].to_numpy().astype(np.int64)
+    cb = cand["b"].to_numpy().astype(np.int64)
+    ppart = (ca % P).astype(np.int64)
+    need = np.unique(
+        np.stack(
+            [np.concatenate([ca, cb]), np.concatenate([ppart, ppart])], axis=1
+        ),
+        axis=0,
+    )
+    nd, npart = need[:, 0], need[:, 1]
+    run_starts = np.flatnonzero(np.r_[True, nd[1:] != nd[:-1]])
+    run_docs = nd[run_starts]
+    run_lens = np.diff(np.append(run_starts, len(nd)))
+    need_ref = ray.put((run_docs, run_starts, run_lens, npart))
+
+    def fan_vec(batch: pd.DataFrame) -> pd.DataFrame:
+        rdocs, rstarts, rlens, rparts = ray.get(need_ref)
+        doc = batch[id_col].to_numpy().astype(np.int64)
+        pos = np.searchsorted(rdocs, doc)
+        posc = np.minimum(pos, max(len(rdocs) - 1, 0))
+        ok = (
+            (pos < len(rdocs)) & (rdocs[posc] == doc)
+            if len(rdocs)
+            else np.zeros(len(doc), bool)
+        )
+        sel = np.flatnonzero(ok)
+        posc = posc[sel]
+        lens = rlens[posc]
+        idx = _ranges_gather(rstarts[posc], lens)
+        src_row = np.repeat(sel, lens)
+        # vectors as plain lists so the shuffled object column never trips
+        # Ray's tensor-extension concat
+        vec_list = [list(map(float, v)) for v in batch[emb_col]]
+        return pd.DataFrame(
+            {
+                "part": rparts[idx],
+                "doc_id": doc[src_row],
+                "a": np.full(len(idx), -1, dtype=np.int64),
+                "b": np.full(len(idx), -1, dtype=np.int64),
+                "vec": [vec_list[r] for r in src_row],
+            }
+        )
+
+    pair_rows = pd.DataFrame(
         {
-            "doc_id": pa.array(
-                np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
-            ),
-            "pair_id": pa.array(np.concatenate([pair_id, pair_id])),
-            "side": pa.array(
-                np.concatenate(
-                    [np.zeros(n_pairs, np.int64), np.ones(n_pairs, np.int64)]
-                )
-            ),
+            "part": ppart,
+            "doc_id": np.full(len(ca), -1, dtype=np.int64),
+            "a": ca,
+            "b": cb,
+            "vec": [[] for _ in range(len(ca))],
         }
     )
+    union = vec_ds.map_batches(
+        fan_vec, batch_format="pandas", batch_size=batch_size
+    ).union(rd.from_pandas(pair_rows))
 
-    def tag_vec(batch: pd.DataFrame) -> pd.DataFrame:
-        # plain Python lists (not ndarrays) so the shuffled object column
-        # never trips Ray's tensor-extension concat
-        return pd.DataFrame(
-            {
-                "doc_id": batch[id_col].to_numpy(),
-                "pair_id": np.full(len(batch), -1, dtype=np.int64),
-                "side": np.full(len(batch), -1, dtype=np.int64),
-                "vec": [list(map(float, v)) for v in batch[emb_col]],
-            }
-        )
-
-    mem_pdf = mem.to_pandas()
-    mem_pdf["vec"] = [[] for _ in range(len(mem_pdf))]
-    union = vec_ds.map_batches(tag_vec, batch_format="pandas").union(
-        rd.from_pandas(mem_pdf)
-    )
-
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        is_mem = g["pair_id"].to_numpy() >= 0
-        vec_rows = g[~is_mem]
-        mems = g[is_mem]
-        if not len(mems) or not len(vec_rows):
-            return pd.DataFrame(
-                {"pair_id": [], "side": [], "doc_id": [], "vec": []}
-            )
-        v = list(map(float, vec_rows["vec"].iloc[0]))
-        return pd.DataFrame(
-            {
-                "pair_id": mems["pair_id"].to_numpy(),
-                "side": mems["side"].to_numpy(),
-                "doc_id": mems["doc_id"].to_numpy(),
-                "vec": [v] * len(mems),
-            }
-        )
-
-    exploded = union.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
     thr = float(threshold)
 
-    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        s0 = g[side == 0]
-        s1 = g[side == 1]
-        if not len(s0) or not len(s1):
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        v0 = l2_normalize(
-            np.asarray(s0["vec"].iloc[0], dtype=np.float64)[None, :]
-        )[0]
-        v1 = l2_normalize(
-            np.asarray(s1["vec"].iloc[0], dtype=np.float64)[None, :]
-        )[0]
-        cos = float(v0 @ v1)
-        if cos < thr:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_pair = g["a"].to_numpy() >= 0
+        pa_ = g.loc[is_pair, "a"].to_numpy().astype(np.int64)
+        pb_ = g.loc[is_pair, "b"].to_numpy().astype(np.int64)
+        empty_p = pd.DataFrame({"a": [], "b": [], "cosine": []})
+        if not len(pa_):
+            return empty_p
+        vrows = g[~is_pair]
+        ids = vrows["doc_id"].to_numpy().astype(np.int64)
+        if not len(ids):
+            return empty_p
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        keep1 = np.r_[True, ids[1:] != ids[:-1]]  # dedupe replicas
+        mat = l2_normalize(
+            np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vrows["vec"].to_numpy()[order]]
+            )
+        )[keep1]
+        ids = ids[keep1]
+        ai = np.searchsorted(ids, pa_)
+        bi = np.searchsorted(ids, pb_)
+        aic = np.minimum(ai, len(ids) - 1)
+        bic = np.minimum(bi, len(ids) - 1)
+        ok = (
+            (ai < len(ids)) & (ids[aic] == pa_)
+            & (bi < len(ids)) & (ids[bic] == pb_)
+        )
+        cos = np.einsum("ij,ij->i", mat[aic], mat[bic])
+        keep = ok & (cos >= thr)
         return pd.DataFrame(
-            {
-                "a": [int(s0["doc_id"].iloc[0])],
-                "b": [int(s1["doc_id"].iloc[0])],
-                "cosine": [cos],
-            }
+            {"a": pa_[keep], "b": pb_[keep], "cosine": cos[keep]}
         )
 
     out = (
-        exploded.groupby("pair_id")
-        .map_groups(per_pair, batch_format="pandas")
+        union.groupby("part")
+        .map_groups(verify_part, batch_format="pandas")
         .to_pandas()
     )
     if not len(out):
