@@ -157,6 +157,42 @@ def minhash_band_rows(
     )
 
 
+def _emit_bucket_pairs(
+    starts: np.ndarray,
+    sizes: np.ndarray,
+    max_bucket: int,
+    arrays: list[np.ndarray],
+    oversize: str = "truncate",
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Vectorized intra-bucket pair emission over PRE-SORTED bucket runs:
+    buckets of equal size share one (i, j) index pattern, so the whole
+    size class gathers in one shot. ``arrays`` are row-aligned with the
+    sorted bucket layout; for each, the (left, right) pair columns are
+    returned. ``oversize``: "truncate" keeps the first max_bucket members,
+    "skip" drops the bucket entirely — both explicit, never silent."""
+    outs: list[tuple[list, list]] = [([], []) for _ in arrays]
+    valid = sizes >= 2
+    if oversize == "skip":
+        valid &= sizes <= max_bucket
+    for s in np.unique(sizes[valid]):
+        sel = starts[(sizes == s) & valid]
+        cap = min(int(s), max_bucket)
+        i, j = np.triu_indices(cap, k=1)
+        gather = sel[:, None] + np.arange(cap)[None, :]
+        for ai, arr in enumerate(arrays):
+            rows = arr[gather]
+            outs[ai][0].append(rows[:, i].ravel())
+            outs[ai][1].append(rows[:, j].ravel())
+    result = []
+    for ai, (ls, rs) in enumerate(outs):
+        if ls:
+            result.append((np.concatenate(ls), np.concatenate(rs)))
+        else:
+            dt = arrays[ai].dtype
+            result.append((np.empty(0, dt), np.empty(0, dt)))
+    return result
+
+
 def candidate_pairs_from_bands(
     band_ds, max_bucket: int = 200, driver_threshold: int = 20_000_000
 ):
@@ -166,59 +202,54 @@ def candidate_pairs_from_bands(
 
     Fast path: the band table is 3 int64 columns (n_docs x bands rows) —
     below ``driver_threshold`` rows it is collected and bucketed with one
-    vectorized numpy sort+reduceat pass (a Ray groupby here costs one
-    Python map_groups call per bucket, and most buckets are singletons).
-    Above the threshold it falls back to the distributed groupby."""
+    vectorized numpy sort+reduceat pass. Above the threshold the SAME
+    vectorized scan runs per hash partition of the band key (one keyed
+    groupby; per-group Python is O(partitions), never O(buckets))."""
+    import ray
+
     band_ds = band_ds.materialize()
     n = band_ds.count()
-    if n <= driver_threshold:
-        import ray
 
-        tbl = pa.concat_tables(
-            ray.get(band_ds.to_arrow_refs()), promote_options="default"
-        )
-        band = np.asarray(tbl["band_id"].to_numpy(zero_copy_only=False), np.int64)
-        bh = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False), np.int64)
-        doc = np.asarray(tbl["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+    def scan(band, bh, doc):
         order = np.lexsort((doc, bh, band))
         band, bh, doc = band[order], bh[order], doc[order]
         if len(band) == 0:
             return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        chg = np.empty(len(band), bool)
-        chg[0] = True
-        chg[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        chg = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
         starts = np.flatnonzero(chg)
-        ends = np.append(starts[1:], len(band))
-        sizes = ends - starts
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        # vectorize per bucket-size class: all buckets of size s emit the
-        # same (i, j) index pattern
-        for s in np.unique(sizes[sizes >= 2]):
-            sel = starts[sizes == s]
-            cap = min(int(s), max_bucket)
-            rows = doc[sel[:, None] + np.arange(cap)[None, :]]
-            i, j = np.triu_indices(cap, k=1)
-            out_a.append(rows[:, i].ravel())
-            out_b.append(rows[:, j].ravel())
-        if not out_a:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        sizes = np.diff(np.append(starts, len(band)))
+        (ab,) = _emit_bucket_pairs(starts, sizes, max_bucket, [doc])
+        return pd.DataFrame({"a": ab[0], "b": ab[1]})
+
+    if n <= driver_threshold:
+        tbl = pa.concat_tables(
+            ray.get(band_ds.to_arrow_refs()), promote_options="default"
+        )
+        return scan(
+            np.asarray(tbl["band_id"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(tbl["doc_id"].to_numpy(zero_copy_only=False), np.int64),
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        if len(ids) > max_bucket:
-            ids = ids[:max_bucket]
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        bh = np.asarray(batch["band_hash"].to_numpy(zero_copy_only=False), np.int64)
+        return batch.append_column(
+            "part", pa.array((bh % P).astype(np.int64))
+        )
+
+    def scan_part(g: pd.DataFrame) -> pd.DataFrame:
+        return scan(
+            g["band_id"].to_numpy().astype(np.int64),
+            g["band_hash"].to_numpy().astype(np.int64),
+            g["doc_id"].to_numpy().astype(np.int64),
+        )
 
     return (
-        band_ds.groupby(["band_id", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
+        band_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(scan_part, batch_format="pandas")
     )
 
 
@@ -692,21 +723,37 @@ def ngram_jaccard_pairs(
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
-        if len(g) < 2 or len(g) > max_posting:
+    # co-occurrence pairs per shingle, emitted with one vectorized scan per
+    # HASH PARTITION of the shingle (per-group Python O(partitions), not
+    # one call per shingle); oversized postings are skipped entirely
+    import ray
+
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        sh = np.asarray(batch["shingle"].to_numpy(zero_copy_only=False), np.int64)
+        return batch.append_column("part", pa.array((sh % P).astype(np.int64)))
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["shingle"].to_numpy().astype(np.int64)
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        sz = g["set_size"].to_numpy().astype(np.int64)
+        order = np.lexsort((doc, sh))
+        sh, doc, sz = sh[order], doc[order], sz[order]
+        if not len(sh):
             return pd.DataFrame({"a": [], "b": [], "sa": [], "sb": []}).astype(np.int64)
-        ids = g["doc_id"].to_numpy()
-        sz = g["set_size"].to_numpy()
-        order = np.argsort(ids)
-        ids, sz = ids[order], sz[order]
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[i], "b": ids[j], "sa": sz[i], "sb": sz[j]})
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        sizes = np.diff(np.append(starts, len(sh)))
+        ab, ss = _emit_bucket_pairs(
+            starts, sizes, max_posting, [doc, sz], oversize="skip"
+        )
+        return pd.DataFrame({"a": ab[0], "b": ab[1], "sa": ss[0], "sb": ss[1]})
 
     co = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("shingle")
-        .map_groups(pairs, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
         .to_pandas()
     )
     if not len(co):
