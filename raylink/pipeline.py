@@ -249,6 +249,42 @@ def _fit_big_block_parallel(bi: "BlockIndex", spec: MatcherSpec):
 
 
 @ray.remote
+def _fit_twolist_block_remote(
+    texts_arr, from_grams_df, n_from_docs, n_gram_range, clean, remove_space
+):
+    """Two-list joint fit of one block in a Ray task: to-side DF, merge
+    with the (distributed) from-side DF, sklearn-parity vocab, to-side
+    CSR index. Returns (TfidfVocab, TopkIndex)."""
+    pad = n_gram_range[1]
+    arr = clean_strings_arrow(texts_arr) if clean else texts_arr
+    doc_ids, grams = batch_ngrams(arr, n_gram_range, remove_space, pad_width=pad)
+    to_grams, to_df = df_counts(doc_ids, grams)
+    f_grams, f_df = from_grams_df
+    g_from = (
+        np.asarray([g.encode() for g in f_grams], dtype=f"S{pad}")
+        if f_grams
+        else np.empty(0, f"S{pad}")
+    )
+    g_all = np.concatenate([np.asarray(to_grams, dtype=f"S{pad}"), g_from])
+    d_all = np.concatenate(
+        [
+            np.asarray(to_df, np.int64),
+            np.asarray(f_df, np.int64) if f_df else np.empty(0, np.int64),
+        ]
+    )
+    if len(g_all):
+        order = np.argsort(g_all, kind="stable")
+        g_all, d_all = g_all[order], d_all[order]
+        st = np.flatnonzero(np.r_[True, g_all[1:] != g_all[:-1]])
+        g_all, d_all = g_all[st], np.add.reduceat(d_all, st)
+    n_docs = len(texts_arr) + int(n_from_docs)
+    vocab = TfidfVocab.from_df_counts(
+        g_all, d_all, n_docs, n_gram_range, clean, remove_space
+    )
+    return vocab, TopkIndex(vocab.transform(texts_arr))
+
+
+@ray.remote
 def _fit_tfidf_block_remote(texts, row_orders, n_gram_range, clean, remove_space):
     """Parallel per-block self-match TF-IDF fit: vocab from the block's own
     strings (the reference self-match fit, polyfuzz/models/_tfidf.py:114),
@@ -629,35 +665,24 @@ def build_block_indexes(
                     )
                     bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts_arr))
         else:
+            # joint fit per block: from-side DF is distributed; the
+            # to-side DF + merge + CSR transform run in one Ray task per
+            # block (round-1 did all of it on the driver, sequentially)
             per_block, from_doc_counts = _distributed_df_counts(from_ds, spec)
-            for bk, bi in to_blocks.items():
-                to_grams, to_df = _driver_df(bi.texts_arr, spec)
-                f_grams, f_df = per_block.get(bk, ([], []))
-                grams = [g.encode() for g in f_grams]
-                pad = spec.n_gram_range[1]
-                g_all = np.concatenate(
-                    [np.asarray(to_grams, dtype=f"S{pad}"),
-                     np.asarray(grams, dtype=f"S{pad}") if grams else np.empty(0, f"S{pad}")]
+            items2 = list(to_blocks.items())
+            futs2 = [
+                _fit_twolist_block_remote.remote(
+                    bi.texts_arr,
+                    per_block.get(bk, ([], [])),
+                    int(from_doc_counts.get(bk, 0)),
+                    tuple(spec.n_gram_range), spec.clean_string,
+                    spec.remove_space_ngrams,
                 )
-                d_all = np.concatenate(
-                    [np.asarray(to_df, np.int64),
-                     np.asarray(f_df, np.int64) if f_df else np.empty(0, np.int64)]
-                )
-                # merge duplicate grams between the two sides
-                order = np.argsort(g_all, kind="stable")
-                g_all, d_all = g_all[order], d_all[order]
-                chg = np.empty(len(g_all), bool)
-                if len(g_all):
-                    chg[0] = True
-                    chg[1:] = g_all[1:] != g_all[:-1]
-                st = np.flatnonzero(chg)
-                d_merged = np.add.reduceat(d_all, st) if len(st) else d_all
-                n_docs = len(bi.texts_arr) + int(from_doc_counts.get(bk, 0))
-                bi.tfidf_vocab = TfidfVocab.from_df_counts(
-                    g_all[st] if len(st) else g_all, d_merged, n_docs,
-                    spec.n_gram_range, spec.clean_string, spec.remove_space_ngrams,
-                )
-                bi.topk = TopkIndex(bi.tfidf_vocab.transform(bi.texts_arr))
+                for bk, bi in items2
+            ]
+            for (bk, bi), (vocab, topk) in zip(items2, ray.get(futs2)):
+                bi.tfidf_vocab = vocab
+                bi.topk = topk
     elif spec.kind in ("rapidfuzz", "editdistance"):
         for bi in to_blocks.values():
             bi.packed = editdist.PaddedStrings([str(t) for t in bi.texts])
