@@ -194,6 +194,19 @@ def partition_done(root: str, stage: str, key: str) -> bool:
         return False
 
 
+def partitioned_stage_complete(
+    root: str, stage: str, params: dict | None = None
+) -> bool:
+    """True iff the stage's manifest exists with matching params and every
+    recorded partition's marker validates — the cheap full-resume check
+    that lets a re-entered job skip even deriving the partition keys."""
+    m = read_manifest(root, stage)
+    if m is None or m.get("params_fingerprint") != _fingerprint(params or {}):
+        return False
+    keys = m.get("partition_keys") or []
+    return bool(keys) and all(partition_done(root, stage, k) for k in keys)
+
+
 def run_partitioned_stage(
     root: str,
     stage: str,
@@ -233,6 +246,19 @@ def run_partitioned_stage(
         with open(params_path + ".tmp", "w") as f:
             json.dump({"params_fingerprint": fp}, f)
         os.rename(params_path + ".tmp", params_path)
+
+    # prune orphans from a previous run with a DIFFERENT key set (e.g. the
+    # upstream data shrank at the same path): read_checkpoint reads the
+    # whole data dir, so stale part files must never survive
+    want_parts = {f"part-{k}.parquet" for k in keys}
+    want_marks = {f"part-{k}.done.json" for k in keys}
+    for f in os.listdir(data_dir):
+        if f.endswith(".parquet") and f not in want_parts:
+            os.remove(os.path.join(data_dir, f))
+    marks_dir = os.path.join(stage_dir, "marks")
+    for f in os.listdir(marks_dir):
+        if f.endswith(".json") and f not in want_marks:
+            os.remove(os.path.join(marks_dir, f))
 
     n_skipped = 0
     for key in keys:

@@ -628,10 +628,12 @@ def simhash_dedup(
         h = simhash_batch(batch[text_col].combine_chunks(), k)
         return pa.table({"doc_id": ids, "simhash": pa.array(h.astype(np.int64))})
 
-    sim_ds = ds.map_batches(sims, batch_format="pyarrow")
+    # materialize once: the branch decision's count() and the chosen
+    # branch's consumption must not each re-execute the upstream lineage
+    sim_ds = ds.map_batches(sims, batch_format="pyarrow").materialize()
 
     distributed = bucketing == "distributed" or (
-        bucketing == "auto" and ds.count() > driver_max_docs
+        bucketing == "auto" and sim_ds.count() > driver_max_docs
     )
     if not distributed:
         tbl = sim_ds.to_pandas()
@@ -742,6 +744,11 @@ def ngram_jaccard_pairs(
         sh, doc, sz = sh[order], doc[order], sz[order]
         if not len(sh):
             return pd.DataFrame({"a": [], "b": [], "sa": [], "sb": []}).astype(np.int64)
+        # guard against duplicated doc_id input rows (the old per-shingle
+        # drop_duplicates): without it, dupes emit self-pairs and
+        # double-count intersections
+        keep = np.r_[True, (sh[1:] != sh[:-1]) | (doc[1:] != doc[:-1])]
+        sh, doc, sz = sh[keep], doc[keep], sz[keep]
         starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
         sizes = np.diff(np.append(starts, len(sh)))
         ab, ss = _emit_bucket_pairs(
@@ -865,6 +872,8 @@ def embedding_lsh_pairs(
     import ray
 
     first = ds.limit(1).to_pandas()
+    if not len(first):
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
     dim = len(first[emb_col].iloc[0])
     planes = _hyperplanes(dim, n_bits, seed)
     planes_ref = ray.put(planes)
@@ -963,15 +972,24 @@ def embedding_lsh_pairs(
         idx = _ranges_gather(rstarts[posc], lens)
         src_row = np.repeat(sel, lens)
         # vectors as plain lists so the shuffled object column never trips
-        # Ray's tensor-extension concat
-        vec_list = [list(map(float, v)) for v in batch[emb_col]]
+        # Ray's tensor-extension concat; convert only the NEEDED rows
+        # (candidates are a small fraction of the corpus)
+        emb_vals = batch[emb_col].to_numpy()
+        cache: dict[int, list] = {}
+        vecs = []
+        for r in src_row:
+            v = cache.get(r)
+            if v is None:
+                v = list(map(float, emb_vals[r]))
+                cache[r] = v
+            vecs.append(v)
         return pd.DataFrame(
             {
                 "part": rparts[idx],
                 "doc_id": doc[src_row],
                 "a": np.full(len(idx), -1, dtype=np.int64),
                 "b": np.full(len(idx), -1, dtype=np.int64),
-                "vec": [vec_list[r] for r in src_row],
+                "vec": vecs,
             }
         )
 

@@ -431,8 +431,6 @@ def spread_table(tbl: pa.Table, target_rows_per_block: int = 512):
     refs = _split_table_remote.options(num_returns=n_blocks).remote(
         permuted, offsets.tolist(), [int(s) for s in sizes]
     )
-    if n_blocks == 1:
-        refs = [refs]
     return rd.from_arrow_refs(list(refs))
 
 
@@ -1142,14 +1140,16 @@ class ShardedScorer:
     to-position). No shard partial tables exist and nothing merges on the
     driver — K4 (SURVEY §2.6) realized as a per-batch in-memory merge."""
 
-    def __init__(self, shard_refs, state_ref, shard_base, spec: MatcherSpec,
+    def __init__(self, shard_refs, state_ref, shard_base_ref, spec: MatcherSpec,
                  top_n_cols: int, self_match: bool = True):
         self.shard_refs = list(shard_refs)
         # tfidf: dict[block -> TfidfVocab]; embeddings: the embedder callable
         self.state = ray.get(state_ref)
         # shard_base: dict[block_key -> np.ndarray(n_shards,)] global
-        # to-position of each shard's first row of that block (-1 = absent)
-        self.shard_base = shard_base
+        # to-position of each shard's first row of that block (-1 = absent).
+        # Broadcast by ref — with many blocks this dict is big, and closure
+        # capture would ship it inside every serialized scoring UDF.
+        self.shard_base = ray.get(shard_base_ref)
         self.spec = spec
         self.k = top_n_cols
         self.self_match = self_match
@@ -1263,10 +1263,11 @@ class ShardedScorer:
 _SHARDED_SCORER_CACHE: dict = {}
 
 
-def _cached_sharded_scorer(shard_refs, vocab_ref, shard_base, spec, k, sm):
+def _cached_sharded_scorer(shard_refs, vocab_ref, shard_base_ref, spec, k, sm):
     key = (
         tuple(r.hex() for r in shard_refs),
         vocab_ref.hex(),
+        shard_base_ref.hex(),
         _spec_key(spec),
         k,
         sm,
@@ -1275,7 +1276,7 @@ def _cached_sharded_scorer(shard_refs, vocab_ref, shard_base, spec, k, sm):
     if s is None:
         if len(_SHARDED_SCORER_CACHE) > 4:
             _SHARDED_SCORER_CACHE.clear()
-        s = ShardedScorer(shard_refs, vocab_ref, shard_base, spec, k, sm)
+        s = ShardedScorer(shard_refs, vocab_ref, shard_base_ref, spec, k, sm)
         _SHARDED_SCORER_CACHE[key] = s
     return s
 
@@ -1424,7 +1425,8 @@ def match_dataset_sharded(
         )
         k = min(spec.top_n, max_distinct)
     _spec, _k, _sm = spec, k, self_match
-    _refs, _vref, _base = shard_refs, state_ref, shard_base
+    _refs, _vref = shard_refs, state_ref
+    _base = ray.put(shard_base)
 
     def score_batch(batch: pa.Table) -> pa.Table:
         return _cached_sharded_scorer(_refs, _vref, _base, _spec, _k, _sm)(batch)

@@ -60,40 +60,49 @@ def run_flagship_checkpointed(
     # scoring resumes PER PARTITION: the distinct table is deterministic
     # given the entities checkpoint, so fixed row ranges of it are stable
     # partition keys; a job killed mid-scoring re-enters and computes only
-    # the ranges whose done-markers are missing. The broadcast index is
-    # (re)built lazily on the first missing partition — a fully-complete
-    # stage skips straight to read_parquet.
-    from raylink.checkpoint import run_partitioned_stage
-
-    dist_tbl = distinct_entities_table(entities_ds)
-    part_rows = 65_536
-    n_parts = max(1, -(-dist_tbl.num_rows // part_rows))
-    keys = [f"{i:05d}" for i in range(n_parts)]
-    state: dict = {}
-
-    def produce_matches_partition(key: str) -> pa.Table:
-        if "index_ref" not in state:
-            from raylink.pipeline import _collect_to_side, build_block_indexes
-
-            blocks = _collect_to_side(dist_tbl)
-            build_block_indexes(spec, blocks, self_match=True)
-            state["index_ref"] = ray.put(blocks)
-        sl = dist_tbl.slice(int(key) * part_rows, part_rows)
-        res = match_dataset(
-            spread_table(sl), None, spec, batch_size=batch_size,
-            prebuilt_index_ref=state["index_ref"],
-            self_match_override=True,
-            top_n_cols_override=spec.top_n,
-        )
-        return pa.concat_tables(
-            ray.get(res.matches.to_arrow_refs()), promote_options="default"
-        )
-
-    matches_ds, matches_skipped = run_partitioned_stage(
-        checkpoint_root, "matches", keys, produce_matches_partition,
-        params=match_params, input_stages=["entities"],
+    # the ranges whose done-markers are missing. A FULLY complete stage
+    # short-circuits on the manifest's recorded keys — re-entry then costs
+    # a read_parquet, not a distinct pass over the corpus. The broadcast
+    # index is (re)built lazily on the first missing partition.
+    from raylink.checkpoint import (
+        partitioned_stage_complete,
+        read_checkpoint,
+        run_partitioned_stage,
     )
-    matches_resumed = matches_skipped == n_parts
+
+    if partitioned_stage_complete(checkpoint_root, "matches", match_params):
+        matches_ds = read_checkpoint(checkpoint_root, "matches")
+        matches_resumed = True
+    else:
+        dist_tbl = distinct_entities_table(entities_ds)
+        part_rows = 65_536
+        n_parts = max(1, -(-dist_tbl.num_rows // part_rows))
+        keys = [f"{i:05d}" for i in range(n_parts)]
+        state: dict = {}
+
+        def produce_matches_partition(key: str) -> pa.Table:
+            if "index_ref" not in state:
+                from raylink.pipeline import _collect_to_side, build_block_indexes
+
+                blocks = _collect_to_side(dist_tbl)
+                build_block_indexes(spec, blocks, self_match=True)
+                state["index_ref"] = ray.put(blocks)
+            sl = dist_tbl.slice(int(key) * part_rows, part_rows)
+            res = match_dataset(
+                spread_table(sl), None, spec, batch_size=batch_size,
+                prebuilt_index_ref=state["index_ref"],
+                self_match_override=True,
+                top_n_cols_override=spec.top_n,
+            )
+            return pa.concat_tables(
+                ray.get(res.matches.to_arrow_refs()), promote_options="default"
+            )
+
+        matches_ds, matches_skipped = run_partitioned_stage(
+            checkpoint_root, "matches", keys, produce_matches_partition,
+            params=match_params, input_stages=["entities"],
+        )
+        matches_resumed = matches_skipped == n_parts
 
     cluster_params = {**base_params, "link": link_min_similarity}
 

@@ -250,3 +250,25 @@ def test_simhash_distributed_bucketing_matches_driver(rd):
     )
     pd.testing.assert_frame_equal(drv, dist)
     assert len(drv) >= 2  # the planted near-dups are found
+
+
+def test_ngram_jaccard_duplicate_doc_rows_guard(rd):
+    """Duplicate doc_id input rows must not emit self-pairs or
+    double-counted intersections."""
+    import pyarrow as pa
+
+    from raylink.dedup import ngram_jaccard_pairs
+
+    texts = [BASE, BASE.replace("quick", "quikc"), "something else wholly"]
+    ids = [0, 1, 2, 0]  # doc 0 duplicated
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "text": pa.array([texts[0], texts[1], texts[2], texts[0]]),
+            }
+        )
+    )
+    out = ngram_jaccard_pairs(ds, "doc_id", "text", k=8, threshold=0.3)
+    assert not ((out["a"] == out["b"]).any())
+    assert (out["jaccard"] <= 1.0).all()

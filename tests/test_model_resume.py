@@ -168,3 +168,47 @@ def test_kill_mid_scoring_resumes_missing_partitions_only(rd, tmp_path):
         root, "score", keys, produce, params={"v": 2}
     )
     assert n_skipped3 == 0 and len(calls) == 10
+
+
+def test_shrunken_key_set_prunes_stale_partitions(rd, tmp_path):
+    """If the key set shrinks between runs (same params would be unusual,
+    but a changed-params wipe also covers it), stale part files must not
+    leak into the returned dataset."""
+    import pyarrow as pa
+
+    from raylink.checkpoint import run_partitioned_stage
+
+    root = str(tmp_path / "ckpt")
+
+    def produce(key: str) -> pa.Table:
+        return pa.table({"part": [int(key)] * 2})
+
+    ds1, _ = run_partitioned_stage(
+        root, "s", [f"{i:05d}" for i in range(5)], produce
+    )
+    assert ds1.count() == 10
+    ds2, _ = run_partitioned_stage(
+        root, "s", [f"{i:05d}" for i in range(3)], produce
+    )
+    out = ds2.to_pandas()
+    assert len(out) == 6 and set(out["part"]) == {0, 1, 2}
+
+
+def test_full_resume_skips_distinct_pass(rd, transcripts_dir, tmp_path):
+    """A fully-complete matches stage short-circuits on the manifest —
+    partitioned_stage_complete is true and re-entry reads parquet only."""
+    from raylink.checkpoint import partitioned_stage_complete
+    from raylink.resume import run_flagship_checkpointed
+
+    root = str(tmp_path / "ckpt")
+    r1 = run_flagship_checkpointed(transcripts_dir, root)
+    assert not r1["matches"][1]
+    # manifest-based completeness check holds without touching data
+    import json
+    import os
+
+    with open(os.path.join(root, "matches", "manifest.json")) as f:
+        assert json.load(f)["partition_keys"]
+    r2 = run_flagship_checkpointed(transcripts_dir, root)
+    assert r2["matches"][1]  # resumed via the short-circuit
+    assert r2["n_assignments"] == r1["n_assignments"]
