@@ -272,3 +272,28 @@ def test_ngram_jaccard_duplicate_doc_rows_guard(rd):
     out = ngram_jaccard_pairs(ds, "doc_id", "text", k=8, threshold=0.3)
     assert not ((out["a"] == out["b"]).any())
     assert (out["jaccard"] <= 1.0).all()
+
+
+def test_cc_string_nodes_both_modes(rd):
+    """Connected components over STRING node ids: both the broadcast and
+    the partition-join mode (object-dtype minimum/searchsorted paths)."""
+    from raylink.linkage import (
+        connected_components_labels,
+        distributed_connected_components,
+    )
+
+    rng = np.random.default_rng(4)
+    a = np.array([f"n{int(x):03d}" for x in rng.integers(0, 40, 60)], dtype=object)
+    b = np.array([f"n{int(x):03d}" for x in rng.integers(0, 40, 60)], dtype=object)
+    want = connected_components_labels(a, b)
+    for kw in ({}, {"broadcast_max_nodes": 1}):
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(a, type=pa.string()),
+                    "b": pa.array(b, type=pa.string()),
+                }
+            )
+        )
+        got = distributed_connected_components(edges, **kw).to_pandas()
+        assert dict(zip(got["node"], got["label"])) == want
