@@ -588,18 +588,52 @@ def _distributed_df_counts(from_ds, spec: MatcherSpec):
             }
         )
 
-    agg = (
-        from_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["block_key", "gram"])
-        .sum("df")
-    )
+    # Per-batch partials are bounded by the batch's distinct (block, gram)
+    # set — vocab-scale, not corpus-scale — so the exact sum happens as a
+    # single vectorized driver merge (the Ray groupby here measured ~7s of
+    # fixed sort-shuffle at sf-probe scale for a vocab-bounded result).
+    # Above the bound the groupby fallback keeps it fully distributed.
+    parts_ds = from_ds.map_batches(partial, batch_format="pyarrow").materialize()
+    n_part_rows = parts_ds.count()
+    if n_part_rows <= 50_000_000:
+        parts = pa.concat_tables(
+            ray.get(parts_ds.to_arrow_refs()), promote_options="default"
+        )
+        b = np.asarray(parts["block_key"].to_pylist(), dtype=object)
+        g = np.asarray(parts["gram"].to_pylist(), dtype=object)
+        d = np.asarray(parts["df"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.lexsort((g, b))
+        b, g, d = b[order], g[order], d[order]
+        if len(b):
+            st = np.flatnonzero(np.r_[True, (b[1:] != b[:-1]) | (g[1:] != g[:-1])])
+            b, g = b[st], g[st]
+            d = np.add.reduceat(d, st)
+        doc_counts: dict[str, int] = {}
+        per_block: dict[str, tuple[list, list]] = {}
+        if len(b):
+            blk_st = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+            for s, e in zip(blk_st, np.append(blk_st[1:], len(b))):
+                bk = b[s]
+                grams_run = g[s:e]
+                df_run = d[s:e]
+                is_doc = grams_run == ""
+                if is_doc.any():
+                    doc_counts[bk] = int(df_run[is_doc][0])
+                keep = ~is_doc
+                per_block[bk] = (
+                    grams_run[keep].tolist(),
+                    df_run[keep].tolist(),
+                )
+        return per_block, doc_counts
+
+    agg = parts_ds.groupby(["block_key", "gram"]).sum("df")
     pdf = agg.to_pandas()
     dfcol = "sum(df)" if "sum(df)" in pdf.columns else "df"
     doc_counts = (
         pdf[pdf["gram"] == ""].set_index("block_key")[dfcol].to_dict()
     )
     gram_rows = pdf[pdf["gram"] != ""]
-    per_block: dict[str, tuple[list, list]] = {}
+    per_block = {}
     for bk, gram, df in zip(gram_rows["block_key"], gram_rows["gram"], gram_rows[dfcol]):
         per_block.setdefault(bk, ([], []))[0].append(gram)
         per_block[bk][1].append(int(df))
