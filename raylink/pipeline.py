@@ -260,16 +260,12 @@ def _fit_twolist_block_remote(
     doc_ids, grams = batch_ngrams(arr, n_gram_range, remove_space, pad_width=pad)
     to_grams, to_df = df_counts(doc_ids, grams)
     f_grams, f_df = from_grams_df
-    g_from = (
-        np.asarray([g.encode() for g in f_grams], dtype=f"S{pad}")
-        if f_grams
-        else np.empty(0, f"S{pad}")
-    )
+    g_from = _gram_array(f_grams, pad)
     g_all = np.concatenate([np.asarray(to_grams, dtype=f"S{pad}"), g_from])
     d_all = np.concatenate(
         [
             np.asarray(to_df, np.int64),
-            np.asarray(f_df, np.int64) if f_df else np.empty(0, np.int64),
+            np.asarray(f_df, np.int64) if len(f_df) else np.empty(0, np.int64),
         ]
     )
     if len(g_all):
@@ -576,14 +572,17 @@ def _distributed_df_counts(from_ds, spec: MatcherSpec):
             st = np.flatnonzero(chg)
             cnt = np.diff(np.append(st, len(b)))
             out_blocks = b[st].tolist()
-            out_grams = [x.rstrip(b"\x00").decode() for x in g[st].tolist()]
+            # grams stay fixed-width NUL-padded BYTES end to end: no
+            # per-gram decode here, S-dtype (not object) sorts on merge
+            out_grams = g[st].tolist()
             out_df = cnt.tolist()
-        # per-block doc counts (every doc counts, even zero-gram docs)
+        # per-block doc counts (every doc counts, even zero-gram docs);
+        # marker gram = b"" (real grams are never empty/all-NUL)
         ub, uc = np.unique(blocks, return_counts=True)
         return pa.table(
             {
                 "block_key": pa.array(out_blocks + ub.tolist(), type=pa.string()),
-                "gram": pa.array(out_grams + [""] * len(ub), type=pa.string()),
+                "gram": pa.array(out_grams + [b""] * len(ub), type=pa.binary()),
                 "df": pa.array(np.concatenate([np.asarray(out_df, np.int64), uc.astype(np.int64)])),
             }
         )
@@ -600,7 +599,7 @@ def _distributed_df_counts(from_ds, spec: MatcherSpec):
             ray.get(parts_ds.to_arrow_refs()), promote_options="default"
         )
         b = np.asarray(parts["block_key"].to_pylist(), dtype=object)
-        g = np.asarray(parts["gram"].to_pylist(), dtype=object)
+        g = np.asarray(parts["gram"].to_pylist(), dtype=f"S{rng[1]}")
         d = np.asarray(parts["df"].to_numpy(zero_copy_only=False), dtype=np.int64)
         order = np.lexsort((g, b))
         b, g, d = b[order], g[order], d[order]
@@ -616,23 +615,20 @@ def _distributed_df_counts(from_ds, spec: MatcherSpec):
                 bk = b[s]
                 grams_run = g[s:e]
                 df_run = d[s:e]
-                is_doc = grams_run == ""
+                is_doc = grams_run == b""
                 if is_doc.any():
                     doc_counts[bk] = int(df_run[is_doc][0])
                 keep = ~is_doc
-                per_block[bk] = (
-                    grams_run[keep].tolist(),
-                    df_run[keep].tolist(),
-                )
+                per_block[bk] = (grams_run[keep], df_run[keep])
         return per_block, doc_counts
 
     agg = parts_ds.groupby(["block_key", "gram"]).sum("df")
     pdf = agg.to_pandas()
     dfcol = "sum(df)" if "sum(df)" in pdf.columns else "df"
     doc_counts = (
-        pdf[pdf["gram"] == ""].set_index("block_key")[dfcol].to_dict()
+        pdf[pdf["gram"] == b""].set_index("block_key")[dfcol].to_dict()
     )
-    gram_rows = pdf[pdf["gram"] != ""]
+    gram_rows = pdf[pdf["gram"] != b""]
     per_block = {}
     for bk, gram, df in zip(gram_rows["block_key"], gram_rows["gram"], gram_rows[dfcol]):
         per_block.setdefault(bk, ([], []))[0].append(gram)
@@ -1117,6 +1113,17 @@ class MatchResult:
     sharded_self: bool = False  # produced by the sharded self-match path
 
 
+def _gram_array(grams, pad: int) -> np.ndarray:
+    """Normalize a gram collection (S-dtype array, bytes list, or str
+    list) into the NUL-padded fixed-width byte array TfidfVocab expects."""
+    if isinstance(grams, np.ndarray) and grams.dtype.kind == "S":
+        return grams.astype(f"S{pad}")
+    if not len(grams):
+        return np.empty(0, f"S{pad}")
+    enc = [g.encode() if isinstance(g, str) else g for g in grams]
+    return np.asarray(enc, dtype=f"S{pad}")
+
+
 def build_selfmatch_vocabs(from_ds, spec: MatcherSpec) -> dict[str, "TfidfVocab"]:
     """Per-block TF-IDF vocab for a self-match fit, computed DISTRIBUTED:
     DF counts come from map_batches partials + a bounded groupby (the same
@@ -1128,14 +1135,9 @@ def build_selfmatch_vocabs(from_ds, spec: MatcherSpec) -> dict[str, "TfidfVocab"
     vocabs: dict[str, TfidfVocab] = {}
     for bk, n in doc_counts.items():
         grams, df = per_block.get(bk, ([], []))
-        g = (
-            np.asarray([x.encode() for x in grams], dtype=f"S{pad}")
-            if grams
-            else np.empty(0, f"S{pad}")
-        )
         vocabs[bk] = TfidfVocab.from_df_counts(
-            g, np.asarray(df, np.int64), int(n), spec.n_gram_range,
-            spec.clean_string, spec.remove_space_ngrams,
+            _gram_array(grams, pad), np.asarray(df, np.int64), int(n),
+            spec.n_gram_range, spec.clean_string, spec.remove_space_ngrams,
         )
     return vocabs
 
@@ -1329,10 +1331,8 @@ def build_joint_vocabs(from_ds, to_ds, spec: MatcherSpec) -> dict[str, "TfidfVoc
         d_parts = []
         for pb in (pb_from, pb_to):
             grams, df = pb.get(bk, ([], []))
-            if grams:
-                g_parts.append(
-                    np.asarray([x.encode() for x in grams], dtype=f"S{pad}")
-                )
+            if len(grams):
+                g_parts.append(_gram_array(grams, pad))
                 d_parts.append(np.asarray(df, np.int64))
         if g_parts:
             g_all = np.concatenate(g_parts)
