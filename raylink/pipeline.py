@@ -325,36 +325,21 @@ def distinct_entities_table(
     def partial(batch: pa.Table) -> pa.Table:
         if drop_null_col is not None:
             batch = batch.filter(pc.is_valid(batch[drop_null_col]))
-        blocks = np.asarray(batch[block_col].to_pylist(), dtype=object)
-        texts = np.asarray(batch[text_col].to_pylist(), dtype=object)
-        orders = np.asarray(
-            batch[order_col].to_numpy(zero_copy_only=False), dtype=np.int64
-        )
-        b, t, o = _dedup_min(blocks, texts, orders)
-        return pa.table(
-            {
-                "block_key": pa.array(b, type=pa.string()),
-                "entity_text": pa.array(t, type=pa.string()),
-                "row_order": pa.array(o),
-            }
+        return _dedup_min_arrow(
+            pa.table(
+                {
+                    "block_key": batch[block_col],
+                    "entity_text": batch[text_col],
+                    "row_order": batch[order_col],
+                }
+            )
         )
 
     parts = pa.concat_tables(
         ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()),
         promote_options="default",
     )
-    b, t, o = _dedup_min(
-        np.asarray(parts["block_key"].to_pylist(), dtype=object),
-        np.asarray(parts["entity_text"].to_pylist(), dtype=object),
-        np.asarray(parts["row_order"].to_numpy(zero_copy_only=False), dtype=np.int64),
-    )
-    return pa.table(
-        {
-            "block_key": pa.array(b, type=pa.string()),
-            "entity_text": pa.array(t, type=pa.string()),
-            "row_order": pa.array(o),
-        }
-    )
+    return _dedup_min_arrow(parts)
 
 
 def distinct_entities_dataset(
@@ -376,18 +361,14 @@ def distinct_entities_dataset(
     def partial(batch: pa.Table) -> pa.Table:
         if drop_null_col is not None:
             batch = batch.filter(pc.is_valid(batch[drop_null_col]))
-        blocks = np.asarray(batch[block_col].to_pylist(), dtype=object)
-        texts = np.asarray(batch[text_col].to_pylist(), dtype=object)
-        orders = np.asarray(
-            batch[order_col].to_numpy(zero_copy_only=False), dtype=np.int64
-        )
-        b, t, o = _dedup_min(blocks, texts, orders)
-        return pa.table(
-            {
-                "block_key": pa.array(b, type=pa.string()),
-                "entity_text": pa.array(t, type=pa.string()),
-                "row_order": pa.array(o),
-            }
+        return _dedup_min_arrow(
+            pa.table(
+                {
+                    "block_key": batch[block_col],
+                    "entity_text": batch[text_col],
+                    "row_order": batch[order_col],
+                }
+            )
         )
 
     return (
@@ -438,15 +419,30 @@ def _split_table_remote(tbl: pa.Table, offsets, sizes):
     )
 
 
-def _dedup_min(blocks, texts, orders):
-    if len(blocks) == 0:
-        return blocks, texts, orders
-    order = np.lexsort((orders, texts, blocks))
-    b, t, o = blocks[order], texts[order], orders[order]
-    keep = np.empty(len(b), dtype=bool)
-    keep[0] = True
-    keep[1:] = (b[1:] != b[:-1]) | (t[1:] != t[:-1])
-    return b[keep], t[keep], o[keep]
+def _dedup_min_arrow(tbl: pa.Table) -> pa.Table:
+    """Arrow-native distinct (block, text) with min(order): one multi-key
+    C sort + shifted-equality dedup — no object-dtype lexsort, no Python
+    string materialization."""
+    n = tbl.num_rows
+    if n == 0:
+        return tbl
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            ("block_key", "ascending"),
+            ("entity_text", "ascending"),
+            ("row_order", "ascending"),
+        ],
+    )
+    t = tbl.take(idx)
+    b = t["block_key"].combine_chunks()
+    x = t["entity_text"].combine_chunks()
+    same = pc.and_(
+        pc.equal(b.slice(1), b.slice(0, n - 1)),
+        pc.equal(x.slice(1), x.slice(0, n - 1)),
+    )
+    keep = np.r_[True, ~np.asarray(same.to_numpy(zero_copy_only=False), dtype=bool)]
+    return t.filter(pa.array(keep))
 
 
 # ---------------------------------------------------------------------------
