@@ -505,30 +505,38 @@ def _collect_to_side(to_ds_or_table, text_col="entity_text", block_col="block_ke
         tbl = pa.concat_tables(
             ray.get(to_ds_or_table.to_arrow_refs()), promote_options="default"
         )
-    blocks = np.asarray(tbl[block_col].to_pylist(), dtype=object)
-    if order_col in tbl.column_names:
-        orders = np.asarray(tbl[order_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-    else:
-        orders = np.arange(len(blocks), dtype=np.int64)
-    out: dict[str, BlockIndex] = {}
-    sort = np.lexsort((orders, blocks))
-    texts_sorted = (
-        tbl[text_col].combine_chunks().take(pa.array(sort))
-        if len(sort)
-        else pa.array([], type=pa.string())
-    )
-    blocks, orders = blocks[sort], orders[sort]
-    change = np.empty(len(blocks), dtype=bool)
-    if len(blocks):
-        change[0] = True
-        change[1:] = blocks[1:] != blocks[:-1]
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(blocks))
-    for s, e in zip(starts, ends):
-        # Arrow slice is zero-copy; combine to drop the parent buffer refs
-        out[blocks[s]] = BlockIndex(
-            texts_sorted.slice(s, e - s), orders[s:e]
+    n = tbl.num_rows
+    if order_col not in tbl.column_names:
+        tbl = tbl.append_column(
+            order_col, pa.array(np.arange(n, dtype=np.int64))
         )
+    out: dict[str, BlockIndex] = {}
+    if n == 0:
+        return out
+    # Arrow-native: one C multi-key sort, block runs from a vectorized
+    # adjacent-equality mask (no object-dtype lexsort, no Python strings)
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[(block_col, "ascending"), (order_col, "ascending")],
+    )
+    t = tbl.take(idx)
+    b_arr = t[block_col].combine_chunks()
+    texts_sorted = t[text_col].combine_chunks()
+    orders = np.asarray(
+        t[order_col].to_numpy(zero_copy_only=False), dtype=np.int64
+    )
+    same = np.asarray(
+        pc.equal(b_arr.slice(1), b_arr.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        ),
+        dtype=bool,
+    )
+    starts = np.flatnonzero(np.r_[True, ~same])
+    ends = np.append(starts[1:], n)
+    block_keys = b_arr.take(pa.array(starts, type=pa.int64())).to_pylist()
+    for bk, s, e in zip(block_keys, starts, ends):
+        # Arrow slice is zero-copy; combine to drop the parent buffer refs
+        out[bk] = BlockIndex(texts_sorted.slice(s, e - s), orders[s:e])
     return out
 
 
