@@ -323,17 +323,7 @@ def distinct_entities_table(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        if drop_null_col is not None:
-            batch = batch.filter(pc.is_valid(batch[drop_null_col]))
-        return _dedup_min_arrow(
-            pa.table(
-                {
-                    "block_key": batch[block_col],
-                    "entity_text": batch[text_col],
-                    "row_order": batch[order_col],
-                }
-            )
-        )
+        return _dedup_partial(batch, block_col, text_col, order_col, drop_null_col)
 
     parts = pa.concat_tables(
         ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()),
@@ -359,17 +349,7 @@ def distinct_entities_dataset(
     from ray.data.aggregate import Min
 
     def partial(batch: pa.Table) -> pa.Table:
-        if drop_null_col is not None:
-            batch = batch.filter(pc.is_valid(batch[drop_null_col]))
-        return _dedup_min_arrow(
-            pa.table(
-                {
-                    "block_key": batch[block_col],
-                    "entity_text": batch[text_col],
-                    "row_order": batch[order_col],
-                }
-            )
-        )
+        return _dedup_partial(batch, block_col, text_col, order_col, drop_null_col)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -419,13 +399,48 @@ def _split_table_remote(tbl: pa.Table, offsets, sizes):
     )
 
 
+def _dedup_partial(batch: pa.Table, block_col, text_col, order_col,
+                   drop_null_col) -> pa.Table:
+    """Shared map_batches body of both distinct paths: drop-null filter,
+    rename to the canonical entities schema, per-batch dedup."""
+    if drop_null_col is not None:
+        batch = batch.filter(pc.is_valid(batch[drop_null_col]))
+    return _dedup_min_arrow(
+        pa.table(
+            {
+                "block_key": batch[block_col],
+                "entity_text": batch[text_col],
+                "row_order": batch[order_col],
+            }
+        )
+    )
+
+
 def _dedup_min_arrow(tbl: pa.Table) -> pa.Table:
     """Arrow-native distinct (block, text) with min(order): one multi-key
     C sort + shifted-equality dedup — no object-dtype lexsort, no Python
-    string materialization."""
+    string materialization.
+
+    Nulls in the key columns are rejected loudly (pc.equal(null, x) would
+    silently keep every null row, diverging from the groupby scale path
+    which collapses nulls — pass drop_null_col upstream instead). The
+    Arrow string column caps at 2 GiB of text per merge (int32 offsets);
+    the distributed-distinct threshold keeps this path far below that —
+    lower ``distinct_distributed_over`` if the guard ever trips."""
     n = tbl.num_rows
     if n == 0:
         return tbl
+    for col in ("block_key", "entity_text"):
+        if tbl[col].null_count:
+            raise ValueError(
+                f"null {col} in distinct input — filter upstream "
+                "(drop_null_col) so the fast and groupby paths agree"
+            )
+    if tbl["entity_text"].nbytes > 1_800_000_000:
+        raise ValueError(
+            "distinct merge exceeds the 2 GiB Arrow string-offset bound; "
+            "lower distinct_distributed_over to take the groupby path"
+        )
     idx = pc.sort_indices(
         tbl,
         sort_keys=[
@@ -513,6 +528,10 @@ def _collect_to_side(to_ds_or_table, text_col="entity_text", block_col="block_ke
     out: dict[str, BlockIndex] = {}
     if n == 0:
         return out
+    if tbl[block_col].null_count:
+        raise ValueError(
+            "null block_key in to-side input — assign a real key upstream"
+        )
     # Arrow-native: one C multi-key sort, block runs from a vectorized
     # adjacent-equality mask (no object-dtype lexsort, no Python strings)
     idx = pc.sort_indices(
@@ -602,17 +621,24 @@ def _distributed_df_counts(from_ds, spec: MatcherSpec):
         parts = pa.concat_tables(
             ray.get(parts_ds.to_arrow_refs()), promote_options="default"
         )
+        # Arrow-native C sort on (string, binary) keys; only the SORTED
+        # columns materialize to numpy afterwards
+        sidx = pc.sort_indices(
+            parts,
+            sort_keys=[("block_key", "ascending"), ("gram", "ascending")],
+        )
+        parts = parts.take(sidx)
         b = np.asarray(parts["block_key"].to_pylist(), dtype=object)
         g = np.asarray(parts["gram"].to_pylist(), dtype=f"S{rng[1]}")
         d = np.asarray(parts["df"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        order = np.lexsort((g, b))
-        b, g, d = b[order], g[order], d[order]
         if len(b):
             st = np.flatnonzero(np.r_[True, (b[1:] != b[:-1]) | (g[1:] != g[:-1])])
             b, g = b[st], g[st]
             d = np.add.reduceat(d, st)
         doc_counts: dict[str, int] = {}
-        per_block: dict[str, tuple[list, list]] = {}
+        # values: (grams, df) — S-dtype/int64 numpy arrays here, plain
+        # lists on the groupby fallback; consumers normalize via _gram_array
+        per_block: dict[str, tuple] = {}
         if len(b):
             blk_st = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
             for s, e in zip(blk_st, np.append(blk_st[1:], len(b))):
