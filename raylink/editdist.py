@@ -72,6 +72,14 @@ class PaddedStrings:
         self.lens = lens
 
 
+    def __getstate__(self):
+        return {k: getattr(self, k) for k in self.__slots__}
+
+    def __setstate__(self, state):
+        for k, v in state.items():
+            setattr(self, k, v)
+
+
 def lcs_one_to_many(query: str, packed: PaddedStrings) -> np.ndarray:
     """LCS length of ``query`` vs every packed string (vectorized DP).
 
@@ -215,6 +223,14 @@ class WRatioToSide:
         self.packed_proc = PaddedStrings(self.proc)
         self.packed_tsort = PaddedStrings([_token_sort(p) for p in self.proc])
         self.token_sets = [set(p.split()) for p in self.proc]
+
+
+    def __getstate__(self):
+        return {k: getattr(self, k) for k in self.__slots__}
+
+    def __setstate__(self, state):
+        for k, v in state.items():
+            setattr(self, k, v)
 
 
 def _token_set_ratio_sets(t1: set, t2: set) -> float:

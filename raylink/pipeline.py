@@ -498,6 +498,16 @@ class BlockIndex:
         self.n_distinct = len(pc.unique(self.texts_arr))
         self._texts_np = None
 
+
+    def __getstate__(self):
+        # explicit slots state: the cloudpickle by-value class fallback
+        # (cross-cwd driver contract) cannot rely on __dict__
+        return {k: getattr(self, k) for k in self.__slots__}
+
+    def __setstate__(self, state):
+        for k, v in state.items():
+            setattr(self, k, v)
+
     @property
     def texts(self) -> np.ndarray:
         if self._texts_np is None:

@@ -95,6 +95,16 @@ class TfidfVocab:
         self.clean = bool(clean)
         self.remove_space_ngrams = bool(remove_space_ngrams)
 
+
+    def __getstate__(self):
+        # explicit slots state: the cloudpickle by-value class fallback
+        # (cross-cwd driver contract) cannot rely on __dict__
+        return {k: getattr(self, k) for k in self.__slots__}
+
+    def __setstate__(self, state):
+        for k, v in state.items():
+            setattr(self, k, v)
+
     @property
     def pad_width(self) -> int:
         return self.n_gram_range[1]
@@ -294,6 +304,16 @@ class TopkIndex:
             self.tile_rows = None
             self.tile_data = None
             self.tile_data_f32 = None
+
+
+    def __getstate__(self):
+        # explicit slots state: the cloudpickle by-value class fallback
+        # (cross-cwd driver contract) cannot rely on __dict__
+        return {k: getattr(self, k) for k in self.__slots__}
+
+    def __setstate__(self, state):
+        for k, v in state.items():
+            setattr(self, k, v)
 
     @property
     def n_to(self) -> int:
