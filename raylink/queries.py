@@ -349,7 +349,9 @@ def q_match_tfidf_documents(sf_dir: str):
 
 
 def q_group_documents(sf_dir: str):
-    """E3 group pipeline: clusters table over document texts per lang."""
+    """E3 group pipeline: clusters table over document texts per lang.
+    SQL-checked end to end — TF-IDF top-1 edges + the quirk-exact
+    single_linkage replayed as a recursive CTE (_LINKAGE_CTES)."""
     from raylink.pipeline import MatcherSpec, group_matches, match_dataset
 
     ds = _read(sf_dir, "documents")
@@ -722,6 +724,91 @@ _TFIDF_CTES = f"""
     )
 """
 
+# Quirk-exact single_linkage (polyfuzz/linkage.py:25-51) as a RECURSIVE CTE:
+# one recursion step per edge row replays the reference's order-sensitive
+# scan, carrying the cluster map as an insertion-ordered STRUCT list (dict
+# semantics incl. the truthy-0 steal and skip-if-From-mapped quirks — value
+# updates keep list position, new keys append, exactly like a Python dict).
+# Expects prior CTEs:
+#   e  (MATERIALIZED — or the TF-IDF prelude re-runs per step):
+#      (block_key, rn, f, t) edges already filtered sim > threshold, rn =
+#      1-based frame order within block;
+#   mx (block_key, n): per-block edge count.
+# Emits lk_rows (block_key, member, cluster_id, pos) + lk_rep
+# (block_key, cluster_id, representative = first-inserted member).
+_LINKAGE_CTES = """
+    walk(block_key, i, mapping, next_id) AS (
+        SELECT block_key, CAST(0 AS BIGINT),
+               CAST([] AS STRUCT(k VARCHAR, c BIGINT)[]), CAST(0 AS BIGINT)
+        FROM mx
+        UNION ALL
+        SELECT w.block_key, w.i + 1,
+            CASE
+              -- From already truthy-mapped: row skipped entirely
+              WHEN coalesce(list_filter(w.mapping, x -> x.k = e.f)[1].c, 0) <> 0
+                THEN w.mapping
+              -- To truthy-mapped: From joins To's cluster
+              WHEN coalesce(list_filter(w.mapping, x -> x.k = e.t)[1].c, 0) <> 0
+                THEN CASE
+                  WHEN len(list_filter(w.mapping, x -> x.k = e.f)) > 0
+                    THEN list_transform(w.mapping, x -> CASE WHEN x.k = e.f
+                           THEN {'k': x.k,
+                                 'c': list_filter(w.mapping, y -> y.k = e.t)[1].c}
+                           ELSE x END)
+                  ELSE list_append(w.mapping,
+                           {'k': e.f,
+                            'c': list_filter(w.mapping, y -> y.k = e.t)[1].c})
+                END
+              -- new cluster: To then From get next_id (insertion order;
+              -- a To/From key mapped to 0 is stolen in place)
+              ELSE
+                CASE
+                  WHEN len(list_filter(
+                         CASE WHEN len(list_filter(w.mapping, x -> x.k = e.t)) > 0
+                              THEN list_transform(w.mapping, x -> CASE WHEN x.k = e.t
+                                     THEN {'k': x.k, 'c': w.next_id} ELSE x END)
+                              ELSE list_append(w.mapping, {'k': e.t, 'c': w.next_id})
+                         END, x -> x.k = e.f)) > 0
+                    THEN list_transform(
+                           CASE WHEN len(list_filter(w.mapping, x -> x.k = e.t)) > 0
+                                THEN list_transform(w.mapping, x -> CASE WHEN x.k = e.t
+                                       THEN {'k': x.k, 'c': w.next_id} ELSE x END)
+                                ELSE list_append(w.mapping, {'k': e.t, 'c': w.next_id})
+                           END,
+                           x -> CASE WHEN x.k = e.f
+                                  THEN {'k': x.k, 'c': w.next_id} ELSE x END)
+                  ELSE list_append(
+                           CASE WHEN len(list_filter(w.mapping, x -> x.k = e.t)) > 0
+                                THEN list_transform(w.mapping, x -> CASE WHEN x.k = e.t
+                                       THEN {'k': x.k, 'c': w.next_id} ELSE x END)
+                                ELSE list_append(w.mapping, {'k': e.t, 'c': w.next_id})
+                           END,
+                           {'k': e.f, 'c': w.next_id})
+                END
+            END,
+            CASE WHEN coalesce(list_filter(w.mapping, x -> x.k = e.f)[1].c, 0) = 0
+                      AND coalesce(list_filter(w.mapping, x -> x.k = e.t)[1].c, 0) = 0
+                 THEN w.next_id + 1 ELSE w.next_id END
+        FROM walk w JOIN e ON e.block_key = w.block_key AND e.rn = w.i + 1
+    ),
+    lk_fin AS (
+        SELECT w.block_key, w.mapping
+        FROM walk w JOIN mx ON mx.block_key = w.block_key AND w.i = mx.n
+    ),
+    lk_flat AS (
+        SELECT block_key, unnest(mapping) AS ent,
+               unnest(range(len(mapping))) AS pos
+        FROM lk_fin
+    ),
+    lk_rows AS (
+        SELECT block_key, ent.k AS member, ent.c AS cluster_id, pos FROM lk_flat
+    ),
+    lk_rep AS (
+        SELECT block_key, cluster_id, min_by(member, pos) AS representative
+        FROM lk_rows GROUP BY block_key, cluster_id
+    )
+"""
+
 _LANG_COUNT = (
     "length(regexp_extract_all(lower(text), '\\b({words})\\b'))"
 )
@@ -950,6 +1037,52 @@ ORACLE_SQL = {
         FROM fr
         LEFT JOIN best ON best.fid = fr.doc_id AND best.rn = 1
         LEFT JOIN documents t2 ON t2.doc_id = best.tid
+    """,
+    # E3 grouping oracled END TO END: the TF-IDF top-1 match frame (same
+    # CTEs as match_tfidf_documents) feeds the quirk-exact single_linkage
+    # replayed as a recursive CTE (_LINKAGE_CTES) — edge rows ordered by
+    # row_order within each lang block, strict > 0.75 on the round-3 sim,
+    # cluster ids restarting per block, representative = first-inserted
+    # member. Valid because the engine's edge-reuse shortcut makes the
+    # grouper edges exactly the match pass's top-1 frame (pipeline.py).
+    "group_documents": f"""
+        WITH RECURSIVE {_TFIDF_CTES},
+        dot AS (
+            SELECT a.doc_id AS fid, b.doc_id AS tid, sum(a.wn * b.wn) AS s
+            FROM wn a JOIN wn b ON a.lang = b.lang AND a.g = b.g
+            WHERE a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        bst AS (
+            SELECT fid, tid, s,
+                   row_number() OVER (PARTITION BY fid
+                                      ORDER BY s DESC, tid ASC) AS rn
+            FROM dot WHERE s > 0
+        ),
+        m AS (
+            SELECT d.text AS f,
+                   CASE WHEN round(bst.s, 3) >= 0.001 THEN t2.text
+                        ELSE NULL END AS t,
+                   CASE WHEN round(bst.s, 3) >= 0.001 THEN round(bst.s, 3)
+                        ELSE 0.0 END AS sim,
+                   d.lang AS block_key, d.doc_id AS row_order
+            FROM documents d
+            LEFT JOIN bst ON bst.fid = d.doc_id AND bst.rn = 1
+            LEFT JOIN documents t2 ON t2.doc_id = bst.tid
+        ),
+        e AS MATERIALIZED (
+            SELECT block_key,
+                   row_number() OVER (PARTITION BY block_key
+                                      ORDER BY row_order) AS rn,
+                   f, t
+            FROM m WHERE sim > 0.75
+        ),
+        mx AS (SELECT block_key, max(rn) AS n FROM e GROUP BY block_key),
+        {_LINKAGE_CTES}
+        SELECT r.block_key, r.cluster_id, r.member, lk_rep.representative
+        FROM lk_rows r
+        JOIN lk_rep ON lk_rep.block_key = r.block_key
+                   AND lk_rep.cluster_id = r.cluster_id
     """,
     "embedding_cosine_pairs": """
         SELECT a.vec_id AS a, b.vec_id AS b,

@@ -106,6 +106,7 @@ def test_every_query_runs(entry_mod):
         "ann_topk",
         "match_tfidf_documents",
         "fit_transform",
+        "group_documents",
         "minhash_dedup",
         "embedding_cosine_pairs",
         "embedding_lsh_pairs",
