@@ -88,6 +88,57 @@ def pr_curve_from_value_counts(
     )
 
 
+def pr_curve_milli_exact(
+    values: np.ndarray,
+    counts: np.ndarray,
+    precision_steps: float = 0.01,
+    threshold_mode: str = "arange",
+) -> pd.DataFrame:
+    """PR curve over ROUND-3 similarities with SQL-exact arithmetic: values
+    quantized to integer millis (lossless for round-3 sims: milli/1000.0 is
+    the correctly-rounded double on both engines), sums taken in int64, and
+    the final floats produced by the exact division sequence the DuckDB
+    oracle uses (sum/count/1000.0; count/total) — no accumulation-order
+    noise can differ between numpy and SQL. Thresholds keep the reference's
+    fp-noisy ``np.arange`` grid (polyfuzz/metrics.py:37) under ``"arange"``.
+    """
+    values = np.asarray(values, dtype=np.float64)
+    counts_i = np.asarray(counts, dtype=np.int64)
+    milli = np.round(values * 1000).astype(np.int64)
+    order = np.argsort(milli)
+    milli, counts_i = milli[order], counts_i[order]
+    canon_vals = milli / 1000.0  # the canonical round-3 doubles
+    csum_n = np.cumsum(counts_i[::-1])[::-1]
+    csum_m = np.cumsum((counts_i * milli)[::-1])[::-1]
+    total = int(counts_i.sum())
+    if threshold_mode == "arange":
+        thresholds = np.arange(0.0, 1 + precision_steps, precision_steps)
+    else:
+        n_steps = int(round(1 / precision_steps))
+        thresholds = np.array(
+            [i / n_steps for i in range(n_steps + 1)], dtype=np.float64
+        )
+    pos = np.searchsorted(canon_vals, thresholds, side="left")
+    safe = np.minimum(pos, max(len(canon_vals) - 1, 0))
+    has = pos < len(canon_vals)
+    n_ge = np.where(has, csum_n[safe] if len(canon_vals) else 0, 0).astype(
+        np.float64
+    )
+    s_ge = np.where(has, csum_m[safe] if len(canon_vals) else 0, 0).astype(
+        np.float64
+    )
+    recall = n_ge / total if total else np.zeros_like(n_ge)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        avg_p = s_ge / n_ge / 1000.0
+    return pd.DataFrame(
+        {
+            "min_precision": thresholds,
+            "recall": recall,
+            "average_precision": avg_p,
+        }
+    )
+
+
 def value_counts_bounded(ds, col: str):
     """Value counts of a BOUNDED-cardinality column (e.g. round-3
     similarities: ≤ 1001 distinct values) without a Ray groupby shuffle:

@@ -109,6 +109,54 @@ def _clean_sql(col: str) -> str:
     return SQL_CLEAN.format(col=col)
 
 
+# -- uint64 hash arithmetic in SQL (oracle for the simhash kernel) ----------
+# DuckDB has no wrapping 64-bit ops, so the FNV64 + splitmix64 shingle hash
+# (dedup._shingle_hashes / blocking._hash64) is re-derived with HUGEINT
+# arithmetic mod 2^64; multiplies split the operand into 32-bit halves so
+# intermediates stay inside INT128.
+
+_SQL_M64 = "CAST(18446744073709551616 AS HUGEINT)"  # 2^64
+_SQL_B32 = "CAST(4294967296 AS HUGEINT)"  # 2^32
+_SQL_FNV_P = "CAST(1099511628211 AS HUGEINT)"  # FNV-1 64-bit prime
+
+
+def _sql_fnv(gram_expr: str, k: int) -> str:
+    """FNV-style fold over the k ASCII bytes of ``gram_expr`` (cleaned text
+    is [a-z0-9 ] so byte == code point), as HUGEINT in [0, 2^64)."""
+    h = "CAST(0 AS HUGEINT)"
+    for i in range(1, k + 1):
+        h = (
+            f"(({h}) * {_SQL_FNV_P}"
+            f" + ascii(substring({gram_expr}, {i}, 1))) % {_SQL_M64}"
+        )
+    return h
+
+
+def _sql_mulmod64(x: str, c: int) -> str:
+    xe = f"CAST({x} AS HUGEINT)"
+    return (
+        f"((({xe} % {_SQL_B32}) * CAST({c} AS HUGEINT)"
+        f" + ((({xe} // {_SQL_B32}) * CAST({c} AS HUGEINT)) % {_SQL_B32})"
+        f" * {_SQL_B32}) % {_SQL_M64})"
+    )
+
+
+def _sql_xorshift(x: str, s: int) -> str:
+    u = f"CAST({x} AS UBIGINT)"
+    return f"xor({u}, {u} >> {s})"
+
+
+def _sql_splitmix64(x: str) -> str:
+    """blocking._hash64 (splitmix64) over a HUGEINT-in-[0,2^64) expr."""
+    e = f"((CAST({x} AS HUGEINT) + CAST({0x9E3779B97F4A7C15} AS HUGEINT)) % {_SQL_M64})"
+    e = _sql_xorshift(e, 30)
+    e = _sql_mulmod64(e, 0xBF58476D1CE4E5B9)
+    e = _sql_xorshift(e, 27)
+    e = _sql_mulmod64(e, 0x94D049BB133111EB)
+    e = _sql_xorshift(e, 31)
+    return f"CAST({e} AS HUGEINT)"
+
+
 # ---------------------------------------------------------------------------
 # query implementations
 # ---------------------------------------------------------------------------
@@ -551,7 +599,8 @@ def q_minhash_dedup(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
-    """SimHash values per document (rows-only: hash kernel)."""
+    """SimHash values per document — SQL-checked bit-exactly (the
+    FNV64+splitmix64 shingle hash re-derived in HUGEINT arithmetic)."""
     from raylink.dedup import simhash_batch
 
     def f(batch: pa.Table) -> pa.Table:
@@ -614,7 +663,8 @@ def q_multi_model_compare(sf_dir: str):
 
 def q_transcript_flagship(sf_dir: str):
     """The end-to-end flagship: transcripts -> canonicalize -> blocked
-    self-match -> linkage -> per-conversation assignments (rows-only)."""
+    self-match -> linkage -> per-conversation assignments. SQL-checked end
+    to end (_FLAGSHIP_CTES + the recursive-CTE linkage)."""
     info = ensure_transcript_fixture(sf_dir)
     from raylink.flagship import transcript_entity_resolution
     from raylink.sources import read_parquet_with_row_order
@@ -627,21 +677,24 @@ def q_transcript_flagship(sf_dir: str):
 
 
 def q_transcript_pr_curve(sf_dir: str):
-    """A1 over the flagship's match similarities (rows-only; exact
-    value-count path)."""
+    """A1 over the flagship's match similarities — SQL-checked: the match
+    frame is the same TF-IDF prelude the transcript_flagship oracle uses,
+    and the curve arithmetic is milli-exact (integer sums + the oracle's
+    division sequence) so no float accumulation order can differ. The
+    threshold grid keeps the reference's fp-noisy np.arange values
+    (reproduced bit-exactly by i * 0.01 double products in DuckDB)."""
     info = ensure_transcript_fixture(sf_dir)
     from raylink.flagship import transcript_entity_resolution
-    from raylink.metrics import pr_curve_from_value_counts
+    from raylink.metrics import pr_curve_milli_exact, value_counts_bounded
     from raylink.sources import read_parquet_with_row_order
 
     ds = read_parquet_with_row_order(
         info["transcripts"], columns=["conv_id", "turn_idx", "text"]
     )
     result = transcript_entity_resolution(ds, link_min_similarity=0.75)
-    from raylink.metrics import value_counts_bounded
 
     vals, cnts = value_counts_bounded(result.matches, "similarity")
-    return pr_curve_from_value_counts(vals, cnts, threshold_mode="arange")
+    return pr_curve_milli_exact(vals, cnts, threshold_mode="arange")
 
 
 # ---------------------------------------------------------------------------
@@ -809,6 +862,106 @@ _LINKAGE_CTES = """
     )
 """
 
+_CLEAN_E = _clean_sql("entity_text")
+
+# Flagship prelude shared by the transcript_flagship / transcript_pr_curve
+# oracles: fixture transcripts -> source row order (sorted-filename offsets
+# + per-file row numbers = the reader contract's footer-derived row ids) ->
+# turn-0 mention extraction + first-char block key -> distinct mentions with
+# min(row_order) -> per-block JOINT TF-IDF (sklearn parity) -> top-1 match
+# frame `m` (f, t, sim, block_key, row_order) with the kernel's round-3 +
+# <0.001-null rules. Ties rank on round(s, 12) so float-summation-order
+# noise collapses and exact ties (equal cleaned strings => equal vectors)
+# fall to the kernel's first-position rule (tid = min row_order).
+_FLAGSHIP_CTES = f"""
+    src AS (
+        SELECT conv_id, turn_idx, text, filename, file_row_number
+        FROM read_parquet('{{glob}}', filename=true, file_row_number=true)
+    ),
+    fcnt AS (SELECT filename, count(*) AS c FROM src GROUP BY filename),
+    foff AS (
+        SELECT filename,
+               coalesce(sum(c) OVER (ORDER BY filename
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+        FROM fcnt
+    ),
+    ent AS (
+        SELECT s.conv_id,
+               coalesce(regexp_extract(s.text, '"([^"]+)"', 1), s.text)
+                   AS entity_text,
+               foff.off + s.file_row_number AS row_order
+        FROM src s JOIN foff ON foff.filename = s.filename
+        WHERE s.turn_idx = 0
+    ),
+    entb AS (
+        SELECT conv_id, entity_text, row_order,
+               CASE WHEN {_CLEAN_E} = '' THEN '_'
+                    ELSE substring({_CLEAN_E}, 1, 1) END AS block_key
+        FROM ent
+    ),
+    dist AS (
+        SELECT block_key, entity_text, min(row_order) AS row_order
+        FROM entb GROUP BY block_key, entity_text
+    ),
+    ddocs AS (SELECT row_order AS did, block_key AS bk, {_CLEAN_E} AS t,
+                     entity_text
+              FROM dist),
+    dpos AS (
+        SELECT did, bk, t,
+               unnest(generate_series(1, greatest(length(t) - 2, 0))) AS i
+        FROM ddocs
+    ),
+    dgr AS (
+        SELECT did, bk, substring(t, i, 3) AS g
+        FROM dpos WHERE substring(t, i, 3) NOT LIKE '% %'
+    ),
+    dtf AS (SELECT did, bk, g, count(*) AS c FROM dgr GROUP BY did, bk, g),
+    ddf AS (SELECT bk, g, count(*) AS df FROM dtf GROUP BY bk, g),
+    dn AS (SELECT bk, count(*) AS n FROM ddocs GROUP BY bk),
+    didf AS (
+        SELECT ddf.bk, ddf.g, ln((1.0 + dn.n) / (1.0 + ddf.df)) + 1.0 AS idf
+        FROM ddf JOIN dn ON ddf.bk = dn.bk
+    ),
+    dw AS (
+        SELECT dtf.did, dtf.bk, dtf.g, dtf.c * didf.idf AS w
+        FROM dtf JOIN didf ON dtf.bk = didf.bk AND dtf.g = didf.g
+    ),
+    dnrm AS (SELECT did, sqrt(sum(w * w)) AS nrm FROM dw GROUP BY did),
+    dwn AS (
+        SELECT dw.did, dw.bk, dw.g, dw.w / dnrm.nrm AS wn
+        FROM dw JOIN dnrm ON dw.did = dnrm.did
+    ),
+    dot AS (
+        SELECT a.did AS fid, b.did AS tid, sum(a.wn * b.wn) AS s
+        FROM dwn a JOIN dwn b ON a.bk = b.bk AND a.g = b.g
+        WHERE a.did <> b.did
+        GROUP BY a.did, b.did
+    ),
+    bst AS (
+        SELECT fid, tid, s,
+               row_number() OVER (PARTITION BY fid
+                                  ORDER BY round(s, 12) DESC, tid ASC) AS rn
+        FROM dot WHERE s > 0
+    ),
+    m AS (
+        SELECT d.entity_text AS f,
+               CASE WHEN round(bst.s, 3) >= 0.001 THEN t2.entity_text
+                    ELSE NULL END AS t,
+               CASE WHEN round(bst.s, 3) >= 0.001 THEN round(bst.s, 3)
+                    ELSE 0.0 END AS sim,
+               d.bk AS block_key, d.did AS row_order
+        FROM ddocs d
+        LEFT JOIN bst ON bst.fid = d.did AND bst.rn = 1
+        LEFT JOIN ddocs t2 ON t2.did = bst.tid
+    )
+"""
+
+
+def _flagship_ctes() -> str:
+    return _FLAGSHIP_CTES.format(glob=_oracle_fixture_glob())
+
+
 _LANG_COUNT = (
     "length(regexp_extract_all(lower(text), '\\b({words})\\b'))"
 )
@@ -962,6 +1115,92 @@ ORACLE_SQL = {
                max(turn_idx)::BIGINT AS max_turn
         FROM read_parquet('{_oracle_fixture_glob()}')
         GROUP BY conv_id
+    """,
+    # SimHash oracled bit-exactly: the FNV64+splitmix64 shingle hash is
+    # re-derived in HUGEINT mod-2^64 arithmetic (_sql_fnv/_sql_splitmix64),
+    # per-doc DISTINCT hashes vote per bit position, and the uint64 word is
+    # reinterpreted as the engine's signed int64.
+    "simhash": f"""
+        WITH docs AS (SELECT doc_id, {_CLEAN_T} AS t FROM documents),
+        pos AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(length(t) - 3, 0))) AS i
+            FROM docs
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, {_sql_splitmix64(_sql_fnv('g', 4))} AS h
+            FROM (SELECT doc_id, substring(t, i, 4) AS g FROM pos)
+        ),
+        bits AS (
+            SELECT doc_id, b.b,
+                   CASE WHEN (CAST(h AS UBIGINT) >> b.b) & 1 = 1
+                        THEN 1 ELSE -1 END AS v
+            FROM sh CROSS JOIN (SELECT unnest(range(64)) AS b) b
+        ),
+        words AS (
+            SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bit
+            FROM bits GROUP BY doc_id, b
+        ),
+        vals AS (
+            SELECT doc_id,
+                   sum(CAST(bit AS HUGEINT)
+                       * (CAST(1 AS HUGEINT) << CAST(b AS INTEGER))) AS u
+            FROM words GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN coalesce(v.u, 0)
+                              >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN coalesce(v.u, 0) - {_SQL_M64}
+                         ELSE coalesce(v.u, 0) END AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN vals v ON v.doc_id = d.doc_id
+    """,
+    # The END-TO-END flagship oracled in one SQL statement: canonicalize ->
+    # distinct -> blocked joint TF-IDF top-1 (_FLAGSHIP_CTES) -> quirk-exact
+    # single_linkage as a recursive CTE (_LINKAGE_CTES) -> per-conversation
+    # assignment with the engine's miss semantics (group = entity_text,
+    # cluster_id = -1).
+    "transcript_flagship": f"""
+        WITH RECURSIVE {_flagship_ctes()},
+        e AS MATERIALIZED (
+            SELECT block_key,
+                   row_number() OVER (PARTITION BY block_key
+                                      ORDER BY row_order) AS rn,
+                   f, t
+            FROM m WHERE sim > 0.75
+        ),
+        mx AS (SELECT block_key, max(rn) AS n FROM e GROUP BY block_key),
+        {_LINKAGE_CTES},
+        clusters AS (
+            SELECT r.block_key, r.cluster_id, r.member, lk_rep.representative
+            FROM lk_rows r
+            JOIN lk_rep ON lk_rep.block_key = r.block_key
+                       AND lk_rep.cluster_id = r.cluster_id
+        )
+        SELECT entb.conv_id, entb.entity_text, entb.block_key,
+               coalesce(c.representative, entb.entity_text) AS "group",
+               coalesce(c.cluster_id, -1) AS cluster_id
+        FROM entb
+        LEFT JOIN clusters c
+          ON c.block_key = entb.block_key AND c.member = entb.entity_text
+    """,
+    # A1 over the flagship similarities: integer milli sums + the exact
+    # division sequence of pr_curve_milli_exact; thresholds reproduce
+    # np.arange's fp noise bit-exactly (i * 0.01 double products).
+    "transcript_pr_curve": f"""
+        WITH {_flagship_ctes()},
+        mil AS (SELECT CAST(round(sim * 1000) AS BIGINT) AS milli FROM m),
+        t AS (SELECT CAST(i AS DOUBLE) * CAST(0.01 AS DOUBLE)
+                  AS min_precision
+              FROM generate_series(0, 100) AS g(i))
+        SELECT t.min_precision,
+               (SELECT count(*) FROM mil
+                WHERE mil.milli / 1000.0 >= t.min_precision)
+                   / (SELECT count(*)::DOUBLE FROM mil) AS recall,
+               (SELECT CASE WHEN count(*) = 0 THEN NULL
+                       ELSE sum(mil.milli) / count(*) / 1000.0 END
+                FROM mil WHERE mil.milli / 1000.0 >= t.min_precision)
+                   AS average_precision
+        FROM t
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4),

@@ -107,6 +107,7 @@ def test_every_query_runs(entry_mod):
         "match_tfidf_documents",
         "fit_transform",
         "group_documents",
+        "simhash",
         "minhash_dedup",
         "embedding_cosine_pairs",
         "embedding_lsh_pairs",
@@ -126,7 +127,13 @@ def test_transcript_sql_queries(entry_mod):
 
     ensure_transcript_fixture("/root/testdata/sf0.01")
     c = duckdb.connect()
-    for name in ["transcript_canonicalize", "transcript_conv_text", "transcript_turn_stats"]:
+    for name in [
+        "transcript_canonicalize",
+        "transcript_conv_text",
+        "transcript_turn_stats",
+        "transcript_flagship",
+        "transcript_pr_curve",
+    ]:
         ours = to_pandas(entry_mod.queries()[name]("/root/testdata/sf0.01"))
         oracle = c.sql(entry_mod.oracle_sql()[name]).df()
         assert_frames_match(ours, oracle, name)
