@@ -369,7 +369,63 @@ def extract_one_packed(
     return j, float(scores[j])
 
 
+def levenshtein_one_to_many(query: str, packed: PaddedStrings) -> np.ndarray:
+    """Plain Levenshtein distance of ``query`` vs every packed string.
+
+    Vectorized over the to-side (axis 0); the column recurrence is the
+    classic DP — the horizontal dependency forces a sequential j loop, but
+    each step is one numpy op over ALL to-strings, so cost is
+    O(len(query) x width) vector ops regardless of n_to. Padded cells
+    (code -1) never match, and the exact per-string distance is read at
+    column ``lens[i]``.
+    """
+    n_to, width = packed.mat.shape
+    if n_to == 0:
+        return np.zeros(0, dtype=np.int64)
+    if not query:
+        return packed.lens.copy()
+    q = _codes(query)
+    if width == 0:
+        return np.full(n_to, len(q), dtype=np.int64)
+    prev = np.tile(np.arange(width + 1, dtype=np.int64), (n_to, 1))
+    cur = np.empty_like(prev)
+    tmp = np.empty(n_to, dtype=np.int64)
+    for i, ch in enumerate(q, start=1):
+        cur[:, 0] = i
+        neq = packed.mat != ch
+        for j in range(width):
+            # substitute/match, delete-from-query, insert-into-query
+            np.minimum(prev[:, j] + neq[:, j], prev[:, j + 1] + 1, out=tmp)
+            np.minimum(tmp, cur[:, j] + 1, out=cur[:, j + 1])
+        prev, cur = cur, prev
+    return prev[np.arange(n_to), packed.lens]
+
+
+def levenshtein_distance(s1: str, s2: str) -> int:
+    return int(levenshtein_one_to_many(s1, PaddedStrings([s2]))[0])
+
+
+def levenshtein_sim(s1: str, s2: str) -> float:
+    """Normalized Levenshtein similarity on the rapidfuzz 0-100 scale:
+    100 * (1 - dist / max(len1, len2)); two empty strings -> 100. The
+    division sequence is mirrored verbatim by the DuckDB oracle
+    (levenshtein() builtin), which makes this scorer SQL-checkable."""
+    m = max(len(s1), len(s2))
+    if m == 0:
+        return 100.0
+    return 100.0 * (1.0 - levenshtein_distance(s1, s2) / m)
+
+
+def levenshtein_sim_one_to_many(query: str, packed: PaddedStrings) -> np.ndarray:
+    m = np.maximum(np.maximum(packed.lens, len(query)), 1).astype(np.float64)
+    d = levenshtein_one_to_many(query, packed)
+    out = 100.0 * (1.0 - d / m)
+    both_empty = (packed.lens == 0) & (len(query) == 0)
+    return np.where(both_empty, 100.0, out)
+
+
 SCORERS = {
+    "levenshtein": levenshtein_sim,
     "ratio": ratio,
     "partial_ratio": partial_ratio,
     "token_sort_ratio": token_sort_ratio,

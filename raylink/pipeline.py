@@ -917,6 +917,8 @@ class ScorerActor:
         self._pos_maps: dict[str, dict[str, int]] = {}
         # packed WRatio to-side state per block (built once per actor)
         self._wr_states: dict[str, "editdist.WRatioToSide"] = {}
+        # packed plain to-side (levenshtein fast path), built once per actor
+        self._packed_states: dict[str, "editdist.PaddedStrings"] = {}
 
     def _wr_state(self, bk: str, bi: "BlockIndex") -> "editdist.WRatioToSide":
         st = self._wr_states.get(bk)
@@ -1044,6 +1046,33 @@ class ScorerActor:
                 j = int(np.argmax(scores))
                 idx[i, 0] = j
                 sims[i, 0] = scores[j]
+            return idx, sims
+        if spec.kind == "rapidfuzz" and self.scorer is editdist.levenshtein_sim:
+            # packed one-vs-many Levenshtein DP sweeps the whole to-side per
+            # query; first-max/cutoff/exclude semantics identical to
+            # extract_one (argmax first-occurrence = tie-to-first-choice)
+            packed = self._packed_states.get(bk)
+            if packed is None:
+                packed = editdist.PaddedStrings(to_list)
+                self._packed_states[bk] = packed
+            pm = self._pos_map(bk, bi)
+            cutoff = spec.score_cutoff * 100
+            for i, t in enumerate(texts):
+                t = str(t)
+                scores = editdist.levenshtein_sim_one_to_many(t, packed)
+                if self.self_match:
+                    for jx, s_to in enumerate(to_list):
+                        if s_to == t:
+                            scores = scores.copy()
+                            scores[jx] = -np.inf
+                            break
+                if not len(scores):
+                    continue
+                j = int(np.argmax(scores))
+                if scores[j] < cutoff or scores[j] == -np.inf:
+                    continue
+                idx[i, 0] = pm[to_list[j]]
+                sims[i, 0] = float(scores[j]) / 100
             return idx, sims
         if spec.kind == "rapidfuzz" and self.scorer is editdist.WRatio:
             # packed one-vs-many WRatio: base + token_sort DPs sweep the

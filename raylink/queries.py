@@ -435,6 +435,37 @@ def q_match_rapidfuzz(sf_dir: str):
     return res.matches
 
 
+def q_match_editdistance(sf_dir: str):
+    """J2/S2.9 edit-distance matcher with the ``levenshtein`` scorer (the
+    user-extension scorer surface), SQL-checked end to end: DuckDB's
+    ``levenshtein()`` builtin with the identical normalization/division
+    sequence and the extract_one first-choice tie rule (sim DESC, to-side
+    row_order ASC). row_order is a deterministic function of doc_id so the
+    oracle can re-derive it."""
+    from raylink.pipeline import MatcherSpec, match_dataset
+
+    def side(rem: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False))
+            t = batch.filter(pa.array((ids % 20) == rem))
+            ids_t = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "row_order": pa.array(ids_t // 20, type=pa.int64()),
+                    "entity_text": pc.utf8_slice_codeunits(t["text"], 0, 32),
+                    "block_key": t["lang"],
+                }
+            )
+
+        return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+    res = match_dataset(
+        side(0), side(1),
+        MatcherSpec(kind="rapidfuzz", scorer="levenshtein", score_cutoff=0.0),
+    )
+    return res.matches
+
+
 def q_match_embeddings(sf_dir: str):
     """T4/J1 embedding matcher with the deterministic hash embedder."""
     from raylink.pipeline import MatcherSpec, match_dataset
@@ -721,6 +752,7 @@ QUERIES = {
     "match_tfidf_documents": q_match_tfidf_documents,
     "group_documents": q_group_documents,
     "match_rapidfuzz": q_match_rapidfuzz,
+    "match_editdistance": q_match_editdistance,
     "match_embeddings": q_match_embeddings,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1115,6 +1147,39 @@ ORACLE_SQL = {
                max(turn_idx)::BIGINT AS max_turn
         FROM read_parquet('{_oracle_fixture_glob()}')
         GROUP BY conv_id
+    """,
+    # Edit-distance matcher oracled exactly: DuckDB's levenshtein builtin,
+    # the engine's normalization sequence verbatim (100*(1 - d/m), /100 at
+    # the frame), extract_one's tie-to-first-choice = to-side row_order ASC
+    # (exact ties are bit-exact here — same integer division, no sums).
+    "match_editdistance": """
+        WITH f AS (
+            SELECT doc_id // 20 AS ro, substring(text, 1, 32) AS ft, lang
+            FROM documents WHERE doc_id % 20 = 0
+        ),
+        t AS (
+            SELECT doc_id // 20 AS ro, substring(text, 1, 32) AS tt, lang
+            FROM documents WHERE doc_id % 20 = 1
+        ),
+        sc AS (
+            SELECT f.ro AS fro, t.ro AS tro, t.tt, f.lang,
+                   CASE WHEN greatest(length(f.ft), length(t.tt)) = 0
+                        THEN 100.0
+                        ELSE 100.0 * (1.0 - levenshtein(f.ft, t.tt)
+                             / CAST(greatest(length(f.ft), length(t.tt))
+                                    AS DOUBLE)) END AS score
+            FROM f JOIN t ON f.lang = t.lang
+        ),
+        best AS (
+            SELECT fro, tro, tt, score,
+                   row_number() OVER (PARTITION BY fro
+                                      ORDER BY score DESC, tro ASC) AS rn
+            FROM sc
+        )
+        SELECT f.ft AS "from", b.tt AS "to",
+               coalesce(b.score / 100.0, 0.0) AS similarity,
+               f.lang AS block_key, f.ro AS row_order
+        FROM f LEFT JOIN best b ON b.fro = f.ro AND b.rn = 1
     """,
     # SimHash oracled bit-exactly: the FNV64+splitmix64 shingle hash is
     # re-derived in HUGEINT mod-2^64 arithmetic (_sql_fnv/_sql_splitmix64),

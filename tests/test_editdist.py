@@ -126,3 +126,47 @@ def test_wratio_one_to_many_equals_pairwise():
         assert (ref_c is None) == (got_c is None)
         if ref_c is not None:
             assert got_c[1] == ref_c[1]
+
+
+def test_levenshtein_one_to_many_matches_naive_dp():
+    from raylink.editdist import (
+        PaddedStrings,
+        levenshtein_distance,
+        levenshtein_one_to_many,
+        levenshtein_sim,
+        levenshtein_sim_one_to_many,
+    )
+
+    def naive(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcde ")
+    to_list = [
+        "".join(rng.choice(alphabet, size=rng.integers(0, 12)))
+        for _ in range(30)
+    ] + ["", "abc", "abcabcabc"]
+    packed = PaddedStrings(to_list)
+    for q in ["", "abc", "edcba", "aa bb cc", "abcde" * 3]:
+        got = levenshtein_one_to_many(q, packed)
+        want = np.array([naive(q, t) for t in to_list])
+        assert np.array_equal(got, want), q
+        sims = levenshtein_sim_one_to_many(q, packed)
+        pair = np.array([levenshtein_sim(q, t) for t in to_list])
+        assert np.array_equal(sims, pair), q
+    assert levenshtein_distance("kitten", "sitting") == 3
+    assert levenshtein_sim("", "") == 100.0
+
+
+def test_levenshtein_scorer_registered():
+    from raylink.editdist import SCORERS, levenshtein_sim, resolve_scorer
+
+    assert resolve_scorer("levenshtein") is levenshtein_sim
+    assert "levenshtein" in SCORERS

@@ -108,6 +108,7 @@ def test_every_query_runs(entry_mod):
         "fit_transform",
         "group_documents",
         "simhash",
+        "match_editdistance",
         "minhash_dedup",
         "embedding_cosine_pairs",
         "embedding_lsh_pairs",
