@@ -416,6 +416,22 @@ def _dedup_partial(batch: pa.Table, block_col, text_col, order_col,
     )
 
 
+# combine_chunks / concat of a plain-string column overflows Arrow's int32
+# offsets at 2 GiB of text; above this bound the column is widened to
+# large_string (int64 offsets). Patchable in tests to exercise the wide path
+# at small scale.
+ARROW_STR_WIDEN_BOUND = 1_800_000_000
+
+
+def _widen_text_if_needed(tbl: pa.Table, col: str) -> pa.Table:
+    c = tbl[col]
+    if c.nbytes > ARROW_STR_WIDEN_BOUND and pa.types.is_string(c.type):
+        tbl = tbl.set_column(
+            tbl.column_names.index(col), col, c.cast(pa.large_string())
+        )
+    return tbl
+
+
 def _dedup_min_arrow(tbl: pa.Table) -> pa.Table:
     """Arrow-native distinct (block, text) with min(order): one multi-key
     C sort + shifted-equality dedup — no object-dtype lexsort, no Python
@@ -423,10 +439,11 @@ def _dedup_min_arrow(tbl: pa.Table) -> pa.Table:
 
     Nulls in the key columns are rejected loudly (pc.equal(null, x) would
     silently keep every null row, diverging from the groupby scale path
-    which collapses nulls — pass drop_null_col upstream instead). The
-    Arrow string column caps at 2 GiB of text per merge (int32 offsets);
-    the distributed-distinct threshold keeps this path far below that —
-    lower ``distinct_distributed_over`` if the guard ever trips."""
+    which collapses nulls — pass drop_null_col upstream instead). A text
+    column above ~1.8 GiB is cast to ``large_string`` (int64 offsets) so
+    the single-array merge cannot overflow Arrow's int32 string offsets;
+    the whole downstream path (sort/take/equal, the byte-gram machinery,
+    the scoring take-sources) is large_string-clean."""
     n = tbl.num_rows
     if n == 0:
         return tbl
@@ -436,11 +453,7 @@ def _dedup_min_arrow(tbl: pa.Table) -> pa.Table:
                 f"null {col} in distinct input — filter upstream "
                 "(drop_null_col) so the fast and groupby paths agree"
             )
-    if tbl["entity_text"].nbytes > 1_800_000_000:
-        raise ValueError(
-            "distinct merge exceeds the 2 GiB Arrow string-offset bound; "
-            "lower distinct_distributed_over to take the groupby path"
-        )
+    tbl = _widen_text_if_needed(tbl, "entity_text")
     idx = pc.sort_indices(
         tbl,
         sort_keys=[
@@ -542,6 +555,10 @@ def _collect_to_side(to_ds_or_table, text_col="entity_text", block_col="block_ke
         raise ValueError(
             "null block_key in to-side input — assign a real key upstream"
         )
+    # widen to large_string above the int32-offset bound BEFORE the take /
+    # combine_chunks below can overflow (the downstream gram machinery and
+    # scoring take-sources handle int64 offsets)
+    tbl = _widen_text_if_needed(tbl, text_col)
     # Arrow-native: one C multi-key sort, block runs from a vectorized
     # adjacent-equality mask (no object-dtype lexsort, no Python strings)
     idx = pc.sort_indices(

@@ -610,3 +610,33 @@ def test_distributed_add_group_equals_broadcast(rd):
     gb = b.grouped.to_pandas().sort_values("row_order", ignore_index=True)
     pd.testing.assert_frame_equal(ga, gb[ga.columns])
     assert ga["to"].isna().any() or True  # schema sanity
+
+
+def test_large_string_widening_matches_narrow(rd, monkeypatch):
+    """Forcing the large_string widening (int64 offsets) on every driver
+    merge must leave match + group results identical — the 2 GiB offset
+    cap is lifted, not guarded."""
+    import raylink.pipeline as pl
+    from raylink.pipeline import MatcherSpec, group_matches, match_dataset
+
+    rng = np.random.default_rng(31)
+    texts = ["".join(rng.choice(list("abcd"), size=6)) for _ in range(50)]
+    blocks = [t[0] for t in texts]
+
+    def run():
+        res = match_dataset(
+            _ds(rd, texts, blocks), None, MatcherSpec(min_similarity=0)
+        )
+        gr = group_matches(res, link_min_similarity=0.5, group_all_strings=True)
+        return (
+            res.matches.to_pandas().sort_values("row_order", ignore_index=True),
+            gr.clusters.to_pandas().sort_values(
+                ["block_key", "cluster_id", "member"], ignore_index=True
+            ),
+        )
+
+    m_narrow, c_narrow = run()
+    monkeypatch.setattr(pl, "ARROW_STR_WIDEN_BOUND", 0)
+    m_wide, c_wide = run()
+    pd.testing.assert_frame_equal(m_narrow, m_wide)
+    pd.testing.assert_frame_equal(c_narrow, c_wide)
