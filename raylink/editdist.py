@@ -214,14 +214,15 @@ class WRatioToSide:
     sets — built once per block (actor-state pattern), reused per query."""
 
     __slots__ = ("orig", "proc", "lens", "packed_proc", "packed_tsort",
-                 "token_sets")
+                 "token_sets", "tsort")
 
     def __init__(self, strings: list[str]):
         self.orig = list(strings)
         self.proc = [default_process(s) for s in self.orig]
         self.lens = np.array([len(p) for p in self.proc], dtype=np.int64)
+        self.tsort = [_token_sort(p) for p in self.proc]
         self.packed_proc = PaddedStrings(self.proc)
-        self.packed_tsort = PaddedStrings([_token_sort(p) for p in self.proc])
+        self.packed_tsort = PaddedStrings(self.tsort)
         self.token_sets = [set(p.split()) for p in self.proc]
 
 
@@ -251,6 +252,59 @@ def _partial_token_set_ratio_sets(t1: set, t2: set) -> float:
     return max(
         partial_ratio(inter, c1), partial_ratio(inter, c2), partial_ratio(c1, c2)
     )
+
+
+def partial_ratio_pairs(pairs: list[tuple[str, str]]) -> np.ndarray:
+    """``partial_ratio`` for a LIST of string pairs in one batched DP.
+
+    Every pair contributes its (shorter, window-of-longer) rows to a single
+    ragged row-wise LCS (:func:`lcs_rowwise`); per-pair results are
+    segment-maxima over the window rows. Numerically identical to calling
+    :func:`partial_ratio` per pair — this is what batches the WRatio long
+    branch (length ratio >= 1.5), the scoring family's last per-pair DP.
+    """
+    n = len(pairs)
+    out = np.zeros(n, dtype=np.float64)
+    blk_q: list[np.ndarray] = []  # shorter-string codes, one per live pair
+    blk_t: list[np.ndarray] = []  # (n_windows, len_short) window matrix
+    blk_pair: list[int] = []
+    for j, (a, b) in enumerate(pairs):
+        if len(a) > len(b):
+            a, b = b, a
+        if not a:
+            out[j] = 100.0 if not b else 0.0
+            continue
+        ca, cb = _codes(a), _codes(b)
+        blk_q.append(ca)
+        blk_t.append(np.lib.stride_tricks.sliding_window_view(cb, len(a)))
+        blk_pair.append(j)
+    if not blk_pair:
+        return out
+    n_rows = sum(w.shape[0] for w in blk_t)
+    width = max(len(c) for c in blk_q)
+    mat_q = np.full((n_rows, width), -1, dtype=np.int64)
+    mat_t = np.full((n_rows, width), -1, dtype=np.int64)
+    lens = np.empty(n_rows, dtype=np.int64)
+    rp = np.empty(n_rows, dtype=np.int64)
+    r = 0
+    for ca, win, j in zip(blk_q, blk_t, blk_pair):
+        nw, la = win.shape
+        mat_q[r : r + nw, :la] = ca
+        mat_t[r : r + nw, :la] = win
+        lens[r : r + nw] = la
+        rp[r : r + nw] = j
+        r += nw
+    qp = PaddedStrings.__new__(PaddedStrings)
+    qp.mat = mat_q
+    qp.lens = lens
+    tp = PaddedStrings.__new__(PaddedStrings)
+    tp.mat = mat_t
+    tp.lens = lens
+    lcs = lcs_rowwise(qp, tp)
+    ratios = 200.0 * lcs / (2 * lens)
+    starts = np.flatnonzero(np.r_[True, rp[1:] != rp[:-1]])
+    np.maximum.at(out, rp[starts], np.maximum.reduceat(ratios, starts))
+    return out
 
 
 def lcs_rowwise(qp: PaddedStrings, tp: PaddedStrings) -> np.ndarray:
@@ -331,14 +385,39 @@ def wratio_one_to_many(query: str, ts: WRatioToSide) -> np.ndarray:
             np.maximum(tsort[short_i], tset) * unbase,
         )
     long_i = np.flatnonzero(valid & (len_ratio >= 1.5))
-    for i in long_i:
-        ps = 0.9 if len_ratio[i] < 8 else 0.6
-        p2 = ts.proc[i]
-        out[i] = max(
-            base[i],
-            partial_ratio(p1, p2) * ps,
-            partial_ratio(_token_sort(p1), _token_sort(p2)) * unbase * ps,
-            _partial_token_set_ratio_sets(t1, ts.token_sets[i]) * unbase * ps,
+    if len(long_i):
+        # batched long branch: every partial_ratio of every long pair —
+        # base, token_sort, and the three token_set combinations — rides
+        # ONE row-wise window DP (partial_ratio_pairs); only the token
+        # set/sort string munging stays per pair (same as the short
+        # branch). Numerically identical to the per-pair composition.
+        ts1 = _token_sort(p1)
+        pair_list: list[tuple[str, str]] = []
+        for i in long_i:
+            t2 = ts.token_sets[i]
+            inter = " ".join(sorted(t1 & t2))
+            d1 = " ".join(sorted(t1 - t2))
+            d2 = " ".join(sorted(t2 - t1))
+            c1 = (inter + " " + d1).strip()
+            c2 = (inter + " " + d2).strip()
+            pair_list.extend(
+                [
+                    (p1, ts.proc[i]),
+                    (ts1, ts.tsort[i]),
+                    (inter, c1),
+                    (inter, c2),
+                    (c1, c2),
+                ]
+            )
+        pr = partial_ratio_pairs(pair_list).reshape(len(long_i), 5)
+        ps = np.where(len_ratio[long_i] < 8, 0.9, 0.6)
+        tset_part = np.maximum(np.maximum(pr[:, 2], pr[:, 3]), pr[:, 4])
+        out[long_i] = np.maximum(
+            base[long_i],
+            np.maximum(
+                pr[:, 0] * ps,
+                np.maximum(pr[:, 1], tset_part) * unbase * ps,
+            ),
         )
     return out
 
