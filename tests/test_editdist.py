@@ -170,3 +170,22 @@ def test_levenshtein_scorer_registered():
 
     assert resolve_scorer("levenshtein") is levenshtein_sim
     assert "levenshtein" in SCORERS
+
+
+def test_partial_ratio_pairs_matches_scalar():
+    rng = np.random.default_rng(11)
+    alpha = list("abcde ")
+    pairs = []
+    for _ in range(60):
+        a = "".join(rng.choice(alpha, size=rng.integers(0, 15))).strip()
+        b = "".join(rng.choice(alpha, size=rng.integers(0, 40))).strip()
+        pairs.append((a, b))
+    # deterministic edge cases: both empty, one empty, equal lengths,
+    # identical strings, single chars
+    pairs += [("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+              ("abc", "cba"), ("a", "b"), ("a", "a"), ("ab", "ba")]
+    got = ed.partial_ratio_pairs(pairs)
+    want = np.array([ed.partial_ratio(a, b) for a, b in pairs])
+    assert np.array_equal(got, want), [
+        (p, g, w) for p, g, w in zip(pairs, got, want) if g != w
+    ]
