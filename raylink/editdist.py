@@ -262,9 +262,16 @@ def partial_ratio_pairs(pairs: list[tuple[str, str]]) -> np.ndarray:
     segment-maxima over the window rows. Numerically identical to calling
     :func:`partial_ratio` per pair — this is what batches the WRatio long
     branch (length ratio >= 1.5), the scoring family's last per-pair DP.
+
+    Peak memory is bounded: pairs are processed in slices whose padded
+    matrix stays under ``cell_budget`` cells (~0.5 GiB of slabs at the
+    default), so a batch of very long strings degrades to smaller batches
+    instead of one giant allocation. Chunking is exact — per-pair maxima
+    are independent.
     """
     n = len(pairs)
     out = np.zeros(n, dtype=np.float64)
+    cell_budget = 16_000_000
     blk_q: list[np.ndarray] = []  # shorter-string codes, one per live pair
     blk_t: list[np.ndarray] = []  # (n_windows, len_short) window matrix
     blk_pair: list[int] = []
@@ -280,30 +287,40 @@ def partial_ratio_pairs(pairs: list[tuple[str, str]]) -> np.ndarray:
         blk_pair.append(j)
     if not blk_pair:
         return out
-    n_rows = sum(w.shape[0] for w in blk_t)
-    width = max(len(c) for c in blk_q)
-    mat_q = np.full((n_rows, width), -1, dtype=np.int64)
-    mat_t = np.full((n_rows, width), -1, dtype=np.int64)
-    lens = np.empty(n_rows, dtype=np.int64)
-    rp = np.empty(n_rows, dtype=np.int64)
-    r = 0
-    for ca, win, j in zip(blk_q, blk_t, blk_pair):
-        nw, la = win.shape
-        mat_q[r : r + nw, :la] = ca
-        mat_t[r : r + nw, :la] = win
-        lens[r : r + nw] = la
-        rp[r : r + nw] = j
-        r += nw
-    qp = PaddedStrings.__new__(PaddedStrings)
-    qp.mat = mat_q
-    qp.lens = lens
-    tp = PaddedStrings.__new__(PaddedStrings)
-    tp.mat = mat_t
-    tp.lens = lens
-    lcs = lcs_rowwise(qp, tp)
-    ratios = 200.0 * lcs / (2 * lens)
-    starts = np.flatnonzero(np.r_[True, rp[1:] != rp[:-1]])
-    np.maximum.at(out, rp[starts], np.maximum.reduceat(ratios, starts))
+    # slice the block list so each padded matrix stays under cell_budget
+    lo = 0
+    while lo < len(blk_pair):
+        hi, rows, width = lo, 0, 0
+        while hi < len(blk_pair):
+            nw, la = blk_t[hi].shape
+            new_w = max(width, la)
+            if hi > lo and (rows + nw) * new_w > cell_budget:
+                break
+            rows, width = rows + nw, new_w
+            hi += 1
+        mat_q = np.full((rows, width), -1, dtype=np.int64)
+        mat_t = np.full((rows, width), -1, dtype=np.int64)
+        lens = np.empty(rows, dtype=np.int64)
+        rp = np.empty(rows, dtype=np.int64)
+        r = 0
+        for ca, win, j in zip(blk_q[lo:hi], blk_t[lo:hi], blk_pair[lo:hi]):
+            nw, la = win.shape
+            mat_q[r : r + nw, :la] = ca
+            mat_t[r : r + nw, :la] = win
+            lens[r : r + nw] = la
+            rp[r : r + nw] = j
+            r += nw
+        qp = PaddedStrings.__new__(PaddedStrings)
+        qp.mat = mat_q
+        qp.lens = lens
+        tp = PaddedStrings.__new__(PaddedStrings)
+        tp.mat = mat_t
+        tp.lens = lens
+        lcs = lcs_rowwise(qp, tp)
+        ratios = 200.0 * lcs / (2 * lens)
+        starts = np.flatnonzero(np.r_[True, rp[1:] != rp[:-1]])
+        np.maximum.at(out, rp[starts], np.maximum.reduceat(ratios, starts))
+        lo = hi
     return out
 
 
