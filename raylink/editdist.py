@@ -468,12 +468,13 @@ def extract_one_packed(
 def levenshtein_one_to_many(query: str, packed: PaddedStrings) -> np.ndarray:
     """Plain Levenshtein distance of ``query`` vs every packed string.
 
-    Vectorized over the to-side (axis 0); the column recurrence is the
-    classic DP — the horizontal dependency forces a sequential j loop, but
-    each step is one numpy op over ALL to-strings, so cost is
-    O(len(query) x width) vector ops regardless of n_to. Padded cells
-    (code -1) never match, and the exact per-string distance is read at
-    column ``lens[i]``.
+    Queries up to 64 chars take the Myers bit-parallel path
+    (:func:`_levenshtein_myers`): the whole query lives in one uint64
+    bitvector per to-string, so cost is O(width) vector ops over the
+    to-side — independent of query length. Longer queries fall back to
+    the classic column DP, O(len(query) x width) vector ops. Both are
+    integer-exact; padded cells (code -1) never match, and the per-string
+    distance is read at column ``lens[i]``.
     """
     n_to, width = packed.mat.shape
     if n_to == 0:
@@ -483,6 +484,8 @@ def levenshtein_one_to_many(query: str, packed: PaddedStrings) -> np.ndarray:
     q = _codes(query)
     if width == 0:
         return np.full(n_to, len(q), dtype=np.int64)
+    if len(q) <= 64:
+        return _levenshtein_myers(q, packed)
     prev = np.tile(np.arange(width + 1, dtype=np.int64), (n_to, 1))
     cur = np.empty_like(prev)
     tmp = np.empty(n_to, dtype=np.int64)
@@ -495,6 +498,49 @@ def levenshtein_one_to_many(query: str, packed: PaddedStrings) -> np.ndarray:
             np.minimum(tmp, cur[:, j] + 1, out=cur[:, j + 1])
         prev, cur = cur, prev
     return prev[np.arange(n_to), packed.lens]
+
+
+def _levenshtein_myers(q: np.ndarray, packed: PaddedStrings) -> np.ndarray:
+    """Myers/Hyyrö bit-parallel Levenshtein of a <=64-char query vs every
+    packed string at once. VP/VN are (n_to,) uint64 vectors; per target
+    column one gather (sorted-unique searchsorted maps codes to query
+    match masks) plus ~10 bitwise vector ops replace a whole column sweep
+    of the classic DP. Each row's running score is captured at its own
+    length; later (padded or longer) columns can't disturb it."""
+    n_to, width = packed.mat.shape
+    m = len(q)
+    # Peq: match bitmask per distinct query char, dense-indexed via
+    # searchsorted over the sorted unique codes; sentinel slot 0 = "no
+    # match" for codes not in the query (incl. the -1 pad).
+    uniq, inv = np.unique(q, return_inverse=True)
+    peq = np.zeros(len(uniq) + 1, dtype=np.uint64)
+    np.bitwise_or.at(peq, inv + 1, np.uint64(1) << np.arange(m, dtype=np.uint64))
+    idx = np.searchsorted(uniq, packed.mat)  # (n_to, width)
+    hit = (idx < len(uniq)) & (uniq[np.minimum(idx, len(uniq) - 1)] == packed.mat)
+    dense = np.where(hit, idx + 1, 0)
+    full = np.uint64((1 << m) - 1) if m < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    high = np.uint64(1) << np.uint64(m - 1)
+    one = np.uint64(1)
+    vp = np.full(n_to, full, dtype=np.uint64)
+    vn = np.zeros(n_to, dtype=np.uint64)
+    score = np.full(n_to, m, dtype=np.int64)
+    out = np.full(n_to, m, dtype=np.int64)  # rows with lens == 0
+    lens = packed.lens
+    for j in range(width):
+        pm = peq[dense[:, j]]
+        d0 = (((pm & vp) + vp) ^ vp) | pm | vn
+        hp = vn | ~(d0 | vp)
+        hn = d0 & vp
+        score += ((hp & high) != 0).astype(np.int64)
+        score -= ((hn & high) != 0).astype(np.int64)
+        hp = ((hp << one) | one) & full
+        hn = (hn << one) & full
+        vp = (hn | ~(d0 | hp)) & full
+        vn = d0 & hp
+        done = lens == j + 1
+        if done.any():
+            out[done] = score[done]
+    return out
 
 
 def levenshtein_distance(s1: str, s2: str) -> int:

@@ -189,3 +189,37 @@ def test_partial_ratio_pairs_matches_scalar():
     assert np.array_equal(got, want), [
         (p, g, w) for p, g, w in zip(pairs, got, want) if g != w
     ]
+
+
+def slow_lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j - 1] + (a[i - 1] != b[j - 1]),
+                         prev[j] + 1, cur[j - 1] + 1)
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_myers_matches_slow_dp():
+    rng = np.random.default_rng(17)
+    alpha = list("abcd")
+    for _ in range(25):
+        qlen = int(rng.integers(0, 65))
+        q = "".join(rng.choice(alpha, size=qlen))
+        tos = ["".join(rng.choice(alpha, size=rng.integers(0, 30))) for _ in range(20)]
+        tos += ["", q, q[: max(0, qlen // 2)]]
+        packed = ed.PaddedStrings(tos)
+        got = ed.levenshtein_one_to_many(q, packed)
+        want = np.array([slow_lev(q, t) for t in tos])
+        assert np.array_equal(got, want), (q, tos)
+    # word-boundary lengths: 63/64 ride the bit-parallel path, 65+ the
+    # classic DP fallback — all must agree with the scalar DP
+    for qlen in (1, 63, 64, 65, 80):
+        q = "".join(rng.choice(alpha, size=qlen))
+        tos = ["".join(rng.choice(alpha, size=rng.integers(0, 100))) for _ in range(12)]
+        packed = ed.PaddedStrings(tos)
+        got = ed.levenshtein_one_to_many(q, packed)
+        want = np.array([slow_lev(q, t) for t in tos])
+        assert np.array_equal(got, want), qlen
