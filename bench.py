@@ -112,12 +112,21 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             "pr_curve",
             "canonicalize_events",
         ]
+        # every query is best-of-2 like the flagship (same transient-noise
+        # rationale; contention only adds wall time) with all raw walls
+        # reported under "query_runs"
+        query_runs: dict[str, list[float]] = {}
         for name in bench_queries:
-            t0 = time.perf_counter()
-            out = QUERIES[name](sf_dir)
-            if hasattr(out, "count"):
-                out.count()  # consume the stream
-            timings[name] = time.perf_counter() - t0
+            walls = []
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                out = QUERIES[name](sf_dir)
+                if hasattr(out, "count"):
+                    out.count()  # consume the stream
+                walls.append(time.perf_counter() - t0)
+            timings[name] = min(walls)
+            query_runs[name] = [round(w, 3) for w in walls]
+        extras["query_runs"] = query_runs
 
     total = sum(timings.values())
     return {
