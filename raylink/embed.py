@@ -6,8 +6,10 @@ one pattern: embed both lists (model held warm in the matcher), L2-normalize
 (_embeddings.py:145), cache the to-side (`embeddings_to`, _sbert.py:112 et
 al.), then reuse the shared cosine top-k kernel. The model libraries are not
 installed in this environment, so the default backend is a deterministic
-hash embedder: per-token vectors from blake2b digests, mean-pooled
-(mirroring Gensim's mean pooling with zero OOV vectors,
+hash embedder: per-token vectors from an FNV64-fold + splitmix64 stream
+(the same hash family the simhash kernel uses, which is what makes the
+embedding match SQL-oracle-able — see queries._sql_fnv/_sql_splitmix64),
+mean-pooled (mirroring Gensim's mean pooling with zero OOV vectors,
 polyfuzz/models/_gensim.py:118-140), then L2-normalized. Any callable
 ``texts -> np.ndarray`` plugs in as a custom backend (the reference's
 user-extension surface, _embeddings.py:60-79).
@@ -15,44 +17,51 @@ user-extension surface, _embeddings.py:60-79).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
+
+from raylink.blocking import _hash64
+
+_FNV64_PRIME = np.uint64(1099511628211)
+_GAMMA = np.uint64(0x9E3779B97F4A7C15)
 
 
 class HashEmbedder:
     """Deterministic token-hash embedder (seeded, no model weights).
 
-    Token vector = float64 values derived from blake2b(token || seed),
-    mapped into [-1, 1]; document vector = mean of token vectors (empty
-    text -> zero vector); rows are NOT normalized here — the matcher
-    normalizes, matching the reference split of responsibilities.
+    Token vector component d = splitmix64(fnv64(token) + seed + d*gamma)
+    mapped into [-1, 1] (uniform from the top 64 hash bits); document
+    vector = mean of token vectors (empty text -> zero vector); rows are
+    NOT normalized here — the matcher normalizes, matching the reference
+    split of responsibilities. The hash chain is wrapping uint64
+    arithmetic over token CODEPOINTS, mirrored verbatim by the DuckDB
+    oracle (queries: match_embeddings) in HUGEINT mod-2^64 arithmetic —
+    which is why this stand-in is SQL-checkable end to end.
     """
 
     def __init__(self, dim: int = 64, seed: int = 42):
         self.dim = int(dim)
         self.seed = int(seed)
         self._cache: dict[str, np.ndarray] = {}
+        self._dim_salt = np.arange(1, self.dim + 1, dtype=np.uint64) * _GAMMA
 
     def _token_vec(self, token: str) -> np.ndarray:
         v = self._cache.get(token)
         if v is not None:
             return v
-        out = np.empty(self.dim, dtype=np.float64)
-        n_bytes = self.dim * 8
-        raw = b""
-        counter = 0
-        while len(raw) < n_bytes:
-            h = hashlib.blake2b(
-                f"{self.seed}:{counter}:{token}".encode(), digest_size=64
-            )
-            raw += h.digest()
-            counter += 1
-        ints = np.frombuffer(raw[:n_bytes], dtype=np.uint64)
+        h = 0
+        for ch in token:  # wrapping mod-2^64 FNV fold over codepoints
+            h = (h * 1099511628211 + ord(ch)) & 0xFFFFFFFFFFFFFFFF
+        base = (h + self.seed) & 0xFFFFFFFFFFFFFFFF
+        ints = _hash64(np.uint64(base) + self._dim_salt)
         out = (ints.astype(np.float64) / np.float64(2**64)) * 2.0 - 1.0
         if len(self._cache) < 200_000:
             self._cache[token] = out
         return out
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_cache"] = {}  # never ship the cache to workers
+        return state
 
     def __call__(self, texts) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float64)

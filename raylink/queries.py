@@ -467,7 +467,12 @@ def q_match_editdistance(sf_dir: str):
 
 
 def q_match_embeddings(sf_dir: str):
-    """T4/J1 embedding matcher with the deterministic hash embedder."""
+    """T4/J1 embedding matcher with the deterministic hash embedder.
+
+    SQL-checked end to end: the embedder's FNV64+splitmix64 token hash is
+    re-derived in HUGEINT arithmetic (bit-equal components), cosine via
+    list_cosine_similarity over pooled vectors, round(.,3) + <0.001-null
+    frame rules mirrored (_EMBED_MATCH_SQL)."""
     from raylink.pipeline import MatcherSpec, match_dataset
 
     ds = _read(sf_dir, "documents")
@@ -669,9 +674,10 @@ def q_fit_transform(sf_dir: str):
 
 
 def q_multi_model_compare(sf_dir: str):
-    """Multi-model compare (polyfuzz.py:147-152) through the contract
-    (rows-only): two matchers over the same inputs, stacked with a
-    model_id column."""
+    """Multi-model compare (polyfuzz.py:147-152) through the contract:
+    two matchers over the same inputs, stacked with a model_id column.
+    SQL-checked: the TF-IDF and embedding match oracles stacked with
+    UNION ALL."""
     import ray.data as rd
 
     from raylink.pipeline import MatcherSpec, dataset_with_row_order, match_many
@@ -1465,3 +1471,75 @@ ORACLE_SQL = {
         SELECT x AS doc_id, min(r) AS dup_group FROM reach GROUP BY x
     """,
 }
+
+# -- embedding match oracled end to end -------------------------------------
+# The HashEmbedder's token hash (embed.HashEmbedder._token_vec) is an FNV64
+# fold over token codepoints + splitmix64 per dimension — the exact hash
+# family the simhash oracle already re-derives in HUGEINT mod-2^64
+# arithmetic, so per-token vector COMPONENTS are bit-equal between numpy
+# and DuckDB (verified in tests). Mean-pooling + L2-normalized cosine then
+# agree to ~1e-15 (summation order), which round(.,3) absorbs — the same
+# tolerance argument as the round-4 ann_topk oracle. Cosine is taken over
+# per-doc component SUMS (scale cancels in cosine, so sum == mean).
+_EMBED_SMIX = _sql_splitmix64(
+    f"((eth.h + 42 + {_sql_mulmod64('CAST(dd.d AS HUGEINT)', 0x9E3779B97F4A7C15)})"
+    f" % {_SQL_M64})"
+)
+_EMBED_MATCH_SQL = f"""
+    WITH etoks AS (
+        SELECT d.doc_id, d.lang, t.tok
+        FROM documents d,
+             unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                                x -> length(x) > 0)) AS t(tok)
+    ),
+    eth AS (
+        SELECT doc_id, lang, list_reduce(
+            list_prepend(CAST(0 AS HUGEINT),
+              list_transform(regexp_split_to_array(tok, ''),
+                             c -> CAST(ascii(c) AS HUGEINT))),
+            (h, c) -> (h * CAST(1099511628211 AS HUGEINT) + c) % {_SQL_M64}
+        ) AS h
+        FROM etoks
+    ),
+    ecomp AS (
+        SELECT eth.doc_id, eth.lang, dd.d AS dim,
+               (CAST({_EMBED_SMIX} AS DOUBLE) / 18446744073709551616.0)
+                 * 2.0 - 1.0 AS c
+        FROM eth, (SELECT unnest(range(1, 65)) AS d) dd
+    ),
+    evec AS (
+        SELECT doc_id, lang, list(s ORDER BY dim) AS v
+        FROM (SELECT doc_id, lang, dim, sum(c) AS s
+              FROM ecomp GROUP BY doc_id, lang, dim) g
+        GROUP BY doc_id, lang
+    ),
+    edot AS (
+        SELECT a.doc_id AS fid, b.doc_id AS tid,
+               list_cosine_similarity(a.v, b.v) AS s
+        FROM evec a JOIN evec b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    ),
+    ebest AS (
+        SELECT fid, tid, s,
+               row_number() OVER (PARTITION BY fid
+                                  ORDER BY s DESC, tid ASC) AS rn
+        FROM edot WHERE s > 0
+    )
+    SELECT d.text AS "from",
+           CASE WHEN round(ebest.s, 3) >= 0.001 THEN t2.text
+                ELSE NULL END AS "to",
+           CASE WHEN round(ebest.s, 3) >= 0.001 THEN round(ebest.s, 3)
+                ELSE 0.0 END AS similarity,
+           d.lang AS block_key,
+           d.doc_id AS row_order
+    FROM documents d
+    LEFT JOIN ebest ON ebest.fid = d.doc_id AND ebest.rn = 1
+    LEFT JOIN documents t2 ON t2.doc_id = ebest.tid
+"""
+ORACLE_SQL["match_embeddings"] = _EMBED_MATCH_SQL
+# multi-model compare = the two per-model oracles stacked with model_id
+ORACLE_SQL["multi_model_compare"] = f"""
+    SELECT 'TF-IDF' AS model_id, *
+    FROM ({ORACLE_SQL["match_tfidf_documents"]})
+    UNION ALL
+    SELECT 'Embeddings' AS model_id, * FROM ({_EMBED_MATCH_SQL})
+"""

@@ -208,3 +208,43 @@ def test_knn_self_match_drops_first_column():
     # frame must still be a valid matches frame:
     assert list(knn.columns) == ["From", "To", "Similarity"]
     assert len(knn) == 3
+
+
+def test_hash_embedder_components_bit_equal_vs_duckdb():
+    """The HashEmbedder token hash (FNV64 fold over codepoints +
+    splitmix64 per dim) must be reproducible in DuckDB HUGEINT arithmetic
+    bit-exactly — that equivalence is what makes the match_embeddings
+    driver query SQL-oracle-able (queries._EMBED_MATCH_SQL)."""
+    import duckdb
+
+    from raylink.embed import HashEmbedder
+    from raylink.queries import _SQL_M64, _sql_mulmod64, _sql_splitmix64
+
+    smix = _sql_splitmix64(
+        f"((th.h + 42 + {_sql_mulmod64('CAST(dd.d AS HUGEINT)', 0x9E3779B97F4A7C15)})"
+        f" % {_SQL_M64})"
+    )
+    sql = f"""
+    WITH th AS (
+      SELECT tok, list_reduce(
+          list_prepend(CAST(0 AS HUGEINT),
+            list_transform(regexp_split_to_array(tok, ''),
+                           c -> CAST(ascii(c) AS HUGEINT))),
+          (h, c) -> (h * CAST(1099511628211 AS HUGEINT) + c) % {_SQL_M64}
+        ) AS h
+      FROM (VALUES ('apple'), ('x'), ('zq9'), ('averylongtokenthatwrapsmanytimes')) t(tok)
+    )
+    SELECT th.tok, dd.d,
+           (CAST({smix} AS DOUBLE) / 18446744073709551616.0) * 2.0 - 1.0 AS c
+    FROM th, (SELECT unnest(range(1, 65)) AS d) dd
+    ORDER BY th.tok, dd.d
+    """
+    rows = duckdb.connect().execute(sql).fetchall()
+    by_tok: dict[str, dict[int, float]] = {}
+    for tok, d, c in rows:
+        by_tok.setdefault(tok, {})[d] = c
+    emb = HashEmbedder()
+    for tok, comps in by_tok.items():
+        want = emb._token_vec(tok)
+        got = np.array([comps[d] for d in range(1, 65)])
+        assert np.array_equal(got, want), tok
