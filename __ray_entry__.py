@@ -124,4 +124,10 @@ def oracle_sql() -> dict[str, str]:
         ensure_embedding_lsh_fixture()
     except Exception:
         pass
+    try:
+        from raylink.queries import ensure_media_fixture
+
+        ensure_media_fixture()
+    except Exception:
+        pass
     return dict(ORACLE_SQL)

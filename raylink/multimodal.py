@@ -18,10 +18,30 @@ Memory note: binary rows are large — callers should use a small
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+
+from raylink.blocking import _hash64
+
+_FNV64_PRIME = 1099511628211
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _fnv64_bytes(data: bytes) -> int:
+    """Wrapping FNV64 fold over raw bytes — the payload -> stream-seed hash
+    of the fake codec. Same hash family as the simhash/embedding kernels,
+    re-derived by the DuckDB oracle over hex(payload) byte pairs."""
+    h = 0
+    for b in data:
+        h = (h * _FNV64_PRIME + b) & _MASK64
+    return h
+
+
+def _splitmix_stream(seed: int, n: int) -> np.ndarray:
+    """n uint64 draws: splitmix64(seed + i*gamma) for i = 1..n."""
+    idx = np.arange(1, n + 1, dtype=np.uint64) * _GAMMA
+    return _hash64(np.uint64(seed) + idx)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -70,19 +90,19 @@ class DecoderBackend:
                 f"image codec backend {self.backend!r} is not available in "
                 "this environment; use backend='fake' or install a codec"
             )
-        h = hashlib.blake2b(payload, digest_size=8).digest()
-        seed = int.from_bytes(h, "little")
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+        seed = _fnv64_bytes(payload)
+        u = _splitmix_stream(seed, height * width * 3)
+        return (u >> np.uint64(56)).astype(np.uint8).reshape(height, width, 3)
 
     def decode_audio(self, payload: bytes, sample_rate: int) -> np.ndarray:
         if self.backend != "fake":
             raise NotImplementedError(
                 f"audio codec backend {self.backend!r} is not available"
             )
-        h = hashlib.blake2b(payload, digest_size=8).digest()
-        rng = np.random.default_rng(int.from_bytes(h, "little"))
-        return (rng.random(sample_rate) * 2 - 1).astype(np.float32)
+        u = _splitmix_stream(_fnv64_bytes(payload), sample_rate)
+        return (
+            (u.astype(np.float64) / np.float64(2**64)) * 2.0 - 1.0
+        ).astype(np.float32)
 
 
 class MediaFeatureActor:
@@ -123,7 +143,11 @@ class MediaFeatureActor:
             elif mt == "audio":
                 wav = self.codec.decode_audio(p, sr)
                 seg = np.array_split(wav, self.resize_to * self.resize_to)
-                feats.append([float(np.sqrt((s**2).mean())) for s in seg])
+                # rms in f64 over the f32 samples: keeps the math order
+                # identical to the SQL oracle's DOUBLE aggregation
+                feats.append(
+                    [float(np.sqrt((s.astype(np.float64) ** 2).mean())) for s in seg]
+                )
                 shapes.append(f"rms{self.resize_to * self.resize_to}")
             else:  # video: frame-sample then image features of sampled frames
                 step = max(1, nf // self.n_sample_frames)

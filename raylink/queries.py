@@ -517,16 +517,38 @@ def q_ann_ivf_topk(sf_dir: str):
     return out
 
 
+MEDIA_FIXTURE = os.path.join(FIXTURE_ROOT, "media-n200-s42.parquet")
+
+
+def ensure_media_fixture() -> str:
+    """Persist the synthesized media table once so the Ray query and the
+    DuckDB oracle read the SAME parquet input (transcript-fixture
+    pattern)."""
+    if not os.path.exists(MEDIA_FIXTURE):
+        import pyarrow.parquet as pq
+
+        from raylink.multimodal import synthesize_media_table
+
+        os.makedirs(FIXTURE_ROOT, exist_ok=True)
+        tmp = MEDIA_FIXTURE + ".tmp"
+        pq.write_table(synthesize_media_table(200, seed=42), tmp)
+        os.replace(tmp, MEDIA_FIXTURE)
+    return MEDIA_FIXTURE
+
+
 def q_multimodal_features(sf_dir: str):
-    """Multimodal feature plumbing through the driver contract (rows-only;
-    deterministic fake codec — real backends are a documented stub):
-    synthetic media rows -> actor-pool decode/resize/frame-sample ->
-    fixed-width features, reported as a rounded checksum per row."""
+    """Multimodal feature plumbing through the driver contract (real
+    codec backends are a documented stub; the fake codec derives pixel /
+    sample streams from FNV64(payload)+splitmix64): media parquet ->
+    actor-pool decode/resize/frame-sample -> fixed-width features,
+    reported as a rounded checksum per row. SQL-checked: the byte /
+    sample streams, nearest-neighbor resize, frame sampling and rms
+    segmentation are re-derived in the DuckDB oracle over hex(payload)."""
     import ray.data as rd
 
-    from raylink.multimodal import media_features, synthesize_media_table
+    ds = rd.read_parquet(ensure_media_fixture())
+    from raylink.multimodal import media_features
 
-    ds = rd.from_arrow(synthesize_media_table(200, seed=42))
     feats = media_features(ds, backend="fake", concurrency=(1, 2))
 
     def summarize(batch: pa.Table) -> pa.Table:
@@ -1536,6 +1558,150 @@ _EMBED_MATCH_SQL = f"""
     LEFT JOIN documents t2 ON t2.doc_id = ebest.tid
 """
 ORACLE_SQL["match_embeddings"] = _EMBED_MATCH_SQL
+
+# -- multimodal features oracled --------------------------------------------
+# The fake codec (multimodal.DecoderBackend) derives pixel / sample streams
+# from FNV64(payload bytes) + splitmix64 — re-derived here over
+# hex(payload) byte pairs. Nearest-neighbor resize picks 64 source pixels
+# per image (integer index arithmetic), audio rms segments are DOUBLE
+# aggregates over f32 samples (REAL round-trip mirrored), video folds 4
+# little-endian frame-counter bytes onto the payload seed. All float
+# reductions are f64 on both sides; round(.,4) absorbs summation order.
+_MEDIA_GAMMA = 0x9E3779B97F4A7C15
+_MEDIA_BYTEFOLD = f"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        list_transform(regexp_extract_all(hex(payload), '..'),
+          hx -> CAST((strpos('0123456789ABCDEF', substring(hx, 1, 1)) - 1) * 16
+                   + (strpos('0123456789ABCDEF', substring(hx, 2, 1)) - 1)
+                AS HUGEINT))),
+        (hh, c) -> (hh * {_SQL_FNV_P} + c) % {_SQL_M64})"""
+
+
+def _media_smix_byte(seed_col: str, flat_col: str) -> str:
+    """splitmix64(seed + flat*gamma) >> 56 — one fake-codec stream byte."""
+    e = _sql_splitmix64(
+        f"(({seed_col} + {_sql_mulmod64(flat_col, _MEDIA_GAMMA)}) % {_SQL_M64})"
+    )
+    return f"(CAST({e} AS HUGEINT) // 72057594037927936)"
+
+
+def _media_smix_sample(seed_col: str, i_col: str) -> str:
+    """One fake-codec f32 audio sample, carried as DOUBLE."""
+    e = _sql_splitmix64(
+        f"(({seed_col} + {_sql_mulmod64(i_col, _MEDIA_GAMMA)}) % {_SQL_M64})"
+    )
+    return (
+        f"CAST(CAST(((CAST({e} AS DOUBLE) / 18446744073709551616.0) * 2.0"
+        f" - 1.0) AS REAL) AS DOUBLE)"
+    )
+
+
+def _multimodal_oracle_sql() -> str:
+    # deterministic constant path; synthesized by ensure_media_fixture()
+    # from the query/oracle entry points (no import-time side effects)
+    path = MEDIA_FIXTURE
+    flat_img = (
+        "((LEAST(p.fy * p.h // 8, p.h - 1) * p.w"
+        " + LEAST(p.fx * p.w // 8, p.w - 1)) * 3 + p.c + 1)"
+    )
+    return f"""
+    WITH m AS (
+        SELECT media_id, media_type, payload,
+               CAST(meta_width AS HUGEINT) AS w,
+               CAST(meta_height AS HUGEINT) AS h,
+               meta_sample_rate AS sr, meta_n_frames AS nf
+        FROM read_parquet('{path}')
+    ),
+    sd AS (SELECT media_id, media_type, w, h, sr, nf,
+                  {_MEDIA_BYTEFOLD} AS seed
+           FROM m),
+    grid AS (SELECT fy.y AS fy, fx.x AS fx, ch.c AS c
+             FROM (SELECT unnest(range(0, 8)) AS y) fy,
+                  (SELECT unnest(range(0, 8)) AS x) fx,
+                  (SELECT unnest(range(0, 3)) AS c) ch),
+    ipix AS (
+        SELECT sd.media_id, sd.seed, sd.w, sd.h,
+               grid.fy, grid.fx, grid.c
+        FROM sd, grid WHERE sd.media_type = 'image'
+    ),
+    ibyte AS (
+        SELECT media_id, fy, fx,
+               {_media_smix_byte("p.seed", flat_img)} AS b
+        FROM ipix p
+    ),
+    ifeat AS (
+        SELECT media_id, round(SUM(cell), 4) AS feature_sum FROM (
+            SELECT media_id, (SUM(b) / 3.0) / 255.0 AS cell
+            FROM ibyte GROUP BY media_id, fy, fx
+        ) GROUP BY media_id
+    ),
+    asmp AS (
+        SELECT sd.media_id, (ii.i - 1) // (sd.sr // 64) AS seg,
+               {_media_smix_sample("sd.seed", "ii.i")} AS s
+        FROM sd, unnest(range(1, sd.sr + 1)) AS ii(i)
+        WHERE sd.media_type = 'audio'
+    ),
+    afeat AS (
+        SELECT media_id, round(SUM(rms), 4) AS feature_sum FROM (
+            SELECT media_id, seg, sqrt(AVG(s * s)) AS rms
+            FROM asmp GROUP BY media_id, seg
+        ) GROUP BY media_id
+    ),
+    vfr AS (
+        SELECT sd.media_id, sd.w, sd.h, sd.seed,
+               si.s * GREATEST(1, sd.nf // 4) AS fi
+        FROM sd, (SELECT unnest(range(0, 4)) AS s) si
+        WHERE sd.media_type = 'video'
+          AND si.s * GREATEST(1, sd.nf // 4) < sd.nf
+    ),
+    vsd AS (
+        SELECT media_id, w, h, fi,
+               list_reduce([seed,
+                            CAST(fi % 256 AS HUGEINT),
+                            CAST((fi // 256) % 256 AS HUGEINT),
+                            CAST((fi // 65536) % 256 AS HUGEINT),
+                            CAST((fi // 16777216) % 256 AS HUGEINT)],
+                 (hh, c) -> (hh * {_SQL_FNV_P} + c) % {_SQL_M64}) AS fseed
+        FROM vfr
+    ),
+    vcount AS (SELECT media_id, COUNT(*) AS n FROM vsd GROUP BY media_id),
+    vpix AS (
+        SELECT v.media_id, v.fseed AS seed, v.w, v.h,
+               grid.fy, grid.fx, grid.c
+        FROM vsd v, grid
+    ),
+    vbyte AS (
+        SELECT media_id, seed, fy, fx,
+               {_media_smix_byte("p.seed", flat_img)} AS b
+        FROM vpix p
+    ),
+    vfeat AS (
+        SELECT c.media_id,
+               round(SUM(c.cell / vc.n), 4) AS feature_sum
+        FROM (
+            SELECT media_id, fy, fx, SUM(fcell) AS cell FROM (
+                SELECT media_id, seed, fy, fx,
+                       (SUM(b) / 3.0) / 255.0 AS fcell
+                FROM vbyte GROUP BY media_id, seed, fy, fx
+            ) GROUP BY media_id, fy, fx
+        ) c JOIN vcount vc ON vc.media_id = c.media_id
+        GROUP BY c.media_id
+    )
+    SELECT m.media_id, m.media_type,
+           CASE m.media_type
+                WHEN 'image' THEN '8x8'
+                WHEN 'audio' THEN 'rms64'
+                ELSE CAST(vc.n AS VARCHAR) || 'f:8x8' END AS feature_shape,
+           COALESCE(ifeat.feature_sum, afeat.feature_sum,
+                    vfeat.feature_sum) AS feature_sum
+    FROM m
+    LEFT JOIN ifeat ON ifeat.media_id = m.media_id
+    LEFT JOIN afeat ON afeat.media_id = m.media_id
+    LEFT JOIN vfeat ON vfeat.media_id = m.media_id
+    LEFT JOIN vcount vc ON vc.media_id = m.media_id
+    """
+
+
+ORACLE_SQL["multimodal_features"] = _multimodal_oracle_sql()
 # multi-model compare = the two per-model oracles stacked with model_id
 ORACLE_SQL["multi_model_compare"] = f"""
     SELECT 'TF-IDF' AS model_id, *
