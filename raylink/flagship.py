@@ -147,13 +147,18 @@ def transcript_entity_resolution(
     # lands on the driver — pairs with the distributed-distinct regime)
     t0 = time.perf_counter()
     if n_distinct <= assign_broadcast_max_rows:
-        cl_tbl = pa.concat_tables(
-            ray.get(group_result.clusters.to_arrow_refs()),
-            promote_options="default",
-        )
-        from raylink.pipeline import make_assignment_lookup
+        # the grouped output already built (and broadcast) this exact
+        # lookup over the same cluster table — reuse it instead of
+        # re-collecting the clusters and re-sorting the keys
+        resolve = group_result.name_map_ref
+        if resolve is None:
+            cl_tbl = pa.concat_tables(
+                ray.get(group_result.clusters.to_arrow_refs()),
+                promote_options="default",
+            )
+            from raylink.pipeline import make_assignment_lookup
 
-        resolve = make_assignment_lookup(cl_tbl)
+            resolve = make_assignment_lookup(cl_tbl)
 
         def assign(batch: pa.Table, _resolve=resolve) -> pa.Table:
             groups, cids = _resolve(

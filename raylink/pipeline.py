@@ -856,17 +856,20 @@ def make_assignment_lookup(cl_tbl: pa.Table):
     resolver. Arrow arrays ship buffer-based; each worker derives numpy
     views once; per-batch resolution is one vectorized searchsorted —
     no 100k-entry Python dicts pickled or rebuilt anywhere."""
-    keys = [
-        f"{b}\x1f{m}"
-        for b, m in zip(
-            cl_tbl["block_key"].to_pylist(), cl_tbl["member"].to_pylist()
-        )
-    ]
-    order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
+    # composite keys + sort stay in Arrow C kernels; bytewise UTF-8 order
+    # equals the former per-object codepoint sort (UTF-8 preserves
+    # codepoint order), and keys are unique per (block, member) so sort
+    # stability is immaterial
+    keys_arr = pc.binary_join_element_wise(
+        cl_tbl["block_key"].combine_chunks().cast(pa.string()),
+        cl_tbl["member"].combine_chunks().cast(pa.string()),
+        "\x1f",
+    )
+    order_arr = pc.sort_indices(keys_arr)
     payload = (
-        pa.array(np.asarray(keys, dtype=object)[order], type=pa.string()),
-        cl_tbl["representative"].combine_chunks().take(pa.array(order)),
-        cl_tbl["cluster_id"].combine_chunks().take(pa.array(order)),
+        keys_arr.take(order_arr),
+        cl_tbl["representative"].combine_chunks().take(order_arr),
+        cl_tbl["cluster_id"].combine_chunks().take(order_arr),
     )
     ref = ray.put(payload)
 
