@@ -385,18 +385,43 @@ def spread_table(tbl: pa.Table, target_rows_per_block: int = 512):
     permuted = tbl.take(pa.array(perm))
     sizes = [len(idx[i::n_blocks]) for i in range(n_blocks)]
     offsets = np.r_[0, np.cumsum(sizes)[:-1]].astype(np.int64)
-    refs = _split_table_remote.options(num_returns=n_blocks).remote(
+    out = _split_table_remote.options(num_returns=n_blocks + 1).remote(
         permuted, offsets.tolist(), [int(s) for s in sizes]
     )
-    return rd.from_arrow_refs(list(refs))
+    refs, meta_ref = list(out[:-1]), out[-1]
+    # rd.from_arrow_refs launches one remote metadata probe PER block and
+    # ray.gets them all (~0.9 s at 128 blocks of pure scheduling latency);
+    # the split task already held every slice, so it returns the block
+    # metadata as one extra output and the Dataset is assembled directly.
+    # Internal-API use is fenced with a public-API fallback.
+    try:
+        from ray.data._internal.logical.interfaces import LogicalPlan
+        from ray.data._internal.logical.operators.from_operators import FromArrow
+        from ray.data._internal.plan import ExecutionPlan
+        from ray.data._internal.stats import DatasetStats
+        from ray.data.dataset import MaterializedDataset
+
+        metas = ray.get(meta_ref)
+        plan = ExecutionPlan(
+            DatasetStats(metadata={"FromArrow": metas}, parent=None),
+            rd.DataContext.get_current().copy(),
+        )
+        return MaterializedDataset(plan, LogicalPlan(FromArrow(refs, metas), plan._context))
+    except Exception:
+        return rd.from_arrow_refs(refs)
 
 
 @ray.remote
 def _split_table_remote(tbl: pa.Table, offsets, sizes):
+    from ray.data.block import BlockExecStats, BlockMetadataWithSchema
+
     # combine_chunks per slice so each returned table owns compact buffers
-    return tuple(
-        tbl.slice(o, s).combine_chunks() for o, s in zip(offsets, sizes)
-    )
+    slices = [tbl.slice(o, s).combine_chunks() for o, s in zip(offsets, sizes)]
+    metas = [
+        BlockMetadataWithSchema.from_block(s, stats=BlockExecStats.builder().build())
+        for s in slices
+    ]
+    return (*slices, metas)
 
 
 def _dedup_partial(batch: pa.Table, block_col, text_col, order_col,
