@@ -1270,6 +1270,16 @@ def _build_selfmatch_shard_remote(kind, state, *tables):
             vocab = state[bk]
             bi.tfidf_vocab = vocab
             bi.topk = TopkIndex(vocab.transform(bi.texts_arr))
+        elif kind in ("rapidfuzz", "editdistance"):
+            # state is the packed-scorer tag; the heavy numeric DP
+            # matrices live in this plasma object (zero-copy numpy views
+            # per worker); python token structures (WRatio sets) are the
+            # per-worker heap residual, bounded by the shard's strings
+            texts = [str(t) for t in bi.texts]
+            if state == "WRatio":
+                bi.packed = editdist.WRatioToSide(texts)
+            else:  # levenshtein | ratio share the plain padded matrix
+                bi.packed = editdist.PaddedStrings(texts)
         else:  # embeddings
             bi.emb = l2_normalize(
                 np.asarray(state(list(bi.texts)), dtype=np.float64)
@@ -1279,6 +1289,25 @@ def _build_selfmatch_shard_remote(kind, state, *tables):
 
 
 _GPOS_PAD = np.int64(1) << 62  # sorts missing candidates last
+
+
+def _ed_scorer_tag(spec: MatcherSpec) -> str | None:
+    """Packed-scorer tag for the sharded edit-distance path, or None when
+    the spec's scorer has no packed one-vs-many kernel (custom callables
+    stay broadcast-only — a documented bound, not a silent one)."""
+    if spec.scorer is None:
+        return "WRatio" if spec.kind == "rapidfuzz" else "ratio"
+    try:
+        sc = editdist.resolve_scorer(spec.scorer)
+    except (ValueError, TypeError):
+        return None
+    if spec.kind == "rapidfuzz" and sc is editdist.WRatio:
+        return "WRatio"
+    if spec.kind == "rapidfuzz" and sc is editdist.levenshtein_sim:
+        return "levenshtein"
+    if spec.kind == "editdistance" and sc is editdist.ratio:
+        return "ratio"
+    return None
 
 
 class ShardedScorer:
@@ -1303,6 +1332,108 @@ class ShardedScorer:
         self.spec = spec
         self.k = top_n_cols
         self.self_match = self_match
+        # per-(shard, block) first-occurrence value->local-index maps for
+        # the edit-distance family's value-equal self-exclusion
+        self._ed_pm: dict = {}
+
+    def _ed_first_pos(self, si: int, bk: str, bi: "BlockIndex") -> dict:
+        pm = self._ed_pm.get((si, bk))
+        if pm is None:
+            pm = {}
+            for j, t in enumerate(bi.texts.tolist()):
+                t = str(t)
+                if t not in pm:
+                    pm[t] = j
+            self._ed_pm[(si, bk)] = pm
+        return pm
+
+    def _score_block_ed(
+        self, texts_py, shards, bases, bk, rows, out_sim, out_to
+    ):
+        """Edit-distance family against the sharded to-side.
+
+        Per shard: packed one-vs-many scores, per-row top-2 first-max
+        candidates (top-2 because self-match may exclude exactly one
+        globally-first value-equal entry, which can be a shard's top-1).
+        Merge: drop the excluded candidate, pick (max score, lowest global
+        to-position) — identical to the broadcast extract_one semantics
+        (within-shard argmax = first max; cross-shard lowest gpos = global
+        first), then the inclusive score cutoff (rapidfuzz kinds only).
+        """
+        spec = self.spec
+        tag = self.state
+        n = len(texts_py)
+        sims_parts: list[np.ndarray] = []
+        gpos_parts: list[np.ndarray] = []
+        shard_parts: list[np.ndarray] = []
+        local_parts: list[np.ndarray] = []
+        eq_gpos = np.full(n, _GPOS_PAD, dtype=np.int64)
+        for si, sh in enumerate(shards):
+            if bases[si] < 0:
+                continue
+            bi = sh.get(bk)
+            if bi is None or len(bi.texts_arr) == 0:
+                continue
+            st = bi.packed
+            base = int(bases[si])
+            s2 = np.full((n, 2), -np.inf, dtype=np.float64)
+            g2 = np.full((n, 2), _GPOS_PAD, dtype=np.int64)
+            l2 = np.full((n, 2), -1, dtype=np.int64)
+            pm = self._ed_first_pos(si, bk, bi) if self.self_match else None
+            for i, t in enumerate(texts_py):
+                if tag == "WRatio":
+                    vec = editdist.wratio_one_to_many(t, st)
+                elif tag == "levenshtein":
+                    vec = editdist.levenshtein_sim_one_to_many(t, st)
+                else:
+                    vec = editdist.ratio_one_to_many(t, st)
+                j1 = int(np.argmax(vec))
+                s2[i, 0] = vec[j1]
+                g2[i, 0] = j1 + base
+                l2[i, 0] = j1
+                if len(vec) > 1:
+                    vec2 = vec.copy()
+                    vec2[j1] = -np.inf
+                    j2 = int(np.argmax(vec2))
+                    s2[i, 1] = vec2[j2]
+                    g2[i, 1] = j2 + base
+                    l2[i, 1] = j2
+                if pm is not None:
+                    fe = pm.get(t)
+                    if fe is not None and fe + base < eq_gpos[i]:
+                        eq_gpos[i] = fe + base
+            sims_parts.append(s2)
+            gpos_parts.append(g2)
+            shard_parts.append(np.full((n, 2), si, dtype=np.int64))
+            local_parts.append(l2)
+        if not sims_parts:
+            return
+        S = np.concatenate(sims_parts, axis=1)
+        G = np.concatenate(gpos_parts, axis=1)
+        SH = np.concatenate(shard_parts, axis=1)
+        L = np.concatenate(local_parts, axis=1)
+        if self.self_match:
+            S = np.where(G == eq_gpos[:, None], -np.inf, S)
+        sel = np.lexsort((G, -S), axis=1)[:, :1]
+        bs = np.take_along_axis(S, sel, axis=1)[:, 0]
+        bg = np.take_along_axis(G, sel, axis=1)[:, 0]
+        bsh = np.take_along_axis(SH, sel, axis=1)[:, 0]
+        bl = np.take_along_axis(L, sel, axis=1)[:, 0]
+        ok = np.isfinite(bs) & (bg < _GPOS_PAD)
+        if spec.kind == "rapidfuzz":
+            ok &= bs >= spec.score_cutoff * 100
+            vals = bs / 100.0
+        else:
+            vals = bs
+        to_obj = np.full(n, None, dtype=object)
+        for si in np.unique(bsh[ok]) if ok.any() else []:
+            mask = ok & (bsh == si)
+            taken = shards[si][bk].texts_arr.take(
+                pa.array(bl[mask], type=pa.int64())
+            )
+            to_obj[mask] = np.asarray(taken.to_pylist(), dtype=object)
+        out_sim[rows, 0] = np.where(ok, vals, 0.0)
+        out_to[rows, 0] = to_obj
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
@@ -1328,6 +1459,14 @@ class ShardedScorer:
             rows = sort[s:e]
             bases = self.shard_base.get(bk)
             if bases is None:
+                continue
+            if spec.kind in ("rapidfuzz", "editdistance"):
+                texts_py = [
+                    str(t) for t in text_arr.take(pa.array(rows)).to_pylist()
+                ]
+                self._score_block_ed(
+                    texts_py, shards, bases, bk, rows, out_sim, out_to
+                )
                 continue
             if spec.kind == "tfidf":
                 vocab = self.state.get(bk)
@@ -1495,8 +1634,19 @@ def match_dataset_sharded(
          single-index argmax rule), so results are byte-identical to the
          broadcast path. No shard partial tables, no driver merge."""
     spec = spec or MatcherSpec()
-    if spec.kind not in ("tfidf", "embeddings"):
-        raise ValueError("sharded matching supports tfidf and embeddings")
+    if spec.kind not in ("tfidf", "embeddings", "rapidfuzz", "editdistance"):
+        raise ValueError(
+            "sharded matching supports tfidf, embeddings and the packed "
+            "edit-distance scorers"
+        )
+    if spec.kind in ("rapidfuzz", "editdistance"):
+        if _ed_scorer_tag(spec) is None:
+            raise ValueError(
+                "sharded edit-distance matching supports the packed scorers "
+                "(WRatio, levenshtein, ratio); for a custom scorer callable "
+                "keep the to-side under max_broadcast_to_rows (block it or "
+                "raise the bound)"
+            )
     import math
 
     if "row_order" not in from_ds.schema().names:
@@ -1514,6 +1664,8 @@ def match_dataset_sharded(
             if self_match
             else build_joint_vocabs(from_ds, to_ds, spec)
         )
+    elif spec.kind in ("rapidfuzz", "editdistance"):
+        state = _ed_scorer_tag(spec)  # packed-scorer tag, validated above
     else:  # embeddings: no fit — the embedder itself is the shared state
         state = spec.embedder if spec.embedder is not None else HashEmbedder()
     state_ref = ray.put(state)
@@ -1559,7 +1711,9 @@ def match_dataset_sharded(
             running[bk] += int(c)
 
     k = spec.top_n
-    if not self_match and spec.top_n > 1:
+    if spec.kind in ("rapidfuzz", "editdistance"):
+        k = 1  # the edit-distance family is best-match-only (reference)
+    if not self_match and spec.top_n > 1 and spec.kind not in ("rapidfuzz", "editdistance"):
         # top_n clamp by distinct to-strings (polyfuzz/models/_utils.py:54)
         # — distributed distinct count, small result
         dcounts = (
@@ -1582,6 +1736,8 @@ def match_dataset_sharded(
     matches = from_ds.map_batches(
         score_batch, batch_format="pyarrow", batch_size=batch_size
     )
+    if spec.kind == "editdistance" and spec.normalize:
+        matches = _minmax_normalize(matches, "similarity")
     return MatchResult(
         matches, spec, k, index_ref=None, self_match=self_match,
         index_blocks=None, sharded_self=self_match,
@@ -1631,11 +1787,11 @@ def match_dataset(
     top-k across shards in memory — identical results, bounded broadcast.
     """
     spec = spec or MatcherSpec()
-    if (
-        to_ds is not None
-        and prebuilt_index_ref is None
-        and spec.kind in ("tfidf", "embeddings")
-    ):
+    _shardable = spec.kind in ("tfidf", "embeddings") or (
+        spec.kind in ("rapidfuzz", "editdistance")
+        and _ed_scorer_tag(spec) is not None
+    )
+    if to_ds is not None and prebuilt_index_ref is None and _shardable:
         try:
             n_to_rows = to_ds.count()
         except Exception:
@@ -1651,11 +1807,7 @@ def match_dataset(
         from_ds = dataset_with_row_order(from_ds, text_col, block_col)
     self_match = to_ds is None if self_match_override is None else self_match_override
 
-    if (
-        self_match
-        and prebuilt_index_ref is None
-        and spec.kind in ("tfidf", "embeddings")
-    ):
+    if self_match and prebuilt_index_ref is None and _shardable:
         # auto-switch to the sharded self-match path when the to-side
         # (= the from-side itself) exceeds the single-broadcast bound;
         # pinning first is free — the broadcast path collects it anyway
