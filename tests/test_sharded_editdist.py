@@ -107,3 +107,13 @@ def test_custom_scorer_stays_broadcast_and_sharded_raises(ed_corpus):
     assert not res.sharded_self
     with pytest.raises(ValueError, match="packed scorers"):
         match_dataset_sharded(from_ds, None, spec, n_shards=2)
+
+
+def test_many_tiny_shards_degenerate(ed_corpus):
+    """More shards than some blocks have rows: single-row shards, blocks
+    absent from most shards — merge must still equal broadcast."""
+    from_ds, _ = ed_corpus
+    spec = MatcherSpec(kind="rapidfuzz", score_cutoff=0.7)
+    b = match_dataset(from_ds, None, spec)
+    s = match_dataset_sharded(from_ds, None, spec, n_shards=20)
+    _frames_equal(b.matches, s.matches)
