@@ -133,13 +133,28 @@ def attach_global_order(ds):
 
     with ordered_execution():
         bundles = ds.materialize()
-    refs = bundles.to_arrow_refs()
-    sizes = ray.get([_num_rows_remote.remote(r) for r in refs])
+    refs, sizes = _refs_with_num_rows(bundles)
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]) if sizes else []
     indexed = [
         _attach_order_remote.remote(r, int(off)) for r, off in zip(refs, offsets)
     ]
     return ray.data.from_arrow_refs(indexed)
+
+
+def _refs_with_num_rows(materialized_ds):
+    """Block refs + per-block row counts from a materialized Dataset's OWN
+    metadata (iter_internal_ref_bundles) — no per-ref remote probe tasks.
+    Falls back to one probe task per ref if the internal API drifts."""
+    try:
+        refs, sizes = [], []
+        for bundle in materialized_ds.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                refs.append(ref)
+                sizes.append(int(meta.num_rows))
+        return refs, sizes
+    except Exception:
+        refs = materialized_ds.to_arrow_refs()
+        return refs, ray.get([_num_rows_remote.remote(r) for r in refs])
 
 
 def dataset_with_row_order(ds, text_col: str, block_col: str | None):
@@ -1671,8 +1686,7 @@ def match_dataset_sharded(
     state_ref = ray.put(state)
 
     sorted_ds = to_side.sort(["block_key", "row_order"]).materialize()
-    refs = sorted_ds.to_arrow_refs()
-    sizes = ray.get([_num_rows_remote.remote(r) for r in refs])
+    refs, sizes = _refs_with_num_rows(sorted_ds)
     total = int(sum(sizes))
     if n_shards is None:
         n_shards = max(1, math.ceil(total / max_broadcast_to_rows))
