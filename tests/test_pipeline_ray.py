@@ -640,3 +640,22 @@ def test_large_string_widening_matches_narrow(rd, monkeypatch):
     m_wide, c_wide = run()
     pd.testing.assert_frame_equal(m_narrow, m_wide)
     pd.testing.assert_frame_equal(c_narrow, c_wide)
+
+
+def test_refs_with_num_rows_metadata_path(ray_session):
+    """Block refs + row counts read from dataset metadata must agree with
+    the blocks themselves — and preserve dataset row order, which
+    attach_global_order's offsets depend on."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from raylink import pipeline as pl
+
+    ds = rd.from_arrow(pa.table({"x": list(range(1000))})).repartition(7).materialize()
+    refs, sizes = pl._refs_with_num_rows(ds)
+    assert len(refs) == len(sizes) and sum(sizes) == 1000
+    tbls = ray.get(refs)
+    assert [t.num_rows for t in tbls] == sizes
+    cat = pa.concat_tables(tbls, promote_options="default")
+    assert cat["x"].to_pylist() == ds.to_pandas()["x"].tolist()
