@@ -314,9 +314,21 @@ def _fit_tfidf_block_remote(texts, row_orders, n_gram_range, clean, remove_space
 
 
 @ray.remote
-def _attach_order_remote(tbl: pa.Table, offset: int) -> pa.Table:
+def _attach_order_remote(tbl, offset: int) -> pa.Table:
+    tbl = _as_arrow_block(tbl)
     order = pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
     return tbl.append_column("row_order", order)
+
+
+def _as_arrow_block(block) -> pa.Table:
+    """Raw dataset blocks can be pandas (ray.data.from_pandas inputs);
+    _refs_with_num_rows hands them through unconverted (unlike the old
+    to_arrow_refs), so block consumers normalize here."""
+    if isinstance(block, pa.Table):
+        return block
+    from ray.data.block import BlockAccessor
+
+    return BlockAccessor.for_block(block).to_arrow()
 
 
 def distinct_entities_table(
@@ -1277,7 +1289,9 @@ def _build_selfmatch_shard_remote(kind, state, *tables):
     tables are consecutive sorted (block_key, row_order) blocks; ``state``
     is the per-block vocab map (tfidf) or the embedder callable
     (embeddings). Returns (dict[str, BlockIndex], dict[str, n_rows])."""
-    tbl = pa.concat_tables(tables, promote_options="default")
+    tbl = pa.concat_tables(
+        [_as_arrow_block(t) for t in tables], promote_options="default"
+    )
     blocks = _collect_to_side(tbl)
     counts: dict[str, int] = {}
     for bk, bi in blocks.items():

@@ -659,3 +659,19 @@ def test_refs_with_num_rows_metadata_path(ray_session):
     assert [t.num_rows for t in tbls] == sizes
     cat = pa.concat_tables(tbls, promote_options="default")
     assert cat["x"].to_pylist() == ds.to_pandas()["x"].tolist()
+
+
+def test_attach_global_order_pandas_blocks(ray_session):
+    """ray.data.from_pandas produces pandas blocks; the metadata-read refs
+    path hands them through raw, so the order-attach task must convert."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raylink.pipeline import attach_global_order
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"text": ["a", "b", "c", "d", "e"]})
+    ).repartition(2)
+    out = attach_global_order(ds).to_pandas()
+    assert out["row_order"].tolist() == [0, 1, 2, 3, 4]
+    assert out["text"].tolist() == ["a", "b", "c", "d", "e"]
