@@ -234,24 +234,15 @@ class WRatioToSide:
             setattr(self, k, v)
 
 
-def _token_set_ratio_sets(t1: set, t2: set) -> float:
+def _token_set_parts_sets(t1: set, t2: set) -> tuple[str, str, str]:
+    """fuzzywuzzy token_set construction from pre-split token SETS — the
+    one copy of the inter/c1/c2 munging shared by both packed branches."""
     inter = " ".join(sorted(t1 & t2))
     d1 = " ".join(sorted(t1 - t2))
     d2 = " ".join(sorted(t2 - t1))
     c1 = (inter + " " + d1).strip()
     c2 = (inter + " " + d2).strip()
-    return max(ratio(inter, c1), ratio(inter, c2), ratio(c1, c2))
-
-
-def _partial_token_set_ratio_sets(t1: set, t2: set) -> float:
-    inter = " ".join(sorted(t1 & t2))
-    d1 = " ".join(sorted(t1 - t2))
-    d2 = " ".join(sorted(t2 - t1))
-    c1 = (inter + " " + d1).strip()
-    c2 = (inter + " " + d2).strip()
-    return max(
-        partial_ratio(inter, c1), partial_ratio(inter, c2), partial_ratio(c1, c2)
-    )
+    return inter, c1, c2
 
 
 def partial_ratio_pairs(pairs: list[tuple[str, str]]) -> np.ndarray:
@@ -378,12 +369,9 @@ def wratio_one_to_many(query: str, ts: WRatioToSide) -> np.ndarray:
         c2s: list[str] = []
         li_arr = np.empty(len(short_i), dtype=np.int64)
         for k, i in enumerate(short_i):
-            t2 = ts.token_sets[i]
-            inter = " ".join(sorted(t1 & t2))
-            d1 = " ".join(sorted(t1 - t2))
-            d2 = " ".join(sorted(t2 - t1))
-            c1s.append((inter + " " + d1).strip())
-            c2s.append((inter + " " + d2).strip())
+            inter, c1, c2 = _token_set_parts_sets(t1, ts.token_sets[i])
+            c1s.append(c1)
+            c2s.append(c2)
             li_arr[k] = len(inter)
         lc1 = np.array([len(c) for c in c1s], dtype=np.int64)
         lc2 = np.array([len(c) for c in c2s], dtype=np.int64)
@@ -403,32 +391,36 @@ def wratio_one_to_many(query: str, ts: WRatioToSide) -> np.ndarray:
         )
     long_i = np.flatnonzero(valid & (len_ratio >= 1.5))
     if len(long_i):
-        # batched long branch: every partial_ratio of every long pair —
-        # base, token_sort, and the three token_set combinations — rides
-        # ONE row-wise window DP (partial_ratio_pairs); only the token
-        # set/sort string munging stays per pair (same as the short
-        # branch). Numerically identical to the per-pair composition.
+        # batched long branch: the base and token_sort partial_ratios of
+        # every long pair ride ONE row-wise window DP (partial_ratio_pairs).
+        # The three token_set combinations are closed-form except one case:
+        # inter is a PREFIX of both combined strings, so when inter is
+        # nonempty partial_ratio(inter, c1) == partial_ratio(inter, c2)
+        # == 100 exactly (200*L/(2*L)), which caps tset_part at 100 and
+        # makes the (c1, c2) DP moot; when inter is empty those two are 0
+        # (c1/c2 nonempty since both token sets are) and only the (c1, c2)
+        # window DP remains. Numerically identical to the per-pair
+        # composition — partial_ratio returns exactly 100.0 on the prefix
+        # hit, and every ratio is <= 100.
         ts1 = _token_sort(p1)
         pair_list: list[tuple[str, str]] = []
-        for i in long_i:
-            t2 = ts.token_sets[i]
-            inter = " ".join(sorted(t1 & t2))
-            d1 = " ".join(sorted(t1 - t2))
-            d2 = " ".join(sorted(t2 - t1))
-            c1 = (inter + " " + d1).strip()
-            c2 = (inter + " " + d2).strip()
-            pair_list.extend(
-                [
-                    (p1, ts.proc[i]),
-                    (ts1, ts.tsort[i]),
-                    (inter, c1),
-                    (inter, c2),
-                    (c1, c2),
-                ]
-            )
-        pr = partial_ratio_pairs(pair_list).reshape(len(long_i), 5)
+        tset_part = np.empty(len(long_i), dtype=np.float64)
+        extra_pairs: list[tuple[str, str]] = []
+        extra_owner: list[int] = []
+        for k, i in enumerate(long_i):
+            inter, c1, c2 = _token_set_parts_sets(t1, ts.token_sets[i])
+            pair_list.append((p1, ts.proc[i]))
+            pair_list.append((ts1, ts.tsort[i]))
+            if inter:
+                tset_part[k] = 100.0
+            else:
+                tset_part[k] = 0.0  # overwritten from the (c1, c2) DP
+                extra_pairs.append((c1, c2))
+                extra_owner.append(k)
+        pr = partial_ratio_pairs(pair_list).reshape(len(long_i), 2)
+        if extra_pairs:
+            tset_part[np.asarray(extra_owner)] = partial_ratio_pairs(extra_pairs)
         ps = np.where(len_ratio[long_i] < 8, 0.9, 0.6)
-        tset_part = np.maximum(np.maximum(pr[:, 2], pr[:, 3]), pr[:, 4])
         out[long_i] = np.maximum(
             base[long_i],
             np.maximum(
