@@ -21,7 +21,8 @@ import numpy as np
 
 from raylink.blocking import _hash64
 
-_FNV64_PRIME = np.uint64(1099511628211)
+# must stay bit-identical to queries._SQL_FNV_P / multimodal._FNV64_PRIME
+_FNV64_PRIME_INT = 1099511628211
 _GAMMA = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -50,7 +51,7 @@ class HashEmbedder:
             return v
         h = 0
         for ch in token:  # wrapping mod-2^64 FNV fold over codepoints
-            h = (h * 1099511628211 + ord(ch)) & 0xFFFFFFFFFFFFFFFF
+            h = (h * _FNV64_PRIME_INT + ord(ch)) & 0xFFFFFFFFFFFFFFFF
         base = (h + self.seed) & 0xFFFFFFFFFFFFFFFF
         ints = _hash64(np.uint64(base) + self._dim_salt)
         out = (ints.astype(np.float64) / np.float64(2**64)) * 2.0 - 1.0

@@ -429,6 +429,8 @@ def spread_table(tbl: pa.Table, target_rows_per_block: int = 512):
         from ray.data.dataset import MaterializedDataset
 
         metas = ray.get(meta_ref)
+        if metas is None:  # split task couldn't build metadata (version drift)
+            return rd.from_arrow_refs(refs)
         plan = ExecutionPlan(
             DatasetStats(metadata={"FromArrow": metas}, parent=None),
             rd.DataContext.get_current().copy(),
@@ -440,14 +442,19 @@ def spread_table(tbl: pa.Table, target_rows_per_block: int = 512):
 
 @ray.remote
 def _split_table_remote(tbl: pa.Table, offsets, sizes):
-    from ray.data.block import BlockExecStats, BlockMetadataWithSchema
-
     # combine_chunks per slice so each returned table owns compact buffers
     slices = [tbl.slice(o, s).combine_chunks() for o, s in zip(offsets, sizes)]
-    metas = [
-        BlockMetadataWithSchema.from_block(s, stats=BlockExecStats.builder().build())
-        for s in slices
-    ]
+    try:  # metadata classes are version-sensitive: None -> driver fallback
+        from ray.data.block import BlockExecStats, BlockMetadataWithSchema
+
+        metas = [
+            BlockMetadataWithSchema.from_block(
+                s, stats=BlockExecStats.builder().build()
+            )
+            for s in slices
+        ]
+    except Exception:
+        metas = None
     return (*slices, metas)
 
 
@@ -912,10 +919,12 @@ def make_assignment_lookup(cl_tbl: pa.Table):
     # equals the former per-object codepoint sort (UTF-8 preserves
     # codepoint order), and keys are unique per (block, member) so sort
     # stability is immaterial
+    # large_string: int64 offsets keep the composite-key column above the
+    # 2 GiB int32 bound (same widening the distinct merges use)
     keys_arr = pc.binary_join_element_wise(
-        cl_tbl["block_key"].combine_chunks().cast(pa.string()),
-        cl_tbl["member"].combine_chunks().cast(pa.string()),
-        "\x1f",
+        cl_tbl["block_key"].combine_chunks().cast(pa.large_string()),
+        cl_tbl["member"].combine_chunks().cast(pa.large_string()),
+        pa.scalar("\x1f", type=pa.large_string()),
     )
     order_arr = pc.sort_indices(keys_arr)
     payload = (
@@ -1302,8 +1311,13 @@ def _build_selfmatch_shard_remote(kind, state, *tables):
         elif kind in ("rapidfuzz", "editdistance"):
             # state is the packed-scorer tag; the heavy numeric DP
             # matrices live in this plasma object (zero-copy numpy views
-            # per worker); python token structures (WRatio sets) are the
-            # per-worker heap residual, bounded by the shard's strings
+            # per worker). CAVEAT: the python-side string structures
+            # (WRatio token sets / orig lists, and the scorer's lazy
+            # first-occurrence maps) deserialize onto each worker's heap —
+            # a worker that touches every shard eventually holds the full
+            # to-side's strings. That residual is inherent to python-level
+            # scorers; the dominant memory (codepoint matrices) stays
+            # plasma-shared, which is what the sharding bounds.
             texts = [str(t) for t in bi.texts]
             if state == "WRatio":
                 bi.packed = editdist.WRatioToSide(texts)

@@ -530,7 +530,7 @@ def ensure_media_fixture() -> str:
         from raylink.multimodal import synthesize_media_table
 
         os.makedirs(FIXTURE_ROOT, exist_ok=True)
-        tmp = MEDIA_FIXTURE + ".tmp"
+        tmp = f"{MEDIA_FIXTURE}.tmp.{os.getpid()}"  # unique per writer
         pq.write_table(synthesize_media_table(200, seed=42), tmp)
         os.replace(tmp, MEDIA_FIXTURE)
     return MEDIA_FIXTURE
