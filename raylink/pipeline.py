@@ -768,7 +768,7 @@ def build_block_indexes(
         if self_match or from_ds is None:
             items = list(to_blocks.items())
             total = sum(len(bi.texts_arr) for _, bi in items)
-            if total > 20_000 and len(items) > 1:
+            if total > 4_000 and len(items) > 1:
                 # fit blocks in parallel Ray tasks (driver would be the
                 # Amdahl bottleneck at scale otherwise); oversized blocks
                 # additionally fan their own fit out across chunk tasks so
