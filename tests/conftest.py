@@ -12,6 +12,15 @@ def ray_session():
     import ray
 
     if not ray.is_initialized():
+        # workers must import raylink even when pytest runs from another
+        # cwd — they inherit the driver's environment, so extending
+        # PYTHONPATH before init covers every task/actor in the session
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        if repo not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                f"{repo}{os.pathsep}{existing}" if existing else repo
+            )
         ray.init(
             address="local",
             num_cpus=4,
