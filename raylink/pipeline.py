@@ -430,14 +430,36 @@ def spread_table(tbl: pa.Table, target_rows_per_block: int = 512):
 
         metas = ray.get(meta_ref)
         if metas is None:  # split task couldn't build metadata (version drift)
-            return rd.from_arrow_refs(refs)
+            return _from_arrow_refs_with_warning(refs)
         plan = ExecutionPlan(
             DatasetStats(metadata={"FromArrow": metas}, parent=None),
             rd.DataContext.get_current().copy(),
         )
         return MaterializedDataset(plan, LogicalPlan(FromArrow(refs, metas), plan._context))
     except Exception:
-        return rd.from_arrow_refs(refs)
+        return _from_arrow_refs_with_warning(refs)
+
+
+def _from_arrow_refs_with_warning(refs):
+    """Public-API fallback for spread_table's direct Dataset assembly.
+    The fallback re-introduces one metadata probe task per block (~0.9 s
+    at 128 blocks) — warn once so the regression is visible in bench
+    drift triage instead of silent."""
+    import warnings
+
+    global _SPREAD_FALLBACK_WARNED
+    if not _SPREAD_FALLBACK_WARNED:
+        _SPREAD_FALLBACK_WARNED = True
+        warnings.warn(
+            "spread_table: direct block-metadata assembly unavailable "
+            "(Ray internal API drift); falling back to from_arrow_refs, "
+            "which adds one metadata probe task per block",
+            RuntimeWarning,
+        )
+    return rd.from_arrow_refs(refs)
+
+
+_SPREAD_FALLBACK_WARNED = False
 
 
 @ray.remote
@@ -920,10 +942,12 @@ def make_assignment_lookup(cl_tbl: pa.Table):
     # codepoint order), and keys are unique per (block, member) so sort
     # stability is immaterial
     # large_string: int64 offsets keep the composite-key column above the
-    # 2 GiB int32 bound (same widening the distinct merges use)
+    # 2 GiB int32 bound (same widening the distinct merges use); cast
+    # BEFORE combine_chunks — combining >2 GiB of plain-string chunks is
+    # itself the offset overflow being guarded against
     keys_arr = pc.binary_join_element_wise(
-        cl_tbl["block_key"].combine_chunks().cast(pa.large_string()),
-        cl_tbl["member"].combine_chunks().cast(pa.large_string()),
+        cl_tbl["block_key"].cast(pa.large_string()).combine_chunks(),
+        cl_tbl["member"].cast(pa.large_string()).combine_chunks(),
         pa.scalar("\x1f", type=pa.large_string()),
     )
     order_arr = pc.sort_indices(keys_arr)

@@ -570,7 +570,7 @@ def test_chunked_block_fit_equals_single_task(rd, monkeypatch):
     from raylink.pipeline import MatcherSpec, match_dataset, matches_to_frame
 
     rng = np.random.default_rng(29)
-    # >20k total rows + 2 blocks engages the parallel fit branch; block
+    # >4k total rows + 2 blocks engages the parallel fit branch; block
     # 'a' then exceeds the (patched) chunk size and takes the chunked DAG
     texts = ["a" + "".join(rng.choice(list("bcdef"), size=6)) for _ in range(18000)]
     texts += ["z" + "".join(rng.choice(list("bcdef"), size=6)) for _ in range(3000)]
