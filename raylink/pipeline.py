@@ -447,6 +447,8 @@ def _from_arrow_refs_with_warning(refs):
     drift triage instead of silent."""
     import warnings
 
+    import ray.data as rd
+
     global _SPREAD_FALLBACK_WARNED
     if not _SPREAD_FALLBACK_WARNED:
         _SPREAD_FALLBACK_WARNED = True

@@ -675,3 +675,38 @@ def test_attach_global_order_pandas_blocks(ray_session):
     out = attach_global_order(ds).to_pandas()
     assert out["row_order"].tolist() == [0, 1, 2, 3, 4]
     assert out["text"].tolist() == ["a", "b", "c", "d", "e"]
+
+
+def test_spread_table_metadata_fallback_warns_and_matches(ray_session, monkeypatch):
+    """When the split task cannot build block metadata (Ray version
+    drift), spread_table must fall back to from_arrow_refs with identical
+    content AND emit one visible RuntimeWarning (the fallback re-adds a
+    metadata probe task per block — silent regressions are banned)."""
+    import warnings
+
+    import pyarrow as pa
+    import ray
+
+    from raylink import pipeline as pl
+
+    tbl = pa.table({"x": list(range(300)), "t": [f"s{i}" for i in range(300)]})
+    normal = pl.spread_table(tbl, target_rows_per_block=64)
+    normal_pdf = normal.to_pandas()
+
+    @ray.remote
+    def _split_no_meta(t, offsets, sizes):
+        slices = [t.slice(o, s).combine_chunks() for o, s in zip(offsets, sizes)]
+        return (*slices, None)
+
+    monkeypatch.setattr(pl, "_split_table_remote", _split_no_meta)
+    monkeypatch.setattr(pl, "_SPREAD_FALLBACK_WARNED", False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        fb = pl.spread_table(tbl, target_rows_per_block=64)
+        fb_pdf = fb.to_pandas()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "spread_table" in str(w.message)
+        for w in caught
+    )
+    pd.testing.assert_frame_equal(fb_pdf, normal_pdf)
+    assert fb.num_blocks() == normal.num_blocks()
