@@ -62,7 +62,7 @@ def _ensure_workers_can_import() -> None:
         "raylink.resume", "raylink.checkpoint", "raylink.transcripts",
         "raylink.dedup", "raylink.ann", "raylink.textstats",
         "raylink.multimodal", "raylink.queries", "raylink.sources",
-        "raylink.groupseq",
+        "raylink.groupseq", "raylink.broadcast",
     ]:
         importlib.import_module(name)
     from ray import cloudpickle

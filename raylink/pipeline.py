@@ -902,35 +902,14 @@ def _spec_key(spec: "MatcherSpec") -> tuple:
     )
 
 
-_BROADCAST_CACHE: dict = {}
-
-
-def cached_object(ref):
-    """Worker-global fetch-once for ray.put broadcasts referenced from task
-    closures (a dict pickled into every task closure costs per-task; a ref
-    + this cache costs once per worker)."""
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    obj = _BROADCAST_CACHE.get(key)
-    if obj is None:
-        if len(_BROADCAST_CACHE) > 16:
-            _BROADCAST_CACHE.clear()
-        obj = ray.get(ref)
-        _BROADCAST_CACHE[key] = obj
-    return obj
-
-
-def cached_derived(ref, fn, tag: str):
-    """Worker-global cache of ``fn(ray.get(ref))`` — for broadcasts that
-    need a once-per-worker derived form (e.g. arrow arrays -> numpy lookup
-    arrays)."""
-    key = ("derived", ref.hex() if hasattr(ref, "hex") else id(ref), tag)
-    obj = _BROADCAST_CACHE.get(key)
-    if obj is None:
-        if len(_BROADCAST_CACHE) > 16:
-            _BROADCAST_CACHE.clear()
-        obj = fn(ray.get(ref))
-        _BROADCAST_CACHE[key] = obj
-    return obj
+# broadcast caches live in raylink.broadcast (shared with ann/dedup);
+# re-exported here because worker closures across the repo capture them as
+# pipeline module symbols and linkage imports them from this path.
+from raylink.broadcast import (  # noqa: E402
+    _BROADCAST_CACHE,
+    cached_derived,
+    cached_object,
+)
 
 
 def make_assignment_lookup(cl_tbl: pa.Table):

@@ -57,6 +57,64 @@ def test_self_top1(emb_ds):
     assert (out["vec_id"] != out["best_match_id"]).all()
 
 
+def test_self_top1_sharded_equals_broadcast(emb_ds):
+    """Forced sharded path (sort -> shard build tasks -> running merge)
+    must be frame-identical to the broadcast path — the VERDICT r2 #1
+    parity gate, mirroring test_sharded_self_match_equals_broadcast."""
+    from raylink.ann import self_top1
+
+    ds, mat = emb_ds
+    b = self_top1(ds, batch_size=64)
+    s = self_top1(ds, batch_size=64, mode="sharded", max_broadcast_rows=50)
+    pd.testing.assert_frame_equal(b, s)
+    # small col_chunk exercises the running cross-chunk merge too
+    c = self_top1(ds, batch_size=64, mode="sharded", max_broadcast_rows=50, col_chunk=17)
+    pd.testing.assert_frame_equal(b, c)
+
+
+def test_brute_force_exclude_before_topk(emb_ds):
+    """Excluded ids must not displace true top-k members: excluding the
+    global top-1 promotes the old rank-2..k+1, never drops a row."""
+    from raylink.ann import brute_force_topk
+
+    ds, mat = emb_ds
+    queries = mat[:2]
+    base = brute_force_topk(ds, queries, k=6, batch_size=32)
+    top1 = base[base["rank"] == 1].set_index("query_id")["vec_id"]
+    out = brute_force_topk(
+        ds, queries, k=5, batch_size=32, exclude_ids=top1.to_numpy()
+    )
+    for qi in range(2):
+        want = (
+            base[(base.query_id == qi) & (~base.vec_id.isin(top1.to_numpy()))]
+            .sort_values("rank")["vec_id"]
+            .tolist()[:5]
+        )
+        got = out[out.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == want
+
+
+def test_ivf_partitioned_parity(emb_ds, tmp_path):
+    """Partition-pruned IVF reads only probed list_id dirs and matches the
+    streamed ivf_topk on the same centroids exactly."""
+    from raylink.ann import ivf_build_partitioned, ivf_topk, ivf_topk_partitioned
+
+    ds, mat = emb_ds
+    idx_dir = str(tmp_path / "ivf_idx")
+    idx = ivf_build_partitioned(ds, idx_dir, n_clusters=8)
+    queries = mat[:3]
+    p1 = ivf_topk(ds, queries, k=3, n_probe=2, index=idx)
+    p2 = ivf_topk_partitioned(idx_dir, queries=queries, index=idx, k=3, n_probe=2)
+    pd.testing.assert_frame_equal(p1, p2)
+    # pruning is real: the probed set is a strict subset of partitions
+    import os
+
+    from raylink.embed import l2_normalize
+
+    probes = idx.probe_lists(l2_normalize(queries.astype(np.float64)), 2)
+    assert len(np.unique(probes)) < len(os.listdir(idx_dir))
+
+
 def test_ivf_topk_recall(emb_ds):
     from raylink.ann import brute_force_topk, ivf_topk
 
