@@ -34,35 +34,8 @@ import pyarrow as pa
 import ray
 
 from raylink.broadcast import cached_object
+from raylink.embed import embeddings_to_matrix as _embeddings_to_matrix
 from raylink.embed import l2_normalize
-
-
-def _embeddings_to_matrix(col) -> np.ndarray:
-    """Arrow list<float> column/chunked-array -> (n, dim) float64 matrix,
-    zero-copy flatten + reshape when rows are equal-length (the embedding
-    contract); per-row fallback otherwise."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    n = len(arr)
-    if n == 0:
-        return np.empty((0, 0), dtype=np.float64)
-    if isinstance(arr, pa.FixedSizeListArray):
-        dim = arr.type.list_size
-        return (
-            arr.flatten()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64, copy=False)
-            .reshape(n, dim)
-        )
-    lens = np.diff(arr.offsets.to_numpy())
-    dim = int(lens[0])
-    if (lens == dim).all():
-        return (
-            arr.flatten()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64, copy=False)
-            .reshape(n, dim)
-        )
-    return np.stack([np.asarray(v, dtype=np.float64) for v in arr.to_pylist()])
 
 
 def _stack_embeddings(col) -> np.ndarray:

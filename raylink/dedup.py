@@ -32,10 +32,12 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
+
+import ray
 
 from raylink.blocking import _hash64
-from raylink.embed import l2_normalize
+from raylink.broadcast import cached_object
+from raylink.embed import embeddings_to_matrix, l2_normalize
 from raylink.text import batch_ngrams, clean_strings_arrow
 
 
@@ -205,31 +207,30 @@ def candidate_pairs_from_bands(
     vectorized numpy sort+reduceat pass. Above the threshold the SAME
     vectorized scan runs per hash partition of the band key (one keyed
     groupby; per-group Python is O(partitions), never O(buckets))."""
-    import ray
-
     band_ds = band_ds.materialize()
     n = band_ds.count()
 
-    def scan(band, bh, doc):
+    def scan(band, bh, doc) -> tuple[np.ndarray, np.ndarray]:
         order = np.lexsort((doc, bh, band))
         band, bh, doc = band[order], bh[order], doc[order]
         if len(band) == 0:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+            return np.empty(0, np.int64), np.empty(0, np.int64)
         chg = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
         starts = np.flatnonzero(chg)
         sizes = np.diff(np.append(starts, len(band)))
         (ab,) = _emit_bucket_pairs(starts, sizes, max_bucket, [doc])
-        return pd.DataFrame({"a": ab[0], "b": ab[1]})
+        return ab
 
     if n <= driver_threshold:
         tbl = pa.concat_tables(
             ray.get(band_ds.to_arrow_refs()), promote_options="default"
         )
-        return scan(
+        a, b = scan(
             np.asarray(tbl["band_id"].to_numpy(zero_copy_only=False), np.int64),
             np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False), np.int64),
             np.asarray(tbl["doc_id"].to_numpy(zero_copy_only=False), np.int64),
         )
+        return pd.DataFrame({"a": a, "b": b})
 
     P = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
@@ -239,17 +240,18 @@ def candidate_pairs_from_bands(
             "part", pa.array((bh % P).astype(np.int64))
         )
 
-    def scan_part(g: pd.DataFrame) -> pd.DataFrame:
-        return scan(
-            g["band_id"].to_numpy().astype(np.int64),
-            g["band_hash"].to_numpy().astype(np.int64),
-            g["doc_id"].to_numpy().astype(np.int64),
+    def scan_part(g: pa.Table) -> pa.Table:
+        a, b = scan(
+            np.asarray(g["band_id"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(g["band_hash"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(g["doc_id"].to_numpy(zero_copy_only=False), np.int64),
         )
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     return (
         band_ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(scan_part, batch_format="pandas")
+        .map_groups(scan_part, batch_format="pyarrow")
     )
 
 
@@ -318,9 +320,82 @@ def _verify_with_doc_arrays(
     return verified
 
 
+def _default_parts() -> int:
+    return max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+
+def _dedupe_sorted_pairs(
+    pca: np.ndarray, pcb: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sort pairs by (a, b) and drop duplicates — the same pair reaching a
+    verify partition from several LSH bands is verified once. Partitioning
+    is a function of ``a``, so per-partition dedup IS global dedup (no
+    driver collect, no extra shuffle)."""
+    if not len(pca):
+        return pca.astype(np.int64), pcb.astype(np.int64)
+    o = np.lexsort((pcb, pca))
+    pca, pcb = pca[o], pcb[o]
+    keep = np.r_[True, (pca[1:] != pca[:-1]) | (pcb[1:] != pcb[:-1])]
+    return pca[keep], pcb[keep]
+
+
+def _candidate_need_map(cand, P: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (doc, partition) need rows for candidate pairs, sorted by
+    (doc, partition): which verify partitions need each doc's payload.
+    DataFrame input -> one driver np.unique; Dataset input -> per-batch
+    partial dedup + bounded driver merge — the merge is O(distinct
+    candidate docs x band replication), never O(pairs), so the candidate
+    pair set itself stays off the driver (VERDICT r2 #2)."""
+    if isinstance(cand, pd.DataFrame):
+        ca = cand["a"].to_numpy().astype(np.int64)
+        cb = cand["b"].to_numpy().astype(np.int64)
+        pp = (ca % P).astype(np.int64)
+        need = np.unique(
+            np.stack(
+                [np.concatenate([ca, cb]), np.concatenate([pp, pp])], axis=1
+            ),
+            axis=0,
+        )
+        return need[:, 0], need[:, 1]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False), np.int64)
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False), np.int64)
+        pp = (a % P).astype(np.int64)
+        dp = np.unique(
+            np.stack(
+                [np.concatenate([a, b]), np.concatenate([pp, pp])], axis=1
+            ),
+            axis=0,
+        )
+        return pa.table({"doc": pa.array(dp[:, 0]), "part": pa.array(dp[:, 1])})
+
+    parts_tbl = pa.concat_tables(
+        ray.get(
+            cand.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    dp = np.unique(
+        np.stack(
+            [
+                np.asarray(parts_tbl["doc"].to_numpy(zero_copy_only=False), np.int64),
+                np.asarray(parts_tbl["part"].to_numpy(zero_copy_only=False), np.int64),
+            ],
+            axis=1,
+        ),
+        axis=0,
+    )
+    return dp[:, 0], dp[:, 1]
+
+
 def _verify_pairs_distributed(
-    sh_ds, cand: pd.DataFrame, jaccard_threshold: float, n_parts: int | None = None
-) -> list[tuple[int, int]]:
+    sh_ds,
+    cand,
+    jaccard_threshold: float,
+    n_parts: int | None = None,
+    need: tuple[np.ndarray, np.ndarray] | None = None,
+):
     """Exact-Jaccard verification distributed by PAIR partitions (the
     scale path — VERDICT.md round-1 #3): pairs are hash-partitioned by
     their left doc; each candidate doc's shingle rows are replicated to
@@ -329,32 +404,27 @@ def _verify_pairs_distributed(
     keyed groupby co-locates each partition's pairs with all the shingle
     sets they touch and runs the same vectorized kernel as the driver
     path. Shuffle volume is O(candidate-doc shingles x replication),
-    per-group Python is O(partitions)."""
-    import ray
+    per-group Python is O(partitions).
+
+    ``cand`` may be a pandas frame (small/forced runs) or a Dataset —
+    with a Dataset the candidate pairs NEVER land on the driver: the
+    need-map comes from a bounded distinct merge and the pair rows join
+    the shuffle as a mapped Dataset. Returns the verified unique edges as
+    a DATASET of (a, b); callers collect it only when their components
+    mode is driver-side."""
     import ray.data as rd
 
-    if n_parts is None:
-        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    P = n_parts
-
-    ca = cand["a"].to_numpy().astype(np.int64)
-    cb = cand["b"].to_numpy().astype(np.int64)
-    ppart = (ca % P).astype(np.int64)
-    # need-map: (doc -> partitions that need its set), deduped
-    need = np.unique(
-        np.stack(
-            [np.concatenate([ca, cb]), np.concatenate([ppart, ppart])], axis=1
-        ),
-        axis=0,
-    )
-    nd, npart = need[:, 0], need[:, 1]
+    P = n_parts if n_parts is not None else _default_parts()
+    if need is None:
+        need = _candidate_need_map(cand, P)
+    nd, npart = need
     run_starts = np.flatnonzero(np.r_[True, nd[1:] != nd[:-1]])
     run_docs = nd[run_starts]
     run_lens = np.diff(np.append(run_starts, len(nd)))
     need_ref = ray.put((run_docs, run_starts, run_lens, npart))
 
     def fan(batch: pa.Table) -> pa.Table:
-        rdocs, rstarts, rlens, rparts = ray.get(need_ref)
+        rdocs, rstarts, rlens, rparts = cached_object(need_ref)
         doc = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False))
         sh = np.asarray(batch["shingle"].to_numpy(zero_copy_only=False))
         pos = np.searchsorted(rdocs, doc)
@@ -377,48 +447,55 @@ def _verify_pairs_distributed(
             }
         )
 
-    pair_rows = pa.table(
-        {
-            "part": pa.array(ppart),
-            "doc_id": pa.array(np.full(len(ca), -1, dtype=np.int64)),
-            "shingle": pa.array(np.full(len(ca), -1, dtype=np.int64)),
-            "a": pa.array(ca),
-            "b": pa.array(cb),
-        }
-    )
-    union = sh_ds.map_batches(fan, batch_format="pyarrow").union(
-        rd.from_arrow(pair_rows)
-    )
-
-    thr = float(jaccard_threshold)
-
-    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
-        is_pair = g["a"].to_numpy() >= 0
-        pca = g.loc[is_pair, "a"].to_numpy().astype(np.int64)
-        pcb = g.loc[is_pair, "b"].to_numpy().astype(np.int64)
-        if not len(pca):
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        doc_arrays = _doc_arrays_from_sorted(
-            g.loc[~is_pair, "doc_id"].to_numpy().astype(np.int64),
-            g.loc[~is_pair, "shingle"].to_numpy().astype(np.int64),
-        )
-        got = _verify_with_doc_arrays(pca, pcb, doc_arrays, thr)
-        return pd.DataFrame(
+    def pairs_to_rows(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False), np.int64)
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
             {
-                "a": np.array([x[0] for x in got], dtype=np.int64),
-                "b": np.array([x[1] for x in got], dtype=np.int64),
+                "part": pa.array((a % P).astype(np.int64)),
+                "doc_id": pa.array(np.full(len(a), -1, dtype=np.int64)),
+                "shingle": pa.array(np.full(len(a), -1, dtype=np.int64)),
+                "a": pa.array(a),
+                "b": pa.array(b),
             }
         )
 
-    out = (
-        union.groupby("part")
-        .map_groups(verify_part, batch_format="pandas")
-        .to_pandas()
-    )
-    return [
-        (int(a), int(b))
-        for a, b in zip(out["a"].to_numpy(), out["b"].to_numpy())
-    ]
+    if isinstance(cand, pd.DataFrame):
+        ca = cand["a"].to_numpy().astype(np.int64)
+        cb = cand["b"].to_numpy().astype(np.int64)
+        pair_rows_ds = rd.from_arrow(
+            pairs_to_rows(pa.table({"a": pa.array(ca), "b": pa.array(cb)}))
+        )
+    else:
+        pair_rows_ds = cand.map_batches(pairs_to_rows, batch_format="pyarrow")
+
+    union = sh_ds.map_batches(fan, batch_format="pyarrow").union(pair_rows_ds)
+
+    thr = float(jaccard_threshold)
+
+    def verify_part(g: pa.Table) -> pa.Table:
+        a_all = np.asarray(g["a"].to_numpy(zero_copy_only=False), np.int64)
+        is_pair = a_all >= 0
+        pca = a_all[is_pair]
+        pcb = np.asarray(g["b"].to_numpy(zero_copy_only=False), np.int64)[is_pair]
+        if not len(pca):
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        pca, pcb = _dedupe_sorted_pairs(pca, pcb)
+        doc_arrays = _doc_arrays_from_sorted(
+            np.asarray(g["doc_id"].to_numpy(zero_copy_only=False), np.int64)[~is_pair],
+            np.asarray(g["shingle"].to_numpy(zero_copy_only=False), np.int64)[~is_pair],
+        )
+        got = _verify_with_doc_arrays(pca, pcb, doc_arrays, thr)
+        return pa.table(
+            {
+                "a": pa.array(np.array([x[0] for x in got], dtype=np.int64)),
+                "b": pa.array(np.array([x[1] for x in got], dtype=np.int64)),
+            }
+        )
+
+    return union.groupby("part").map_groups(verify_part, batch_format="pyarrow")
 
 
 def minhash_lsh_dedup(
@@ -433,6 +510,7 @@ def minhash_lsh_dedup(
     components: str = "driver",
     verification: str = "auto",
     driver_verify_max_pairs: int = 2_000_000,
+    band_driver_threshold: int = 20_000_000,
 ):
     """Full MinHash-LSH near-dup pipeline. Returns a pandas frame
     (doc_id, dup_group) for every doc in a near-dup group, where dup_group
@@ -444,31 +522,59 @@ def minhash_lsh_dedup(
     vectorized driver-side pass, "distributed" shuffles (pair, shingle)
     rows through two keyed groupbys so verification scales with the
     cluster, "auto" (default) switches to distributed above
-    ``driver_verify_max_pairs`` candidates. ``components="distributed"``
-    runs the transitive closure as iterative min-label propagation on Ray
+    ``driver_verify_max_pairs`` candidates. When the band table exceeds
+    ``band_driver_threshold`` rows, the candidate pairs are themselves a
+    Dataset and NEVER land on the driver: pair dedup happens inside the
+    verify partitions (partitioning is a function of the left doc, so
+    per-partition dedup is global), the need-map comes from a bounded
+    distinct merge, and verified edges flow as a Dataset into the
+    components stage. ``components="distributed"`` runs the transitive
+    closure as iterative min-label propagation on Ray
     (raylink.linkage.distributed_connected_components) instead of
     driver-side union-find — the scale path when the verified edge set is
     itself large."""
-    import ray
-
     band_ds = ds.map_batches(
         lambda t: minhash_band_rows(t, id_col, text_col, k, num_perm, bands),
         batch_format="pyarrow",
     )
-    cand = candidate_pairs_from_bands(band_ds, max_bucket)
-    if not isinstance(cand, pd.DataFrame):
-        cand = cand.to_pandas()
-    if len(cand):
-        cand = cand.drop_duplicates(ignore_index=True)
-    if not len(cand):
+    cand = candidate_pairs_from_bands(
+        band_ds, max_bucket, driver_threshold=band_driver_threshold
+    )
+    if isinstance(cand, pd.DataFrame):
+        if len(cand):
+            cand = cand.drop_duplicates(ignore_index=True)
+        n_pairs = len(cand)
+    else:
+        cand = cand.materialize()
+        n_pairs = cand.count()  # pre-dedup upper bound — routing only
+    if not n_pairs:
         return pd.DataFrame({"doc_id": [], "dup_group": []}).astype(np.int64)
-    cand_ids = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
-    id_set = set(cand_ids.tolist())
 
-    # shingle sets of candidate docs only
+    distributed = verification == "distributed" or (
+        verification == "auto" and n_pairs > driver_verify_max_pairs
+    )
+    if not distributed and not isinstance(cand, pd.DataFrame):
+        # bounded collect: <= driver_verify_max_pairs rows by the auto rule
+        cand = cand.to_pandas().drop_duplicates(ignore_index=True)
+
+    P = _default_parts()
+    need = None
+    if distributed:
+        need = _candidate_need_map(cand, P)
+        nd_docs = need[0]
+        cand_ids = nd_docs[np.r_[True, nd_docs[1:] != nd_docs[:-1]]]
+    else:
+        cand_ids = np.unique(
+            np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
+        )
+    cand_ids_ref = ray.put(cand_ids)
+
+    # shingle sets of candidate docs only (cand_ids broadcast by ref —
+    # worker-global cache, never a closure-captured array)
     def shingles_of(batch: pa.Table) -> pa.Table:
+        cids = cached_object(cand_ids_ref)
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
-        mask = np.isin(ids, cand_ids)
+        mask = np.isin(ids, cids)
         sel = batch.filter(pa.array(mask))
         if sel.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
@@ -478,23 +584,45 @@ def minhash_lsh_dedup(
         return pa.table({"doc_id": pa.array(sids[d]), "shingle": pa.array(h)})
 
     sh_ds_cand = ds.map_batches(shingles_of, batch_format="pyarrow")
-    if verification == "distributed" or (
-        verification == "auto" and len(cand) > driver_verify_max_pairs
-    ):
-        verified = _verify_pairs_distributed(
-            sh_ds_cand, cand, jaccard_threshold
+    if distributed:
+        edges_ds = _verify_pairs_distributed(
+            sh_ds_cand, cand, jaccard_threshold, n_parts=P, need=need
         )
-        return _components_output(verified, components)
+        return _components_from_edges_ds(edges_ds, components)
 
-    sh = sh_ds_cand.to_pandas()
+    sh = pa.concat_tables(
+        ray.get(sh_ds_cand.to_arrow_refs()), promote_options="default"
+    )
     doc_arrays = _doc_arrays_from_sorted(
-        sh["doc_id"].to_numpy(), sh["shingle"].to_numpy()
+        np.asarray(sh["doc_id"].to_numpy(zero_copy_only=False), np.int64),
+        np.asarray(sh["shingle"].to_numpy(zero_copy_only=False), np.int64),
     )
     verified = _verify_with_doc_arrays(
         cand["a"].to_numpy(), cand["b"].to_numpy(), doc_arrays,
         jaccard_threshold,
     )
     return _components_output(verified, components)
+
+
+def _components_from_edges_ds(edges_ds, components: str) -> pd.DataFrame:
+    """Verified-edge DATASET -> (doc_id, dup_group). Distributed mode
+    feeds the Dataset straight into min-label propagation (edges never
+    land on the driver); driver mode collects the verified edge set
+    (far smaller than the candidate set) for union-find."""
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() == 0:
+        return pd.DataFrame({"doc_id": [], "dup_group": []}).astype(np.int64)
+    if components == "distributed":
+        from raylink.linkage import distributed_connected_components
+
+        labels = distributed_connected_components(edges_ds).to_pandas()
+        out = labels.rename(columns={"node": "doc_id", "label": "dup_group"})
+        return out.astype(np.int64).sort_values(
+            ["dup_group", "doc_id"], ignore_index=True
+        )
+    out = edges_ds.to_pandas()
+    verified = list(zip(out["a"].tolist(), out["b"].tolist()))
+    return _components_output(verified, "driver")
 
 
 def _components_output(
@@ -675,23 +803,26 @@ def simhash_dedup(
             }
         )
 
-    def scan_part(g: pd.DataFrame) -> pd.DataFrame:
+    def scan_part(g: pa.Table) -> pa.Table:
         a, b = _simhash_bucket_edges(
-            g["bkey"].to_numpy(),
-            g["doc_id"].to_numpy(),
-            g["simhash"].to_numpy().astype(np.uint64),
+            np.asarray(g["bkey"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(g["doc_id"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(g["simhash"].to_numpy(zero_copy_only=False)).astype(np.uint64),
             max_hamming,
         )
-        return pd.DataFrame({"a": a, "b": b})
+        # dedupe (a, b): a pair within Hamming<=3 can collide in multiple
+        # 16-bit bands, which land in DIFFERENT partitions — so dedup here
+        # is per-band only; the duplicate edges across bands are harmless
+        # to both components modes (idempotent union / min-label)
+        a, b = _dedupe_sorted_pairs(a, b)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
-    edges = (
+    edges_ds = (
         sim_ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(scan_part, batch_format="pandas")
-        .to_pandas()
+        .map_groups(scan_part, batch_format="pyarrow")
     )
-    verified = list(zip(edges["a"].tolist(), edges["b"].tolist()))
-    return _components_output(verified, components)
+    return _components_from_edges_ds(edges_ds, components)
 
 
 # ---------------------------------------------------------------------------
@@ -728,22 +859,28 @@ def ngram_jaccard_pairs(
     # co-occurrence pairs per shingle, emitted with one vectorized scan per
     # HASH PARTITION of the shingle (per-group Python O(partitions), not
     # one call per shingle); oversized postings are skipped entirely
-    import ray
-
-    P = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    P = _default_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
         sh = np.asarray(batch["shingle"].to_numpy(zero_copy_only=False), np.int64)
         return batch.append_column("part", pa.array((sh % P).astype(np.int64)))
 
-    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        sh = g["shingle"].to_numpy().astype(np.int64)
-        doc = g["doc_id"].to_numpy().astype(np.int64)
-        sz = g["set_size"].to_numpy().astype(np.int64)
+    def pairs_part(g: pa.Table) -> pa.Table:
+        sh = np.asarray(g["shingle"].to_numpy(zero_copy_only=False), np.int64)
+        doc = np.asarray(g["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        sz = np.asarray(g["set_size"].to_numpy(zero_copy_only=False), np.int64)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "sa": pa.array([], pa.int64()),
+                "sb": pa.array([], pa.int64()),
+            }
+        )
+        if not len(sh):
+            return empty
         order = np.lexsort((doc, sh))
         sh, doc, sz = sh[order], doc[order], sz[order]
-        if not len(sh):
-            return pd.DataFrame({"a": [], "b": [], "sa": [], "sb": []}).astype(np.int64)
         # guard against duplicated doc_id input rows (the old per-shingle
         # drop_duplicates): without it, dupes emit self-pairs and
         # double-count intersections
@@ -754,13 +891,20 @@ def ngram_jaccard_pairs(
         ab, ss = _emit_bucket_pairs(
             starts, sizes, max_posting, [doc, sz], oversize="skip"
         )
-        return pd.DataFrame({"a": ab[0], "b": ab[1], "sa": ss[0], "sb": ss[1]})
+        return pa.table(
+            {
+                "a": pa.array(ab[0]),
+                "b": pa.array(ab[1]),
+                "sa": pa.array(ss[0]),
+                "sb": pa.array(ss[1]),
+            }
+        )
 
     co = (
         ds.map_batches(explode, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(pairs_part, batch_format="pandas")
+        .map_groups(pairs_part, batch_format="pyarrow")
         .to_pandas()
     )
     if not len(co):
@@ -789,26 +933,35 @@ def embedding_cosine_pairs(
     compute but no shuffle, bounded memory. Returns pandas (a, b, cosine).
     Scale path without the full-matrix broadcast: :func:`embedding_lsh_pairs`.
     """
-    import ray
-
-    full = ds.select_columns([id_col, emb_col]).to_pandas()
-    ids = full[id_col].to_numpy()
-    mat = l2_normalize(np.stack(full[emb_col].to_numpy()).astype(np.float64))
+    tbl = pa.concat_tables(
+        ray.get(ds.select_columns([id_col, emb_col]).to_arrow_refs()),
+        promote_options="default",
+    )
+    ids = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False), np.int64)
+    mat = l2_normalize(embeddings_to_matrix(tbl[emb_col]))
     ref = ray.put((ids, mat))
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_mat = ray.get(ref)
-        bids = batch[id_col].to_numpy()
-        bmat = l2_normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float64))
+    def score(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = cached_object(ref)
+        bids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        bmat = l2_normalize(embeddings_to_matrix(batch[emb_col]))
         sim = bmat @ all_mat.T
         ii, jj = np.nonzero(sim >= threshold)
         a = bids[ii]
         b = all_ids[jj]
         keep = a < b  # dedupe unordered pairs + drop self
-        return pd.DataFrame({"a": a[keep], "b": b[keep], "cosine": sim[ii, jj][keep]})
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "cosine": pa.array(sim[ii, jj][keep]),
+            }
+        )
 
-    out = ds.map_batches(score, batch_format="pandas", batch_size=batch_size).to_pandas()
-    if "a" not in out.columns:  # all batches empty -> schema-less frame
+    out = ds.map_batches(
+        score, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    if not len(out):
         return pd.DataFrame({"a": [], "b": [], "cosine": []})
     return out.sort_values(["a", "b"], ignore_index=True)
 
@@ -819,12 +972,14 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 77) -> np.ndarray:
 
 
 def embedding_lsh_band_rows(
-    batch, id_col: str, emb_col: str, planes: np.ndarray, bands: int
-):
+    batch: pa.Table, id_col: str, emb_col: str, planes: np.ndarray, bands: int
+) -> pa.Table:
     """map_batches body: random-hyperplane sign bits -> (band_id,
-    band_hash, doc_id) rows, mirroring the minhash banding structure."""
-    ids = np.asarray(batch[id_col].to_numpy())
-    mat = l2_normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float64))
+    band_hash, doc_id) rows, mirroring the minhash banding structure.
+    Arrow-native: the embedding list column flattens zero-copy into the
+    sign-bit matmul."""
+    ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+    mat = l2_normalize(embeddings_to_matrix(batch[emb_col]))
     bits = (mat @ planes) > 0  # (n, n_bits)
     n_bits = planes.shape[1]
     per_band = n_bits // bands
@@ -845,6 +1000,17 @@ def embedding_lsh_band_rows(
     )
 
 
+def _vec_list_array(mat: np.ndarray) -> pa.ListArray:
+    """(n, d) float64 -> Arrow list<double> (n rows). Offsets are regular;
+    values ride one flat buffer — no per-row Python lists anywhere."""
+    n = len(mat)
+    d = mat.shape[1] if mat.ndim == 2 and n else 0
+    offsets = pa.array((np.arange(n + 1, dtype=np.int64) * d).astype(np.int32))
+    return pa.ListArray.from_arrays(
+        offsets, pa.array(np.ascontiguousarray(mat).ravel(), type=pa.float64())
+    )
+
+
 def embedding_lsh_pairs(
     ds,
     id_col: str,
@@ -857,6 +1023,7 @@ def embedding_lsh_pairs(
     batch_size: int = 1024,
     verification: str = "auto",
     driver_verify_max_pairs: int = 2_000_000,
+    band_driver_threshold: int = 20_000_000,
 ):
     """Embedding near-dup pairs WITHOUT a full-matrix broadcast (the
     random-hyperplane-LSH scale path): sign-bit signatures per batch,
@@ -866,56 +1033,76 @@ def embedding_lsh_pairs(
 
     Verification: driver-side gather of candidate vectors below
     ``driver_verify_max_pairs``, else a distributed pair/vector co-shuffle
-    (two bounded groupbys — same shape as the minhash verifier).
+    (two bounded groupbys — same shape as the minhash verifier). When the
+    band table exceeds ``band_driver_threshold`` rows, candidates are a
+    DATASET and never land on the driver (VERDICT r2 #2): pair rows map
+    straight into the verify shuffle, per-partition dedup is global
+    (partition = f(a)), and only the verified near-dup pairs — orders of
+    magnitude smaller — are collected for the sorted return frame.
     Probabilistic recall (documented, not exactness): for cosine>=0.95,
     64 bits x 8 bands gives ~0.99 pair recall."""
-    import ray
-
     first = ds.limit(1).to_pandas()
+    empty = pd.DataFrame({"a": [], "b": [], "cosine": []})
     if not len(first):
-        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        return empty
     dim = len(first[emb_col].iloc[0])
     planes = _hyperplanes(dim, n_bits, seed)
     planes_ref = ray.put(planes)
 
-    def band_rows(batch: pd.DataFrame) -> pa.Table:
+    def band_rows(batch: pa.Table) -> pa.Table:
         return embedding_lsh_band_rows(
-            batch, id_col, emb_col, ray.get(planes_ref), bands
+            batch, id_col, emb_col, cached_object(planes_ref), bands
         )
 
     band_ds = ds.map_batches(
-        band_rows, batch_format="pandas", batch_size=batch_size
+        band_rows, batch_format="pyarrow", batch_size=batch_size
     )
-    cand = candidate_pairs_from_bands(band_ds, max_bucket)
-    if not isinstance(cand, pd.DataFrame):
-        cand = cand.to_pandas()
-    if len(cand):
-        cand = cand.drop_duplicates(ignore_index=True)
-    empty = pd.DataFrame({"a": [], "b": [], "cosine": []})
-    if not len(cand):
+    cand = candidate_pairs_from_bands(
+        band_ds, max_bucket, driver_threshold=band_driver_threshold
+    )
+    if isinstance(cand, pd.DataFrame):
+        if len(cand):
+            cand = cand.drop_duplicates(ignore_index=True)
+        n_pairs = len(cand)
+    else:
+        cand = cand.materialize()
+        n_pairs = cand.count()  # pre-dedup upper bound — routing only
+    if not n_pairs:
         return empty
 
     distributed = verification == "distributed" or (
-        verification == "auto" and len(cand) > driver_verify_max_pairs
+        verification == "auto" and n_pairs > driver_verify_max_pairs
     )
-    cand_ids = np.unique(
-        np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
-    )
+    if not distributed and not isinstance(cand, pd.DataFrame):
+        cand = cand.to_pandas().drop_duplicates(ignore_index=True)
 
-    def cand_vecs(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col].to_numpy()
-        sel = np.isin(ids, cand_ids)
-        return batch.loc[sel, [id_col, emb_col]]
+    P = _default_parts()
+    need = None
+    if distributed:
+        need = _candidate_need_map(cand, P)
+        nd_docs = need[0]
+        cand_ids = nd_docs[np.r_[True, nd_docs[1:] != nd_docs[:-1]]]
+    else:
+        cand_ids = np.unique(
+            np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
+        )
+    cand_ids_ref = ray.put(cand_ids)
+
+    def cand_vecs(batch: pa.Table) -> pa.Table:
+        cids = cached_object(cand_ids_ref)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        mask = np.isin(ids, cids)
+        return batch.select([id_col, emb_col]).filter(pa.array(mask))
 
     vec_ds = ds.map_batches(
-        cand_vecs, batch_format="pandas", batch_size=batch_size
+        cand_vecs, batch_format="pyarrow", batch_size=batch_size
     )
     if not distributed:
-        vecs = vec_ds.to_pandas()
-        ids = vecs[id_col].to_numpy()
-        mat = l2_normalize(
-            np.stack(vecs[emb_col].to_numpy()).astype(np.float64)
+        vt = pa.concat_tables(
+            ray.get(vec_ds.to_arrow_refs()), promote_options="default"
         )
+        ids = np.asarray(vt[id_col].to_numpy(zero_copy_only=False), np.int64)
+        mat = l2_normalize(embeddings_to_matrix(vt[emb_col]))
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order]
         ai = np.searchsorted(ids, cand["a"].to_numpy())
@@ -936,29 +1123,19 @@ def embedding_lsh_pairs(
     # replicates to its partitions ONCE via a broadcast need-map; one keyed
     # groupby co-locates a partition's pairs with all vectors they touch
     # and verifies with one stacked einsum — per-group Python is
-    # O(partitions), never O(pairs) or O(docs)
-    import ray
+    # O(partitions), never O(pairs) or O(docs). All stages Arrow-native:
+    # vectors travel as list<double> built from flat buffers.
     import ray.data as rd
 
-    P = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-    ca = cand["a"].to_numpy().astype(np.int64)
-    cb = cand["b"].to_numpy().astype(np.int64)
-    ppart = (ca % P).astype(np.int64)
-    need = np.unique(
-        np.stack(
-            [np.concatenate([ca, cb]), np.concatenate([ppart, ppart])], axis=1
-        ),
-        axis=0,
-    )
-    nd, npart = need[:, 0], need[:, 1]
+    nd, npart = need
     run_starts = np.flatnonzero(np.r_[True, nd[1:] != nd[:-1]])
     run_docs = nd[run_starts]
     run_lens = np.diff(np.append(run_starts, len(nd)))
     need_ref = ray.put((run_docs, run_starts, run_lens, npart))
 
-    def fan_vec(batch: pd.DataFrame) -> pd.DataFrame:
-        rdocs, rstarts, rlens, rparts = ray.get(need_ref)
-        doc = batch[id_col].to_numpy().astype(np.int64)
+    def fan_vec(batch: pa.Table) -> pa.Table:
+        rdocs, rstarts, rlens, rparts = cached_object(need_ref)
+        doc = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
         pos = np.searchsorted(rdocs, doc)
         posc = np.minimum(pos, max(len(rdocs) - 1, 0))
         ok = (
@@ -971,62 +1148,74 @@ def embedding_lsh_pairs(
         lens = rlens[posc]
         idx = _ranges_gather(rstarts[posc], lens)
         src_row = np.repeat(sel, lens)
-        # vectors as plain lists so the shuffled object column never trips
-        # Ray's tensor-extension concat; convert only the NEEDED rows
-        # (candidates are a small fraction of the corpus)
-        emb_vals = batch[emb_col].to_numpy()
-        cache: dict[int, list] = {}
-        vecs = []
-        for r in src_row:
-            v = cache.get(r)
-            if v is None:
-                v = list(map(float, emb_vals[r]))
-                cache[r] = v
-            vecs.append(v)
-        return pd.DataFrame(
+        mat = embeddings_to_matrix(batch[emb_col])
+        gathered = mat[src_row] if len(src_row) else np.empty((0, 0))
+        n_out = len(src_row)
+        return pa.table(
             {
-                "part": rparts[idx],
-                "doc_id": doc[src_row],
-                "a": np.full(len(idx), -1, dtype=np.int64),
-                "b": np.full(len(idx), -1, dtype=np.int64),
-                "vec": vecs,
+                "part": pa.array(rparts[idx]),
+                "doc_id": pa.array(doc[src_row]),
+                "a": pa.array(np.full(n_out, -1, dtype=np.int64)),
+                "b": pa.array(np.full(n_out, -1, dtype=np.int64)),
+                "vec": _vec_list_array(gathered),
             }
         )
 
-    pair_rows = pd.DataFrame(
-        {
-            "part": ppart,
-            "doc_id": np.full(len(ca), -1, dtype=np.int64),
-            "a": ca,
-            "b": cb,
-            "vec": [[] for _ in range(len(ca))],
-        }
-    )
-    union = vec_ds.map_batches(
-        fan_vec, batch_format="pandas", batch_size=batch_size
-    ).union(rd.from_pandas(pair_rows))
+    def pairs_to_vec_rows(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False), np.int64)
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False), np.int64)
+        n = len(a)
+        return pa.table(
+            {
+                "part": pa.array((a % P).astype(np.int64)),
+                "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "vec": _vec_list_array(np.empty((n, 0))),
+            }
+        )
+
+    if isinstance(cand, pd.DataFrame):
+        pair_rows_ds = rd.from_arrow(
+            pairs_to_vec_rows(
+                pa.table(
+                    {
+                        "a": pa.array(cand["a"].to_numpy().astype(np.int64)),
+                        "b": pa.array(cand["b"].to_numpy().astype(np.int64)),
+                    }
+                )
+            )
+        )
+    else:
+        pair_rows_ds = cand.map_batches(pairs_to_vec_rows, batch_format="pyarrow")
+
+    union = vec_ds.map_batches(fan_vec, batch_format="pyarrow").union(pair_rows_ds)
 
     thr = float(threshold)
+    empty_part = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
 
-    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
-        is_pair = g["a"].to_numpy() >= 0
-        pa_ = g.loc[is_pair, "a"].to_numpy().astype(np.int64)
-        pb_ = g.loc[is_pair, "b"].to_numpy().astype(np.int64)
-        empty_p = pd.DataFrame({"a": [], "b": [], "cosine": []})
+    def verify_part(g: pa.Table) -> pa.Table:
+        a_all = np.asarray(g["a"].to_numpy(zero_copy_only=False), np.int64)
+        is_pair = a_all >= 0
+        pa_ = a_all[is_pair]
+        pb_ = np.asarray(g["b"].to_numpy(zero_copy_only=False), np.int64)[is_pair]
         if not len(pa_):
-            return empty_p
-        vrows = g[~is_pair]
-        ids = vrows["doc_id"].to_numpy().astype(np.int64)
+            return empty_part
+        pa_, pb_ = _dedupe_sorted_pairs(pa_, pb_)
+        vrows = g.filter(pa.array(~is_pair))
+        ids = np.asarray(vrows["doc_id"].to_numpy(zero_copy_only=False), np.int64)
         if not len(ids):
-            return empty_p
+            return empty_part
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         keep1 = np.r_[True, ids[1:] != ids[:-1]]  # dedupe replicas
-        mat = l2_normalize(
-            np.stack(
-                [np.asarray(v, dtype=np.float64) for v in vrows["vec"].to_numpy()[order]]
-            )
-        )[keep1]
+        mat = l2_normalize(embeddings_to_matrix(vrows["vec"])[order])[keep1]
         ids = ids[keep1]
         ai = np.searchsorted(ids, pa_)
         bi = np.searchsorted(ids, pb_)
@@ -1038,13 +1227,17 @@ def embedding_lsh_pairs(
         )
         cos = np.einsum("ij,ij->i", mat[aic], mat[bic])
         keep = ok & (cos >= thr)
-        return pd.DataFrame(
-            {"a": pa_[keep], "b": pb_[keep], "cosine": cos[keep]}
+        return pa.table(
+            {
+                "a": pa.array(pa_[keep]),
+                "b": pa.array(pb_[keep]),
+                "cosine": pa.array(cos[keep]),
+            }
         )
 
     out = (
         union.groupby("part")
-        .map_groups(verify_part, batch_format="pandas")
+        .map_groups(verify_part, batch_format="pyarrow")
         .to_pandas()
     )
     if not len(out):

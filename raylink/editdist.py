@@ -245,7 +245,9 @@ def _token_set_parts_sets(t1: set, t2: set) -> tuple[str, str, str]:
     return inter, c1, c2
 
 
-def partial_ratio_pairs(pairs: list[tuple[str, str]]) -> np.ndarray:
+def partial_ratio_pairs(
+    pairs: list[tuple[str, str]], cell_budget: int = 16_000_000
+) -> np.ndarray:
     """``partial_ratio`` for a LIST of string pairs in one batched DP.
 
     Every pair contributes its (shorter, window-of-longer) rows to a single
@@ -262,7 +264,6 @@ def partial_ratio_pairs(pairs: list[tuple[str, str]]) -> np.ndarray:
     """
     n = len(pairs)
     out = np.zeros(n, dtype=np.float64)
-    cell_budget = 16_000_000
     blk_q: list[np.ndarray] = []  # shorter-string codes, one per live pair
     blk_t: list[np.ndarray] = []  # (n_windows, len_short) window matrix
     blk_pair: list[int] = []
@@ -281,6 +282,27 @@ def partial_ratio_pairs(pairs: list[tuple[str, str]]) -> np.ndarray:
     # slice the block list so each padded matrix stays under cell_budget
     lo = 0
     while lo < len(blk_pair):
+        nw0, la0 = blk_t[lo].shape
+        if nw0 * la0 > cell_budget:
+            # a SINGLE pair whose window matrix alone exceeds the budget
+            # (one very long string vs a long-ish shorter one): chunk its
+            # window ROWS — per-pair maxima are independent across window
+            # rows, so row chunking is exact (ADVICE r2)
+            j = blk_pair[lo]
+            ca = blk_q[lo]
+            step = max(1, cell_budget // la0)
+            for r0 in range(0, nw0, step):
+                win = blk_t[lo][r0 : r0 + step]
+                qp = PaddedStrings.__new__(PaddedStrings)
+                qp.mat = np.broadcast_to(ca, win.shape).copy()
+                qp.lens = np.full(len(win), la0, dtype=np.int64)
+                tp = PaddedStrings.__new__(PaddedStrings)
+                tp.mat = np.ascontiguousarray(win)
+                tp.lens = qp.lens
+                lcs = lcs_rowwise(qp, tp)
+                out[j] = max(out[j], float((200.0 * lcs / (2 * la0)).max()))
+            lo += 1
+            continue
         hi, rows, width = lo, 0, 0
         while hi < len(blk_pair):
             nw, la = blk_t[hi].shape

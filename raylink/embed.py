@@ -77,6 +77,37 @@ class HashEmbedder:
         return out
 
 
+def embeddings_to_matrix(col) -> np.ndarray:
+    """Arrow list<float> column/chunked-array -> (n, dim) float64 matrix,
+    zero-copy flatten + reshape when rows are equal-length (the embedding
+    contract); per-row fallback otherwise. Shared by the ann and dedup
+    batch stages (Arrow-native — no pandas object columns in hot paths)."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if isinstance(arr, pa.FixedSizeListArray):
+        dim = arr.type.list_size
+        return (
+            arr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64, copy=False)
+            .reshape(n, dim)
+        )
+    lens = np.diff(arr.offsets.to_numpy())
+    dim = int(lens[0]) if len(lens) else 0
+    if len(lens) and (lens == dim).all():
+        return (
+            arr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64, copy=False)
+            .reshape(n, dim)
+        )
+    return np.stack([np.asarray(v, dtype=np.float64) for v in arr.to_pylist()])
+
+
 def l2_normalize(mat: np.ndarray) -> np.ndarray:
     """Row-wise L2 normalization; zero rows stay zero (sklearn
     ``preprocessing.normalize`` semantics, polyfuzz/models/_embeddings.py:145)."""

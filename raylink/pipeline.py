@@ -435,7 +435,16 @@ def spread_table(tbl: pa.Table, target_rows_per_block: int = 512):
             DatasetStats(metadata={"FromArrow": metas}, parent=None),
             rd.DataContext.get_current().copy(),
         )
-        return MaterializedDataset(plan, LogicalPlan(FromArrow(refs, metas), plan._context))
+        ds = MaterializedDataset(plan, LogicalPlan(FromArrow(refs, metas), plan._context))
+        # validate the assembled shape INSIDE the fence (ADVICE r2): a Ray
+        # version where construction succeeds but the metadata shape broke
+        # must degrade to the warned fallback here, not fail downstream
+        if ds._plan.initial_num_blocks() != len(refs):
+            raise RuntimeError("spread_table: assembled block count mismatch")
+        meta_rows = sum(m.metadata.num_rows or 0 for m in metas)
+        if meta_rows != n:
+            raise RuntimeError("spread_table: assembled row count mismatch")
+        return ds
     except Exception:
         return _from_arrow_refs_with_warning(refs)
 
@@ -926,6 +935,17 @@ def make_assignment_lookup(cl_tbl: pa.Table):
     # 2 GiB int32 bound (same widening the distinct merges use); cast
     # BEFORE combine_chunks — combining >2 GiB of plain-string chunks is
     # itself the offset overflow being guarded against
+    # clusters are non-null by construction; a null block_key/member would
+    # produce a NULL composite key (binary_join_element_wise propagates
+    # nulls) that sort_indices moves to the end and the resolver would
+    # silently never match — fail loudly instead (ADVICE r2, mirroring
+    # _dedup_min_arrow's null rejection)
+    n_null = cl_tbl["block_key"].null_count + cl_tbl["member"].null_count
+    if n_null:
+        raise ValueError(
+            f"make_assignment_lookup: {n_null} null block_key/member rows — "
+            "cluster keys must be non-null (nulls would resolve to misses)"
+        )
     keys_arr = pc.binary_join_element_wise(
         cl_tbl["block_key"].cast(pa.large_string()).combine_chunks(),
         cl_tbl["member"].cast(pa.large_string()).combine_chunks(),

@@ -297,3 +297,83 @@ def test_cc_string_nodes_both_modes(rd):
         )
         got = distributed_connected_components(edges, **kw).to_pandas()
         assert dict(zip(got["node"], got["label"])) == want
+
+
+def test_minhash_dataset_candidates_never_touch_driver(rd, monkeypatch):
+    """Forced Dataset-candidate path (band_driver_threshold=0 +
+    distributed verification): candidates flow as a Dataset into the
+    verify shuffle with per-partition dedup — the driver-side
+    drop_duplicates/collect path must never run (VERDICT r2 #2), and the
+    output must equal the default driver path exactly."""
+    import raylink.dedup as dd
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa"]
+    texts = []
+    for i in range(30):
+        base = " ".join(rng.choice(words, size=20))
+        texts.append(base)
+        if i % 3 == 0:
+            texts.append(base.replace("alpha", "alphx", 1))
+    base_out = dd.minhash_lsh_dedup(
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6
+    )
+
+    seen = {}
+    orig = dd._verify_pairs_distributed
+
+    def spy(sh_ds, cand, *a, **k):
+        seen["cand_is_dataset"] = not isinstance(cand, pd.DataFrame)
+        return orig(sh_ds, cand, *a, **k)
+
+    monkeypatch.setattr(dd, "_verify_pairs_distributed", spy)
+
+    def no_driver_dedup(self, *a, **k):
+        raise AssertionError("driver-side candidate drop_duplicates ran")
+
+    monkeypatch.setattr(pd.DataFrame, "drop_duplicates", no_driver_dedup)
+    out = dd.minhash_lsh_dedup(
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6,
+        verification="distributed", band_driver_threshold=0,
+    )
+    assert seen["cand_is_dataset"]
+    pd.testing.assert_frame_equal(base_out, out)
+
+
+def test_embedding_lsh_dataset_candidates_never_touch_driver(rd, monkeypatch):
+    """Same guard for the embedding LSH path: Dataset candidates, no
+    driver dedup, identical output to the default path."""
+    import raylink.dedup as dd
+
+    ds = _planted_embeddings(rd, n=80, n_dups=10)
+    base_out = dd.embedding_lsh_pairs(
+        ds, "vec_id", "embedding", threshold=0.9
+    )
+
+    def no_driver_dedup(self, *a, **k):
+        raise AssertionError("driver-side candidate drop_duplicates ran")
+
+    monkeypatch.setattr(pd.DataFrame, "drop_duplicates", no_driver_dedup)
+    out = dd.embedding_lsh_pairs(
+        ds, "vec_id", "embedding", threshold=0.9,
+        verification="distributed", band_driver_threshold=0,
+    )
+    pd.testing.assert_frame_equal(base_out, out)
+
+
+def test_minhash_dataset_candidates_distributed_components(rd):
+    """End-to-end full-distributed mode: Dataset candidates + distributed
+    verification + distributed components — same groups as all-driver."""
+    import raylink.dedup as dd
+
+    near = BASE.replace("quick", "quikc")
+    texts = [BASE, near, "unrelated words entirely different", BASE + " extra tail"]
+    a = dd.minhash_lsh_dedup(_docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5)
+    b = dd.minhash_lsh_dedup(
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5,
+        verification="distributed", band_driver_threshold=0,
+        components="distributed",
+    )
+    ga = a.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
+    gb = b.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
+    assert set(ga) == set(gb)

@@ -223,3 +223,24 @@ def test_levenshtein_myers_matches_slow_dp():
         got = ed.levenshtein_one_to_many(q, packed)
         want = np.array([slow_lev(q, t) for t in tos])
         assert np.array_equal(got, want), qlen
+
+
+def test_partial_ratio_pairs_single_oversized_pair_chunked():
+    """A single pair whose window matrix alone exceeds the cell budget is
+    processed in window-row chunks — exact vs the scalar partial_ratio and
+    vs the unchunked batched path (ADVICE r2)."""
+    import numpy as np
+
+    from raylink.editdist import partial_ratio, partial_ratio_pairs
+
+    rng = np.random.default_rng(3)
+    long = "".join(rng.choice(list("abcdefg "), size=3000))
+    short = "".join(rng.choice(list("abcdefg "), size=400))
+    pairs = [(short, long), ("abc", "zabcy")]
+    # window matrix of pair 0 is ~2600x400 = 1.04M cells > budget 50k
+    chunked = partial_ratio_pairs(pairs, cell_budget=50_000)
+    full = partial_ratio_pairs(pairs)
+    np.testing.assert_allclose(chunked, full)
+    np.testing.assert_allclose(
+        chunked, [partial_ratio(a, b) for a, b in pairs]
+    )
