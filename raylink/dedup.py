@@ -832,7 +832,7 @@ def simhash_dedup(
 
 def ngram_jaccard_pairs(
     ds, id_col: str, text_col: str, k: int = 8, threshold: float = 0.5,
-    max_posting: int = 1000,
+    max_posting: int = 1000, driver_agg_max_rows: int = 20_000_000,
 ):
     """All pairs with shingle-set Jaccard >= threshold.
 
@@ -841,7 +841,13 @@ def ngram_jaccard_pairs(
     — hot shingles carry little signal), sum intersections per pair, then
     jaccard = inter / (|A| + |B| - inter). Returns pandas (a, b, jaccard)
     sorted. Set sizes travel with the postings so no second join is
-    needed."""
+    needed.
+
+    The per-pair intersection count is a driver-side aggregation below
+    ``driver_agg_max_rows`` co-occurrence rows; above it the co-occurrence
+    Dataset shuffles ONCE more by pair-hash partition and aggregates per
+    partition (same (a, b) always co-locates, so per-partition counts are
+    exact) — only pairs passing the threshold reach the driver."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
@@ -900,21 +906,72 @@ def ngram_jaccard_pairs(
             }
         )
 
-    co = (
+    co_ds = (
         ds.map_batches(explode, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(pairs_part, batch_format="pyarrow")
+        .materialize()
+    )
+    n_co = co_ds.count()
+    if not n_co:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+
+    thr = float(threshold)
+
+    def agg_pairs(a, b, sa, sb) -> pa.Table:
+        o = np.lexsort((b, a))
+        a, b, sa, sb = a[o], b[o], sa[o], sb[o]
+        starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        inter = np.diff(np.append(starts, len(a)))
+        sa0, sb0 = sa[starts], sb[starts]
+        union = sa0 + sb0 - inter
+        jac = inter / np.maximum(union, 1)
+        keep = jac >= thr
+        return pa.table(
+            {
+                "a": pa.array(a[starts][keep]),
+                "b": pa.array(b[starts][keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    if n_co <= driver_agg_max_rows:
+        tbl = pa.concat_tables(
+            ray.get(co_ds.to_arrow_refs()), promote_options="default"
+        )
+        out = agg_pairs(
+            np.asarray(tbl["a"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(tbl["b"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(tbl["sa"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(tbl["sb"].to_numpy(zero_copy_only=False), np.int64),
+        ).to_pandas()
+        return out.sort_values(["a", "b"], ignore_index=True)
+
+    # distributed per-pair aggregation: one more keyed shuffle by pair-hash
+    # partition (a is the partition function, so identical (a, b) rows
+    # always co-locate and per-partition counts are exact); only the pairs
+    # that pass the threshold leave the workers
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False), np.int64)
+        return batch.append_column("p2", pa.array((a % P).astype(np.int64)))
+
+    def agg_part(g: pa.Table) -> pa.Table:
+        return agg_pairs(
+            np.asarray(g["a"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(g["b"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(g["sa"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(g["sb"].to_numpy(zero_copy_only=False), np.int64),
+        )
+
+    out = (
+        co_ds.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("p2")
+        .map_groups(agg_part, batch_format="pyarrow")
         .to_pandas()
     )
-    if not len(co):
+    if not len(out):
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    agg = co.groupby(["a", "b", "sa", "sb"], as_index=False).size()
-    inter = agg["size"].to_numpy()
-    union = agg["sa"].to_numpy() + agg["sb"].to_numpy() - inter
-    jac = inter / np.maximum(union, 1)
-    out = pd.DataFrame({"a": agg["a"], "b": agg["b"], "jaccard": jac})
-    out = out[out["jaccard"] >= threshold]
     return out.sort_values(["a", "b"], ignore_index=True)
 
 

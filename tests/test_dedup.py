@@ -377,3 +377,19 @@ def test_minhash_dataset_candidates_distributed_components(rd):
     ga = a.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
     gb = b.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
     assert set(ga) == set(gb)
+
+
+def test_ngram_jaccard_distributed_aggregation_matches_driver(rd):
+    """Forced pair-partition aggregation (driver_agg_max_rows=0) equals
+    the driver-side count pass exactly."""
+    from raylink.dedup import ngram_jaccard_pairs
+
+    near = BASE.replace("quick", "quikc")
+    texts = [BASE, near, "unrelated text entirely", BASE + " extra", near + " x"]
+    drv = ngram_jaccard_pairs(_docs(rd, texts), "doc_id", "text", k=8, threshold=0.3)
+    dist = ngram_jaccard_pairs(
+        _docs(rd, texts), "doc_id", "text", k=8, threshold=0.3,
+        driver_agg_max_rows=0,
+    )
+    pd.testing.assert_frame_equal(drv, dist)
+    assert len(drv) >= 2
