@@ -511,6 +511,7 @@ def minhash_lsh_dedup(
     verification: str = "auto",
     driver_verify_max_pairs: int = 2_000_000,
     band_driver_threshold: int = 20_000_000,
+    output: str = "pandas",
 ):
     """Full MinHash-LSH near-dup pipeline. Returns a pandas frame
     (doc_id, dup_group) for every doc in a near-dup group, where dup_group
@@ -532,7 +533,9 @@ def minhash_lsh_dedup(
     closure as iterative min-label propagation on Ray
     (raylink.linkage.distributed_connected_components) instead of
     driver-side union-find — the scale path when the verified edge set is
-    itself large."""
+    itself large. ``output="dataset"`` (requires distributed verification
+    AND components) returns the (doc_id, dup_group) Dataset un-collected
+    for write_parquet consumption."""
     band_ds = ds.map_batches(
         lambda t: minhash_band_rows(t, id_col, text_col, k, num_perm, bands),
         batch_format="pyarrow",
@@ -588,7 +591,11 @@ def minhash_lsh_dedup(
         edges_ds = _verify_pairs_distributed(
             sh_ds_cand, cand, jaccard_threshold, n_parts=P, need=need
         )
-        return _components_from_edges_ds(edges_ds, components)
+        return _components_from_edges_ds(edges_ds, components, output=output)
+    if output == "dataset":
+        raise ValueError(
+            'output="dataset" requires verification="distributed"'
+        )
 
     sh = pa.concat_tables(
         ray.get(sh_ds_cand.to_arrow_refs()), promote_options="default"
@@ -604,21 +611,49 @@ def minhash_lsh_dedup(
     return _components_output(verified, components)
 
 
-def _components_from_edges_ds(edges_ds, components: str) -> pd.DataFrame:
+def _components_from_edges_ds(edges_ds, components: str, output: str = "pandas"):
     """Verified-edge DATASET -> (doc_id, dup_group). Distributed mode
     feeds the Dataset straight into min-label propagation (edges never
     land on the driver); driver mode collects the verified edge set
-    (far smaller than the candidate set) for union-find."""
+    (far smaller than the candidate set) for union-find.
+
+    ``output="dataset"`` (distributed components only) returns the label
+    Dataset un-collected — the 100-TB path where even the group table is
+    too big for the driver; consume with write_parquet."""
     edges_ds = edges_ds.materialize()
     if edges_ds.count() == 0:
+        if output == "dataset":
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "dup_group": pa.array([], pa.int64()),
+                    }
+                )
+            )
         return pd.DataFrame({"doc_id": [], "dup_group": []}).astype(np.int64)
     if components == "distributed":
         from raylink.linkage import distributed_connected_components
 
-        labels = distributed_connected_components(edges_ds).to_pandas()
+        labels_ds = distributed_connected_components(edges_ds)
+        if output == "dataset":
+            def rename(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {"doc_id": batch["node"], "dup_group": batch["label"]}
+                )
+
+            return labels_ds.map_batches(rename, batch_format="pyarrow")
+        labels = labels_ds.to_pandas()
         out = labels.rename(columns={"node": "doc_id", "label": "dup_group"})
         return out.astype(np.int64).sort_values(
             ["dup_group", "doc_id"], ignore_index=True
+        )
+    if output == "dataset":
+        raise ValueError(
+            'output="dataset" requires components="distributed" '
+            "(driver union-find necessarily collects)"
         )
     out = edges_ds.to_pandas()
     verified = list(zip(out["a"].tolist(), out["b"].tolist()))
@@ -738,6 +773,7 @@ def simhash_dedup(
     bucketing: str = "auto",
     driver_max_docs: int = 5_000_000,
     components: str = "driver",
+    output: str = "pandas",
 ):
     """Near-dup groups by simhash: 4 x 16-bit bands bucket candidates (any
     pair within Hamming <= 3 shares at least one exact band), verified by
@@ -764,6 +800,8 @@ def simhash_dedup(
         bucketing == "auto" and sim_ds.count() > driver_max_docs
     )
     if not distributed:
+        if output == "dataset":
+            raise ValueError('output="dataset" requires bucketing="distributed"')
         tbl = sim_ds.to_pandas()
         ids = tbl["doc_id"].to_numpy()
         hs = tbl["simhash"].to_numpy().astype(np.uint64)
@@ -822,7 +860,7 @@ def simhash_dedup(
         .groupby("part")
         .map_groups(scan_part, batch_format="pyarrow")
     )
-    return _components_from_edges_ds(edges_ds, components)
+    return _components_from_edges_ds(edges_ds, components, output=output)
 
 
 # ---------------------------------------------------------------------------

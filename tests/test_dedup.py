@@ -393,3 +393,30 @@ def test_ngram_jaccard_distributed_aggregation_matches_driver(rd):
     )
     pd.testing.assert_frame_equal(drv, dist)
     assert len(drv) >= 2
+
+
+def test_minhash_output_dataset(rd):
+    """output='dataset' in full-distributed mode returns an un-collected
+    (doc_id, dup_group) Dataset with the same groups as the pandas path."""
+    import raylink.dedup as dd
+
+    near = BASE.replace("quick", "quikc")
+    texts = [BASE, near, "unrelated words entirely different", BASE + " extra tail"]
+    base_out = dd.minhash_lsh_dedup(
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5
+    )
+    out_ds = dd.minhash_lsh_dedup(
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5,
+        verification="distributed", band_driver_threshold=0,
+        components="distributed", output="dataset",
+    )
+    got = out_ds.to_pandas().sort_values(
+        ["dup_group", "doc_id"], ignore_index=True
+    ).astype(np.int64)
+    ga = base_out.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
+    gb = got.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
+    assert set(ga) == set(gb)
+    with pytest.raises(ValueError):
+        dd.minhash_lsh_dedup(
+            _docs(rd, texts), "doc_id", "text", output="dataset"
+        )
