@@ -517,6 +517,31 @@ def q_ann_ivf_topk(sf_dir: str):
     return out
 
 
+def q_ann_ivf_partitioned(sf_dir: str):
+    """IVF over a hive-partitioned on-disk index: probes READ only the
+    matching list_id partitions (IO pruning, not just compute pruning —
+    VERDICT r2 #5). Same fixed panel and centroid seed as ann_ivf_topk;
+    rows-only by design (iterative k-means float drift), and the streamed
+    vs partitioned parity is pytest-pinned (test_ivf_partitioned_parity)."""
+    import shutil
+
+    from raylink.ann import ivf_build_partitioned, ivf_topk_partitioned
+
+    ds = _read(sf_dir, "embeddings")
+    head = (
+        ds.filter(lambda r: r["vec_id"] < 4).to_pandas().sort_values("vec_id")
+    )
+    queries = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    idx_dir = os.path.join(
+        FIXTURE_ROOT, f"ivf-idx-{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    index = ivf_build_partitioned(ds, idx_dir, n_clusters=16, seed=0)
+    out = ivf_topk_partitioned(idx_dir, index, queries, k=10, n_probe=4)
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
 MEDIA_FIXTURE = os.path.join(FIXTURE_ROOT, "media-n200-s42.parquet")
 
 
@@ -784,6 +809,7 @@ QUERIES = {
     "match_embeddings": q_match_embeddings,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "multimodal_features": q_multimodal_features,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
