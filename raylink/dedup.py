@@ -1119,6 +1119,7 @@ def embedding_lsh_pairs(
     verification: str = "auto",
     driver_verify_max_pairs: int = 2_000_000,
     band_driver_threshold: int = 20_000_000,
+    output: str = "pandas",
 ):
     """Embedding near-dup pairs WITHOUT a full-matrix broadcast (the
     random-hyperplane-LSH scale path): sign-bit signatures per batch,
@@ -1135,7 +1136,9 @@ def embedding_lsh_pairs(
     (partition = f(a)), and only the verified near-dup pairs — orders of
     magnitude smaller — are collected for the sorted return frame.
     Probabilistic recall (documented, not exactness): for cosine>=0.95,
-    64 bits x 8 bands gives ~0.99 pair recall."""
+    64 bits x 8 bands gives ~0.99 pair recall. ``output="dataset"``
+    (distributed verification only) returns the verified-pair Dataset
+    un-collected — consume with write_parquet at scale."""
     first = ds.limit(1).to_pandas()
     empty = pd.DataFrame({"a": [], "b": [], "cosine": []})
     if not len(first):
@@ -1168,8 +1171,11 @@ def embedding_lsh_pairs(
     distributed = verification == "distributed" or (
         verification == "auto" and n_pairs > driver_verify_max_pairs
     )
-    if not distributed and not isinstance(cand, pd.DataFrame):
-        cand = cand.to_pandas().drop_duplicates(ignore_index=True)
+    if not distributed:
+        if output == "dataset":
+            raise ValueError('output="dataset" requires verification="distributed"')
+        if not isinstance(cand, pd.DataFrame):
+            cand = cand.to_pandas().drop_duplicates(ignore_index=True)
 
     P = _default_parts()
     need = None
@@ -1330,11 +1336,12 @@ def embedding_lsh_pairs(
             }
         )
 
-    out = (
-        union.groupby("part")
-        .map_groups(verify_part, batch_format="pyarrow")
-        .to_pandas()
+    out_ds = union.groupby("part").map_groups(
+        verify_part, batch_format="pyarrow"
     )
+    if output == "dataset":
+        return out_ds
+    out = out_ds.to_pandas()
     if not len(out):
         return empty
     out["a"] = out["a"].astype(np.int64)

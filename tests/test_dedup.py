@@ -420,3 +420,22 @@ def test_minhash_output_dataset(rd):
         dd.minhash_lsh_dedup(
             _docs(rd, texts), "doc_id", "text", output="dataset"
         )
+
+
+def test_embedding_lsh_output_dataset(rd):
+    import raylink.dedup as dd
+
+    ds = _planted_embeddings(rd, n=80, n_dups=10)
+    base_out = dd.embedding_lsh_pairs(ds, "vec_id", "embedding", threshold=0.9)
+    out_ds = dd.embedding_lsh_pairs(
+        ds, "vec_id", "embedding", threshold=0.9,
+        verification="distributed", band_driver_threshold=0, output="dataset",
+    )
+    got = (
+        out_ds.to_pandas()
+        .astype({"a": np.int64, "b": np.int64})
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(base_out, got)
+    with pytest.raises(ValueError):
+        dd.embedding_lsh_pairs(ds, "vec_id", "embedding", output="dataset")
