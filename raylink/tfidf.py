@@ -244,12 +244,20 @@ def df_counts(doc_ids: np.ndarray, grams: np.ndarray) -> tuple[np.ndarray, np.nd
 import os
 
 # Cache-blocked kernel geometry. Defaults are measured on this box (see
-# BASELINE.md tile sweep); env overrides exist for re-tuning on different
-# hardware without code edits. The tile width is FROZEN INTO TopkIndex at
-# build time (index.tile_cols) so driver-built indexes and worker-side
-# scoring can never disagree about the layout.
-TILE_COLS = int(os.environ.get("RAYLINK_TILE_COLS", "4096"))
-ROW_CHUNK = int(os.environ.get("RAYLINK_ROW_CHUNK", "512"))
+# BASELINE.md round-3 geometry study: rc256 x tc8192 beats the round-2
+# rc512 x tc4096 by ~9% at 32 CPUs on the real hot-block replay AND is
+# far more stable across host phases — same 8 MB slab, flatter aspect =
+# half the per-tile top-k merges and longer per-term scatter runs); env
+# overrides exist for re-tuning on different hardware without code edits.
+# The tile width is FROZEN INTO TopkIndex at build time (index.tile_cols)
+# so driver-built indexes and worker-side scoring can never disagree
+# about the layout. TILE_ACTIVATE decouples WHEN tiling kicks in from the
+# tile WIDTH: blocks above it get the tiled f32-selection layout even if
+# they fit a single tile (a 4-8k block on one 8192-wide tile accumulates
+# into a ~5 MB f32 slab instead of the legacy up-to-256 MB f64 slab).
+TILE_COLS = int(os.environ.get("RAYLINK_TILE_COLS", "8192"))
+ROW_CHUNK = int(os.environ.get("RAYLINK_ROW_CHUNK", "256"))
+TILE_ACTIVATE = int(os.environ.get("RAYLINK_TILE_ACTIVATE", "4096"))
 
 
 class TopkIndex:
@@ -280,9 +288,9 @@ class TopkIndex:
         n_to = self.csc.n_rows
         V = to_csr.n_cols
         self.tile_cols = int(tile_cols or TILE_COLS)
-        if n_to > self.tile_cols:
+        if n_to > min(self.tile_cols, TILE_ACTIVATE):
             tc = self.tile_cols
-            self.n_tiles = (n_to + tc - 1) // tc
+            self.n_tiles = max(1, (n_to + tc - 1) // tc)
             terms = np.repeat(
                 np.arange(V, dtype=np.int64), np.diff(self.csc.indptr)
             )
@@ -352,7 +360,7 @@ def topk_cosine(
     out_sim = np.zeros((n_from, top_n), dtype=np.float64)
     if n_to == 0 or k == 0:
         return out_idx, out_sim
-    if index.n_tiles > 1 and k <= 16:
+    if index.tile_indptr is not None and k <= 16:
         topk_cosine_tiled(
             fr, index, k, out_idx, out_sim, min_similarity, self_match,
             from_global_offset, apply_min_similarity,

@@ -147,14 +147,22 @@ def test_tiled_kernel_matches_untiled():
     vocab = fit_tfidf(words)
     csr = vocab.transform(words)
     index = TopkIndex(csr, np.array(words, dtype=object))
-    assert index.n_tiles > 1  # 6000 > TILE_COLS covers the tiled path
+    # 6000 > TILE_ACTIVATE engages the tiled layout (single 8192-wide tile)
+    assert index.tile_indptr is not None
     i_tiled, s_tiled = topk_cosine(csr, index, top_n=3, self_match=True)
+    # a genuinely multi-tile geometry must agree too
+    index3 = TopkIndex(csr, np.array(words, dtype=object), tile_cols=2048)
+    assert index3.n_tiles > 1
+    i_multi, s_multi = topk_cosine(csr, index3, top_n=3, self_match=True)
     # rebuild an index without tiling to hit the single-slab path
     index2 = TopkIndex(csr, np.array(words, dtype=object))
     index2.n_tiles = 1
+    index2.tile_indptr = None
     i_flat, s_flat = topk_cosine(csr, index2, top_n=3, self_match=True)
     np.testing.assert_array_equal(i_tiled, i_flat)
     np.testing.assert_allclose(s_tiled, s_flat, atol=1e-12)
+    np.testing.assert_array_equal(i_multi, i_flat)
+    np.testing.assert_allclose(s_multi, s_flat, atol=1e-12)
 
 
 def test_tiled_kernel_min_similarity_and_two_list():
