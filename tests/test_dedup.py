@@ -439,3 +439,27 @@ def test_embedding_lsh_output_dataset(rd):
     pd.testing.assert_frame_equal(base_out, got)
     with pytest.raises(ValueError):
         dd.embedding_lsh_pairs(ds, "vec_id", "embedding", output="dataset")
+
+
+def test_minhash_taskpool_verify_matches_serial(rd):
+    """The task-parallel driver verification (left-doc-aligned ranges,
+    shared kernel) must produce the same groups as the serial pass."""
+    import raylink.dedup as dd
+
+    rng = np.random.default_rng(9)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa"]
+    texts = []
+    for i in range(40):
+        base = " ".join(rng.choice(words, size=18))
+        texts.append(base)
+        if i % 2 == 0:
+            texts.append(base.replace("alpha", "alphx", 1))
+    serial = dd.minhash_lsh_dedup(
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6,
+    )
+    taskpool = dd.minhash_lsh_dedup(
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6,
+        taskpool_verify_min_pairs=0,
+    )
+    pd.testing.assert_frame_equal(serial, taskpool)
+    assert len(serial) >= 2
