@@ -217,15 +217,26 @@ def self_top1(
     materializes the table on the driver: distributed sort by id ->
     repartition into contiguous-range shards -> one build TASK per shard
     (object-store resident) -> per-batch running merge across shard refs.
-    "auto" switches on ``ds.count()``. Both paths share the chunked scoring
-    kernel, so outputs are identical (parity pytest-pinned).
+    "auto" switches on the row count against a BYTE-aware bound
+    (min(max_broadcast_rows, 1 GiB / row bytes) — wide embeddings shard
+    earlier). Both paths share the chunked scoring kernel, so outputs are
+    identical (parity pytest-pinned).
 
     ``round_to`` rounds the reported cosine so the result is stable across
     summation orders (the SQL-oracle comparison path)."""
     global _build_self_shard_task
 
+    # bound shards/broadcast by BYTES, not just rows: a 2M-row shard of
+    # dim-768 f64 embeddings is 12 GiB — the row bound alone only works
+    # for narrow vectors. dim comes from one row; the effective row bound
+    # is min(max_broadcast_rows, max_shard_bytes / (dim * 8)).
+    max_shard_bytes = 1 << 30
+    first = ds.limit(1).take(1)
+    dim = len(first[0][emb_col]) if first else 1
+    row_bound = max(1, min(max_broadcast_rows, max_shard_bytes // (max(dim, 1) * 8)))
+
     if mode == "auto":
-        mode = "sharded" if ds.count() > max_broadcast_rows else "broadcast"
+        mode = "sharded" if ds.count() > row_bound else "broadcast"
 
     side = ds.select_columns([id_col, emb_col])
     if mode == "broadcast":
@@ -239,7 +250,7 @@ def self_top1(
     else:
         srt = side.sort(id_col).materialize()
         total = srt.count()
-        n_shards = max(1, -(-total // max_broadcast_rows))
+        n_shards = max(1, -(-total // min(row_bound, max_broadcast_rows)))
         refs = srt.repartition(n_shards).materialize().to_arrow_refs()
         if _build_self_shard_task is None:
             _build_self_shard_task = ray.remote(_build_self_shard)

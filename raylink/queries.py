@@ -672,7 +672,8 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
-    """MinHash-LSH near-dedup over documents (rows-only)."""
+    """MinHash-LSH near-dedup over documents — SQL-checked (recursive-CTE
+    connected components over the verified near-dup edges)."""
     from raylink.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(
