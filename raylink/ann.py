@@ -207,7 +207,8 @@ def self_top1(
     mode: str = "auto",
     max_broadcast_rows: int = 2_000_000,
     col_chunk: int = 8192,
-) -> pd.DataFrame:
+    output: str = "pandas",
+):
     """For every vector: its most similar OTHER vector (brute force, data
     side streamed). Ties resolve to the smaller vec_id. Returns
     (vec_id, best_match_id, best_sim).
@@ -223,7 +224,9 @@ def self_top1(
     identical (parity pytest-pinned).
 
     ``round_to`` rounds the reported cosine so the result is stable across
-    summation orders (the SQL-oracle comparison path)."""
+    summation orders (the SQL-oracle comparison path). ``output="dataset"``
+    returns the mapped Dataset un-collected (UNSORTED — rows arrive in
+    stream order; consume with write_parquet at scale)."""
     global _build_self_shard_task
 
     # bound shards/broadcast by BYTES, not just rows: a 2M-row shard of
@@ -260,10 +263,14 @@ def self_top1(
 
     chunk = int(col_chunk)
 
+    rt = round_to
+
     def best(batch: pa.Table) -> pa.Table:
         ids_b = _ids_of(batch, id_col)
         bmat = l2_normalize(_embeddings_to_matrix(batch[emb_col]))
         bid, bsim = _best_other_from_shards(ids_b, bmat, shard_refs, chunk)
+        if rt is not None:
+            bsim = np.round(bsim, rt)
         return pa.table(
             {
                 "vec_id": pa.array(ids_b),
@@ -272,11 +279,10 @@ def self_top1(
             }
         )
 
-    out = ds.map_batches(
-        best, batch_format="pyarrow", batch_size=batch_size
-    ).to_pandas()
-    if round_to is not None:
-        out["best_sim"] = out["best_sim"].round(round_to)
+    mapped = ds.map_batches(best, batch_format="pyarrow", batch_size=batch_size)
+    if output == "dataset":
+        return mapped
+    out = mapped.to_pandas()
     return out.sort_values("vec_id", ignore_index=True)
 
 

@@ -254,3 +254,13 @@ def test_checkpoint_detects_corruption(rd, tmp_path):
     victim = os.path.join(data_dir, sorted(os.listdir(data_dir))[0])
     os.remove(victim)
     assert not checkpoint_valid(root, "s")
+
+
+def test_self_top1_output_dataset(emb_ds):
+    from raylink.ann import self_top1
+
+    ds, mat = emb_ds
+    base = self_top1(ds, batch_size=64)
+    out_ds = self_top1(ds, batch_size=64, output="dataset")
+    got = out_ds.to_pandas().sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(base, got)
