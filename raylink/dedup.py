@@ -605,6 +605,33 @@ def minhash_lsh_dedup(
         lambda t: minhash_band_rows(t, id_col, text_col, k, num_perm, bands),
         batch_format="pyarrow",
     )
+    return _minhash_after_bands(
+        ds, band_ds, id_col, text_col, k=k,
+        jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
+        components=components, verification=verification,
+        driver_verify_max_pairs=driver_verify_max_pairs,
+        band_driver_threshold=band_driver_threshold, output=output,
+        taskpool_verify_min_pairs=taskpool_verify_min_pairs,
+    )
+
+
+def _minhash_after_bands(
+    ds,
+    band_ds,
+    id_col: str,
+    text_col: str,
+    k: int,
+    jaccard_threshold: float,
+    max_bucket: int,
+    components: str,
+    verification: str,
+    driver_verify_max_pairs: int,
+    band_driver_threshold: int,
+    output: str,
+    taskpool_verify_min_pairs: int,
+):
+    """Candidate extraction -> verification -> components, shared by the
+    streaming and the per-partition-resumable band producers."""
     cand = candidate_pairs_from_bands(
         band_ds, max_bucket, driver_threshold=band_driver_threshold
     )
@@ -1419,3 +1446,78 @@ def embedding_lsh_pairs(
     out["a"] = out["a"].astype(np.int64)
     out["b"] = out["b"].astype(np.int64)
     return out.sort_values(["a", "b"], ignore_index=True)
+
+
+def minhash_lsh_dedup_resumable(
+    parquet_path: str,
+    checkpoint_root: str,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 200,
+    components: str = "driver",
+    verification: str = "auto",
+    driver_verify_max_pairs: int = 2_000_000,
+    band_driver_threshold: int = 20_000_000,
+    output: str = "pandas",
+    taskpool_verify_min_pairs: int = 50_000,
+):
+    """Per-partition RESUMABLE MinHash-LSH dedup over a parquet file/dir
+    (the north rule's restart story, extended from the flagship to the
+    dedup family): the band-row stage — the full-corpus scan that
+    dominates a cold run — checkpoints one partition per input file under
+    ``<checkpoint_root>/minhash_bands`` via
+    :func:`raylink.checkpoint.run_partitioned_stage` (stable file-derived
+    keys, atomic part+marker writes, params-fingerprint wipe). A killed
+    run recomputes ONLY the missing partitions; candidate extraction,
+    verification and components then run from the checkpointed band table
+    exactly like :func:`minhash_lsh_dedup` (shared code path)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from raylink.checkpoint import run_partitioned_stage
+
+    if os.path.isdir(parquet_path):
+        files = sorted(glob.glob(os.path.join(parquet_path, "*.parquet")))
+    else:
+        files = [parquet_path]
+    if not files:
+        raise ValueError(f"no parquet files under {parquet_path}")
+    by_key = {
+        os.path.splitext(os.path.basename(f))[0].replace(".", "_"): f
+        for f in files
+    }
+    if len(by_key) != len(files):
+        raise ValueError("input file basenames must be unique")
+
+    def produce(key: str) -> pa.Table:
+        tbl = pq.read_table(by_key[key], columns=[id_col, text_col])
+        return minhash_band_rows(tbl, id_col, text_col, k, num_perm, bands)
+
+    band_ds, _skipped = run_partitioned_stage(
+        checkpoint_root,
+        "minhash_bands",
+        sorted(by_key),
+        produce,
+        params={
+            "id_col": id_col, "text_col": text_col, "k": k,
+            "num_perm": num_perm, "bands": bands,
+        },
+        input_stages=[],
+    )
+    import ray.data as rd
+
+    ds = rd.read_parquet(files, columns=[id_col, text_col])
+    return _minhash_after_bands(
+        ds, band_ds, id_col, text_col, k=k,
+        jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
+        components=components, verification=verification,
+        driver_verify_max_pairs=driver_verify_max_pairs,
+        band_driver_threshold=band_driver_threshold, output=output,
+        taskpool_verify_min_pairs=taskpool_verify_min_pairs,
+    )

@@ -463,3 +463,60 @@ def test_minhash_taskpool_verify_matches_serial(rd):
     )
     pd.testing.assert_frame_equal(serial, taskpool)
     assert len(serial) >= 2
+
+
+def test_minhash_resumable_matches_streaming(rd, tmp_path):
+    """Per-partition resumable minhash: same output as the streaming
+    variant; a killed run (missing marker) recomputes ONLY that
+    partition."""
+    import pyarrow.parquet as pq
+
+    import raylink.dedup as dd
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa"]
+    texts = []
+    for i in range(24):
+        base = " ".join(rng.choice(words, size=16))
+        texts.append(base)
+        if i % 2 == 0:
+            texts.append(base.replace("alpha", "alphx", 1))
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    n_half = len(texts) // 2
+    for part, lo, hi in [("a", 0, n_half), ("b", n_half, len(texts))]:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                    "text": pa.array(texts[lo:hi], type=pa.string()),
+                }
+            ),
+            str(data_dir / f"{part}.parquet"),
+        )
+
+    streaming = dd.minhash_lsh_dedup(
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6
+    )
+    root = str(tmp_path / "ckpt")
+    resumable = dd.minhash_lsh_dedup_resumable(
+        str(data_dir), root, "doc_id", "text", jaccard_threshold=0.6
+    )
+    pd.testing.assert_frame_equal(streaming, resumable)
+    assert len(streaming) >= 2
+
+    # kill-one-partition resume: drop partition b's marker + part file,
+    # spy on the producer via the parquet reads
+    import os
+
+    marks = os.path.join(root, "minhash_bands", "marks")
+    parts = os.path.join(root, "minhash_bands", "data")
+    os.remove(os.path.join(marks, "part-b.done.json"))
+    os.remove(os.path.join(parts, "part-b.parquet"))
+    before_a = os.path.getmtime(os.path.join(parts, "part-a.parquet"))
+    again = dd.minhash_lsh_dedup_resumable(
+        str(data_dir), root, "doc_id", "text", jaccard_threshold=0.6
+    )
+    pd.testing.assert_frame_equal(streaming, again)
+    assert os.path.getmtime(os.path.join(parts, "part-a.parquet")) == before_a
+    assert os.path.exists(os.path.join(parts, "part-b.parquet"))
