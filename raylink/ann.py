@@ -489,3 +489,124 @@ def ivf_topk_partitioned(
         batch_size=batch_size,
     )
     return _merge_partials_topk(partials, k)
+
+
+def _topk_merge_chunk(
+    best_id: np.ndarray,
+    best_sim: np.ndarray,
+    cids: np.ndarray,
+    sim: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge a (n x w) chunk of similarities into the running per-row
+    top-k. Ties on cosine resolve to the smaller data id; -inf padding
+    never ties with a finite similarity, so pad ids stay inert."""
+    kk = min(k, sim.shape[1])
+    part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+    cand_sim = np.concatenate(
+        [best_sim, np.take_along_axis(sim, part, axis=1)], axis=1
+    )
+    cand_id = np.concatenate([best_id, cids[part]], axis=1)
+    sel = np.lexsort((cand_id, -cand_sim), axis=1)[:, :k]
+    return (
+        np.take_along_axis(cand_id, sel, axis=1),
+        np.take_along_axis(cand_sim, sel, axis=1),
+    )
+
+
+def topk_join(
+    query_ds,
+    data_ds,
+    k: int = 10,
+    query_id_col: str = "vec_id",
+    data_id_col: str = "vec_id",
+    query_emb_col: str = "embedding",
+    data_emb_col: str = "embedding",
+    batch_size: int = 2048,
+    mode: str = "auto",
+    max_broadcast_rows: int = 2_000_000,
+    col_chunk: int = 8192,
+    output: str = "pandas",
+):
+    """Dataset-to-Dataset top-k cosine join: for every row of
+    ``query_ds``, the k most similar rows of ``data_ds``. BOTH sides
+    scale: queries stream as batches; the data side is broadcast whole
+    below a byte-aware bound and SHARDED above it (same sort ->
+    contiguous-range shard build tasks -> per-batch chunked running top-k
+    merge as :func:`self_top1`, generalized from top-1 to top-k). Ties on
+    cosine resolve to the smaller data id. Returns
+    (query_id, rank, data_id, cosine) sorted by (query_id, rank) as
+    pandas, or the un-collected per-batch Dataset with
+    ``output="dataset"`` (UNSORTED; rank is still per-query 1..k)."""
+    global _build_self_shard_task
+
+    max_shard_bytes = 1 << 30
+    first = data_ds.limit(1).take(1)
+    dim = len(first[0][data_emb_col]) if first else 1
+    row_bound = max(
+        1, min(max_broadcast_rows, max_shard_bytes // (max(dim, 1) * 8))
+    )
+    if mode == "auto":
+        mode = "sharded" if data_ds.count() > row_bound else "broadcast"
+
+    side = data_ds.select_columns([data_id_col, data_emb_col])
+    if mode == "broadcast":
+        tbl = pa.concat_tables(
+            ray.get(side.to_arrow_refs()), promote_options="default"
+        )
+        ids = np.asarray(tbl[data_id_col].to_numpy(zero_copy_only=False), np.int64)
+        order = np.argsort(ids, kind="stable")
+        mat = l2_normalize(_embeddings_to_matrix(tbl[data_emb_col]))[order]
+        shard_refs = [ray.put((ids[order], mat))]
+    else:
+        srt = side.sort(data_id_col).materialize()
+        total = srt.count()
+        n_shards = max(1, -(-total // min(row_bound, max_broadcast_rows)))
+        refs = srt.repartition(n_shards).materialize().to_arrow_refs()
+        if _build_self_shard_task is None:
+            _build_self_shard_task = ray.remote(_build_self_shard)
+        shard_refs = [
+            _build_self_shard_task.remote(data_id_col, data_emb_col, r)
+            for r in refs
+        ]
+
+    chunk = int(col_chunk)
+    kk_out = int(k)
+
+    def best(batch: pa.Table) -> pa.Table:
+        qids = np.asarray(
+            batch[query_id_col].to_numpy(zero_copy_only=False), np.int64
+        )
+        bmat = l2_normalize(_embeddings_to_matrix(batch[query_emb_col]))
+        n = len(qids)
+        best_id = np.full((n, kk_out), -1, dtype=np.int64)
+        best_sim = np.full((n, kk_out), -np.inf, dtype=np.float64)
+        for ref in shard_refs:
+            ids, mat = cached_object(ref)
+            for c0 in range(0, len(ids), chunk):
+                sim = bmat @ mat[c0 : c0 + chunk].T
+                best_id, best_sim = _topk_merge_chunk(
+                    best_id, best_sim, ids[c0 : c0 + chunk], sim, kk_out
+                )
+        valid = best_id >= 0
+        rank = np.broadcast_to(
+            np.arange(1, kk_out + 1, dtype=np.int64), (n, kk_out)
+        )
+        qcol = np.broadcast_to(qids[:, None], (n, kk_out))
+        v = valid.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(qcol.ravel()[v]),
+                "rank": pa.array(rank.reshape(n, kk_out).ravel()[v]),
+                "data_id": pa.array(best_id.ravel()[v]),
+                "cosine": pa.array(best_sim.ravel()[v]),
+            }
+        )
+
+    mapped = query_ds.map_batches(
+        best, batch_format="pyarrow", batch_size=batch_size
+    )
+    if output == "dataset":
+        return mapped
+    out = mapped.to_pandas()
+    return out.sort_values(["query_id", "rank"], ignore_index=True)

@@ -542,6 +542,19 @@ def q_ann_ivf_partitioned(sf_dir: str):
     return out
 
 
+def q_ann_topk_join(sf_dir: str):
+    """Dataset-to-Dataset streaming top-k cosine join (both sides scale:
+    queries stream, data side broadcast/sharded) for the fixed vec_id<4
+    panel — SQL-checked like ann_topk, cosines compared after round(.,4)."""
+    from raylink.ann import topk_join
+
+    ds = _read(sf_dir, "embeddings")
+    qds = ds.filter(lambda r: r["vec_id"] < 4)
+    out = topk_join(qds, ds, k=10, batch_size=512)
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
 MEDIA_FIXTURE = os.path.join(FIXTURE_ROOT, "media-n200-s42.parquet")
 
 
@@ -811,6 +824,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
+    "ann_topk_join": q_ann_topk_join,
     "multimodal_features": q_multimodal_features,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
@@ -1321,6 +1335,23 @@ ORACLE_SQL = {
                 FROM mil WHERE mil.milli / 1000.0 >= t.min_precision)
                    AS average_precision
         FROM t
+    """,
+    "ann_topk_join": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4),
+        sims AS (
+            SELECT q.vec_id AS query_id, b.vec_id AS data_id,
+                   list_cosine_similarity(q.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) AS cs
+            FROM q JOIN embeddings b ON true
+        ),
+        ranked AS (
+            SELECT query_id, data_id, cs,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cs DESC, data_id ASC) AS rn
+            FROM sims
+        )
+        SELECT query_id, rn AS rank, data_id, round(cs, 4) AS cosine
+        FROM ranked WHERE rn <= 10
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4),

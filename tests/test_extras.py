@@ -264,3 +264,38 @@ def test_self_top1_output_dataset(emb_ds):
     out_ds = self_top1(ds, batch_size=64, output="dataset")
     got = out_ds.to_pandas().sort_values("vec_id", ignore_index=True)
     pd.testing.assert_frame_equal(base, got)
+
+
+def test_topk_join_matches_brute_force(emb_ds, rd):
+    """Streaming Dataset-to-Dataset top-k join equals the broadcast-query
+    brute force on the same panel, in broadcast AND forced-sharded data
+    modes (tiny shards + tiny col_chunk exercise the running k-merge)."""
+    from raylink.ann import brute_force_topk, topk_join
+
+    ds, mat = emb_ds
+    nq = 5
+    query_ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(nq, dtype=np.int64)),
+                "embedding": pa.array(
+                    mat[:nq].tolist(), type=pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+    want = brute_force_topk(ds, mat[:nq], k=4, batch_size=64).rename(
+        columns={"vec_id": "data_id"}
+    )
+    got_b = topk_join(query_ds, ds, k=4, batch_size=64, mode="broadcast")
+    pd.testing.assert_frame_equal(want, got_b)
+    got_s = topk_join(
+        query_ds, ds, k=4, batch_size=64, mode="sharded",
+        max_broadcast_rows=37, col_chunk=13,
+    )
+    pd.testing.assert_frame_equal(want, got_s)
+    got_ds = topk_join(query_ds, ds, k=4, batch_size=64, output="dataset")
+    pd.testing.assert_frame_equal(
+        want,
+        got_ds.to_pandas().sort_values(["query_id", "rank"], ignore_index=True),
+    )
