@@ -195,3 +195,84 @@ def hot_key_counts(ds, key_col: str, hot_threshold: int) -> dict:
         if c > hot_threshold:
             out[k] = int(min(64, max(2, c // hot_threshold)))
     return out
+
+
+def _snm_head(tbl: pa.Table, w: int) -> pa.Table:
+    return tbl.slice(0, max(0, w))
+
+
+def _snm_pairs_block(own: pa.Table, next_head: pa.Table, id_col: str, window: int) -> pa.Table:
+    """Pairs owned by this block: every own row pairs with its up-to
+    ``window - 1`` successors in global sort order (successors may spill
+    into the next block's head — stitched in, never double-counted:
+    ownership = the pair's FIRST element)."""
+    ids = np.concatenate(
+        [
+            np.asarray(own[id_col].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(next_head[id_col].to_numpy(zero_copy_only=False), np.int64)
+            if next_head is not None and next_head.num_rows
+            else np.empty(0, np.int64),
+        ]
+    )
+    n_own = own.num_rows
+    n_all = len(ids)
+    w = window - 1
+    if n_own == 0 or w <= 0 or n_all < 2:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    # vectorized sliding pairs: offsets 1..w from each own row, clipped
+    offs = np.arange(1, w + 1, dtype=np.int64)
+    left = np.repeat(np.arange(n_own, dtype=np.int64), w)
+    right = left + np.tile(offs, n_own)
+    ok = right < n_all
+    return pa.table({"a": pa.array(ids[left[ok]]), "b": pa.array(ids[right[ok]])})
+
+
+_snm_head_task = None
+_snm_pairs_task = None
+
+
+def sorted_neighborhood_pairs(
+    ds,
+    key_col: str,
+    id_col: str,
+    window: int = 5,
+    output: str = "pandas",
+):
+    """Sorted-neighborhood blocking (Hernandez-Stolfo): sort by
+    ``(key_col, id_col)`` and emit every candidate pair within a sliding
+    window of ``window`` rows. The classic record-linkage complement to
+    the engine's equality blocking — catches near-boundary matches a hard
+    block key splits.
+
+    Ray-Data-first: distributed sort, then ONE remote pair task per sorted
+    block with the NEXT block's first ``window - 1`` rows stitched in
+    (ownership = the pair's first element, so boundary pairs are emitted
+    exactly once; head slices are O(blocks x window), never a full
+    collect). Returns pandas (a, b) id pairs ordered by sort position, or
+    the un-collected Dataset with ``output="dataset"``."""
+    import ray
+    import ray.data as rd
+
+    global _snm_head_task, _snm_pairs_task
+
+    srt = ds.select_columns([key_col, id_col]).sort([key_col, id_col]).materialize()
+    refs = srt.to_arrow_refs()
+    if not refs:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return rd.from_arrow(empty) if output == "dataset" else empty.to_pandas()
+    if _snm_head_task is None:
+        _snm_head_task = ray.remote(_snm_head)
+        _snm_pairs_task = ray.remote(_snm_pairs_block)
+    heads = [
+        _snm_head_task.remote(r, window - 1) for r in refs[1:]
+    ] + [None]
+    pair_refs = [
+        _snm_pairs_task.remote(r, h, id_col, window)
+        for r, h in zip(refs, heads)
+    ]
+    out_ds = rd.from_arrow_refs(pair_refs)
+    if output == "dataset":
+        return out_ds
+    return out_ds.to_pandas()

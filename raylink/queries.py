@@ -555,6 +555,29 @@ def q_ann_topk_join(sf_dir: str):
     return out
 
 
+def q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking over documents: clean the text (the
+    SNM sort key), sort by (key, doc_id), emit all pairs within a 5-row
+    window. SQL-checked: the cleaned key is the already-oracled clean
+    expression, binary string sort agrees between Arrow and DuckDB, and
+    the window join is row_number arithmetic."""
+    from raylink.blocking import sorted_neighborhood_pairs
+    from raylink.text import clean_strings_arrow
+
+    ds = _read(sf_dir, "documents")
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": clean_strings_arrow(t["text"].combine_chunks()),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    ds2 = ds.map_batches(keyed, batch_format="pyarrow")
+    return sorted_neighborhood_pairs(ds2, "key", "doc_id", window=5)
+
+
 MEDIA_FIXTURE = os.path.join(FIXTURE_ROOT, "media-n200-s42.parquet")
 
 
@@ -825,6 +848,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "ann_topk_join": q_ann_topk_join,
+    "snm_pairs": q_snm_pairs,
     "multimodal_features": q_multimodal_features,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
@@ -1335,6 +1359,17 @@ ORACLE_SQL = {
                 FROM mil WHERE mil.milli / 1000.0 >= t.min_precision)
                    AS average_precision
         FROM t
+    """,
+    "snm_pairs": f"""
+        WITH cleaned AS (SELECT doc_id, {_CLEAN_T} AS key FROM documents),
+        ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY key, doc_id) AS rn
+            FROM cleaned
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM ranked a JOIN ranked b
+          ON b.rn > a.rn AND b.rn <= a.rn + 4
     """,
     "ann_topk_join": """
         WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4),

@@ -145,3 +145,32 @@ def test_distributed_custom_scorer(rd, fixture_lists):
         from_list, to_list
     )
     pd.testing.assert_frame_equal(frame2, oracle2)
+
+
+def test_sorted_neighborhood_pairs(ray_session):
+    import ray.data as rd
+
+    from raylink.blocking import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(3)
+    n = 200
+    keys = rng.integers(0, 50, n)
+    ids = rng.permutation(n).astype(np.int64)
+    tbl = pa.table({"k": pa.array(keys.astype(np.int64)), "doc_id": pa.array(ids)})
+    ds = rd.from_arrow(tbl).repartition(5)
+    w = 4
+    got = sorted_neighborhood_pairs(ds, "k", "doc_id", window=w)
+    # oracle: rank by (k, id); all pairs with 0 < rank_b - rank_a < w
+    order = np.lexsort((ids, keys))
+    sids = ids[order]
+    want_a, want_b = [], []
+    for d in range(1, w):
+        want_a.append(sids[:-d] if d else sids)
+        want_b.append(sids[d:])
+    want = set(zip(np.concatenate(want_a).tolist(), np.concatenate(want_b).tolist()))
+    got_set = set(zip(got["a"].tolist(), got["b"].tolist()))
+    assert got_set == want
+    assert len(got) == len(want)
+    # dataset output agrees
+    got_ds = sorted_neighborhood_pairs(ds, "k", "doc_id", window=w, output="dataset")
+    assert set(zip(*[got_ds.to_pandas()[c].tolist() for c in ("a", "b")])) == want
