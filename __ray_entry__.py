@@ -62,7 +62,7 @@ def _ensure_workers_can_import() -> None:
         "raylink.resume", "raylink.checkpoint", "raylink.transcripts",
         "raylink.dedup", "raylink.ann", "raylink.textstats",
         "raylink.multimodal", "raylink.queries", "raylink.sources",
-        "raylink.groupseq", "raylink.broadcast",
+        "raylink.groupseq", "raylink.broadcast", "raylink.joins",
     ]:
         importlib.import_module(name)
     from ray import cloudpickle

@@ -578,6 +578,41 @@ def q_snm_pairs(sf_dir: str):
     return sorted_neighborhood_pairs(ds2, "key", "doc_id", window=5)
 
 
+def q_asof_clicks_views(sf_dir: str):
+    """As-of join over events: for every click, the latest view by the
+    same user with ts <= click ts (ties: max view id). SQL-checked via
+    explicit row_number ranking (not DuckDB's ASOF keyword, whose
+    equal-ts tie rule is unspecified) — the Ray side's sort-merge
+    forward-fill kernel replays exactly that rule."""
+    from raylink.joins import asof_join
+
+    ev = _read(sf_dir, "events")
+
+    def mk_clicks(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t["event_type"], "click"))
+        return pa.table(
+            {"user_id": sel["user_id"], "ts": sel["ts"], "click_id": sel["event_id"]}
+        )
+
+    def mk_views(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t["event_type"], "view"))
+        return pa.table(
+            {
+                "user_id": sel["user_id"],
+                "ts": sel["ts"],
+                "view_id": sel["event_id"],
+                "view_value": sel["value"],
+            }
+        )
+
+    left = ev.map_batches(mk_clicks, batch_format="pyarrow")
+    right = ev.map_batches(mk_views, batch_format="pyarrow")
+    return asof_join(
+        left, right, "user_id", "ts", "click_id", "view_id",
+        right_payload_cols=("view_value",), output="pandas",
+    )
+
+
 MEDIA_FIXTURE = os.path.join(FIXTURE_ROOT, "media-n200-s42.parquet")
 
 
@@ -849,6 +884,7 @@ QUERIES = {
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "ann_topk_join": q_ann_topk_join,
     "snm_pairs": q_snm_pairs,
+    "asof_clicks_views": q_asof_clicks_views,
     "multimodal_features": q_multimodal_features,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
@@ -1359,6 +1395,26 @@ ORACLE_SQL = {
                 FROM mil WHERE mil.milli / 1000.0 >= t.min_precision)
                    AS average_precision
         FROM t
+    """,
+    "asof_clicks_views": """
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, ts FROM events
+            WHERE event_type = 'click'
+        ),
+        views AS (
+            SELECT event_id AS view_id, user_id, ts, value AS view_value
+            FROM events WHERE event_type = 'view'
+        ),
+        j AS (
+            SELECT c.click_id, v.view_id, v.view_value,
+                   row_number() OVER (
+                       PARTITION BY c.click_id
+                       ORDER BY v.ts DESC, v.view_id DESC
+                   ) AS rn
+            FROM clicks c JOIN views v
+              ON v.user_id = c.user_id AND v.ts <= c.ts
+        )
+        SELECT click_id, view_id, view_value FROM j WHERE rn = 1
     """,
     "snm_pairs": f"""
         WITH cleaned AS (SELECT doc_id, {_CLEAN_T} AS key FROM documents),
