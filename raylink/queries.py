@@ -613,6 +613,34 @@ def q_asof_clicks_views(sf_dir: str):
     )
 
 
+def q_event_windows(sf_dir: str):
+    """Tumbling 1-hour windows per user over events: event count + exact
+    integer value sum (centi-units — float sums are summation-order
+    noise, integer sums hash-exactly). The windowed-aggregate pattern:
+    window derivation inside map_batches, then ONE bounded groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        win = pc.divide(ts, 3_600_000_000)
+        vc = pc.round(pc.multiply(t["value"].combine_chunks(), 100.0))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "win_hour": win,
+                "vc": vc.cast(pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "win_hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("vc", alias_name="sum_value_centi"))
+    )
+
+
 MEDIA_FIXTURE = os.path.join(FIXTURE_ROOT, "media-n200-s42.parquet")
 
 
@@ -885,6 +913,7 @@ QUERIES = {
     "ann_topk_join": q_ann_topk_join,
     "snm_pairs": q_snm_pairs,
     "asof_clicks_views": q_asof_clicks_views,
+    "event_windows": q_event_windows,
     "multimodal_features": q_multimodal_features,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
@@ -1395,6 +1424,15 @@ ORACLE_SQL = {
                 FROM mil WHERE mil.milli / 1000.0 >= t.min_precision)
                    AS average_precision
         FROM t
+    """,
+    "event_windows": """
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS win_hour,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS sum_value_centi
+        FROM events
+        GROUP BY 1, 2
     """,
     "asof_clicks_views": """
         WITH clicks AS (

@@ -113,6 +113,10 @@ def test_every_query_runs(entry_mod):
         "embedding_cosine_pairs",
         "embedding_lsh_pairs",
         "ngram_jaccard_pairs",
+        "ann_topk_join",
+        "snm_pairs",
+        "asof_clicks_views",
+        "event_windows",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):
