@@ -641,6 +641,19 @@ def q_event_windows(sf_dir: str):
     )
 
 
+def q_session_stats(sf_dir: str):
+    """Gap-based session windows per user over events (30-min gap): one
+    row per session with event count, start/end/duration in integer
+    microseconds. One hash-partition shuffle, vectorized per-partition
+    kernel (raylink/windows.py)."""
+    from raylink.windows import session_stats
+
+    ev = _read(sf_dir, "events")
+    return session_stats(
+        ev, "user_id", "ts", "event_id", gap_us=1_800_000_000, output="pandas"
+    )
+
+
 MEDIA_FIXTURE = os.path.join(FIXTURE_ROOT, "media-n200-s42.parquet")
 
 
@@ -914,6 +927,7 @@ QUERIES = {
     "snm_pairs": q_snm_pairs,
     "asof_clicks_views": q_asof_clicks_views,
     "event_windows": q_event_windows,
+    "session_stats": q_session_stats,
     "multimodal_features": q_multimodal_features,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
@@ -1433,6 +1447,27 @@ ORACLE_SQL = {
                    AS sum_value_centi
         FROM events
         GROUP BY 1, 2
+    """,
+    "session_stats": """
+        WITH d AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tu,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), s AS (
+            SELECT user_id, tu,
+                   CAST(sum(is_new) OVER (
+                        PARTITION BY user_id ORDER BY tu, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+            FROM d
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               min(tu) AS start_us, max(tu) AS end_us,
+               max(tu) - min(tu) AS duration_us
+        FROM s GROUP BY 1, 2
     """,
     "asof_clicks_views": """
         WITH clicks AS (

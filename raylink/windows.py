@@ -1,0 +1,158 @@
+"""Session windows over keyed event streams — the gap-based complement to
+the tumbling-window aggregate in queries.q_event_windows.
+
+``sessionize``: per key, order events by (ts, id) and start a new session
+whenever the gap to the previous event exceeds ``gap_us``. Emits one row
+per event with its 0-based per-key ``session_idx``. ``session_stats``
+shares the same shuffle and emits one row per session (n_events,
+start_us, end_us, duration_us — all int64, summation-order-proof).
+
+Ray-Data-first shape (same as joins.asof_join): derive a hash partition
+inside ``map_batches`` (integer key mod P), ONE keyed groupby — per-group
+Python is O(partitions), never O(keys) — then a single vectorized pass
+per partition: lexsort by (key, ts, id), gap mask, cumsum session
+ordinals, ``np.maximum.accumulate`` to rebase ordinals per key run. A
+partition holds every row of its keys, so per-partition results are
+globally correct. No per-row or per-key Python anywhere.
+
+Reference scope note: PolyFuzz has no windowing surface; this is part of
+the large-scale-pipeline extension set (SURVEY §8), alongside
+dedup/ANN/textstats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from .joins import _ts_int64
+
+
+def _sorted_session_arrays(g: pa.Table, key_col, ts_col, id_col, gap_us):
+    """Common partition kernel: sort and derive per-row session ordinals.
+
+    Returns (order, ks, ts, sidx, new) — ``order`` indexes into ``g``,
+    arrays are in sorted order, ``sidx`` is the 0-based session index
+    within each key run, ``new`` marks session starts."""
+    k = np.asarray(g[key_col].to_numpy(zero_copy_only=False), np.int64)
+    t = _ts_int64(g[ts_col].combine_chunks())
+    i = np.asarray(g[id_col].to_numpy(zero_copy_only=False), np.int64)
+    order = np.lexsort((i, t, k))
+    ks, ts, _ = k[order], t[order], i[order]
+    new = np.ones(len(ks), dtype=bool)
+    new[1:] = (ks[1:] != ks[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+    gsid = np.cumsum(new) - 1  # global session ordinal within the partition
+    key_start = np.ones(len(ks), dtype=bool)
+    key_start[1:] = ks[1:] != ks[:-1]
+    # rebase to a per-key 0-based index: gsid at the key's first row,
+    # forward-filled (gsid is nondecreasing, so max-accumulate fills runs)
+    base = np.maximum.accumulate(np.where(key_start, gsid, 0))
+    sidx = gsid - base
+    return order, ks, ts, sidx, new
+
+
+def _partitioned(ds, key_col: str, n_parts: int | None):
+    P = n_parts if n_parts is not None else max(
+        8, int(ray.cluster_resources().get("CPU", 8)) * 2
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_col].to_numpy(zero_copy_only=False), np.int64)
+        return batch.append_column("part", pa.array((k % P).astype(np.int64)))
+
+    return ds.map_batches(add_part, batch_format="pyarrow")
+
+
+def sessionize(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_us: int,
+    n_parts: int | None = None,
+    output: str = "dataset",
+):
+    """Per-event session assignment: one output row per input row with
+    columns (key_col, id_col, session_idx). Integer key and id columns;
+    ts may be timestamp or int64 microseconds."""
+    parts = _partitioned(ds.select_columns([key_col, ts_col, id_col]), key_col, n_parts)
+
+    def assign(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                }
+            )
+        order, ks, _, sidx, _ = _sorted_session_arrays(
+            g, key_col, ts_col, id_col, gap_us
+        )
+        return pa.table(
+            {
+                key_col: pa.array(ks),
+                id_col: g[id_col].combine_chunks().take(pa.array(order)),
+                "session_idx": pa.array(sidx.astype(np.int64)),
+            }
+        )
+
+    res = parts.groupby("part").map_groups(assign, batch_format="pyarrow")
+    if output == "pandas":
+        return res.to_pandas().sort_values(
+            [key_col, id_col], ignore_index=True
+        )
+    return res
+
+
+def session_stats(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_us: int,
+    n_parts: int | None = None,
+    output: str = "dataset",
+):
+    """One row per session: (key_col, session_idx, n_events, start_us,
+    end_us, duration_us), all int64. Computed inside the same single
+    shuffle as ``sessionize`` — session boundaries are partition-local
+    because a partition holds every row of its keys."""
+    parts = _partitioned(ds.select_columns([key_col, ts_col, id_col]), key_col, n_parts)
+
+    def stats(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                    "duration_us": pa.array([], pa.int64()),
+                }
+            )
+        _, ks, ts, sidx, new = _sorted_session_arrays(
+            g, key_col, ts_col, id_col, gap_us
+        )
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(ks)) - 1
+        return pa.table(
+            {
+                key_col: pa.array(ks[starts]),
+                "session_idx": pa.array(sidx[starts].astype(np.int64)),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+                "start_us": pa.array(ts[starts].astype(np.int64)),
+                "end_us": pa.array(ts[ends].astype(np.int64)),
+                "duration_us": pa.array((ts[ends] - ts[starts]).astype(np.int64)),
+            }
+        )
+
+    res = parts.groupby("part").map_groups(stats, batch_format="pyarrow")
+    if output == "pandas":
+        return res.to_pandas().sort_values(
+            [key_col, "session_idx"], ignore_index=True
+        )
+    return res

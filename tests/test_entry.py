@@ -117,6 +117,7 @@ def test_every_query_runs(entry_mod):
         "snm_pairs",
         "asof_clicks_views",
         "event_windows",
+        "session_stats",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):

@@ -1,0 +1,127 @@
+"""sessionize / session_stats: vectorized partition kernel vs a
+brute-force per-key python oracle (gap rule, tie ordering, rebasing)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray.data
+
+
+def _brute_sessions(k, t, i, gap_us):
+    """Per-event session_idx + per-session stats, per-key python loop."""
+    rows, stats = [], []
+    for key in np.unique(k):
+        m = k == key
+        order = np.lexsort((i[m], t[m]))
+        ts, ids = t[m][order], i[m][order]
+        sidx = 0
+        cur = []
+        for j in range(len(ts)):
+            if j > 0 and ts[j] - ts[j - 1] > gap_us:
+                stats.append(
+                    (key, sidx, len(cur), int(ts[cur[0]]), int(ts[cur[-1]]))
+                )
+                sidx += 1
+                cur = []
+            cur.append(j)
+            rows.append((key, int(ids[j]), sidx))
+        stats.append((key, sidx, len(cur), int(ts[cur[0]]), int(ts[cur[-1]])))
+    return rows, stats
+
+
+def _make(rng, n=400, n_keys=9, t_hi=2000, gap=50):
+    k = rng.integers(0, n_keys, n).astype(np.int64)
+    t = rng.integers(0, t_hi, n).astype(np.int64)
+    i = rng.permutation(n).astype(np.int64)
+    return k, t, i, gap
+
+
+def test_sessionize_matches_brute_force(rd):
+    from raylink.windows import sessionize
+
+    rng = np.random.default_rng(23)
+    k, t, i, gap = _make(rng)
+    ds = rd.from_arrow(
+        pa.table({"uid": pa.array(k), "ts": pa.array(t), "eid": pa.array(i)})
+    ).repartition(5)
+    got = sessionize(ds, "uid", "ts", "eid", gap_us=gap, output="pandas")
+    want_rows, _ = _brute_sessions(k, t, i, gap)
+    want = pd.DataFrame(
+        sorted(want_rows), columns=["uid", "eid", "session_idx"]
+    ).sort_values(["uid", "eid"], ignore_index=True)
+    got = got.sort_values(["uid", "eid"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["uid", "eid", "session_idx"]].astype(np.int64), want.astype(np.int64)
+    )
+
+
+def test_session_stats_matches_brute_force(rd):
+    from raylink.windows import session_stats
+
+    rng = np.random.default_rng(31)
+    k, t, i, gap = _make(rng, n=500, t_hi=3000, gap=40)
+    ds = rd.from_arrow(
+        pa.table({"uid": pa.array(k), "ts": pa.array(t), "eid": pa.array(i)})
+    ).repartition(4)
+    got = session_stats(ds, "uid", "ts", "eid", gap_us=gap, output="pandas")
+    _, want_stats = _brute_sessions(k, t, i, gap)
+    want = pd.DataFrame(
+        sorted(want_stats),
+        columns=["uid", "session_idx", "n_events", "start_us", "end_us"],
+    )
+    want["duration_us"] = want["end_us"] - want["start_us"]
+    got = got.sort_values(["uid", "session_idx"], ignore_index=True)
+    cols = ["uid", "session_idx", "n_events", "start_us", "end_us", "duration_us"]
+    pd.testing.assert_frame_equal(got[cols].astype(np.int64), want[cols].astype(np.int64))
+
+
+def test_gap_boundary_is_strict_greater(rd):
+    """Gap EXACTLY equal to gap_us stays in the same session; one more
+    microsecond starts a new one. Equal-ts ties order by id."""
+    from raylink.windows import session_stats, sessionize
+
+    k = np.zeros(4, dtype=np.int64)
+    t = np.array([0, 10, 20, 31], dtype=np.int64)  # gaps 10, 10, 11
+    i = np.array([3, 1, 2, 0], dtype=np.int64)
+    ds = rd_from(k, t, i)
+    got = sessionize(ds, "uid", "ts", "eid", gap_us=10, output="pandas")
+    by_eid = dict(zip(got["eid"], got["session_idx"]))
+    assert by_eid == {3: 0, 1: 0, 2: 0, 0: 1}
+    st = session_stats(ds, "uid", "ts", "eid", gap_us=10, output="pandas")
+    assert st["n_events"].tolist() == [3, 1]
+    assert st["duration_us"].tolist() == [20, 0]
+
+
+def rd_from(k, t, i):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"uid": pa.array(k), "ts": pa.array(t), "eid": pa.array(i)})
+    )
+
+
+def test_timestamp_column_and_dataset_output(rd):
+    """Timestamp-typed ts columns work; default output is an un-collected
+    Dataset."""
+    from raylink.windows import session_stats
+
+    k = np.array([1, 1, 2], dtype=np.int64)
+    t = np.array([0, 7_200_000_000, 100], dtype="datetime64[us]")
+    i = np.array([0, 1, 2], dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"uid": pa.array(k), "ts": pa.array(t), "eid": pa.array(i)})
+    )
+    out = session_stats(ds, "uid", "ts", "eid", gap_us=3_600_000_000)
+    assert hasattr(out, "to_pandas") and not isinstance(out, pd.DataFrame)
+    df = out.to_pandas().sort_values(["uid", "session_idx"], ignore_index=True)
+    assert df["n_events"].tolist() == [1, 1, 1]
+    assert df["session_idx"].tolist() == [0, 1, 0]
