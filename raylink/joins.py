@@ -141,3 +141,402 @@ def asof_join(
             [left_id_col, right_id_col], ignore_index=True
         )
     return res
+
+
+# ---------------------------------------------------------------------------
+# general relational joins (equi / semi / anti / interval)
+# ---------------------------------------------------------------------------
+
+
+def _ranges_concat(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate the index ranges [starts[i], starts[i]+counts[i]) —
+    vectorized (repeat + rebased arange), no per-range Python."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+    return np.repeat(starts, counts) + offs
+
+
+def _inner_match(lk: np.ndarray, rk_sorted: np.ndarray):
+    """All (left row, right sorted-position) matches on equal keys.
+    Returns (left indices repeated by multiplicity, positions into the
+    SORTED right key array)."""
+    lo = np.searchsorted(rk_sorted, lk, "left")
+    hi = np.searchsorted(rk_sorted, lk, "right")
+    counts = hi - lo
+    li = np.repeat(np.arange(len(lk), dtype=np.int64), counts)
+    return li, _ranges_concat(lo, counts)
+
+
+def _int64_col(col) -> np.ndarray:
+    return np.asarray(col.to_numpy(zero_copy_only=False), np.int64)
+
+
+def _sorted_pandas(res, sort_cols):
+    """Collect a (possibly empty) join result to sorted pandas; an empty
+    Dataset loses its schema through to_pandas, so rebuild the columns."""
+    import pandas as pd
+
+    out = res.to_pandas()
+    if not len(out) and not len(out.columns):
+        out = pd.DataFrame({c: [] for c in sort_cols})
+    return out.sort_values(list(sort_cols)).reset_index(drop=True)
+
+
+def equi_join(
+    left_ds,
+    right_ds,
+    left_key_col: str,
+    right_key_col: str,
+    left_cols: tuple[str, ...] = (),
+    right_cols: tuple[str, ...] = (),
+    mode: str = "auto",
+    max_broadcast_rows: int = 2_000_000,
+    n_parts: int | None = None,
+    output: str = "dataset",
+):
+    """Inner hash equi-join on int64 keys (the operator Ray Data lacks
+    natively). Output columns: (left_key_col, *left_cols, *right_cols)
+    with full inner multiplicity (every left x right key match emits a
+    row). Names in ``left_cols``/``right_cols`` must be disjoint.
+
+    "broadcast": the slim right side (key + right_cols) is collected
+    once, sorted by key, ``ray.put`` once, and every left batch joins
+    against it with two searchsorted passes — the left side STREAMS, the
+    shuffle-free path for small dimension tables. "distributed": both
+    sides hash-partition on the key (ONE keyed groupby, asof_join's
+    co-shuffle shape) and each partition runs the same vectorized
+    kernel — for fact x fact joins where neither side fits a broadcast.
+    "auto" picks by ``right_ds.count()`` vs ``max_broadcast_rows``.
+    """
+    if set(left_cols) & set(right_cols):
+        raise ValueError("left_cols and right_cols must be disjoint")
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if right_ds.count() <= max_broadcast_rows
+            else "distributed"
+        )
+
+    if mode == "broadcast":
+        slim = right_ds.select_columns([right_key_col, *right_cols])
+        tbl = pa.concat_tables(
+            ray.get(slim.to_arrow_refs()), promote_options="default"
+        )
+        rk = _int64_col(tbl[right_key_col])
+        order = np.argsort(rk, kind="stable")
+        rtbl = tbl.take(pa.array(order)).combine_chunks()
+        from .broadcast import cached_object
+
+        side_ref = ray.put((rk[order], rtbl))
+
+        def join_batch(batch: pa.Table) -> pa.Table:
+            rk_sorted, rt = cached_object(side_ref)
+            lk = _int64_col(batch[left_key_col])
+            li, ri = _inner_match(lk, rk_sorted)
+            out = {
+                left_key_col: batch[left_key_col].combine_chunks().take(
+                    pa.array(li)
+                )
+            }
+            for c in left_cols:
+                out[c] = batch[c].combine_chunks().take(pa.array(li))
+            ria = pa.array(ri)
+            for c in right_cols:
+                out[c] = rt[c].combine_chunks().take(ria)
+            return pa.table(out)
+
+        res = left_ds.map_batches(join_batch, batch_format="pyarrow")
+    else:
+        P = n_parts if n_parts is not None else max(
+            8, int(ray.cluster_resources().get("CPU", 8)) * 2
+        )
+        lschema = left_ds.schema()
+        ltypes = dict(zip(lschema.names, lschema.types))
+        rschema = right_ds.schema()
+        rtypes = dict(zip(rschema.names, rschema.types))
+
+        def mk_left(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {
+                "k": batch[left_key_col],
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+            for c in left_cols:
+                cols[c] = batch[c]
+            for c in right_cols:
+                cols[c] = pa.nulls(n, rtypes[c])
+            k = _int64_col(batch[left_key_col])
+            cols["part"] = pa.array((k % P).astype(np.int64))
+            return pa.table(cols)
+
+        def mk_right(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {
+                "k": batch[right_key_col],
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+            for c in left_cols:
+                cols[c] = pa.nulls(n, ltypes[c])
+            for c in right_cols:
+                cols[c] = batch[c]
+            k = _int64_col(batch[right_key_col])
+            cols["part"] = pa.array((k % P).astype(np.int64))
+            return pa.table(cols)
+
+        union = left_ds.map_batches(mk_left, batch_format="pyarrow").union(
+            right_ds.map_batches(mk_right, batch_format="pyarrow")
+        )
+
+        def join_part(g: pa.Table) -> pa.Table:
+            side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
+            k = _int64_col(g["k"])
+            lpos = np.flatnonzero(side == 1)
+            rpos = np.flatnonzero(side == 0)
+            empty = {
+                left_key_col: pa.array([], g.schema.field("k").type),
+                **{c: pa.array([], g.schema.field(c).type) for c in left_cols},
+                **{c: pa.array([], g.schema.field(c).type) for c in right_cols},
+            }
+            if not len(lpos) or not len(rpos):
+                return pa.table(empty)
+            rk = k[rpos]
+            order = np.argsort(rk, kind="stable")
+            li, ri = _inner_match(k[lpos], rk[order])
+            src_l = pa.array(lpos[li])
+            src_r = pa.array(rpos[order[ri]])
+            out = {left_key_col: g["k"].combine_chunks().take(src_l)}
+            for c in left_cols:
+                out[c] = g[c].combine_chunks().take(src_l)
+            for c in right_cols:
+                out[c] = g[c].combine_chunks().take(src_r)
+            return pa.table(out)
+
+        res = union.groupby("part").map_groups(join_part, batch_format="pyarrow")
+
+    if output == "pandas":
+        return _sorted_pandas(res, (left_key_col, *left_cols, *right_cols))
+    return res
+
+
+def semi_join(
+    left_ds,
+    right_ds,
+    left_key_col: str,
+    right_key_col: str,
+    left_cols: tuple[str, ...] = (),
+    anti: bool = False,
+    mode: str = "auto",
+    max_broadcast_rows: int = 20_000_000,
+    n_parts: int | None = None,
+    output: str = "dataset",
+):
+    """Semi-join (``anti=False``: left rows whose key EXISTS on the
+    right) / anti-join (``anti=True``: left rows whose key does NOT).
+    Output columns: (left_key_col, *left_cols), left multiplicity
+    preserved, right multiplicity irrelevant.
+
+    "broadcast": the right KEY SET is reduced distributively (per-batch
+    ``np.unique`` partials -> bounded driver unique merge), broadcast
+    once, and every left batch filters with one searchsorted membership
+    test — the Bloom-filter-shaped path, except exact. "distributed":
+    key-set distinct + membership both run inside one hash-partition
+    co-shuffle (no driver state). "auto" picks by ``right_ds.count()``
+    (a row-count proxy for the distinct-key bound, like the engine's
+    other broadcast switches)."""
+    is_anti = bool(anti)
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if right_ds.count() <= max_broadcast_rows
+            else "distributed"
+        )
+
+    if mode == "broadcast":
+
+        def key_partial(batch: pa.Table) -> pa.Table:
+            u = np.unique(_int64_col(batch[right_key_col]))
+            return pa.table({"k": pa.array(u, pa.int64())})
+
+        parts = right_ds.select_columns([right_key_col]).map_batches(
+            key_partial, batch_format="pyarrow"
+        )
+        keys = np.unique(
+            np.concatenate(
+                [
+                    _int64_col(t["k"])
+                    for t in ray.get(parts.to_arrow_refs())
+                ]
+                or [np.empty(0, dtype=np.int64)]
+            )
+        )
+        from .broadcast import cached_object
+
+        keys_ref = ray.put(keys)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            ks = cached_object(keys_ref)
+            lk = _int64_col(batch[left_key_col])
+            pos = np.searchsorted(ks, lk)
+            pos_c = np.minimum(pos, max(len(ks) - 1, 0))
+            member = (
+                (ks[pos_c] == lk) if len(ks) else np.zeros(len(lk), bool)
+            )
+            keep = ~member if is_anti else member
+            sel = batch.select([left_key_col, *left_cols])
+            return sel.filter(pa.array(keep))
+
+        res = left_ds.map_batches(filt, batch_format="pyarrow")
+    else:
+        P = n_parts if n_parts is not None else max(
+            8, int(ray.cluster_resources().get("CPU", 8)) * 2
+        )
+        lschema = left_ds.schema()
+        ltypes = dict(zip(lschema.names, lschema.types))
+
+        def mk_left(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            k = _int64_col(batch[left_key_col])
+            cols = {
+                "k": batch[left_key_col],
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                **{c: batch[c] for c in left_cols},
+                "part": pa.array((k % P).astype(np.int64)),
+            }
+            return pa.table(cols)
+
+        def mk_right(batch: pa.Table) -> pa.Table:
+            u = np.unique(_int64_col(batch[right_key_col]))
+            n = len(u)
+            cols = {
+                "k": pa.array(u, pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                **{c: pa.nulls(n, ltypes[c]) for c in left_cols},
+                "part": pa.array((u % P).astype(np.int64)),
+            }
+            return pa.table(cols)
+
+        union = left_ds.map_batches(mk_left, batch_format="pyarrow").union(
+            right_ds.select_columns([right_key_col]).map_batches(
+                mk_right, batch_format="pyarrow"
+            )
+        )
+
+        def filt_part(g: pa.Table) -> pa.Table:
+            side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
+            k = _int64_col(g["k"])
+            lpos = np.flatnonzero(side == 1)
+            rk = np.unique(k[side == 0])
+            sel = g.select(["k", *left_cols]).rename_columns(
+                [left_key_col, *left_cols]
+            )
+            if not len(lpos):
+                return sel.slice(0, 0)
+            lk = k[lpos]
+            pos = np.searchsorted(rk, lk)
+            pos_c = np.minimum(pos, max(len(rk) - 1, 0))
+            member = (
+                (rk[pos_c] == lk) if len(rk) else np.zeros(len(lk), bool)
+            )
+            keep = ~member if is_anti else member
+            return sel.take(pa.array(lpos[keep]))
+
+        res = union.groupby("part").map_groups(filt_part, batch_format="pyarrow")
+
+    if output == "pandas":
+        return _sorted_pandas(res, (left_key_col, *left_cols))
+    return res
+
+
+def interval_join(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    max_gap_us: int,
+    n_parts: int | None = None,
+    output: str = "dataset",
+):
+    """Temporal self-join: all ordered pairs (a, b) with the same key,
+    a before b under (ts, id) ordering, and ``ts_b - ts_a <= max_gap_us``
+    (equal-ts pairs emit once, ordered by id). Output columns
+    (a, b, gap_us), all int64.
+
+    One hash-partition keyed groupby; each partition lexsorts by
+    (key, ts, id), rebases timestamps onto a per-key-run composite axis
+    (run ordinal x (span + gap + 1) — strictly sorted across runs, so a
+    SINGLE global searchsorted finds every row's window end without
+    per-key Python), and emits pairs with the repeat/arange range
+    expansion. Falls back to a per-run loop only if the composite would
+    overflow int64 (astronomical span x key-count — raise n_parts)."""
+    P = n_parts if n_parts is not None else max(
+        8, int(ray.cluster_resources().get("CPU", 8)) * 2
+    )
+    gap = int(max_gap_us)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = _int64_col(batch[key_col])
+        return pa.table(
+            {
+                "k": batch[key_col],
+                "t": batch[ts_col],
+                "i": batch[id_col],
+                "part": pa.array((k % P).astype(np.int64)),
+            }
+        )
+
+    def pairs_part(g: pa.Table) -> pa.Table:
+        k = _int64_col(g["k"])
+        t = _ts_int64(g["t"].combine_chunks())
+        ii = _int64_col(g["i"])
+        n = len(k)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        order = np.lexsort((ii, t, k))
+        ks, ts, ids = k[order], t[order], ii[order]
+        idx = np.arange(n, dtype=np.int64)
+        key_start = np.ones(n, dtype=bool)
+        key_start[1:] = ks[1:] != ks[:-1]
+        run_first = np.maximum.accumulate(np.where(key_start, idx, 0))
+        rel = ts - ts[run_first]  # >= 0, ascending within each run
+        span = int(rel.max()) if n else 0
+        base = span + gap + 1
+        run_ord = np.cumsum(key_start) - 1
+        n_runs = int(run_ord[-1]) + 1
+        if base > 0 and n_runs < (2**62) // base:
+            shifted = rel + run_ord * base
+            hi = np.searchsorted(shifted, shifted + gap, "right")
+        else:  # pragma: no cover - astronomical span x key-count
+            hi = np.empty(n, dtype=np.int64)
+            starts = np.flatnonzero(key_start)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + gap, "right")
+        counts = hi - idx - 1
+        a_pos = np.repeat(idx, counts)
+        b_pos = _ranges_concat(idx + 1, counts)
+        return pa.table(
+            {
+                "a": pa.array(ids[a_pos], pa.int64()),
+                "b": pa.array(ids[b_pos], pa.int64()),
+                "gap_us": pa.array(ts[b_pos] - ts[a_pos], pa.int64()),
+            }
+        )
+
+    res = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pyarrow")
+    )
+    if output == "pandas":
+        return _sorted_pandas(res, ("a", "b", "gap_us"))
+    return res

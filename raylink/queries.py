@@ -641,6 +641,58 @@ def q_event_windows(sf_dir: str):
     )
 
 
+def q_join_orders_customers(sf_dir: str):
+    """General hash equi-join (raylink/joins.equi_join): every order row
+    joined to its customer's segment + nation. Broadcast mode here (the
+    dimension side is small); the distributed co-shuffle mode is parity-
+    tested in tests/test_joins.py. SQL-checked: plain inner JOIN."""
+    from raylink.joins import equi_join
+
+    orders = _read(sf_dir, "orders")
+    cust = _read(sf_dir, "customer")
+    return equi_join(
+        orders, cust, "o_custkey", "c_custkey",
+        left_cols=("o_orderkey", "o_orderpriority"),
+        right_cols=("c_mktsegment", "c_nationkey"),
+    )
+
+
+def q_customers_no_urgent(sf_dir: str):
+    """Anti semi-join (raylink/joins.semi_join): customers with NO
+    1-URGENT order. The right KEY SET reduces distributively (per-batch
+    unique partials -> bounded driver merge) and broadcasts once; left
+    batches filter with one searchsorted membership test. SQL-checked:
+    NOT EXISTS."""
+    from raylink.joins import semi_join
+
+    cust = _read(sf_dir, "customer")
+    orders = _read(sf_dir, "orders")
+
+    def urgent(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        return pa.table({"o_custkey": sel["o_custkey"]})
+
+    right = orders.map_batches(urgent, batch_format="pyarrow")
+    return semi_join(
+        cust, right, "c_custkey", "o_custkey",
+        left_cols=("c_name",), anti=True, output="pandas",
+    )
+
+
+def q_event_pairs(sf_dir: str):
+    """Temporal interval self-join (raylink/joins.interval_join): all
+    same-user event pairs within 1 hour, ordered under (ts, id). One
+    hash-partition keyed groupby; the per-partition kernel is a single
+    composite-axis searchsorted (no per-key Python). SQL-checked:
+    inequality self-join."""
+    from raylink.joins import interval_join
+
+    ev = _read(sf_dir, "events")
+    return interval_join(
+        ev, "user_id", "ts", "event_id", max_gap_us=3_600_000_000
+    )
+
+
 def q_session_stats(sf_dir: str):
     """Gap-based session windows per user over events (30-min gap): one
     row per session with event count, start/end/duration in integer
@@ -928,6 +980,9 @@ QUERIES = {
     "asof_clicks_views": q_asof_clicks_views,
     "event_windows": q_event_windows,
     "session_stats": q_session_stats,
+    "join_orders_customers": q_join_orders_customers,
+    "customers_no_urgent": q_customers_no_urgent,
+    "event_pairs": q_event_pairs,
     "multimodal_features": q_multimodal_features,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
@@ -1468,6 +1523,27 @@ ORACLE_SQL = {
                min(tu) AS start_us, max(tu) AS end_us,
                max(tu) - min(tu) AS duration_us
         FROM s GROUP BY 1, 2
+    """,
+    "join_orders_customers": """
+        SELECT o_custkey, o_orderkey, o_orderpriority,
+               c_mktsegment, c_nationkey
+        FROM orders JOIN customer ON c_custkey = o_custkey
+    """,
+    "customers_no_urgent": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+    "event_pairs": """
+        SELECT a.event_id AS a, b.event_id AS b,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b
+          ON b.user_id = a.user_id
+         AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+         AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
     """,
     "asof_clicks_views": """
         WITH clicks AS (

@@ -118,6 +118,9 @@ def test_every_query_runs(entry_mod):
         "asof_clicks_views",
         "event_windows",
         "session_stats",
+        "join_orders_customers",
+        "customers_no_urgent",
+        "event_pairs",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):

@@ -60,3 +60,137 @@ def test_asof_join_matches_brute_force(rd, strict):
     want = _brute_asof(lk, lt, lids, rk, rt, rids, strict)
     assert list(zip(got["lid"], got["rid"])) == want
     np.testing.assert_allclose(got["val"], got["rid"].astype(np.float64) / 10)
+
+
+# ---------------------------------------------------------------------------
+# equi_join / semi_join / interval_join
+# ---------------------------------------------------------------------------
+
+
+def _mk_sides(rd, rng, nl=400, nr=300, nkeys=15):
+    lk = rng.integers(0, nkeys, nl).astype(np.int64)
+    rk = rng.integers(0, nkeys, nr).astype(np.int64)
+    lids = np.arange(nl, dtype=np.int64)
+    rids = np.arange(5000, 5000 + nr, dtype=np.int64)
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(lk), "lid": pa.array(lids)})
+    ).repartition(5)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(rk),
+                "rid": pa.array(rids),
+                "tag": pa.array([f"t{v % 7}" for v in rk]),
+            }
+        )
+    ).repartition(3)
+    return lk, lids, rk, rids, left, right
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "distributed"])
+def test_equi_join_matches_pandas_merge(rd, mode):
+    from raylink.joins import equi_join
+
+    rng = np.random.default_rng(23)
+    lk, lids, rk, rids, left, right = _mk_sides(rd, rng)
+    got = equi_join(
+        left, right, "k", "k", left_cols=("lid",),
+        right_cols=("rid", "tag"), mode=mode, output="pandas",
+    )
+    want = (
+        pd.DataFrame({"k": lk, "lid": lids})
+        .merge(
+            pd.DataFrame(
+                {"k": rk, "rid": rids, "tag": [f"t{v % 7}" for v in rk]}
+            ),
+            on="k",
+        )
+        .sort_values(["k", "lid", "rid", "tag"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_equi_join_modes_identical_and_empty(rd):
+    from raylink.joins import equi_join
+
+    rng = np.random.default_rng(5)
+    _, _, _, _, left, right = _mk_sides(rd, rng, nkeys=9)
+    a = equi_join(left, right, "k", "k", left_cols=("lid",),
+                  right_cols=("rid",), mode="broadcast", output="pandas")
+    b = equi_join(left, right, "k", "k", left_cols=("lid",),
+                  right_cols=("rid",), mode="distributed", output="pandas")
+    pd.testing.assert_frame_equal(a, b)
+    # disjoint key domains -> empty result survives the pandas path
+    shifted = right.map_batches(
+        lambda t: pa.table(
+            {"k": pa.array(np.asarray(t["k"]) + 1000), "rid": t["rid"]}
+        ),
+        batch_format="pyarrow",
+    )
+    for mode in ("broadcast", "distributed"):
+        e = equi_join(left, shifted, "k", "k", left_cols=("lid",),
+                      right_cols=("rid",), mode=mode, output="pandas")
+        assert len(e) == 0 and list(e.columns) == ["k", "lid", "rid"]
+
+
+@pytest.mark.parametrize("anti", [False, True])
+@pytest.mark.parametrize("mode", ["broadcast", "distributed"])
+def test_semi_join_matches_isin(rd, anti, mode):
+    from raylink.joins import semi_join
+
+    rng = np.random.default_rng(31)
+    lk, lids, rk, _, left, right = _mk_sides(rd, rng, nkeys=25)
+    got = semi_join(left, right, "k", "k", left_cols=("lid",),
+                    anti=anti, mode=mode, output="pandas")
+    member = np.isin(lk, rk)
+    keep = ~member if anti else member
+    want = (
+        pd.DataFrame({"k": lk[keep], "lid": lids[keep]})
+        .sort_values(["k", "lid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def _brute_interval(k, t, ids, gap):
+    out = []
+    for i in range(len(k)):
+        for j in range(len(k)):
+            if k[i] != k[j]:
+                continue
+            if (t[j], ids[j]) <= (t[i], ids[i]):
+                continue
+            if t[j] - t[i] <= gap:
+                out.append((ids[i], ids[j], t[j] - t[i]))
+    return sorted(out)
+
+
+def test_interval_join_matches_brute_force(rd):
+    from raylink.joins import interval_join
+
+    rng = np.random.default_rng(41)
+    n = 500
+    k = rng.integers(0, 10, n).astype(np.int64)
+    # coarse grid: plenty of equal-ts ties within keys
+    t = rng.integers(0, 60, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(k), "ts": pa.array(t), "i": pa.array(ids)})
+    ).repartition(6)
+    got = interval_join(ds, "k", "ts", "i", max_gap_us=5, output="pandas")
+    want = _brute_interval(k, t, ids, 5)
+    assert list(map(tuple, got.to_numpy())) == want
+
+
+def test_interval_join_gap_zero_equal_ts_only(rd):
+    from raylink.joins import interval_join
+
+    k = np.zeros(4, dtype=np.int64)
+    t = np.array([7, 7, 9, 30], dtype=np.int64)
+    ids = np.array([3, 1, 2, 4], dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(k), "ts": pa.array(t), "i": pa.array(ids)})
+    )
+    got = interval_join(ds, "k", "ts", "i", max_gap_us=0, output="pandas")
+    assert list(map(tuple, got.to_numpy())) == [(1, 3, 0)]
