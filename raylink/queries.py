@@ -693,6 +693,44 @@ def q_event_pairs(sf_dir: str):
     )
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum hash sample (raylink/sampling.py): keep
+    50% of en, 20% of de, 10% of everything else — membership is a pure
+    function splitmix64(doc_id + seed) % 10000 of the row id, so the
+    sample is partition/replay-invariant and needs no shuffle.
+    SQL-checked: the HUGEINT splitmix64 replay (same family as
+    simhash/embeddings)."""
+    from raylink.sampling import stratified_sample
+
+    docs = _read(sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 0.2},
+        default_rate=0.1,
+        seed=7,
+        cols=("doc_id", "lang"),
+    )
+
+
+def q_split_documents(sf_dir: str):
+    """Deterministic train/val/test assignment (raylink/sampling.py):
+    the bucket space [0,10000) is partitioned 80/10/10 by cumulative
+    basis-point thresholds; every row gets exactly one label, stable
+    under re-partitioning and resume. SQL-checked via the same
+    splitmix64 replay + CASE thresholds."""
+    from raylink.sampling import split_by_hash
+
+    docs = _read(sf_dir, "documents")
+    out = split_by_hash(docs, "doc_id", seed=13)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "split"])
+
+    return out.map_batches(slim, batch_format="pyarrow")
+
+
 def q_session_stats(sf_dir: str):
     """Gap-based session windows per user over events (30-min gap): one
     row per session with event count, start/end/duration in integer
@@ -981,6 +1019,8 @@ QUERIES = {
     "event_windows": q_event_windows,
     "session_stats": q_session_stats,
     "join_orders_customers": q_join_orders_customers,
+    "stratified_sample": q_stratified_sample,
+    "split_documents": q_split_documents,
     "customers_no_urgent": q_customers_no_urgent,
     "event_pairs": q_event_pairs,
     "multimodal_features": q_multimodal_features,
@@ -1523,6 +1563,23 @@ ORACLE_SQL = {
                min(tu) AS start_us, max(tu) AS end_us,
                max(tu) - min(tu) AS duration_us
         FROM s GROUP BY 1, 2
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_sql_splitmix64('(doc_id + 7)')} % 10000 <
+              CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                   ELSE 1000 END
+    """,
+    "split_documents": f"""
+        SELECT doc_id,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   {_sql_splitmix64('(doc_id + 13)')} % 10000 AS b
+            FROM documents
+        )
     """,
     "join_orders_customers": """
         SELECT o_custkey, o_orderkey, o_orderpriority,

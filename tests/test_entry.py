@@ -121,6 +121,8 @@ def test_every_query_runs(entry_mod):
         "join_orders_customers",
         "customers_no_urgent",
         "event_pairs",
+        "stratified_sample",
+        "split_documents",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):

@@ -1,0 +1,108 @@
+"""Deterministic hash sampling: partition-invariance, stratum rates,
+split disjointness, and direct-kernel parity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray.data
+
+
+def _docs_table(n=4000, seed=3):
+    rng = np.random.default_rng(seed)
+    langs = np.array(["en", "de", "fr", "xx"])[rng.integers(0, 4, n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(langs),
+        }
+    )
+
+
+def test_hash_sample_deterministic_and_partition_invariant(rd):
+    from raylink.sampling import hash_sample, sample_bucket
+
+    tbl = _docs_table()
+    a = hash_sample(rd.from_arrow(tbl).repartition(7), "doc_id", 0.3, seed=11)
+    b = hash_sample(rd.from_arrow(tbl).repartition(2), "doc_id", 0.3, seed=11)
+    ga = sorted(a.to_pandas()["doc_id"])
+    gb = sorted(b.to_pandas()["doc_id"])
+    assert ga == gb
+    # exact parity with the kernel applied directly
+    ids = np.arange(tbl.num_rows, dtype=np.int64)
+    want = sorted(ids[sample_bucket(ids, 11) < 3000])
+    assert ga == want
+    # a different seed selects a different set
+    c = hash_sample(rd.from_arrow(tbl), "doc_id", 0.3, seed=12)
+    assert sorted(c.to_pandas()["doc_id"]) != ga
+
+
+def test_hash_sample_rate_roughly_honored(rd):
+    from raylink.sampling import hash_sample
+
+    ds = rd.from_arrow(_docs_table(n=10000))
+    got = hash_sample(ds, "doc_id", 0.25, seed=5).count()
+    assert abs(got / 10000 - 0.25) < 0.02
+
+
+def test_stratified_sample_per_stratum_thresholds(rd):
+    from raylink.sampling import sample_bucket, stratified_sample
+
+    tbl = _docs_table()
+    rates = {"en": 0.5, "de": 0.2}
+    out = stratified_sample(
+        rd.from_arrow(tbl).repartition(5),
+        "doc_id",
+        "lang",
+        rates,
+        default_rate=0.05,
+        seed=9,
+    ).to_pandas()
+    ids = np.asarray(tbl["doc_id"])
+    langs = np.asarray(tbl["lang"])
+    bp = np.where(langs == "en", 5000, np.where(langs == "de", 2000, 500))
+    keep = sample_bucket(ids, 9) < bp
+    want = (
+        pd.DataFrame({"doc_id": ids[keep], "lang": langs[keep]})
+        .reset_index(drop=True)
+    )
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_split_by_hash_disjoint_exhaustive(rd):
+    from raylink.sampling import split_by_hash
+
+    tbl = _docs_table(n=5000)
+    out = split_by_hash(
+        rd.from_arrow(tbl).repartition(4), "doc_id", seed=21
+    ).to_pandas()
+    assert len(out) == 5000 and out["doc_id"].is_unique
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
+    # same seed -> identical assignment regardless of partitioning
+    out2 = split_by_hash(rd.from_arrow(tbl), "doc_id", seed=21).to_pandas()
+    m = out.sort_values("doc_id").reset_index(drop=True)
+    m2 = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(m, m2)
+
+
+def test_split_by_hash_rejects_non_unit_sum(rd):
+    from raylink.sampling import split_by_hash
+
+    with pytest.raises(ValueError):
+        split_by_hash(
+            rd.from_arrow(_docs_table(16)),
+            "doc_id",
+            splits=(("a", 0.5), ("b", 0.4)),
+        )
