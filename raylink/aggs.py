@@ -1,0 +1,247 @@
+"""Scalable grouped analytics Ray Data lacks natively: per-group top-k,
+exact per-group quantiles, and heavy hitters.
+
+Shared scale shape: a PARTIAL pass inside ``map_batches`` shrinks each
+block to a bounded digest (top-k rows per key, (key, value) counts, or
+per-key counts) BEFORE anything shuffles, then ONE hash-partition keyed
+groupby merges digests with vectorized kernels — per-group Python is
+O(partitions), never O(keys) (the joins/windows co-shuffle pattern; a
+per-key ``map_groups`` would pay a Python call per key). Quantile ranks
+use pure integer arithmetic (ceil(q*n) as (q_num*n + q_den - 1) //
+q_den) so numpy and the DuckDB oracle agree bit-for-bit — no float
+rank boundaries.
+
+Reference scope note: PolyFuzz has no grouped-analytics surface; this is
+part of the large-scale-pipeline extension set (SURVEY §8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _np_i64(col) -> np.ndarray:
+    return np.asarray(col.to_numpy(zero_copy_only=False), np.int64)
+
+
+def _default_parts(n_parts: int | None) -> int:
+    return n_parts if n_parts is not None else max(
+        8, int(ray.cluster_resources().get("CPU", 8)) * 2
+    )
+
+
+def _key_run_ordinal(sorted_keys: np.ndarray) -> np.ndarray:
+    """0-based ordinal of each row within its key run (keys pre-sorted)."""
+    n = len(sorted_keys)
+    idx = np.arange(n, dtype=np.int64)
+    key_start = np.ones(n, dtype=bool)
+    key_start[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    run_first = np.maximum.accumulate(np.where(key_start, idx, 0))
+    return idx - run_first
+
+
+def _topk_rows(k_arr, v_arr, i_arr, k: int, descending: bool):
+    """Positions of the top-k rows per key under (value desc|asc, id asc)
+    — one lexsort, no per-key Python. Returns (positions, ordinals)."""
+    sort_val = -v_arr if descending else v_arr
+    order = np.lexsort((i_arr, sort_val, k_arr))
+    ordn = _key_run_ordinal(k_arr[order])
+    keep = ordn < k
+    return order[keep], ordn[keep]
+
+
+def group_topk(
+    ds,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    k: int,
+    descending: bool = True,
+    n_parts: int | None = None,
+    output: str = "dataset",
+):
+    """Top-k rows per key by value (ties: smaller id). Output columns
+    (key_col, rank 1..k, id_col, val_col). The per-block partial keeps
+    <= k rows per (block, key) so the shuffle carries digests, not the
+    table; the per-partition merge re-runs the same kernel and emits
+    ranks."""
+    P = _default_parts(n_parts)
+    kk = int(k)
+    desc = bool(descending)
+    val_type_holder = {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ka = _np_i64(batch[key_col])
+        va = batch[val_col].to_numpy(zero_copy_only=False)
+        ia = _np_i64(batch[id_col])
+        pos, _ = _topk_rows(ka, va, ia, kk, desc)
+        sel = batch.select([key_col, val_col, id_col]).take(pa.array(pos))
+        return sel.append_column(
+            "part", pa.array((ka[pos] % P).astype(np.int64))
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        ka = _np_i64(g[key_col])
+        va = g[val_col].to_numpy(zero_copy_only=False)
+        ia = _np_i64(g[id_col])
+        pos, ordn = _topk_rows(ka, va, ia, kk, desc)
+        take = pa.array(pos)
+        return pa.table(
+            {
+                key_col: g[key_col].combine_chunks().take(take),
+                "rank": pa.array(ordn + 1, pa.int64()),
+                id_col: g[id_col].combine_chunks().take(take),
+                val_col: g[val_col].combine_chunks().take(take),
+            }
+        )
+
+    res = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    if output == "pandas":
+        return (
+            res.to_pandas()
+            .sort_values([key_col, "rank"])
+            .reset_index(drop=True)
+        )
+    return res
+
+
+def group_quantiles(
+    ds,
+    key_col: str,
+    val_col: str,
+    qs: tuple[tuple[int, int, str], ...] = (
+        (1, 2, "p50"),
+        (9, 10, "p90"),
+        (99, 100, "p99"),
+    ),
+    n_parts: int | None = None,
+    output: str = "dataset",
+):
+    """EXACT per-key quantiles of an int64 value column (quantize floats
+    upstream — integer values are what make exactness and the SQL oracle
+    possible). Each quantile is percentile_disc semantics: the value at
+    integer rank ceil(q*n) in per-key sorted order. Output: one row per
+    key with (key_col, n, *labels).
+
+    Per-block partials reduce rows to (key, value, count) digests —
+    shuffle volume is distinct (key, value) pairs per block, not rows;
+    the per-partition merge re-reduces counts and reads all quantiles
+    from one cumulative-count crossing scan."""
+    P = _default_parts(n_parts)
+    q_list = [(int(a), int(b), str(lbl)) for a, b, lbl in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ka = _np_i64(batch[key_col])
+        va = _np_i64(batch[val_col])
+        order = np.lexsort((va, ka))
+        ks, vs = ka[order], va[order]
+        start = np.ones(len(ks), dtype=bool)
+        start[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        starts = np.flatnonzero(start)
+        cnt = np.diff(np.append(starts, len(ks)))
+        return pa.table(
+            {
+                "k": pa.array(ks[starts]),
+                "v": pa.array(vs[starts]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "part": pa.array((ks[starts] % P).astype(np.int64)),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        ka = _np_i64(g["k"])
+        va = _np_i64(g["v"])
+        ca = _np_i64(g["cnt"])
+        order = np.lexsort((va, ka))
+        ks, vs, cs = ka[order], va[order], ca[order]
+        n = len(ks)
+        if not n:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    **{
+                        lbl: pa.array([], pa.int64())
+                        for _, _, lbl in q_list
+                    },
+                }
+            )
+        idx = np.arange(n, dtype=np.int64)
+        key_start = np.ones(n, dtype=bool)
+        key_start[1:] = ks[1:] != ks[:-1]
+        run_first = np.maximum.accumulate(np.where(key_start, idx, 0))
+        cum_all = np.cumsum(cs)
+        base = cum_all[run_first] - cs[run_first]
+        cum = cum_all - base  # within-key cumulative count
+        # per-key totals live at each key's last row; scatter them back
+        starts = np.flatnonzero(key_start)
+        ends = np.append(starts[1:], n) - 1
+        totals = cum[ends]
+        n_per_row = np.repeat(totals, np.diff(np.append(starts, n)))
+        keys_out = ks[starts]
+        cols = {
+            key_col: pa.array(keys_out),
+            "n": pa.array(totals.astype(np.int64)),
+        }
+        run_id = np.cumsum(key_start) - 1
+        for q_num, q_den, label in q_list:
+            target = (q_num * n_per_row + q_den - 1) // q_den
+            crossing = (cum >= target) & ((cum - cs) < target)
+            # exactly one crossing row per key
+            vals = np.empty(len(keys_out), dtype=np.int64)
+            vals[run_id[crossing]] = vs[crossing]
+            cols[label] = pa.array(vals)
+        return pa.table(cols)
+
+    res = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    if output == "pandas":
+        return res.to_pandas().sort_values(key_col).reset_index(drop=True)
+    return res
+
+
+def heavy_hitters(
+    ds,
+    key_col: str,
+    top_n: int,
+    count_col: str = "n_rows",
+):
+    """The EXACT top-N keys by row count (ties: smaller key) — the
+    skew-diagnosis primitive (find the hot keys before they melt a
+    shuffle). Per-block partial counts bound the shuffle at
+    distinct-keys-per-block rows; one keyed groupby sums partials; the
+    global top-N comes off a distributed sort + limit, so only N rows
+    ever reach the driver. Returns pandas (rank, key_col, count_col) —
+    intentionally small."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ka = _np_i64(batch[key_col])
+        u, c = np.unique(ka, return_counts=True)
+        return pa.table(
+            {key_col: pa.array(u), "_cnt": pa.array(c.astype(np.int64))}
+        )
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("_cnt", alias_name=count_col))
+    )
+    top = summed.sort(
+        [count_col, key_col], descending=[True, False]
+    ).limit(int(top_n))
+    out = top.to_pandas().reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return pd.DataFrame(out)

@@ -731,6 +731,50 @@ def q_split_documents(sf_dir: str):
     return out.map_batches(slim, batch_format="pyarrow")
 
 
+def q_top_orders_per_customer(sf_dir: str):
+    """Per-group top-k (raylink/aggs.group_topk): each customer's 3
+    priciest orders (ties: smaller orderkey). The per-block partial
+    keeps <= k rows per (block, key) BEFORE the shuffle; the
+    per-partition merge is one lexsort. SQL-checked: row_number
+    window."""
+    from raylink.aggs import group_topk
+
+    orders = _read(sf_dir, "orders")
+    return group_topk(orders, "o_custkey", "o_totalprice", "o_orderkey", k=3)
+
+
+def q_event_value_quantiles(sf_dir: str):
+    """Exact per-user value quantiles (raylink/aggs.group_quantiles)
+    over centi-quantized event values: p50/p90/p99 at integer rank
+    ceil(q*n) — the rank arithmetic is pure integer on BOTH sides, so
+    the oracle is bit-exact. Shuffle volume is (key, value, count)
+    digests, not rows."""
+    from raylink.aggs import group_quantiles
+
+    ev = _read(sf_dir, "events")
+
+    def centi(t: pa.Table) -> pa.Table:
+        vc = pc.round(pc.multiply(t["value"].combine_chunks(), 100.0))
+        return pa.table(
+            {"user_id": t["user_id"], "cv": vc.cast(pa.int64())}
+        )
+
+    return group_quantiles(
+        ev.map_batches(centi, batch_format="pyarrow"), "user_id", "cv"
+    )
+
+
+def q_heavy_users(sf_dir: str):
+    """Exact heavy hitters (raylink/aggs.heavy_hitters): the 20 users
+    with the most events (ties: smaller user id) — per-block partial
+    counts bound the shuffle, only N rows reach the driver. The
+    skew-diagnosis primitive. SQL-checked: count + row_number."""
+    from raylink.aggs import heavy_hitters
+
+    ev = _read(sf_dir, "events")
+    return heavy_hitters(ev, "user_id", top_n=20, count_col="n_events")
+
+
 def q_session_stats(sf_dir: str):
     """Gap-based session windows per user over events (30-min gap): one
     row per session with event count, start/end/duration in integer
@@ -1020,6 +1064,9 @@ QUERIES = {
     "session_stats": q_session_stats,
     "join_orders_customers": q_join_orders_customers,
     "stratified_sample": q_stratified_sample,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "event_value_quantiles": q_event_value_quantiles,
+    "heavy_users": q_heavy_users,
     "split_documents": q_split_documents,
     "customers_no_urgent": q_customers_no_urgent,
     "event_pairs": q_event_pairs,
@@ -1563,6 +1610,47 @@ ORACLE_SQL = {
                min(tu) AS start_us, max(tu) AS end_us,
                max(tu) - min(tu) AS duration_us
         FROM s GROUP BY 1, 2
+    """,
+    "top_orders_per_customer": """
+        WITH r AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rank
+            FROM orders
+        )
+        SELECT o_custkey, rank, o_orderkey, o_totalprice
+        FROM r WHERE rank <= 3
+    """,
+    "event_value_quantiles": """
+        WITH v AS (
+            SELECT user_id, CAST(round(value * 100.0) AS BIGINT) AS cv
+            FROM events
+        ), r AS (
+            SELECT user_id, cv,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY cv
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM v
+        )
+        SELECT user_id, any_value(n) AS n,
+               min(CASE WHEN rn = (1 * n + 1) // 2 THEN cv END) AS p50,
+               min(CASE WHEN rn = (9 * n + 9) // 10 THEN cv END) AS p90,
+               min(CASE WHEN rn = (99 * n + 99) // 100 THEN cv END) AS p99
+        FROM r GROUP BY user_id
+    """,
+    "heavy_users": """
+        WITH c AS (
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY n_events DESC, user_id ASC
+               ) AS BIGINT) AS rank,
+               user_id, n_events
+        FROM c ORDER BY n_events DESC, user_id ASC LIMIT 20
     """,
     "stratified_sample": f"""
         SELECT doc_id, lang FROM documents

@@ -1,0 +1,121 @@
+"""group_topk / group_quantiles / heavy_hitters vs pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray.data
+
+
+def _frame(n=3000, nkeys=40, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, nkeys, n).astype(np.int64),
+            # coarse grid forces value ties within keys
+            "v": rng.integers(0, 50, n).astype(np.int64),
+            "i": np.arange(n, dtype=np.int64),
+        }
+    )
+
+
+@pytest.mark.parametrize("descending", [True, False])
+def test_group_topk_matches_pandas(rd, descending):
+    from raylink.aggs import group_topk
+
+    df = _frame()
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = group_topk(ds, "k", "v", "i", k=3, descending=descending,
+                     output="pandas")
+    ranked = df.sort_values(
+        ["k", "v", "i"], ascending=[True, not descending, True]
+    )
+    ranked["rank"] = ranked.groupby("k").cumcount() + 1
+    want = (
+        ranked[ranked["rank"] <= 3][["k", "rank", "i", "v"]]
+        .sort_values(["k", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_group_topk_k_exceeds_group_size(rd):
+    from raylink.aggs import group_topk
+
+    df = pd.DataFrame(
+        {"k": [1, 1, 2], "v": [5, 9, 4], "i": [10, 11, 12]}
+    ).astype(np.int64)
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    got = group_topk(ds, "k", "v", "i", k=5, output="pandas")
+    assert list(map(tuple, got.to_numpy())) == [
+        (1, 1, 11, 9),
+        (1, 2, 10, 5),
+        (2, 1, 12, 4),
+    ]
+
+
+def _q_disc(s, q_num, q_den):
+    vals = np.sort(np.asarray(s))
+    target = (q_num * len(vals) + q_den - 1) // q_den
+    return vals[target - 1]
+
+
+def test_group_quantiles_exact(rd):
+    from raylink.aggs import group_quantiles
+
+    df = _frame(n=5000, nkeys=12, seed=19)
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    got = group_quantiles(ds, "k", "v", output="pandas")
+    rows = []
+    for k, grp in df.groupby("k"):
+        rows.append(
+            {
+                "k": k,
+                "n": len(grp),
+                "p50": _q_disc(grp["v"], 1, 2),
+                "p90": _q_disc(grp["v"], 9, 10),
+                "p99": _q_disc(grp["v"], 99, 100),
+            }
+        )
+    want = pd.DataFrame(rows).astype(np.int64).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_group_quantiles_single_row_groups(rd):
+    from raylink.aggs import group_quantiles
+
+    df = pd.DataFrame({"k": [3, 8], "v": [42, 7]}).astype(np.int64)
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    got = group_quantiles(ds, "k", "v", output="pandas")
+    assert list(map(tuple, got.to_numpy())) == [
+        (3, 1, 42, 42, 42),
+        (8, 1, 7, 7, 7),
+    ]
+
+
+def test_heavy_hitters_exact_top_n_with_ties(rd):
+    from raylink.aggs import heavy_hitters
+
+    # keys 0..9 with counts 10, 20, ..., 100 plus a tie pair
+    ks = np.repeat(np.arange(10, dtype=np.int64), np.arange(1, 11) * 10)
+    ks = np.concatenate([ks, np.full(100, 20, dtype=np.int64)])
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(ks)})).repartition(5)
+    got = heavy_hitters(ds, "k", top_n=4)
+    # counts: key 9 -> 100, key 20 -> 100 (tie: smaller key first),
+    # key 8 -> 90, key 7 -> 80
+    assert list(map(tuple, got.to_numpy())) == [
+        (1, 9, 100),
+        (2, 20, 100),
+        (3, 8, 90),
+        (4, 7, 80),
+    ]

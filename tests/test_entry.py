@@ -123,6 +123,9 @@ def test_every_query_runs(entry_mod):
         "event_pairs",
         "stratified_sample",
         "split_documents",
+        "top_orders_per_customer",
+        "event_value_quantiles",
+        "heavy_users",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):
