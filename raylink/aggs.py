@@ -71,7 +71,6 @@ def group_topk(
     P = _default_parts(n_parts)
     kk = int(k)
     desc = bool(descending)
-    val_type_holder = {}
 
     def partial(batch: pa.Table) -> pa.Table:
         ka = _np_i64(batch[key_col])
@@ -245,3 +244,167 @@ def heavy_hitters(
     out = top.to_pandas().reset_index(drop=True)
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return pd.DataFrame(out)
+
+
+def group_ndistinct(
+    ds,
+    key_col: str,
+    val_col: str,
+    ndv_col: str = "ndv",
+    n_parts: int | None = None,
+    output: str = "dataset",
+):
+    """EXACT distinct-value count per key over int64 values. Per-block
+    partials dedup (key, value) pairs (one lexsort + run-length mask)
+    so the shuffle carries distinct pairs, not rows; the per-partition
+    merge re-dedups and counts key runs — per-group Python is
+    O(partitions). Output (key_col, ndv_col)."""
+    P = _default_parts(n_parts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ka = _np_i64(batch[key_col])
+        va = _np_i64(batch[val_col])
+        order = np.lexsort((va, ka))
+        ks, vs = ka[order], va[order]
+        start = np.ones(len(ks), dtype=bool)
+        start[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        return pa.table(
+            {
+                "k": pa.array(ks[start]),
+                "v": pa.array(vs[start]),
+                "part": pa.array((ks[start] % P).astype(np.int64)),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        ka = _np_i64(g["k"])
+        va = _np_i64(g["v"])
+        if not len(ka):
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    ndv_col: pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((va, ka))
+        ks, vs = ka[order], va[order]
+        pair_start = np.ones(len(ks), dtype=bool)
+        pair_start[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        key_start = np.ones(len(ks), dtype=bool)
+        key_start[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(key_start)
+        # distinct pairs per key run = sum of pair_start within the run
+        cum = np.cumsum(pair_start)
+        ends = np.append(starts[1:], len(ks)) - 1
+        base = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
+        ndv = cum[ends] - base
+        return pa.table(
+            {
+                key_col: pa.array(ks[starts]),
+                ndv_col: pa.array(ndv.astype(np.int64)),
+            }
+        )
+
+    res = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    if output == "pandas":
+        return res.to_pandas().sort_values(key_col).reset_index(drop=True)
+    return res
+
+
+def label_centroids(
+    ds,
+    label_col: str,
+    emb_col: str,
+    milli_scale: int = 1000,
+    n_parts: int | None = None,
+    output: str = "dataset",
+):
+    """Per-label element-wise mean embedding, EXACT: components quantize
+    to integer milli-units (round(x * scale)) so partial sums are
+    summation-order-proof, then mean = int_sum / (scale * n) — one
+    deterministic double division on both the numpy and the SQL side.
+    Per-block partials emit ONE (label, count, sum-vector) row per label
+    (sort + reduceat over the matrix); the merge re-sums. Output is long
+    format (label_col, dim, n, mean_val) for SQL comparability."""
+    from .embed import embeddings_to_matrix
+
+    P = _default_parts(n_parts)
+    scale = int(milli_scale)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = _np_i64(batch[label_col])
+        mat = embeddings_to_matrix(batch[emb_col]).astype(np.float64)
+        q = np.rint(mat * scale).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        ls, qs = lab[order], q[order]
+        start = np.ones(len(ls), dtype=bool)
+        start[1:] = ls[1:] != ls[:-1]
+        starts = np.flatnonzero(start)
+        sums = np.add.reduceat(qs, starts, axis=0)
+        cnts = np.diff(np.append(starts, len(ls)))
+        d = q.shape[1]
+        flat = pa.array(sums.reshape(-1), pa.int64())
+        return pa.table(
+            {
+                "lab": pa.array(ls[starts]),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "vec": pa.FixedSizeListArray.from_arrays(flat, d),
+                "part": pa.array((ls[starts] % P).astype(np.int64)),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        lab = _np_i64(g["lab"])
+        cnt = _np_i64(g["cnt"])
+        empty = pa.table(
+            {
+                label_col: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "mean_val": pa.array([], pa.float64()),
+            }
+        )
+        if not len(lab):
+            return empty
+        vec_col = g["vec"].combine_chunks()
+        d = vec_col.type.list_size
+        mats = np.asarray(vec_col.values.to_numpy(zero_copy_only=False)).reshape(
+            -1, d
+        )
+        order = np.argsort(lab, kind="stable")
+        ls, cs, ms = lab[order], cnt[order], mats[order]
+        start = np.ones(len(ls), dtype=bool)
+        start[1:] = ls[1:] != ls[:-1]
+        starts = np.flatnonzero(start)
+        sums = np.add.reduceat(ms, starts, axis=0)
+        totals = np.add.reduceat(cs, starts)
+        labels_out = ls[starts]
+        k = len(labels_out)
+        mean = sums.astype(np.float64) / (
+            float(scale) * totals[:, None].astype(np.float64)
+        )
+        return pa.table(
+            {
+                label_col: pa.array(np.repeat(labels_out, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "n": pa.array(np.repeat(totals.astype(np.int64), d)),
+                "mean_val": pa.array(mean.reshape(-1), pa.float64()),
+            }
+        )
+
+    res = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    if output == "pandas":
+        return (
+            res.to_pandas()
+            .sort_values([label_col, "dim"])
+            .reset_index(drop=True)
+        )
+    return res

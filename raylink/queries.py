@@ -775,6 +775,62 @@ def q_heavy_users(sf_dir: str):
     return heavy_hitters(ev, "user_id", top_n=20, count_col="n_events")
 
 
+def q_user_active_days(sf_dir: str):
+    """Exact per-key distinct count (raylink/aggs.group_ndistinct):
+    distinct active days per user. Per-block partials dedup (key, day)
+    pairs before the shuffle — distinct pairs travel, not rows.
+    SQL-checked: COUNT(DISTINCT)."""
+    from raylink.aggs import group_ndistinct
+
+    ev = _read(sf_dir, "events")
+
+    def day(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.divide(ts, 86_400_000_000),
+            }
+        )
+
+    return group_ndistinct(
+        ev.map_batches(day, batch_format="pyarrow"),
+        "user_id",
+        "day",
+        ndv_col="n_days",
+    )
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (raylink/aggs.label_centroids), EXACT:
+    components quantize to integer milli-units so the partial sums are
+    summation-order-proof; mean = int_sum / (1000 * n) is one double
+    division on both sides. Long output (label, dim, n, mean_val).
+    SQL-checked via list indexing + integer sums."""
+    from raylink.aggs import label_centroids
+
+    emb = _read(sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding")
+
+
+def q_hopping_event_windows(sf_dir: str):
+    """Hopping windows (raylink/windows.hopping_windows): 2-hour windows
+    every hour per user — each event expands to size/hop rows INSIDE
+    map_batches (integer window derivation), then ONE bounded groupby.
+    Exact centi-unit sums. SQL-checked: CROSS JOIN range expansion."""
+    from raylink.windows import hopping_windows
+
+    ev = _read(sf_dir, "events")
+    return hopping_windows(
+        ev,
+        "user_id",
+        "ts",
+        size_us=7_200_000_000,
+        hop_us=3_600_000_000,
+        value_col="value",
+    )
+
+
 def q_session_stats(sf_dir: str):
     """Gap-based session windows per user over events (30-min gap): one
     row per session with event count, start/end/duration in integer
@@ -1065,6 +1121,9 @@ QUERIES = {
     "join_orders_customers": q_join_orders_customers,
     "stratified_sample": q_stratified_sample,
     "top_orders_per_customer": q_top_orders_per_customer,
+    "user_active_days": q_user_active_days,
+    "label_centroids": q_label_centroids,
+    "hopping_event_windows": q_hopping_event_windows,
     "event_value_quantiles": q_event_value_quantiles,
     "heavy_users": q_heavy_users,
     "split_documents": q_split_documents,
@@ -1610,6 +1669,33 @@ ORACLE_SQL = {
                min(tu) AS start_us, max(tu) AS end_us,
                max(tu) - min(tu) AS duration_us
         FROM s GROUP BY 1, 2
+    """,
+    "user_active_days": """
+        SELECT user_id,
+               CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+                   AS n_days
+        FROM events GROUP BY user_id
+    """,
+    "label_centroids": """
+        WITH e AS (
+            SELECT CAST(label AS BIGINT) AS label, g.i AS dim,
+                   CAST(round(CAST(embedding[g.i + 1] AS DOUBLE) * 1000)
+                        AS BIGINT) AS q
+            FROM embeddings CROSS JOIN range(64) AS g(i)
+        )
+        SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS DOUBLE) / (1000.0 * count(*)) AS mean_val
+        FROM e GROUP BY label, dim
+    """,
+    "hopping_event_windows": """
+        SELECT user_id,
+               (epoch_us(ts) // 3600000000 - g.i) * 3600000000
+                   AS win_start_us,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS sum_value_scaled
+        FROM events CROSS JOIN range(2) AS g(i)
+        GROUP BY 1, 2
     """,
     "top_orders_per_customer": """
         WITH r AS (

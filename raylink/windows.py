@@ -156,3 +156,73 @@ def session_stats(
             [key_col, "session_idx"], ignore_index=True
         )
     return res
+
+
+def hopping_windows(
+    ds,
+    key_col: str,
+    ts_col: str,
+    size_us: int,
+    hop_us: int,
+    value_col: str | None = None,
+    value_scale: int = 100,
+    output: str = "dataset",
+):
+    """Hopping (sliding) windows: every event lands in the
+    ``size_us / hop_us`` windows [start, start + size) whose starts are
+    hop-aligned — the overlapping-window complement to the tumbling
+    aggregate (q_event_windows) and gap sessions (sessionize).
+    ``size_us`` must be a multiple of ``hop_us``.
+
+    The expansion happens INSIDE ``map_batches`` (rows repeat m times
+    with window starts derived by integer division — no per-row Python),
+    then ONE bounded groupby on (key, win_start) aggregates count and an
+    exact integer value sum (``value_col`` quantized by
+    ``value_scale`` — float sums are summation-order noise, integer
+    sums compare hash-exactly). Output: (key_col, win_start_us,
+    n_events[, sum_value_scaled])."""
+    from ray.data.aggregate import Count, Sum
+
+    size, hop = int(size_us), int(hop_us)
+    if size <= 0 or hop <= 0 or size % hop:
+        raise ValueError("size_us must be a positive multiple of hop_us")
+    m = size // hop
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = _ts_int64(batch[ts_col].combine_chunks())
+        n = len(t)
+        q = np.floor_divide(t, hop)
+        # windows j = 0..m-1 behind (and including) the event's hop slot
+        j = np.tile(np.arange(m, dtype=np.int64), n)
+        starts = (np.repeat(q, m) - j) * hop
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+        cols = {
+            key_col: batch[key_col].combine_chunks().take(rep),
+            "win_start_us": pa.array(starts),
+        }
+        if value_col is not None:
+            import pyarrow.compute as pc
+
+            vq = pc.round(
+                pc.multiply(
+                    batch[value_col].combine_chunks(), float(value_scale)
+                )
+            ).cast(pa.int64())
+            cols["vq"] = vq.take(rep)
+        return pa.table(cols)
+
+    aggs = [Count(alias_name="n_events")]
+    if value_col is not None:
+        aggs.append(Sum("vq", alias_name="sum_value_scaled"))
+    res = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby([key_col, "win_start_us"])
+        .aggregate(*aggs)
+    )
+    if output == "pandas":
+        return (
+            res.to_pandas()
+            .sort_values([key_col, "win_start_us"])
+            .reset_index(drop=True)
+        )
+    return res

@@ -119,3 +119,49 @@ def test_heavy_hitters_exact_top_n_with_ties(rd):
         (3, 8, 90),
         (4, 7, 80),
     ]
+
+
+def test_group_ndistinct_matches_pandas(rd):
+    from raylink.aggs import group_ndistinct
+
+    df = _frame(n=4000, nkeys=25, seed=3)
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = group_ndistinct(ds, "k", "v", output="pandas")
+    want = (
+        df.groupby("k")["v"].nunique().rename("ndv").reset_index()
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_label_centroids_exact_milli_means(rd):
+    from raylink.aggs import label_centroids
+
+    rng = np.random.default_rng(11)
+    n, d = 600, 8
+    lab = rng.integers(0, 5, n).astype(np.int64)
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.reshape(-1)), d
+    )
+    tbl = pa.table({"label": pa.array(lab), "embedding": emb})
+    got = label_centroids(
+        rd.from_arrow(tbl).repartition(5), "label", "embedding",
+        output="pandas",
+    )
+    q = np.rint(mat.astype(np.float64) * 1000).astype(np.int64)
+    rows = []
+    for lb in np.unique(lab):
+        sel = q[lab == lb]
+        mean = sel.sum(axis=0) / (1000.0 * len(sel))
+        for dim in range(d):
+            rows.append((lb, dim, len(sel), mean[dim]))
+    want = pd.DataFrame(rows, columns=["label", "dim", "n", "mean_val"])
+    want = want.astype({"label": np.int64, "dim": np.int64, "n": np.int64})
+    pd.testing.assert_frame_equal(got, want)
+    # exactness: partitioning must not change a single bit
+    got2 = label_centroids(
+        rd.from_arrow(tbl).repartition(2), "label", "embedding",
+        output="pandas",
+    )
+    assert (got["mean_val"].to_numpy() == got2["mean_val"].to_numpy()).all()

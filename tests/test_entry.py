@@ -126,6 +126,9 @@ def test_every_query_runs(entry_mod):
         "top_orders_per_customer",
         "event_value_quantiles",
         "heavy_users",
+        "user_active_days",
+        "label_centroids",
+        "hopping_event_windows",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):

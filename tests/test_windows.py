@@ -125,3 +125,46 @@ def test_timestamp_column_and_dataset_output(rd):
     df = out.to_pandas().sort_values(["uid", "session_idx"], ignore_index=True)
     assert df["n_events"].tolist() == [1, 1, 1]
     assert df["session_idx"].tolist() == [0, 1, 0]
+
+
+def test_hopping_windows_matches_brute_force(rd):
+    import pandas as pd
+
+    from raylink.windows import hopping_windows
+
+    rng = np.random.default_rng(29)
+    n = 800
+    k = rng.integers(0, 6, n).astype(np.int64)
+    t = rng.integers(0, 1000, n).astype(np.int64)
+    v = rng.normal(size=n)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(k), "ts": pa.array(t), "val": pa.array(v)})
+    ).repartition(4)
+    size, hop = 40, 10
+    got = hopping_windows(
+        ds, "k", "ts", size_us=size, hop_us=hop, value_col="val",
+        output="pandas",
+    )
+    rows = {}
+    for i in range(n):
+        q = t[i] // hop
+        for j in range(size // hop):
+            ws = (q - j) * hop
+            key = (k[i], ws)
+            cnt, s = rows.get(key, (0, 0))
+            rows[key] = (cnt + 1, s + int(round(v[i] * 100)))
+    want = pd.DataFrame(
+        [(a, b, c, d) for (a, b), (c, d) in sorted(rows.items())],
+        columns=["k", "win_start_us", "n_events", "sum_value_scaled"],
+    ).astype(np.int64)
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_hopping_windows_rejects_bad_hop(rd):
+    import pytest as _pytest
+
+    from raylink.windows import hopping_windows
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([1]), "ts": pa.array([5])}))
+    with _pytest.raises(ValueError):
+        hopping_windows(ds, "k", "ts", size_us=30, hop_us=7)
