@@ -214,21 +214,32 @@ def heavy_hitters(
     key_col: str,
     top_n: int,
     count_col: str = "n_rows",
+    weight_col: str | None = None,
 ):
-    """The EXACT top-N keys by row count (ties: smaller key) — the
-    skew-diagnosis primitive (find the hot keys before they melt a
-    shuffle). Per-block partial counts bound the shuffle at
-    distinct-keys-per-block rows; one keyed groupby sums partials; the
-    global top-N comes off a distributed sort + limit, so only N rows
-    ever reach the driver. Returns pandas (rank, key_col, count_col) —
-    intentionally small."""
+    """The EXACT top-N keys by row count — or by int64 weight sum when
+    ``weight_col`` is given (ties: smaller key) — the skew-diagnosis
+    primitive (find the hot keys before they melt a shuffle). Per-block
+    partial counts/sums bound the shuffle at distinct-keys-per-block
+    rows; one keyed groupby sums partials; the global top-N comes off a
+    distributed sort + limit, so only N rows ever reach the driver.
+    Returns pandas (rank, key_col, count_col) — intentionally small."""
     import pandas as pd
 
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         ka = _np_i64(batch[key_col])
-        u, c = np.unique(ka, return_counts=True)
+        if weight_col is None:
+            u, c = np.unique(ka, return_counts=True)
+        else:
+            wa = _np_i64(batch[weight_col])
+            order = np.argsort(ka, kind="stable")
+            ks, ws = ka[order], wa[order]
+            start = np.ones(len(ks), dtype=bool)
+            start[1:] = ks[1:] != ks[:-1]
+            starts = np.flatnonzero(start)
+            u = ks[starts]
+            c = np.add.reduceat(ws, starts) if len(ks) else ws[:0]
         return pa.table(
             {key_col: pa.array(u), "_cnt": pa.array(c.astype(np.int64))}
         )

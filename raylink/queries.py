@@ -831,6 +831,43 @@ def q_hopping_event_windows(sf_dir: str):
     )
 
 
+def q_top_revenue_customers(sf_dir: str):
+    """Weighted heavy hitters (raylink/aggs.heavy_hitters with
+    weight_col): the 20 customers by total order value in exact centi
+    units — per-block partial sums bound the shuffle. SQL-checked."""
+    from raylink.aggs import heavy_hitters
+
+    orders = _read(sf_dir, "orders")
+
+    def centi(t: pa.Table) -> pa.Table:
+        cv = pc.round(pc.multiply(t["o_totalprice"].combine_chunks(), 100.0))
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "cv": cv.cast(pa.int64())}
+        )
+
+    return heavy_hitters(
+        orders.map_batches(centi, batch_format="pyarrow"),
+        "o_custkey",
+        top_n=20,
+        count_col="revenue_centi",
+        weight_col="cv",
+    )
+
+
+def q_profile_documents(sf_dir: str):
+    """One-pass table profile (raylink/profile.profile_table): per
+    column n_rows / n_null / exact distinct count over the documents
+    table — per-block count + distinct-value digests, one keyed merge,
+    only n_columns rows reach the driver. SQL-checked: UNION ALL of
+    COUNT / COUNT(DISTINCT)."""
+    from raylink.profile import profile_table
+
+    docs = _read(sf_dir, "documents")
+    return profile_table(
+        docs, ("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
 def q_session_stats(sf_dir: str):
     """Gap-based session windows per user over events (30-min gap): one
     row per session with event count, start/end/duration in integer
@@ -1122,6 +1159,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "top_orders_per_customer": q_top_orders_per_customer,
     "user_active_days": q_user_active_days,
+    "top_revenue_customers": q_top_revenue_customers,
+    "profile_documents": q_profile_documents,
     "label_centroids": q_label_centroids,
     "hopping_event_windows": q_hopping_event_windows,
     "event_value_quantiles": q_event_value_quantiles,
@@ -1669,6 +1708,37 @@ ORACLE_SQL = {
                min(tu) AS start_us, max(tu) AS end_us,
                max(tu) - min(tu) AS duration_us
         FROM s GROUP BY 1, 2
+    """,
+    "top_revenue_customers": """
+        WITH c AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS revenue_centi
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY revenue_centi DESC, o_custkey ASC
+               ) AS BIGINT) AS rank,
+               o_custkey, revenue_centi
+        FROM c ORDER BY revenue_centi DESC, o_custkey ASC LIMIT 20
+    """,
+    "profile_documents": """
+        SELECT 'doc_id' AS col, count(*) AS n_rows,
+               count(*) - count(doc_id) AS n_null,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS ndv
+        FROM documents
+        UNION ALL
+        SELECT 'lang', count(*), count(*) - count(lang),
+               count(DISTINCT lang) FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*), count(*) - count(n_chars),
+               count(DISTINCT n_chars) FROM documents
+        UNION ALL
+        SELECT 'source', count(*), count(*) - count(source),
+               count(DISTINCT source) FROM documents
+        UNION ALL
+        SELECT 'text', count(*), count(*) - count(text),
+               count(DISTINCT text) FROM documents
     """,
     "user_active_days": """
         SELECT user_id,

@@ -165,3 +165,33 @@ def test_label_centroids_exact_milli_means(rd):
         output="pandas",
     )
     assert (got["mean_val"].to_numpy() == got2["mean_val"].to_numpy()).all()
+
+
+def test_heavy_hitters_weighted(rd):
+    from raylink.aggs import heavy_hitters
+
+    df = pd.DataFrame(
+        {
+            "k": np.array([1, 1, 2, 2, 3], dtype=np.int64),
+            "w": np.array([10, 5, 40, 1, 30], dtype=np.int64),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    got = heavy_hitters(ds, "k", top_n=2, count_col="tot", weight_col="w")
+    assert list(map(tuple, got.to_numpy())) == [(1, 2, 41), (2, 3, 30)]
+
+
+def test_profile_table_counts_nulls_ndv(rd):
+    from raylink.profile import profile_table
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 2, 2, None, 5], pa.int64()),
+            "s": pa.array(["x", None, "x", "y", None]),
+        }
+    )
+    got = profile_table(rd.from_arrow(tbl).repartition(3), ("a", "s"))
+    assert list(map(tuple, got.to_numpy())) == [
+        ("a", 5, 1, 3),
+        ("s", 5, 2, 2),
+    ]

@@ -129,6 +129,8 @@ def test_every_query_runs(entry_mod):
         "user_active_days",
         "label_centroids",
         "hopping_event_windows",
+        "top_revenue_customers",
+        "profile_documents",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):
