@@ -215,14 +215,19 @@ def heavy_hitters(
     top_n: int,
     count_col: str = "n_rows",
     weight_col: str | None = None,
+    driver_merge_max_rows: int = 2_000_000,
 ):
     """The EXACT top-N keys by row count — or by int64 weight sum when
     ``weight_col`` is given (ties: smaller key) — the skew-diagnosis
     primitive (find the hot keys before they melt a shuffle). Per-block
-    partial counts/sums bound the shuffle at distinct-keys-per-block
-    rows; one keyed groupby sums partials; the global top-N comes off a
-    distributed sort + limit, so only N rows ever reach the driver.
-    Returns pandas (rank, key_col, count_col) — intentionally small."""
+    partial counts/sums bound the work at distinct-keys-per-block rows.
+    Below ``driver_merge_max_rows`` total partial rows the merge runs on
+    the driver (one sort + reduceat — a Ray groupby costs ~8 s of
+    overhead at digest volumes, the engine's bounded-merge landmark);
+    above it, one keyed groupby sums partials and the global top-N comes
+    off a distributed sort + limit, so only N rows ever reach the
+    driver. Both paths are value-identical. Returns pandas
+    (rank, key_col, count_col) — intentionally small."""
     import pandas as pd
 
     from ray.data.aggregate import Sum
@@ -244,15 +249,36 @@ def heavy_hitters(
             {key_col: pa.array(u), "_cnt": pa.array(c.astype(np.int64))}
         )
 
-    summed = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key_col)
-        .aggregate(Sum("_cnt", alias_name=count_col))
-    )
-    top = summed.sort(
-        [count_col, key_col], descending=[True, False]
-    ).limit(int(top_n))
-    out = top.to_pandas().reset_index(drop=True)
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if parts.count() <= driver_merge_max_rows:
+        tabs = ray.get(parts.to_arrow_refs())
+        ks = np.concatenate(
+            [_np_i64(t[key_col]) for t in tabs]
+            or [np.empty(0, dtype=np.int64)]
+        )
+        cs = np.concatenate(
+            [_np_i64(t["_cnt"]) for t in tabs]
+            or [np.empty(0, dtype=np.int64)]
+        )
+        order = np.argsort(ks, kind="stable")
+        ks, cs = ks[order], cs[order]
+        start = np.ones(len(ks), dtype=bool)
+        start[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(start)
+        u = ks[starts]
+        tot = np.add.reduceat(cs, starts) if len(ks) else cs[:0]
+        top_idx = np.lexsort((u, -tot))[: int(top_n)]
+        out = pd.DataFrame(
+            {key_col: u[top_idx], count_col: tot[top_idx]}
+        )
+    else:
+        summed = parts.groupby(key_col).aggregate(
+            Sum("_cnt", alias_name=count_col)
+        )
+        top = summed.sort(
+            [count_col, key_col], descending=[True, False]
+        ).limit(int(top_n))
+        out = top.to_pandas().reset_index(drop=True)
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return pd.DataFrame(out)
 

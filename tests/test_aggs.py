@@ -195,3 +195,30 @@ def test_profile_table_counts_nulls_ndv(rd):
         ("a", 5, 1, 3),
         ("s", 5, 2, 2),
     ]
+
+
+def test_heavy_hitters_driver_and_groupby_paths_identical(rd):
+    from raylink.aggs import heavy_hitters
+
+    rng = np.random.default_rng(47)
+    ks = rng.integers(0, 50, 5000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": pa.array(ks)})).repartition(6)
+    fast = heavy_hitters(ds, "k", top_n=10)
+    slow = heavy_hitters(ds, "k", top_n=10, driver_merge_max_rows=0)
+    pd.testing.assert_frame_equal(fast, slow.astype(fast.dtypes.to_dict()))
+
+
+def test_profile_table_driver_and_groupby_paths_identical(rd):
+    from raylink.profile import profile_table
+
+    rng = np.random.default_rng(53)
+    tbl = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 100, 2000), pa.int64()),
+            "s": pa.array([f"s{v}" for v in rng.integers(0, 37, 2000)]),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(5)
+    fast = profile_table(ds, ("a", "s"))
+    slow = profile_table(ds, ("a", "s"), driver_merge_max_rows=0)
+    pd.testing.assert_frame_equal(fast, slow)
