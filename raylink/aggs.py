@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+import ray.data as _rd
 
 
 def _np_i64(col) -> np.ndarray:
@@ -53,6 +54,22 @@ def _topk_rows(k_arr, v_arr, i_arr, k: int, descending: bool):
     return order[keep], ordn[keep]
 
 
+def _digest_merge(parts_ds, merge_fn, driver_merge_max_rows: int):
+    """Shared digest-merge dispatch: below the bound, concatenate the
+    (already partially-reduced) digest blocks on the driver and run the
+    SAME vectorized merge kernel once — a Ray groupby costs ~8 s of
+    overhead at digest volumes (bounded-merge landmark); above it, one
+    hash-partition keyed groupby runs the kernel per partition. Both
+    paths are value-identical (every kernel is vectorized across keys
+    and ignores the partition column)."""
+    parts = parts_ds.materialize()
+    if parts.count() <= driver_merge_max_rows:
+        tabs = ray.get(parts.to_arrow_refs())
+        allt = pa.concat_tables(tabs, promote_options="default")
+        return _rd.from_arrow(merge_fn(allt))
+    return parts.groupby("part").map_groups(merge_fn, batch_format="pyarrow")
+
+
 def group_topk(
     ds,
     key_col: str,
@@ -62,6 +79,7 @@ def group_topk(
     descending: bool = True,
     n_parts: int | None = None,
     output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
 ):
     """Top-k rows per key by value (ties: smaller id). Output columns
     (key_col, rank 1..k, id_col, val_col). The per-block partial keeps
@@ -97,10 +115,10 @@ def group_topk(
             }
         )
 
-    res = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(merge, batch_format="pyarrow")
+    res = _digest_merge(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
     )
     if output == "pandas":
         return (
@@ -122,6 +140,7 @@ def group_quantiles(
     ),
     n_parts: int | None = None,
     output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
 ):
     """EXACT per-key quantiles of an int64 value column (quantize floats
     upstream — integer values are what make exactness and the SQL oracle
@@ -199,10 +218,10 @@ def group_quantiles(
             cols[label] = pa.array(vals)
         return pa.table(cols)
 
-    res = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(merge, batch_format="pyarrow")
+    res = _digest_merge(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
     )
     if output == "pandas":
         return res.to_pandas().sort_values(key_col).reset_index(drop=True)
@@ -290,6 +309,7 @@ def group_ndistinct(
     ndv_col: str = "ndv",
     n_parts: int | None = None,
     output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
 ):
     """EXACT distinct-value count per key over int64 values. Per-block
     partials dedup (key, value) pairs (one lexsort + run-length mask)
@@ -342,10 +362,10 @@ def group_ndistinct(
             }
         )
 
-    res = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(merge, batch_format="pyarrow")
+    res = _digest_merge(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
     )
     if output == "pandas":
         return res.to_pandas().sort_values(key_col).reset_index(drop=True)
@@ -359,6 +379,7 @@ def label_centroids(
     milli_scale: int = 1000,
     n_parts: int | None = None,
     output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
 ):
     """Per-label element-wise mean embedding, EXACT: components quantize
     to integer milli-units (round(x * scale)) so partial sums are
@@ -433,10 +454,10 @@ def label_centroids(
             }
         )
 
-    res = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(merge, batch_format="pyarrow")
+    res = _digest_merge(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
     )
     if output == "pandas":
         return (

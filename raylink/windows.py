@@ -189,29 +189,57 @@ def hopping_windows(
     m = size // hop
 
     def expand(batch: pa.Table) -> pa.Table:
+        # expansion AND partial (key, window) aggregation in one batch
+        # pass — the groupby then shuffles per-block digests (distinct
+        # (key, window) pairs), never the m-times-expanded rows
         t = _ts_int64(batch[ts_col].combine_chunks())
         n = len(t)
         q = np.floor_divide(t, hop)
-        # windows j = 0..m-1 behind (and including) the event's hop slot
         j = np.tile(np.arange(m, dtype=np.int64), n)
         starts = (np.repeat(q, m) - j) * hop
-        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
-        cols = {
-            key_col: batch[key_col].combine_chunks().take(rep),
-            "win_start_us": pa.array(starts),
-        }
+        keys = np.repeat(
+            np.asarray(
+                batch[key_col].to_numpy(zero_copy_only=False), np.int64
+            ),
+            m,
+        )
         if value_col is not None:
             import pyarrow.compute as pc
 
-            vq = pc.round(
-                pc.multiply(
-                    batch[value_col].combine_chunks(), float(value_scale)
-                )
-            ).cast(pa.int64())
-            cols["vq"] = vq.take(rep)
+            vq = np.repeat(
+                np.asarray(
+                    pc.round(
+                        pc.multiply(
+                            batch[value_col].combine_chunks(),
+                            float(value_scale),
+                        )
+                    )
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False),
+                    np.int64,
+                ),
+                m,
+            )
+        order = np.lexsort((starts, keys))
+        ks, ws = keys[order], starts[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
+        run_starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(run_starts, len(ks)))
+        cols = {
+            key_col: pa.array(ks[run_starts]),
+            "win_start_us": pa.array(ws[run_starts]),
+            "n_partial": pa.array(cnt.astype(np.int64)),
+        }
+        if value_col is not None:
+            cols["vq"] = pa.array(
+                np.add.reduceat(vq[order], run_starts)
+                if len(ks)
+                else np.empty(0, dtype=np.int64)
+            )
         return pa.table(cols)
 
-    aggs = [Count(alias_name="n_events")]
+    aggs = [Sum("n_partial", alias_name="n_events")]
     if value_col is not None:
         aggs.append(Sum("vq", alias_name="sum_value_scaled"))
     res = (

@@ -222,3 +222,40 @@ def test_profile_table_driver_and_groupby_paths_identical(rd):
     fast = profile_table(ds, ("a", "s"))
     slow = profile_table(ds, ("a", "s"), driver_merge_max_rows=0)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_digest_ops_driver_and_shuffle_paths_identical(rd):
+    from raylink.aggs import (
+        group_ndistinct,
+        group_quantiles,
+        group_topk,
+        label_centroids,
+    )
+
+    df = _frame(n=2500, nkeys=20, seed=61)
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    for op, kw in [
+        (group_topk, dict(val_col="v", id_col="i", k=3)),
+        (group_quantiles, dict(val_col="v")),
+        (group_ndistinct, dict(val_col="v")),
+    ]:
+        a = op(ds, "k", output="pandas", **kw)
+        b = op(ds, "k", output="pandas", driver_merge_max_rows=0, **kw)
+        pd.testing.assert_frame_equal(a, b)
+    rng = np.random.default_rng(67)
+    mat = rng.normal(size=(300, 4)).astype(np.float32)
+    lab = rng.integers(0, 3, 300).astype(np.int64)
+    tbl = pa.table(
+        {
+            "label": pa.array(lab),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), 4
+            ),
+        }
+    )
+    eds = rd.from_arrow(tbl).repartition(3)
+    a = label_centroids(eds, "label", "embedding", output="pandas")
+    b = label_centroids(
+        eds, "label", "embedding", output="pandas", driver_merge_max_rows=0
+    )
+    pd.testing.assert_frame_equal(a, b)
