@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -174,6 +175,73 @@ def _int64_col(col) -> np.ndarray:
     return np.asarray(col.to_numpy(zero_copy_only=False), np.int64)
 
 
+def _is_string_key(t: pa.DataType) -> bool:
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+def _string_part_hash(a: pa.Array) -> np.ndarray:
+    """Deterministic vectorized uint64 hash of a string array for
+    PARTITION assignment only (prefix-8 + suffix-8 + length, splitmix
+    mixed, straight off the flat Arrow buffers — no per-row Python).
+    Kernels always compare exact key values, so a hash collision costs
+    balance, never correctness."""
+    from .blocking import _hash64
+
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    n = len(a)
+    if not n:
+        return np.empty(0, dtype=np.uint64)
+    odt = np.int64 if pa.types.is_large_string(a.type) else np.int32
+    offs = np.frombuffer(a.buffers()[1], dtype=odt)[
+        a.offset : a.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    lens = ends - starts
+    win = np.arange(8, dtype=np.int64)
+    cap = max(len(data) - 1, 0)
+    ppos = starts[:, None] + win[None, :]
+    pval = np.where(
+        win[None, :] < lens[:, None],
+        data[np.minimum(ppos, cap)] if len(data) else np.uint8(0),
+        np.uint8(0),
+    ).astype(np.uint64)
+    spos = ends[:, None] - 8 + win[None, :]
+    sval = np.where(
+        spos >= starts[:, None],
+        data[np.clip(spos, 0, cap)] if len(data) else np.uint8(0),
+        np.uint8(0),
+    ).astype(np.uint64)
+    powers = (np.uint64(256) ** np.arange(8, dtype=np.uint64))[None, :]
+    pre = (pval * powers).sum(axis=1, dtype=np.uint64)
+    suf = (sval * powers).sum(axis=1, dtype=np.uint64)
+    return _hash64(
+        (_hash64(pre.astype(np.int64)) ^ _hash64((suf + lens.astype(np.uint64)).astype(np.int64))).astype(np.int64)
+    )
+
+
+def _key_parts(col, P: int) -> np.ndarray:
+    """Partition id per row for an int64 OR string key column."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if _is_string_key(a.type):
+        return (_string_part_hash(a) % np.uint64(P)).astype(np.int64)
+    return (_int64_col(a) % P).astype(np.int64)
+
+
+def _key_codes(col) -> np.ndarray:
+    """Exact int64 equality codes for a key column of any supported type
+    (strings factorize via one dictionary_encode — equal values share a
+    code, so the int searchsorted kernels apply unchanged)."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if _is_string_key(a.type):
+        enc = pc.dictionary_encode(a)
+        return np.asarray(
+            enc.indices.to_numpy(zero_copy_only=False), np.int64
+        )
+    return _int64_col(a)
+
+
 def _sorted_pandas(res, sort_cols):
     """Collect a (possibly empty) join result to sorted pandas; an empty
     Dataset loses its schema through to_pandas, so rebuild the columns."""
@@ -197,8 +265,8 @@ def equi_join(
     n_parts: int | None = None,
     output: str = "dataset",
 ):
-    """Inner hash equi-join on int64 keys (the operator Ray Data lacks
-    natively). Output columns: (left_key_col, *left_cols, *right_cols)
+    """Inner hash equi-join on int64 OR string keys (the operator Ray
+    Data lacks natively). Output columns: (left_key_col, *left_cols, *right_cols)
     with full inner multiplicity (every left x right key match emits a
     row). Names in ``left_cols``/``right_cols`` must be disjoint.
 
@@ -210,6 +278,9 @@ def equi_join(
     co-shuffle shape) and each partition runs the same vectorized
     kernel — for fact x fact joins where neither side fits a broadcast.
     "auto" picks by ``right_ds.count()`` vs ``max_broadcast_rows``.
+    String keys partition by a vectorized flat-buffer hash and factorize
+    to exact dictionary codes inside each kernel — a hash collision
+    costs balance, never correctness.
     """
     if set(left_cols) & set(right_cols):
         raise ValueError("left_cols and right_cols must be disjoint")
@@ -225,28 +296,72 @@ def equi_join(
         tbl = pa.concat_tables(
             ray.get(slim.to_arrow_refs()), promote_options="default"
         )
-        rk = _int64_col(tbl[right_key_col])
-        order = np.argsort(rk, kind="stable")
-        rtbl = tbl.take(pa.array(order)).combine_chunks()
         from .broadcast import cached_object
 
-        side_ref = ray.put((rk[order], rtbl))
-
-        def join_batch(batch: pa.Table) -> pa.Table:
-            rk_sorted, rt = cached_object(side_ref)
-            lk = _int64_col(batch[left_key_col])
-            li, ri = _inner_match(lk, rk_sorted)
-            out = {
-                left_key_col: batch[left_key_col].combine_chunks().take(
-                    pa.array(li)
+        str_key = _is_string_key(tbl.schema.field(right_key_col).type)
+        if str_key:
+            keys = tbl[right_key_col].combine_chunks()
+            order = pc.sort_indices(keys)
+            rtbl = tbl.take(order).combine_chunks()
+            ks = rtbl[right_key_col].combine_chunks()
+            run_start = np.ones(len(ks), dtype=bool)
+            if len(ks) > 1:
+                run_start[1:] = ~np.asarray(
+                    pc.equal(ks.slice(1), ks.slice(0, len(ks) - 1))
+                    .to_numpy(zero_copy_only=False),
+                    bool,
                 )
-            }
-            for c in left_cols:
-                out[c] = batch[c].combine_chunks().take(pa.array(li))
-            ria = pa.array(ri)
-            for c in right_cols:
-                out[c] = rt[c].combine_chunks().take(ria)
-            return pa.table(out)
+            starts = np.flatnonzero(run_start)
+            counts = np.diff(np.append(starts, len(ks)))
+            uniq = ks.take(pa.array(starts))
+            side_ref = ray.put(
+                (uniq, starts.astype(np.int64), counts.astype(np.int64), rtbl)
+            )
+
+            def join_batch(batch: pa.Table) -> pa.Table:
+                u, st, ct, rt = cached_object(side_ref)
+                lk = batch[left_key_col].combine_chunks()
+                m = pc.index_in(lk, u)
+                valid = np.asarray(
+                    m.is_valid().to_numpy(zero_copy_only=False), bool
+                )
+                lidx = np.flatnonzero(valid)
+                uidx = np.asarray(
+                    pc.fill_null(m, 0).to_numpy(zero_copy_only=False),
+                    np.int64,
+                )[lidx]
+                cnts = ct[uidx]
+                li = np.repeat(lidx, cnts)
+                ri = _ranges_concat(st[uidx], cnts)
+                out = {left_key_col: lk.take(pa.array(li))}
+                for c in left_cols:
+                    out[c] = batch[c].combine_chunks().take(pa.array(li))
+                ria = pa.array(ri)
+                for c in right_cols:
+                    out[c] = rt[c].combine_chunks().take(ria)
+                return pa.table(out)
+
+        else:
+            rk = _int64_col(tbl[right_key_col])
+            order = np.argsort(rk, kind="stable")
+            rtbl = tbl.take(pa.array(order)).combine_chunks()
+            side_ref = ray.put((rk[order], rtbl))
+
+            def join_batch(batch: pa.Table) -> pa.Table:
+                rk_sorted, rt = cached_object(side_ref)
+                lk = _int64_col(batch[left_key_col])
+                li, ri = _inner_match(lk, rk_sorted)
+                out = {
+                    left_key_col: batch[left_key_col].combine_chunks().take(
+                        pa.array(li)
+                    )
+                }
+                for c in left_cols:
+                    out[c] = batch[c].combine_chunks().take(pa.array(li))
+                ria = pa.array(ri)
+                for c in right_cols:
+                    out[c] = rt[c].combine_chunks().take(ria)
+                return pa.table(out)
 
         res = left_ds.map_batches(join_batch, batch_format="pyarrow")
     else:
@@ -268,8 +383,7 @@ def equi_join(
                 cols[c] = batch[c]
             for c in right_cols:
                 cols[c] = pa.nulls(n, rtypes[c])
-            k = _int64_col(batch[left_key_col])
-            cols["part"] = pa.array((k % P).astype(np.int64))
+            cols["part"] = pa.array(_key_parts(batch[left_key_col], P))
             return pa.table(cols)
 
         def mk_right(batch: pa.Table) -> pa.Table:
@@ -282,8 +396,7 @@ def equi_join(
                 cols[c] = pa.nulls(n, ltypes[c])
             for c in right_cols:
                 cols[c] = batch[c]
-            k = _int64_col(batch[right_key_col])
-            cols["part"] = pa.array((k % P).astype(np.int64))
+            cols["part"] = pa.array(_key_parts(batch[right_key_col], P))
             return pa.table(cols)
 
         union = left_ds.map_batches(mk_left, batch_format="pyarrow").union(
@@ -292,7 +405,9 @@ def equi_join(
 
         def join_part(g: pa.Table) -> pa.Table:
             side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
-            k = _int64_col(g["k"])
+            # strings factorize to codes via one dictionary_encode;
+            # equal values share a code, so the int kernel is unchanged
+            k = _key_codes(g["k"])
             lpos = np.flatnonzero(side == 1)
             rpos = np.flatnonzero(side == 0)
             empty = {
@@ -339,9 +454,10 @@ def semi_join(
     preserved, right multiplicity irrelevant.
 
     "broadcast": the right KEY SET is reduced distributively (per-batch
-    ``np.unique`` partials -> bounded driver unique merge), broadcast
-    once, and every left batch filters with one searchsorted membership
-    test — the Bloom-filter-shaped path, except exact. "distributed":
+    unique partials -> bounded driver unique merge), broadcast once,
+    and every left batch filters with one membership test (searchsorted
+    for int64 keys, Arrow ``is_in`` for string keys) — the
+    Bloom-filter-shaped path, except exact. "distributed":
     key-set distinct + membership both run inside one hash-partition
     co-shuffle (no driver state). "auto" picks by ``right_ds.count()``
     (a row-count proxy for the distinct-key bound, like the engine's
@@ -354,39 +470,63 @@ def semi_join(
             else "distributed"
         )
 
+    str_key = _is_string_key(
+        dict(zip(right_ds.schema().names, right_ds.schema().types))[
+            right_key_col
+        ]
+    )
     if mode == "broadcast":
 
         def key_partial(batch: pa.Table) -> pa.Table:
-            u = np.unique(_int64_col(batch[right_key_col]))
-            return pa.table({"k": pa.array(u, pa.int64())})
+            u = pc.unique(batch[right_key_col].combine_chunks())
+            return pa.table({"k": u})
 
         parts = right_ds.select_columns([right_key_col]).map_batches(
             key_partial, batch_format="pyarrow"
         )
-        keys = np.unique(
-            np.concatenate(
-                [
-                    _int64_col(t["k"])
-                    for t in ray.get(parts.to_arrow_refs())
-                ]
-                or [np.empty(0, dtype=np.int64)]
-            )
-        )
+        ptabs = ray.get(parts.to_arrow_refs())
         from .broadcast import cached_object
 
-        keys_ref = ray.put(keys)
-
-        def filt(batch: pa.Table) -> pa.Table:
-            ks = cached_object(keys_ref)
-            lk = _int64_col(batch[left_key_col])
-            pos = np.searchsorted(ks, lk)
-            pos_c = np.minimum(pos, max(len(ks) - 1, 0))
-            member = (
-                (ks[pos_c] == lk) if len(ks) else np.zeros(len(lk), bool)
+        if str_key:
+            merged = (
+                pa.concat_tables(ptabs, promote_options="default")
+                if ptabs
+                else pa.table({"k": pa.array([], pa.string())})
             )
-            keep = ~member if is_anti else member
-            sel = batch.select([left_key_col, *left_cols])
-            return sel.filter(pa.array(keep))
+            keys_ref = ray.put(pc.unique(merged["k"].combine_chunks()))
+
+            def filt(batch: pa.Table) -> pa.Table:
+                ks = cached_object(keys_ref)
+                member = np.asarray(
+                    pc.is_in(
+                        batch[left_key_col].combine_chunks(), value_set=ks
+                    ).to_numpy(zero_copy_only=False),
+                    bool,
+                )
+                keep = ~member if is_anti else member
+                sel = batch.select([left_key_col, *left_cols])
+                return sel.filter(pa.array(keep))
+
+        else:
+            keys = np.unique(
+                np.concatenate(
+                    [_int64_col(t["k"]) for t in ptabs]
+                    or [np.empty(0, dtype=np.int64)]
+                )
+            )
+            keys_ref = ray.put(keys)
+
+            def filt(batch: pa.Table) -> pa.Table:
+                ks = cached_object(keys_ref)
+                lk = _int64_col(batch[left_key_col])
+                pos = np.searchsorted(ks, lk)
+                pos_c = np.minimum(pos, max(len(ks) - 1, 0))
+                member = (
+                    (ks[pos_c] == lk) if len(ks) else np.zeros(len(lk), bool)
+                )
+                keep = ~member if is_anti else member
+                sel = batch.select([left_key_col, *left_cols])
+                return sel.filter(pa.array(keep))
 
         res = left_ds.map_batches(filt, batch_format="pyarrow")
     else:
@@ -398,23 +538,22 @@ def semi_join(
 
         def mk_left(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            k = _int64_col(batch[left_key_col])
             cols = {
                 "k": batch[left_key_col],
                 "side": pa.array(np.ones(n, dtype=np.int8)),
                 **{c: batch[c] for c in left_cols},
-                "part": pa.array((k % P).astype(np.int64)),
+                "part": pa.array(_key_parts(batch[left_key_col], P)),
             }
             return pa.table(cols)
 
         def mk_right(batch: pa.Table) -> pa.Table:
-            u = np.unique(_int64_col(batch[right_key_col]))
+            u = pc.unique(batch[right_key_col].combine_chunks())
             n = len(u)
             cols = {
-                "k": pa.array(u, pa.int64()),
+                "k": u,
                 "side": pa.array(np.zeros(n, dtype=np.int8)),
                 **{c: pa.nulls(n, ltypes[c]) for c in left_cols},
-                "part": pa.array((u % P).astype(np.int64)),
+                "part": pa.array(_key_parts(u, P)),
             }
             return pa.table(cols)
 
@@ -426,7 +565,8 @@ def semi_join(
 
         def filt_part(g: pa.Table) -> pa.Table:
             side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
-            k = _int64_col(g["k"])
+            # codes factorize strings exactly; ints pass through
+            k = _key_codes(g["k"])
             lpos = np.flatnonzero(side == 1)
             rk = np.unique(k[side == 0])
             sel = g.select(["k", *left_cols]).rename_columns(

@@ -868,6 +868,26 @@ def q_profile_documents(sf_dir: str):
     )
 
 
+def q_docs_in_major_langs(sf_dir: str):
+    """STRING-keyed semi-join (raylink/joins.semi_join): documents whose
+    language has more than 100 documents. The key-set side comes from a
+    groupby count; the semi-join broadcasts the distinct string keys and
+    filters with one Arrow is_in per batch (string keys partition by a
+    vectorized flat-buffer hash in the distributed mode — parity-tested
+    incl. forced full-collision keys). SQL-checked: IN + HAVING."""
+    from raylink.joins import semi_join
+
+    docs = _read(sf_dir, "documents")
+    counts = docs.groupby("lang").count()
+
+    def major(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.greater(t["count()"], 100))
+        return pa.table({"lang": sel["lang"]})
+
+    right = counts.map_batches(major, batch_format="pyarrow")
+    return semi_join(docs, right, "lang", "lang", left_cols=("doc_id",))
+
+
 def q_session_stats(sf_dir: str):
     """Gap-based session windows per user over events (30-min gap): one
     row per session with event count, start/end/duration in integer
@@ -1160,6 +1180,7 @@ QUERIES = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "user_active_days": q_user_active_days,
     "top_revenue_customers": q_top_revenue_customers,
+    "docs_in_major_langs": q_docs_in_major_langs,
     "profile_documents": q_profile_documents,
     "label_centroids": q_label_centroids,
     "hopping_event_windows": q_hopping_event_windows,
@@ -1708,6 +1729,12 @@ ORACLE_SQL = {
                min(tu) AS start_us, max(tu) AS end_us,
                max(tu) - min(tu) AS duration_us
         FROM s GROUP BY 1, 2
+    """,
+    "docs_in_major_langs": """
+        SELECT lang, doc_id FROM documents
+        WHERE lang IN (
+            SELECT lang FROM documents GROUP BY lang HAVING count(*) > 100
+        )
     """,
     "top_revenue_customers": """
         WITH c AS (

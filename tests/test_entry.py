@@ -131,6 +131,7 @@ def test_every_query_runs(entry_mod):
         "hopping_event_windows",
         "top_revenue_customers",
         "profile_documents",
+        "docs_in_major_langs",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):

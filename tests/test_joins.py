@@ -194,3 +194,85 @@ def test_interval_join_gap_zero_equal_ts_only(rd):
     )
     got = interval_join(ds, "k", "ts", "i", max_gap_us=0, output="pandas")
     assert list(map(tuple, got.to_numpy())) == [(1, 3, 0)]
+
+
+# ---------------------------------------------------------------------------
+# string keys
+# ---------------------------------------------------------------------------
+
+
+def _mk_string_sides(rd, rng, nl=300, nr=200, nkeys=12, collide=False):
+    if collide:
+        # identical prefix-8, suffix-8 AND length -> identical partition
+        # hash for every key; correctness must not depend on the hash
+        key_names = [f"AAAAAAAA{i:02d}BBBBBBBB" for i in range(nkeys)]
+    else:
+        key_names = [f"key-{i}" for i in range(nkeys)]
+    lk = [key_names[v] for v in rng.integers(0, nkeys, nl)]
+    rk = [key_names[v] for v in rng.integers(0, nkeys, nr)]
+    lids = np.arange(nl, dtype=np.int64)
+    rids = np.arange(7000, 7000 + nr, dtype=np.int64)
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(lk), "lid": pa.array(lids)})
+    ).repartition(4)
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(rk), "rid": pa.array(rids)})
+    ).repartition(3)
+    return lk, lids, rk, rids, left, right
+
+
+@pytest.mark.parametrize("collide", [False, True])
+@pytest.mark.parametrize("mode", ["broadcast", "distributed"])
+def test_equi_join_string_keys(rd, mode, collide):
+    from raylink.joins import equi_join
+
+    rng = np.random.default_rng(71)
+    lk, lids, rk, rids, left, right = _mk_string_sides(
+        rd, rng, collide=collide
+    )
+    got = equi_join(left, right, "k", "k", left_cols=("lid",),
+                    right_cols=("rid",), mode=mode, output="pandas")
+    want = (
+        pd.DataFrame({"k": lk, "lid": lids})
+        .merge(pd.DataFrame({"k": rk, "rid": rids}), on="k")
+        .sort_values(["k", "lid", "rid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+@pytest.mark.parametrize("anti", [False, True])
+@pytest.mark.parametrize("mode", ["broadcast", "distributed"])
+def test_semi_join_string_keys(rd, mode, anti):
+    from raylink.joins import semi_join
+
+    rng = np.random.default_rng(73)
+    lk, lids, rk, _, left, right = _mk_string_sides(rd, rng, nkeys=20)
+    # drop some keys from the right so semi and anti are both non-trivial
+    kept = {f"key-{i}" for i in range(0, 20, 2)}
+    right = right.filter(lambda r: r["k"] in kept)
+    got = semi_join(left, right, "k", "k", left_cols=("lid",),
+                    anti=anti, mode=mode, output="pandas")
+    member = np.array([k in kept and k in set(rk) for k in lk])
+    keep = ~member if anti else member
+    want = (
+        pd.DataFrame({"k": np.array(lk)[keep], "lid": lids[keep]})
+        .sort_values(["k", "lid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_string_part_hash_deterministic_and_spread(rd):
+    from raylink.joins import _string_part_hash
+
+    keys = pa.array([f"conv-{i}-xyz" for i in range(1000)])
+    h1 = _string_part_hash(keys)
+    h2 = _string_part_hash(keys)
+    assert (h1 == h2).all()
+    # distinct strings with distinct middles spread over partitions
+    assert len(np.unique(h1 % np.uint64(64))) > 32
+    # empty + short strings don't crash
+    short = pa.array(["", "a", "ab", "abcdefgh", "abcdefghi"])
+    hs = _string_part_hash(short)
+    assert len(hs) == 5 and len(np.unique(hs)) == 5
