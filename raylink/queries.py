@@ -888,6 +888,28 @@ def q_docs_in_major_langs(sf_dir: str):
     return semi_join(docs, right, "lang", "lang", left_cols=("doc_id",))
 
 
+def q_rolling_user_value(sf_dir: str):
+    """Per-key rolling aggregate (raylink/windows.rolling_window): sum
+    of each user's last 5 event values (exact centi units) under (ts,
+    id) ordering — one keyed co-shuffle, kernel is one cumsum with
+    per-key-run rebasing. SQL-checked: ROWS BETWEEN window frame."""
+    from raylink.windows import rolling_window
+
+    ev = _read(sf_dir, "events")
+    return rolling_window(ev, "user_id", "ts", "event_id", "value", window=5)
+
+
+def q_event_lag_gaps(sf_dir: str):
+    """Per-key lag features (raylink/windows.lag_deltas): previous event
+    id + inter-arrival gap per user under (ts, id) ordering. One keyed
+    co-shuffle, kernel is one lexsort + shift. SQL-checked: LAG
+    window."""
+    from raylink.windows import lag_deltas
+
+    ev = _read(sf_dir, "events")
+    return lag_deltas(ev, "user_id", "ts", "event_id")
+
+
 def q_session_stats(sf_dir: str):
     """Gap-based session windows per user over events (30-min gap): one
     row per session with event count, start/end/duration in integer
@@ -1181,6 +1203,8 @@ QUERIES = {
     "user_active_days": q_user_active_days,
     "top_revenue_customers": q_top_revenue_customers,
     "docs_in_major_langs": q_docs_in_major_langs,
+    "rolling_user_value": q_rolling_user_value,
+    "event_lag_gaps": q_event_lag_gaps,
     "profile_documents": q_profile_documents,
     "label_centroids": q_label_centroids,
     "hopping_event_windows": q_hopping_event_windows,
@@ -1729,6 +1753,30 @@ ORACLE_SQL = {
                min(tu) AS start_us, max(tu) AS end_us,
                max(tu) - min(tu) AS duration_us
         FROM s GROUP BY 1, 2
+    """,
+    "rolling_user_value": """
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) OVER w
+                    AS BIGINT) AS roll_sum_scaled
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+        )
+    """,
+    "event_lag_gaps": """
+        WITH d AS (
+            SELECT event_id, user_id,
+                   lag(event_id) OVER w AS prev_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            )
+        )
+        SELECT event_id, user_id, prev_id, gap_us
+        FROM d WHERE prev_id IS NOT NULL
     """,
     "docs_in_major_langs": """
         SELECT lang, doc_id FROM documents

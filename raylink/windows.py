@@ -254,3 +254,142 @@ def hopping_windows(
             .reset_index(drop=True)
         )
     return res
+
+
+def rolling_window(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window: int,
+    value_scale: int = 100,
+    n_parts: int | None = None,
+    output: str = "dataset",
+):
+    """Per-key rolling aggregate over the last ``window`` events under
+    (ts, id) ordering — the feature-engineering primitive ("sum/mean of
+    the user's last k events"). Values quantize to integer units
+    (``value_scale``) so the rolling sums are exact; emits one row per
+    event: (id_col, key_col, n_in_window, roll_sum_scaled).
+
+    One keyed co-shuffle (sessionize's shape); the per-partition kernel
+    is a lexsort + ONE cumulative sum with per-key-run rebasing — the
+    rolling sum is cum[i] - cum[i - window] clamped at each key run's
+    start, no per-key Python."""
+    sel = ds.map_batches(
+        lambda b: pa.table(
+            {
+                key_col: b[key_col],
+                ts_col: b[ts_col],
+                id_col: b[id_col],
+                value_col: b[value_col],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    parts = _partitioned(sel, key_col, n_parts)
+    w = int(window)
+    if w <= 0:
+        raise ValueError("window must be positive")
+    scale = float(value_scale)
+
+    def roll(g: pa.Table) -> pa.Table:
+        k = np.asarray(g[key_col].to_numpy(zero_copy_only=False), np.int64)
+        t = _ts_int64(g[ts_col].combine_chunks())
+        i = np.asarray(g[id_col].to_numpy(zero_copy_only=False), np.int64)
+        v = np.asarray(
+            g[value_col].to_numpy(zero_copy_only=False), np.float64
+        )
+        n = len(k)
+        if not n:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "n_in_window": pa.array([], pa.int64()),
+                    "roll_sum_scaled": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((i, t, k))
+        ks, ids = k[order], i[order]
+        vq = np.rint(v[order] * scale).astype(np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        key_start = np.ones(n, dtype=bool)
+        key_start[1:] = ks[1:] != ks[:-1]
+        run_first = np.maximum.accumulate(np.where(key_start, idx, 0))
+        cum = np.cumsum(vq)
+        # window start position: max(run_first, i - w + 1)
+        lo = np.maximum(run_first, idx - w + 1)
+        base = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        # subtract the PREVIOUS key's tail when lo lands at a run start
+        base = np.where(lo == 0, 0, base)
+        roll_sum = cum - base
+        n_in = idx - lo + 1
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                key_col: pa.array(ks),
+                "n_in_window": pa.array(n_in),
+                "roll_sum_scaled": pa.array(roll_sum),
+            }
+        )
+
+    res = parts.groupby("part").map_groups(roll, batch_format="pyarrow")
+    if output == "pandas":
+        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+    return res
+
+
+def lag_deltas(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    n_parts: int | None = None,
+    output: str = "dataset",
+):
+    """Per-key lag: for every event (after the key's first), the id of
+    the PREVIOUS event under (ts, id) ordering and the gap to it in
+    integer microseconds — inter-arrival features in one co-shuffle.
+    Output (id_col, key_col, prev_id, gap_us). Kernel: lexsort + one
+    shift, first-of-key rows dropped (SQL LAG semantics)."""
+    sel = ds.map_batches(
+        lambda b: pa.table(
+            {key_col: b[key_col], ts_col: b[ts_col], id_col: b[id_col]}
+        ),
+        batch_format="pyarrow",
+    )
+    parts = _partitioned(sel, key_col, n_parts)
+
+    def lag(g: pa.Table) -> pa.Table:
+        k = np.asarray(g[key_col].to_numpy(zero_copy_only=False), np.int64)
+        t = _ts_int64(g[ts_col].combine_chunks())
+        i = np.asarray(g[id_col].to_numpy(zero_copy_only=False), np.int64)
+        n = len(k)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.int64()),
+                "prev_id": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        order = np.lexsort((i, t, k))
+        ks, ts, ids = k[order], t[order], i[order]
+        same = ks[1:] == ks[:-1]
+        return pa.table(
+            {
+                id_col: pa.array(ids[1:][same]),
+                key_col: pa.array(ks[1:][same]),
+                "prev_id": pa.array(ids[:-1][same]),
+                "gap_us": pa.array((ts[1:] - ts[:-1])[same]),
+            }
+        )
+
+    res = parts.groupby("part").map_groups(lag, batch_format="pyarrow")
+    if output == "pandas":
+        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+    return res

@@ -132,6 +132,8 @@ def test_every_query_runs(entry_mod):
         "top_revenue_customers",
         "profile_documents",
         "docs_in_major_langs",
+        "rolling_user_value",
+        "event_lag_gaps",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):

@@ -168,3 +168,69 @@ def test_hopping_windows_rejects_bad_hop(rd):
     ds = rd.from_arrow(pa.table({"k": pa.array([1]), "ts": pa.array([5])}))
     with _pytest.raises(ValueError):
         hopping_windows(ds, "k", "ts", size_us=30, hop_us=7)
+
+
+def test_rolling_window_matches_brute_force(rd):
+    import pandas as pd
+
+    from raylink.windows import rolling_window
+
+    rng = np.random.default_rng(83)
+    n = 600
+    k = rng.integers(0, 7, n).astype(np.int64)
+    t = rng.integers(0, 90, n).astype(np.int64)
+    v = rng.normal(size=n)
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table(
+            {"k": pa.array(k), "ts": pa.array(t),
+             "i": pa.array(ids), "val": pa.array(v)}
+        )
+    ).repartition(5)
+    got = rolling_window(ds, "k", "ts", "i", "val", window=4,
+                         output="pandas")
+    vq = np.rint(v * 100).astype(np.int64)
+    rows = []
+    for kk in np.unique(k):
+        sel = np.flatnonzero(k == kk)
+        order = sel[np.lexsort((ids[sel], t[sel]))]
+        for pos, ridx in enumerate(order):
+            win = order[max(0, pos - 3) : pos + 1]
+            rows.append((ids[ridx], kk, len(win), int(vq[win].sum())))
+    want = (
+        pd.DataFrame(rows, columns=["i", "k", "n_in_window",
+                                    "roll_sum_scaled"])
+        .sort_values("i")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_lag_deltas_matches_brute_force(rd):
+    import pandas as pd
+
+    from raylink.windows import lag_deltas
+
+    rng = np.random.default_rng(89)
+    n = 400
+    k = rng.integers(0, 5, n).astype(np.int64)
+    t = rng.integers(0, 50, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(k), "ts": pa.array(t), "i": pa.array(ids)})
+    ).repartition(4)
+    got = lag_deltas(ds, "k", "ts", "i", output="pandas")
+    rows = []
+    for kk in np.unique(k):
+        sel = np.flatnonzero(k == kk)
+        order = sel[np.lexsort((ids[sel], t[sel]))]
+        for prev, cur in zip(order[:-1], order[1:]):
+            rows.append((ids[cur], kk, ids[prev], t[cur] - t[prev]))
+    want = (
+        pd.DataFrame(rows, columns=["i", "k", "prev_id", "gap_us"])
+        .sort_values("i")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
