@@ -326,6 +326,42 @@ def q_fingerprint(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
 
 
+def q_redact_pii(sf_dir: str):
+    """PII scrub over documents. The fixture text is synthetic word soup
+    with no PII, so BOTH sides first append deterministic doc_id-derived
+    PII (email + IPv4 + phone) and the redactor must find and replace all
+    three — the oracle replays augmentation and the sequential
+    count/replace chain in SQL (same RE2 engine)."""
+    from raylink.textstats import redact_pii_batch
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = pd.Series(batch["doc_id"].to_numpy())
+        suffix = (
+            " Contact user" + ids.astype(str)
+            + "@example.com from 10." + (ids % 200).astype(str)
+            + ".0." + (ids % 250).astype(str)
+            + " or call 555-012-" + (1000 + ids % 9000).astype(str)
+            + " now."
+        )
+        aug = pc.binary_join_element_wise(
+            batch["text"], pa.array(suffix.to_numpy(), type=pa.string()), ""
+        )
+        return redact_pii_batch(
+            pa.table({"doc_id": batch["doc_id"], "text": aug})
+        )
+
+    return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style duplicate-word repetition signals per document."""
+    from raylink.textstats import repetition_stats_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
 def q_transcript_canonicalize(sf_dir: str):
     """Flagship stage 1 SQL-checked: mention extraction + block key from
     the synthesized transcript fixture."""
@@ -1180,6 +1216,8 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "redact_pii": q_redact_pii,
+    "repetition_stats": q_repetition_stats,
     "transcript_canonicalize": q_transcript_canonicalize,
     "transcript_conv_text": q_transcript_conv_text,
     "transcript_turn_stats": q_transcript_turn_stats,
@@ -1576,6 +1614,63 @@ ORACLE_SQL = {
         FROM s
     """,
     "fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+    # augmentation + the redactor's sequential count/replace chain replayed
+    # verbatim (same RE2 engine both sides; see textstats.PII_PATTERNS order)
+    "redact_pii": r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' Contact user' || doc_id::VARCHAR
+                        || '@example.com from 10.' || (doc_id % 200)::VARCHAR
+                        || '.0.' || (doc_id % 250)::VARCHAR
+                        || ' or call 555-012-' || (1000 + doc_id % 9000)::VARCHAR
+                        || ' now.' AS t
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id,
+                   length(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                       AS n_emails,
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+            FROM aug
+        ),
+        s2 AS (
+            SELECT doc_id, n_emails,
+                   length(regexp_extract_all(t1,
+                       '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ips,
+                   regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                       '<IP>', 'g') AS t2
+            FROM s1
+        )
+        SELECT doc_id,
+               regexp_replace(t2, '\+?[0-9][0-9\-() ]{6,}[0-9]',
+                   '<PHONE>', 'g') AS redacted,
+               n_emails, n_ips,
+               length(regexp_extract_all(t2,
+                   '\+?[0-9][0-9\-() ]{6,}[0-9]'))::BIGINT AS n_phones
+        FROM s2
+    """,
+    "repetition_stats": r"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+            FROM documents WHERE trim(text) <> ''
+        ),
+        agg AS (
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   count(DISTINCT word)::BIGINT AS n_distinct_words
+            FROM w GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(agg.n_words, 0) AS n_words,
+               coalesce(agg.n_distinct_words, 0) AS n_distinct_words,
+               (coalesce(agg.n_words, 0) - coalesce(agg.n_distinct_words, 0))
+                   / greatest(coalesce(agg.n_words, 0), 1)::DOUBLE
+                   AS dup_word_frac
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
     "transcript_canonicalize": f"""
         WITH t0 AS (
             SELECT conv_id,

@@ -109,6 +109,73 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+# PII redaction patterns (RE2 syntax — identical engine in Arrow and
+# DuckDB, so the SQL oracle replays redaction byte-exactly). Applied in
+# ORDER: emails first (their local parts contain digits/dots a later
+# pattern could nibble), then IPv4 (dotted digits), then phones (digit
+# runs with separators — the class excludes '.', so IPs are gone first).
+PII_PATTERNS = (
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("<PHONE>", r"\+?[0-9][0-9\-() ]{6,}[0-9]"),
+)
+
+
+def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized PII scrub: sequentially count-then-replace each
+    :data:`PII_PATTERNS` entry (counts are taken on the text as it stands
+    at that step, so the count/replace sequence is one deterministic
+    pipeline the SQL oracle mirrors with a CTE chain). Emits the redacted
+    text plus per-kind match counts — the counts are what a data-governance
+    pass audits, the text is what ships to training."""
+    texts = batch[text_col]
+    cols: dict[str, object] = {"doc_id": batch["doc_id"]}
+    counts = {}
+    for token, pat in PII_PATTERNS:
+        name = token.strip("<>").lower()
+        counts[f"n_{name}s"] = pc.cast(
+            pc.count_substring_regex(texts, pat), pa.int64()
+        )
+        texts = pc.replace_substring_regex(texts, pat, token)
+    cols["redacted"] = texts
+    cols.update(counts)
+    return pa.table(cols)
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document: word count, exact
+    distinct-word count, and the duplicate-word fraction
+    ``(n_words - n_distinct) / max(n_words, 1)``. Exactness matters (a SQL
+    oracle replays it via count(DISTINCT)), so words are factorized —
+    never hashed — and per-doc distinct counts come from one np.unique
+    over composite (doc, word_code) int64 keys; no per-row Python."""
+    texts = batch[text_col]
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    n_words = np.zeros(batch.num_rows, dtype=np.int64)
+    n_distinct = np.zeros(batch.num_rows, dtype=np.int64)
+    offs = flat.offsets.to_numpy()
+    words = flat.values
+    # empty/whitespace-only rows split to [''] — drop the empty token
+    nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(batch.num_rows), np.diff(offs))[nonempty]
+    np.add.at(n_words, doc_idx, 1)
+    if doc_idx.size:
+        codes = pd.factorize(words.to_numpy(zero_copy_only=False)[nonempty])[0]
+        composite = doc_idx.astype(np.int64) * np.int64(codes.max() + 1) + codes
+        uniq_docs = doc_idx[np.unique(composite, return_index=True)[1]]
+        np.add.at(n_distinct, uniq_docs, 1)
+    safe = np.maximum(n_words, 1).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words),
+            "n_distinct_words": pa.array(n_distinct),
+            "dup_word_frac": pa.array((n_words - n_distinct) / safe),
+        }
+    )
+
+
 class LangIdActor:
     """Back-compat callable wrapper around :func:`lang_id_batch` (the
     stage needs no per-actor state; prefer the function)."""

@@ -134,6 +134,8 @@ def test_every_query_runs(entry_mod):
         "docs_in_major_langs",
         "rolling_user_value",
         "event_lag_gaps",
+        "redact_pii",
+        "repetition_stats",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):

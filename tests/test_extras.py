@@ -149,6 +149,51 @@ def test_token_and_quality(rd):
     assert abs(q["alnum_ratio"].to_pylist()[0] - 13 / 16) < 1e-12
 
 
+def test_redact_pii(rd):
+    from raylink.textstats import redact_pii_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "mail bob.smith+x@e.co.uk, call 555-0123-4567, ip 192.168.1.1",
+                    "two mails a@b.io c@d.org",
+                    "",
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+    out = redact_pii_batch(batch)
+    assert out["redacted"].to_pylist() == [
+        "mail <EMAIL>, call <PHONE>, ip <IP>",
+        "two mails <EMAIL> <EMAIL>",
+        "",
+    ]
+    assert out["n_emails"].to_pylist() == [1, 2, 0]
+    assert out["n_ips"].to_pylist() == [1, 0, 0]
+    assert out["n_phones"].to_pylist() == [1, 0, 0]
+
+
+def test_repetition_stats(rd):
+    from raylink.textstats import repetition_stats_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                ["a a a b b c", "all unique words here", "", "   "],
+                type=pa.string(),
+            ),
+        }
+    )
+    out = repetition_stats_batch(batch)
+    assert out["n_words"].to_pylist() == [6, 4, 0, 0]
+    assert out["n_distinct_words"].to_pylist() == [3, 4, 0, 0]
+    assert out["dup_word_frac"].to_pylist() == [0.5, 0.0, 0.0, 0.0]
+
+
 def test_lang_id(rd):
     from raylink.textstats import LangIdActor
 
