@@ -26,6 +26,8 @@ import pyarrow.compute as pc
 
 import ray
 
+from raylink.blocking import _hash64
+
 
 def _ts_int64(col) -> np.ndarray:
     arr = col.to_numpy(zero_copy_only=False)
@@ -185,8 +187,6 @@ def _string_part_hash(a: pa.Array) -> np.ndarray:
     mixed, straight off the flat Arrow buffers — no per-row Python).
     Kernels always compare exact key values, so a hash collision costs
     balance, never correctness."""
-    from .blocking import _hash64
-
     if isinstance(a, pa.ChunkedArray):
         a = a.combine_chunks()
     n = len(a)

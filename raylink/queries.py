@@ -362,6 +362,14 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_vocabulary(sf_dir: str):
+    """Corpus vocabulary with min-count filter (tokenizer-training
+    primitive): exact token occurrence + document-frequency counts."""
+    from raylink.textstats import vocabulary
+
+    return vocabulary(_read(sf_dir, "documents"), min_count=5)
+
+
 def q_transcript_canonicalize(sf_dir: str):
     """Flagship stage 1 SQL-checked: mention extraction + block key from
     the synthesized transcript fixture."""
@@ -1218,6 +1226,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "redact_pii": q_redact_pii,
     "repetition_stats": q_repetition_stats,
+    "vocabulary": q_vocabulary,
     "transcript_canonicalize": q_transcript_canonicalize,
     "transcript_conv_text": q_transcript_conv_text,
     "transcript_turn_stats": q_transcript_turn_stats,
@@ -1651,6 +1660,16 @@ ORACLE_SQL = {
                length(regexp_extract_all(t2,
                    '\+?[0-9][0-9\-() ]{6,}[0-9]'))::BIGINT AS n_phones
         FROM s2
+    """,
+    "vocabulary": r"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+            FROM documents WHERE trim(text) <> ''
+        )
+        SELECT word AS token, count(*)::BIGINT AS n_occurrences,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM w GROUP BY word HAVING count(*) >= 5
     """,
     "repetition_stats": r"""
         WITH w AS (

@@ -149,19 +149,12 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     oracle replays it via count(DISTINCT)), so words are factorized —
     never hashed — and per-doc distinct counts come from one np.unique
     over composite (doc, word_code) int64 keys; no per-row Python."""
-    texts = batch[text_col]
-    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
-    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    doc_idx, words = _tokenize_flat(batch[text_col])
     n_words = np.zeros(batch.num_rows, dtype=np.int64)
     n_distinct = np.zeros(batch.num_rows, dtype=np.int64)
-    offs = flat.offsets.to_numpy()
-    words = flat.values
-    # empty/whitespace-only rows split to [''] — drop the empty token
-    nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
-    doc_idx = np.repeat(np.arange(batch.num_rows), np.diff(offs))[nonempty]
     np.add.at(n_words, doc_idx, 1)
     if doc_idx.size:
-        codes = pd.factorize(words.to_numpy(zero_copy_only=False)[nonempty])[0]
+        codes = pd.factorize(words.to_numpy(zero_copy_only=False))[0]
         composite = doc_idx.astype(np.int64) * np.int64(codes.max() + 1) + codes
         uniq_docs = doc_idx[np.unique(composite, return_index=True)[1]]
         np.add.at(n_distinct, uniq_docs, 1)
@@ -182,6 +175,107 @@ class LangIdActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return lang_id_batch(batch)
+
+
+def _tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
+    """Whitespace-tokenize a string column; returns (doc_idx, words) with
+    empty tokens (blank/whitespace-only rows) dropped."""
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offs = flat.offsets.to_numpy()
+    words = flat.values
+    nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(texts)), np.diff(offs))[nonempty]
+    return doc_idx, words.filter(pa.array(nonempty))
+
+
+def vocabulary(
+    ds,
+    text_col: str = "text",
+    min_count: int = 1,
+    n_parts: int | None = None,
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+):
+    """Corpus vocabulary extraction (tokenizer-training primitive): exact
+    per-token occurrence count and document frequency, filtered to
+    ``n_occurrences >= min_count``.
+
+    Scale shape: per-block partials factorize each block's words ONCE
+    (exact string codes, never hashes) and emit one (token, n_occ,
+    n_docs) digest row per distinct token per block — the shuffle carries
+    vocabulary digests, not tokens. The merge re-sums via factorize +
+    np.add.at and applies the min_count filter; dispatch is the shared
+    bounded-driver-merge / keyed-groupby switch (aggs._digest_merge), with
+    partitions assigned by the joins string partition hash (collisions
+    cost balance, never correctness — merge compares exact values)."""
+    from raylink.aggs import _default_parts, _digest_merge
+    from raylink.joins import _string_part_hash
+
+    P = _default_parts(n_parts)
+    mc = int(min_count)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_idx, words = _tokenize_flat(batch[text_col])
+        if not len(words):
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n_occ": pa.array([], pa.int64()),
+                    "n_doc": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniques = pd.factorize(words.to_numpy(zero_copy_only=False))
+        n_occ = np.bincount(codes, minlength=len(uniques))
+        # document frequency: dedup (doc, code) pairs, then count codes
+        composite = doc_idx.astype(np.int64) * np.int64(len(uniques)) + codes
+        uniq_codes = np.unique(composite) % np.int64(len(uniques))
+        n_doc = np.bincount(uniq_codes, minlength=len(uniques))
+        tok = pa.array(uniques, type=pa.string())
+        return pa.table(
+            {
+                "token": tok,
+                "n_occ": pa.array(n_occ.astype(np.int64)),
+                "n_doc": pa.array(n_doc.astype(np.int64)),
+                "part": pa.array(
+                    (_string_part_hash(tok) % np.uint64(P)).astype(np.int64)
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        tok = g["token"].combine_chunks()
+        if not len(tok):
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniques = pd.factorize(tok.to_numpy(zero_copy_only=False))
+        occ = np.zeros(len(uniques), dtype=np.int64)
+        doc = np.zeros(len(uniques), dtype=np.int64)
+        np.add.at(occ, codes, g["n_occ"].to_numpy(zero_copy_only=False))
+        np.add.at(doc, codes, g["n_doc"].to_numpy(zero_copy_only=False))
+        keep = occ >= mc
+        return pa.table(
+            {
+                "token": pa.array(np.asarray(uniques)[keep], pa.string()),
+                "n_occurrences": pa.array(occ[keep]),
+                "n_docs": pa.array(doc[keep]),
+            }
+        )
+
+    res = _digest_merge(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
+    )
+    if output == "pandas":
+        return res.to_pandas().sort_values("token").reset_index(drop=True)
+    return res
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

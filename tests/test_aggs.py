@@ -259,3 +259,35 @@ def test_digest_ops_driver_and_shuffle_paths_identical(rd):
         eds, "label", "embedding", output="pandas", driver_merge_max_rows=0
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_vocabulary_matches_pandas(rd):
+    from raylink.textstats import vocabulary
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 12)))
+        for _ in range(400)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                       "text": texts})
+    words = df.assign(w=df.text.str.split()).explode("w").dropna(subset=["w"])
+    agg = words.groupby("w").agg(
+        n_occurrences=("w", "size"), n_docs=("doc_id", "nunique")
+    ).reset_index().rename(columns={"w": "token"})
+    want = (
+        agg[agg.n_occurrences >= 4]
+        .sort_values("token")
+        .reset_index(drop=True)
+        .astype({"n_occurrences": np.int64, "n_docs": np.int64})
+    )
+    for parts in (1, 7):
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+        got = vocabulary(ds, min_count=4, output="pandas")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # forced distributed (groupby) merge path is value-identical
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    got = vocabulary(ds, min_count=4, output="pandas",
+                     driver_merge_max_rows=0)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

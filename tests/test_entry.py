@@ -136,6 +136,7 @@ def test_every_query_runs(entry_mod):
         "event_lag_gaps",
         "redact_pii",
         "repetition_stats",
+        "vocabulary",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):
