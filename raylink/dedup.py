@@ -1521,3 +1521,121 @@ def minhash_lsh_dedup_resumable(
         band_driver_threshold=band_driver_threshold, output=output,
         taskpool_verify_min_pairs=taskpool_verify_min_pairs,
     )
+
+
+def dedup_representatives(
+    ds,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    output: str = "pandas",
+    driver_merge_max_rows: int = 2_000_000,
+    **minhash_kwargs,
+):
+    """Near-dup cluster representative selection — the end-step of corpus
+    dedup: for every MinHash-LSH dup group, pick the doc to KEEP (longest
+    text; tie -> smallest id) and report the group size. Output columns:
+    (dup_group, rep_id, rep_chars, n_members).
+
+    Scale shape: the corpus streams ONCE through a slim (id, n_chars)
+    projection; group membership joins in via :func:`raylink.joins.equi_join`
+    (groups are the broadcast side below its bound, co-shuffled above);
+    best-row + count reduce in a single combiner digest pass — each block
+    shrinks to one (group, best_chars, best_id, count) row per group
+    before anything shuffles (aggs._digest_merge dispatch)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.aggs import _digest_merge
+    from raylink.joins import equi_join
+
+    groups = minhash_lsh_dedup(
+        ds, id_col, text_col, k=k, num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold, **minhash_kwargs,
+    )
+    groups_ds = (
+        rd.from_pandas(groups) if isinstance(groups, pd.DataFrame) else groups
+    )
+    tcol = text_col
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars": pc.cast(pc.utf8_length(batch[tcol]), pa.int64()),
+            }
+        )
+
+    joined = equi_join(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        groups_ds,
+        left_key_col=id_col,
+        right_key_col=id_col,
+        left_cols=("n_chars",),
+        right_cols=("dup_group",),
+    )
+    P = _default_parts()
+
+    def _best_and_count(g, c, i):
+        """(group, best_chars, best_id, count) per group run — one lexsort."""
+        order = np.lexsort((i, -c, g))
+        gs, cs, is_ = g[order], c[order], i[order]
+        start = np.ones(len(gs), dtype=bool)
+        start[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(start)
+        cnt = np.diff(np.append(starts, len(gs)))
+        return gs[starts], cs[starts], is_[starts], cnt.astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch["dup_group"].to_numpy(zero_copy_only=False), np.int64)
+        c = np.asarray(batch["n_chars"].to_numpy(zero_copy_only=False), np.int64)
+        i = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        gs, cs, is_, cnt = _best_and_count(g, c, i)
+        return pa.table(
+            {
+                "g": pa.array(gs), "c": pa.array(cs), "i": pa.array(is_),
+                "cnt": pa.array(cnt),
+                "part": pa.array((gs % P).astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = np.asarray(t["g"].to_numpy(zero_copy_only=False), np.int64)
+        c = np.asarray(t["c"].to_numpy(zero_copy_only=False), np.int64)
+        i = np.asarray(t["i"].to_numpy(zero_copy_only=False), np.int64)
+        n = np.asarray(t["cnt"].to_numpy(zero_copy_only=False), np.int64)
+        if not len(g):
+            return pa.table(
+                {
+                    "dup_group": pa.array([], pa.int64()),
+                    "rep_id": pa.array([], pa.int64()),
+                    "rep_chars": pa.array([], pa.int64()),
+                    "n_members": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((i, -c, g))
+        gs, cs, is_, ns = g[order], c[order], i[order], n[order]
+        start = np.ones(len(gs), dtype=bool)
+        start[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(start)
+        tot = np.add.reduceat(ns, starts)
+        return pa.table(
+            {
+                "dup_group": pa.array(gs[starts]),
+                "rep_id": pa.array(is_[starts]),
+                "rep_chars": pa.array(cs[starts]),
+                "n_members": pa.array(tot.astype(np.int64)),
+            }
+        )
+
+    res = _digest_merge(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
+    )
+    if output == "pandas":
+        return res.to_pandas().sort_values("dup_group").reset_index(drop=True)
+    return res

@@ -1107,6 +1107,17 @@ def q_minhash_dedup(sf_dir: str):
     )
 
 
+def q_dedup_representatives(sf_dir: str):
+    """Near-dup cluster representative selection (keep longest, tie ->
+    smallest id) + group sizes — the end-step of corpus dedup."""
+    from raylink.dedup import dedup_representatives
+
+    return dedup_representatives(
+        _read(sf_dir, "documents"), "doc_id", "text",
+        k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
+    )
+
+
 def q_simhash(sf_dir: str):
     """SimHash values per document — SQL-checked bit-exactly (the
     FNV64+splitmix64 shingle hash re-derived in HUGEINT arithmetic)."""
@@ -1265,6 +1276,7 @@ QUERIES = {
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_dedup": q_minhash_dedup,
+    "dedup_representatives": q_dedup_representatives,
     "simhash": q_simhash,
     "fit_transform": q_fit_transform,
     "multi_model_compare": q_multi_model_compare,
@@ -2490,6 +2502,19 @@ def _multimodal_oracle_sql() -> str:
 
 
 ORACLE_SQL["multimodal_features"] = _multimodal_oracle_sql()
+
+# representative selection wraps the (already hash-exact) minhash components
+# oracle as a subquery: longest doc (tie -> smallest id) + group size
+ORACLE_SQL["dedup_representatives"] = f"""
+    SELECT dup_group, doc_id AS rep_id, n_chars AS rep_chars, n_members FROM (
+        SELECT g.dup_group, g.doc_id, length(d.text)::BIGINT AS n_chars,
+               row_number() OVER (PARTITION BY g.dup_group
+                                  ORDER BY length(d.text) DESC, g.doc_id) AS rn,
+               count(*) OVER (PARTITION BY g.dup_group) AS n_members
+        FROM ({ORACLE_SQL['minhash_dedup']}) g
+        JOIN documents d ON g.doc_id = d.doc_id
+    ) WHERE rn = 1
+"""
 # multi-model compare = the two per-model oracles stacked with model_id
 ORACLE_SQL["multi_model_compare"] = f"""
     SELECT 'TF-IDF' AS model_id, *

@@ -520,3 +520,39 @@ def test_minhash_resumable_matches_streaming(rd, tmp_path):
     pd.testing.assert_frame_equal(streaming, again)
     assert os.path.getmtime(os.path.join(parts, "part-a.parquet")) == before_a
     assert os.path.exists(os.path.join(parts, "part-b.parquet"))
+
+
+def test_dedup_representatives(rd):
+    from raylink.dedup import dedup_representatives, minhash_lsh_dedup
+
+    near = BASE.replace("quick", "quikc")
+    texts = [
+        BASE, near, "unrelated text about other topics entirely",
+        BASE + " extra tail words", BASE + " x",
+    ]
+    ds = _docs(rd, texts)
+    kw = dict(k=5, num_perm=64, bands=16, jaccard_threshold=0.5)
+    got = dedup_representatives(ds, "doc_id", "text", **kw)
+    # oracle: compose from the (already-tested) group table + pandas
+    groups = minhash_lsh_dedup(ds, "doc_id", "text", **kw)
+    groups["n_chars"] = groups["doc_id"].map(
+        {i: len(t) for i, t in enumerate(texts)}
+    )
+    want = (
+        groups.sort_values(["dup_group", "n_chars", "doc_id"],
+                           ascending=[True, False, True])
+        .groupby("dup_group")
+        .agg(rep_id=("doc_id", "first"), rep_chars=("n_chars", "first"),
+             n_members=("doc_id", "size"))
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_dtype=False
+    )
+    # representative must be the LONGEST member (doc 3), not the smallest id
+    rep_of_base = got[got.n_members >= 3]
+    assert len(rep_of_base) == 1 and rep_of_base.iloc[0]["rep_id"] == 3
+    # forced distributed digest merge is value-identical
+    got2 = dedup_representatives(ds, "doc_id", "text",
+                                 driver_merge_max_rows=0, **kw)
+    pd.testing.assert_frame_equal(got, got2, check_dtype=False)

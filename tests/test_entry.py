@@ -137,6 +137,7 @@ def test_every_query_runs(entry_mod):
         "redact_pii",
         "repetition_stats",
         "vocabulary",
+        "dedup_representatives",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):
