@@ -39,6 +39,7 @@ from raylink.blocking import _hash64
 from raylink.broadcast import cached_object
 from raylink.embed import embeddings_to_matrix, l2_normalize
 from raylink.text import batch_ngrams, clean_strings_arrow
+from raylink.textstats import _tokenize_flat
 
 
 def _md5_hex(texts: list[str]) -> list[str]:
@@ -1639,3 +1640,190 @@ def dedup_representatives(
     if output == "pandas":
         return res.to_pandas().sort_values("dup_group").reset_index(drop=True)
     return res
+
+
+def _word_ngrams_flat(texts, n: int):
+    """Vectorized word n-grams of a string column: returns (doc_idx,
+    grams) where grams are space-joined n-word windows. One tokenize
+    pass; windows come from shifted slices of the flat word array
+    (positions whose window stays inside the same doc), joined with one
+    Arrow binary_join_element_wise — no per-row Python."""
+    import pyarrow.compute as pc
+
+    doc_idx, words = _tokenize_flat(texts)
+    m = len(words)
+    if m < n:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    valid = doc_idx[: m - n + 1] == doc_idx[n - 1 :]
+    starts = np.flatnonzero(valid)
+    if not len(starts):
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    parts = [words.take(pa.array(starts + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return doc_idx[starts], grams
+
+
+def contamination_check(
+    corpus_ds,
+    eval_ds,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    mode: str = "auto",
+    max_broadcast_grams: int = 20_000_000,
+    driver_merge_max_rows: int = 2_000_000,
+    output: str = "pandas",
+):
+    """Training-data DECONTAMINATION: for every corpus doc, count how many
+    of its distinct word ``ngram``-grams appear anywhere in the eval set,
+    and flag docs with >= 1 hit. Output: (id_col, n_hit_grams,
+    contaminated) for every corpus doc.
+
+    "broadcast" (the default below ``max_broadcast_grams`` distinct eval
+    grams): eval grams reduce distributively (per-block distinct
+    partials -> bounded driver unique merge), ``ray.put`` ONCE, and every
+    corpus batch tests membership with one Arrow ``is_in`` (C++ hash set,
+    zero-copy value set) — the corpus STREAMS, nothing shuffles.
+    "distributed": corpus (doc, gram) rows semi-join the eval gram set on
+    the string key (raylink.joins.semi_join co-shuffle, eval grams never
+    land on the driver), and per-doc hit counts reduce through the shared
+    digest merge. Per-doc gram dedup inside the batch is GLOBAL dedup
+    because each doc lives in exactly one block row. Both modes are
+    value-identical (tested)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.aggs import _digest_merge
+    from raylink.broadcast import cached_object as _co
+    from raylink.joins import semi_join
+
+    nn = int(ngram)
+
+    def eval_partial(batch: pa.Table) -> pa.Table:
+        _, grams = _word_ngrams_flat(batch[text_col], nn)
+        u = pc.unique(grams)
+        return pa.table({"gram": u})
+
+    eval_grams_ds = eval_ds.map_batches(eval_partial, batch_format="pyarrow")
+
+    def corpus_grams(batch: pa.Table) -> pa.Table:
+        """(doc_id, gram) with per-doc distinct grams."""
+        d, grams = _word_ngrams_flat(batch[text_col], nn)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        if len(grams):
+            codes = pd.factorize(grams.to_numpy(zero_copy_only=False))[0]
+            composite = d.astype(np.int64) * np.int64(codes.max() + 1) + codes
+            keep = np.unique(composite, return_index=True)[1]
+            d, grams = d[keep], grams.take(pa.array(keep))
+        return pa.table(
+            {
+                id_col: pa.array(ids[d] if len(d) else ids[:0]),
+                "gram": grams,
+            }
+        )
+
+    def zero_fill(counts: pd.DataFrame) -> pd.DataFrame:
+        all_ids = corpus_ds.select_columns([id_col]).to_pandas()
+        out = all_ids.merge(counts, on=id_col, how="left")
+        out["n_hit_grams"] = out["n_hit_grams"].fillna(0).astype(np.int64)
+        out["contaminated"] = out["n_hit_grams"] > 0
+        return out.sort_values(id_col).reset_index(drop=True)
+
+    if mode == "auto":
+        n_eval = eval_grams_ds.materialize().count()
+        mode = "broadcast" if n_eval <= max_broadcast_grams else "distributed"
+
+    if mode == "broadcast":
+        tabs = ray.get(eval_grams_ds.materialize().to_arrow_refs())
+        allg = pa.concat_tables(tabs, promote_options="default")
+        uniq = pc.unique(allg["gram"].combine_chunks())
+        gram_ref = ray.put(uniq)
+
+        def count_hits(batch: pa.Table) -> pa.Table:
+            d, grams = _word_ngrams_flat(batch[text_col], nn)
+            ids = np.asarray(
+                batch[id_col].to_numpy(zero_copy_only=False), np.int64
+            )
+            hits = np.zeros(len(ids), dtype=np.int64)
+            if len(grams):
+                # per-doc distinct grams (docs never span blocks)
+                codes = pd.factorize(grams.to_numpy(zero_copy_only=False))[0]
+                comp = d.astype(np.int64) * np.int64(codes.max() + 1) + codes
+                keep = np.unique(comp, return_index=True)[1]
+                d, grams = d[keep], grams.take(pa.array(keep))
+                mask = pc.is_in(
+                    grams, value_set=_co(gram_ref)
+                ).to_numpy(zero_copy_only=False)
+                np.add.at(hits, d[mask], 1)
+            return pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "n_hit_grams": pa.array(hits),
+                    "contaminated": pa.array(hits > 0),
+                }
+            )
+
+        res = corpus_ds.map_batches(count_hits, batch_format="pyarrow")
+        if output == "pandas":
+            return (
+                res.to_pandas().sort_values(id_col).reset_index(drop=True)
+            )
+        return res
+
+    # distributed: (doc, gram) rows semi-join the eval gram set, then the
+    # per-doc hit counts reduce through the shared digest merge
+    hit_rows = semi_join(
+        corpus_ds.map_batches(corpus_grams, batch_format="pyarrow"),
+        eval_grams_ds,
+        left_key_col="gram",
+        right_key_col="gram",
+        left_cols=(id_col,),
+        mode="distributed",
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "i": pa.array(u),
+                "cnt": pa.array(c.astype(np.int64)),
+                "part": pa.array((u % np.int64(256)).astype(np.int64)),
+            }
+        )
+
+    def count_merge(t: pa.Table) -> pa.Table:
+        i = np.asarray(t["i"].to_numpy(zero_copy_only=False), np.int64)
+        c = np.asarray(t["cnt"].to_numpy(zero_copy_only=False), np.int64)
+        if not len(i):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_hit_grams": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(i, kind="stable")
+        is_, cs = i[order], c[order]
+        start = np.ones(len(is_), dtype=bool)
+        start[1:] = is_[1:] != is_[:-1]
+        starts = np.flatnonzero(start)
+        return pa.table(
+            {
+                id_col: pa.array(is_[starts]),
+                "n_hit_grams": pa.array(
+                    np.add.reduceat(cs, starts).astype(np.int64)
+                ),
+            }
+        )
+
+    counts_res = _digest_merge(
+        hit_rows.map_batches(count_partial, batch_format="pyarrow"),
+        count_merge,
+        driver_merge_max_rows,
+    )
+    if output == "dataset":
+        # un-collected scale output: one (id, n_hit_grams) row per HIT doc
+        # (absent = clean) — zero-filling distributively would need an
+        # outer join; the pandas output zero-fills on the driver
+        return counts_res
+    return zero_fill(counts_res.to_pandas())

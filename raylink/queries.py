@@ -1118,6 +1118,23 @@ def q_dedup_representatives(sf_dir: str):
     )
 
 
+def q_contamination_check(sf_dir: str):
+    """Training-data decontamination: flag corpus docs sharing any word
+    3-gram with the eval subset (doc_id % 20 == 0); broadcast gram set."""
+    from raylink.dedup import contamination_check
+
+    corpus = _read(sf_dir, "documents")
+
+    def ev(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    eval_ds = _read(sf_dir, "documents").map_batches(
+        ev, batch_format="pyarrow"
+    )
+    return contamination_check(corpus, eval_ds, "doc_id", "text", ngram=3)
+
+
 def q_simhash(sf_dir: str):
     """SimHash values per document — SQL-checked bit-exactly (the
     FNV64+splitmix64 shingle hash re-derived in HUGEINT arithmetic)."""
@@ -1277,6 +1294,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_dedup": q_minhash_dedup,
     "dedup_representatives": q_dedup_representatives,
+    "contamination_check": q_contamination_check,
     "simhash": q_simhash,
     "fit_transform": q_fit_transform,
     "multi_model_compare": q_multi_model_compare,
@@ -1672,6 +1690,31 @@ ORACLE_SQL = {
                length(regexp_extract_all(t2,
                    '\+?[0-9][0-9\-() ]{6,}[0-9]'))::BIGINT AS n_phones
         FROM s2
+    """,
+    "contamination_check": r"""
+        WITH cw AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        cg AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+            FROM cw, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        eg AS (
+            SELECT DISTINCT array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+            FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+                  FROM documents
+                  WHERE doc_id % 20 = 0 AND trim(text) <> '') ew,
+                 unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        hits AS (
+            SELECT cg.doc_id, count(*)::BIGINT AS n
+            FROM cg JOIN eg USING (gram) GROUP BY cg.doc_id
+        )
+        SELECT d.doc_id, coalesce(hits.n, 0) AS n_hit_grams,
+               coalesce(hits.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
     """,
     "vocabulary": r"""
         WITH w AS (

@@ -556,3 +556,33 @@ def test_dedup_representatives(rd):
     got2 = dedup_representatives(ds, "doc_id", "text",
                                  driver_merge_max_rows=0, **kw)
     pd.testing.assert_frame_equal(got, got2, check_dtype=False)
+
+
+def test_contamination_check_modes_identical(rd):
+    from raylink.dedup import contamination_check
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(40)]
+    corpus_texts = [
+        " ".join(rng.choice(vocab, 12)) for _ in range(60)
+    ] + ["", "  "]
+    eval_texts = corpus_texts[::7][:5]  # planted overlaps
+    corpus = _docs(rd, corpus_texts).repartition(4)
+    ev = _docs(rd, eval_texts)
+    b = contamination_check(corpus, ev, "doc_id", "text", ngram=3,
+                            mode="broadcast")
+    d = contamination_check(corpus, ev, "doc_id", "text", ngram=3,
+                            mode="distributed")
+    pd.testing.assert_frame_equal(b, d)
+    # every planted eval doc must be flagged with ALL its grams hit
+    for i in range(0, 35, 7):
+        row = b[b.doc_id == i].iloc[0]
+        assert row["contaminated"] and row["n_hit_grams"] >= 1
+    # pandas brute-force oracle
+    def grams(t, n=3):
+        ws = t.split()
+        return {" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)}
+    eg = set().union(*(grams(t) for t in eval_texts))
+    for _, row in b.iterrows():
+        want = len(grams(corpus_texts[int(row.doc_id)]) & eg)
+        assert row["n_hit_grams"] == want, row

@@ -138,6 +138,7 @@ def test_every_query_runs(entry_mod):
         "repetition_stats",
         "vocabulary",
         "dedup_representatives",
+        "contamination_check",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):
