@@ -1534,6 +1534,7 @@ def dedup_representatives(
     jaccard_threshold: float = 0.8,
     output: str = "pandas",
     driver_merge_max_rows: int = 2_000_000,
+    groups_output: str = "pandas",
     **minhash_kwargs,
 ):
     """Near-dup cluster representative selection — the end-step of corpus
@@ -1546,7 +1547,13 @@ def dedup_representatives(
     (groups are the broadcast side below its bound, co-shuffled above);
     best-row + count reduce in a single combiner digest pass — each block
     shrinks to one (group, best_chars, best_id, count) row per group
-    before anything shuffles (aggs._digest_merge dispatch)."""
+    before anything shuffles (aggs._digest_merge dispatch).
+
+    ``groups_output="dataset"`` keeps the group-membership table itself
+    off the driver end to end (requires the minhash distributed
+    verification + components settings, forwarded via
+    ``minhash_kwargs``) — the full-distributed configuration for corpora
+    whose near-dup membership alone exceeds driver memory."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -1555,7 +1562,8 @@ def dedup_representatives(
 
     groups = minhash_lsh_dedup(
         ds, id_col, text_col, k=k, num_perm=num_perm, bands=bands,
-        jaccard_threshold=jaccard_threshold, **minhash_kwargs,
+        jaccard_threshold=jaccard_threshold,
+        output=groups_output, **minhash_kwargs,
     )
     groups_ds = (
         rd.from_pandas(groups) if isinstance(groups, pd.DataFrame) else groups

@@ -586,3 +586,21 @@ def test_contamination_check_modes_identical(rd):
     for _, row in b.iterrows():
         want = len(grams(corpus_texts[int(row.doc_id)]) & eg)
         assert row["n_hit_grams"] == want, row
+
+
+def test_dedup_representatives_full_distributed(rd):
+    """groups_output='dataset' (membership never on the driver) is
+    value-identical to the default path."""
+    from raylink.dedup import dedup_representatives
+
+    near = BASE.replace("quick", "quikc")
+    texts = [BASE, near, "unrelated text entirely", BASE + " extra tail"]
+    ds = _docs(rd, texts)
+    kw = dict(k=5, num_perm=64, bands=16, jaccard_threshold=0.5)
+    default = dedup_representatives(ds, "doc_id", "text", **kw)
+    dist = dedup_representatives(
+        ds, "doc_id", "text", groups_output="dataset",
+        verification="distributed", components="distributed",
+        band_driver_threshold=0, **kw,
+    )
+    pd.testing.assert_frame_equal(default, dist, check_dtype=False)
