@@ -400,6 +400,28 @@ def q_transcript_conv_text(sf_dir: str):
     )
 
 
+def q_transcript_tool_stats(sf_dir: str):
+    """Per-conversation tool-usage digest over the transcript fixture's
+    tool/ts columns: tool-turn count, first tool timestamp, ordered tool
+    sequence — one filtered pass + the groupseq sort-shuffle aggregate."""
+    info = ensure_transcript_fixture(sf_dir)
+    from raylink.groupseq import ordered_seq_agg
+
+    ds = _rd().read_parquet(info["transcripts"])
+
+    def only_tools(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["role"], "tool"))
+
+    return ordered_seq_agg(
+        ds.map_batches(only_tools, batch_format="pyarrow"),
+        key_col="conv_id",
+        order_cols=["turn_idx"],
+        count_name="n_tool_turns",
+        firsts=(("ts", "first_tool_ts"),),
+        joins=(("tool", "tool_seq", "|"),),
+    )
+
+
 def q_transcript_turn_stats(sf_dir: str):
     """Ordering-integrity aggregate (per-turn invariant support)."""
     info = ensure_transcript_fixture(sf_dir)
@@ -1258,6 +1280,7 @@ QUERIES = {
     "transcript_canonicalize": q_transcript_canonicalize,
     "transcript_conv_text": q_transcript_conv_text,
     "transcript_turn_stats": q_transcript_turn_stats,
+    "transcript_tool_stats": q_transcript_tool_stats,
     # rows-only
     "match_tfidf_documents": q_match_tfidf_documents,
     "group_documents": q_group_documents,
@@ -1765,6 +1788,14 @@ ORACLE_SQL = {
                string_agg(role, '|' ORDER BY turn_idx) AS role_seq,
                string_agg(text, '|' ORDER BY turn_idx) AS text_digest
         FROM read_parquet('{_oracle_fixture_glob()}')
+        GROUP BY conv_id
+    """,
+    "transcript_tool_stats": f"""
+        SELECT conv_id, count(*) AS n_tool_turns,
+               arg_min(ts, turn_idx) AS first_tool_ts,
+               string_agg(tool, '|' ORDER BY turn_idx) AS tool_seq
+        FROM read_parquet('{_oracle_fixture_glob()}')
+        WHERE role = 'tool'
         GROUP BY conv_id
     """,
     "transcript_turn_stats": f"""

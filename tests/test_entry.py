@@ -158,6 +158,7 @@ def test_transcript_sql_queries(entry_mod):
         "transcript_canonicalize",
         "transcript_conv_text",
         "transcript_turn_stats",
+        "transcript_tool_stats",
         "transcript_flagship",
         "transcript_pr_curve",
     ]:
