@@ -362,6 +362,17 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_chunk_documents(sf_dir: str):
+    """Overlapping character chunking of documents (size 120, stride 90)
+    — the flat_map-shaped corpus sharding primitive."""
+    from raylink.textstats import chunk_documents_batch
+
+    def f(batch: pa.Table) -> pa.Table:
+        return chunk_documents_batch(batch, size=120, stride=90)
+
+    return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+
+
 def q_vocabulary(sf_dir: str):
     """Corpus vocabulary with min-count filter (tokenizer-training
     primitive): exact token occurrence + document-frequency counts."""
@@ -1277,6 +1288,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "repetition_stats": q_repetition_stats,
     "vocabulary": q_vocabulary,
+    "chunk_documents": q_chunk_documents,
     "transcript_canonicalize": q_transcript_canonicalize,
     "transcript_conv_text": q_transcript_conv_text,
     "transcript_turn_stats": q_transcript_turn_stats,
@@ -1738,6 +1750,19 @@ ORACLE_SQL = {
         SELECT d.doc_id, coalesce(hits.n, 0) AS n_hit_grams,
                coalesce(hits.n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+    "chunk_documents": """
+        WITH n AS (
+            SELECT doc_id, text,
+                   1 + greatest(length(text) - 120 + 90 - 1, 0) // 90
+                       AS n_chunks
+            FROM documents
+        )
+        SELECT doc_id, j AS chunk_idx,
+               substring(text, (j * 90 + 1)::INT, 120) AS chunk_text,
+               length(substring(text, (j * 90 + 1)::INT, 120))::BIGINT
+                   AS chunk_chars
+        FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(j)
     """,
     "vocabulary": r"""
         WITH w AS (

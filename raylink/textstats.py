@@ -278,6 +278,65 @@ def vocabulary(
     return res
 
 
+def chunk_documents_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    size: int = 512,
+    stride: int = 384,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Fixed-size overlapping character chunking (the RAG / pretraining
+    sharding primitive): doc of length L emits ``1 + ceil(max(L-size,0) /
+    stride)`` chunks covering ``[j*stride, j*stride + size)`` (last chunk
+    may be shorter; empty docs emit one empty chunk). Output: (id_col,
+    chunk_idx, chunk_text, chunk_chars), a flat_map-shaped expansion.
+
+    Vectorization shape: one pass per CHUNK ORDINAL (bounded by
+    max-doc-length / stride, not by rows) — each pass is a scalar-offset
+    Arrow slice over the docs that still have a j-th chunk; no per-row
+    Python. A flat_map over rows would pay a Python call per doc."""
+    texts = batch[text_col].combine_chunks() if isinstance(
+        batch[text_col], pa.ChunkedArray
+    ) else batch[text_col]
+    L = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_chunks = 1 + np.maximum(L - size + stride - 1, 0) // stride
+    max_chunks = int(n_chunks.max()) if len(n_chunks) else 0
+    ids = batch[id_col].combine_chunks() if isinstance(
+        batch[id_col], pa.ChunkedArray
+    ) else batch[id_col]
+    parts = []
+    for j in range(max_chunks):
+        sel = np.flatnonzero(n_chunks > j)
+        take = pa.array(sel, type=pa.int64())
+        chunk = pc.utf8_slice_codeunits(
+            texts.take(take), start=j * stride, stop=j * stride + size
+        )
+        parts.append(
+            pa.table(
+                {
+                    id_col: ids.take(take),
+                    "chunk_idx": pa.array(
+                        np.full(len(sel), j, dtype=np.int64)
+                    ),
+                    "chunk_text": chunk,
+                    "chunk_chars": pc.cast(
+                        pc.utf8_length(chunk), pa.int64()
+                    ),
+                }
+            )
+        )
+    if not parts:
+        return pa.table(
+            {
+                id_col: pa.array([], ids.type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "chunk_chars": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts)
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """md5 full-content fingerprint (SQL: md5(text)) + a rolling shingle
     fingerprint (min of rolling 16-char window hashes over the cleaned

@@ -139,6 +139,7 @@ def test_every_query_runs(entry_mod):
         "vocabulary",
         "dedup_representatives",
         "contamination_check",
+        "chunk_documents",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):

@@ -344,3 +344,27 @@ def test_topk_join_matches_brute_force(emb_ds, rd):
         want,
         got_ds.to_pandas().sort_values(["query_id", "rank"], ignore_index=True),
     )
+
+
+def test_chunk_documents(rd):
+    from raylink.textstats import chunk_documents_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["abcdefghijk", "abc", ""], type=pa.string()),
+        }
+    )
+    out = chunk_documents_batch(batch, size=4, stride=3).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # doc 1 (L=11): starts 0,3,6,9 -> full coverage incl. short tail
+    got = out[out.doc_id == 1]["chunk_text"].tolist()
+    assert got == ["abcd", "defg", "ghij", "jk"]
+    assert out[out.doc_id == 2]["chunk_text"].tolist() == ["abc"]
+    assert out[out.doc_id == 3]["chunk_text"].tolist() == [""]
+    # reconstruction invariant: dropping the overlap re-joins the doc
+    rec = "".join(
+        t if i == 0 else t[4 - 3:]
+        for i, t in enumerate(got)
+    )
+    assert rec == "abcdefghijk"
