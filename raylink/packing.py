@@ -1,0 +1,90 @@
+"""Sequence packing for pretraining data loaders: concatenate documents
+in a stable global order and cut the token stream into fixed-budget
+sequences ("pack with split" — the GPT-style loader, every sequence
+exactly ``budget`` tokens, documents may straddle a boundary).
+
+The distributed primitive here is an ORDERED PREFIX SUM over a sorted
+Dataset: per-block token totals collect to the driver (one int64 per
+block, O(blocks)), an exclusive scan assigns each block its global base
+offset, and a second per-block task pass emits the packing columns from
+``base + local cumsum`` — no global shuffle beyond the sort, no
+driver-side row data. The same shape serves any "running offset"
+assignment (byte offsets for concatenated shards, global row numbering
+with payload-dependent widths).
+
+Reference scope note: PolyFuzz has no packing surface; this is part of
+the large-scale-pipeline extension set (SURVEY §8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+@ray.remote
+def _block_token_counts(tbl: pa.Table, text_col: str) -> np.ndarray:
+    """Whitespace token count per row (same rule as textstats.token_count)."""
+    texts = tbl[text_col]
+    n = pc.count_substring_regex(
+        pc.utf8_trim_whitespace(texts), r"\S+"
+    ).to_numpy(zero_copy_only=False)
+    return n.astype(np.int64)
+
+
+@ray.remote
+def _pack_block(
+    tbl: pa.Table, counts: np.ndarray, base: int, budget: int, id_col: str
+) -> pa.Table:
+    before = base + np.concatenate(([0], np.cumsum(counts)[:-1]))
+    first_seq = before // budget
+    # empty docs occupy no tokens: degenerate span at their position
+    last_tok = before + np.maximum(counts - 1, 0)
+    last_seq = np.where(counts > 0, last_tok // budget, first_seq)
+    return pa.table(
+        {
+            id_col: tbl[id_col],
+            "n_tokens": pa.array(counts),
+            "first_seq": pa.array(first_seq.astype(np.int64)),
+            "last_seq": pa.array(last_seq.astype(np.int64)),
+            "offset_in_first": pa.array((before % budget).astype(np.int64)),
+        }
+    )
+
+
+def pack_sequences(
+    ds,
+    id_col: str,
+    text_col: str,
+    budget: int = 2048,
+    output: str = "dataset",
+):
+    """Assign every document its position in the packed fixed-``budget``
+    token stream under ascending ``id_col`` order. Output columns:
+    (id_col, n_tokens, first_seq, last_seq, offset_in_first).
+
+    Two task waves over the sorted blocks: (1) per-block token totals —
+    O(blocks) int64s to the driver for the exclusive scan, (2) per-block
+    emit from the broadcast base offsets. Row data never lands on the
+    driver; blocks stay object-store resident between waves."""
+    b = int(budget)
+    if b <= 0:
+        raise ValueError("budget must be positive")
+    sorted_ds = ds.select_columns([id_col, text_col]).sort(id_col).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    count_refs = [_block_token_counts.remote(r, text_col) for r in refs]
+    counts = ray.get(count_refs)
+    block_sums = np.array([int(c.sum()) for c in counts], dtype=np.int64)
+    bases = np.concatenate(([0], np.cumsum(block_sums)[:-1]))
+    out_refs = [
+        _pack_block.remote(r, cref, int(base), b, id_col)
+        for r, cref, base in zip(refs, count_refs, bases)
+    ]
+    res = rd.from_arrow_refs(out_refs)
+    if output == "pandas":
+        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+    return res

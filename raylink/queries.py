@@ -373,6 +373,17 @@ def q_chunk_documents(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
 
 
+def q_pack_sequences(sf_dir: str):
+    """GPT-style pack-with-split loader layout: every doc's position in
+    the fixed-64-token packed stream under ascending doc_id (distributed
+    ordered prefix sum — per-block totals, O(blocks) driver scan)."""
+    from raylink.packing import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents"), "doc_id", "text", budget=64
+    )
+
+
 def q_vocabulary(sf_dir: str):
     """Corpus vocabulary with min-count filter (tokenizer-training
     primitive): exact token occurrence + document-frequency counts."""
@@ -1289,6 +1300,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "vocabulary": q_vocabulary,
     "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
     "transcript_canonicalize": q_transcript_canonicalize,
     "transcript_conv_text": q_transcript_conv_text,
     "transcript_turn_stats": q_transcript_turn_stats,
@@ -1750,6 +1762,29 @@ ORACLE_SQL = {
         SELECT d.doc_id, coalesce(hits.n, 0) AS n_hit_grams,
                coalesce(hits.n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+    "pack_sequences": r"""
+        WITH n AS (
+            SELECT doc_id,
+                   (CASE WHEN trim(text) = '' THEN 0
+                         ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                    END)::BIGINT AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS tok_before
+            FROM n
+        )
+        SELECT doc_id, n_tokens,
+               tok_before // 64 AS first_seq,
+               CASE WHEN n_tokens > 0 THEN (tok_before + n_tokens - 1) // 64
+                    ELSE tok_before // 64 END AS last_seq,
+               tok_before % 64 AS offset_in_first
+        FROM c
     """,
     "chunk_documents": """
         WITH n AS (

@@ -140,6 +140,7 @@ def test_every_query_runs(entry_mod):
         "dedup_representatives",
         "contamination_check",
         "chunk_documents",
+        "pack_sequences",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):

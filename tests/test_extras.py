@@ -368,3 +368,39 @@ def test_chunk_documents(rd):
         for i, t in enumerate(got)
     )
     assert rec == "abcdefghijk"
+
+
+def test_pack_sequences(rd):
+    """Packing invariants vs a sequential brute-force, partition-invariant."""
+    from raylink.packing import pack_sequences
+
+    rng = np.random.default_rng(21)
+    texts = [
+        " ".join(f"w{j}" for j in range(rng.integers(0, 15)))
+        for _ in range(50)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    # brute force: running offset in doc_id order
+    want_rows = []
+    off = 0
+    B = 7
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        first = off // B
+        last = (off + n - 1) // B if n else first
+        want_rows.append((i, n, first, last, off % B))
+        off += n
+    want = pd.DataFrame(
+        want_rows,
+        columns=["doc_id", "n_tokens", "first_seq", "last_seq",
+                 "offset_in_first"],
+    )
+    for parts in (1, 6):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        got = pack_sequences(ds, "doc_id", "text", budget=B, output="pandas")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
