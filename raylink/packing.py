@@ -26,14 +26,16 @@ import ray
 import ray.data as rd
 
 
-@ray.remote
-def _block_token_counts(tbl: pa.Table, text_col: str) -> np.ndarray:
-    """Whitespace token count per row (same rule as textstats.token_count)."""
+@ray.remote(num_returns=2)
+def _block_token_counts(tbl: pa.Table, text_col: str):
+    """Whitespace token count per row (same rule as textstats.token_count).
+    Two returns so the driver fetches ONLY the scalar block total (the
+    per-row array stays object-store resident for the emit wave)."""
     texts = tbl[text_col]
     n = pc.count_substring_regex(
         pc.utf8_trim_whitespace(texts), r"\S+"
-    ).to_numpy(zero_copy_only=False)
-    return n.astype(np.int64)
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    return n, int(n.sum())
 
 
 @ray.remote
@@ -76,9 +78,10 @@ def pack_sequences(
         raise ValueError("budget must be positive")
     sorted_ds = ds.select_columns([id_col, text_col]).sort(id_col).materialize()
     refs = sorted_ds.to_arrow_refs()
-    count_refs = [_block_token_counts.remote(r, text_col) for r in refs]
-    counts = ray.get(count_refs)
-    block_sums = np.array([int(c.sum()) for c in counts], dtype=np.int64)
+    pairs = [_block_token_counts.remote(r, text_col) for r in refs]
+    count_refs = [p[0] for p in pairs]
+    # driver state is O(blocks) scalars — per-row arrays never leave plasma
+    block_sums = np.array(ray.get([p[1] for p in pairs]), dtype=np.int64)
     bases = np.concatenate(([0], np.cumsum(block_sums)[:-1]))
     out_refs = [
         _pack_block.remote(r, cref, int(base), b, id_col)
