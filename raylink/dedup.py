@@ -1568,6 +1568,22 @@ def dedup_representatives(
     groups_ds = (
         rd.from_pandas(groups) if isinstance(groups, pd.DataFrame) else groups
     )
+    res = _reps_from_groups(
+        ds, groups_ds, id_col, text_col, driver_merge_max_rows
+    )
+    if output == "pandas":
+        return res.to_pandas().sort_values("dup_group").reset_index(drop=True)
+    return res
+
+
+def _reps_from_groups(ds, groups_ds, id_col, text_col, driver_merge_max_rows):
+    """The representative-selection core over an existing membership table
+    (see :func:`dedup_representatives` for the scale shape)."""
+    import pyarrow.compute as pc
+
+    from raylink.aggs import _digest_merge
+    from raylink.joins import equi_join
+
     tcol = text_col
 
     def slim(batch: pa.Table) -> pa.Table:
@@ -1640,14 +1656,78 @@ def dedup_representatives(
             }
         )
 
-    res = _digest_merge(
+    return _digest_merge(
         joined.map_batches(partial, batch_format="pyarrow"),
         merge,
         driver_merge_max_rows,
     )
+
+
+def apply_dedup(
+    ds,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+    groups_output: str = "pandas",
+    **minhash_kwargs,
+):
+    """The actual corpus dedup: stream out the SURVIVORS — every doc not
+    in a near-dup group, plus each group's representative (longest text,
+    tie -> smallest id). Composition of the existing primitives, each at
+    its own scale mode: minhash groups -> representative selection
+    (:func:`_reps_from_groups`) -> drop-list = members x their group's
+    rep via one equi_join filtered to non-reps -> corpus ANTI semi-join
+    on the drop ids. The corpus streams; only membership-sized tables
+    shuffle. Returns a Dataset of (id_col, text_col) survivors
+    (``output="pandas"`` collects, small scales only)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.joins import equi_join, semi_join
+
+    groups = minhash_lsh_dedup(
+        ds, id_col, text_col, k=k, num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        output=groups_output, **minhash_kwargs,
+    )
+    groups_ds = (
+        rd.from_pandas(groups) if isinstance(groups, pd.DataFrame) else groups
+    )
+    reps = _reps_from_groups(
+        ds, groups_ds, id_col, text_col, driver_merge_max_rows
+    ).select_columns(["dup_group", "rep_id"])
+    member_rep = equi_join(
+        groups_ds,
+        reps,
+        left_key_col="dup_group",
+        right_key_col="dup_group",
+        left_cols=(id_col,),
+        right_cols=("rep_id",),
+    )
+
+    def non_reps(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch[id_col], batch["rep_id"])
+        return pa.table({id_col: batch[id_col].filter(keep)})
+
+    drop_ds = member_rep.map_batches(non_reps, batch_format="pyarrow")
+    survivors = semi_join(
+        ds.select_columns([id_col, text_col]),
+        drop_ds,
+        left_key_col=id_col,
+        right_key_col=id_col,
+        left_cols=(text_col,),
+        anti=True,
+    )
     if output == "pandas":
-        return res.to_pandas().sort_values("dup_group").reset_index(drop=True)
-    return res
+        return (
+            survivors.to_pandas().sort_values(id_col).reset_index(drop=True)
+        )
+    return survivors
 
 
 def _word_ngrams_flat(texts, n: int):
@@ -1738,7 +1818,8 @@ def contamination_check(
         return out.sort_values(id_col).reset_index(drop=True)
 
     if mode == "auto":
-        n_eval = eval_grams_ds.materialize().count()
+        eval_grams_ds = eval_grams_ds.materialize()  # count + reuse, one pass
+        n_eval = eval_grams_ds.count()
         mode = "broadcast" if n_eval <= max_broadcast_grams else "distributed"
 
     if mode == "broadcast":

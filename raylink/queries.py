@@ -1162,6 +1162,17 @@ def q_dedup_representatives(sf_dir: str):
     )
 
 
+def q_deduped_corpus(sf_dir: str):
+    """The actual deduped corpus: survivors after near-dup removal
+    (non-members + per-group representatives), streaming anti semi-join."""
+    from raylink.dedup import apply_dedup
+
+    return apply_dedup(
+        _read(sf_dir, "documents"), "doc_id", "text",
+        k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
+    )
+
+
 def q_contamination_check(sf_dir: str):
     """Training-data decontamination: flag corpus docs sharing any word
     3-gram with the eval subset (doc_id % 20 == 0); broadcast gram set."""
@@ -1342,6 +1353,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "dedup_representatives": q_dedup_representatives,
     "contamination_check": q_contamination_check,
+    "deduped_corpus": q_deduped_corpus,
     "simhash": q_simhash,
     "fit_transform": q_fit_transform,
     "multi_model_compare": q_multi_model_compare,
@@ -2636,6 +2648,28 @@ def _multimodal_oracle_sql() -> str:
 
 
 ORACLE_SQL["multimodal_features"] = _multimodal_oracle_sql()
+
+# the deduped corpus: docs minus non-representative group members (the
+# representative + membership subqueries are the two oracles above/below)
+ORACLE_SQL["deduped_corpus"] = f"""
+    SELECT d.doc_id, d.text FROM documents d
+    WHERE d.doc_id NOT IN (
+        SELECT g.doc_id
+        FROM ({ORACLE_SQL['minhash_dedup']}) g
+        JOIN (
+            SELECT dup_group, doc_id AS rep_id FROM (
+                SELECT g2.dup_group, g2.doc_id,
+                       row_number() OVER (
+                           PARTITION BY g2.dup_group
+                           ORDER BY length(d2.text) DESC, g2.doc_id
+                       ) AS rn
+                FROM ({ORACLE_SQL['minhash_dedup']}) g2
+                JOIN documents d2 ON g2.doc_id = d2.doc_id
+            ) WHERE rn = 1
+        ) r ON g.dup_group = r.dup_group
+        WHERE g.doc_id <> r.rep_id
+    )
+"""
 
 # representative selection wraps the (already hash-exact) minhash components
 # oracle as a subquery: longest doc (tie -> smallest id) + group size

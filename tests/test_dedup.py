@@ -604,3 +604,25 @@ def test_dedup_representatives_full_distributed(rd):
         band_driver_threshold=0, **kw,
     )
     pd.testing.assert_frame_equal(default, dist, check_dtype=False)
+
+
+def test_apply_dedup_survivors(rd):
+    from raylink.dedup import apply_dedup, dedup_representatives, minhash_lsh_dedup
+
+    near = BASE.replace("quick", "quikc")
+    texts = [
+        BASE, near, "unrelated text about other topics entirely",
+        BASE + " extra tail words", BASE + " x",
+    ]
+    ds = _docs(rd, texts)
+    kw = dict(k=5, num_perm=64, bands=16, jaccard_threshold=0.5)
+    surv = apply_dedup(ds, "doc_id", "text", output="pandas", **kw)
+    groups = minhash_lsh_dedup(ds, "doc_id", "text", **kw)
+    reps = dedup_representatives(ds, "doc_id", "text", **kw)
+    drop = set(groups.doc_id) - set(reps.rep_id)
+    assert set(surv.doc_id) == set(range(len(texts))) - drop
+    # survivors carry the original text unchanged
+    for _, row in surv.iterrows():
+        assert row["text"] == texts[int(row.doc_id)]
+    # the longest member of the BASE cluster (doc 3) is the survivor
+    assert 3 in set(surv.doc_id) and 0 not in set(surv.doc_id)

@@ -141,6 +141,7 @@ def test_every_query_runs(entry_mod):
         "contamination_check",
         "chunk_documents",
         "pack_sequences",
+        "deduped_corpus",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):
