@@ -384,6 +384,16 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+def q_quality_filter(sf_dir: str):
+    """C4-style heuristic quality filtering: surviving docs + signals
+    (streaming filter, no shuffle)."""
+    from raylink.textstats import quality_filter_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        quality_filter_batch, batch_format="pyarrow"
+    )
+
+
 def q_vocabulary(sf_dir: str):
     """Corpus vocabulary with min-count filter (tokenizer-training
     primitive): exact token occurrence + document-frequency counts."""
@@ -1354,6 +1364,7 @@ QUERIES = {
     "dedup_representatives": q_dedup_representatives,
     "contamination_check": q_contamination_check,
     "deduped_corpus": q_deduped_corpus,
+    "quality_filter": q_quality_filter,
     "simhash": q_simhash,
     "fit_transform": q_fit_transform,
     "multi_model_compare": q_multi_model_compare,
@@ -1810,6 +1821,33 @@ ORACLE_SQL = {
                length(substring(text, (j * 90 + 1)::INT, 120))::BIGINT
                    AS chunk_chars
         FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(j)
+    """,
+    # identical single-division signal arithmetic as quality_score /
+    # repetition_stats, so the threshold comparisons agree bit-for-bit
+    "quality_filter": r"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+            FROM documents WHERE trim(text) <> ''
+        ),
+        r AS (
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   count(DISTINCT word)::BIGINT AS ndw
+            FROM w GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.text,
+               coalesce(r.n_words, 0) AS n_words,
+               length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g'))
+                   / greatest(length(d.text), 1)::DOUBLE AS alnum_ratio,
+               (coalesce(r.n_words, 0) - coalesce(r.ndw, 0))
+                   / greatest(coalesce(r.n_words, 0), 1)::DOUBLE
+                   AS dup_word_frac
+        FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        WHERE coalesce(r.n_words, 0) >= 5
+          AND length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g'))
+                  / greatest(length(d.text), 1)::DOUBLE >= 0.5
+          AND (coalesce(r.n_words, 0) - coalesce(r.ndw, 0))
+                  / greatest(coalesce(r.n_words, 0), 1)::DOUBLE <= 0.6
     """,
     "vocabulary": r"""
         WITH w AS (

@@ -278,6 +278,40 @@ def vocabulary(
     return res
 
 
+def quality_filter_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    min_words: int = 5,
+    min_alnum_ratio: float = 0.5,
+    max_dup_word_frac: float = 0.6,
+) -> pa.Table:
+    """C4-style heuristic quality filter: keep docs with at least
+    ``min_words`` words, alnum ratio >= ``min_alnum_ratio`` and
+    duplicate-word fraction <= ``max_dup_word_frac``. A pure streaming
+    filter (composes the quality + repetition kernels, one pass, no
+    shuffle); emits the surviving rows with their signals attached."""
+    q = quality_score_batch(batch, text_col)
+    r = repetition_stats_batch(batch, text_col)
+    n_words = r["n_words"].to_numpy(zero_copy_only=False)
+    alnum = q["alnum_ratio"].to_numpy(zero_copy_only=False)
+    dupf = r["dup_word_frac"].to_numpy(zero_copy_only=False)
+    keep = pa.array(
+        (n_words >= min_words)
+        & (alnum >= min_alnum_ratio)
+        & (dupf <= max_dup_word_frac)
+    )
+    out = pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            text_col: batch[text_col],
+            "n_words": r["n_words"],
+            "alnum_ratio": q["alnum_ratio"],
+            "dup_word_frac": r["dup_word_frac"],
+        }
+    )
+    return out.filter(keep)
+
+
 def chunk_documents_batch(
     batch: pa.Table,
     text_col: str = "text",

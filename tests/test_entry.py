@@ -142,6 +142,7 @@ def test_every_query_runs(entry_mod):
         "chunk_documents",
         "pack_sequences",
         "deduped_corpus",
+        "quality_filter",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):

@@ -404,3 +404,27 @@ def test_pack_sequences(rd):
         ds = rd.from_arrow(tbl).repartition(parts)
         got = pack_sequences(ds, "doc_id", "text", budget=B, output="pandas")
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_quality_filter(rd):
+    from raylink.textstats import quality_filter_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "clean document with six useful words",   # keep
+                    "a a a a a a a a",                        # dup_frac 7/8
+                    "@@ ## $$ %% ^^ &&",                      # alnum 0
+                    "too short",                              # 2 words
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+    out = quality_filter_batch(batch)
+    assert out["doc_id"].to_pylist() == [1]
+    assert set(out.column_names) == {
+        "doc_id", "text", "n_words", "alnum_ratio", "dup_word_frac"
+    }
