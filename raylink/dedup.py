@@ -1916,3 +1916,205 @@ def contamination_check(
         # outer join; the pandas output zero-fills on the driver
         return counts_res
     return zero_fill(counts_res.to_pandas())
+
+
+def incremental_minhash_dedup(
+    corpus_ds,
+    delta_ds,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 200,
+    verification: str = "auto",
+    driver_verify_max_pairs: int = 2_000_000,
+    band_driver_threshold: int = 20_000_000,
+    taskpool_verify_min_pairs: int = 50_000,
+    output: str = "pandas",
+):
+    """Continual-ingestion dedup: flag each DELTA doc that near-dups any
+    doc with a smaller id (existing corpus or earlier delta) — the corpus
+    itself is never re-deduped, and the pair volume is bounded by pairs
+    TOUCHING the delta, not the corpus quadratic. Requires the ingestion
+    id convention ``min(delta ids) > max(corpus ids)`` (asserted with two
+    cheap aggregates). Returns one row per delta doc: (id_col, is_dup,
+    match_id) with match_id the SMALLEST verified partner (-1 if clean).
+
+    Pipeline: band rows over corpus+delta (the persisted-band variant for
+    a fixed corpus is ``minhash_lsh_dedup_resumable``'s checkpointed band
+    producer) -> LSH candidates filtered to ``b >= min(delta ids)``
+    (pairs are emitted a < b, so this keeps exactly the delta-touching
+    pairs) -> the SAME exact-Jaccard verification dispatch as
+    minhash_lsh_dedup (driver / task-pool / pair-partitioned
+    distributed) -> per-delta min-partner reduction.
+
+    ``output="pandas"`` zero-fills over the delta ids on the driver (the
+    delta is the small new batch by construction); ``output="dataset"``
+    returns only the MATCHED (id, match_id) rows un-collected (absent =
+    clean), for fully-off-driver runs with distributed verification."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.aggs import _digest_merge
+
+    corpus_slim = corpus_ds.select_columns([id_col, text_col])
+    delta_slim = delta_ds.select_columns([id_col, text_col])
+    corpus_max = corpus_slim.max(id_col)
+    delta_min = delta_slim.min(id_col)
+    if corpus_max is not None and delta_min is not None and corpus_max >= delta_min:
+        raise ValueError(
+            f"ingestion id convention violated: max(corpus {id_col})="
+            f"{corpus_max} >= min(delta {id_col})={delta_min}"
+        )
+    dm = int(delta_min)
+    union_ds = corpus_slim.union(delta_slim)
+    band_ds = union_ds.map_batches(
+        lambda t: minhash_band_rows(t, id_col, text_col, k, num_perm, bands),
+        batch_format="pyarrow",
+    )
+    cand = candidate_pairs_from_bands(
+        band_ds, max_bucket, driver_threshold=band_driver_threshold
+    )
+    if isinstance(cand, pd.DataFrame):
+        cand = cand[cand["b"] >= dm].drop_duplicates(ignore_index=True)
+        n_pairs = len(cand)
+    else:
+        cand = cand.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["b"], dm)),
+            batch_format="pyarrow",
+        ).materialize()
+        n_pairs = cand.count()  # pre-dedup upper bound — routing only
+
+    def flags_frame(matched: pd.DataFrame) -> pd.DataFrame:
+        ids = delta_slim.select_columns([id_col]).to_pandas()
+        out = ids.merge(matched, on=id_col, how="left")
+        out["match_id"] = out["match_id"].fillna(-1).astype(np.int64)
+        out["is_dup"] = out["match_id"] >= 0
+        return (
+            out[[id_col, "is_dup", "match_id"]]
+            .sort_values(id_col)
+            .reset_index(drop=True)
+        )
+
+    if not n_pairs:
+        if output == "dataset":
+            return rd.from_pandas(
+                pd.DataFrame({id_col: [], "match_id": []}).astype(np.int64)
+            )
+        return flags_frame(pd.DataFrame({id_col: [], "match_id": []}))
+
+    distributed = verification == "distributed" or (
+        verification == "auto" and n_pairs > driver_verify_max_pairs
+    )
+    if not distributed and not isinstance(cand, pd.DataFrame):
+        cand = cand.to_pandas().drop_duplicates(ignore_index=True)
+
+    P = _default_parts()
+    need = None
+    if distributed:
+        need = _candidate_need_map(cand, P)
+        nd_docs = need[0]
+        cand_ids = nd_docs[np.r_[True, nd_docs[1:] != nd_docs[:-1]]]
+    else:
+        cand_ids = np.unique(
+            np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
+        )
+    cand_ids_ref = ray.put(cand_ids)
+
+    def shingles_of(batch: pa.Table) -> pa.Table:
+        cids = cached_object(cand_ids_ref)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+        mask = np.isin(ids, cids)
+        sel = batch.filter(pa.array(mask))
+        if sel.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shingle": pa.array([], pa.int64())})
+        d, h = _shingle_hashes(sel[text_col].combine_chunks(), k)
+        sids = np.asarray(sel[id_col].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(sids[d]), "shingle": pa.array(h)})
+
+    sh_ds_cand = union_ds.map_batches(shingles_of, batch_format="pyarrow")
+
+    if distributed:
+        edges_ds = _verify_pairs_distributed(
+            sh_ds_cand, cand, jaccard_threshold, n_parts=P, need=need
+        )
+
+        # per-delta min-partner: per-block (b, min a) digests, shared merge
+        def part_min(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch["a"].to_numpy(zero_copy_only=False), np.int64)
+            b = np.asarray(batch["b"].to_numpy(zero_copy_only=False), np.int64)
+            order = np.lexsort((a, b))
+            bs, as_ = b[order], a[order]
+            start = np.ones(len(bs), dtype=bool)
+            start[1:] = bs[1:] != bs[:-1]
+            return pa.table(
+                {
+                    "b": pa.array(bs[start]),
+                    "ma": pa.array(as_[start]),
+                    "part": pa.array((bs[start] % P).astype(np.int64)),
+                }
+            )
+
+        def merge_min(t: pa.Table) -> pa.Table:
+            b = np.asarray(t["b"].to_numpy(zero_copy_only=False), np.int64)
+            a = np.asarray(t["ma"].to_numpy(zero_copy_only=False), np.int64)
+            if not len(b):
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "match_id": pa.array([], pa.int64()),
+                    }
+                )
+            order = np.lexsort((a, b))
+            bs, as_ = b[order], a[order]
+            start = np.ones(len(bs), dtype=bool)
+            start[1:] = bs[1:] != bs[:-1]
+            return pa.table(
+                {
+                    id_col: pa.array(bs[start]),
+                    "match_id": pa.array(as_[start]),
+                }
+            )
+
+        matched_res = _digest_merge(
+            edges_ds.map_batches(part_min, batch_format="pyarrow"),
+            merge_min,
+            driver_verify_max_pairs,
+        )
+        if output == "dataset":
+            return matched_res
+        return flags_frame(matched_res.to_pandas())
+
+    if output == "dataset":
+        raise ValueError('output="dataset" requires verification="distributed"')
+
+    sh = pa.concat_tables(
+        ray.get(sh_ds_cand.to_arrow_refs()), promote_options="default"
+    )
+    sh_doc = np.asarray(sh["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+    sh_val = np.asarray(sh["shingle"].to_numpy(zero_copy_only=False), np.int64)
+    if len(cand) > taskpool_verify_min_pairs:
+        verified = _verify_pairs_taskpool(
+            sh_doc, sh_val, cand["a"].to_numpy().astype(np.int64),
+            cand["b"].to_numpy().astype(np.int64), jaccard_threshold,
+        )
+    else:
+        doc_arrays = _doc_arrays_from_sorted(sh_doc, sh_val)
+        verified = _verify_with_doc_arrays(
+            cand["a"].to_numpy(), cand["b"].to_numpy(), doc_arrays,
+            jaccard_threshold,
+        )
+    if verified:
+        va = np.array([x[0] for x in verified], dtype=np.int64)
+        vb = np.array([x[1] for x in verified], dtype=np.int64)
+        order = np.lexsort((va, vb))
+        vb, va = vb[order], va[order]
+        start = np.ones(len(vb), dtype=bool)
+        start[1:] = vb[1:] != vb[:-1]
+        matched = pd.DataFrame({id_col: vb[start], "match_id": va[start]})
+    else:
+        matched = pd.DataFrame({id_col: [], "match_id": []})
+    return flags_frame(matched)

@@ -1172,6 +1172,30 @@ def q_dedup_representatives(sf_dir: str):
     )
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Continual-ingestion dedup: flag delta docs (doc_id >= 400) that
+    near-dup any smaller-id doc; corpus (doc_id < 400) is never
+    re-deduped."""
+    from raylink.dedup import incremental_minhash_dedup
+
+    docs = _read(sf_dir, "documents")
+
+    def below(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() < 400))
+
+    def at_least(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() >= 400))
+
+    return incremental_minhash_dedup(
+        docs.map_batches(below, batch_format="pyarrow"),
+        _read(sf_dir, "documents").map_batches(
+            at_least, batch_format="pyarrow"
+        ),
+        "doc_id", "text",
+        k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
+    )
+
+
 def q_deduped_corpus(sf_dir: str):
     """The actual deduped corpus: survivors after near-dup removal
     (non-members + per-group representatives), streaming anti semi-join."""
@@ -1364,6 +1388,7 @@ QUERIES = {
     "dedup_representatives": q_dedup_representatives,
     "contamination_check": q_contamination_check,
     "deduped_corpus": q_deduped_corpus,
+    "incremental_dedup": q_incremental_dedup,
     "quality_filter": q_quality_filter,
     "simhash": q_simhash,
     "fit_transform": q_fit_transform,
@@ -2686,6 +2711,40 @@ def _multimodal_oracle_sql() -> str:
 
 
 ORACLE_SQL["multimodal_features"] = _multimodal_oracle_sql()
+
+# incremental dedup oracle: complete-graph exact Jaccard restricted to
+# delta-touching pairs (b >= 400), min partner per delta doc — valid for
+# the same reason as the minhash_dedup oracle (verification keeps only
+# true-Jaccard pairs; on this fixture the LSH candidate graph is complete
+# over qualifying pairs, checked by the hash-exact comparison itself)
+ORACLE_SQL["incremental_dedup"] = f"""
+    WITH docs AS (SELECT doc_id, {_CLEAN_T} AS t FROM documents),
+    pos AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(length(t) - 4, 0))) AS i
+        FROM docs
+    ),
+    sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS s FROM pos),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        WHERE b.doc_id >= 400
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    m AS (
+        SELECT inter.b AS doc_id, min(inter.a) AS match_id
+        FROM inter
+        JOIN sz sa ON sa.doc_id = inter.a
+        JOIN sz sb ON sb.doc_id = inter.b
+        WHERE inter.i / CAST(sa.n + sb.n - inter.i AS DOUBLE) >= 0.8
+        GROUP BY inter.b
+    )
+    SELECT d.doc_id, (m.match_id IS NOT NULL) AS is_dup,
+           coalesce(m.match_id, -1) AS match_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+    LEFT JOIN m ON d.doc_id = m.doc_id
+"""
 
 # the deduped corpus: docs minus non-representative group members (the
 # representative + membership subqueries are the two oracles above/below)

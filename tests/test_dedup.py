@@ -626,3 +626,38 @@ def test_apply_dedup_survivors(rd):
         assert row["text"] == texts[int(row.doc_id)]
     # the longest member of the BASE cluster (doc 3) is the survivor
     assert 3 in set(surv.doc_id) and 0 not in set(surv.doc_id)
+
+
+def test_incremental_minhash_dedup(rd):
+    from raylink.dedup import incremental_minhash_dedup
+
+    corpus_texts = [BASE, "completely unrelated corpus doc over here"]
+    delta_texts = [
+        BASE.replace("quick", "quikc"),  # near-dup of corpus 0
+        "brand new unique document nothing alike at all",
+        BASE,                            # exact dup of corpus 0
+    ]
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(corpus_texts, pa.string()),
+    }))
+    delta = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array(delta_texts, pa.string()),
+    }))
+    out = incremental_minhash_dedup(
+        corpus, delta, "doc_id", "text", jaccard_threshold=0.5
+    )
+    assert out["doc_id"].tolist() == [10, 11, 12]
+    assert out["is_dup"].tolist() == [True, False, True]
+    # min-partner: both dups match corpus doc 0 (not each other)
+    assert out["match_id"].tolist() == [0, -1, 0]
+    # distributed verification path is value-identical
+    dist = incremental_minhash_dedup(
+        corpus, delta, "doc_id", "text", jaccard_threshold=0.5,
+        verification="distributed",
+    )
+    pd.testing.assert_frame_equal(out, dist)
+    # ingestion id convention is enforced
+    with pytest.raises(ValueError):
+        incremental_minhash_dedup(delta, corpus, "doc_id", "text")

@@ -143,6 +143,7 @@ def test_every_query_runs(entry_mod):
         "pack_sequences",
         "deduped_corpus",
         "quality_filter",
+        "incremental_dedup",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):
