@@ -661,3 +661,35 @@ def test_incremental_minhash_dedup(rd):
     # ingestion id convention is enforced
     with pytest.raises(ValueError):
         incremental_minhash_dedup(delta, corpus, "doc_id", "text")
+
+
+def test_incremental_dedup_dataset_candidates(rd):
+    """Forced full-distributed route: candidates stay a Dataset
+    (band_driver_threshold=0), verification distributed, output='dataset'
+    returns only matched rows — all value-identical to the driver path."""
+    from raylink.dedup import incremental_minhash_dedup
+
+    corpus_texts = [BASE, "completely unrelated corpus doc over here"]
+    delta_texts = [BASE.replace("quick", "quikc"), "nothing alike here", BASE]
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(corpus_texts, pa.string()),
+    }))
+    delta = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array(delta_texts, pa.string()),
+    }))
+    kw = dict(jaccard_threshold=0.5)
+    default = incremental_minhash_dedup(corpus, delta, "doc_id", "text", **kw)
+    forced = incremental_minhash_dedup(
+        corpus, delta, "doc_id", "text",
+        band_driver_threshold=0, verification="distributed", **kw,
+    )
+    pd.testing.assert_frame_equal(default, forced)
+    matched = incremental_minhash_dedup(
+        corpus, delta, "doc_id", "text",
+        band_driver_threshold=0, verification="distributed",
+        output="dataset", **kw,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = default[default.is_dup][["doc_id", "match_id"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(matched, want, check_dtype=False)
