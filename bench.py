@@ -119,6 +119,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             "lang_id",
             "pr_curve",
             "canonicalize_events",
+            "transcript_tool_stats",
         ]
         # every query is best-of-2 like the flagship (same transient-noise
         # rationale; contention only adds wall time) with all raw walls
