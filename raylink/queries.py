@@ -454,6 +454,34 @@ def q_transcript_tool_stats(sf_dir: str):
     )
 
 
+def q_sft_pairs(sf_dir: str):
+    """SFT training-pair extraction from transcripts: every assistant
+    turn with its immediately-preceding user turn -> (prompt, response).
+    One keyed co-shuffle (windows.lag_payload, string conv_id keys)."""
+    info = ensure_transcript_fixture(sf_dir)
+    from raylink.windows import lag_payload
+
+    ds = _rd().read_parquet(info["transcripts"])
+    lp = lag_payload(ds, "conv_id", "turn_idx", ("role", "text"))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch["role"], "assistant"),
+            pc.equal(batch["prev_role"], "user"),
+        )
+        f = batch.filter(keep)
+        return pa.table(
+            {
+                "conv_id": f["conv_id"],
+                "turn_idx": f["turn_idx"],
+                "prompt": f["prev_text"],
+                "response": f["text"],
+            }
+        )
+
+    return lp.map_batches(pairs, batch_format="pyarrow")
+
+
 def q_transcript_turn_stats(sf_dir: str):
     """Ordering-integrity aggregate (per-turn invariant support)."""
     info = ensure_transcript_fixture(sf_dir)
@@ -1350,6 +1378,7 @@ QUERIES = {
     "transcript_conv_text": q_transcript_conv_text,
     "transcript_turn_stats": q_transcript_turn_stats,
     "transcript_tool_stats": q_transcript_tool_stats,
+    "sft_pairs": q_sft_pairs,
     # rows-only
     "match_tfidf_documents": q_match_tfidf_documents,
     "group_documents": q_group_documents,
@@ -1932,6 +1961,18 @@ ORACLE_SQL = {
         FROM read_parquet('{_oracle_fixture_glob()}')
         WHERE role = 'tool'
         GROUP BY conv_id
+    """,
+    "sft_pairs": f"""
+        WITH lp AS (
+            SELECT conv_id, turn_idx, role, text,
+                   lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS prev_role,
+                   lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS prev_text
+            FROM read_parquet('{_oracle_fixture_glob()}')
+        )
+        SELECT conv_id, turn_idx, prev_text AS prompt, text AS response
+        FROM lp WHERE role = 'assistant' AND prev_role = 'user'
     """,
     "transcript_turn_stats": f"""
         SELECT conv_id, count(*) AS n_turns,

@@ -27,7 +27,7 @@ import pyarrow as pa
 
 import ray
 
-from .joins import _ts_int64
+from .joins import _key_codes, _key_parts, _ts_int64
 
 
 def _sorted_session_arrays(g: pa.Table, key_col, ts_col, id_col, gap_us):
@@ -392,4 +392,78 @@ def lag_deltas(
     res = parts.groupby("part").map_groups(lag, batch_format="pyarrow")
     if output == "pandas":
         return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+    return res
+
+
+def lag_payload(
+    ds,
+    key_col: str,
+    order_col: str,
+    payload_cols: tuple[str, ...],
+    n_parts: int | None = None,
+    output: str = "dataset",
+):
+    """Per-key previous-row PAYLOAD — SQL ``LAG(col) OVER (PARTITION BY
+    key ORDER BY order_col)`` for arbitrary (incl. string) payload
+    columns, with string OR int64 keys. Output one row per input row
+    that HAS a same-key predecessor: (key_col, order_col, *payload_cols,
+    *prev_<payload_cols>).
+
+    Shape: one keyed co-shuffle (string keys partition via the joins
+    flat-buffer hash — collisions cost balance, never correctness), then
+    per partition one lexsort over exact equality codes + an adjacent
+    same-key mask; payloads move via two Arrow takes, never through
+    Python objects."""
+    cols = [key_col, order_col, *payload_cols]
+    sel = ds.select_columns(cols)
+    P = n_parts if n_parts is not None else max(
+        8, int(ray.cluster_resources().get("CPU", 8)) * 2
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(_key_parts(batch[key_col], P))
+        )
+
+    def lag(g: pa.Table) -> pa.Table:
+        codes = _key_codes(g[key_col])
+        o = np.asarray(
+            g[order_col].to_numpy(zero_copy_only=False), np.int64
+        )
+        n = len(codes)
+        out_schema = {
+            key_col: g[key_col].type,
+            order_col: g[order_col].type,
+            **{c: g[c].type for c in payload_cols},
+            **{f"prev_{c}": g[c].type for c in payload_cols},
+        }
+        if n < 2:
+            return pa.table(
+                {k: pa.array([], t) for k, t in out_schema.items()}
+            )
+        order = np.lexsort((o, codes))
+        same = codes[order][1:] == codes[order][:-1]
+        cur = pa.array(order[1:][same])
+        prev = pa.array(order[:-1][same])
+        out = {
+            key_col: g[key_col].combine_chunks().take(cur),
+            order_col: g[order_col].combine_chunks().take(cur),
+        }
+        for c in payload_cols:
+            col = g[c].combine_chunks()
+            out[c] = col.take(cur)
+            out[f"prev_{c}"] = col.take(prev)
+        return pa.table(out)
+
+    res = (
+        sel.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lag, batch_format="pyarrow")
+    )
+    if output == "pandas":
+        return (
+            res.to_pandas()
+            .sort_values([key_col, order_col])
+            .reset_index(drop=True)
+        )
     return res

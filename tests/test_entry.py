@@ -164,6 +164,7 @@ def test_transcript_sql_queries(entry_mod):
         "transcript_conv_text",
         "transcript_turn_stats",
         "transcript_tool_stats",
+        "sft_pairs",
         "transcript_flagship",
         "transcript_pr_curve",
     ]:

@@ -234,3 +234,37 @@ def test_lag_deltas_matches_brute_force(rd):
         .astype(np.int64)
     )
     pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_lag_payload_string_keys(rd):
+    """lag_payload: SQL LAG semantics over string keys + string payload,
+    partition-invariant."""
+    import pyarrow as pa
+
+    from raylink.windows import lag_payload
+
+    t = pa.table(
+        {
+            "conv": pa.array(["a", "a", "a", "b", "b", "c"]),
+            "turn": pa.array([0, 1, 2, 0, 1, 0], pa.int64()),
+            "role": pa.array(
+                ["user", "assistant", "user", "user", "assistant", "user"]
+            ),
+            "text": pa.array(["q1", "r1", "q2", "q3", "r3", "q4"]),
+        }
+    )
+    want = pd.DataFrame(
+        {
+            "conv": ["a", "a", "b"],
+            "turn": [1, 2, 1],
+            "role": ["assistant", "user", "assistant"],
+            "prev_role": ["user", "assistant", "user"],
+            "text": ["r1", "q2", "r3"],
+            "prev_text": ["q1", "r1", "q3"],
+        }
+    )
+    for parts in (1, 4):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = lag_payload(ds, "conv", "turn", ("role", "text"),
+                          output="pandas")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
