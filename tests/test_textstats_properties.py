@@ -14,7 +14,9 @@ from raylink.textstats import (
     repetition_stats_batch,
 )
 
-_txt = st.text(alphabet="ab c.d@e1-\n", max_size=40)
+# includes a non-ASCII codepoint: the chunk/length kernels must slice by
+# CODEPOINTS (pyarrow utf8_slice_codeunits == DuckDB substring == Python)
+_txt = st.text(alphabet="ab c.d@e1-é\n", max_size=40)
 _SET = settings(max_examples=40, deadline=None)
 
 
