@@ -466,3 +466,92 @@ def label_centroids(
             .reset_index(drop=True)
         )
     return res
+
+
+def group_count(
+    ds,
+    key_cols: tuple[str, ...],
+    count_name: str = "n_rows",
+    n_parts: int | None = None,
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+):
+    """Exact row count per (possibly multi-column, possibly STRING) key —
+    the dataset-card primitive (corpus composition by source/lang/...).
+    Per-block partials factorize a composite key (columns joined on the
+    \\x1f unit separator — values must not contain it; loudly asserted)
+    and emit one (keys..., count) digest row per distinct key per block;
+    the merge re-factorizes and sums. Dispatch = the shared bounded
+    driver-merge / keyed-groupby switch; string partitions via the joins
+    flat-buffer hash."""
+    import pyarrow.compute as pc
+
+    from raylink.joins import _string_part_hash
+
+    P = _default_parts(n_parts)
+    kc = tuple(key_cols)
+
+    def composite(batch: pa.Table) -> pa.Array:
+        cols = [
+            pc.cast(batch[c].combine_chunks(), pa.string()) for c in kc
+        ]
+        if any(
+            pc.any(pc.match_substring(c, "\x1f")).as_py() for c in cols
+        ):
+            raise ValueError(
+                "group_count key values must not contain the \\x1f separator"
+            )
+        if len(cols) == 1:
+            return cols[0]
+        return pc.binary_join_element_wise(*cols, "\x1f")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        comp = composite(batch)
+        import pandas as pd
+
+        codes, _ = pd.factorize(comp.to_numpy(zero_copy_only=False))
+        cnt = np.bincount(codes)
+        first = np.unique(codes, return_index=True)[1]
+        take = pa.array(first.astype(np.int64))
+        out = {c: batch[c].combine_chunks().take(take) for c in kc}
+        out["_cnt"] = pa.array(cnt[codes[first]].astype(np.int64))
+        out["part"] = pa.array(
+            (_string_part_hash(comp.take(take)) % np.uint64(P)).astype(
+                np.int64
+            )
+        )
+        return pa.table(out)
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if not t.num_rows:
+            return pa.table(
+                {
+                    **{c: pa.array([], t.schema.field(c).type) for c in kc},
+                    count_name: pa.array([], pa.int64()),
+                }
+            )
+        comp = composite(t)
+        codes, _ = pd.factorize(comp.to_numpy(zero_copy_only=False))
+        sums = np.zeros(codes.max() + 1, dtype=np.int64)
+        np.add.at(sums, codes, _np_i64(t["_cnt"]))
+        first = np.unique(codes, return_index=True)[1]
+        take = pa.array(first.astype(np.int64))
+        return pa.table(
+            {
+                **{c: t[c].combine_chunks().take(take) for c in kc},
+                count_name: pa.array(sums[codes[first]]),
+            }
+        )
+
+    res = _digest_merge(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
+    )
+    if output == "pandas":
+        return (
+            res.to_pandas().sort_values(list(kc)).reset_index(drop=True)
+        )
+    return res

@@ -1235,6 +1235,45 @@ def q_deduped_corpus(sf_dir: str):
     )
 
 
+def q_corpus_report(sf_dir: str):
+    """Dataset-card composition report: per (source, lang) doc counts
+    through the pipeline stages — raw, after near-dup removal
+    (apply_dedup survivors), after C4-style quality filtering of those
+    survivors. Counts via the string-key group_count digest merge."""
+    from raylink.aggs import group_count
+    from raylink.dedup import apply_dedup
+    from raylink.joins import equi_join
+    from raylink.textstats import quality_filter_batch
+
+    docs = _read(sf_dir, "documents")
+    slim = docs.select_columns(["doc_id", "source", "lang"])
+    surv = apply_dedup(
+        docs, "doc_id", "text",
+        k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
+    )
+    q_surv = surv.map_batches(quality_filter_batch, batch_format="pyarrow")
+
+    def labeled(ids_ds):
+        return equi_join(
+            ids_ds.select_columns(["doc_id"]), slim,
+            left_key_col="doc_id", right_key_col="doc_id",
+            right_cols=("source", "lang"),
+        )
+
+    total = group_count(slim, ("source", "lang"), "n_total",
+                        output="pandas")
+    after_d = group_count(labeled(surv), ("source", "lang"),
+                          "n_after_dedup", output="pandas")
+    after_q = group_count(labeled(q_surv), ("source", "lang"),
+                          "n_after_quality", output="pandas")
+    out = total.merge(after_d, on=["source", "lang"], how="left").merge(
+        after_q, on=["source", "lang"], how="left"
+    )
+    for c in ("n_after_dedup", "n_after_quality"):
+        out[c] = out[c].fillna(0).astype(np.int64)
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
 def q_contamination_check(sf_dir: str):
     """Training-data decontamination: flag corpus docs sharing any word
     3-gram with the eval subset (doc_id % 20 == 0); broadcast gram set."""
@@ -1418,6 +1457,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "deduped_corpus": q_deduped_corpus,
     "incremental_dedup": q_incremental_dedup,
+    "corpus_report": q_corpus_report,
     "quality_filter": q_quality_filter,
     "simhash": q_simhash,
     "fit_transform": q_fit_transform,
@@ -2787,6 +2827,42 @@ ORACLE_SQL["incremental_dedup"] = f"""
     LEFT JOIN m ON d.doc_id = m.doc_id
 """
 
+# dataset-card report: the deduped_corpus + quality_filter predicates
+# replayed as conditional aggregation per (source, lang)
+ORACLE_SQL["corpus_report"] = f"""
+    WITH surv AS (
+        SELECT doc_id FROM ({{DEDUPED}}) s
+    ),
+    wq AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents WHERE trim(text) <> ''
+    ),
+    rq AS (
+        SELECT doc_id, count(*)::BIGINT AS n_words,
+               count(DISTINCT word)::BIGINT AS ndw
+        FROM wq GROUP BY doc_id
+    ),
+    qpass AS (
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN rq ON d.doc_id = rq.doc_id
+        WHERE coalesce(rq.n_words, 0) >= 5
+          AND length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g'))
+                  / greatest(length(d.text), 1)::DOUBLE >= 0.5
+          AND (coalesce(rq.n_words, 0) - coalesce(rq.ndw, 0))
+                  / greatest(coalesce(rq.n_words, 0), 1)::DOUBLE <= 0.6
+    )
+    SELECT d.source, d.lang, count(*)::BIGINT AS n_total,
+           sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_after_dedup,
+           sum(CASE WHEN s.doc_id IS NOT NULL AND q.doc_id IS NOT NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_after_quality
+    FROM documents d
+    LEFT JOIN surv s ON d.doc_id = s.doc_id
+    LEFT JOIN qpass q ON d.doc_id = q.doc_id
+    GROUP BY d.source, d.lang
+"""
+
 # the deduped corpus: docs minus non-representative group members (the
 # representative + membership subqueries are the two oracles above/below)
 ORACLE_SQL["deduped_corpus"] = f"""
@@ -2808,6 +2884,10 @@ ORACLE_SQL["deduped_corpus"] = f"""
         WHERE g.doc_id <> r.rep_id
     )
 """
+
+ORACLE_SQL["corpus_report"] = ORACLE_SQL["corpus_report"].replace(
+    "{DEDUPED}", ORACLE_SQL["deduped_corpus"]
+)
 
 # representative selection wraps the (already hash-exact) minhash components
 # oracle as a subquery: longest doc (tie -> smallest id) + group size

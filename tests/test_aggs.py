@@ -291,3 +291,32 @@ def test_vocabulary_matches_pandas(rd):
     got = vocabulary(ds, min_count=4, output="pandas",
                      driver_merge_max_rows=0)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_group_count_string_keys(rd):
+    from raylink.aggs import group_count
+
+    t = pa.table(
+        {
+            "s": pa.array(["a", "a", "b", "b", "b", "c"]),
+            "l": pa.array(["x", "x", "x", "y", "y", "x"]),
+        }
+    )
+    want = pd.DataFrame(
+        {"s": ["a", "b", "b", "c"], "l": ["x", "x", "y", "x"],
+         "n_rows": [2, 1, 2, 1]}
+    )
+    for parts in (1, 3):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = group_count(ds, ("s", "l"), output="pandas")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # forced distributed merge identical
+    ds = rd.from_arrow(t).repartition(3)
+    got = group_count(ds, ("s", "l"), output="pandas",
+                      driver_merge_max_rows=0)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # separator collision is rejected loudly
+    bad = rd.from_arrow(pa.table({"s": pa.array(["a\x1fb"]),
+                                  "l": pa.array(["x"])}))
+    with pytest.raises(Exception):
+        group_count(bad, ("s", "l"), output="pandas")

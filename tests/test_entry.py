@@ -144,6 +144,7 @@ def test_every_query_runs(entry_mod):
         "deduped_corpus",
         "quality_filter",
         "incremental_dedup",
+        "corpus_report",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):
