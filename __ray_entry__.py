@@ -63,6 +63,8 @@ def _ensure_workers_can_import() -> None:
         "raylink.dedup", "raylink.ann", "raylink.textstats",
         "raylink.multimodal", "raylink.queries", "raylink.sources",
         "raylink.groupseq", "raylink.broadcast", "raylink.joins",
+        "raylink.windows", "raylink.sampling", "raylink.aggs",
+        "raylink.profile", "raylink.packing",
     ]:
         importlib.import_module(name)
     from ray import cloudpickle

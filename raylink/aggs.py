@@ -495,6 +495,13 @@ def group_count(
         cols = [
             pc.cast(batch[c].combine_chunks(), pa.string()) for c in kc
         ]
+        for name, c in zip(kc, cols):
+            # loud null rejection (make_assignment_lookup landmark): a
+            # null key would factorize to -1 and crash bincount opaquely
+            if c.null_count:
+                raise ValueError(
+                    f"group_count key column {name!r} contains nulls"
+                )
         if any(
             pc.any(pc.match_substring(c, "\x1f")).as_py() for c in cols
         ):

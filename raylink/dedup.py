@@ -1963,7 +1963,13 @@ def incremental_minhash_dedup(
     delta_slim = delta_ds.select_columns([id_col, text_col])
     corpus_max = corpus_slim.max(id_col)
     delta_min = delta_slim.min(id_col)
-    if corpus_max is not None and delta_min is not None and corpus_max >= delta_min:
+    if delta_min is None:  # empty delta batch: nothing to flag
+        empty = pd.DataFrame({id_col: [], "match_id": []}).astype(np.int64)
+        if output == "dataset":
+            return rd.from_pandas(empty)
+        empty["is_dup"] = empty["match_id"] >= 0
+        return empty[[id_col, "is_dup", "match_id"]]
+    if corpus_max is not None and corpus_max >= delta_min:
         raise ValueError(
             f"ingestion id convention violated: max(corpus {id_col})="
             f"{corpus_max} >= min(delta {id_col})={delta_min}"

@@ -31,7 +31,12 @@ def _block_token_counts(tbl: pa.Table, text_col: str):
     """Whitespace token count per row (same rule as textstats.token_count).
     Two returns so the driver fetches ONLY the scalar block total (the
     per-row array stays object-store resident for the emit wave)."""
-    texts = tbl[text_col]
+    # empty post-sort blocks may drop the schema entirely
+    if tbl.num_rows == 0 or text_col not in tbl.column_names:
+        return np.empty(0, dtype=np.int64), 0
+    # nulls count as empty docs (0 tokens) — NaN through astype(int64)
+    # would silently corrupt every downstream offset
+    texts = pc.fill_null(tbl[text_col], "")
     n = pc.count_substring_regex(
         pc.utf8_trim_whitespace(texts), r"\S+"
     ).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -42,6 +47,16 @@ def _block_token_counts(tbl: pa.Table, text_col: str):
 def _pack_block(
     tbl: pa.Table, counts: np.ndarray, base: int, budget: int, id_col: str
 ) -> pa.Table:
+    if not len(counts):  # empty blocks occur after sort/repartition
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "first_seq": pa.array([], pa.int64()),
+                "last_seq": pa.array([], pa.int64()),
+                "offset_in_first": pa.array([], pa.int64()),
+            }
+        )
     before = base + np.concatenate(([0], np.cumsum(counts)[:-1]))
     first_seq = before // budget
     # empty docs occupy no tokens: degenerate span at their position

@@ -1250,7 +1250,7 @@ def q_corpus_report(sf_dir: str):
     surv = apply_dedup(
         docs, "doc_id", "text",
         k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
-    )
+    ).materialize()  # consumed twice below — don't re-run the dedup lineage
     q_surv = surv.map_batches(quality_filter_batch, batch_format="pyarrow")
 
     def labeled(ids_ds):

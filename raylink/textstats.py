@@ -332,6 +332,9 @@ def chunk_documents_batch(
     texts = batch[text_col].combine_chunks() if isinstance(
         batch[text_col], pa.ChunkedArray
     ) else batch[text_col]
+    # nulls chunk as empty docs — a null length would wrap through
+    # astype(int64) into a ~1e17 chunk count
+    texts = pc.fill_null(texts, "")
     L = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
     n_chunks = 1 + np.maximum(L - size + stride - 1, 0) // stride
     max_chunks = int(n_chunks.max()) if len(n_chunks) else 0

@@ -431,12 +431,12 @@ def lag_payload(
             g[order_col].to_numpy(zero_copy_only=False), np.int64
         )
         n = len(codes)
-        out_schema = {
-            key_col: g[key_col].type,
-            order_col: g[order_col].type,
-            **{c: g[c].type for c in payload_cols},
-            **{f"prev_{c}": g[c].type for c in payload_cols},
-        }
+        # same column ORDER as the main branch (interleaved c, prev_c) —
+        # mismatched per-block layouts break positional Arrow consumers
+        out_schema = {key_col: g[key_col].type, order_col: g[order_col].type}
+        for c in payload_cols:
+            out_schema[c] = g[c].type
+            out_schema[f"prev_{c}"] = g[c].type
         if n < 2:
             return pa.table(
                 {k: pa.array([], t) for k, t in out_schema.items()}

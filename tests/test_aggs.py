@@ -320,3 +320,12 @@ def test_group_count_string_keys(rd):
                                   "l": pa.array(["x"])}))
     with pytest.raises(Exception):
         group_count(bad, ("s", "l"), output="pandas")
+
+
+def test_group_count_null_key_rejected(rd):
+    from raylink.aggs import group_count
+
+    t = pa.table({"s": pa.array(["a", None]), "l": pa.array(["x", "y"])})
+    ds = rd.from_arrow(t)
+    with pytest.raises(Exception, match="null"):
+        group_count(ds, ("s", "l"), output="pandas")

@@ -693,3 +693,13 @@ def test_incremental_dedup_dataset_candidates(rd):
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     want = default[default.is_dup][["doc_id", "match_id"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(matched, want, check_dtype=False)
+
+
+def test_incremental_dedup_empty_delta(rd):
+    from raylink.dedup import incremental_minhash_dedup
+
+    corpus = _docs(rd, [BASE, "other text"])
+    empty = _docs(rd, [])
+    out = incremental_minhash_dedup(corpus, empty, "doc_id", "text")
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "is_dup", "match_id"]

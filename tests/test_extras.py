@@ -428,3 +428,35 @@ def test_quality_filter(rd):
     assert set(out.column_names) == {
         "doc_id", "text", "n_words", "alnum_ratio", "dup_word_frac"
     }
+
+
+def test_pack_sequences_edge_cases(rd):
+    """Empty blocks (post-sort) and null texts must not corrupt offsets."""
+    from raylink.packing import pack_sequences
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["a b", None, "c d e"], type=pa.string()),
+        }
+    )
+    # many partitions on 3 rows forces empty blocks through the sort
+    ds = rd.from_arrow(tbl).repartition(8)
+    got = pack_sequences(ds, "doc_id", "text", budget=4, output="pandas")
+    assert got["n_tokens"].tolist() == [2, 0, 3]       # null -> 0 tokens
+    assert got["first_seq"].tolist() == [0, 0, 0]
+    assert got["last_seq"].tolist() == [0, 0, 1]
+    assert got["offset_in_first"].tolist() == [0, 2, 2]
+
+
+def test_chunk_documents_null_text(rd):
+    from raylink.textstats import chunk_documents_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["abcd", None], type=pa.string()),
+        }
+    )
+    out = chunk_documents_batch(batch, size=3, stride=2).to_pandas()
+    assert out[out.doc_id == 2]["chunk_text"].tolist() == [""]
