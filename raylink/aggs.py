@@ -518,10 +518,12 @@ def group_count(
 
         codes, _ = pd.factorize(comp.to_numpy(zero_copy_only=False))
         cnt = np.bincount(codes)
+        # factorize codes are 0..k-1 in first-appearance order, so cnt is
+        # already aligned with the first-occurrence rows
         first = np.unique(codes, return_index=True)[1]
         take = pa.array(first.astype(np.int64))
         out = {c: batch[c].combine_chunks().take(take) for c in kc}
-        out["_cnt"] = pa.array(cnt[codes[first]].astype(np.int64))
+        out["_cnt"] = pa.array(cnt.astype(np.int64))
         out["part"] = pa.array(
             (_string_part_hash(comp.take(take)) % np.uint64(P)).astype(
                 np.int64
@@ -548,7 +550,7 @@ def group_count(
         return pa.table(
             {
                 **{c: t[c].combine_chunks().take(take) for c in kc},
-                count_name: pa.array(sums[codes[first]]),
+                count_name: pa.array(sums),
             }
         )
 

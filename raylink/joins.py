@@ -221,6 +221,22 @@ def _string_part_hash(a: pa.Array) -> np.ndarray:
     )
 
 
+def _drop_null_keys(ds, key_col: str):
+    """Null keys never satisfy SQL equality, but the distributed string
+    kernels would code every null to one shared sentinel and JOIN them to
+    each other — so null-key rows are dropped from both sides up front,
+    in every mode (documented join semantics; matches the broadcast
+    paths, where invalid ``index_in``/``is_in`` results filter out)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if col.null_count == 0:
+            return batch
+        return batch.filter(pc.is_valid(col.combine_chunks()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _key_parts(col, P: int) -> np.ndarray:
     """Partition id per row for an int64 OR string key column."""
     a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -284,6 +300,10 @@ def equi_join(
     """
     if set(left_cols) & set(right_cols):
         raise ValueError("left_cols and right_cols must be disjoint")
+    rschema = right_ds.schema()  # before the null-filter wrap: a zero-block
+    # mapped dataset cannot infer its schema for the empty-right fallback
+    left_ds = _drop_null_keys(left_ds, left_key_col)
+    right_ds = _drop_null_keys(right_ds, right_key_col)
     if mode == "auto":
         mode = (
             "broadcast"
@@ -293,9 +313,21 @@ def equi_join(
 
     if mode == "broadcast":
         slim = right_ds.select_columns([right_key_col, *right_cols])
-        tbl = pa.concat_tables(
-            ray.get(slim.to_arrow_refs()), promote_options="default"
-        )
+        tabs = [
+            t
+            for t in ray.get(slim.to_arrow_refs())
+            if right_key_col in t.column_names
+        ]  # empty placeholder blocks can carry a zero-column schema
+        if tabs:
+            tbl = pa.concat_tables(tabs, promote_options="default")
+        else:
+            types = dict(zip(rschema.names, rschema.types))
+            tbl = pa.table(
+                {
+                    n: pa.array([], types[n])
+                    for n in (right_key_col, *right_cols)
+                }
+            )
         from .broadcast import cached_object
 
         str_key = _is_string_key(tbl.schema.field(right_key_col).type)
@@ -461,8 +493,14 @@ def semi_join(
     key-set distinct + membership both run inside one hash-partition
     co-shuffle (no driver state). "auto" picks by ``right_ds.count()``
     (a row-count proxy for the distinct-key bound, like the engine's
-    other broadcast switches)."""
+    other broadcast switches).
+
+    Null-key rows are dropped from BOTH sides in every mode (incl. anti —
+    a null key is never emitted), keeping the distributed kernels
+    consistent with the broadcast membership tests."""
     is_anti = bool(anti)
+    left_ds = _drop_null_keys(left_ds, left_key_col)
+    right_ds = _drop_null_keys(right_ds, right_key_col)
     if mode == "auto":
         mode = (
             "broadcast"

@@ -206,14 +206,16 @@ def hopping_windows(
         if value_col is not None:
             import pyarrow.compute as pc
 
+            vcol = batch[value_col].combine_chunks()
+            if vcol.null_count:
+                # loud rejection: NaN would unsafe-cast to INT64_MIN and
+                # silently corrupt the window sums
+                raise ValueError(
+                    f"hopping_windows value column {value_col!r} contains nulls"
+                )
             vq = np.repeat(
                 np.asarray(
-                    pc.round(
-                        pc.multiply(
-                            batch[value_col].combine_chunks(),
-                            float(value_scale),
-                        )
-                    )
+                    pc.round(pc.multiply(vcol, float(value_scale)))
                     .cast(pa.int64())
                     .to_numpy(zero_copy_only=False),
                     np.int64,
@@ -298,6 +300,10 @@ def rolling_window(
         k = np.asarray(g[key_col].to_numpy(zero_copy_only=False), np.int64)
         t = _ts_int64(g[ts_col].combine_chunks())
         i = np.asarray(g[id_col].to_numpy(zero_copy_only=False), np.int64)
+        if g[value_col].null_count:
+            raise ValueError(
+                f"rolling_window value column {value_col!r} contains nulls"
+            )
         v = np.asarray(
             g[value_col].to_numpy(zero_copy_only=False), np.float64
         )
@@ -322,8 +328,6 @@ def rolling_window(
         # window start position: max(run_first, i - w + 1)
         lo = np.maximum(run_first, idx - w + 1)
         base = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
-        # subtract the PREVIOUS key's tail when lo lands at a run start
-        base = np.where(lo == 0, 0, base)
         roll_sum = cum - base
         n_in = idx - lo + 1
         return pa.table(
@@ -442,7 +446,14 @@ def lag_payload(
                 {k: pa.array([], t) for k, t in out_schema.items()}
             )
         order = np.lexsort((o, codes))
-        same = codes[order][1:] == codes[order][:-1]
+        sc, so = codes[order], o[order]
+        same = sc[1:] == sc[:-1]
+        # loud rejection: duplicate (key, order) pairs would make prev_*
+        # depend on Ray's nondeterministic within-partition row order
+        if bool(np.any(same & (so[1:] == so[:-1]))):
+            raise ValueError(
+                f"lag_payload requires unique {order_col!r} values per key"
+            )
         cur = pa.array(order[1:][same])
         prev = pa.array(order[:-1][same])
         out = {

@@ -276,3 +276,44 @@ def test_string_part_hash_deterministic_and_spread(rd):
     short = pa.array(["", "a", "ab", "abcdefgh", "abcdefghi"])
     hs = _string_part_hash(short)
     assert len(hs) == 5 and len(np.unique(hs)) == 5
+
+
+def test_join_null_keys_dropped_everywhere(rd):
+    """Null keys never match (SQL equality): dropped from both sides in
+    broadcast AND distributed modes of equi_join and semi_join."""
+    import pyarrow as pa
+
+    from raylink.joins import equi_join, semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", None, "b"]),
+        "x": pa.array([1, 2, 3], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["a", None]),
+        "y": pa.array([10, 20], pa.int64()),
+    }))
+    for mode in ("broadcast", "distributed"):
+        ej = equi_join(left, right, "k", "k", ("x",), ("y",),
+                       mode=mode, output="dataset").to_pandas()
+        assert sorted(ej["k"]) == ["a"], mode
+        sj = semi_join(left, right, "k", "k", ("x",),
+                       mode=mode, output="dataset").to_pandas()
+        assert sorted(sj["k"]) == ["a"], mode
+        aj = semi_join(left, right, "k", "k", ("x",), anti=True,
+                       mode=mode, output="dataset").to_pandas()
+        assert sorted(aj["k"]) == ["b"], mode
+
+
+def test_equi_join_empty_right(rd):
+    import pyarrow as pa
+
+    from raylink.joins import equi_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array(["a"]),
+                                   "x": pa.array([1], pa.int64())}))
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string()),
+                                    "y": pa.array([], pa.int64())}))
+    out = equi_join(left, empty, "k", "k", ("x",), ("y",),
+                    mode="broadcast", output="dataset").to_pandas()
+    assert len(out) == 0

@@ -268,3 +268,36 @@ def test_lag_payload_string_keys(rd):
         got = lag_payload(ds, "conv", "turn", ("role", "text"),
                           output="pandas")
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lag_payload_duplicate_order_rejected(rd):
+    import pyarrow as pa
+    import pytest
+
+    from raylink.windows import lag_payload
+
+    t = pa.table({
+        "conv": pa.array(["a", "a"]),
+        "turn": pa.array([1, 1], pa.int64()),
+        "text": pa.array(["x", "y"]),
+    })
+    with pytest.raises(Exception, match="unique"):
+        lag_payload(rd.from_arrow(t), "conv", "turn", ("text",),
+                    output="pandas")
+
+
+def test_rolling_window_null_value_rejected(rd):
+    import pyarrow as pa
+    import pytest
+
+    from raylink.windows import rolling_window
+
+    t = pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([1, 2], pa.int64()),
+        "i": pa.array([1, 2], pa.int64()),
+        "v": pa.array([1.0, None], pa.float64()),
+    })
+    with pytest.raises(Exception, match="null"):
+        rolling_window(rd.from_arrow(t), "k", "ts", "i", "v", window=2,
+                       output="pandas")
