@@ -131,9 +131,14 @@ def brute_force_topk(
             ids, mat = ids[~drop], mat[~drop]
         if not len(ids):
             return empty
+        # id-ascending column layout: stable argsort over it resolves
+        # cosine ties to the smaller vec_id (argpartition alone may drop a
+        # smaller-id tie candidate when > kk candidates tie at the kth)
+        o = np.argsort(ids, kind="stable")
+        ids, mat = ids[o], mat[o]
         sim = q @ mat.T  # (n_q, n_batch)
         kk = min(k, sim.shape[1])
-        part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        part = _topk_cols_tie_exact(sim, kk)
         return pa.table(
             {
                 "query_id": pa.array(np.repeat(np.arange(nq, dtype=np.int64), kk)),
@@ -153,12 +158,31 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 
 
+def _topk_cols_tie_exact(sim: np.ndarray, kk: int) -> np.ndarray:
+    """Per-row top-``kk`` column indices of ``sim`` whose SET honors the
+    (cosine desc, smaller-id asc) rule, given columns are already laid out
+    id-ascending. argpartition picks the unique set when exactly kk
+    candidates have sim >= kth; rows with MORE ties at the kth value are
+    re-resolved with a stable full argsort (ties keep id order) — exact,
+    and the O(n log n) path runs only on the ambiguous rows."""
+    part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+    kth = np.take_along_axis(sim, part, axis=1).min(axis=1)
+    amb = np.flatnonzero((sim >= kth[:, None]).sum(axis=1) > kk)
+    if len(amb):
+        part[amb] = np.argsort(-sim[amb], axis=1, kind="stable")[:, :kk]
+    return part
+
+
 def _build_self_shard(id_col: str, emb_col: str, *tables: pa.Table):
     """Remote shard build: consecutive blocks of the id-sorted dataset ->
     (ascending ids, L2-normalized matrix). Stays in the object store as the
     task's return value — never touches the driver."""
     tbl = pa.concat_tables(tables, promote_options="default")
     ids = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False), np.int64)
+    if len(ids) and ids.min() < 0:
+        # -1 is the pad/miss sentinel in every consumer (self_top1,
+        # topk_join) — a real negative id would be silently filtered
+        raise ValueError("ANN id columns must be non-negative (-1 is the pad sentinel)")
     mat = l2_normalize(_embeddings_to_matrix(tbl[emb_col]))
     return ids, mat
 
@@ -347,6 +371,8 @@ def _ivf_partial_fn(ref, id_col: str, emb_col: str, k: int, n_clusters: int):
         if not len(ids):
             return empty
         mat = l2_normalize(_embeddings_to_matrix(batch[emb_col]))
+        o = np.argsort(ids, kind="stable")  # id-ascending tie layout
+        ids, mat = ids[o], mat[o]
         assign = np.argmax(mat @ cents.T, axis=1)
         probe_mask = np.zeros((nq, n_clusters), dtype=bool)
         probe_mask[np.repeat(np.arange(nq), probes.shape[1]), probes.ravel()] = True
@@ -355,7 +381,7 @@ def _ivf_partial_fn(ref, id_col: str, emb_col: str, k: int, n_clusters: int):
             return empty
         sim = np.where(active, q @ mat.T, -np.inf)
         kk = min(k, sim.shape[1])
-        part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        part = _topk_cols_tie_exact(sim, kk)
         cos = np.take_along_axis(sim, part, axis=1).ravel()
         qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
         vid = ids[part.ravel()]
@@ -499,10 +525,11 @@ def _topk_merge_chunk(
     k: int,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Merge a (n x w) chunk of similarities into the running per-row
-    top-k. Ties on cosine resolve to the smaller data id; -inf padding
-    never ties with a finite similarity, so pad ids stay inert."""
+    top-k. Ties on cosine resolve to the smaller data id (cids ascend, so
+    the tie-exact selection preserves the smaller-id candidates); -inf
+    padding never ties with a finite similarity, so pad ids stay inert."""
     kk = min(k, sim.shape[1])
-    part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+    part = _topk_cols_tie_exact(sim, kk)
     cand_sim = np.concatenate(
         [best_sim, np.take_along_axis(sim, part, axis=1)], axis=1
     )
@@ -555,6 +582,10 @@ def topk_join(
             ray.get(side.to_arrow_refs()), promote_options="default"
         )
         ids = np.asarray(tbl[data_id_col].to_numpy(zero_copy_only=False), np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError(
+                "ANN id columns must be non-negative (-1 is the pad sentinel)"
+            )
         order = np.argsort(ids, kind="stable")
         mat = l2_normalize(_embeddings_to_matrix(tbl[data_emb_col]))[order]
         shard_refs = [ray.put((ids[order], mat))]

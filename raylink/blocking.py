@@ -67,10 +67,13 @@ def extract_entities_batch(batch: pa.Table) -> pa.Table:
     ``map_batches`` body; upstream filter keeps only turn_idx == 0."""
     mask = pc.equal(batch["turn_idx"], 0)
     t0 = batch.filter(mask)
-    ext = pc.extract_regex(t0["text"], MENTION_PATTERN)
+    # null turn-0 text canonicalizes as empty (else the '_' empty-key
+    # fallback below is bypassed and a null block_key leaks downstream)
+    txt = pc.fill_null(t0["text"], "")
+    ext = pc.extract_regex(txt, MENTION_PATTERN)
     mention = pc.struct_field(ext, "mention")
     # rows with no quoted mention fall back to the whole turn-0 text
-    mention = pc.if_else(pc.is_valid(mention), mention, t0["text"])
+    mention = pc.if_else(pc.is_valid(mention), mention, txt)
     cleaned = clean_strings_arrow(mention)
     first = pc.utf8_slice_codeunits(cleaned, 0, 1)
     block = pc.if_else(pc.equal(first, ""), pa.scalar("_"), first)
@@ -104,6 +107,12 @@ def conversation_check_batch(batch: pa.Table) -> pa.Table:
     sums_fp = np.add.reduceat(fp_s, starts) if len(starts) else np.empty(0, np.int64)
     mins = np.minimum.reduceat(turn_s, starts) if len(starts) else np.empty(0, np.int64)
     maxs = np.maximum.reduceat(turn_s, starts) if len(starts) else np.empty(0, np.int64)
+    tsum = np.add.reduceat(turn_s, starts) if len(starts) else np.empty(0, np.int64)
+    tsq = (
+        np.add.reduceat(turn_s * turn_s, starts)
+        if len(starts)
+        else np.empty(0, np.int64)
+    )
     return pa.table(
         {
             "conv_id": pa.array(conv_s[starts], type=pa.string()),
@@ -111,6 +120,8 @@ def conversation_check_batch(batch: pa.Table) -> pa.Table:
             "min_turn": pa.array(mins, type=pa.int64()),
             "max_turn": pa.array(maxs, type=pa.int64()),
             "fingerprint": pa.array(sums_fp, type=pa.int64()),
+            "turn_sum": pa.array(tsum, type=pa.int64()),
+            "turn_sumsq": pa.array(tsq, type=pa.int64()),
         }
     )
 
@@ -139,9 +150,21 @@ def validate_conversations(ds) -> dict:
     tbl = pa.Table.from_pandas(checks.to_pandas())
     n = tbl.num_rows
     n_turns = tbl["sum(n_turns)"]
+    # min/max alone pass duplicated-with-gaps indices like [0,0,3,3]; the
+    # sum and sum-of-squares of 0..n-1 pin the multiset exactly for any
+    # realistic n (two moments + min + max + count)
+    nt = np.asarray(n_turns.to_numpy(zero_copy_only=False), np.int64)
+    want_sum = nt * (nt - 1) // 2
+    want_sq = (nt - 1) * nt * (2 * nt - 1) // 6
     ok = _pc.and_(
-        _pc.equal(tbl["min(min_turn)"], 0),
-        _pc.equal(tbl["max(max_turn)"], _pc.subtract(n_turns, 1)),
+        _pc.and_(
+            _pc.equal(tbl["min(min_turn)"], 0),
+            _pc.equal(tbl["max(max_turn)"], _pc.subtract(n_turns, 1)),
+        ),
+        _pc.and_(
+            _pc.equal(tbl["sum(turn_sum)"], pa.array(want_sum)),
+            _pc.equal(tbl["sum(turn_sumsq)"], pa.array(want_sq)),
+        ),
     )
     n_bad = n - _pc.sum(_pc.cast(ok, pa.int64())).as_py()
     return {
@@ -165,6 +188,8 @@ def _sum_min_max_aggs():
         Min("min_turn"),
         Max("max_turn"),
         Sum("fingerprint"),
+        Sum("turn_sum"),
+        Sum("turn_sumsq"),
     )
 
 
@@ -180,7 +205,10 @@ def add_salt_column(batch: pa.Table, key_col: str, hot_keys: dict, n_salt_defaul
     salts = np.array([hot_keys.get(k, n_salt_default) for k in keys], dtype=np.int64)
     salt_i = pos % np.maximum(salts, 1)
     salted = pa.array(
-        [f"{k}#{s}" if hot_keys.get(k, 1) > 1 else k for k, s in zip(keys, salt_i)],
+        [
+            f"{k}#{s}" if n_salt > 1 else k
+            for k, s, n_salt in zip(keys, salt_i, salts)
+        ],
         type=pa.string(),
     )
     return batch.append_column("salted_key", salted)
@@ -197,27 +225,35 @@ def hot_key_counts(ds, key_col: str, hot_threshold: int) -> dict:
     return out
 
 
-def _snm_head(tbl: pa.Table, w: int) -> pa.Table:
-    return tbl.slice(0, max(0, w))
+def _snm_head(tbl: pa.Table, w: int):
+    """(first w rows, total rows) — the count drives multi-block
+    stitching for short blocks."""
+    return tbl.slice(0, max(0, w)), tbl.num_rows
 
 
-def _snm_pairs_block(own: pa.Table, next_head: pa.Table, id_col: str, window: int) -> pa.Table:
+def _snm_pairs_block(own: pa.Table, id_col: str, window: int, *next_heads) -> pa.Table:
     """Pairs owned by this block: every own row pairs with its up-to
     ``window - 1`` successors in global sort order (successors may spill
-    into the next block's head — stitched in, never double-counted:
-    ownership = the pair's FIRST element)."""
-    ids = np.concatenate(
-        [
-            np.asarray(own[id_col].to_numpy(zero_copy_only=False), np.int64),
-            np.asarray(next_head[id_col].to_numpy(zero_copy_only=False), np.int64)
-            if next_head is not None and next_head.num_rows
-            else np.empty(0, np.int64),
-        ]
-    )
+    into the FOLLOWING blocks' heads — stitched in, never double-counted:
+    ownership = the pair's FIRST element). ``next_heads`` carries as many
+    following heads as needed to cover window-1 rows (short/empty blocks
+    between populated ones contribute their whole, possibly empty, head)."""
+    w = window - 1
+    # empty post-sort blocks may drop the schema entirely
+    if own.num_rows == 0 or id_col not in own.column_names or w <= 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    parts = [np.asarray(own[id_col].to_numpy(zero_copy_only=False), np.int64)]
+    for h in next_heads:
+        if h is not None and h.num_rows and id_col in h.column_names:
+            parts.append(
+                np.asarray(h[id_col].to_numpy(zero_copy_only=False), np.int64)
+            )
+    ids = np.concatenate(parts)
     n_own = own.num_rows
     n_all = len(ids)
-    w = window - 1
-    if n_own == 0 or w <= 0 or n_all < 2:
+    if n_all < 2:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
         )
@@ -263,15 +299,24 @@ def sorted_neighborhood_pairs(
         empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         return rd.from_arrow(empty) if output == "dataset" else empty.to_pandas()
     if _snm_head_task is None:
-        _snm_head_task = ray.remote(_snm_head)
+        _snm_head_task = ray.remote(num_returns=2)(_snm_head)
         _snm_pairs_task = ray.remote(_snm_pairs_block)
-    heads = [
-        _snm_head_task.remote(r, window - 1) for r in refs[1:]
-    ] + [None]
-    pair_refs = [
-        _snm_pairs_task.remote(r, h, id_col, window)
-        for r, h in zip(refs, heads)
-    ]
+    w = window - 1
+    head_pairs = [_snm_head_task.remote(r, w) for r in refs]
+    head_refs = [p[0] for p in head_pairs]
+    n_rows = ray.get([p[1] for p in head_pairs])  # O(blocks) scalars
+    pair_refs = []
+    for i, r in enumerate(refs):
+        # stitch heads of FOLLOWING blocks until window-1 successor rows
+        # are covered (short or empty blocks keep the walk going)
+        tails, acc, j = [], 0, i + 1
+        while acc < w and j < len(refs):
+            tails.append(head_refs[j])
+            acc += min(w, n_rows[j])
+            j += 1
+        pair_refs.append(
+            _snm_pairs_task.remote(r, id_col, window, *tails)
+        )
     out_ds = rd.from_arrow_refs(pair_refs)
     if output == "dataset":
         return out_ds

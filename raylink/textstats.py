@@ -89,7 +89,7 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Stateless language-ID stage: one lowercase pass, one vectorized
     stopword count per language, argmax with the fixed LANG_ORDER
     tie-break. SQL-oracled (queries.py lang_id)."""
-    texts = batch[text_col]
+    texts = pc.fill_null(batch[text_col], "")  # null text scores as empty
     low = pc.utf8_lower(texts)
     scores = np.zeros((len(texts), len(LANG_ORDER)), dtype=np.int64)
     for li, lang in enumerate(LANG_ORDER):
@@ -378,7 +378,7 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """md5 full-content fingerprint (SQL: md5(text)) + a rolling shingle
     fingerprint (min of rolling 16-char window hashes over the cleaned
     text — stable under small appends; rows-only op)."""
-    texts = batch[text_col]
+    texts = pc.fill_null(batch[text_col], "")  # null hashes as empty text
     md5 = [hashlib.md5(t.encode()).hexdigest() for t in texts.to_pylist()]
     cleaned = clean_strings_arrow(texts)
     d, grams = batch_ngrams(cleaned, (16, 16), remove_space_ngrams=False, pad_width=16)

@@ -174,3 +174,53 @@ def test_sorted_neighborhood_pairs(ray_session):
     # dataset output agrees
     got_ds = sorted_neighborhood_pairs(ds, "k", "doc_id", window=w, output="dataset")
     assert set(zip(*[got_ds.to_pandas()[c].tolist() for c in ("a", "b")])) == want
+
+
+def test_snm_pairs_tiny_blocks_complete(rd):
+    """Blocks smaller than window-1 must still yield every sliding-window
+    pair (multi-block head stitching)."""
+    import pandas as pd
+
+    from raylink.blocking import sorted_neighborhood_pairs
+
+    n, window = 23, 6
+    keys = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"k": pa.array(keys), "i": pa.array(keys)})
+    want = {
+        (int(a), int(a + d))
+        for a in range(n)
+        for d in range(1, window)
+        if a + d < n
+    }
+    # extreme parallelism: blocks of ~1-2 rows each
+    ds = rd.from_arrow(tbl).repartition(16)
+    got = sorted_neighborhood_pairs(ds, "k", "i", window=window)
+    assert set(zip(got["a"], got["b"])) == want
+    assert len(got) == len(want)  # no duplicates either
+
+
+def test_validator_catches_duplicate_turns(rd):
+    """[0,0,3,3] passes min/max; the moment checks must flag it."""
+    from raylink.blocking import validate_conversations
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 4 + ["c2"] * 3),
+            "turn_idx": pa.array([0, 0, 3, 3, 0, 1, 2], pa.int32()),
+            "text": pa.array(["x"] * 7),
+        }
+    )
+    out = validate_conversations(rd.from_arrow(tbl))
+    assert out["n_conversations"] == 2
+    assert out["n_violations"] == 1
+
+
+def test_salt_default_fans_out_unlisted_keys(rd):
+    from raylink.blocking import add_salt_column
+
+    batch = pa.table({"k": pa.array(["a"] * 6)})
+    out = add_salt_column(batch, "k", hot_keys={}, n_salt_default=3)
+    assert sorted(set(out["salted_key"].to_pylist())) == ["a#0", "a#1", "a#2"]
+    # default 1 leaves keys unsalted
+    out1 = add_salt_column(batch, "k", hot_keys={})
+    assert set(out1["salted_key"].to_pylist()) == {"a"}

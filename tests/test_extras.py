@@ -460,3 +460,57 @@ def test_chunk_documents_null_text(rd):
     )
     out = chunk_documents_batch(batch, size=3, stride=2).to_pandas()
     assert out[out.doc_id == 2]["chunk_text"].tolist() == [""]
+
+
+def test_ann_tie_break_smallest_id_with_many_ties(rd):
+    """More than k bit-identical embeddings in ONE batch: the partial must
+    keep the smallest-id tie candidates (argpartition alone may not)."""
+    from raylink.ann import brute_force_topk, topk_join
+
+    dup = [1.0, 0.0]
+    # ids deliberately DESCENDING in row order so batch order != id order
+    ids = np.array([9, 8, 7, 6, 5], dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([dup] * 5, type=pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl)  # one block -> one batch
+    out = brute_force_topk(ds, np.array([dup]), k=2, batch_size=64)
+    assert out.sort_values("rank")["vec_id"].tolist() == [5, 6]
+    q = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0], pa.int64()),
+        "embedding": pa.array([dup], type=pa.list_(pa.float64())),
+    }))
+    tj = topk_join(q, ds, k=2)
+    assert tj.sort_values("rank")["data_id"].tolist() == [5, 6]
+
+
+def test_ann_negative_ids_rejected(rd):
+    from raylink.ann import topk_join
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([-1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              type=pa.list_(pa.float64())),
+    }))
+    with pytest.raises(Exception, match="non-negative"):
+        topk_join(ds, ds, k=1)
+
+
+def test_textstats_null_text_safe(rd):
+    from raylink.textstats import fingerprint_batch, lang_id_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["the cat and the dog in the house", None],
+                             type=pa.string()),
+        }
+    )
+    lid = lang_id_batch(batch)
+    assert lid["lang_pred"].to_pylist()[1] == "unknown"
+    fp = fingerprint_batch(batch)
+    import hashlib
+    assert fp["md5"].to_pylist()[1] == hashlib.md5(b"").hexdigest()
