@@ -13,6 +13,23 @@ from __future__ import annotations
 import ray
 
 _BROADCAST_CACHE: dict = {}
+_MAX_ENTRIES = 16
+_MISSING = object()
+
+
+def _cache_fetch(key, producer):
+    """LRU fetch-or-produce: a hit moves the entry to the back, so a
+    session cycling many broadcasts evicts the COLDEST entry — never the
+    hot in-use index (a clear-all at the cap forced a mid-stage re-fetch
+    and re-derivation of whatever was live). Sentinel-based presence test
+    keeps legitimately-None broadcasts cached too."""
+    obj = _BROADCAST_CACHE.pop(key, _MISSING)
+    if obj is _MISSING:
+        while len(_BROADCAST_CACHE) >= _MAX_ENTRIES:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+        obj = producer()
+    _BROADCAST_CACHE[key] = obj  # (re)insert at the back = most recent
+    return obj
 
 
 def cached_object(ref):
@@ -20,13 +37,7 @@ def cached_object(ref):
     closures (a dict pickled into every task closure costs per-task; a ref
     + this cache costs once per worker)."""
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    obj = _BROADCAST_CACHE.get(key)
-    if obj is None:
-        if len(_BROADCAST_CACHE) > 16:
-            _BROADCAST_CACHE.clear()
-        obj = ray.get(ref)
-        _BROADCAST_CACHE[key] = obj
-    return obj
+    return _cache_fetch(key, lambda: ray.get(ref))
 
 
 def cached_derived(ref, fn, tag: str):
@@ -34,10 +45,4 @@ def cached_derived(ref, fn, tag: str):
     need a once-per-worker derived form (e.g. arrow arrays -> numpy lookup
     arrays)."""
     key = ("derived", ref.hex() if hasattr(ref, "hex") else id(ref), tag)
-    obj = _BROADCAST_CACHE.get(key)
-    if obj is None:
-        if len(_BROADCAST_CACHE) > 16:
-            _BROADCAST_CACHE.clear()
-        obj = fn(ray.get(ref))
-        _BROADCAST_CACHE[key] = obj
-    return obj
+    return _cache_fetch(key, lambda: fn(ray.get(ref)))

@@ -71,25 +71,34 @@ def write_checkpoint(
         shutil.rmtree(tmp_dir)
     os.makedirs(os.path.join(tmp_dir, "data"), exist_ok=True)
 
+    # one block at a time: the driver holds ONE table, not the whole
+    # stage (at scale the assignments stage is corpus-sized)
     if isinstance(ds_or_tables, list):
-        tables = ds_or_tables
+        block_iter = iter(ds_or_tables)
     else:
-        tables = ray.get(ds_or_tables.to_arrow_refs())
+        block_iter = (ray.get(r) for r in ds_or_tables.to_arrow_refs())
     files = []
     n_rows = 0
-    kept: list[pa.Table] = []
     part = 0
-    for t in tables:
+    hist = np.zeros(101, dtype=np.int64)
+    hist_seen = False
+    first_empty: pa.Table | None = None
+    for t in block_iter:
         if t.num_rows == 0:
+            if first_empty is None:
+                first_empty = t
             continue
         name = f"part-{part:05d}.parquet"
         pq.write_table(t, os.path.join(tmp_dir, "data", name))
         files.append({"name": name, "rows": t.num_rows})
         n_rows += t.num_rows
-        kept.append(t)
+        h = _score_histogram([t])
+        if h is not None:
+            hist += np.asarray(h, dtype=np.int64)
+            hist_seen = True
         part += 1
     if part == 0:  # keep schema for empty results
-        empty = tables[0] if tables else pa.table({})
+        empty = first_empty if first_empty is not None else pa.table({})
         pq.write_table(empty, os.path.join(tmp_dir, "data", "part-00000.parquet"))
         files.append({"name": "part-00000.parquet", "rows": 0})
     manifest = {
@@ -97,7 +106,7 @@ def write_checkpoint(
         "n_rows": n_rows,
         "n_files": len(files),
         "files": files,
-        "score_histogram": _score_histogram(kept),
+        "score_histogram": hist.tolist() if hist_seen else None,
         "input_stages": input_stages or [],
         "params_fingerprint": _fingerprint(params or {}),
     }
@@ -125,7 +134,7 @@ def checkpoint_valid(root: str, stage: str, params: dict | None = None) -> bool:
     m = read_manifest(root, stage)
     if m is None:
         return False
-    if m["params_fingerprint"] != _fingerprint(params or {}):
+    if m.get("params_fingerprint") != _fingerprint(params or {}):
         return False
     data_dir = os.path.join(root, stage, "data")
     for f in m["files"]:
@@ -267,9 +276,15 @@ def run_partitioned_stage(
             continue
         out = produce_partition(key)
         if not isinstance(out, pa.Table):
-            out = pa.concat_tables(
-                ray.get(out.to_arrow_refs()), promote_options="default"
-            )
+            out_ds = out
+            tabs = ray.get(out_ds.to_arrow_refs())
+            if tabs:
+                out = pa.concat_tables(tabs, promote_options="default")
+            else:  # zero-block partition: typed empty from the schema
+                sch = out_ds.schema()
+                out = pa.table(
+                    {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+                )
         part, done = _part_paths(root, stage, key)
         pq.write_table(out, part + ".tmp")
         os.replace(part + ".tmp", part)

@@ -46,9 +46,12 @@ def _agg_sorted_table(
     count_name: str | None,
     firsts: tuple,
     joins: tuple,
-) -> pa.Table:
+):
     """Aggregate a block already sorted by (key, order...): one output row
-    per group, all kernels vectorized."""
+    per group, all kernels vectorized. Returns (table, group_starts) — the
+    caller reuses the starts (the object-dtype key materialization is the
+    dominant per-block cost for string keys; computing it twice doubled
+    the boundary-extras step)."""
     keys = np.asarray(tbl[key_col].to_numpy(zero_copy_only=False))
     starts = _group_starts(keys)
     n = tbl.num_rows
@@ -65,7 +68,7 @@ def _agg_sorted_table(
     for src, out, sep in joins:
         lst = pa.ListArray.from_arrays(offsets, tbl[src].combine_chunks())
         cols[out] = pc.binary_join(lst, sep)
-    return pa.table(cols)
+    return pa.table(cols), starts
 
 
 @ray.remote(num_returns=2)
@@ -75,11 +78,9 @@ def _agg_block_remote(
     """Returns (interior_groups_table, boundary_partials_table). The first
     and last group of the block are ALWAYS routed to the boundary set (they
     may continue in a neighboring block); interior groups are final."""
-    agg = _agg_sorted_table(tbl, key_col, count_name, firsts, joins)
+    agg, starts = _agg_sorted_table(tbl, key_col, count_name, firsts, joins)
     # order-col first values ride along so the driver can sequence straddle
     # chains without trusting block index ordering
-    keys = np.asarray(tbl[key_col].to_numpy(zero_copy_only=False))
-    starts = _group_starts(keys)
     take_starts = pa.array(starts, type=pa.int64())
     boundary_extra = {
         f"__ord_{c}": tbl[c].combine_chunks().take(take_starts)
@@ -118,6 +119,8 @@ def ordered_seq_agg(
 
     sorted_ds = ds.sort([key_col, *order_cols]).materialize()
     refs = sorted_ds.to_arrow_refs()
+    if not refs:  # zero-block input: nothing to aggregate
+        return sorted_ds
     firsts = tuple(firsts)
     joins = tuple(joins)
     interior_refs = []

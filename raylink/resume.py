@@ -25,6 +25,24 @@ from raylink.checkpoint import run_stage
 from raylink.pipeline import MatcherSpec, MatchResult, group_matches, match_dataset
 
 
+def spec_checkpoint_params(spec) -> dict:
+    """JSON-safe fingerprint view of a MatcherSpec. Model objects don't
+    serialize, but silently POPPING them would let a swapped
+    embedder/scorer resume the previous model's results — so they map to a
+    stable tag (class identity + the object's own ``fingerprint``
+    attribute when it provides one; two models of the same class without a
+    fingerprint need distinct checkpoint roots)."""
+    spec_d = asdict(spec)
+    for field in ("embedder", "scorer"):
+        obj = spec_d.pop(field, None)
+        if obj is not None:
+            spec_d[field] = (
+                f"{type(obj).__module__}.{type(obj).__qualname__}:"
+                f"{getattr(obj, 'fingerprint', '')}"
+            )
+    return spec_d
+
+
 def run_flagship_checkpointed(
     transcripts_path: str,
     checkpoint_root: str,
@@ -39,10 +57,10 @@ def run_flagship_checkpointed(
     from raylink.pipeline import distinct_entities_table, spread_table
 
     spec = spec or MatcherSpec(kind="tfidf", min_similarity=0.0, top_n=1)
-    spec_d = asdict(spec)
-    spec_d.pop("embedder", None)
-    spec_d.pop("scorer", None)
-    base_params = {"transcripts": transcripts_path, "spec": spec_d}
+    base_params = {
+        "transcripts": transcripts_path,
+        "spec": spec_checkpoint_params(spec),
+    }
 
     from raylink.sources import read_parquet_with_row_order
 
@@ -52,7 +70,10 @@ def run_flagship_checkpointed(
         lambda: canonicalize_transcripts(
             read_parquet_with_row_order(transcripts_path)
         ),
-        params=base_params,
+        # depends ONLY on the input corpus — a spec change must not
+        # invalidate the full-corpus canonicalize pass (the module's
+        # stated invalidation contract)
+        params={"transcripts": transcripts_path},
     )
 
     match_params = {**base_params, "stage": "match"}
@@ -94,9 +115,13 @@ def run_flagship_checkpointed(
                 self_match_override=True,
                 top_n_cols_override=spec.top_n,
             )
-            return pa.concat_tables(
-                ray.get(res.matches.to_arrow_refs()), promote_options="default"
-            )
+            tabs = ray.get(res.matches.to_arrow_refs())
+            if not tabs:  # zero-block result: typed empty from the schema
+                sch = res.matches.schema()
+                return pa.table(
+                    {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+                )
+            return pa.concat_tables(tabs, promote_options="default")
 
         matches_ds, matches_skipped = run_partitioned_stage(
             checkpoint_root, "matches", keys, produce_matches_partition,
@@ -125,6 +150,12 @@ def run_flagship_checkpointed(
     )
 
     def produce_assignments():
+        # rebuilds the lookup from the PERSISTED cluster table rather than
+        # reusing GroupResult.name_map_ref (the flagship landmark): here
+        # the cluster stage may be a resumed checkpoint with no in-memory
+        # GroupResult at all, so the parquet table is the one source both
+        # fresh and resumed runs share — the rebuild (~ms at bench scale)
+        # is the price of a single code path.
         from raylink.pipeline import make_assignment_lookup
 
         cl_tbl = pa.concat_tables(

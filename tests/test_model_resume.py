@@ -212,3 +212,49 @@ def test_full_resume_skips_distinct_pass(rd, transcripts_dir, tmp_path):
     r2 = run_flagship_checkpointed(transcripts_dir, root)
     assert r2["matches"][1]  # resumed via the short-circuit
     assert r2["n_assignments"] == r1["n_assignments"]
+
+
+def test_spec_fingerprint_distinguishes_models():
+    """Swapping the embedder/scorer object must change the checkpoint
+    fingerprint (a silent pop used to let ModelB resume ModelA's results)."""
+    from raylink.pipeline import MatcherSpec
+    from raylink.resume import spec_checkpoint_params
+
+    class EmbA:
+        fingerprint = "dim=16,seed=1"
+
+    class EmbB:
+        fingerprint = "dim=32,seed=2"
+
+    pa_ = spec_checkpoint_params(
+        MatcherSpec(kind="embeddings", embedder=EmbA())
+    )
+    pb_ = spec_checkpoint_params(
+        MatcherSpec(kind="embeddings", embedder=EmbB())
+    )
+    assert pa_ != pb_
+    assert "EmbA" in pa_["embedder"] and "dim=16" in pa_["embedder"]
+    # same class+fingerprint -> identical params (resume still works)
+    assert pa_ == spec_checkpoint_params(
+        MatcherSpec(kind="embeddings", embedder=EmbA())
+    )
+
+
+def test_broadcast_cache_lru_keeps_hot_entry(ray_session):
+    """Cycling past the cache cap must evict the coldest entry, not the
+    one being re-used (a clear-all forced mid-stage re-fetches)."""
+    import numpy as np
+    import ray
+
+    from raylink import broadcast as bc
+
+    bc._BROADCAST_CACHE.clear()
+    hot = ray.put(np.arange(4))
+    bc.cached_object(hot)
+    refs = [ray.put(np.arange(i + 1)) for i in range(bc._MAX_ENTRIES + 4)]
+    for i, r in enumerate(refs):
+        bc.cached_object(r)
+        bc.cached_object(hot)  # keep the hot entry recent
+    hot_key = hot.hex()
+    assert hot_key in bc._BROADCAST_CACHE
+    assert len(bc._BROADCAST_CACHE) <= bc._MAX_ENTRIES
