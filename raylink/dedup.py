@@ -28,6 +28,7 @@ count reported, never silently.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -138,6 +139,10 @@ def minhash_band_rows(
 ) -> pa.Table:
     """map_batches body: docs -> (band_id, band_hash, doc_id) rows."""
     ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+    if len(ids) and ids.min() < 0:
+        # the distributed verify shuffle uses a=-1 to separate pair rows
+        # from shingle payload rows — a real negative id would be misread
+        raise ValueError("dedup id columns must be non-negative")
     sig = minhash_signatures_batch(batch[text_col].combine_chunks(), k, num_perm, seed)
     rows_per_band = num_perm // bands
     out_band = []
@@ -175,6 +180,15 @@ def _emit_bucket_pairs(
     "skip" drops the bucket entirely — both explicit, never silent."""
     outs: list[tuple[list, list]] = [([], []) for _ in arrays]
     valid = sizes >= 2
+    n_over = int((sizes > max_bucket).sum())
+    if n_over:
+        # the module contract: caps are REPORTED, never silent
+        logging.getLogger("raylink.dedup").warning(
+            "%d LSH bucket(s) exceed max_bucket=%d (largest=%d): %s",
+            n_over, max_bucket, int(sizes.max()),
+            "truncated to the first max_bucket members"
+            if oversize == "truncate" else "dropped entirely",
+        )
     if oversize == "skip":
         valid &= sizes <= max_bucket
     for s in np.unique(sizes[valid]):
@@ -274,6 +288,8 @@ def _doc_arrays_from_sorted(
 ) -> dict[int, np.ndarray]:
     """(doc, shingle) rows -> {doc: sorted shingle array} (one slice per
     doc; the per-doc dict build is O(unique docs), values are views)."""
+    if not len(sh_doc):  # all candidate docs gramless (texts shorter than k)
+        return {}
     o = np.lexsort((sh_val, sh_doc))
     sh_doc, sh_val = sh_doc[o], sh_val[o]
     bounds = np.flatnonzero(np.r_[True, sh_doc[1:] != sh_doc[:-1]])
@@ -346,12 +362,9 @@ def _verify_range(sh, ca: np.ndarray, cb: np.ndarray, thr: float):
     numpy args are plasma-shared zero-copy) and run the shared kernel on
     a pair range."""
     sh_doc, sh_val = sh
-    bounds = np.flatnonzero(np.r_[True, sh_doc[1:] != sh_doc[:-1]])
-    doc_arrays = {
-        int(sh_doc[s]): sh_val[s:e]
-        for s, e in zip(bounds, np.append(bounds[1:], len(sh_doc)))
-    }
-    got = _verify_with_doc_arrays(ca, cb, doc_arrays, thr)
+    got = _verify_with_doc_arrays(
+        ca, cb, _doc_arrays_from_sorted(sh_doc, sh_val), thr
+    )
     return (
         np.array([x[0] for x in got], dtype=np.int64),
         np.array([x[1] for x in got], dtype=np.int64),
@@ -644,7 +657,12 @@ def _minhash_after_bands(
         cand = cand.materialize()
         n_pairs = cand.count()  # pre-dedup upper bound — routing only
     if not n_pairs:
-        return pd.DataFrame({"doc_id": [], "dup_group": []}).astype(np.int64)
+        empty = pd.DataFrame({"doc_id": [], "dup_group": []}).astype(np.int64)
+        if output == "dataset":
+            import ray.data as rd
+
+            return rd.from_pandas(empty)
+        return empty
 
     distributed = verification == "distributed" or (
         verification == "auto" and n_pairs > driver_verify_max_pairs
@@ -806,13 +824,17 @@ def _components_output(
 # ---------------------------------------------------------------------------
 
 
-def simhash_batch(texts: pa.Array, k: int = 4) -> np.ndarray:
-    """64-bit simhash per doc from k-char shingle hashes (unweighted)."""
+def simhash_batch(texts: pa.Array, k: int = 4, return_mask: bool = False):
+    """64-bit simhash per doc from k-char shingle hashes (unweighted).
+    ``return_mask=True`` also returns the per-doc has-grams mask: docs
+    whose cleaned text is shorter than k all hash to 0, so the DEDUP
+    pipeline must exclude them (they are not near-dups of each other)."""
     n = len(texts)
     doc_ids, sh = _shingle_hashes(texts, k)
     out = np.zeros(n, dtype=np.uint64)
+    has = np.zeros(n, dtype=bool)
     if len(sh) == 0:
-        return out
+        return (out, has) if return_mask else out
     bits = ((sh.astype(np.uint64)[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     bits = bits * 2 - 1  # -1 / +1 votes
     change = np.empty(len(doc_ids), bool)
@@ -823,7 +845,8 @@ def simhash_batch(texts: pa.Array, k: int = 4) -> np.ndarray:
     words = (votes > 0).astype(np.uint64)
     vals = (words << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
     out[doc_ids[starts]] = vals
-    return out
+    has[doc_ids[starts]] = True
+    return (out, has) if return_mask else out
 
 
 def _simhash_bucket_edges(
@@ -844,6 +867,12 @@ def _simhash_bucket_edges(
     chg = np.r_[True, ks[1:] != ks[:-1]]
     starts = np.flatnonzero(chg)
     sizes = np.diff(np.append(starts, len(ks)))
+    n_over = int((sizes > max_bucket).sum())
+    if n_over:
+        logging.getLogger("raylink.dedup").warning(
+            "%d simhash band bucket(s) exceed max_bucket=%d (largest=%d), dropped",
+            n_over, max_bucket, int(sizes.max()),
+        )
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     for s in np.unique(sizes[(sizes >= 2) & (sizes <= max_bucket)]):
@@ -888,9 +917,18 @@ def simhash_dedup(
     import ray
 
     def sims(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col]
-        h = simhash_batch(batch[text_col].combine_chunks(), k)
-        return pa.table({"doc_id": ids, "simhash": pa.array(h.astype(np.int64))})
+        h, has = simhash_batch(
+            batch[text_col].combine_chunks(), k, return_mask=True
+        )
+        # gramless docs (cleaned text < k chars) all hash to 0 — keeping
+        # them would verify every such pair at Hamming 0 (false positives)
+        keep = pa.array(has)
+        return pa.table(
+            {
+                "doc_id": batch[id_col].filter(keep),
+                "simhash": pa.array(h[has].astype(np.int64)),
+            }
+        )
 
     # materialize once: the branch decision's count() and the chosen
     # branch's consumption must not each re-execute the upstream lineage
@@ -1266,6 +1304,10 @@ def embedding_lsh_pairs(
         cand = cand.materialize()
         n_pairs = cand.count()  # pre-dedup upper bound — routing only
     if not n_pairs:
+        if output == "dataset":
+            import ray.data as rd
+
+            return rd.from_pandas(empty)
         return empty
 
     distributed = verification == "distributed" or (
@@ -1565,8 +1607,9 @@ def dedup_representatives(
         jaccard_threshold=jaccard_threshold,
         output=groups_output, **minhash_kwargs,
     )
-    groups_ds = (
-        rd.from_pandas(groups) if isinstance(groups, pd.DataFrame) else groups
+    groups_ds = _groups_with_id(
+        rd.from_pandas(groups) if isinstance(groups, pd.DataFrame) else groups,
+        id_col,
     )
     res = _reps_from_groups(
         ds, groups_ds, id_col, text_col, driver_merge_max_rows
@@ -1574,6 +1617,20 @@ def dedup_representatives(
     if output == "pandas":
         return res.to_pandas().sort_values("dup_group").reset_index(drop=True)
     return res
+
+
+def _groups_with_id(groups_ds, id_col: str):
+    """minhash group tables hard-code a ``doc_id`` column; rename it to the
+    caller's id column so the downstream joins key correctly."""
+    if id_col == "doc_id":
+        return groups_ds
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [id_col if n == "doc_id" else n for n in t.column_names]
+        )
+
+    return groups_ds.map_batches(ren, batch_format="pyarrow")
 
 
 def _reps_from_groups(ds, groups_ds, id_col, text_col, driver_merge_max_rows):
@@ -1695,8 +1752,9 @@ def apply_dedup(
         jaccard_threshold=jaccard_threshold,
         output=groups_output, **minhash_kwargs,
     )
-    groups_ds = (
-        rd.from_pandas(groups) if isinstance(groups, pd.DataFrame) else groups
+    groups_ds = _groups_with_id(
+        rd.from_pandas(groups) if isinstance(groups, pd.DataFrame) else groups,
+        id_col,
     )
     reps = _reps_from_groups(
         ds, groups_ds, id_col, text_col, driver_merge_max_rows

@@ -95,12 +95,15 @@ class UnionFind:
         self.parent: dict = {}
 
     def find(self, x):
-        p = self.parent.setdefault(x, x)
-        if p != x:
-            root = self.find(p)
-            self.parent[x] = root
-            return root
-        return x
+        # iterative with full path compression: a long union chain (e.g.
+        # (k, k+1) edges unioned in descending k) builds an O(n)-deep
+        # parent chain that a recursive find would blow the stack on
+        root = self.parent.setdefault(x, x)
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
 
     def union(self, a, b):
         ra, rb = self.find(a), self.find(b)

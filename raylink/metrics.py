@@ -74,8 +74,16 @@ def pr_curve_from_value_counts(
             [i / n_steps for i in range(n_steps + 1)], dtype=np.float64
         )
     pos = np.searchsorted(values, thresholds, side="left")
-    n_ge = np.where(pos < len(values), csum_n[np.minimum(pos, len(values) - 1)], 0.0)
-    s_ge = np.where(pos < len(values), csum_v[np.minimum(pos, len(values) - 1)], 0.0)
+    if not len(values):  # zero matches: all-zero curve (milli variant parity)
+        n_ge = np.zeros(len(thresholds))
+        s_ge = np.zeros(len(thresholds))
+    else:
+        n_ge = np.where(
+            pos < len(values), csum_n[np.minimum(pos, len(values) - 1)], 0.0
+        )
+        s_ge = np.where(
+            pos < len(values), csum_v[np.minimum(pos, len(values) - 1)], 0.0
+        )
     recall = n_ge / total if total else np.zeros_like(n_ge)
     with np.errstate(invalid="ignore", divide="ignore"):
         avg_p = s_ge / n_ge

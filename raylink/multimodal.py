@@ -145,8 +145,15 @@ class MediaFeatureActor:
                 seg = np.array_split(wav, self.resize_to * self.resize_to)
                 # rms in f64 over the f32 samples: keeps the math order
                 # identical to the SQL oracle's DOUBLE aggregation
+                # a clip shorter than the segment count yields empty
+                # splits whose mean is NaN — emit 0.0 for those (silence)
                 feats.append(
-                    [float(np.sqrt((s.astype(np.float64) ** 2).mean())) for s in seg]
+                    [
+                        float(np.sqrt((s.astype(np.float64) ** 2).mean()))
+                        if len(s)
+                        else 0.0
+                        for s in seg
+                    ]
                 )
                 shapes.append(f"rms{self.resize_to * self.resize_to}")
             else:  # video: frame-sample then image features of sampled frames

@@ -703,3 +703,67 @@ def test_incremental_dedup_empty_delta(rd):
     out = incremental_minhash_dedup(corpus, empty, "doc_id", "text")
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "is_dup", "match_id"]
+
+
+def test_simhash_dedup_short_docs_not_grouped(rd):
+    """Docs whose cleaned text is shorter than k all simhash to 0 — they
+    must NOT verify as near-dups of each other."""
+    from raylink.dedup import simhash_dedup
+
+    texts = ["cat", "dog", "owl", BASE, BASE.replace("fox", "wolf")]
+    out = simhash_dedup(_docs(rd, texts), "doc_id", "text", k=4)
+    if len(out):
+        groups = out.groupby("dup_group")["doc_id"].apply(set).tolist()
+        for g in groups:
+            assert not (g & {0, 1, 2}), g
+
+
+def test_dedup_representatives_custom_id_col(rd):
+    """id_col != 'doc_id' must work end to end (the minhash group table
+    hard-codes doc_id; the composition renames it)."""
+    from raylink.dedup import apply_dedup, dedup_representatives
+
+    near = BASE.replace("quick", "quikc")
+    texts = [BASE, near, "unrelated text entirely"]
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array(np.arange(3, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    }))
+    kw = dict(k=5, num_perm=64, bands=16, jaccard_threshold=0.5)
+    reps = dedup_representatives(ds, "media_id", "text", **kw)
+    assert list(reps.columns) == ["dup_group", "rep_id", "rep_chars", "n_members"]
+    assert len(reps) == 1 and reps.iloc[0]["n_members"] == 2
+    surv = apply_dedup(ds, "media_id", "text", output="pandas", **kw)
+    assert "media_id" in surv.columns and len(surv) == 2
+
+
+def test_minhash_negative_ids_rejected(rd):
+    from raylink.dedup import minhash_lsh_dedup
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([-1, 2], pa.int64()),
+        "text": pa.array([BASE, BASE], pa.string()),
+    }))
+    with pytest.raises(Exception, match="non-negative"):
+        minhash_lsh_dedup(ds, "doc_id", "text")
+
+
+def test_minhash_gramless_corpus_no_crash(rd):
+    """All texts shorter than k: sentinel signatures bucket together but
+    verification must return no groups (empty shingle sets), not crash."""
+    from raylink.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(_docs(rd, ["ab", "cd", "ef"]), "doc_id", "text", k=5)
+    assert len(out) == 0
+
+
+def test_union_find_deep_chain():
+    from raylink.linkage import UnionFind
+
+    uf = UnionFind()
+    for k in range(4999, 0, -1):  # descending unions build a deep chain
+        uf.union(k, k + 1)
+    groups = uf.groups()
+    assert len(groups) == 1
+    (members,) = groups.values()
+    assert len(members) == 5000

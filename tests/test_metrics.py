@@ -81,3 +81,13 @@ def test_pairwise_f1():
     r = pairwise_f1(pairs, ours, ref)
     assert r["tp"] == 1 and r["fn"] == 1
     assert 0 < r["f1"] < 1
+
+
+def test_pr_curve_from_value_counts_empty():
+    import numpy as np
+
+    from raylink.metrics import pr_curve_from_value_counts
+
+    out = pr_curve_from_value_counts(np.empty(0), np.empty(0))
+    assert len(out) == 101
+    assert (out["recall"] == 0).all()
