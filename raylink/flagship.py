@@ -236,6 +236,11 @@ def assign_clusters_distributed(entities_ds, clusters_ds, n_parts: int | None = 
     if n_parts is None:
         n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     P = n_parts
+    # the cluster side emits null conv_id columns — typed from the ENTITY
+    # schema so the union never has to unify mismatched block schemas
+    # (the add_group_distributed pattern)
+    e_sch = entities_ds.schema()
+    conv_type = dict(zip(e_sch.names, e_sch.types))["conv_id"]
 
     def _part(blocks, texts):
         keys = np.asarray(
@@ -277,7 +282,7 @@ def assign_clusters_distributed(entities_ds, clusters_ds, n_parts: int | None = 
             {
                 "part": pa.array(part),
                 "key": pa.array(keys, type=pa.string()),
-                "conv_id": pa.array([None] * batch.num_rows, type=pa.string()),
+                "conv_id": pa.nulls(batch.num_rows, type=conv_type),
                 "entity_text": batch["member"],
                 "block_key": batch["block_key"],
                 "representative": batch["representative"],

@@ -169,16 +169,19 @@ class TFIDFMatcher(BaseMatcher):
 
     def match(self, from_list, to_list=None, re_train: bool = True) -> pd.DataFrame:
         from_list = list(from_list)
+        # materialize ONCE: an iterator/generator to_list would otherwise
+        # be exhausted by the corpus build and yield an empty to-index
+        to_list = list(to_list) if to_list is not None else None
         self_match = to_list is None
         if re_train or self.vocab is None:
-            corpus = from_list if self_match else list(to_list) + from_list
+            corpus = from_list if self_match else to_list + from_list
             self.fit_vocab(corpus)
-            self.build_to_index(from_list if self_match else list(to_list))
+            self.build_to_index(from_list if self_match else to_list)
         top_n = _effective_top_n(self.top_n, to_list)
         idx, sims = self.score(from_list, top_n, self_match)
         # To labels come from the PASSED to_list (or from_list when
         # self-matching), as in polyfuzz/models/_utils.py:104-106.
-        to_texts = from_list if self_match else list(to_list)
+        to_texts = from_list if self_match else to_list
         return build_matches_frame(from_list, to_texts, idx, sims, top_n)
 
 

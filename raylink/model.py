@@ -55,6 +55,15 @@ class RayLinkModel:
         """Run match; remember the golden to-side (from-side when to_ds is
         None, polyfuzz/polyfuzz.py:203-206) as the frozen index."""
         result = match_dataset(from_ds, to_ds, self.spec, **kwargs)
+        if result.index_ref is None:
+            # the sharded auto-switch returns shard refs, not the frozen
+            # broadcast index this lifecycle persists — failing HERE beats
+            # a misleading "fit the model first" at transform/save time
+            raise ValueError(
+                "fit requires the broadcast index, but the to-side exceeded "
+                "max_broadcast_to_rows and match_dataset auto-sharded; raise "
+                "the bound (kwargs: max_broadcast_to_rows) to fit this model"
+            )
         self.last_match = result
         self.index_ref = result.index_ref
         self.blocks = result.index_blocks
@@ -85,8 +94,19 @@ class RayLinkModel:
             raise ValueError("nothing fitted to save")
         os.makedirs(path, exist_ok=True)
         spec_d = asdict(self.spec)
-        spec_d.pop("embedder", None)
-        spec_d["scorer"] = getattr(self.spec.scorer, "__name__", None) if self.spec.scorer else None
+        # custom model objects persist via cloudpickle sidecars (the
+        # reference joblib-pickles the whole model); silently dropping the
+        # embedder made load() substitute HashEmbedder — wrong similarities
+        from ray import cloudpickle
+
+        for field in ("embedder", "scorer"):
+            obj = spec_d.pop(field, None)
+            if obj is not None and not isinstance(obj, str):
+                with open(os.path.join(path, f"{field}.pkl"), "wb") as f:
+                    cloudpickle.dump(obj, f)
+                spec_d[field] = f"__pickled__:{field}.pkl"
+            else:
+                spec_d[field] = obj
         with open(os.path.join(path, "spec.json"), "w") as f:
             json.dump({"spec": spec_d, "top_n_cols": self.top_n_cols}, f)
         rows_b, rows_t, rows_o = [], [], []
@@ -125,6 +145,13 @@ class RayLinkModel:
             meta = json.load(f)
         sd = meta["spec"]
         sd["n_gram_range"] = tuple(sd["n_gram_range"])
+        from ray import cloudpickle
+
+        for field in ("embedder", "scorer"):
+            tag = sd.get(field)
+            if isinstance(tag, str) and tag.startswith("__pickled__:"):
+                with open(os.path.join(path, tag.split(":", 1)[1]), "rb") as f:
+                    sd[field] = cloudpickle.load(f)
         spec = MatcherSpec(**sd)
         model = cls(spec)
         to_tbl = pq.read_table(os.path.join(path, "to_side.parquet"))

@@ -175,7 +175,14 @@ def dataset_with_row_order(ds, text_col: str, block_col: str | None):
     ``row_order`` and this function is skipped entirely — see
     ``match_dataset``)."""
 
-    ordered = attach_global_order(ds)
+    return _normalize_entities(attach_global_order(ds), text_col, block_col)
+
+
+def _normalize_entities(ds, text_col: str, block_col: str | None):
+    """Rename/shape a row_order-carrying Dataset into the entities schema
+    (row_order, entity_text, block_key) — shared by the order-attaching
+    path above and inputs whose reader already provided row_order (custom
+    text/block column names must normalize in BOTH cases)."""
 
     def prep(batch: pa.Table) -> pa.Table:
         out = {"row_order": batch["row_order"], "entity_text": batch[text_col]}
@@ -185,7 +192,7 @@ def dataset_with_row_order(ds, text_col: str, block_col: str | None):
             out["block_key"] = pa.array([ALL_BLOCK] * batch.num_rows, type=pa.string())
         return pa.table(out)
 
-    return ordered.map_batches(prep, batch_format="pyarrow")
+    return ds.map_batches(prep, batch_format="pyarrow")
 
 
 @ray.remote
@@ -1870,8 +1877,26 @@ def match_dataset(
                 batch_size=batch_size,
                 max_broadcast_to_rows=max_broadcast_to_rows,
             )
-    if "row_order" not in from_ds.schema().names:
+    _is_self = to_ds is None if self_match_override is None else self_match_override
+    if spec.kind == "tfidf" and spec.cosine_method == "knn" and _is_self:
+        # the reference's knn SELF-match quirk (drop column 0 of top_n+1,
+        # sklearn tie order decides WHICH duplicate survives) delegates to
+        # sklearn internals that are not reproducible distributed; the
+        # matcher surface (raylink.matchers.TFIDFMatcher) implements it —
+        # failing loudly beats silently returning sparse-semantics results
+        raise ValueError(
+            "cosine_method='knn' self-match is matcher-only "
+            "(raylink.matchers.TFIDFMatcher); the distributed pipeline "
+            "implements the 'sparse' semantics"
+        )
+    _from_names = from_ds.schema().names
+    if "row_order" not in _from_names:
         from_ds = dataset_with_row_order(from_ds, text_col, block_col)
+    elif text_col != "entity_text" or "block_key" not in _from_names:
+        # reader-provided row_order with custom column names still needs
+        # the schema normalization (downstream stages key on entity_text/
+        # block_key — skipping it crashed the documented contract)
+        from_ds = _normalize_entities(from_ds, text_col, block_col)
     self_match = to_ds is None if self_match_override is None else self_match_override
 
     if self_match and prebuilt_index_ref is None and _shardable:
@@ -1894,8 +1919,11 @@ def match_dataset(
             top_n_cols = spec.top_n
             build_block_indexes(spec, blocks, from_ds=None, self_match=True)
         else:
-            if "row_order" not in to_ds.schema().names:
+            _to_names = to_ds.schema().names
+            if "row_order" not in _to_names:
                 to_ds = dataset_with_row_order(to_ds, text_col, block_col)
+            elif text_col != "entity_text" or "block_key" not in _to_names:
+                to_ds = _normalize_entities(to_ds, text_col, block_col)
             blocks = _collect_to_side(to_ds)
             # top_n clamp by distinct to-strings (polyfuzz/models/_utils.py:54-56)
             max_distinct = max((b.n_distinct for b in blocks.values()), default=0)
@@ -2085,6 +2113,9 @@ def _minmax_normalize(ds, col: str):
     from ray.data.aggregate import Max, Min
 
     stats = ds.aggregate(Min(col), Max(col))
+    # zero rows: Ray yields None (or a dict of Nones depending on version)
+    if stats is None or stats.get(f"min({col})") is None:
+        return ds
     lo = float(stats[f"min({col})"])
     hi = float(stats[f"max({col})"])
     span = hi - lo

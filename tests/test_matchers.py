@@ -248,3 +248,17 @@ def test_hash_embedder_components_bit_equal_vs_duckdb():
         want = emb._token_vec(tok)
         got = np.array([comps[d] for d in range(1, 65)])
         assert np.array_equal(got, want), tok
+
+
+def test_tfidf_match_accepts_iterator_to_list():
+    """A generator to_list must not be exhausted by the corpus build."""
+    from raylink.matchers import TFIDFMatcher
+
+    eager = TFIDFMatcher(min_similarity=0).match(
+        ["apple"], ["apple", "apply"]
+    )
+    lazy = TFIDFMatcher(min_similarity=0).match(
+        ["apple"], iter(["apple", "apply"])
+    )
+    pd.testing.assert_frame_equal(eager, lazy)
+    assert lazy.iloc[0]["To"] == "apple"

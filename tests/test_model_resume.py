@@ -258,3 +258,47 @@ def test_broadcast_cache_lru_keeps_hot_entry(ray_session):
     hot_key = hot.hex()
     assert hot_key in bc._BROADCAST_CACHE
     assert len(bc._BROADCAST_CACHE) <= bc._MAX_ENTRIES
+
+
+def test_model_save_load_custom_embedder_roundtrip(ray_session, tmp_path):
+    """A custom embedder must survive save/load (it used to be silently
+    replaced by the default HashEmbedder — wrong similarities)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.embed import HashEmbedder
+    from raylink.model import RayLinkModel
+    from raylink.pipeline import MatcherSpec
+
+    custom = HashEmbedder(dim=24, seed=123)  # non-default config
+    texts = ["alpha beta", "alpha bets", "gamma delta", "epsilon zeta"]
+    ds = rd.from_arrow(pa.table({"entity_text": pa.array(texts)}))
+    m = RayLinkModel(MatcherSpec(kind="embeddings", embedder=custom,
+                                 min_similarity=0.0, top_n=1)).fit(ds)
+    before = m.transform(ds).matches.to_pandas().sort_values(
+        "row_order", ignore_index=True)
+    path = str(tmp_path / "model")
+    m.save(path)
+    m2 = RayLinkModel.load(path)
+    emb2 = m2.spec.embedder
+    assert getattr(emb2, "dim", None) == 24  # custom config survived
+    after = m2.transform(ds).matches.to_pandas().sort_values(
+        "row_order", ignore_index=True)
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_model_fit_refuses_sharded_index(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from raylink.model import RayLinkModel
+    from raylink.pipeline import MatcherSpec
+
+    texts = [f"text number {i}" for i in range(40)]
+    ds = rd.from_arrow(pa.table({"entity_text": pa.array(texts)}))
+    with pytest.raises(ValueError, match="broadcast index"):
+        RayLinkModel(MatcherSpec(kind="tfidf")).fit(
+            ds, max_broadcast_to_rows=10
+        )

@@ -710,3 +710,75 @@ def test_spread_table_metadata_fallback_warns_and_matches(ray_session, monkeypat
     )
     pd.testing.assert_frame_equal(fb_pdf, normal_pdf)
     assert fb.num_blocks() == normal.num_blocks()
+
+
+def test_match_dataset_custom_cols_with_reader_row_order(rd):
+    """A dataset that already carries row_order must still honor custom
+    text_col/block_col names (the normalization used to be skipped)."""
+    import pyarrow as pa
+
+    from raylink.pipeline import MatcherSpec, match_dataset
+
+    tbl = pa.table(
+        {
+            "row_order": pa.array([0, 1, 2], pa.int64()),
+            "name": pa.array(["apple inc", "appel inc", "zebra llc"]),
+            "region": pa.array(["x", "x", "x"]),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    res = match_dataset(
+        ds, None, MatcherSpec(kind="tfidf", min_similarity=0.0, top_n=1),
+        text_col="name", block_col="region",
+    )
+    out = res.matches.to_pandas()
+    assert len(out) == 3
+    assert set(out["block_key"]) == {"x"}
+
+
+def test_match_dataset_knn_self_match_rejected(rd):
+    import pyarrow as pa
+    import pytest
+
+    from raylink.pipeline import MatcherSpec, match_dataset
+
+    ds = rd.from_arrow(pa.table({"entity_text": pa.array(["a", "b"])}))
+    with pytest.raises(ValueError, match="knn"):
+        match_dataset(ds, None, MatcherSpec(kind="tfidf", cosine_method="knn"))
+
+
+def test_minmax_normalize_empty(rd):
+    import pyarrow as pa
+
+    from raylink.pipeline import _minmax_normalize
+
+    empty = rd.from_arrow(
+        pa.table({"similarity": pa.array([], pa.float64())})
+    )
+    out = _minmax_normalize(empty, "similarity")
+    assert out.count() == 0
+
+
+def test_assign_clusters_distributed_int_conv_id(rd):
+    """Non-string conv_id must survive the co-shuffle union (the cluster
+    side's null conv_id column types from the ENTITY schema)."""
+    import pyarrow as pa
+
+    from raylink.flagship import assign_clusters_distributed
+
+    ents = rd.from_arrow(pa.table({
+        "conv_id": pa.array([1, 2, 3], pa.int64()),
+        "entity_text": pa.array(["a", "b", "c"]),
+        "block_key": pa.array(["x", "x", "x"]),
+    }))
+    cl = rd.from_arrow(pa.table({
+        "block_key": pa.array(["x", "x"]),
+        "member": pa.array(["a", "b"]),
+        "representative": pa.array(["a", "a"]),
+        "cluster_id": pa.array([0, 0], pa.int64()),
+    }))
+    out = assign_clusters_distributed(ents, cl).to_pandas().sort_values(
+        "conv_id", ignore_index=True
+    )
+    assert out["group"].tolist() == ["a", "a", "c"]
+    assert out["cluster_id"].tolist() == [0, 0, -1]
