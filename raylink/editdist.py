@@ -153,13 +153,9 @@ def partial_token_sort_ratio(s1: str, s2: str) -> float:
 
 
 def _token_set_parts(s1: str, s2: str) -> tuple[str, str, str]:
-    t1, t2 = set(s1.split()), set(s2.split())
-    inter = " ".join(sorted(t1 & t2))
-    d1 = " ".join(sorted(t1 - t2))
-    d2 = " ".join(sorted(t2 - t1))
-    combined1 = (inter + " " + d1).strip()
-    combined2 = (inter + " " + d2).strip()
-    return inter, combined1, combined2
+    # one copy of the munging (shared with the packed branches) — the
+    # string and set entry points must never drift
+    return _token_set_parts_sets(set(s1.split()), set(s2.split()))
 
 
 def token_set_ratio(s1: str, s2: str) -> float:

@@ -105,7 +105,14 @@ def embeddings_to_matrix(col) -> np.ndarray:
             .astype(np.float64, copy=False)
             .reshape(n, dim)
         )
-    return np.stack([np.asarray(v, dtype=np.float64) for v in arr.to_pylist()])
+    # ragged or null rows can't form a matrix — np.stack would raise an
+    # opaque shape error, so state the contract violation explicitly
+    raise ValueError(
+        "embedding column must be fixed-dimension non-null lists; got "
+        f"row lengths in [{int(lens.min()) if len(lens) else 0}, "
+        f"{int(lens.max()) if len(lens) else 0}]"
+        + (", with nulls" if arr.null_count else "")
+    )
 
 
 def l2_normalize(mat: np.ndarray) -> np.ndarray:

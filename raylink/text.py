@@ -109,9 +109,33 @@ def batch_ngrams(
     lo, hi = n_gram_range
     if pad_width is None:
         pad_width = hi
-    data, offsets = _string_array_buffers(
-        cleaned if isinstance(cleaned, pa.Array) else cleaned.combine_chunks()
+    arr = cleaned if isinstance(cleaned, pa.Array) else cleaned.combine_chunks()
+    data, offsets = _string_array_buffers(arr)
+    # the byte-window kernel is exact only when byte == codepoint; cleaned
+    # text is pure ASCII by construction, but clean=False callers can pass
+    # non-ASCII — route those batches through the codepoint-exact scalar
+    # path (UTF-8 grams padded wide; numpy S-compare ignores trailing NULs,
+    # so mixed widths across batches still unify)
+    n_codeunits = int(
+        pc.sum(pc.utf8_length(arr)).as_py() or 0
     )
+    if n_codeunits != len(data):
+        docs_l: list[int] = []
+        grams_l: list[bytes] = []
+        for di, t in enumerate(arr.to_pylist()):
+            if not t:
+                continue
+            for g in create_ngrams(
+                t, (lo, hi), clean=False,
+                remove_space_ngrams=remove_space_ngrams,
+            ):
+                docs_l.append(di)
+                grams_l.append(g.encode("utf-8"))
+        width = max(4 * pad_width, pad_width)
+        return (
+            np.asarray(docs_l, dtype=np.int64),
+            np.asarray(grams_l, dtype=f"S{width}"),
+        )
     doc_parts: list[np.ndarray] = []
     gram_parts: list[np.ndarray] = []
     nbytes = len(data)
@@ -145,7 +169,7 @@ def batch_ngrams(
 
 
 def doc_term_counts(
-    doc_ids: np.ndarray, term_ids: np.ndarray, n_docs: int
+    doc_ids: np.ndarray, term_ids: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Collapse (doc, term) occurrence pairs into per-document term counts.
 

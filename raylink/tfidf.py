@@ -177,7 +177,7 @@ class TfidfVocab:
         mask = (self.vocab[pos] == grams) if known else np.zeros(len(grams), bool)
         doc_ids = doc_ids[mask]
         term_ids = pos[mask]
-        d, t, c = doc_term_counts(doc_ids, term_ids, n)
+        d, t, c = doc_term_counts(doc_ids, term_ids)
         w = c.astype(np.float64) * self.idf[t]
         # L2 normalize per row
         norms = np.zeros(n, np.float64)
@@ -336,7 +336,6 @@ def topk_cosine(
     self_match: bool = False,
     from_global_offset: int = 0,
     apply_min_similarity: bool = True,
-    max_expand: int = 8_000_000,
     max_slab: int = 32_000_000,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Blocked sparse top-k cosine: returns (indices int64 (n,k), sims (n,k)).

@@ -118,3 +118,32 @@ def test_ratio_properties_hypothesis():
         assert 0.0 <= w <= 100.0
 
     prop()
+
+
+def test_batch_ngrams_non_ascii_codepoint_exact():
+    """clean=False non-ASCII text must gram by CODEPOINTS (the byte-window
+    kernel would split multibyte chars); parity with create_ngrams."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raylink.text import batch_ngrams, create_ngrams
+
+    texts = ["café au lait", "naïve test", "plain ascii", ""]
+    d, grams = batch_ngrams(pa.array(texts), (3, 3))
+    got: dict[int, list[str]] = {}
+    for di, g in zip(d.tolist(), grams.tolist()):
+        got.setdefault(di, []).append(g.rstrip(b"\x00").decode("utf-8"))
+    for i, t in enumerate(texts):
+        want = create_ngrams(t, (3, 3), clean=False)
+        assert got.get(i, []) == want, (i, t)
+
+
+def test_embeddings_to_matrix_ragged_rejected():
+    import pyarrow as pa
+    import pytest
+
+    from raylink.embed import embeddings_to_matrix
+
+    ragged = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64()))
+    with pytest.raises(ValueError, match="fixed-dimension"):
+        embeddings_to_matrix(ragged)

@@ -123,7 +123,7 @@ def test_topk_multi_chunk_consistency():
     index = TopkIndex(csr, np.array(words, dtype=object))
     i1, s1 = topk_cosine(csr, index, top_n=3, self_match=True)
     i2, s2 = topk_cosine(
-        csr, index, top_n=3, self_match=True, max_expand=500, max_slab=1000
+        csr, index, top_n=3, self_match=True, max_slab=1000
     )
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, atol=1e-12)
