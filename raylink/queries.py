@@ -840,6 +840,14 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch-shuffle keys (epoch 3): shuffle-free loader
+    ordering, every worker derives the same permutation."""
+    from raylink.sampling import epoch_order
+
+    return epoch_order(_read(sf_dir, "documents"), "doc_id", epoch=3)
+
+
 def q_split_documents(sf_dir: str):
     """Deterministic train/val/test assignment (raylink/sampling.py):
     the bucket space [0,10000) is partitioned 80/10/10 by cumulative
@@ -1446,6 +1454,7 @@ QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "heavy_users": q_heavy_users,
     "split_documents": q_split_documents,
+    "epoch_shuffle": q_epoch_shuffle,
     "customers_no_urgent": q_customers_no_urgent,
     "event_pairs": q_event_pairs,
     "multimodal_features": q_multimodal_features,
@@ -2304,6 +2313,13 @@ ORACLE_SQL = {
         WHERE {_sql_splitmix64('(doc_id + 7)')} % 10000 <
               CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
                    ELSE 1000 END
+    """,
+    "epoch_shuffle": f"""
+        SELECT doc_id,
+               CAST({_sql_splitmix64('(doc_id + 3)')}
+                    % CAST(9223372036854775808 AS HUGEINT) AS BIGINT)
+                   AS shuffle_key
+        FROM documents
     """,
     "split_documents": f"""
         SELECT doc_id,

@@ -120,3 +120,25 @@ def split_by_hash(
         )
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def epoch_order(ds, id_col: str, epoch: int = 0, cols=None):
+    """Deterministic EPOCH SHUFFLE key — the data-loader ordering
+    primitive: shuffle_key = splitmix64(id + epoch) mod 2^63, a pure
+    function of (id, epoch), so every worker/replica derives the same
+    permutation with NO shuffle (consumers sort or range-partition by
+    (shuffle_key, id); a new epoch value yields an independent order).
+    Streaming map; replay/resume-invariant like the sampling family."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        key = (
+            _hash64((ids + np.int64(epoch)).astype(np.int64))
+            % np.uint64(1 << 63)
+        ).astype(np.int64)
+        keep = list(cols) if cols else [id_col]
+        out = {c: batch[c] for c in keep}
+        out["shuffle_key"] = pa.array(key)
+        return pa.table(out)
+
+    return ds.map_batches(tag, batch_format="pyarrow")

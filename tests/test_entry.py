@@ -145,6 +145,7 @@ def test_every_query_runs(entry_mod):
         "quality_filter",
         "incremental_dedup",
         "corpus_report",
+        "epoch_shuffle",
     ],
 )
 def test_sql_checked_queries(entry_mod, con, name):

@@ -106,3 +106,27 @@ def test_split_by_hash_rejects_non_unit_sum(rd):
             "doc_id",
             splits=(("a", 0.5), ("b", 0.4)),
         )
+
+
+def test_epoch_order_deterministic_and_epoch_varying(rd):
+    import pyarrow as pa
+
+    from raylink.sampling import epoch_order
+
+    tbl = pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64))})
+    for parts in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        a = epoch_order(ds, "doc_id", epoch=1).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        b = epoch_order(rd.from_arrow(tbl), "doc_id", epoch=1).to_pandas(
+            ).sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)  # partition/replay invariant
+    e2 = epoch_order(rd.from_arrow(tbl), "doc_id", epoch=2).to_pandas(
+        ).sort_values("doc_id", ignore_index=True)
+    # different epochs give a different permutation
+    assert (a["shuffle_key"] != e2["shuffle_key"]).any()
+    order1 = a.sort_values("shuffle_key")["doc_id"].tolist()
+    order2 = e2.sort_values("shuffle_key")["doc_id"].tolist()
+    assert order1 != order2
+    assert sorted(order1) == sorted(order2)  # both are full permutations
+    assert (a["shuffle_key"] >= 0).all()
