@@ -19,62 +19,12 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
 
-_WORKER_IMPORT_CHECKED = False
-
-
 def _ensure_workers_can_import() -> None:
-    """Ray workers import ``raylink`` by module reference when they
-    deserialize our map_batches callables / broadcast indexes. If the
-    driver's session was started from a cwd that is not the repo (so the
-    workers' sys.path lacks it), fall back to cloudpickle
-    by-value registration of the whole package — slower pickles, but the
-    contract keeps working regardless of where the harness ran from."""
-    global _WORKER_IMPORT_CHECKED
-    if _WORKER_IMPORT_CHECKED:
-        return
-    import ray
+    """Delegates to raylink.workers — the by-value pickle fallback shared
+    with the ray-job-submit entrypoint (scripts/run_flagship.py)."""
+    from raylink.workers import ensure_workers_can_import
 
-    if not ray.is_initialized():
-        return
-    _WORKER_IMPORT_CHECKED = True
-
-    @ray.remote(num_cpus=0)
-    def _canary(path: str) -> bool:
-        import importlib.util
-
-        return importlib.util.find_spec("raylink") is not None
-
-    try:
-        ok = ray.get(_canary.remote(_REPO_DIR), timeout=30)
-    except Exception:
-        ok = False
-    if ok:
-        return
-    # eagerly import every submodule so the by-value registration covers
-    # the lazily-imported ones too
-    import importlib
-
-    for name in [
-        "raylink", "raylink.text", "raylink.tfidf", "raylink.editdist",
-        "raylink.embed", "raylink.linkage", "raylink.metrics",
-        "raylink.matchers", "raylink.local", "raylink.blocking",
-        "raylink.pipeline", "raylink.flagship", "raylink.model",
-        "raylink.resume", "raylink.checkpoint", "raylink.transcripts",
-        "raylink.dedup", "raylink.ann", "raylink.textstats",
-        "raylink.multimodal", "raylink.queries", "raylink.sources",
-        "raylink.groupseq", "raylink.broadcast", "raylink.joins",
-        "raylink.windows", "raylink.sampling", "raylink.aggs",
-        "raylink.profile", "raylink.packing",
-    ]:
-        importlib.import_module(name)
-    from ray import cloudpickle
-
-    for name, mod in list(sys.modules.items()):
-        if name == "raylink" or name.startswith("raylink."):
-            try:
-                cloudpickle.register_pickle_by_value(mod)
-            except Exception:
-                pass
+    ensure_workers_can_import()
 
 
 def entry() -> Any:

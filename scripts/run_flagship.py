@@ -54,6 +54,12 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
+    # standalone runs from a cwd outside the repo need the by-value pickle
+    # fallback (a ray job's --working-dir ships the package instead)
+    from raylink.workers import ensure_workers_can_import
+
+    ensure_workers_can_import()
+
     import ray.data as rd
 
     t0 = time.perf_counter()

@@ -52,3 +52,36 @@ def test_entry_runs_without_pythonpath_from_foreign_cwd():
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "FALLBACK_OK" in proc.stdout, proc.stdout[-2000:]
+
+
+def test_run_flagship_job_script_from_foreign_cwd(tmp_path):
+    """The ray-job-submit entrypoint must work standalone from a cwd
+    OUTSIDE the repo (workers need the by-value pickle fallback), fresh
+    AND resumed."""
+    import json
+    import subprocess
+    import sys
+
+    from raylink.queries import ensure_transcript_fixture
+
+    info = ensure_transcript_fixture("/root/testdata/sf0.001")
+    script = "/root/repo/scripts/run_flagship.py"
+
+    def run(out_name):
+        res = subprocess.run(
+            [sys.executable, script,
+             "--transcripts", info["transcripts"],
+             "--output", str(tmp_path / out_name),
+             "--checkpoint-root", str(tmp_path / "ckpt"),
+             "--num-cpus", "4"],
+            cwd="/tmp", capture_output=True, text=True, timeout=300,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    fresh = run("out1")
+    assert fresh["n_assignments"] > 0
+    assert not any(fresh["resumed_stages"].values())
+    resumed = run("out2")
+    assert resumed["n_assignments"] == fresh["n_assignments"]
+    assert all(resumed["resumed_stages"].values())
