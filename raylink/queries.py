@@ -402,6 +402,49 @@ def q_vocabulary(sf_dir: str):
     return vocabulary(_read(sf_dir, "documents"), min_count=5)
 
 
+def ensure_transcripts_jsonl(sf_dir: str) -> str:
+    """JSONL sibling of the transcript fixture (the reference serves its
+    datasets as JSON over HTTP — polyfuzz/datasets.py): written once from
+    the parquet, idempotently; only the canonicalize-relevant columns."""
+    import pyarrow.parquet as _pq
+
+    info = ensure_transcript_fixture(sf_dir)
+    out_dir = os.path.join(os.path.dirname(info["transcripts"]), "transcripts_jsonl")
+    done = os.path.join(out_dir, ".complete")
+    if os.path.exists(done):
+        return out_dir
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    import glob as _glob
+    import json as _json
+
+    for i, f in enumerate(sorted(_glob.glob(os.path.join(info["transcripts"], "*.parquet")))):
+        t = _pq.read_table(f, columns=["conv_id", "turn_idx", "text"])
+        with open(os.path.join(tmp, f"part-{i:05d}.jsonl"), "w") as out:
+            for row in t.to_pylist():
+                out.write(_json.dumps(row) + "\n")
+    with open(os.path.join(tmp, ".complete"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)  # concurrent winner exists
+    return out_dir
+
+
+def q_transcript_from_json(sf_dir: str):
+    """Source-format parity: the canonicalize stage over a JSONL read
+    (ray.data.read_json) must be value-identical to the parquet path —
+    same oracle as transcript_canonicalize."""
+    from raylink.blocking import canonicalize_transcripts
+
+    jdir = ensure_transcripts_jsonl(sf_dir)
+    ds = _rd().read_json(jdir)
+    return canonicalize_transcripts(ds)
+
+
 def q_transcript_canonicalize(sf_dir: str):
     """Flagship stage 1 SQL-checked: mention extraction + block key from
     the synthesized transcript fixture."""
@@ -1422,6 +1465,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
     "transcript_canonicalize": q_transcript_canonicalize,
+    "transcript_from_json": q_transcript_from_json,
     "transcript_conv_text": q_transcript_conv_text,
     "transcript_turn_stats": q_transcript_turn_stats,
     "transcript_tool_stats": q_transcript_tool_stats,
@@ -2808,6 +2852,9 @@ def _multimodal_oracle_sql() -> str:
 
 
 ORACLE_SQL["multimodal_features"] = _multimodal_oracle_sql()
+
+# source-format parity: the JSONL read must reproduce the parquet path
+ORACLE_SQL["transcript_from_json"] = ORACLE_SQL["transcript_canonicalize"]
 
 # incremental dedup oracle: complete-graph exact Jaccard restricted to
 # delta-touching pairs (b >= 400), min partner per delta doc — valid for

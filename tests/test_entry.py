@@ -163,6 +163,7 @@ def test_transcript_sql_queries(entry_mod):
     c = duckdb.connect()
     for name in [
         "transcript_canonicalize",
+        "transcript_from_json",
         "transcript_conv_text",
         "transcript_turn_stats",
         "transcript_tool_stats",
