@@ -154,6 +154,15 @@ def group_quantiles(
     from one cumulative-count crossing scan."""
     P = _default_parts(n_parts)
     q_list = [(int(a), int(b), str(lbl)) for a, b, lbl in qs]
+    for q_num, q_den, label in q_list:
+        # a degenerate spec (q_num=0 -> target 0, no crossing row) would
+        # scatter into an uninitialized buffer and emit garbage silently
+        if q_den <= 0 or not (1 <= q_num <= q_den):
+            raise ValueError(
+                f"group_quantiles: quantile {label!r}=({q_num},{q_den}) "
+                "must satisfy 1 <= q_num <= q_den (percentile_disc rank "
+                "ceil(q*n) needs a crossing row for every key)"
+            )
 
     def partial(batch: pa.Table) -> pa.Table:
         ka = _np_i64(batch[key_col])

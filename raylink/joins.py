@@ -55,6 +55,7 @@ def asof_join(
     (left_id_col, right_id_col, *right_payload_cols)."""
     if left_id_col == right_id_col:
         raise ValueError("left_id_col and right_id_col must have distinct names")
+    _check_reserved("asof_join", right_payload_cols, _ASOF_STAGE_COLS)
     P = n_parts if n_parts is not None else max(
         8, int(ray.cluster_resources().get("CPU", 8)) * 2
     )
@@ -269,6 +270,27 @@ def _sorted_pandas(res, sort_cols):
     return out.sort_values(list(sort_cols)).reset_index(drop=True)
 
 
+_EQUI_STAGE_COLS = frozenset({"k", "side", "part"})
+_ASOF_STAGE_COLS = frozenset({"k", "t", "side", "part", "lid", "rid"})
+
+
+def _check_reserved(op: str, names, reserved=_EQUI_STAGE_COLS) -> None:
+    """The distributed join modes stage rows through internal columns
+    ('k'/'side'/'part', plus 't'/'lid'/'rid' for asof) — a user payload
+    column with one of those names would be silently overwritten by the
+    staging metadata (wrong values, no error). Collide loudly instead, in
+    every mode: mode="auto" can flip to distributed as data grows, so a
+    name that works at small scale must not break silently at large
+    scale."""
+    bad = sorted(set(names) & reserved)
+    if bad:
+        raise ValueError(
+            f"{op}: payload column name(s) {bad} collide with reserved "
+            f"internal staging columns {sorted(reserved)}; "
+            "rename the column(s) before joining"
+        )
+
+
 def equi_join(
     left_ds,
     right_ds,
@@ -300,8 +322,11 @@ def equi_join(
     """
     if set(left_cols) & set(right_cols):
         raise ValueError("left_cols and right_cols must be disjoint")
-    rschema = right_ds.schema()  # before the null-filter wrap: a zero-block
-    # mapped dataset cannot infer its schema for the empty-right fallback
+    _check_reserved("equi_join", (*left_cols, *right_cols))
+    # schemas BEFORE the null-filter wrap: a zero-block mapped dataset
+    # cannot infer its schema (empty-right fallback, distributed nulls)
+    rschema = right_ds.schema()
+    lschema = left_ds.schema()
     left_ds = _drop_null_keys(left_ds, left_key_col)
     right_ds = _drop_null_keys(right_ds, right_key_col)
     if mode == "auto":
@@ -400,9 +425,7 @@ def equi_join(
         P = n_parts if n_parts is not None else max(
             8, int(ray.cluster_resources().get("CPU", 8)) * 2
         )
-        lschema = left_ds.schema()
         ltypes = dict(zip(lschema.names, lschema.types))
-        rschema = right_ds.schema()
         rtypes = dict(zip(rschema.names, rschema.types))
 
         def mk_left(batch: pa.Table) -> pa.Table:
@@ -499,6 +522,11 @@ def semi_join(
     a null key is never emitted), keeping the distributed kernels
     consistent with the broadcast membership tests."""
     is_anti = bool(anti)
+    _check_reserved("semi_join", left_cols)
+    # schemas BEFORE the null-filter wrap — a zero-block mapped dataset
+    # cannot infer its schema (equi_join's hardening, mirrored here)
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
     left_ds = _drop_null_keys(left_ds, left_key_col)
     right_ds = _drop_null_keys(right_ds, right_key_col)
     if mode == "auto":
@@ -509,9 +537,7 @@ def semi_join(
         )
 
     str_key = _is_string_key(
-        dict(zip(right_ds.schema().names, right_ds.schema().types))[
-            right_key_col
-        ]
+        dict(zip(rschema.names, rschema.types))[right_key_col]
     )
     if mode == "broadcast":
 
@@ -522,7 +548,11 @@ def semi_join(
         parts = right_ds.select_columns([right_key_col]).map_batches(
             key_partial, batch_format="pyarrow"
         )
-        ptabs = ray.get(parts.to_arrow_refs())
+        ptabs = [
+            t
+            for t in ray.get(parts.to_arrow_refs())
+            if "k" in t.column_names
+        ]  # empty placeholder blocks can carry a zero-column schema
         from .broadcast import cached_object
 
         if str_key:
@@ -571,7 +601,6 @@ def semi_join(
         P = n_parts if n_parts is not None else max(
             8, int(ray.cluster_resources().get("CPU", 8)) * 2
         )
-        lschema = left_ds.schema()
         ltypes = dict(zip(lschema.names, lschema.types))
 
         def mk_left(batch: pa.Table) -> pa.Table:

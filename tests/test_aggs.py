@@ -329,3 +329,21 @@ def test_group_count_null_key_rejected(rd):
     ds = rd.from_arrow(t)
     with pytest.raises(Exception, match="null"):
         group_count(ds, ("s", "l"), output="pandas")
+
+
+def test_group_quantiles_degenerate_spec_rejected(rd):
+    """q_num=0 (or q_num>q_den, or q_den<=0) has no crossing row and
+    would scatter garbage from an uninitialized buffer — reject loudly
+    (ADVICE r3)."""
+    from raylink.aggs import group_quantiles
+
+    t = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "v": pa.array([5, 7, 9], pa.int64())})
+    ds = rd.from_arrow(t)
+    for bad in ((0, 2, "p0"), (3, 2, "p150"), (1, 0, "pdiv0")):
+        with pytest.raises(ValueError, match="group_quantiles"):
+            group_quantiles(ds, "k", "v", qs=(bad,), output="pandas")
+    # the valid edge q_num == q_den (max) still works
+    out = group_quantiles(ds, "k", "v", qs=((1, 1, "pmax"),),
+                          output="pandas")
+    assert list(out["pmax"]) == [7, 9]

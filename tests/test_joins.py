@@ -317,3 +317,57 @@ def test_equi_join_empty_right(rd):
     out = equi_join(left, empty, "k", "k", ("x",), ("y",),
                     mode="broadcast", output="dataset").to_pandas()
     assert len(out) == 0
+
+
+def test_reserved_staging_names_rejected(rd):
+    """Payload column names that collide with the internal staging
+    columns ('k'/'side'/'part'; +'t'/'lid'/'rid' for asof) raise loudly
+    instead of being silently overwritten (ADVICE r3)."""
+    import pyarrow as pa
+
+    from raylink.joins import asof_join, equi_join, semi_join
+
+    left = rd.from_arrow(pa.table({
+        "key": pa.array([1, 2], pa.int64()),
+        "part": pa.array([10, 20], pa.int64()),
+        "ts": pa.array([1, 2], pa.int64()),
+        "lid_": pa.array([1, 2], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "key": pa.array([1], pa.int64()),
+        "side": pa.array([5], pa.int64()),
+        "ts": pa.array([0], pa.int64()),
+        "rid_": pa.array([9], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="reserved"):
+        equi_join(left, right, "key", "key", ("part",), ("rid_",))
+    with pytest.raises(ValueError, match="reserved"):
+        equi_join(left, right, "key", "key", ("lid_",), ("side",))
+    with pytest.raises(ValueError, match="reserved"):
+        semi_join(left, right, "key", "key", ("k",))
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, "key", "ts", "lid_", "rid_",
+                  right_payload_cols=("side",))
+    # names reserved only for asof stay usable in equi/semi
+    ok = equi_join(left, right, "key", "key", ("lid_",), ("rid_",),
+                   mode="distributed", output="pandas")
+    assert list(ok["key"]) == [1]
+
+
+def test_semi_join_empty_right_distributed(rd):
+    """A zero-block (or empty) right side must not break semi_join's
+    schema snapshot (taken BEFORE the null-filter wrap, ADVICE r3)."""
+    import pyarrow as pa
+
+    from raylink.joins import semi_join
+
+    left = rd.from_arrow(pa.table({"key": pa.array(["a", "b"]),
+                                   "x": pa.array([1, 2], pa.int64())}))
+    empty = rd.from_arrow(pa.table({"key": pa.array([], pa.string())}))
+    for mode in ("broadcast", "distributed"):
+        out = semi_join(left, empty, "key", "key", ("x",),
+                        mode=mode, output="pandas")
+        assert len(out) == 0, mode
+        anti = semi_join(left, empty, "key", "key", ("x",), anti=True,
+                         mode=mode, output="pandas")
+        assert sorted(anti["key"]) == ["a", "b"], mode
