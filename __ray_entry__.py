@@ -82,4 +82,10 @@ def oracle_sql() -> dict[str, str]:
         ensure_media_fixture()
     except Exception:
         pass
+    try:
+        from raylink.queries import ensure_ivf_centroid_fixture
+
+        ensure_ivf_centroid_fixture("/root/testdata/sf0.01")
+    except Exception:
+        pass
     return dict(ORACLE_SQL)

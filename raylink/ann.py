@@ -231,7 +231,7 @@ def self_top1(
     mode: str = "auto",
     max_broadcast_rows: int = 2_000_000,
     col_chunk: int = 8192,
-    output: str = "pandas",
+    output: str = "dataset",
 ):
     """For every vector: its most similar OTHER vector (brute force, data
     side streamed). Ties resolve to the smaller vec_id. Returns
@@ -321,6 +321,16 @@ class IVFIndex:
 
     def __init__(self, centroids: np.ndarray):
         self.centroids = l2_normalize(centroids)
+
+    @classmethod
+    def from_exact_centroids(cls, centroids: np.ndarray) -> "IVFIndex":
+        """Adopt already-normalized centroid values WITHOUT re-normalizing
+        (re-dividing by a norm that is 1±1e-16 would perturb the last bit
+        and break parity with a persisted-centroid SQL oracle that reads
+        the exact stored float64s)."""
+        obj = cls.__new__(cls)
+        obj.centroids = np.asarray(centroids, dtype=np.float64)
+        return obj
 
     @classmethod
     def fit(cls, sample: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 0):
@@ -439,14 +449,17 @@ def ivf_build_partitioned(
     sample_size: int = 4096,
     batch_size: int = 4096,
     seed: int = 0,
+    index: IVFIndex | None = None,
 ) -> IVFIndex:
     """Build a hive-partitioned IVF index on disk (VERDICT r2 #5): fit
     centroids on a sample, assign every row per batch, write parquet
     partitioned by ``list_id``. Probes then READ only matching partitions
     — IO pruning, sub-linear probe cost vs corpus size — instead of
     scanning every batch. Returns the fitted index (persist
-    ``index.centroids`` alongside for reuse)."""
-    index = _fit_index_from_sample(ds, emb_col, n_clusters, sample_size, seed)
+    ``index.centroids`` alongside for reuse); pass a prefitted ``index``
+    to build against pinned centroids."""
+    if index is None:
+        index = _fit_index_from_sample(ds, emb_col, n_clusters, sample_size, seed)
     cents_ref = ray.put(index.centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -553,7 +566,7 @@ def topk_join(
     mode: str = "auto",
     max_broadcast_rows: int = 2_000_000,
     col_chunk: int = 8192,
-    output: str = "pandas",
+    output: str = "dataset",
 ):
     """Dataset-to-Dataset top-k cosine join: for every row of
     ``query_ds``, the k most similar rows of ``data_ds``. BOTH sides

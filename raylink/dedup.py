@@ -1818,12 +1818,14 @@ def contamination_check(
     mode: str = "auto",
     max_broadcast_grams: int = 20_000_000,
     driver_merge_max_rows: int = 2_000_000,
-    output: str = "pandas",
+    output: str = "dataset",
 ):
     """Training-data DECONTAMINATION: for every corpus doc, count how many
     of its distinct word ``ngram``-grams appear anywhere in the eval set,
     and flag docs with >= 1 hit. Output: (id_col, n_hit_grams,
-    contaminated) for every corpus doc.
+    contaminated) for every corpus doc — as an un-collected Dataset by
+    default (the corpus-sized result must never be forced onto the
+    driver; ``output="pandas"`` is the small-scale opt-in, VERDICT r3 #3).
 
     "broadcast" (the default below ``max_broadcast_grams`` distinct eval
     grams): eval grams reduce distributively (per-block distinct
@@ -1867,13 +1869,6 @@ def contamination_check(
                 "gram": grams,
             }
         )
-
-    def zero_fill(counts: pd.DataFrame) -> pd.DataFrame:
-        all_ids = corpus_ds.select_columns([id_col]).to_pandas()
-        out = all_ids.merge(counts, on=id_col, how="left")
-        out["n_hit_grams"] = out["n_hit_grams"].fillna(0).astype(np.int64)
-        out["contaminated"] = out["n_hit_grams"] > 0
-        return out.sort_values(id_col).reset_index(drop=True)
 
     if mode == "auto":
         eval_grams_ds = eval_grams_ds.materialize()  # count + reuse, one pass
@@ -1968,12 +1963,46 @@ def contamination_check(
         count_merge,
         driver_merge_max_rows,
     )
-    if output == "dataset":
-        # un-collected scale output: one (id, n_hit_grams) row per HIT doc
-        # (absent = clean) — zero-filling distributively would need an
-        # outer join; the pandas output zero-fills on the driver
-        return counts_res
-    return zero_fill(counts_res.to_pandas())
+
+    # distributed zero-fill (VERDICT r3 #3): hits carry contaminated=True;
+    # clean docs come from a left ANTI semi-join of corpus ids against the
+    # hit ids (hash-partition co-shuffle, nothing lands on the driver) —
+    # so the dataset output covers EVERY corpus doc, matching broadcast
+    # mode's schema and row set exactly.
+    def flag_hits(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_hit_grams": batch["n_hit_grams"],
+                "contaminated": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def flag_clean(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_hit_grams": pa.array(np.zeros(n, dtype=np.int64)),
+                "contaminated": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    clean_ids = semi_join(
+        corpus_ds.select_columns([id_col]),
+        counts_res,
+        left_key_col=id_col,
+        right_key_col=id_col,
+        anti=True,
+        mode="distributed",
+    )
+    res = counts_res.map_batches(flag_hits, batch_format="pyarrow").union(
+        clean_ids.map_batches(flag_clean, batch_format="pyarrow")
+    )
+    if output == "pandas":
+        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+    return res
 
 
 def incremental_minhash_dedup(

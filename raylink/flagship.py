@@ -26,9 +26,11 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from raylink.blocking import canonicalize_transcripts
+from raylink.joins import _string_part_hash
 from raylink.pipeline import MatcherSpec, group_matches, match_dataset
 
 
@@ -243,24 +245,23 @@ def assign_clusters_distributed(entities_ds, clusters_ds, n_parts: int | None = 
     conv_type = dict(zip(e_sch.names, e_sch.types))["conv_id"]
 
     def _part(blocks, texts):
-        keys = np.asarray(
-            [f"{b}\x1f{t}" for b, t in zip(blocks, texts)], dtype=object
+        # Arrow C kernels end to end (VERDICT r3 #4): composite key via
+        # binary_join_element_wise, partition id via the shared vectorized
+        # string hash — no per-row Python, no pandas
+        keys = pc.binary_join_element_wise(
+            blocks.combine_chunks().cast(pa.string()),
+            texts.combine_chunks().cast(pa.string()),
+            "\x1f",
         )
-        import pandas as _pd
-
-        part = (
-            _pd.util.hash_array(keys, categorize=False) % np.uint64(P)
-        ).astype(np.int64)
+        part = (_string_part_hash(keys) % np.uint64(P)).astype(np.int64)
         return keys, part
 
     def tag_entities(batch: pa.Table) -> pa.Table:
-        keys, part = _part(
-            batch["block_key"].to_pylist(), batch["entity_text"].to_pylist()
-        )
+        keys, part = _part(batch["block_key"], batch["entity_text"])
         return pa.table(
             {
                 "part": pa.array(part),
-                "key": pa.array(keys, type=pa.string()),
+                "key": keys,
                 "conv_id": batch["conv_id"],
                 "entity_text": batch["entity_text"],
                 "block_key": batch["block_key"],
@@ -275,13 +276,11 @@ def assign_clusters_distributed(entities_ds, clusters_ds, n_parts: int | None = 
         )
 
     def tag_clusters(batch: pa.Table) -> pa.Table:
-        keys, part = _part(
-            batch["block_key"].to_pylist(), batch["member"].to_pylist()
-        )
+        keys, part = _part(batch["block_key"], batch["member"])
         return pa.table(
             {
                 "part": pa.array(part),
-                "key": pa.array(keys, type=pa.string()),
+                "key": keys,
                 "conv_id": pa.nulls(batch.num_rows, type=conv_type),
                 "entity_text": batch["member"],
                 "block_key": batch["block_key"],
@@ -300,35 +299,53 @@ def assign_clusters_distributed(entities_ds, clusters_ds, n_parts: int | None = 
         clusters_ds.map_batches(tag_clusters, batch_format="pyarrow")
     )
 
-    def join_part(g) -> "pd.DataFrame":
-        import pandas as pd
-
-        is_cl = g["is_cluster"].to_numpy() == 1
-        ck = g.loc[is_cl, "key"].to_numpy()
-        crep = g.loc[is_cl, "representative"].to_numpy()
-        ccid = g.loc[is_cl, "cluster_id"].to_numpy()
+    def join_part(g: pa.Table) -> pa.Table:
+        # pyarrow in/out (VERDICT r3 #4: the old pandas conversion was
+        # pure overhead around this numpy kernel). Keys factorize to exact
+        # dictionary codes; the object-dtype argsort becomes an int64 one.
+        is_cl = (
+            np.asarray(g["is_cluster"].to_numpy(zero_copy_only=False), np.int8)
+            == 1
+        )
+        codes = np.asarray(
+            pc.dictionary_encode(g["key"].combine_chunks())
+            .indices.to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        cpos = np.flatnonzero(is_cl)
+        epos_a = pa.array(np.flatnonzero(~is_cl))
+        texts = g["entity_text"].combine_chunks().take(epos_a)
+        out = {
+            "conv_id": g["conv_id"].combine_chunks().take(epos_a),
+            "entity_text": texts,
+            "block_key": g["block_key"].combine_chunks().take(epos_a),
+        }
+        ek = codes[~is_cl]
+        if not len(cpos):
+            out["group"] = texts
+            out["cluster_id"] = pa.array(
+                np.full(len(ek), -1, dtype=np.int64)
+            )
+            return pa.table(out)
+        ck = codes[cpos]
         o = np.argsort(ck, kind="stable")
-        ck, crep, ccid = ck[o], crep[o], ccid[o]
-        ent = g[~is_cl]
-        ek = ent["key"].to_numpy()
+        ck = ck[o]
         pos = np.searchsorted(ck, ek)
-        posc = np.minimum(pos, max(len(ck) - 1, 0))
-        hit = (
-            (pos < len(ck)) & (ck[posc] == ek)
-            if len(ck)
-            else np.zeros(len(ek), bool)
+        posc = np.minimum(pos, len(ck) - 1)
+        hit = (pos < len(ck)) & (ck[posc] == ek)
+        src_cl = cpos[o[posc]]  # row index of the matched cluster row
+        rep_taken = (
+            g["representative"]
+            .combine_chunks()
+            .take(pa.array(np.where(hit, src_cl, cpos[0])))
         )
-        texts = ent["entity_text"].to_numpy()
-        groups = np.where(hit, crep[posc] if len(ck) else None, texts)
-        cids = np.where(hit, ccid[posc] if len(ck) else -1, -1)
-        return pd.DataFrame(
-            {
-                "conv_id": ent["conv_id"].to_numpy(),
-                "entity_text": texts,
-                "block_key": ent["block_key"].to_numpy(),
-                "group": groups,
-                "cluster_id": cids.astype(np.int64),
-            }
+        out["group"] = pc.if_else(pa.array(hit), rep_taken, texts)
+        ccid = np.asarray(
+            g["cluster_id"].to_numpy(zero_copy_only=False), np.int64
         )
+        out["cluster_id"] = pa.array(
+            np.where(hit, ccid[src_cl], np.int64(-1)).astype(np.int64)
+        )
+        return pa.table(out)
 
-    return union.groupby("part").map_groups(join_part, batch_format="pandas")
+    return union.groupby("part").map_groups(join_part, batch_format="pyarrow")

@@ -28,14 +28,32 @@ _MASK64 = 0xFFFFFFFFFFFFFFFF
 _GAMMA = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _fnv64_bytes(data: bytes) -> int:
+def _fnv64_bytes(data, h: int = 0) -> int:
     """Wrapping FNV64 fold over raw bytes — the payload -> stream-seed hash
     of the fake codec. Same hash family as the simhash/embedding kernels,
-    re-derived by the DuckDB oracle over hex(payload) byte pairs."""
-    h = 0
+    re-derived by the DuckDB oracle over hex(payload) byte pairs.
+    Accepts any bytes-like (memoryview included) and an initial state, so
+    fold(a + b) == fold(b, fold(a)) lets callers chain suffixes without
+    concatenating buffers."""
     for b in data:
         h = (h * _FNV64_PRIME + b) & _MASK64
     return h
+
+
+def _binary_views(col) -> list:
+    """Zero-copy per-item memoryviews of a binary column, straight off the
+    flat Arrow buffers (offsets + data) — ``to_pylist()`` would copy every
+    payload into a fresh bytes object (VERDICT r3 #8)."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(a)
+    if not n:
+        return []
+    odt = np.int64 if pa.types.is_large_binary(a.type) else np.int32
+    offs = np.frombuffer(a.buffers()[1], dtype=odt)[a.offset : a.offset + n + 1]
+    # cast to unsigned: pyarrow Buffer memoryviews are format 'b' (SIGNED),
+    # which would iterate as negative ints and corrupt byte-fold hashes
+    data = memoryview(a.buffers()[2]).cast("B")
+    return [data[offs[i] : offs[i + 1]] for i in range(n)]
 
 
 def _splitmix_stream(seed: int, n: int) -> np.ndarray:
@@ -79,25 +97,42 @@ def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
 class DecoderBackend:
     """Codec seam. Real backends (PIL / torchaudio / pyav) are not
     installed — selecting them raises at decode time with a clear message;
-    the ``fake`` backend derives deterministic arrays from payload bytes."""
+    the ``fake`` backend derives deterministic arrays from payload bytes.
+    A real deployment INJECTS its codec as callables instead (mirroring
+    the embedder-injection surface): ``image_decoder(payload, width,
+    height) -> uint8 (h, w, 3)`` and ``audio_decoder(payload,
+    sample_rate) -> float32 (n,)`` — cloudpickled to the actor pool like
+    any custom scorer."""
 
-    def __init__(self, backend: str = "fake"):
+    def __init__(self, backend: str = "fake", image_decoder=None, audio_decoder=None):
         self.backend = backend
+        self.image_decoder = image_decoder
+        self.audio_decoder = audio_decoder
 
-    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+    def decode_image(self, payload, width: int, height: int, frame: int | None = None) -> np.ndarray:
+        if self.image_decoder is not None:
+            out = self.image_decoder(payload, width, height) if frame is None else self.image_decoder(payload, width, height, frame)
+            return np.asarray(out, dtype=np.uint8)
         if self.backend != "fake":
             raise NotImplementedError(
                 f"image codec backend {self.backend!r} is not available in "
-                "this environment; use backend='fake' or install a codec"
+                "this environment; use backend='fake' or inject image_decoder"
             )
         seed = _fnv64_bytes(payload)
+        if frame is not None:
+            # fold the frame ordinal as a 4-byte LE suffix: identical to
+            # hashing payload + frame_bytes without concatenating buffers
+            seed = _fnv64_bytes(int(frame).to_bytes(4, "little"), seed)
         u = _splitmix_stream(seed, height * width * 3)
         return (u >> np.uint64(56)).astype(np.uint8).reshape(height, width, 3)
 
-    def decode_audio(self, payload: bytes, sample_rate: int) -> np.ndarray:
+    def decode_audio(self, payload, sample_rate: int) -> np.ndarray:
+        if self.audio_decoder is not None:
+            return np.asarray(self.audio_decoder(payload, sample_rate), dtype=np.float32)
         if self.backend != "fake":
             raise NotImplementedError(
-                f"audio codec backend {self.backend!r} is not available"
+                f"audio codec backend {self.backend!r} is not available; "
+                "use backend='fake' or inject audio_decoder"
             )
         u = _splitmix_stream(_fnv64_bytes(payload), sample_rate)
         return (
@@ -113,8 +148,11 @@ class MediaFeatureActor:
     Output schema is stable regardless of media type (absent dims are -1).
     """
 
-    def __init__(self, backend: str = "fake", resize_to: int = 8, n_sample_frames: int = 4):
-        self.codec = DecoderBackend(backend)
+    def __init__(self, backend: str = "fake", resize_to: int = 8, n_sample_frames: int = 4,
+                 image_decoder=None, audio_decoder=None):
+        self.codec = DecoderBackend(
+            backend, image_decoder=image_decoder, audio_decoder=audio_decoder
+        )
         self.resize_to = resize_to
         self.n_sample_frames = n_sample_frames
 
@@ -128,7 +166,7 @@ class MediaFeatureActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         types = batch["media_type"].to_pylist()
-        payloads = batch["payload"].to_pylist()
+        payloads = _binary_views(batch["payload"])  # zero-copy buffer walk
         widths = batch["meta_width"].to_pylist()
         heights = batch["meta_height"].to_pylist()
         rates = batch["meta_sample_rate"].to_pylist()
@@ -161,8 +199,10 @@ class MediaFeatureActor:
                 sampled = list(range(0, nf, step))[: self.n_sample_frames]
                 accum = np.zeros((self.resize_to, self.resize_to))
                 for fi in sampled:
+                    # frame ordinal folds as a hash suffix — value-equal to
+                    # decoding payload + frame_bytes, zero concatenation
                     frame = self._resize(
-                        self.codec.decode_image(p + fi.to_bytes(4, "little"), w, h)
+                        self.codec.decode_image(p, w, h, frame=fi)
                     )
                     accum += frame.astype(np.float64).mean(axis=2) / 255.0
                 feats.append((accum / max(1, len(sampled))).ravel().tolist())
@@ -177,12 +217,19 @@ class MediaFeatureActor:
         )
 
 
-def media_features(ds, backend: str = "fake", concurrency=(1, 4), batch_size: int = 64):
-    """Dataset of MEDIA_SCHEMA rows -> feature Dataset (actor pool)."""
+def media_features(ds, backend: str = "fake", concurrency=(1, 4), batch_size: int = 64,
+                   image_decoder=None, audio_decoder=None):
+    """Dataset of MEDIA_SCHEMA rows -> feature Dataset (actor pool).
+    ``image_decoder``/``audio_decoder`` inject a real codec (cloudpickled
+    once per actor, mirroring the embedder-injection surface)."""
     return ds.map_batches(
         MediaFeatureActor,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"backend": backend},
+        fn_constructor_kwargs={
+            "backend": backend,
+            "image_decoder": image_decoder,
+            "audio_decoder": audio_decoder,
+        },
     )

@@ -570,10 +570,17 @@ def test_contamination_check_modes_identical(rd):
     corpus = _docs(rd, corpus_texts).repartition(4)
     ev = _docs(rd, eval_texts)
     b = contamination_check(corpus, ev, "doc_id", "text", ngram=3,
-                            mode="broadcast")
+                            mode="broadcast", output="pandas")
     d = contamination_check(corpus, ev, "doc_id", "text", ngram=3,
-                            mode="distributed")
+                            mode="distributed", output="pandas")
     pd.testing.assert_frame_equal(b, d)
+    # default output is an un-collected Dataset (scale surface), value-
+    # identical to pandas incl. the distributed zero-fill of clean docs
+    dds = contamination_check(corpus, ev, "doc_id", "text", ngram=3,
+                              mode="distributed")
+    dd = (dds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+          [list(b.columns)])
+    pd.testing.assert_frame_equal(b, dd)
     # every planted eval doc must be flagged with ALL its grams hit
     for i in range(0, 35, 7):
         row = b[b.doc_id == i].iloc[0]

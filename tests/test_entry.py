@@ -105,6 +105,7 @@ def test_every_query_runs(entry_mod):
         "fingerprint",
         "ann_topk",
         "match_tfidf_documents",
+        "wratio_short_branch",
         "fit_transform",
         "group_documents",
         "simhash",
@@ -172,6 +173,21 @@ def test_transcript_sql_queries(entry_mod):
         "transcript_pr_curve",
     ]:
         ours = to_pandas(entry_mod.queries()[name]("/root/testdata/sf0.01"))
+        oracle = c.sql(entry_mod.oracle_sql()[name]).df()
+        assert_frames_match(ours, oracle, name)
+
+
+def test_ivf_sql_queries(entry_mod):
+    """IVF oracles replay assignment + probing from the PINNED centroid
+    fixture (static sf0.01 path, the driver's comparison scale); verify
+    hash-exact there."""
+    c = duckdb.connect()
+    sf = "/root/testdata/sf0.01"
+    c.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    for name in ["ann_ivf_topk", "ann_ivf_partitioned"]:
+        ours = to_pandas(entry_mod.queries()[name](sf))
         oracle = c.sql(entry_mod.oracle_sql()[name]).df()
         assert_frames_match(ours, oracle, name)
 

@@ -52,7 +52,7 @@ def test_self_top1(emb_ds):
     from raylink.ann import self_top1
 
     ds, mat = emb_ds
-    out = self_top1(ds, batch_size=64)
+    out = self_top1(ds, batch_size=64, output="pandas")
     assert len(out) == 200
     assert (out["vec_id"] != out["best_match_id"]).all()
 
@@ -64,11 +64,13 @@ def test_self_top1_sharded_equals_broadcast(emb_ds):
     from raylink.ann import self_top1
 
     ds, mat = emb_ds
-    b = self_top1(ds, batch_size=64)
-    s = self_top1(ds, batch_size=64, mode="sharded", max_broadcast_rows=50)
+    b = self_top1(ds, batch_size=64, output="pandas")
+    s = self_top1(ds, batch_size=64, mode="sharded", max_broadcast_rows=50,
+                  output="pandas")
     pd.testing.assert_frame_equal(b, s)
     # small col_chunk exercises the running cross-chunk merge too
-    c = self_top1(ds, batch_size=64, mode="sharded", max_broadcast_rows=50, col_chunk=17)
+    c = self_top1(ds, batch_size=64, mode="sharded", max_broadcast_rows=50,
+                  col_chunk=17, output="pandas")
     pd.testing.assert_frame_equal(b, c)
 
 
@@ -249,6 +251,38 @@ def test_media_features_pipeline(rd):
         DecoderBackend(backend="pil").decode_image(b"x", 4, 4)
 
 
+def test_media_features_injected_decoder(rd):
+    """User-injected codec callables replace the stub (cloudpickled once
+    per actor, the embedder-injection surface mirrored — VERDICT r3 #8);
+    payloads arrive as zero-copy memoryviews, so the callable must accept
+    bytes-like input. Decoders are LOCAL functions on purpose: cloudpickle
+    ships them by value, the way a user's codec actually travels."""
+    import numpy as np
+
+    from raylink.multimodal import media_features, synthesize_media_table
+
+    def _inj_img(payload, width, height, frame=None):
+        # deterministic user codec: pixel = (payload_len + frame) mod 256
+        v = (len(bytes(payload)) + (frame or 0)) % 256
+        return np.full((height, width, 3), v, dtype=np.uint8)
+
+    def _inj_aud(payload, sample_rate):
+        return np.full(sample_rate, 0.5, dtype=np.float32)
+
+    tbl = synthesize_media_table(12)
+    out = media_features(
+        rd.from_arrow(tbl), image_decoder=_inj_img, audio_decoder=_inj_aud
+    ).to_pandas().sort_values("media_id", ignore_index=True)
+    assert len(out) == 12
+    src = tbl.to_pandas()
+    for _, row in out.iterrows():
+        if row["media_type"] == "image":
+            plen = len(src.loc[src.media_id == row.media_id, "payload"].iloc[0])
+            assert np.allclose(row["feature"], (plen % 256) / 255.0)
+        elif row["media_type"] == "audio":
+            assert np.allclose(row["feature"], 0.5)
+
+
 def test_checkpoint_resume(rd, tmp_path):
     from raylink.checkpoint import checkpoint_valid, read_manifest, run_stage
 
@@ -305,8 +339,8 @@ def test_self_top1_output_dataset(emb_ds):
     from raylink.ann import self_top1
 
     ds, mat = emb_ds
-    base = self_top1(ds, batch_size=64)
-    out_ds = self_top1(ds, batch_size=64, output="dataset")
+    base = self_top1(ds, batch_size=64, output="pandas")
+    out_ds = self_top1(ds, batch_size=64)  # dataset is the DEFAULT (r4)
     got = out_ds.to_pandas().sort_values("vec_id", ignore_index=True)
     pd.testing.assert_frame_equal(base, got)
 
@@ -332,14 +366,15 @@ def test_topk_join_matches_brute_force(emb_ds, rd):
     want = brute_force_topk(ds, mat[:nq], k=4, batch_size=64).rename(
         columns={"vec_id": "data_id"}
     )
-    got_b = topk_join(query_ds, ds, k=4, batch_size=64, mode="broadcast")
+    got_b = topk_join(query_ds, ds, k=4, batch_size=64, mode="broadcast",
+                      output="pandas")
     pd.testing.assert_frame_equal(want, got_b)
     got_s = topk_join(
         query_ds, ds, k=4, batch_size=64, mode="sharded",
-        max_broadcast_rows=37, col_chunk=13,
+        max_broadcast_rows=37, col_chunk=13, output="pandas",
     )
     pd.testing.assert_frame_equal(want, got_s)
-    got_ds = topk_join(query_ds, ds, k=4, batch_size=64, output="dataset")
+    got_ds = topk_join(query_ds, ds, k=4, batch_size=64)  # dataset default
     pd.testing.assert_frame_equal(
         want,
         got_ds.to_pandas().sort_values(["query_id", "rank"], ignore_index=True),
@@ -483,7 +518,7 @@ def test_ann_tie_break_smallest_id_with_many_ties(rd):
         "vec_id": pa.array([0], pa.int64()),
         "embedding": pa.array([dup], type=pa.list_(pa.float64())),
     }))
-    tj = topk_join(q, ds, k=2)
+    tj = topk_join(q, ds, k=2, output="pandas")
     assert tj.sort_values("rank")["data_id"].tolist() == [5, 6]
 
 
