@@ -33,6 +33,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -576,6 +577,298 @@ def _verify_pairs_distributed(
     return union.groupby("part").map_groups(verify_part, batch_format="pyarrow")
 
 
+def _collapse_exact_texts(
+    ds, id_col: str, text_col: str, driver_merge_max_rows: int
+):
+    """EXACT-dup collapse before near-dup banding (round-4 scale fix):
+    templated corpora repeat byte-identical texts thousands of times —
+    banding every copy floods the LSH buckets (the cap then TRUNCATES
+    real near-dup partners) and the verifier re-proves jaccard=1 for
+    millions of identical pairs. Collapse first: one representative per
+    distinct text (rep = MIN doc id, so downstream min-member group ids
+    are unchanged), band/verify/cluster the reps, expand at the end.
+    Returns (reps_ds, doc_map_ds): reps = ({id_col}: rep id, {text_col},
+    n_members), doc_map = ({id_col}, rep_id) for every non-null-text doc.
+
+    Scale shape: per-block factorize partials -> the shared bounded
+    digest merge (string-hash partitioned above the driver bound); the
+    doc->rep map is ONE equi_join on the text (broadcast below its bound,
+    string-keyed co-shuffle above)."""
+    import ray.data as rd
+
+    from raylink.aggs import _default_parts, _digest_merge
+    from raylink.joins import _string_part_hash, equi_join
+
+    P = _default_parts(None)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col].combine_chunks()
+        valid = pc.is_valid(txt)
+        sel = batch.filter(valid) if txt.null_count else batch
+        if not sel.num_rows:
+            return pa.table(
+                {
+                    "t": pa.array([], pa.string()),
+                    "mn": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.asarray(
+            sel[id_col].to_numpy(zero_copy_only=False), np.int64
+        )
+        codes, uniques = pd.factorize(
+            sel[text_col].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        mn = np.full(len(uniques), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, codes, ids)
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        tarr = pa.array(uniques, type=pa.string())
+        return pa.table(
+            {
+                "t": tarr,
+                "mn": pa.array(mn),
+                "cnt": pa.array(cnt),
+                "part": pa.array(
+                    (_string_part_hash(tarr) % np.uint64(P)).astype(np.int64)
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        t = g["t"].combine_chunks()
+        if not len(t):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    text_col: pa.array([], pa.string()),
+                    "n_members": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniques = pd.factorize(t.to_numpy(zero_copy_only=False))
+        mn = np.full(len(uniques), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, codes, g["mn"].to_numpy(zero_copy_only=False))
+        cnt = np.zeros(len(uniques), dtype=np.int64)
+        np.add.at(cnt, codes, g["cnt"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                id_col: pa.array(mn),
+                text_col: pa.array(uniques, type=pa.string()),
+                "n_members": pa.array(cnt),
+            }
+        )
+
+    reps_ds = _digest_merge(
+        ds.select_columns([id_col, text_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        merge,
+        driver_merge_max_rows,
+    ).materialize()
+    # the driver-merge path returns ONE block — repartition so banding /
+    # shingling parallelize (measured 21 s -> 3 s at 20k reps x 32 cpus)
+    n_reps = reps_ds.count()
+    target_blocks = max(
+        1, min(int(ray.cluster_resources().get("CPU", 8)) * 2, n_reps // 256)
+    )
+    if 1 < target_blocks and reps_ds.num_blocks() < target_blocks:
+        reps_ds = reps_ds.repartition(target_blocks).materialize()
+
+    rep_slim = reps_ds.select_columns([text_col, id_col]).map_batches(
+        lambda b: pa.table(
+            {text_col: b[text_col], "rep_id": b[id_col]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = equi_join(
+        ds.select_columns([id_col, text_col]),
+        rep_slim,
+        text_col,
+        text_col,
+        left_cols=(id_col,),
+        right_cols=("rep_id",),
+    )
+    # consumed exactly once by the expansion pass — no materialize
+    doc_map_ds = joined.map_batches(
+        lambda b: pa.table({id_col: b[id_col], "rep_id": b["rep_id"]}),
+        batch_format="pyarrow",
+    )
+    return reps_ds, doc_map_ds
+
+
+def _make_multi_fn(id_col: str, text_col: str, k: int):
+    """Batch fn: multi-member reps (n_members >= 2) that HAVE at least one
+    shingle — gramless texts never verify in the uncollapsed pipeline
+    (jaccard over empty sets), so their repeats must not self-group."""
+
+    def multi(b: pa.Table) -> pa.Table:
+        keep = (
+            np.asarray(b["n_members"].to_numpy(zero_copy_only=False)) >= 2
+        )
+        sel = b.filter(pa.array(keep))
+        if sel.num_rows:
+            d, _ = _shingle_hashes(sel[text_col].combine_chunks(), k)
+            has = np.zeros(sel.num_rows, dtype=bool)
+            if len(d):
+                has[np.unique(d)] = True
+            sel = sel.filter(pa.array(has))
+        return pa.table({"rep_id": sel[id_col]})
+
+    return multi
+
+
+def _expand_collapsed_groups(
+    rep_groups,
+    reps_ds,
+    doc_map_ds,
+    id_col: str,
+    text_col: str,
+    k: int,
+    output: str,
+):
+    """Expand rep-level near-dup groups back to all docs: (1) every doc
+    joins its rep's group; (2) multi-member texts whose rep is in NO
+    rep-level group form their own exact-dup group (id = rep id = min
+    member id), but ONLY when the text has >= 1 shingle — gramless docs
+    never verify in the uncollapsed pipeline (empty jaccard), so they
+    must not group here either."""
+    import ray.data as rd
+
+    from raylink.joins import equi_join, semi_join
+
+    if isinstance(rep_groups, pd.DataFrame):
+        # pandas rep groups are driver-sized by construction (the inner
+        # pipeline's own output bound) — expand in ONE broadcast
+        # streaming pass over doc_map (zero shuffles, zero extra
+        # pipelines; the join path below costs ~6 Dataset executions of
+        # fixed overhead, measured 9.1 s vs 3.5 s on the 5k-doc bench)
+        multi_df = reps_ds.map_batches(
+            _make_multi_fn(id_col, text_col, k), batch_format="pyarrow"
+        ).to_pandas()  # rep-bounded
+        rep_ids = rep_groups["doc_id"].to_numpy(dtype=np.int64)
+        rep_grp = rep_groups["dup_group"].to_numpy(dtype=np.int64)
+        multi_ids = (
+            multi_df["rep_id"].to_numpy(dtype=np.int64)
+            if "rep_id" in multi_df.columns  # empty ds loses its schema
+            else np.empty(0, dtype=np.int64)
+        )
+        self_ids = np.setdiff1d(multi_ids, rep_ids)
+        keys = np.concatenate([rep_ids, self_ids])
+        vals = np.concatenate([rep_grp, self_ids])  # self group id = rep id
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        lookup_ref = ray.put((keys, vals))
+
+        def expand(batch: pa.Table) -> pa.Table:
+            ks, vs = cached_object(lookup_ref)
+            rid = np.asarray(
+                batch["rep_id"].to_numpy(zero_copy_only=False), np.int64
+            )
+            pos = np.searchsorted(ks, rid)
+            posc = np.minimum(pos, max(len(ks) - 1, 0))
+            hit = (
+                (pos < len(ks)) & (ks[posc] == rid)
+                if len(ks)
+                else np.zeros(len(rid), bool)
+            )
+            sel = batch.filter(pa.array(hit))
+            return pa.table(
+                {
+                    "doc_id": sel[id_col],
+                    "dup_group": pa.array(vs[posc[hit]] if len(ks) else []),
+                }
+            )
+
+        out = doc_map_ds.map_batches(
+            expand, batch_format="pyarrow"
+        )
+        if output == "dataset":
+            return out
+        outp = out.to_pandas()
+        if not len(outp):
+            return pd.DataFrame(
+                {"doc_id": [], "dup_group": []}
+            ).astype(np.int64)
+        return outp.astype(np.int64).sort_values(
+            ["dup_group", "doc_id"], ignore_index=True
+        )
+
+    rg_ds = rep_groups
+
+    def rg_rename(b: pa.Table) -> pa.Table:
+        if "doc_id" not in b.column_names:  # empty placeholder block
+            return pa.table(
+                {
+                    "rep_id": pa.array([], pa.int64()),
+                    "dup_group": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table({"rep_id": b["doc_id"], "dup_group": b["dup_group"]})
+
+    rg = rg_ds.map_batches(rg_rename, batch_format="pyarrow").materialize()
+    have_rep_groups = rg.count() > 0  # a zero-block/zero-row dataset has
+    # no inferable schema — skip the joins that would probe it
+
+    if have_rep_groups:
+        grouped = equi_join(
+            doc_map_ds,
+            rg,
+            "rep_id",
+            "rep_id",
+            left_cols=(id_col,),
+            right_cols=("dup_group",),
+        ).map_batches(
+            lambda b: pa.table(
+                {"doc_id": b[id_col], "dup_group": b["dup_group"]}
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        grouped = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "dup_group": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    multi_reps = reps_ds.map_batches(
+        _make_multi_fn(id_col, text_col, k), batch_format="pyarrow"
+    )
+    self_reps = (
+        semi_join(multi_reps, rg, "rep_id", "rep_id", anti=True)
+        if have_rep_groups
+        else multi_reps  # nothing to exclude
+    ).materialize()  # rep-bounded; an all-empty result loses its schema,
+    # so the join below is skipped instead of probing a None schema
+    if self_reps.count():
+        self_rows = equi_join(
+            doc_map_ds,
+            self_reps,
+            "rep_id",
+            "rep_id",
+            left_cols=(id_col,),
+        ).map_batches(
+            lambda b: pa.table(
+                {"doc_id": b[id_col], "dup_group": b["rep_id"]}
+            ),
+            batch_format="pyarrow",
+        )
+        res = grouped.union(self_rows)
+    else:
+        res = grouped
+    if output == "dataset":
+        return res
+    out = res.to_pandas()
+    if not len(out):
+        return pd.DataFrame({"doc_id": [], "dup_group": []}).astype(np.int64)
+    return (
+        out.astype(np.int64)
+        .sort_values(["dup_group", "doc_id"], ignore_index=True)
+    )
+
+
 def minhash_lsh_dedup(
     ds,
     id_col: str,
@@ -587,10 +880,12 @@ def minhash_lsh_dedup(
     max_bucket: int = 200,
     components: str = "driver",
     verification: str = "auto",
-    driver_verify_max_pairs: int = 2_000_000,
+    driver_verify_max_pairs: int = 16_000_000,
     band_driver_threshold: int = 20_000_000,
     output: str = "pandas",
     taskpool_verify_min_pairs: int = 50_000,
+    collapse_exact: bool = True,
+    collapse_driver_merge_max_rows: int = 2_000_000,
 ):
     """Full MinHash-LSH near-dup pipeline. Returns a pandas frame
     (doc_id, dup_group) for every doc in a near-dup group, where dup_group
@@ -614,7 +909,36 @@ def minhash_lsh_dedup(
     driver-side union-find — the scale path when the verified edge set is
     itself large. ``output="dataset"`` (requires distributed verification
     AND components) returns the (doc_id, dup_group) Dataset un-collected
-    for write_parquet consumption."""
+    for write_parquet consumption.
+
+    ``collapse_exact`` (default True) collapses byte-identical texts to
+    one representative BEFORE banding and expands the groups at the end
+    (see :func:`_collapse_exact_texts`) — on templated corpora this cuts
+    candidate-pair volume by the square of the duplication factor
+    (measured 1.05M transcript rows -> 195k reps; the uncollapsed run was
+    super-linear purely from identical-pair verification). Group ids and
+    membership are unchanged wherever bucket caps don't bind; under caps
+    the collapsed run has strictly better recall (identical copies no
+    longer crowd real near-dup partners out of truncated buckets)."""
+    if collapse_exact:
+        reps_ds, doc_map_ds = _collapse_exact_texts(
+            ds, id_col, text_col, collapse_driver_merge_max_rows
+        )
+        band_ds = reps_ds.map_batches(
+            lambda t: minhash_band_rows(t, id_col, text_col, k, num_perm, bands),
+            batch_format="pyarrow",
+        )
+        rep_groups = _minhash_after_bands(
+            reps_ds, band_ds, id_col, text_col, k=k,
+            jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
+            components=components, verification=verification,
+            driver_verify_max_pairs=driver_verify_max_pairs,
+            band_driver_threshold=band_driver_threshold, output=output,
+            taskpool_verify_min_pairs=taskpool_verify_min_pairs,
+        )
+        return _expand_collapsed_groups(
+            rep_groups, reps_ds, doc_map_ds, id_col, text_col, k, output
+        )
     band_ds = ds.map_batches(
         lambda t: minhash_band_rows(t, id_col, text_col, k, num_perm, bands),
         batch_format="pyarrow",

@@ -774,3 +774,56 @@ def test_union_find_deep_chain():
     assert len(groups) == 1
     (members,) = groups.values()
     assert len(members) == 5000
+
+
+def test_minhash_collapse_exact_parity(rd):
+    """collapse_exact=True (the r4 default: exact-dup collapse before
+    banding) must be frame-identical to the uncollapsed pipeline when
+    bucket caps don't bind — incl. exact dups (jaccard-1 groups), near
+    dups across texts, gramless repeats (NEVER grouped: empty shingle
+    sets don't verify), and singletons."""
+    from raylink.dedup import minhash_lsh_dedup
+
+    near = BASE.replace("quick", "quikc")
+    texts = (
+        [BASE] * 3                      # exact dups -> one group
+        + [near]                        # near dup of BASE
+        + ["unrelated text about other topics entirely"] * 2  # exact pair
+        + ["zz"] * 3                    # gramless repeats: no group
+        + ["single unique document with its own content here"]
+    )
+    ds = _docs(rd, texts).repartition(3)
+    a = minhash_lsh_dedup(ds, "doc_id", "text", jaccard_threshold=0.5,
+                          collapse_exact=True)
+    b = minhash_lsh_dedup(ds, "doc_id", "text", jaccard_threshold=0.5,
+                          collapse_exact=False)
+    pd.testing.assert_frame_equal(
+        a.sort_values(["dup_group", "doc_id"], ignore_index=True),
+        b.sort_values(["dup_group", "doc_id"], ignore_index=True),
+    )
+    groups = a.groupby("dup_group")["doc_id"].apply(set).to_dict()
+    assert {0, 1, 2, 3} in list(groups.values())   # BASE x3 + near
+    assert {4, 5} in list(groups.values())         # exact pair
+    assert all(d not in g for g in groups.values() for d in (6, 7, 8, 9))
+
+
+def test_minhash_collapse_exact_dataset_output(rd):
+    """Collapsed pipeline honors output='dataset' (distributed verify +
+    components): same rows as the pandas path."""
+    from raylink.dedup import minhash_lsh_dedup
+
+    near = BASE.replace("quick", "quikc")
+    texts = [BASE] * 2 + [near] + ["other words entirely here now ok"]
+    ds = _docs(rd, texts).repartition(2)
+    want = minhash_lsh_dedup(ds, "doc_id", "text", jaccard_threshold=0.5)
+    got = (
+        minhash_lsh_dedup(
+            ds, "doc_id", "text", jaccard_threshold=0.5,
+            verification="distributed", components="distributed",
+            output="dataset",
+        )
+        .to_pandas()
+        .astype("int64")
+        .sort_values(["dup_group", "doc_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(want, got)
