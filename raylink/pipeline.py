@@ -2330,20 +2330,31 @@ def group_matches(
 
     lk = float(link_min_similarity)
 
-    def linkage_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("row_order")
+    def linkage_group(g: pa.Table) -> pa.Table:
+        # pyarrow in/out (the pandas conversion around this sequential
+        # dict kernel was pure overhead, VERDICT r3 #4); the quirk-exact
+        # scan itself needs Python strings, so to_pylist here is the
+        # kernel's real input, not a format detour
+        order = pc.sort_indices(g["row_order"].combine_chunks())
+        g = g.take(order)
         members, cids, reps = single_linkage_arrays(
-            g["from"].to_numpy(object),
-            g["to"].to_numpy(object),
-            g["similarity"].to_numpy(np.float64),
+            np.asarray(g["from"].to_pylist(), dtype=object),
+            np.asarray(g["to"].to_pylist(), dtype=object),
+            np.asarray(
+                g["similarity"].to_numpy(zero_copy_only=False), np.float64
+            ),
             lk,
         )
-        return pd.DataFrame(
+        n = len(members)
+        return pa.table(
             {
-                "block_key": g["block_key"].iloc[0],
-                "cluster_id": cids,
-                "member": members,
-                "representative": reps,
+                "block_key": pa.array(
+                    np.full(n, g["block_key"][0].as_py(), dtype=object),
+                    type=pa.string(),
+                ),
+                "cluster_id": pa.array(cids, type=pa.int64()),
+                "member": pa.array(members, type=pa.string()),
+                "representative": pa.array(reps, type=pa.string()),
             }
         )
 
@@ -2414,7 +2425,7 @@ def group_matches(
     else:
         clusters = (
             edge_matches.groupby("block_key")
-            .map_groups(linkage_group, batch_format="pandas")
+            .map_groups(linkage_group, batch_format="pyarrow")
         ).materialize()
         if clusters.count() > group_broadcast_max_rows:
             # cluster table exceeds the broadcast assumption: the Group

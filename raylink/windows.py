@@ -167,6 +167,7 @@ def hopping_windows(
     value_col: str | None = None,
     value_scale: int = 100,
     output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
 ):
     """Hopping (sliding) windows: every event lands in the
     ``size_us / hop_us`` windows [start, start + size) whose starts are
@@ -176,13 +177,19 @@ def hopping_windows(
 
     The expansion happens INSIDE ``map_batches`` (rows repeat m times
     with window starts derived by integer division — no per-row Python),
-    then ONE bounded groupby on (key, win_start) aggregates count and an
-    exact integer value sum (``value_col`` quantized by
-    ``value_scale`` — float sums are summation-order noise, integer
-    sums compare hash-exactly). Output: (key_col, win_start_us,
-    n_events[, sum_value_scaled])."""
-    from ray.data.aggregate import Count, Sum
+    then the per-block (key, window) digests reduce through the shared
+    bounded digest merge (aggs._digest_merge: driver concat below the
+    bound, hash-partition keyed groupby above). A native Ray
+    groupby([key, win]).aggregate here cost 110 s at 2.5M events (the
+    sort shuffle orders every digest row by the composite key); the
+    digest merge is the same one-exchange shape the other aggs use.
+    Counts and value sums stay exact integers (``value_col`` quantized
+    by ``value_scale`` — float sums are summation-order noise). Output:
+    (key_col, win_start_us, n_events[, sum_value_scaled])."""
+    from raylink.aggs import _default_parts, _digest_merge
+    from raylink.blocking import _hash64
 
+    P = _default_parts(None)
     size, hop = int(size_us), int(hop_us)
     if size <= 0 or hop <= 0 or size % hop:
         raise ValueError("size_us must be a positive multiple of hop_us")
@@ -228,10 +235,14 @@ def hopping_windows(
         first[1:] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
         run_starts = np.flatnonzero(first)
         cnt = np.diff(np.append(run_starts, len(ks)))
+        kk, ww = ks[run_starts], ws[run_starts]
         cols = {
-            key_col: pa.array(ks[run_starts]),
-            "win_start_us": pa.array(ws[run_starts]),
+            key_col: pa.array(kk),
+            "win_start_us": pa.array(ww),
             "n_partial": pa.array(cnt.astype(np.int64)),
+            "part": pa.array(
+                ((_hash64(kk) ^ _hash64(ww)) % np.uint64(P)).astype(np.int64)
+            ),
         }
         if value_col is not None:
             cols["vq"] = pa.array(
@@ -241,13 +252,48 @@ def hopping_windows(
             )
         return pa.table(cols)
 
-    aggs = [Sum("n_partial", alias_name="n_events")]
-    if value_col is not None:
-        aggs.append(Sum("vq", alias_name="sum_value_scaled"))
-    res = (
-        ds.map_batches(expand, batch_format="pyarrow")
-        .groupby([key_col, "win_start_us"])
-        .aggregate(*aggs)
+    has_val = value_col is not None
+
+    def merge(g: pa.Table) -> pa.Table:
+        kk = np.asarray(g[key_col].to_numpy(zero_copy_only=False), np.int64)
+        ww = np.asarray(
+            g["win_start_us"].to_numpy(zero_copy_only=False), np.int64
+        )
+        cc = np.asarray(
+            g["n_partial"].to_numpy(zero_copy_only=False), np.int64
+        )
+        empty = {
+            key_col: pa.array([], pa.int64()),
+            "win_start_us": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+        }
+        if has_val:
+            empty["sum_value_scaled"] = pa.array([], pa.int64())
+        if not len(kk):
+            return pa.table(empty)
+        order = np.lexsort((ww, kk))
+        kk, ww, cc = kk[order], ww[order], cc[order]
+        first = np.ones(len(kk), dtype=bool)
+        first[1:] = (kk[1:] != kk[:-1]) | (ww[1:] != ww[:-1])
+        starts = np.flatnonzero(first)
+        cols = {
+            key_col: pa.array(kk[starts]),
+            "win_start_us": pa.array(ww[starts]),
+            "n_events": pa.array(np.add.reduceat(cc, starts).astype(np.int64)),
+        }
+        if has_val:
+            vv = np.asarray(
+                g["vq"].to_numpy(zero_copy_only=False), np.int64
+            )[order]
+            cols["sum_value_scaled"] = pa.array(
+                np.add.reduceat(vv, starts).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    res = _digest_merge(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
     )
     if output == "pandas":
         return (
