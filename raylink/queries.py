@@ -459,6 +459,29 @@ def q_transcript_canonicalize(sf_dir: str):
     return canonicalize_transcripts(ds)
 
 
+def q_remove_boilerplate(sf_dir: str):
+    """CCNet-style paragraph-level boilerplate removal over conversation
+    documents: per-conversation turn-joined text (paragraph = turn),
+    corpus-wide distinct-conversation paragraph counts (digest shuffle),
+    paragraphs in > 4 conversations dropped, surviving paragraphs
+    reassembled in order, fully-boilerplate conversations dropped.
+    The fixture plants ~10 stock phrases in 1100+ conversations each
+    while real turns sit in <= 4, so the threshold separates cleanly."""
+    info = ensure_transcript_fixture(sf_dir)
+    from raylink.groupseq import ordered_seq_agg
+    from raylink.textstats import remove_boilerplate
+
+    conv = ordered_seq_agg(
+        _rd().read_parquet(info["transcripts"]),
+        key_col="conv_id",
+        order_cols=["turn_idx"],
+        joins=(("text", "text", "\n"),),
+    )
+    return remove_boilerplate(
+        conv, id_col="conv_id", text_col="text", sep="\n", max_docs=4
+    )
+
+
 def q_transcript_conv_text(sf_dir: str):
     """Per-conversation ordered text digest — the per-turn-text-equality-
     under-stable-turn-ordering invariant exercised DIRECTLY on the
@@ -1614,6 +1637,7 @@ QUERIES = {
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     # --- new / newly-oracled in r4 ---
+    "remove_boilerplate": q_remove_boilerplate,
     "wratio_short_branch": q_wratio_short_branch,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
@@ -2239,6 +2263,32 @@ ORACLE_SQL = {
                CASE WHEN cleaned = '' THEN '_'
                     ELSE substring(cleaned, 1, 1) END AS block_key
         FROM c
+    """,
+    "remove_boilerplate": f"""
+        WITH conv AS (
+            SELECT conv_id,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS text
+            FROM read_parquet('{_oracle_fixture_glob()}')
+            GROUP BY conv_id
+        ),
+        paras AS (
+            SELECT conv_id,
+                   unnest(string_split(text, chr(10))) AS p,
+                   unnest(generate_series(
+                       1, len(string_split(text, chr(10))))) AS ord
+            FROM conv
+        ),
+        freq AS (
+            SELECT p FROM (
+                SELECT p, COUNT(DISTINCT conv_id) AS c
+                FROM paras GROUP BY p
+            ) WHERE c > 4
+        )
+        SELECT conv_id,
+               string_agg(p, chr(10) ORDER BY ord) AS text
+        FROM paras
+        WHERE p NOT IN (SELECT p FROM freq)
+        GROUP BY conv_id
     """,
     "transcript_conv_text": f"""
         SELECT conv_id, count(*) AS n_turns,

@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from raylink.blocking import _hash64
 from raylink.text import batch_ngrams, clean_strings_arrow
@@ -402,3 +403,231 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "rolling_min_hash": pa.array(roll),
         }
     )
+
+
+def _split_paragraphs(texts, sep: str):
+    """Split a string column on the LITERAL separator; returns
+    (doc_idx int64, paragraphs StringArray) with EMPTY paragraphs kept
+    (consecutive separators), mirroring SQL ``string_split`` exactly.
+    Null text splits as empty text (one empty paragraph)."""
+    parts = pc.split_pattern(pc.fill_null(texts, ""), sep)
+    flat = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+    offs = flat.offsets.to_numpy()
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), np.diff(offs))
+    return doc_idx, flat.values
+
+
+def paragraph_counts(
+    ds,
+    text_col: str = "text",
+    sep: str = "\n",
+    n_parts: int | None = None,
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+):
+    """Corpus-wide paragraph frequency (CCNet-style boilerplate census;
+    Wenzek et al. 2020 dedup paragraphs by hash across shards — here the
+    count is exact by string). Output: (paragraph, n_occurrences, n_docs)
+    where n_docs counts DISTINCT docs containing the paragraph.
+
+    Scale shape mirrors ``vocabulary``: per-block partials factorize each
+    block's paragraphs once and emit one digest row per distinct
+    paragraph per block (the shuffle carries digests, never the exploded
+    corpus); per-doc distinct counting inside the partial is GLOBAL
+    because each doc lives in exactly one block row. Merge dispatch is
+    the shared bounded-driver-merge / keyed-groupby switch."""
+    from raylink.aggs import _default_parts, _digest_merge
+    from raylink.joins import _string_part_hash
+
+    P = _default_parts(n_parts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_idx, paras = _split_paragraphs(batch[text_col], sep)
+        if not len(paras):
+            return pa.table(
+                {
+                    "paragraph": pa.array([], pa.string()),
+                    "n_occ": pa.array([], pa.int64()),
+                    "n_doc": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniques = pd.factorize(paras.to_numpy(zero_copy_only=False))
+        n_occ = np.bincount(codes, minlength=len(uniques))
+        composite = doc_idx * np.int64(len(uniques)) + codes
+        uniq_codes = np.unique(composite) % np.int64(len(uniques))
+        n_doc = np.bincount(uniq_codes, minlength=len(uniques))
+        para = pa.array(uniques, type=pa.string())
+        return pa.table(
+            {
+                "paragraph": para,
+                "n_occ": pa.array(n_occ.astype(np.int64)),
+                "n_doc": pa.array(n_doc.astype(np.int64)),
+                "part": pa.array(
+                    (_string_part_hash(para) % np.uint64(P)).astype(np.int64)
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        para = g["paragraph"].combine_chunks()
+        if not len(para):
+            return pa.table(
+                {
+                    "paragraph": pa.array([], pa.string()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniques = pd.factorize(para.to_numpy(zero_copy_only=False))
+        occ = np.zeros(len(uniques), dtype=np.int64)
+        doc = np.zeros(len(uniques), dtype=np.int64)
+        np.add.at(occ, codes, g["n_occ"].to_numpy(zero_copy_only=False))
+        np.add.at(doc, codes, g["n_doc"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "paragraph": pa.array(np.asarray(uniques), pa.string()),
+                "n_occurrences": pa.array(occ),
+                "n_docs": pa.array(doc),
+            }
+        )
+
+    res = _digest_merge(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
+    )
+    if output == "pandas":
+        return res.to_pandas().sort_values("paragraph").reset_index(drop=True)
+    return res
+
+
+def remove_boilerplate(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_docs: int = 2,
+    mode: str = "auto",
+    max_broadcast_paras: int = 20_000_000,
+    n_parts: int | None = None,
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+):
+    """CCNet-style boilerplate removal: drop every paragraph that appears
+    in MORE THAN ``max_docs`` distinct documents, reassemble each doc's
+    surviving paragraphs in order with ``sep``, and DROP docs whose
+    paragraphs were all boilerplate (matching the SQL GROUP-BY replay).
+    Output: (id_col, text_col) as an un-collected Dataset by default.
+
+    Two passes. Pass 1 is ``paragraph_counts`` (digest shuffle only);
+    the frequent set is then bounded by construction — paragraphs in
+    > max_docs docs number at most total_paragraphs / max_docs — so
+    "broadcast" (``ray.put`` the frequent set once, per-batch Arrow
+    ``is_in`` + LargeListArray reassembly, corpus STREAMS) is the default
+    below ``max_broadcast_paras``. "distributed" explodes (paragraph,
+    id, ord) rows through one anti semi-join co-shuffle against the
+    frequent set and reassembles with an ordered per-doc merge; both
+    modes are value-identical (tested)."""
+    import ray.data as rd
+
+    from raylink.broadcast import cached_object as _co
+    from raylink.joins import semi_join
+
+    md = int(max_docs)
+    counts = paragraph_counts(
+        ds,
+        text_col=text_col,
+        sep=sep,
+        n_parts=n_parts,
+        driver_merge_max_rows=driver_merge_max_rows,
+    )
+
+    def only_frequent(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch["n_docs"], md)
+        return pa.table({"paragraph": batch["paragraph"].filter(m)})
+
+    frequent = counts.map_batches(
+        only_frequent, batch_format="pyarrow"
+    ).materialize()
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if frequent.count() <= max_broadcast_paras
+            else "distributed"
+        )
+
+    if mode == "broadcast":
+        tabs = ray.get(frequent.to_arrow_refs())
+        allf = pa.concat_tables(tabs, promote_options="default")
+        freq_ref = ray.put(allf["paragraph"].combine_chunks())
+
+        def drop_paras(batch: pa.Table) -> pa.Table:
+            doc_idx, paras = _split_paragraphs(batch[text_col], sep)
+            bad = pc.is_in(paras, value_set=_co(freq_ref))
+            keep = pc.invert(bad).to_numpy(zero_copy_only=False)
+            kept_vals = paras.filter(pa.array(keep))
+            n = batch.num_rows
+            kept_counts = np.bincount(doc_idx[keep], minlength=n)
+            new_offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(kept_counts, out=new_offs[1:])
+            la = pa.LargeListArray.from_arrays(
+                pa.array(new_offs), kept_vals
+            )
+            joined = pc.binary_join(la, sep)
+            docs_alive = pa.array(kept_counts > 0)
+            return pa.table(
+                {
+                    id_col: batch[id_col].filter(docs_alive),
+                    text_col: joined.filter(docs_alive),
+                }
+            )
+
+        res = ds.map_batches(drop_paras, batch_format="pyarrow")
+    else:
+        def explode(batch: pa.Table) -> pa.Table:
+            doc_idx, paras = _split_paragraphs(batch[text_col], sep)
+            ids = batch[id_col].combine_chunks().take(pa.array(doc_idx))
+            # per-doc paragraph ordinal: positions restart at each doc
+            # (doc rows are block-contiguous, so the split offsets give
+            # run starts directly)
+            starts = np.flatnonzero(
+                np.r_[True, doc_idx[1:] != doc_idx[:-1]]
+            ) if len(doc_idx) else np.array([], dtype=np.int64)
+            ords = np.arange(len(doc_idx), dtype=np.int64)
+            if len(starts):
+                ords -= np.repeat(ords[starts], np.diff(np.r_[starts, len(doc_idx)]))
+            return pa.table(
+                {"paragraph": paras, id_col: ids, "ord": pa.array(ords)}
+            )
+
+        kept = semi_join(
+            ds.map_batches(explode, batch_format="pyarrow"),
+            frequent,
+            left_key_col="paragraph",
+            right_key_col="paragraph",
+            left_cols=(id_col, "ord"),
+            anti=True,
+            mode="distributed",
+            n_parts=n_parts,
+        )
+
+        def reassemble(g: pa.Table) -> pa.Table:
+            order = pc.sort_indices(g["ord"])
+            paras = g["paragraph"].combine_chunks().take(order)
+            offs = pa.array(np.array([0, len(paras)], dtype=np.int64))
+            la = pa.LargeListArray.from_arrays(offs, paras)
+            return pa.table(
+                {
+                    id_col: g[id_col].slice(0, 1),
+                    text_col: pc.binary_join(la, sep),
+                }
+            )
+
+        res = kept.groupby(id_col).map_groups(
+            reassemble, batch_format="pyarrow"
+        )
+
+    if output == "pandas":
+        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+    return res

@@ -347,3 +347,79 @@ def test_group_quantiles_degenerate_spec_rejected(rd):
     out = group_quantiles(ds, "k", "v", qs=((1, 1, "pmax"),),
                           output="pandas")
     assert list(out["pmax"]) == [7, 9]
+
+
+def test_paragraph_counts_matches_pandas(rd):
+    from raylink.textstats import paragraph_counts
+
+    rng = np.random.default_rng(13)
+    pool = ["alpha beta", "common line", "", "tail note", "solo"]
+    texts = [
+        "\n".join(rng.choice(pool, rng.integers(1, 5)))
+        for _ in range(300)
+    ] + [None]
+    df = pd.DataFrame({"doc_id": np.arange(301, dtype=np.int64),
+                       "text": texts})
+    ex = df.assign(p=df.text.fillna("").str.split("\n")).explode("p")
+    want = (
+        ex.groupby("p")
+        .agg(n_occurrences=("p", "size"), n_docs=("doc_id", "nunique"))
+        .reset_index()
+        .rename(columns={"p": "paragraph"})
+        .sort_values("paragraph")
+        .reset_index(drop=True)
+        .astype({"n_occurrences": np.int64, "n_docs": np.int64})
+    )
+    for parts in (1, 6):
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+        got = paragraph_counts(ds, output="pandas")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # forced distributed merge path
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    got = paragraph_counts(ds, output="pandas", driver_merge_max_rows=0)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_remove_boilerplate_modes_and_semantics(rd):
+    from raylink.textstats import remove_boilerplate
+
+    rng = np.random.default_rng(7)
+    common = ["Here is what I found.", "Thanks!", ""]
+    rare = [f"insight {i}" for i in range(200)]
+    texts = []
+    for _ in range(250):
+        n = rng.integers(1, 6)
+        texts.append("\n".join(
+            common[rng.integers(0, 3)] if rng.random() < 0.5
+            else rare[rng.integers(0, 200)]
+            for _ in range(n)
+        ))
+    texts.append("Thanks!\nHere is what I found.")  # all boilerplate
+    texts.append(None)  # null text -> one empty paragraph
+    df = pd.DataFrame({"doc_id": np.arange(252, dtype=np.int64),
+                       "text": texts})
+
+    # pandas reference with the same semantics
+    ex = df.assign(p=df.text.fillna("").str.split("\n")).explode("p")
+    ex["ord"] = ex.groupby("doc_id").cumcount()
+    freq = set(
+        ex.groupby("p")["doc_id"].nunique().pipe(lambda s: s[s > 3]).index
+    )
+    kept = ex[~ex.p.isin(freq)]
+    want = (
+        kept.sort_values(["doc_id", "ord"])
+        .groupby("doc_id")["p"]
+        .agg("\n".join)
+        .reset_index()
+        .rename(columns={"p": "text"})
+        .reset_index(drop=True)
+    )
+    assert len(want) < 252  # the all-boilerplate doc must drop
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    got_b = remove_boilerplate(ds, max_docs=3, mode="broadcast",
+                               output="pandas")
+    got_d = remove_boilerplate(ds, max_docs=3, mode="distributed",
+                               output="pandas")
+    pd.testing.assert_frame_equal(got_b, want, check_dtype=False)
+    pd.testing.assert_frame_equal(got_d, want, check_dtype=False)

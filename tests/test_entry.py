@@ -169,6 +169,7 @@ def test_transcript_sql_queries(entry_mod):
         "transcript_turn_stats",
         "transcript_tool_stats",
         "sft_pairs",
+        "remove_boilerplate",
         "transcript_flagship",
         "transcript_pr_curve",
     ]:
