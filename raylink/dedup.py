@@ -598,6 +598,7 @@ def _collapse_exact_texts(
 
     from raylink.aggs import _default_parts, _digest_merge
     from raylink.joins import _string_part_hash, equi_join
+    from raylink.pipeline import _widen_text_if_needed
 
     P = _default_parts(None)
 
@@ -636,6 +637,13 @@ def _collapse_exact_texts(
         )
 
     def merge(g: pa.Table) -> pa.Table:
+        # full document texts ride this digest: widen to large_string
+        # above the int32-offset bound BEFORE the single-array combine
+        # (the ARROW_STR_WIDEN_BOUND convention; overflow would otherwise
+        # raise ArrowCapacityError at ~2 GiB of concatenated text —
+        # _widen_text_if_needed is captured from the enclosing scope, a
+        # worker body must not import raylink at runtime)
+        g = _widen_text_if_needed(g, "t")
         t = g["t"].combine_chunks()
         if not len(t):
             return pa.table(
@@ -650,10 +658,15 @@ def _collapse_exact_texts(
         np.minimum.at(mn, codes, g["mn"].to_numpy(zero_copy_only=False))
         cnt = np.zeros(len(uniques), dtype=np.int64)
         np.add.at(cnt, codes, g["cnt"].to_numpy(zero_copy_only=False))
+        otype = (
+            pa.large_string()
+            if pa.types.is_large_string(t.type)
+            else pa.string()
+        )
         return pa.table(
             {
                 id_col: pa.array(mn),
-                text_col: pa.array(uniques, type=pa.string()),
+                text_col: pa.array(np.asarray(uniques), type=otype),
                 "n_members": pa.array(cnt),
             }
         )
@@ -688,7 +701,8 @@ def _collapse_exact_texts(
         left_cols=(id_col,),
         right_cols=("rep_id",),
     )
-    # consumed exactly once by the expansion pass — no materialize
+    # left lazy: the pandas expansion branch streams it exactly once;
+    # the Dataset branch materializes it itself before its two joins
     doc_map_ds = joined.map_batches(
         lambda b: pa.table({id_col: b[id_col], "rep_id": b["rep_id"]}),
         batch_format="pyarrow",
@@ -809,6 +823,12 @@ def _expand_collapsed_groups(
     have_rep_groups = rg.count() > 0  # a zero-block/zero-row dataset has
     # no inferable schema — skip the joins that would probe it
 
+    # the Dataset branch feeds doc_map into TWO equi_joins (rep groups +
+    # exact-dup self groups); materialize the slim (doc_id, rep_id) map
+    # once so the corpus-wide collapse pipeline behind it doesn't
+    # re-execute per consumer (16 B/row — object-store-spillable)
+    doc_map_ds = doc_map_ds.materialize()
+
     if have_rep_groups:
         grouped = equi_join(
             doc_map_ds,
@@ -880,7 +900,7 @@ def minhash_lsh_dedup(
     max_bucket: int = 200,
     components: str = "driver",
     verification: str = "auto",
-    driver_verify_max_pairs: int = 16_000_000,
+    driver_verify_max_pairs: int = 8_000_000,
     band_driver_threshold: int = 20_000_000,
     output: str = "pandas",
     taskpool_verify_min_pairs: int = 50_000,
@@ -989,7 +1009,11 @@ def _minhash_after_bands(
         return empty
 
     distributed = verification == "distributed" or (
-        verification == "auto" and n_pairs > driver_verify_max_pairs
+        verification == "auto"
+        # dataset output REQUIRES distributed verification: auto must
+        # route there regardless of pair count (the loud error below is
+        # for an EXPLICIT verification="driver" conflict only)
+        and (n_pairs > driver_verify_max_pairs or output == "dataset")
     )
     if not distributed and not isinstance(cand, pd.DataFrame):
         # bounded collect: <= driver_verify_max_pairs rows by the auto rule
@@ -1635,7 +1659,11 @@ def embedding_lsh_pairs(
         return empty
 
     distributed = verification == "distributed" or (
-        verification == "auto" and n_pairs > driver_verify_max_pairs
+        verification == "auto"
+        # dataset output REQUIRES distributed verification: auto must
+        # route there regardless of pair count (the loud error below is
+        # for an EXPLICIT verification="driver" conflict only)
+        and (n_pairs > driver_verify_max_pairs or output == "dataset")
     )
     if not distributed:
         if output == "dataset":
@@ -2286,7 +2314,9 @@ def contamination_check(
         hit_rows.map_batches(count_partial, batch_format="pyarrow"),
         count_merge,
         driver_merge_max_rows,
-    )
+    ).materialize()  # consumed twice below (flag_hits + the anti
+    # semi-join's right side) — without this the keyed groupby shuffle
+    # behind the digest merge re-executes per consumer
 
     # distributed zero-fill (VERDICT r3 #3): hits carry contaminated=True;
     # clean docs come from a left ANTI semi-join of corpus ids against the
@@ -2423,7 +2453,11 @@ def incremental_minhash_dedup(
         return flags_frame(pd.DataFrame({id_col: [], "match_id": []}))
 
     distributed = verification == "distributed" or (
-        verification == "auto" and n_pairs > driver_verify_max_pairs
+        verification == "auto"
+        # dataset output REQUIRES distributed verification: auto must
+        # route there regardless of pair count (the loud error below is
+        # for an EXPLICIT verification="driver" conflict only)
+        and (n_pairs > driver_verify_max_pairs or output == "dataset")
     )
     if not distributed and not isinstance(cand, pd.DataFrame):
         cand = cand.to_pandas().drop_duplicates(ignore_index=True)

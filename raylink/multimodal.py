@@ -99,19 +99,48 @@ class DecoderBackend:
     installed — selecting them raises at decode time with a clear message;
     the ``fake`` backend derives deterministic arrays from payload bytes.
     A real deployment INJECTS its codec as callables instead (mirroring
-    the embedder-injection surface): ``image_decoder(payload, width,
-    height) -> uint8 (h, w, 3)`` and ``audio_decoder(payload,
-    sample_rate) -> float32 (n,)`` — cloudpickled to the actor pool like
-    any custom scorer."""
+    the embedder-injection surface): ``image_decoder(payload: bytes,
+    width, height) -> uint8 (h, w, 3)`` for image rows — VIDEO rows
+    additionally pass the sampled frame ordinal, so a decoder that
+    should handle them must accept ``(payload, width, height, frame)``
+    (arity is probed once at construction; a 3-arg decoder fed a video
+    row raises a clear TypeError instead of an opaque actor crash) —
+    and ``audio_decoder(payload: bytes, sample_rate) -> float32 (n,)``.
+    Payloads are materialized to ``bytes`` at this seam (the internal
+    fake codec walks zero-copy memoryviews; real codecs want contiguous
+    bytes). Cloudpickled to the actor pool like any custom scorer."""
 
     def __init__(self, backend: str = "fake", image_decoder=None, audio_decoder=None):
         self.backend = backend
         self.image_decoder = image_decoder
         self.audio_decoder = audio_decoder
+        self._img_takes_frame = False
+        if image_decoder is not None:
+            import inspect
+
+            try:
+                params = inspect.signature(image_decoder).parameters
+                self._img_takes_frame = len(params) >= 4 or any(
+                    p.kind == inspect.Parameter.VAR_POSITIONAL
+                    or p.name == "frame"
+                    for p in params.values()
+                )
+            except (TypeError, ValueError):  # builtins/C callables: assume 4-arg
+                self._img_takes_frame = True
 
     def decode_image(self, payload, width: int, height: int, frame: int | None = None) -> np.ndarray:
         if self.image_decoder is not None:
-            out = self.image_decoder(payload, width, height) if frame is None else self.image_decoder(payload, width, height, frame)
+            buf = payload if isinstance(payload, bytes) else bytes(payload)
+            if frame is None:
+                out = self.image_decoder(buf, width, height)
+            elif self._img_takes_frame:
+                out = self.image_decoder(buf, width, height, frame)
+            else:
+                raise TypeError(
+                    "video rows pass a 4th 'frame' argument, but the "
+                    "injected image_decoder accepts only (payload, width, "
+                    "height); add a frame parameter to decode video"
+                )
             return np.asarray(out, dtype=np.uint8)
         if self.backend != "fake":
             raise NotImplementedError(
@@ -128,7 +157,8 @@ class DecoderBackend:
 
     def decode_audio(self, payload, sample_rate: int) -> np.ndarray:
         if self.audio_decoder is not None:
-            return np.asarray(self.audio_decoder(payload, sample_rate), dtype=np.float32)
+            buf = payload if isinstance(payload, bytes) else bytes(payload)
+            return np.asarray(self.audio_decoder(buf, sample_rate), dtype=np.float32)
         if self.backend != "fake":
             raise NotImplementedError(
                 f"audio codec backend {self.backend!r} is not available; "

@@ -438,6 +438,7 @@ def paragraph_counts(
     the shared bounded-driver-merge / keyed-groupby switch."""
     from raylink.aggs import _default_parts, _digest_merge
     from raylink.joins import _string_part_hash
+    from raylink.pipeline import _widen_text_if_needed
 
     P = _default_parts(n_parts)
 
@@ -470,6 +471,11 @@ def paragraph_counts(
         )
 
     def merge(g: pa.Table) -> pa.Table:
+        # paragraph strings are unbounded-length: widen above the
+        # int32-offset bound before the single-array combine (captured
+        # from the enclosing scope — no runtime raylink import in a
+        # worker body)
+        g = _widen_text_if_needed(g, "paragraph")
         para = g["paragraph"].combine_chunks()
         if not len(para):
             return pa.table(
@@ -484,9 +490,14 @@ def paragraph_counts(
         doc = np.zeros(len(uniques), dtype=np.int64)
         np.add.at(occ, codes, g["n_occ"].to_numpy(zero_copy_only=False))
         np.add.at(doc, codes, g["n_doc"].to_numpy(zero_copy_only=False))
+        otype = (
+            pa.large_string()
+            if pa.types.is_large_string(para.type)
+            else pa.string()
+        )
         return pa.table(
             {
-                "paragraph": pa.array(np.asarray(uniques), pa.string()),
+                "paragraph": pa.array(np.asarray(uniques), otype),
                 "n_occurrences": pa.array(occ),
                 "n_docs": pa.array(doc),
             }

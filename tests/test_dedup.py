@@ -437,8 +437,22 @@ def test_embedding_lsh_output_dataset(rd):
         .sort_values(["a", "b"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(base_out, got)
+    # auto + dataset output ROUTES to distributed verification (r4 review
+    # fix: the raise is reserved for an explicit driver-path conflict)
+    auto_ds = dd.embedding_lsh_pairs(
+        ds, "vec_id", "embedding", threshold=0.9, output="dataset"
+    )
+    got_auto = (
+        auto_ds.to_pandas()
+        .astype({"a": np.int64, "b": np.int64})
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(base_out, got_auto)
     with pytest.raises(ValueError):
-        dd.embedding_lsh_pairs(ds, "vec_id", "embedding", output="dataset")
+        dd.embedding_lsh_pairs(
+            ds, "vec_id", "embedding", verification="driver",
+            output="dataset",
+        )
 
 
 def test_minhash_taskpool_verify_matches_serial(rd):

@@ -283,6 +283,35 @@ def test_media_features_injected_decoder(rd):
             assert np.allclose(row["feature"], 0.5)
 
 
+def test_media_injected_decoder_arity(rd):
+    """The documented 3-arg image_decoder contract works for image rows;
+    a video row (which passes a 4th frame argument) raises a CLEAR
+    TypeError instead of an opaque actor crash, and the payload arrives
+    as bytes (the injection seam materializes memoryviews)."""
+    import numpy as np
+    import pytest
+
+    from raylink.multimodal import DecoderBackend
+
+    seen = {}
+
+    def three_arg(payload, width, height):
+        seen["type"] = type(payload)
+        return np.zeros((height, width, 3), dtype=np.uint8)
+
+    be = DecoderBackend(image_decoder=three_arg)
+    img = be.decode_image(memoryview(b"abc"), 4, 4)
+    assert img.shape == (4, 4, 3) and seen["type"] is bytes
+    with pytest.raises(TypeError, match="frame"):
+        be.decode_image(b"abc", 4, 4, frame=2)
+
+    def four_arg(payload, width, height, frame):
+        return np.full((height, width, 3), frame, dtype=np.uint8)
+
+    be4 = DecoderBackend(image_decoder=four_arg)
+    assert (be4.decode_image(b"abc", 2, 2, frame=7) == 7).all()
+
+
 def test_checkpoint_resume(rd, tmp_path):
     from raylink.checkpoint import checkpoint_valid, read_manifest, run_stage
 
