@@ -19,6 +19,7 @@ the large-scale-pipeline extension set (SURVEY §8).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -105,4 +106,99 @@ def pack_sequences(
     res = rd.from_arrow_refs(out_refs)
     if output == "pandas":
         return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+    return res
+
+
+@ray.remote
+def _budget_block(
+    tbl: pa.Table,
+    counts: np.ndarray,
+    base: int,
+    budget: int,
+    id_col: str,
+) -> pa.Table:
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cum_tokens": pa.array([], pa.int64()),
+        }
+    )
+    if not len(counts):
+        return empty
+    cum = base + np.cumsum(counts)  # inclusive running total
+    keep = cum <= budget
+    if not keep.any():
+        return empty
+    m = pa.array(keep)
+    return pa.table(
+        {
+            id_col: tbl[id_col].filter(m),
+            "n_tokens": pa.array(counts[keep]),
+            "cum_tokens": pa.array(cum[keep].astype(np.int64)),
+        }
+    )
+
+
+def take_token_budget(
+    ds,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    order_col: str | None = None,
+    descending: bool = False,
+    output: str = "dataset",
+):
+    """Trim a corpus to a TOKEN BUDGET in priority order: sort by
+    (``order_col`` asc/desc, ``id_col`` asc tie-break), then keep whole
+    documents while the running INCLUSIVE token total stays
+    ``<= budget`` — the "build a training mix to N tokens" step. Output
+    columns: (id_col, n_tokens, cum_tokens) for every kept doc.
+
+    Same ordered-prefix-sum shape as :func:`pack_sequences` (per-block
+    totals -> O(blocks) driver scan -> per-block emit), plus budget
+    pruning: blocks whose base offset already exceeds the budget never
+    run the emit wave at all, so the second pass touches only the
+    O(budget) prefix of the sorted corpus."""
+    b = int(budget)
+    if b < 0:
+        raise ValueError("budget must be non-negative")
+    cols = [id_col, text_col] + (
+        [order_col] if order_col and order_col not in (id_col, text_col) else []
+    )
+    if order_col:
+        keys = [order_col, id_col]
+        desc = [bool(descending), False]
+    else:
+        keys = [id_col]
+        desc = [False]
+    sorted_ds = ds.select_columns(cols).sort(keys, descending=desc).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    pairs = [_block_token_counts.remote(r, text_col) for r in refs]
+    block_sums = np.array(ray.get([p[1] for p in pairs]), dtype=np.int64)
+    bases = np.concatenate(([0], np.cumsum(block_sums)[:-1]))
+    out_refs = [
+        _budget_block.remote(r, p[0], int(base), b, id_col)
+        for r, p, base in zip(refs, pairs, bases)
+        if base <= b  # blocks entirely past the budget never emit
+    ]
+    if not out_refs:
+        res = rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "cum_tokens": pa.array([], pa.int64()),
+                }
+            )
+        )
+    else:
+        res = rd.from_arrow_refs(out_refs)
+    if output == "pandas":
+        out = res.to_pandas()
+        if not len(out):  # zero-row datasets can drop their schema
+            return pd.DataFrame(
+                {id_col: [], "n_tokens": [], "cum_tokens": []}
+            ).astype(np.int64)
+        return out.sort_values(id_col).reset_index(drop=True)
     return res

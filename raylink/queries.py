@@ -459,6 +459,28 @@ def q_transcript_canonicalize(sf_dir: str):
     return canonicalize_transcripts(ds)
 
 
+def q_token_budget(sf_dir: str):
+    """Corpus trimming to a token budget in priority order (longest docs
+    first, doc_id tie-break): the ordered-prefix-sum primitive with
+    budget pruning — only the O(budget) prefix of the sorted corpus runs
+    the emit wave."""
+    from raylink.packing import take_token_budget
+
+    def add_pri(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch["text"], "")
+        n = pc.count_substring_regex(
+            pc.utf8_trim_whitespace(texts), r"\S+"
+        ).cast(pa.int64())
+        return batch.append_column("pri", n)
+
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]
+    ).map_batches(add_pri, batch_format="pyarrow")
+    return take_token_budget(
+        ds, "doc_id", "text", budget=5000, order_col="pri", descending=True
+    )
+
+
 def q_remove_boilerplate(sf_dir: str):
     """CCNet-style paragraph-level boilerplate removal over conversation
     documents: per-conversation turn-joined text (paragraph = turn),
@@ -1638,6 +1660,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     # --- new / newly-oracled in r4 ---
     "remove_boilerplate": q_remove_boilerplate,
+    "token_budget": q_token_budget,
     "wratio_short_branch": q_wratio_short_branch,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
@@ -2156,6 +2179,24 @@ ORACLE_SQL = {
         SELECT d.doc_id, coalesce(hits.n, 0) AS n_hit_grams,
                coalesce(hits.n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+    "token_budget": r"""
+        WITH n AS (
+            SELECT doc_id,
+                   (CASE WHEN trim(text) = '' THEN 0
+                         ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                    END)::BIGINT AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       ORDER BY n_tokens DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS cum_tokens
+            FROM n
+        )
+        SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 5000
     """,
     "pack_sequences": r"""
         WITH n AS (

@@ -142,6 +142,7 @@ def test_every_query_runs(entry_mod):
         "contamination_check",
         "chunk_documents",
         "pack_sequences",
+        "token_budget",
         "deduped_corpus",
         "quality_filter",
         "incremental_dedup",

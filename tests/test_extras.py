@@ -578,3 +578,62 @@ def test_textstats_null_text_safe(rd):
     fp = fingerprint_batch(batch)
     import hashlib
     assert fp["md5"].to_pylist()[1] == hashlib.md5(b"").hexdigest()
+
+
+def test_take_token_budget(rd):
+    """Budget trimming vs a sequential brute-force: priority order with
+    tie-break, inclusive-sum semantics, zero-token docs, budget pruning,
+    partition-invariance."""
+    from raylink.packing import take_token_budget
+
+    rng = np.random.default_rng(5)
+    texts = [
+        " ".join(f"w{j}" for j in range(rng.integers(0, 12)))
+        for _ in range(80)
+    ]
+    texts[10] = ""  # zero-token doc
+    texts[11] = "   "
+    df = pd.DataFrame({
+        "doc_id": np.arange(80, dtype=np.int64),
+        "text": texts,
+        "pri": rng.integers(0, 5, size=80).astype(np.int64),  # many ties
+    })
+
+    def brute(budget, order_col=None, descending=False):
+        d = df.copy()
+        d["n_tokens"] = d.text.str.strip().str.split().apply(
+            lambda w: len([x for x in w if x])
+        )
+        if order_col:
+            d = d.sort_values(
+                [order_col, "doc_id"], ascending=[not descending, True],
+                kind="mergesort",
+            )
+        else:
+            d = d.sort_values("doc_id", kind="mergesort")
+        d["cum_tokens"] = d.n_tokens.cumsum()
+        keep = d[d.cum_tokens <= budget]
+        return (
+            keep[["doc_id", "n_tokens", "cum_tokens"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype(np.int64)
+        )
+
+    for parts in (1, 7):
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+        for budget, oc, desc in [
+            (100, None, False),
+            (100, "pri", True),
+            (100, "pri", False),
+            (0, None, False),
+            (10**9, "pri", True),  # budget > corpus: keeps everything
+        ]:
+            got = take_token_budget(
+                ds, "doc_id", "text", budget, order_col=oc,
+                descending=desc, output="pandas",
+            ).astype(np.int64)
+            want = brute(budget, oc, desc)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False), (
+                budget, oc, desc,
+            )
