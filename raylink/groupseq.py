@@ -117,12 +117,24 @@ def ordered_seq_agg(
     """
     import ray.data as rd
 
+    firsts = tuple(firsts)
+    joins = tuple(joins)
+    # project to the columns the aggregate actually reads BEFORE the
+    # all-to-all sort — unreferenced payload columns (often the heavy
+    # text) must not ride the shuffle
+    needed: list[str] = [key_col, *order_cols]
+    for src, _name in firsts:
+        if src not in needed:
+            needed.append(src)
+    for src, _name, _sep in joins:
+        if src not in needed:
+            needed.append(src)
+    if set(needed) != set(ds.schema().names):
+        ds = ds.select_columns(needed)
     sorted_ds = ds.sort([key_col, *order_cols]).materialize()
     refs = sorted_ds.to_arrow_refs()
     if not refs:  # zero-block input: nothing to aggregate
         return sorted_ds
-    firsts = tuple(firsts)
-    joins = tuple(joins)
     interior_refs = []
     boundary_refs = []
     for r in refs:
