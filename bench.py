@@ -146,6 +146,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             dedup_representatives,
         )
         from raylink.packing import pack_sequences
+        from raylink.packing import take_token_budget as _take_token_budget
         from raylink.sampling import hash_sample
         from raylink.textstats import (
             chunk_documents_batch,
@@ -213,6 +214,17 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
                 )
             ),
             "sft_pairs": lambda: _consume(QUERIES["sft_pairs"](sf_dir)),
+            # conv-joined docs (210k convs at sf0.1): census + removal
+            "remove_boilerplate": lambda: _consume(
+                QUERIES["remove_boilerplate"](sf_dir)
+            ),
+            # budget trim over the full 1.05M-row corpus (sort + pruned
+            # prefix sum; ~25% of the token stream kept)
+            "token_budget_corpus": lambda: _consume(
+                _take_token_budget(
+                    corpus(), "doc_id", "text", budget=2_000_000
+                )
+            ),
         }
         for name, thunk in llm_ops.items():
             walls = []
