@@ -2569,3 +2569,24 @@ def incremental_minhash_dedup(
     else:
         matched = pd.DataFrame({id_col: [], "match_id": []})
     return flags_frame(matched)
+
+
+def exact_dedup_survivors(
+    ds,
+    id_col: str,
+    text_col: str,
+    driver_merge_max_rows: int = 2_000_000,
+):
+    """Exact-dedup SURVIVOR rows: one (id_col, text_col) row per distinct
+    text, id = minimal member id (the deterministic winner). The
+    streaming composition primitive for corpus pipelines — unlike
+    :func:`exact_dedup` (which emits the group census), this keeps the
+    text so downstream stages (budget trim, packing) compose directly.
+    Same machinery as the collapse stage (factorize partials -> bounded
+    string-hash digest merge)."""
+    reps_ds, _doc_map = _collapse_exact_texts(
+        ds, id_col, text_col, driver_merge_max_rows
+    )
+    return reps_ds.map_batches(
+        lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+    )

@@ -116,12 +116,18 @@ def _budget_block(
     base: int,
     budget: int,
     id_col: str,
+    keep_cols: tuple = (),
 ) -> pa.Table:
     empty = pa.table(
         {
             id_col: pa.array([], pa.int64()),
             "n_tokens": pa.array([], pa.int64()),
             "cum_tokens": pa.array([], pa.int64()),
+            **{
+                c: pa.array([], tbl.schema.field(c).type)
+                for c in keep_cols
+                if c in tbl.column_names
+            },
         }
     )
     if not len(counts):
@@ -136,6 +142,7 @@ def _budget_block(
             id_col: tbl[id_col].filter(m),
             "n_tokens": pa.array(counts[keep]),
             "cum_tokens": pa.array(cum[keep].astype(np.int64)),
+            **{c: tbl[c].filter(m) for c in keep_cols},
         }
     )
 
@@ -147,6 +154,7 @@ def take_token_budget(
     budget: int,
     order_col: str | None = None,
     descending: bool = False,
+    keep_cols: tuple = (),
     output: str = "dataset",
 ):
     """Trim a corpus to a TOKEN BUDGET in priority order: sort by
@@ -163,9 +171,13 @@ def take_token_budget(
     b = int(budget)
     if b < 0:
         raise ValueError("budget must be non-negative")
+    keep_cols = tuple(keep_cols)
     cols = [id_col, text_col] + (
         [order_col] if order_col and order_col not in (id_col, text_col) else []
     )
+    for c in keep_cols:
+        if c not in cols:
+            cols.append(c)
     if order_col:
         keys = [order_col, id_col]
         desc = [bool(descending), False]
@@ -178,7 +190,7 @@ def take_token_budget(
     block_sums = np.array(ray.get([p[1] for p in pairs]), dtype=np.int64)
     bases = np.concatenate(([0], np.cumsum(block_sums)[:-1]))
     out_refs = [
-        _budget_block.remote(r, p[0], int(base), b, id_col)
+        _budget_block.remote(r, p[0], int(base), b, id_col, keep_cols)
         for r, p, base in zip(refs, pairs, bases)
         if base <= b  # blocks entirely past the budget never emit
     ]

@@ -459,6 +459,30 @@ def q_transcript_canonicalize(sf_dir: str):
     return canonicalize_transcripts(ds)
 
 
+def q_training_mix(sf_dir: str):
+    """Composite LLM-training-data pipeline, end-to-end SQL-oracled:
+    C4-style quality filter (streaming) -> exact dedup keep-min-id
+    (string-hash digest merge) -> token-budget trim in doc_id order
+    (pruned ordered prefix sum) -> fixed-budget sequence packing
+    (ordered prefix sum). Each stage is an independently-oracled
+    operator; this query proves they COMPOSE with no driver round-trip
+    between stages."""
+    from raylink.dedup import exact_dedup_survivors
+    from raylink.packing import pack_sequences, take_token_budget
+    from raylink.textstats import quality_filter_batch
+
+    filtered = (
+        _read(sf_dir, "documents")
+        .map_batches(quality_filter_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "text"])
+    )
+    deduped = exact_dedup_survivors(filtered, "doc_id", "text")
+    budgeted = take_token_budget(
+        deduped, "doc_id", "text", budget=5000, keep_cols=("text",)
+    )
+    return pack_sequences(budgeted, "doc_id", "text", budget=128)
+
+
 def q_token_budget(sf_dir: str):
     """Corpus trimming to a token budget in priority order (longest docs
     first, doc_id tie-break): the ordered-prefix-sum primitive with
@@ -1661,6 +1685,7 @@ QUERIES = {
     # --- new / newly-oracled in r4 ---
     "remove_boilerplate": q_remove_boilerplate,
     "token_budget": q_token_budget,
+    "training_mix": q_training_mix,
     "wratio_short_branch": q_wratio_short_branch,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
@@ -2179,6 +2204,59 @@ ORACLE_SQL = {
         SELECT d.doc_id, coalesce(hits.n, 0) AS n_hit_grams,
                coalesce(hits.n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+    "training_mix": r"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+            FROM documents WHERE trim(text) <> ''
+        ),
+        r AS (
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   count(DISTINCT word)::BIGINT AS ndw
+            FROM w GROUP BY doc_id
+        ),
+        q AS (
+            SELECT d.doc_id, d.text
+            FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+            WHERE coalesce(r.n_words, 0) >= 5
+              AND length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g'))
+                      / greatest(length(d.text), 1)::DOUBLE >= 0.5
+              AND (coalesce(r.n_words, 0) - coalesce(r.ndw, 0))
+                      / greatest(coalesce(r.n_words, 0), 1)::DOUBLE <= 0.6
+        ),
+        dd AS (
+            SELECT min(doc_id) AS doc_id, text FROM q GROUP BY text
+        ),
+        n AS (
+            SELECT doc_id, text,
+                   (CASE WHEN trim(text) = '' THEN 0
+                         ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                    END)::BIGINT AS n_tokens
+            FROM dd
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS cum_tokens
+            FROM n
+        ),
+        kept AS (SELECT doc_id, n_tokens FROM c WHERE cum_tokens <= 5000),
+        pk AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS tok_before
+            FROM kept
+        )
+        SELECT doc_id, n_tokens,
+               tok_before // 128 AS first_seq,
+               CASE WHEN n_tokens > 0 THEN (tok_before + n_tokens - 1) // 128
+                    ELSE tok_before // 128 END AS last_seq,
+               tok_before % 128 AS offset_in_first
+        FROM pk
     """,
     "token_budget": r"""
         WITH n AS (

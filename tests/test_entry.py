@@ -143,6 +143,7 @@ def test_every_query_runs(entry_mod):
         "chunk_documents",
         "pack_sequences",
         "token_budget",
+        "training_mix",
         "deduped_corpus",
         "quality_filter",
         "incremental_dedup",
