@@ -195,12 +195,20 @@ def take_token_budget(
         if base <= b  # blocks entirely past the budget never emit
     ]
     if not out_refs:
+        # zero-block input: synthesize the typed empty result (incl.
+        # keep_cols — downstream stages select them by name)
+        sch = sorted_ds.schema()
+        types = dict(zip(sch.names, sch.types)) if sch else {}
         res = rd.from_arrow(
             pa.table(
                 {
                     id_col: pa.array([], pa.int64()),
                     "n_tokens": pa.array([], pa.int64()),
                     "cum_tokens": pa.array([], pa.int64()),
+                    **{
+                        c: pa.array([], types.get(c, pa.string()))
+                        for c in keep_cols
+                    },
                 }
             )
         )
