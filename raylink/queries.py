@@ -459,6 +459,15 @@ def q_transcript_canonicalize(sf_dir: str):
     return canonicalize_transcripts(ds)
 
 
+def q_bpe_pairs(sf_dir: str):
+    """BPE tokenizer-training first iteration: corpus-wide adjacent
+    char-pair census (word-TYPE factorized partials, digest-merge
+    shuffle bounded by |charset|^2)."""
+    from raylink.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_read(sf_dir, "documents"), min_count=1)
+
+
 def q_training_mix(sf_dir: str):
     """Composite LLM-training-data pipeline, end-to-end SQL-oracled:
     C4-style quality filter (streaming) -> exact dedup keep-min-id
@@ -1686,6 +1695,7 @@ QUERIES = {
     "remove_boilerplate": q_remove_boilerplate,
     "token_budget": q_token_budget,
     "training_mix": q_training_mix,
+    "bpe_pairs": q_bpe_pairs,
     "wratio_short_branch": q_wratio_short_branch,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
@@ -2204,6 +2214,23 @@ ORACLE_SQL = {
         SELECT d.doc_id, coalesce(hits.n, 0) AS n_hit_grams,
                coalesce(hits.n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+    "bpe_pairs": r"""
+        WITH w AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+            FROM documents WHERE trim(text) <> ''
+        ),
+        p AS (
+            SELECT substr(word, i, 1) AS "left",
+                   substr(word, i + 1, 1) AS "right"
+            FROM (
+                SELECT word,
+                       unnest(generate_series(1, length(word) - 1)) AS i
+                FROM w
+            )
+        )
+        SELECT "left", "right", count(*)::BIGINT AS n_occurrences
+        FROM p GROUP BY 1, 2
     """,
     "training_mix": r"""
         WITH w AS (

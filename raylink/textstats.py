@@ -642,3 +642,193 @@ def remove_boilerplate(
     if output == "pandas":
         return res.to_pandas().sort_values(id_col).reset_index(drop=True)
     return res
+
+
+def _pair_counts_of_types(uniq: pa.Array, cnt: np.ndarray):
+    """Adjacent-char pair counts over a WORD-TYPE table, weighted by type
+    occurrence counts. Vectorized across words per char POSITION (the
+    loop is over max word length, not words): position i contributes
+    (word[i], word[i+1]) for every type longer than i+1."""
+    lens = pc.utf8_length(uniq).to_numpy(zero_copy_only=False)
+    out_a, out_b, out_n = [], [], []
+    for i in range(int(lens.max()) - 1 if len(lens) else 0):
+        valid = lens > i + 1
+        if not valid.any():
+            break
+        va = pa.array(valid)
+        sel = uniq.filter(va)
+        out_a.append(pc.utf8_slice_codeunits(sel, i, i + 1))
+        out_b.append(pc.utf8_slice_codeunits(sel, i + 1, i + 2))
+        out_n.append(cnt[valid])
+    if not out_a:
+        e = pa.array([], pa.string())
+        return e, e, np.empty(0, dtype=np.int64)
+    a = pa.concat_arrays([x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in out_a])
+    b = pa.concat_arrays([x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in out_b])
+    return a, b, np.concatenate(out_n).astype(np.int64)
+
+
+def bpe_pair_counts(
+    ds,
+    text_col: str = "text",
+    min_count: int = 1,
+    n_parts: int | None = None,
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+):
+    """Adjacent character-pair census over the corpus — the FIRST
+    iteration of BPE tokenizer training (Sennrich et al. 2016 train on
+    the word-type table; the pair count weights each type by its
+    occurrence count). Output: (left, right, n_occurrences) for every
+    adjacent char pair inside whitespace words, filtered to
+    ``n_occurrences >= min_count``.
+
+    Scale shape: per-block partials factorize words to TYPES first (the
+    position loop runs over the block's type table, not its rows), emit
+    one digest row per distinct pair per block, and merge through the
+    shared bounded-driver / keyed-groupby dispatch — pair cardinality is
+    at most |charset|^2, so the shuffle is tiny by construction."""
+    from raylink.aggs import _default_parts, _digest_merge
+    from raylink.joins import _string_part_hash
+
+    P = _default_parts(n_parts)
+    mc = int(min_count)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, words = _tokenize_flat(batch[text_col])
+        empty = pa.table(
+            {
+                "left": pa.array([], pa.string()),
+                "right": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            }
+        )
+        if not len(words):
+            return empty
+        codes, uniques = pd.factorize(words.to_numpy(zero_copy_only=False))
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        a, b, n = _pair_counts_of_types(
+            pa.array(uniques, type=pa.string()), cnt
+        )
+        if not len(n):
+            return empty
+        # within-block reduce: dictionary_encode the composite pair key
+        # (exact BYTES — a numpy-unicode factorize would truncate at the
+        # embedded NUL separator and silently merge distinct pairs)
+        key = pc.binary_join_element_wise(a, b, "\x00")
+        enc = key.dictionary_encode()
+        kcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        karr = enc.dictionary
+        tot = np.zeros(len(karr), dtype=np.int64)
+        np.add.at(tot, kcodes, n)
+        first = np.unique(kcodes, return_index=True)[1]
+        la = a.take(pa.array(first))
+        rb = b.take(pa.array(first))
+        return pa.table(
+            {
+                "left": la,
+                "right": rb,
+                "n": pa.array(tot),
+                "part": pa.array(
+                    (_string_part_hash(karr) % np.uint64(P)).astype(np.int64)
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table(
+                {
+                    "left": pa.array([], pa.string()),
+                    "right": pa.array([], pa.string()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                }
+            )
+        key = pc.binary_join_element_wise(
+            g["left"].combine_chunks(), g["right"].combine_chunks(), "\x00"
+        )
+        enc = key.dictionary_encode()
+        kcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.add.at(tot, kcodes, g["n"].to_numpy(zero_copy_only=False))
+        # np.unique over codes 0..K-1: first-occurrence row per code,
+        # ordered by code — aligned with tot's indexing
+        first = np.unique(kcodes, return_index=True)[1]
+        keep = tot >= mc
+        sa = pa.array(first[keep].astype(np.int64))
+        return pa.table(
+            {
+                "left": g["left"].combine_chunks().take(sa),
+                "right": g["right"].combine_chunks().take(sa),
+                "n_occurrences": pa.array(tot[keep]),
+            }
+        )
+
+    res = _digest_merge(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
+    )
+    if output == "pandas":
+        return (
+            res.to_pandas()
+            .sort_values(["left", "right"])
+            .reset_index(drop=True)
+        )
+    return res
+
+
+def bpe_learn(
+    ds,
+    text_col: str = "text",
+    n_merges: int = 100,
+    min_count: int = 2,
+    vocab_driver_max_rows: int = 5_000_000,
+):
+    """BPE merge-rule training: the distributed stage is the word-TYPE
+    census (:func:`vocabulary` — the shuffle carries type digests), the
+    merge loop then runs DRIVER-SIDE on the bounded type table, exactly
+    how reference BPE trains (the type table, not the corpus, is the
+    working set; Sennrich et al. 2016). Deterministic tie-break: highest
+    count, then lexicographic (left, right). Returns a pandas frame
+    (rank, left, right, n_occurrences)."""
+    vocab = vocabulary(
+        ds, text_col=text_col, min_count=1, output="pandas",
+        driver_merge_max_rows=vocab_driver_max_rows,
+    )
+    words = [tuple(w) for w in vocab["token"].tolist()]
+    counts = vocab["n_occurrences"].to_numpy()
+    merges = []
+    for rank in range(int(n_merges)):
+        pair_n: dict = {}
+        for sym, c in zip(words, counts):
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_n[p] = pair_n.get(p, 0) + int(c)
+        if not pair_n:
+            break
+        # deterministic: max count, ties -> lexicographically SMALLEST pair
+        bn = max(pair_n.values())
+        if bn < int(min_count):
+            break
+        cands = sorted([p for p, v in pair_n.items() if v == bn])
+        bp = cands[0]
+        merges.append((rank, bp[0], bp[1], bn))
+        joined = bp[0] + bp[1]
+        new_words = []
+        for sym in words:
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == bp[0] and sym[i + 1] == bp[1]:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words.append(tuple(out))
+        words = new_words
+    return pd.DataFrame(
+        merges, columns=["rank", "left", "right", "n_occurrences"]
+    )

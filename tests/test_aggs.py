@@ -423,3 +423,83 @@ def test_remove_boilerplate_modes_and_semantics(rd):
                                output="pandas")
     pd.testing.assert_frame_equal(got_b, want, check_dtype=False)
     pd.testing.assert_frame_equal(got_d, want, check_dtype=False)
+
+
+def test_bpe_pair_counts_matches_brute(rd):
+    from raylink.textstats import bpe_pair_counts
+
+    rng = np.random.default_rng(2)
+    vocab = ["low", "lower", "newest", "widest", "spark", "data", "a", ""]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 9))) for _ in range(300)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                       "text": texts})
+    rows = []
+    for t in texts:
+        for w in t.split():
+            for i in range(len(w) - 1):
+                rows.append((w[i], w[i + 1]))
+    bf = (
+        pd.DataFrame(rows, columns=["left", "right"])
+        .groupby(["left", "right"]).size().reset_index(name="n_occurrences")
+    )
+    bf = (
+        bf[bf.n_occurrences >= 3]
+        .sort_values(["left", "right"])
+        .reset_index(drop=True)
+    )
+    for parts in (1, 5):
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+        got = bpe_pair_counts(ds, min_count=3, output="pandas")
+        pd.testing.assert_frame_equal(got, bf, check_dtype=False)
+    # forced distributed merge path
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    got = bpe_pair_counts(ds, min_count=3, output="pandas",
+                          driver_merge_max_rows=0)
+    pd.testing.assert_frame_equal(got, bf, check_dtype=False)
+
+
+def test_bpe_learn_reference(rd):
+    """The merge loop on the distributed word-type census must reproduce
+    the classic sequential BPE trace (Sennrich-style reference run on
+    the same corpus, deterministic lexicographic tie-break)."""
+    from raylink.textstats import bpe_learn
+
+    texts = ["low low low lower lower newest newest newest newest",
+             "widest widest newest newest low"]
+    df = pd.DataFrame({"doc_id": np.arange(2, dtype=np.int64),
+                       "text": texts})
+
+    # reference implementation on word types
+    words = {}
+    for t in texts:
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+    syms = {tuple(w): c for w, c in words.items()}
+    ref = []
+    for rank in range(4):
+        pairs = {}
+        for s, c in syms.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + c
+        bn = max(pairs.values())
+        bp = sorted(p for p, v in pairs.items() if v == bn)[0]
+        ref.append((rank, bp[0], bp[1], bn))
+        joined = bp[0] + bp[1]
+        new = {}
+        for s, c in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == bp:
+                    out.append(joined); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        syms = new
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(2)
+    got = bpe_learn(ds, n_merges=4, min_count=1)
+    want = pd.DataFrame(ref, columns=["rank", "left", "right",
+                                      "n_occurrences"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -144,6 +144,7 @@ def test_every_query_runs(entry_mod):
         "pack_sequences",
         "token_budget",
         "training_mix",
+        "bpe_pairs",
         "deduped_corpus",
         "quality_filter",
         "incremental_dedup",
