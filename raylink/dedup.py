@@ -578,7 +578,8 @@ def _verify_pairs_distributed(
 
 
 def _collapse_exact_texts(
-    ds, id_col: str, text_col: str, driver_merge_max_rows: int
+    ds, id_col: str, text_col: str, driver_merge_max_rows: int,
+    want_doc_map: bool = True,
 ):
     """EXACT-dup collapse before near-dup banding (round-4 scale fix):
     templated corpora repeat byte-identical texts thousands of times —
@@ -686,6 +687,13 @@ def _collapse_exact_texts(
     )
     if 1 < target_blocks and reps_ds.num_blocks() < target_blocks:
         reps_ds = reps_ds.repartition(target_blocks).materialize()
+
+    if not want_doc_map:
+        # survivor-only callers (exact_dedup_survivors) skip the doc->rep
+        # join entirely — equi_join's broadcast prep otherwise eagerly
+        # collects every distinct text to the driver for a map that would
+        # be thrown away
+        return reps_ds, None
 
     rep_slim = reps_ds.select_columns([text_col, id_col]).map_batches(
         lambda b: pa.table(
@@ -2585,7 +2593,7 @@ def exact_dedup_survivors(
     Same machinery as the collapse stage (factorize partials -> bounded
     string-hash digest merge)."""
     reps_ds, _doc_map = _collapse_exact_texts(
-        ds, id_col, text_col, driver_merge_max_rows
+        ds, id_col, text_col, driver_merge_max_rows, want_doc_map=False
     )
     return reps_ds.map_batches(
         lambda b: b.select([id_col, text_col]), batch_format="pyarrow"

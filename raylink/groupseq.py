@@ -129,7 +129,9 @@ def ordered_seq_agg(
     for src, _name, _sep in joins:
         if src not in needed:
             needed.append(src)
-    if set(needed) != set(ds.schema().names):
+    sch = ds.schema()  # None for a zero-block mapped dataset — skip the
+    # projection and let the existing empty-input path handle it
+    if sch is not None and set(needed) != set(sch.names):
         ds = ds.select_columns(needed)
     sorted_ds = ds.sort([key_col, *order_cols]).materialize()
     refs = sorted_ds.to_arrow_refs()

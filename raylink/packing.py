@@ -116,18 +116,18 @@ def _budget_block(
     base: int,
     budget: int,
     id_col: str,
-    keep_cols: tuple = (),
+    keep_cols: tuple,
+    types: dict,
 ) -> pa.Table:
+    # empty results use the DRIVER-snapshotted column types (a block that
+    # lost its schema, or a non-int64 id, must not emit a divergent
+    # schema — from_arrow_refs unifies all blocks)
     empty = pa.table(
         {
-            id_col: pa.array([], pa.int64()),
+            id_col: pa.array([], types[id_col]),
             "n_tokens": pa.array([], pa.int64()),
             "cum_tokens": pa.array([], pa.int64()),
-            **{
-                c: pa.array([], tbl.schema.field(c).type)
-                for c in keep_cols
-                if c in tbl.column_names
-            },
+            **{c: pa.array([], types[c]) for c in keep_cols},
         }
     )
     if not len(counts):
@@ -172,6 +172,13 @@ def take_token_budget(
     if b < 0:
         raise ValueError("budget must be non-negative")
     keep_cols = tuple(keep_cols)
+    reserved = {id_col, "n_tokens", "cum_tokens"}
+    bad = [c for c in keep_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"keep_cols {bad} collide with take_token_budget output "
+            f"columns {sorted(reserved)}"
+        )
     cols = [id_col, text_col] + (
         [order_col] if order_col and order_col not in (id_col, text_col) else []
     )
@@ -185,40 +192,33 @@ def take_token_budget(
         keys = [id_col]
         desc = [False]
     sorted_ds = ds.select_columns(cols).sort(keys, descending=desc).materialize()
+    # driver-side type snapshot: every block's empty result (and the
+    # zero-block fallback) must carry the SAME schema incl. keep_cols
+    sch = sorted_ds.schema()
+    types = dict(zip(sch.names, sch.types)) if sch else {}
+    otypes = {id_col: types.get(id_col, pa.int64())}
+    otypes.update({c: types.get(c, pa.string()) for c in keep_cols})
     refs = sorted_ds.to_arrow_refs()
     pairs = [_block_token_counts.remote(r, text_col) for r in refs]
     block_sums = np.array(ray.get([p[1] for p in pairs]), dtype=np.int64)
     bases = np.concatenate(([0], np.cumsum(block_sums)[:-1]))
     out_refs = [
-        _budget_block.remote(r, p[0], int(base), b, id_col, keep_cols)
+        _budget_block.remote(r, p[0], int(base), b, id_col, keep_cols, otypes)
         for r, p, base in zip(refs, pairs, bases)
         if base <= b  # blocks entirely past the budget never emit
     ]
-    if not out_refs:
-        # zero-block input: synthesize the typed empty result (incl.
-        # keep_cols — downstream stages select them by name)
-        sch = sorted_ds.schema()
-        types = dict(zip(sch.names, sch.types)) if sch else {}
-        res = rd.from_arrow(
-            pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    "n_tokens": pa.array([], pa.int64()),
-                    "cum_tokens": pa.array([], pa.int64()),
-                    **{
-                        c: pa.array([], types.get(c, pa.string()))
-                        for c in keep_cols
-                    },
-                }
-            )
-        )
-    else:
-        res = rd.from_arrow_refs(out_refs)
+    empty_tbl = pa.table(
+        {
+            id_col: pa.array([], otypes[id_col]),
+            "n_tokens": pa.array([], pa.int64()),
+            "cum_tokens": pa.array([], pa.int64()),
+            **{c: pa.array([], otypes[c]) for c in keep_cols},
+        }
+    )
+    res = rd.from_arrow_refs(out_refs) if out_refs else rd.from_arrow(empty_tbl)
     if output == "pandas":
         out = res.to_pandas()
         if not len(out):  # zero-row datasets can drop their schema
-            return pd.DataFrame(
-                {id_col: [], "n_tokens": [], "cum_tokens": []}
-            ).astype(np.int64)
+            return empty_tbl.to_pandas()
         return out.sort_values(id_col).reset_index(drop=True)
     return res

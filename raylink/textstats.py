@@ -668,6 +668,23 @@ def _pair_counts_of_types(uniq: pa.Array, cnt: np.ndarray):
     return a, b, np.concatenate(out_n).astype(np.int64)
 
 
+def _reduce_pairs(a: pa.Array, b: pa.Array, weights: np.ndarray):
+    """Sum weights per distinct (a, b) pair. dictionary_encode keeps the
+    composite key as exact BYTES (a numpy-unicode factorize would truncate
+    at the embedded NUL separator and silently merge distinct pairs).
+    Returns (sel_indices, totals, key_dictionary) with rows ordered by
+    first appearance — sel_indices picks one representative row per pair."""
+    key = pc.binary_join_element_wise(a, b, "\x00")
+    enc = key.dictionary_encode()
+    kcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    tot = np.zeros(len(enc.dictionary), dtype=np.int64)
+    np.add.at(tot, kcodes, weights)
+    # np.unique over codes 0..K-1: first-occurrence row per code, ordered
+    # by code — aligned with tot's indexing
+    first = np.unique(kcodes, return_index=True)[1]
+    return first, tot, enc.dictionary
+
+
 def bpe_pair_counts(
     ds,
     text_col: str = "text",
@@ -713,16 +730,7 @@ def bpe_pair_counts(
         )
         if not len(n):
             return empty
-        # within-block reduce: dictionary_encode the composite pair key
-        # (exact BYTES — a numpy-unicode factorize would truncate at the
-        # embedded NUL separator and silently merge distinct pairs)
-        key = pc.binary_join_element_wise(a, b, "\x00")
-        enc = key.dictionary_encode()
-        kcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        karr = enc.dictionary
-        tot = np.zeros(len(karr), dtype=np.int64)
-        np.add.at(tot, kcodes, n)
-        first = np.unique(kcodes, return_index=True)[1]
+        first, tot, karr = _reduce_pairs(a, b, n)
         la = a.take(pa.array(first))
         rb = b.take(pa.array(first))
         return pa.table(
@@ -745,16 +753,11 @@ def bpe_pair_counts(
                     "n_occurrences": pa.array([], pa.int64()),
                 }
             )
-        key = pc.binary_join_element_wise(
-            g["left"].combine_chunks(), g["right"].combine_chunks(), "\x00"
+        first, tot, _ = _reduce_pairs(
+            g["left"].combine_chunks(),
+            g["right"].combine_chunks(),
+            g["n"].to_numpy(zero_copy_only=False),
         )
-        enc = key.dictionary_encode()
-        kcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        tot = np.zeros(len(enc.dictionary), dtype=np.int64)
-        np.add.at(tot, kcodes, g["n"].to_numpy(zero_copy_only=False))
-        # np.unique over codes 0..K-1: first-occurrence row per code,
-        # ordered by code — aligned with tot's indexing
-        first = np.unique(kcodes, return_index=True)[1]
         keep = tot >= mc
         sa = pa.array(first[keep].astype(np.int64))
         return pa.table(
@@ -798,37 +801,56 @@ def bpe_learn(
         driver_merge_max_rows=vocab_driver_max_rows,
     )
     words = [tuple(w) for w in vocab["token"].tolist()]
-    counts = vocab["n_occurrences"].to_numpy()
+    counts = [int(c) for c in vocab["n_occurrences"].to_numpy()]
+    # incremental pair statistics (the reference-BPE optimization): a
+    # merge only touches the types CONTAINING the merged pair, so each
+    # rank costs O(affected symbols), not O(total symbols)
+    pair_n: dict = {}
+    pair_words: dict = {}
+    for wi, (sym, c) in enumerate(zip(words, counts)):
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            pair_n[p] = pair_n.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wi)
     merges = []
     for rank in range(int(n_merges)):
-        pair_n: dict = {}
-        for sym, c in zip(words, counts):
-            for i in range(len(sym) - 1):
-                p = (sym[i], sym[i + 1])
-                pair_n[p] = pair_n.get(p, 0) + int(c)
         if not pair_n:
             break
         # deterministic: max count, ties -> lexicographically SMALLEST pair
         bn = max(pair_n.values())
         if bn < int(min_count):
             break
-        cands = sorted([p for p, v in pair_n.items() if v == bn])
-        bp = cands[0]
+        bp = min(p for p, v in pair_n.items() if v == bn)
         merges.append((rank, bp[0], bp[1], bn))
         joined = bp[0] + bp[1]
-        new_words = []
-        for sym in words:
-            out = []
-            i = 0
+        for wi in list(pair_words.get(bp, ())):
+            sym, c = words[wi], counts[wi]
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_n[p] -= c
+                if pair_n[p] == 0:
+                    del pair_n[p]
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
+            out, i = [], 0
             while i < len(sym):
-                if i + 1 < len(sym) and sym[i] == bp[0] and sym[i + 1] == bp[1]:
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == bp[0]
+                    and sym[i + 1] == bp[1]
+                ):
                     out.append(joined)
                     i += 2
                 else:
                     out.append(sym[i])
                     i += 1
-            new_words.append(tuple(out))
-        words = new_words
+            new = tuple(out)
+            words[wi] = new
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_n[p] = pair_n.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(wi)
     return pd.DataFrame(
         merges, columns=["rank", "left", "right", "n_occurrences"]
     )

@@ -83,7 +83,6 @@ def main():
     res = {"metric": "boilerplate_scale_probe", "rows_small": n_big // 4,
            "rows_big": n_big}
     for label, n in (("small", n_big // 4), ("big", n_big)):
-        frac = n / n_big
         ds_full = rd.read_parquet(path)
         ds = ds_full.limit(n) if n < n_big else ds_full
         res[label] = {}
