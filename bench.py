@@ -149,6 +149,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
         from raylink.packing import take_token_budget as _take_token_budget
         from raylink.sampling import hash_sample
         from raylink.textstats import (
+            bpe_pair_counts as _bpe_pair_counts,
             chunk_documents_batch,
             quality_filter_batch,
             vocabulary,
@@ -225,6 +226,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
                     corpus(), "doc_id", "text", budget=2_000_000
                 )
             ),
+            # BPE first-iteration pair census over the full corpus
+            # (word-type factorized partials, charset^2-bounded shuffle)
+            "bpe_pairs_corpus": lambda: _bpe_pair_counts(
+                corpus(), min_count=2
+            ).count(),
         }
         for name, thunk in llm_ops.items():
             walls = []
