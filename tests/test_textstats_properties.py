@@ -84,3 +84,49 @@ def test_quality_filter_subset(texts):
     for _, row in out.iterrows():
         assert row["text"] == texts[int(row["doc_id"])]
         assert row["n_words"] >= 5
+
+
+@_SET
+@given(st.lists(st.one_of(_txt, st.none()), min_size=1, max_size=8))
+def test_split_paragraphs_roundtrip(texts):
+    """sep.join of each doc's paragraphs reconstructs the (null-filled)
+    text exactly; paragraph count per doc == count(sep)+1; doc_idx is
+    non-decreasing (the reassembly kernels rely on block-contiguous
+    docs)."""
+    from raylink.textstats import _split_paragraphs
+
+    arr = pa.array(texts, type=pa.string())
+    doc_idx, paras = _split_paragraphs(arr, "\n")
+    assert (np.diff(doc_idx) >= 0).all()
+    plist = paras.to_pylist()
+    for d, t in enumerate(texts):
+        want = (t or "").split("\n")
+        got = [plist[i] for i in np.flatnonzero(doc_idx == d)]
+        assert got == want
+
+
+@_SET
+@given(st.lists(st.text(alphabet="abcde", min_size=0, max_size=7),
+                min_size=1, max_size=10),
+       st.lists(st.integers(1, 5), min_size=10, max_size=10))
+def test_pair_counts_of_types_matches_brute(words, counts):
+    from raylink.textstats import _pair_counts_of_types
+
+    counts = np.array(counts[: len(words)], dtype=np.int64)
+    a, b, n = _pair_counts_of_types(
+        pa.array(words, type=pa.string()), counts
+    )
+    # total pair weight accounting
+    want_total = sum(
+        int(c) * (len(w) - 1) for w, c in zip(words, counts) if len(w) >= 2
+    )
+    assert int(n.sum()) == want_total
+    # per-pair brute-force equality
+    brute: dict = {}
+    for w, c in zip(words, counts):
+        for i in range(len(w) - 1):
+            brute[(w[i], w[i + 1])] = brute.get((w[i], w[i + 1]), 0) + int(c)
+    got: dict = {}
+    for x, y, z in zip(a.to_pylist(), b.to_pylist(), n):
+        got[(x, y)] = got.get((x, y), 0) + int(z)
+    assert got == brute
