@@ -459,6 +459,15 @@ def q_transcript_canonicalize(sf_dir: str):
     return canonicalize_transcripts(ds)
 
 
+def q_rarity_score(sf_dir: str):
+    """Corpus-statistics commonness scoring (deterministic analog of
+    perplexity filtering): gram-DF census digest merge + broadcast
+    index_in resolve, division-only floats."""
+    from raylink.textstats import rarity_score
+
+    return rarity_score(_read(sf_dir, "documents"), ngram=3)
+
+
 def q_bpe_pairs(sf_dir: str):
     """BPE tokenizer-training first iteration: corpus-wide adjacent
     char-pair census (word-TYPE factorized partials, digest-merge
@@ -1696,6 +1705,7 @@ QUERIES = {
     "token_budget": q_token_budget,
     "training_mix": q_training_mix,
     "bpe_pairs": q_bpe_pairs,
+    "rarity_score": q_rarity_score,
     "wratio_short_branch": q_wratio_short_branch,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
@@ -2214,6 +2224,31 @@ ORACLE_SQL = {
         SELECT d.doc_id, coalesce(hits.n, 0) AS n_hit_grams,
                coalesce(hits.n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+    "rarity_score": r"""
+        WITH cw AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        cg AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+            FROM cw, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        df AS (SELECT gram, count(*)::BIGINT AS df FROM cg GROUP BY gram),
+        s AS (
+            SELECT cg.doc_id, count(*)::BIGINT AS n_distinct_grams,
+                   sum(df.df)::BIGINT AS df_sum
+            FROM cg JOIN df USING (gram) GROUP BY cg.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(s.n_distinct_grams, 0) AS n_distinct_grams,
+               coalesce(s.df_sum, 0) AS df_sum,
+               coalesce(s.df_sum, 0) / greatest(
+                   coalesce(s.n_distinct_grams, 0)
+                   * (SELECT count(*) FROM documents), 1
+               ) AS commonness
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
     """,
     "bpe_pairs": r"""
         WITH w AS (

@@ -854,3 +854,240 @@ def bpe_learn(
     return pd.DataFrame(
         merges, columns=["rank", "left", "right", "n_occurrences"]
     )
+
+
+def rarity_score(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    mode: str = "auto",
+    max_broadcast_grams: int = 20_000_000,
+    n_parts: int | None = None,
+    driver_merge_max_rows: int = 2_000_000,
+    output: str = "dataset",
+):
+    """Corpus-statistics quality signal (the deterministic analog of
+    LM-perplexity filtering): for every doc, sum the corpus DOCUMENT
+    FREQUENCIES of its distinct word ``ngram``-grams. Output:
+    (id_col, n_distinct_grams, df_sum, commonness) where
+    ``commonness = df_sum / (n_distinct_grams * n_corpus_docs)`` — near 1
+    for boilerplate every doc shares, near 1/n_docs for unique text;
+    gramless docs score 0. Division-only floats from exact ints, so the
+    DuckDB oracle replays it bit-exactly.
+
+    Two passes, contamination_check's scale shape: pass 1 is the gram DF
+    census (per-block (doc,gram)-deduped partials -> string-hash digest
+    merge); pass 2 "broadcast" (below ``max_broadcast_grams``) ships the
+    (gram -> df) map once via ``ray.put`` and every corpus batch resolves
+    its grams with one Arrow ``index_in`` — the corpus STREAMS.
+    "distributed" equi-joins (doc, gram) rows against the census on the
+    string key and reduces per-doc sums through the digest merge, with
+    gramless zero-fill via a left anti semi-join."""
+    import ray.data as rd
+
+    from raylink.aggs import _default_parts, _digest_merge
+    from raylink.broadcast import cached_object as _co
+    from raylink.dedup import _word_ngrams_flat
+    from raylink.joins import _string_part_hash, equi_join, semi_join
+
+    nn = int(ngram)
+    P = _default_parts(n_parts)
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        d, grams = _word_ngrams_flat(batch[text_col], nn)
+        if not len(grams):
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        # per-doc distinct (docs never span blocks => global dedup)
+        codes, uniques = pd.factorize(grams.to_numpy(zero_copy_only=False))
+        comp = d.astype(np.int64) * np.int64(len(uniques)) + codes
+        uniq_codes = np.unique(comp) % np.int64(len(uniques))
+        df = np.bincount(uniq_codes, minlength=len(uniques)).astype(np.int64)
+        garr = pa.array(uniques, type=pa.string())
+        return pa.table(
+            {
+                "gram": garr,
+                "df": pa.array(df),
+                "part": pa.array(
+                    (_string_part_hash(garr) % np.uint64(P)).astype(np.int64)
+                ),
+            }
+        )
+
+    def df_merge(g: pa.Table) -> pa.Table:
+        ga = g["gram"].combine_chunks()
+        if not len(ga):
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniques = pd.factorize(ga.to_numpy(zero_copy_only=False))
+        tot = np.zeros(len(uniques), dtype=np.int64)
+        np.add.at(tot, codes, g["df"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "gram": pa.array(np.asarray(uniques), pa.string()),
+                "df": pa.array(tot),
+            }
+        )
+
+    census = _digest_merge(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        df_merge,
+        driver_merge_max_rows,
+    ).materialize()
+
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if census.count() <= max_broadcast_grams
+            else "distributed"
+        )
+
+    def finish(ids, n_grams, df_sum):
+        comm = df_sum.astype(np.float64) / np.maximum(
+            n_grams * np.int64(n_docs), 1
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "n_distinct_grams": pa.array(n_grams),
+                "df_sum": pa.array(df_sum),
+                "commonness": pa.array(comm),
+            }
+        )
+
+    if mode == "broadcast":
+        tabs = ray.get(census.to_arrow_refs())
+        allc = pa.concat_tables(tabs, promote_options="default")
+        gref = ray.put(
+            (
+                allc["gram"].combine_chunks(),
+                np.asarray(allc["df"].to_numpy(zero_copy_only=False), np.int64),
+            )
+        )
+
+        def score(batch: pa.Table) -> pa.Table:
+            garr, dfv = _co(gref)
+            d, grams = _word_ngrams_flat(batch[text_col], nn)
+            ids = np.asarray(
+                batch[id_col].to_numpy(zero_copy_only=False), np.int64
+            )
+            n_grams = np.zeros(len(ids), dtype=np.int64)
+            df_sum = np.zeros(len(ids), dtype=np.int64)
+            if len(grams):
+                codes, uniques = pd.factorize(
+                    grams.to_numpy(zero_copy_only=False)
+                )
+                comp = d.astype(np.int64) * np.int64(len(uniques)) + codes
+                keep = np.unique(comp, return_index=True)[1]
+                d2 = d[keep]
+                pos = pc.index_in(
+                    grams.take(pa.array(keep)), value_set=garr
+                ).to_numpy(zero_copy_only=False)
+                # every corpus gram exists in the census by construction
+                vals = dfv[pos.astype(np.int64)]
+                np.add.at(n_grams, d2, 1)
+                np.add.at(df_sum, d2, vals)
+            return finish(ids, n_grams, df_sum)
+
+        res = ds.map_batches(score, batch_format="pyarrow")
+        if output == "pandas":
+            return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+        return res
+
+    # distributed: (doc, gram) distinct rows join the census on the
+    # string key, per-doc sums reduce through the digest merge, gramless
+    # docs zero-fill via a left anti semi-join (contamination's shape)
+    def doc_grams(batch: pa.Table) -> pa.Table:
+        d, grams = _word_ngrams_flat(batch[text_col], nn)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        if len(grams):
+            codes, uniques = pd.factorize(grams.to_numpy(zero_copy_only=False))
+            comp = d.astype(np.int64) * np.int64(len(uniques)) + codes
+            keep = np.unique(comp, return_index=True)[1]
+            d, grams = d[keep], grams.take(pa.array(keep))
+        return pa.table(
+            {
+                id_col: pa.array(ids[d] if len(d) else ids[:0]),
+                "gram": grams,
+            }
+        )
+
+    joined = equi_join(
+        ds.map_batches(doc_grams, batch_format="pyarrow"),
+        census,
+        "gram",
+        "gram",
+        left_cols=(id_col,),
+        right_cols=("df",),
+        mode="distributed",
+        n_parts=n_parts,
+    )
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        dfv = np.asarray(batch["df"].to_numpy(zero_copy_only=False), np.int64)
+        u, inv = np.unique(ids, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, dfv)
+        return pa.table(
+            {
+                "i": pa.array(u),
+                "g": pa.array(cnt),
+                "s": pa.array(s),
+                "part": pa.array((u % np.int64(256)).astype(np.int64)),
+            }
+        )
+
+    def sum_merge(t: pa.Table) -> pa.Table:
+        i = np.asarray(t["i"].to_numpy(zero_copy_only=False), np.int64)
+        if not len(i):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_distinct_grams": pa.array([], pa.int64()),
+                    "df_sum": pa.array([], pa.int64()),
+                    "commonness": pa.array([], pa.float64()),
+                }
+            )
+        u, inv = np.unique(i, return_inverse=True)
+        gg = np.zeros(len(u), dtype=np.int64)
+        ss = np.zeros(len(u), dtype=np.int64)
+        np.add.at(gg, inv, t["g"].to_numpy(zero_copy_only=False))
+        np.add.at(ss, inv, t["s"].to_numpy(zero_copy_only=False))
+        return finish(u, gg, ss)
+
+    scored = _digest_merge(
+        joined.map_batches(sum_partial, batch_format="pyarrow"),
+        sum_merge,
+        driver_merge_max_rows,
+    ).materialize()
+
+    def zero_fill(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        z = np.zeros(len(ids), dtype=np.int64)
+        return finish(ids, z, z)
+
+    clean = semi_join(
+        ds.select_columns([id_col]),
+        scored,
+        left_key_col=id_col,
+        right_key_col=id_col,
+        anti=True,
+        mode="distributed",
+    )
+    res = scored.union(clean.map_batches(zero_fill, batch_format="pyarrow"))
+    if output == "pandas":
+        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+    return res

@@ -503,3 +503,36 @@ def test_bpe_learn_reference(rd):
     want = pd.DataFrame(ref, columns=["rank", "left", "right",
                                       "n_occurrences"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rarity_score_modes_identical(rd):
+    from raylink.textstats import rarity_score
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(15)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 10)))
+        for _ in range(200)
+    ] + ["", "  ", None]  # gramless docs must zero-fill in BOTH modes
+    df = pd.DataFrame({"doc_id": np.arange(203, dtype=np.int64),
+                       "text": texts})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    b = rarity_score(ds, ngram=2, mode="broadcast", output="pandas")
+    d = rarity_score(ds, ngram=2, mode="distributed", output="pandas")
+    pd.testing.assert_frame_equal(b, d)
+    assert len(b) == 203
+    # gramless rows present and zero
+    z = b[b.doc_id >= 200]
+    assert (z.n_distinct_grams == 0).all() and (z.commonness == 0.0).all()
+    # pandas brute force on one doc
+    grams = {}
+    def doc_grams(t):
+        w = (t or "").split()
+        return set(" ".join(w[i:i+2]) for i in range(len(w)-1))
+    for t in texts:
+        for g in doc_grams(t):
+            grams[g] = grams.get(g, 0) + 1
+    for _, row in b.head(20).iterrows():
+        gs = doc_grams(texts[int(row.doc_id)])
+        assert row.n_distinct_grams == len(gs)
+        assert row.df_sum == sum(grams[g] for g in gs)

@@ -145,6 +145,7 @@ def test_every_query_runs(entry_mod):
         "token_budget",
         "training_mix",
         "bpe_pairs",
+        "rarity_score",
         "deduped_corpus",
         "quality_filter",
         "incremental_dedup",
