@@ -2165,8 +2165,45 @@ def _word_ngrams_flat(texts, n: int):
     if not len(starts):
         return np.empty(0, np.int64), pa.array([], pa.string())
     parts = [words.take(pa.array(starts + j)) for j in range(n)]
-    grams = pc.binary_join_element_wise(*parts, " ")
+    # the join kernel requires a separator of the SAME string class —
+    # large_string word columns (the widening machinery's output)
+    # otherwise raise ArrowNotImplementedError
+    sep = (
+        pa.scalar(" ", pa.large_string())
+        if pa.types.is_large_string(parts[0].type)
+        else " "
+    )
+    grams = pc.binary_join_element_wise(*parts, sep)
     return doc_idx[starts], grams
+
+
+def _doc_distinct_grams(batch: pa.Table, id_col: str, text_col: str, n: int):
+    """Per-doc DISTINCT word n-grams of a batch: (id_col, gram) rows.
+    Dedup inside the batch is GLOBAL dedup because each doc lives in
+    exactly one block row. Duplicate ids WITHIN the batch are rejected
+    loudly (they would make the broadcast and distributed consumers
+    silently disagree; id_col must be unique corpus-wide — the engine's
+    standing id contract). Shared by contamination_check and
+    rarity_score."""
+    d, grams = _word_ngrams_flat(batch[text_col], n)
+    ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+    if len(ids) != len(np.unique(ids)):
+        raise ValueError(
+            f"duplicate {id_col} values within a block — id_col must be "
+            "unique (per-doc gram dedup and the per-id digest sums both "
+            "key on it)"
+        )
+    if len(grams):
+        codes = pd.factorize(grams.to_numpy(zero_copy_only=False))[0]
+        comp = d.astype(np.int64) * np.int64(codes.max() + 1) + codes
+        keep = np.unique(comp, return_index=True)[1]
+        d, grams = d[keep], grams.take(pa.array(keep))
+    return pa.table(
+        {
+            id_col: pa.array(ids[d] if len(d) else ids[:0]),
+            "gram": grams,
+        }
+    )
 
 
 def contamination_check(
@@ -2215,20 +2252,8 @@ def contamination_check(
     eval_grams_ds = eval_ds.map_batches(eval_partial, batch_format="pyarrow")
 
     def corpus_grams(batch: pa.Table) -> pa.Table:
-        """(doc_id, gram) with per-doc distinct grams."""
-        d, grams = _word_ngrams_flat(batch[text_col], nn)
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
-        if len(grams):
-            codes = pd.factorize(grams.to_numpy(zero_copy_only=False))[0]
-            composite = d.astype(np.int64) * np.int64(codes.max() + 1) + codes
-            keep = np.unique(composite, return_index=True)[1]
-            d, grams = d[keep], grams.take(pa.array(keep))
-        return pa.table(
-            {
-                id_col: pa.array(ids[d] if len(d) else ids[:0]),
-                "gram": grams,
-            }
-        )
+        """(doc_id, gram) with per-doc distinct grams (shared helper)."""
+        return _doc_distinct_grams(batch, id_col, text_col, nn)
 
     if mode == "auto":
         eval_grams_ds = eval_grams_ds.materialize()  # count + reuse, one pass

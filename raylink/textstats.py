@@ -883,13 +883,17 @@ def rarity_score(
     its grams with one Arrow ``index_in`` — the corpus STREAMS.
     "distributed" equi-joins (doc, gram) rows against the census on the
     string key and reduces per-doc sums through the digest merge, with
-    gramless zero-fill via a left anti semi-join."""
-    import ray.data as rd
-
+    gramless zero-fill via a left anti semi-join. ``id_col`` must be
+    unique corpus-wide (checked loudly per block). With an EXPLICIT
+    mode="distributed" the corpus is gram-extracted once (the census
+    derives from the materialized exploded rows); mode="auto" that lands
+    distributed pays a second extraction pass (the census must exist
+    before the mode decision)."""
     from raylink.aggs import _default_parts, _digest_merge
     from raylink.broadcast import cached_object as _co
-    from raylink.dedup import _word_ngrams_flat
+    from raylink.dedup import _doc_distinct_grams, _word_ngrams_flat
     from raylink.joins import _string_part_hash, equi_join, semi_join
+    from raylink.pipeline import _widen_text_if_needed
 
     nn = int(ngram)
     P = _default_parts(n_parts)
@@ -922,6 +926,7 @@ def rarity_score(
         )
 
     def df_merge(g: pa.Table) -> pa.Table:
+        g = _widen_text_if_needed(g, "gram")
         ga = g["gram"].combine_chunks()
         if not len(ga):
             return pa.table(
@@ -940,11 +945,49 @@ def rarity_score(
             }
         )
 
-    census = _digest_merge(
-        ds.map_batches(df_partial, batch_format="pyarrow"),
-        df_merge,
-        driver_merge_max_rows,
-    ).materialize()
+    exploded = None
+    if mode == "distributed":
+        # one extraction pass: the census is a count-per-gram digest
+        # over the per-doc-distinct exploded rows
+        def dg(batch: pa.Table) -> pa.Table:
+            return _doc_distinct_grams(batch, id_col, text_col, nn)
+
+        exploded = ds.map_batches(dg, batch_format="pyarrow").materialize()
+
+        def df_from_rows(batch: pa.Table) -> pa.Table:
+            garr = batch["gram"].combine_chunks()
+            if not len(garr):
+                return pa.table(
+                    {
+                        "gram": pa.array([], pa.string()),
+                        "df": pa.array([], pa.int64()),
+                        "part": pa.array([], pa.int64()),
+                    }
+                )
+            codes, uniques = pd.factorize(garr.to_numpy(zero_copy_only=False))
+            df = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+            ua = pa.array(uniques, type=pa.string())
+            return pa.table(
+                {
+                    "gram": ua,
+                    "df": pa.array(df),
+                    "part": pa.array(
+                        (_string_part_hash(ua) % np.uint64(P)).astype(np.int64)
+                    ),
+                }
+            )
+
+        census = _digest_merge(
+            exploded.map_batches(df_from_rows, batch_format="pyarrow"),
+            df_merge,
+            driver_merge_max_rows,
+        ).materialize()
+    else:
+        census = _digest_merge(
+            ds.map_batches(df_partial, batch_format="pyarrow"),
+            df_merge,
+            driver_merge_max_rows,
+        ).materialize()
 
     if mode == "auto":
         mode = (
@@ -952,6 +995,11 @@ def rarity_score(
             if census.count() <= max_broadcast_grams
             else "distributed"
         )
+        if mode == "distributed":
+            exploded = ds.map_batches(
+                lambda b: _doc_distinct_grams(b, id_col, text_col, nn),
+                batch_format="pyarrow",
+            ).materialize()
 
     def finish(ids, n_grams, df_sum):
         comm = df_sum.astype(np.float64) / np.maximum(
@@ -968,7 +1016,9 @@ def rarity_score(
 
     if mode == "broadcast":
         tabs = ray.get(census.to_arrow_refs())
-        allc = pa.concat_tables(tabs, promote_options="default")
+        allc = _widen_text_if_needed(
+            pa.concat_tables(tabs, promote_options="default"), "gram"
+        )
         gref = ray.put(
             (
                 allc["gram"].combine_chunks(),
@@ -982,6 +1032,11 @@ def rarity_score(
             ids = np.asarray(
                 batch[id_col].to_numpy(zero_copy_only=False), np.int64
             )
+            if len(ids) != len(np.unique(ids)):
+                raise ValueError(
+                    f"duplicate {id_col} values within a block — id_col "
+                    "must be unique (matches the distributed mode's check)"
+                )
             n_grams = np.zeros(len(ids), dtype=np.int64)
             df_sum = np.zeros(len(ids), dtype=np.int64)
             if len(grams):
@@ -991,10 +1046,16 @@ def rarity_score(
                 comp = d.astype(np.int64) * np.int64(len(uniques)) + codes
                 keep = np.unique(comp, return_index=True)[1]
                 d2 = d[keep]
-                pos = pc.index_in(
+                pos_arr = pc.index_in(
                     grams.take(pa.array(keep)), value_set=garr
-                ).to_numpy(zero_copy_only=False)
-                # every corpus gram exists in the census by construction
+                )
+                if pos_arr.null_count:
+                    raise ValueError(
+                        "gram missing from the DF census — the corpus "
+                        "changed between the census and scoring passes "
+                        "(rarity_score requires a deterministic input)"
+                    )
+                pos = pos_arr.to_numpy(zero_copy_only=False)
                 vals = dfv[pos.astype(np.int64)]
                 np.add.at(n_grams, d2, 1)
                 np.add.at(df_sum, d2, vals)
@@ -1009,22 +1070,10 @@ def rarity_score(
     # string key, per-doc sums reduce through the digest merge, gramless
     # docs zero-fill via a left anti semi-join (contamination's shape)
     def doc_grams(batch: pa.Table) -> pa.Table:
-        d, grams = _word_ngrams_flat(batch[text_col], nn)
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
-        if len(grams):
-            codes, uniques = pd.factorize(grams.to_numpy(zero_copy_only=False))
-            comp = d.astype(np.int64) * np.int64(len(uniques)) + codes
-            keep = np.unique(comp, return_index=True)[1]
-            d, grams = d[keep], grams.take(pa.array(keep))
-        return pa.table(
-            {
-                id_col: pa.array(ids[d] if len(d) else ids[:0]),
-                "gram": grams,
-            }
-        )
+        return _doc_distinct_grams(batch, id_col, text_col, nn)
 
     joined = equi_join(
-        ds.map_batches(doc_grams, batch_format="pyarrow"),
+        exploded,
         census,
         "gram",
         "gram",

@@ -536,3 +536,36 @@ def test_rarity_score_modes_identical(rd):
         gs = doc_grams(texts[int(row.doc_id)])
         assert row.n_distinct_grams == len(gs)
         assert row.df_sum == sum(grams[g] for g in gs)
+
+
+def test_rarity_score_rejects_duplicate_ids(rd):
+    import pytest
+
+    from raylink.textstats import rarity_score
+
+    df = pd.DataFrame({"doc_id": np.array([7, 7], dtype=np.int64),
+                       "text": ["a b c", "a b c"]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    for mode in ("broadcast", "distributed"):
+        # the ValueError surfaces wrapped in RayTaskError from the worker
+        with pytest.raises(Exception, match="duplicate"):
+            rarity_score(ds, ngram=2, mode=mode, output="pandas")
+
+
+def test_rarity_score_large_string_text(rd):
+    """large_string text (the widening machinery's output type) must flow
+    through the gram kernel (separator class fix) in both modes."""
+    from raylink.textstats import rarity_score
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "text": pa.array(
+            ["a b c", "b c d", "a b c", "", "x y", "a b"],
+            type=pa.large_string(),
+        ),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    b = rarity_score(ds, ngram=2, mode="broadcast", output="pandas")
+    d = rarity_score(ds, ngram=2, mode="distributed", output="pandas")
+    pd.testing.assert_frame_equal(b, d)
+    assert len(b) == 6
