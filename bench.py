@@ -202,16 +202,21 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             # hash sample: the transcript corpus is near-dup DENSE (195k
             # distinct texts -> 52M candidate pairs at sf0.1), so the
             # full-corpus wall is minutes by construction, not regression.
+            # groups_output="pandas" is the explicit small-scale opt-in
+            # (library default flipped to "dataset" in r5 — the forced
+            # fully-distributed default path stays parity-tested, not
+            # benched, same policy as the auto threshold modes above)
             "dedup_representatives_corpus": lambda: _consume(
                 dedup_representatives(
                     hash_sample(corpus(), "doc_id", rate=0.05),
                     "doc_id", "text", output="dataset",
+                    groups_output="pandas",
                 )
             ),
             "apply_dedup_corpus": lambda: _consume(
                 apply_dedup(
                     hash_sample(corpus(), "doc_id", rate=0.05),
-                    "doc_id", "text",
+                    "doc_id", "text", groups_output="pandas",
                 )
             ),
             "sft_pairs": lambda: _consume(QUERIES["sft_pairs"](sf_dir)),

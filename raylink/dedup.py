@@ -906,18 +906,22 @@ def minhash_lsh_dedup(
     bands: int = 16,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 200,
-    components: str = "driver",
+    components: str = "auto",
     verification: str = "auto",
     driver_verify_max_pairs: int = 8_000_000,
     band_driver_threshold: int = 20_000_000,
-    output: str = "pandas",
+    output: str = "dataset",
     taskpool_verify_min_pairs: int = 50_000,
     collapse_exact: bool = True,
     collapse_driver_merge_max_rows: int = 2_000_000,
 ):
-    """Full MinHash-LSH near-dup pipeline. Returns a pandas frame
-    (doc_id, dup_group) for every doc in a near-dup group, where dup_group
-    is the minimal member id (connected components over verified pairs).
+    """Full MinHash-LSH near-dup pipeline. Returns (doc_id, dup_group)
+    for every doc in a near-dup group, where dup_group is the minimal
+    member id (connected components over verified pairs) — as an
+    un-collected Dataset by DEFAULT (membership never lands on the
+    driver; ``output="pandas"`` is the small-scale opt-in, VERDICT r4
+    #5 — note it also relaxes verification to the driver/task-pool
+    fast paths, so it is FASTER at small scale).
 
     Verification is exact Jaccard over shingle sets of the CANDIDATE docs
     only (fetched via a filtered second read — candidates are a tiny
@@ -998,6 +1002,10 @@ def _minhash_after_bands(
 ):
     """Candidate extraction -> verification -> components, shared by the
     streaming and the per-partition-resumable band producers."""
+    if components == "auto":
+        # dataset output requires the off-driver components path; pandas
+        # output takes the bounded driver union-find fast path
+        components = "distributed" if output == "dataset" else "driver"
     cand = candidate_pairs_from_bands(
         band_ds, max_bucket, driver_threshold=band_driver_threshold
     )
@@ -1861,11 +1869,11 @@ def minhash_lsh_dedup_resumable(
     bands: int = 16,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 200,
-    components: str = "driver",
+    components: str = "auto",
     verification: str = "auto",
     driver_verify_max_pairs: int = 2_000_000,
     band_driver_threshold: int = 20_000_000,
-    output: str = "pandas",
+    output: str = "dataset",
     taskpool_verify_min_pairs: int = 50_000,
 ):
     """Per-partition RESUMABLE MinHash-LSH dedup over a parquet file/dir
@@ -1877,7 +1885,9 @@ def minhash_lsh_dedup_resumable(
     keys, atomic part+marker writes, params-fingerprint wipe). A killed
     run recomputes ONLY the missing partitions; candidate extraction,
     verification and components then run from the checkpointed band table
-    exactly like :func:`minhash_lsh_dedup` (shared code path)."""
+    exactly like :func:`minhash_lsh_dedup` (shared code path, same
+    ``output="dataset"`` default — ``output="pandas"`` is the small-scale
+    opt-in that unlocks the driver/task-pool verification fast paths)."""
     import glob
     import os
 
@@ -1934,9 +1944,9 @@ def dedup_representatives(
     num_perm: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
-    output: str = "pandas",
+    output: str = "dataset",
     driver_merge_max_rows: int = 2_000_000,
-    groups_output: str = "pandas",
+    groups_output: str = "dataset",
     **minhash_kwargs,
 ):
     """Near-dup cluster representative selection — the end-step of corpus
@@ -1951,11 +1961,12 @@ def dedup_representatives(
     shrinks to one (group, best_chars, best_id, count) row per group
     before anything shuffles (aggs._digest_merge dispatch).
 
-    ``groups_output="dataset"`` keeps the group-membership table itself
-    off the driver end to end (requires the minhash distributed
-    verification + components settings, forwarded via
-    ``minhash_kwargs``) — the full-distributed configuration for corpora
-    whose near-dup membership alone exceeds driver memory."""
+    ``groups_output="dataset"`` (the DEFAULT, VERDICT r4 #5) keeps the
+    group-membership table itself off the driver end to end (the minhash
+    stage auto-routes to distributed verification) — the configuration
+    for corpora whose near-dup membership alone exceeds driver memory.
+    ``groups_output="pandas"`` / ``output="pandas"`` are the small-scale
+    opt-ins (they unlock the driver/task-pool verification fast paths)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -2090,7 +2101,7 @@ def apply_dedup(
     jaccard_threshold: float = 0.8,
     output: str = "dataset",
     driver_merge_max_rows: int = 2_000_000,
-    groups_output: str = "pandas",
+    groups_output: str = "dataset",
     **minhash_kwargs,
 ):
     """The actual corpus dedup: stream out the SURVIVORS — every doc not
@@ -2101,7 +2112,10 @@ def apply_dedup(
     rep via one equi_join filtered to non-reps -> corpus ANTI semi-join
     on the drop ids. The corpus streams; only membership-sized tables
     shuffle. Returns a Dataset of (id_col, text_col) survivors
-    (``output="pandas"`` collects, small scales only)."""
+    (``output="pandas"`` collects, small scales only). ``groups_output``
+    defaults to ``"dataset"`` too (VERDICT r4 #5): no default path lands
+    membership on the driver; pass ``groups_output="pandas"`` at small
+    scale to unlock the driver/task-pool verification fast paths."""
     import pyarrow.compute as pc
     import ray.data as rd
 

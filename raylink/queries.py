@@ -1465,6 +1465,7 @@ def q_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(
         _read(sf_dir, "documents"), "doc_id", "text",
         k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
+        output="pandas",  # small-scale opt-in (library default: dataset)
     )
 
 
@@ -1476,6 +1477,7 @@ def q_dedup_representatives(sf_dir: str):
     return dedup_representatives(
         _read(sf_dir, "documents"), "doc_id", "text",
         k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
+        output="pandas", groups_output="pandas",  # small-scale opt-in
     )
 
 
@@ -1511,6 +1513,7 @@ def q_deduped_corpus(sf_dir: str):
     return apply_dedup(
         _read(sf_dir, "documents"), "doc_id", "text",
         k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
+        groups_output="pandas",  # small-scale opt-in (default: dataset)
     )
 
 
@@ -1529,6 +1532,7 @@ def q_corpus_report(sf_dir: str):
     surv = apply_dedup(
         docs, "doc_id", "text",
         k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
+        groups_output="pandas",  # small-scale opt-in (default: dataset)
     ).materialize()  # consumed twice below — don't re-run the dedup lineage
     q_surv = surv.map_batches(quality_filter_batch, batch_format="pyarrow")
 

@@ -57,7 +57,8 @@ def test_minhash_lsh_dedup_finds_near_dups(rd):
     near = BASE.replace("quick", "quikc")
     texts = [BASE, near, "unrelated text about other topics entirely", BASE + " extra"]
     out = minhash_lsh_dedup(
-        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5,
+        output="pandas",  # small-scale opt-in (library default: dataset)
     )
     groups = out.groupby("dup_group")["doc_id"].apply(set).tolist()
     assert any({0, 1} <= g for g in groups)
@@ -110,10 +111,11 @@ def test_minhash_distributed_components_matches_driver(rd):
 
     near = BASE.replace("quick", "quikc")
     texts = [BASE, near, "unrelated words entirely different", BASE + " extra tail"]
-    a = minhash_lsh_dedup(_docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5)
+    a = minhash_lsh_dedup(_docs(rd, texts), "doc_id", "text",
+                          jaccard_threshold=0.5, output="pandas")
     b = minhash_lsh_dedup(
         _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5,
-        components="distributed",
+        components="distributed", output="pandas",
     )
     ga = a.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
     gb = b.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
@@ -135,11 +137,11 @@ def test_minhash_distributed_verification_matches_driver(rd):
             texts.append(base.replace("alpha", "alphx", 1))
     drv = minhash_lsh_dedup(
         _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6,
-        verification="driver",
+        verification="driver", output="pandas",
     )
     dist = minhash_lsh_dedup(
         _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6,
-        verification="distributed",
+        verification="distributed", output="pandas",
     )
     pd.testing.assert_frame_equal(drv, dist)
 
@@ -316,7 +318,8 @@ def test_minhash_dataset_candidates_never_touch_driver(rd, monkeypatch):
         if i % 3 == 0:
             texts.append(base.replace("alpha", "alphx", 1))
     base_out = dd.minhash_lsh_dedup(
-        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6,
+        output="pandas",
     )
 
     seen = {}
@@ -335,6 +338,7 @@ def test_minhash_dataset_candidates_never_touch_driver(rd, monkeypatch):
     out = dd.minhash_lsh_dedup(
         _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6,
         verification="distributed", band_driver_threshold=0,
+        output="pandas",
     )
     assert seen["cand_is_dataset"]
     pd.testing.assert_frame_equal(base_out, out)
@@ -368,11 +372,12 @@ def test_minhash_dataset_candidates_distributed_components(rd):
 
     near = BASE.replace("quick", "quikc")
     texts = [BASE, near, "unrelated words entirely different", BASE + " extra tail"]
-    a = dd.minhash_lsh_dedup(_docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5)
+    a = dd.minhash_lsh_dedup(_docs(rd, texts), "doc_id", "text",
+                             jaccard_threshold=0.5, output="pandas")
     b = dd.minhash_lsh_dedup(
         _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5,
         verification="distributed", band_driver_threshold=0,
-        components="distributed",
+        components="distributed", output="pandas",
     )
     ga = a.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
     gb = b.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
@@ -403,7 +408,8 @@ def test_minhash_output_dataset(rd):
     near = BASE.replace("quick", "quikc")
     texts = [BASE, near, "unrelated words entirely different", BASE + " extra tail"]
     base_out = dd.minhash_lsh_dedup(
-        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5,
+        output="pandas",
     )
     out_ds = dd.minhash_lsh_dedup(
         _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5,
@@ -416,9 +422,12 @@ def test_minhash_output_dataset(rd):
     ga = base_out.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
     gb = got.groupby("dup_group")["doc_id"].apply(frozenset).tolist()
     assert set(ga) == set(gb)
+    # the raise is reserved for an EXPLICIT driver-path conflict — plain
+    # output="dataset" auto-routes to distributed verification/components
     with pytest.raises(ValueError):
         dd.minhash_lsh_dedup(
-            _docs(rd, texts), "doc_id", "text", output="dataset"
+            _docs(rd, texts), "doc_id", "text", output="dataset",
+            verification="driver",
         )
 
 
@@ -470,10 +479,11 @@ def test_minhash_taskpool_verify_matches_serial(rd):
             texts.append(base.replace("alpha", "alphx", 1))
     serial = dd.minhash_lsh_dedup(
         _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6,
+        output="pandas",
     )
     taskpool = dd.minhash_lsh_dedup(
         _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6,
-        taskpool_verify_min_pairs=0,
+        taskpool_verify_min_pairs=0, output="pandas",
     )
     pd.testing.assert_frame_equal(serial, taskpool)
     assert len(serial) >= 2
@@ -510,11 +520,13 @@ def test_minhash_resumable_matches_streaming(rd, tmp_path):
         )
 
     streaming = dd.minhash_lsh_dedup(
-        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6
+        _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.6,
+        output="pandas",
     )
     root = str(tmp_path / "ckpt")
     resumable = dd.minhash_lsh_dedup_resumable(
-        str(data_dir), root, "doc_id", "text", jaccard_threshold=0.6
+        str(data_dir), root, "doc_id", "text", jaccard_threshold=0.6,
+        output="pandas",
     )
     pd.testing.assert_frame_equal(streaming, resumable)
     assert len(streaming) >= 2
@@ -529,7 +541,8 @@ def test_minhash_resumable_matches_streaming(rd, tmp_path):
     os.remove(os.path.join(parts, "part-b.parquet"))
     before_a = os.path.getmtime(os.path.join(parts, "part-a.parquet"))
     again = dd.minhash_lsh_dedup_resumable(
-        str(data_dir), root, "doc_id", "text", jaccard_threshold=0.6
+        str(data_dir), root, "doc_id", "text", jaccard_threshold=0.6,
+        output="pandas",
     )
     pd.testing.assert_frame_equal(streaming, again)
     assert os.path.getmtime(os.path.join(parts, "part-a.parquet")) == before_a
@@ -546,9 +559,10 @@ def test_dedup_representatives(rd):
     ]
     ds = _docs(rd, texts)
     kw = dict(k=5, num_perm=64, bands=16, jaccard_threshold=0.5)
-    got = dedup_representatives(ds, "doc_id", "text", **kw)
+    pandas_kw = dict(output="pandas", groups_output="pandas", **kw)
+    got = dedup_representatives(ds, "doc_id", "text", **pandas_kw)
     # oracle: compose from the (already-tested) group table + pandas
-    groups = minhash_lsh_dedup(ds, "doc_id", "text", **kw)
+    groups = minhash_lsh_dedup(ds, "doc_id", "text", output="pandas", **kw)
     groups["n_chars"] = groups["doc_id"].map(
         {i: len(t) for i, t in enumerate(texts)}
     )
@@ -568,7 +582,7 @@ def test_dedup_representatives(rd):
     assert len(rep_of_base) == 1 and rep_of_base.iloc[0]["rep_id"] == 3
     # forced distributed digest merge is value-identical
     got2 = dedup_representatives(ds, "doc_id", "text",
-                                 driver_merge_max_rows=0, **kw)
+                                 driver_merge_max_rows=0, **pandas_kw)
     pd.testing.assert_frame_equal(got, got2, check_dtype=False)
 
 
@@ -618,9 +632,10 @@ def test_dedup_representatives_full_distributed(rd):
     texts = [BASE, near, "unrelated text entirely", BASE + " extra tail"]
     ds = _docs(rd, texts)
     kw = dict(k=5, num_perm=64, bands=16, jaccard_threshold=0.5)
-    default = dedup_representatives(ds, "doc_id", "text", **kw)
+    default = dedup_representatives(ds, "doc_id", "text", output="pandas",
+                                    groups_output="pandas", **kw)
     dist = dedup_representatives(
-        ds, "doc_id", "text", groups_output="dataset",
+        ds, "doc_id", "text", groups_output="dataset", output="pandas",
         verification="distributed", components="distributed",
         band_driver_threshold=0, **kw,
     )
@@ -637,9 +652,11 @@ def test_apply_dedup_survivors(rd):
     ]
     ds = _docs(rd, texts)
     kw = dict(k=5, num_perm=64, bands=16, jaccard_threshold=0.5)
-    surv = apply_dedup(ds, "doc_id", "text", output="pandas", **kw)
-    groups = minhash_lsh_dedup(ds, "doc_id", "text", **kw)
-    reps = dedup_representatives(ds, "doc_id", "text", **kw)
+    surv = apply_dedup(ds, "doc_id", "text", output="pandas",
+                       groups_output="pandas", **kw)
+    groups = minhash_lsh_dedup(ds, "doc_id", "text", output="pandas", **kw)
+    reps = dedup_representatives(ds, "doc_id", "text", output="pandas",
+                                 groups_output="pandas", **kw)
     drop = set(groups.doc_id) - set(reps.rep_id)
     assert set(surv.doc_id) == set(range(len(texts))) - drop
     # survivors carry the original text unchanged
@@ -751,10 +768,12 @@ def test_dedup_representatives_custom_id_col(rd):
         "text": pa.array(texts, pa.string()),
     }))
     kw = dict(k=5, num_perm=64, bands=16, jaccard_threshold=0.5)
-    reps = dedup_representatives(ds, "media_id", "text", **kw)
+    reps = dedup_representatives(ds, "media_id", "text", output="pandas",
+                                 groups_output="pandas", **kw)
     assert list(reps.columns) == ["dup_group", "rep_id", "rep_chars", "n_members"]
     assert len(reps) == 1 and reps.iloc[0]["n_members"] == 2
-    surv = apply_dedup(ds, "media_id", "text", output="pandas", **kw)
+    surv = apply_dedup(ds, "media_id", "text", output="pandas",
+                       groups_output="pandas", **kw)
     assert "media_id" in surv.columns and len(surv) == 2
 
 
@@ -774,7 +793,8 @@ def test_minhash_gramless_corpus_no_crash(rd):
     verification must return no groups (empty shingle sets), not crash."""
     from raylink.dedup import minhash_lsh_dedup
 
-    out = minhash_lsh_dedup(_docs(rd, ["ab", "cd", "ef"]), "doc_id", "text", k=5)
+    out = minhash_lsh_dedup(_docs(rd, ["ab", "cd", "ef"]), "doc_id", "text",
+                            k=5, output="pandas")
     assert len(out) == 0
 
 
@@ -808,9 +828,9 @@ def test_minhash_collapse_exact_parity(rd):
     )
     ds = _docs(rd, texts).repartition(3)
     a = minhash_lsh_dedup(ds, "doc_id", "text", jaccard_threshold=0.5,
-                          collapse_exact=True)
+                          collapse_exact=True, output="pandas")
     b = minhash_lsh_dedup(ds, "doc_id", "text", jaccard_threshold=0.5,
-                          collapse_exact=False)
+                          collapse_exact=False, output="pandas")
     pd.testing.assert_frame_equal(
         a.sort_values(["dup_group", "doc_id"], ignore_index=True),
         b.sort_values(["dup_group", "doc_id"], ignore_index=True),
@@ -829,7 +849,8 @@ def test_minhash_collapse_exact_dataset_output(rd):
     near = BASE.replace("quick", "quikc")
     texts = [BASE] * 2 + [near] + ["other words entirely here now ok"]
     ds = _docs(rd, texts).repartition(2)
-    want = minhash_lsh_dedup(ds, "doc_id", "text", jaccard_threshold=0.5)
+    want = minhash_lsh_dedup(ds, "doc_id", "text", jaccard_threshold=0.5,
+                             output="pandas")
     got = (
         minhash_lsh_dedup(
             ds, "doc_id", "text", jaccard_threshold=0.5,
