@@ -2197,7 +2197,10 @@ def _doc_distinct_grams(batch: pa.Table, id_col: str, text_col: str, n: int):
     exactly one block row. Duplicate ids WITHIN the batch are rejected
     loudly (they would make the broadcast and distributed consumers
     silently disagree; id_col must be unique corpus-wide — the engine's
-    standing id contract). Shared by contamination_check and
+    standing id contract). Duplicates SPLIT ACROSS batches evade this
+    per-batch check — consumers whose distributed mode merges per id
+    (rarity_score) run textstats._assert_unique_ids_cross_batch over the
+    exploded rows to catch those too. Shared by contamination_check and
     rarity_score."""
     d, grams = _word_ngrams_flat(batch[text_col], n)
     ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
@@ -2228,6 +2231,7 @@ def contamination_check(
     ngram: int = 3,
     mode: str = "auto",
     max_broadcast_grams: int = 20_000_000,
+    max_broadcast_bytes: int = 1 << 30,
     driver_merge_max_rows: int = 2_000_000,
     output: str = "dataset",
 ):
@@ -2272,7 +2276,14 @@ def contamination_check(
     if mode == "auto":
         eval_grams_ds = eval_grams_ds.materialize()  # count + reuse, one pass
         n_eval = eval_grams_ds.count()
-        mode = "broadcast" if n_eval <= max_broadcast_grams else "distributed"
+        # byte-aware like self_top1's switch: grams are unbounded-length
+        # strings, so the row bound alone can't keep the collect safe
+        mode = (
+            "broadcast"
+            if n_eval <= max_broadcast_grams
+            and (eval_grams_ds.size_bytes() or 0) <= max_broadcast_bytes
+            else "distributed"
+        )
 
     if mode == "broadcast":
         tabs = ray.get(eval_grams_ds.materialize().to_arrow_refs())

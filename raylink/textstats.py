@@ -521,6 +521,7 @@ def remove_boilerplate(
     max_docs: int = 2,
     mode: str = "auto",
     max_broadcast_paras: int = 20_000_000,
+    max_broadcast_bytes: int = 1 << 30,
     n_parts: int | None = None,
     output: str = "dataset",
     driver_merge_max_rows: int = 2_000_000,
@@ -536,10 +537,20 @@ def remove_boilerplate(
     > max_docs docs number at most total_paragraphs / max_docs — so
     "broadcast" (``ray.put`` the frequent set once, per-batch Arrow
     ``is_in`` + LargeListArray reassembly, corpus STREAMS) is the default
-    below ``max_broadcast_paras``. "distributed" explodes (paragraph,
-    id, ord) rows through one anti semi-join co-shuffle against the
-    frequent set and reassembles with an ordered per-doc merge; both
-    modes are value-identical (tested)."""
+    below ``max_broadcast_paras`` rows AND ``max_broadcast_bytes``
+    (paragraphs are unbounded-length strings — the byte bound keeps the
+    driver collect safe, self_top1's byte-aware-switch precedent).
+    "distributed" explodes (paragraph, id, ord) rows through one anti
+    semi-join co-shuffle against the frequent set and reassembles with an
+    ordered per-doc merge; both modes are value-identical (tested).
+
+    ``id_col`` must be unique corpus-wide (the engine's standing id
+    contract): duplicate ids within a batch are rejected loudly in BOTH
+    modes, and the distributed reassembly additionally rejects clashing
+    per-doc ordinals (the cross-batch symptom). A cross-batch duplicate
+    whose surviving ordinal sets happen to be disjoint is undefined
+    behavior (broadcast emits one row per input row; distributed merges
+    per id)."""
     import ray.data as rd
 
     from raylink.broadcast import cached_object as _co
@@ -564,9 +575,22 @@ def remove_boilerplate(
     if mode == "auto":
         mode = (
             "broadcast"
-            if frequent.count() <= max_broadcast_paras
+            if (
+                frequent.count() <= max_broadcast_paras
+                and (frequent.size_bytes() or 0) <= max_broadcast_bytes
+            )
             else "distributed"
         )
+
+    def _check_ids(batch: pa.Table):
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) != len(pd.unique(ids)):
+            raise ValueError(
+                f"duplicate {id_col} values within a batch — id_col must "
+                "be unique (broadcast emits per input row while the "
+                "distributed reassembly merges per id; the modes would "
+                "silently disagree)"
+            )
 
     if mode == "broadcast":
         tabs = ray.get(frequent.to_arrow_refs())
@@ -574,6 +598,7 @@ def remove_boilerplate(
         freq_ref = ray.put(allf["paragraph"].combine_chunks())
 
         def drop_paras(batch: pa.Table) -> pa.Table:
+            _check_ids(batch)
             doc_idx, paras = _split_paragraphs(batch[text_col], sep)
             bad = pc.is_in(paras, value_set=_co(freq_ref))
             keep = pc.invert(bad).to_numpy(zero_copy_only=False)
@@ -597,6 +622,7 @@ def remove_boilerplate(
         res = ds.map_batches(drop_paras, batch_format="pyarrow")
     else:
         def explode(batch: pa.Table) -> pa.Table:
+            _check_ids(batch)
             doc_idx, paras = _split_paragraphs(batch[text_col], sep)
             ids = batch[id_col].combine_chunks().take(pa.array(doc_idx))
             # per-doc paragraph ordinal: positions restart at each doc
@@ -624,6 +650,13 @@ def remove_boilerplate(
         )
 
         def reassemble(g: pa.Table) -> pa.Table:
+            ords = g["ord"].to_numpy(zero_copy_only=False)
+            if len(ords) != len(np.unique(ords)):
+                raise ValueError(
+                    f"clashing paragraph ordinals for one {id_col} value "
+                    "— duplicate ids split across batches (id_col must be "
+                    "unique corpus-wide)"
+                )
             order = pc.sort_indices(g["ord"])
             paras = g["paragraph"].combine_chunks().take(order)
             offs = pa.array(np.array([0, len(paras)], dtype=np.int64))
@@ -856,6 +889,52 @@ def bpe_learn(
     )
 
 
+def _assert_unique_ids_cross_batch(exploded, id_col: str,
+                                   driver_merge_max_rows: int):
+    """Cross-batch duplicate-id detector over exploded (id, ...) rows
+    whose per-batch id sets are already unique (checked at explode time):
+    count the number of BATCHES containing each id through the shared
+    digest merge and raise when any exceeds 1 (ADVICE r4: duplicate ids
+    split across batches made the broadcast and distributed modes
+    silently disagree — broadcast emits one row per input row while the
+    per-id digest merge sums them)."""
+    from raylink.aggs import _digest_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        )
+        return pa.table(
+            {
+                "i": pa.array(u),
+                "c": pa.array(np.ones(len(u), np.int64)),
+                "part": pa.array((u % np.int64(256)).astype(np.int64)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        i = np.asarray(t["i"].to_numpy(zero_copy_only=False), np.int64)
+        if len(i):
+            u, inv = np.unique(i, return_inverse=True)
+            c = np.zeros(len(u), np.int64)
+            np.add.at(c, inv, t["c"].to_numpy(zero_copy_only=False))
+            if (c > 1).any():
+                bad = u[c > 1][:5].tolist()
+                raise ValueError(
+                    f"duplicate {id_col} values split across batches "
+                    f"(e.g. {bad}) — id_col must be unique corpus-wide"
+                )
+        return pa.table({"ok": pa.array([True])})
+
+    _digest_merge(
+        exploded.select_columns([id_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        merge,
+        driver_merge_max_rows,
+    ).count()  # consume: triggers the keyed-mode check
+
+
 def rarity_score(
     ds,
     id_col: str = "doc_id",
@@ -863,6 +942,7 @@ def rarity_score(
     ngram: int = 3,
     mode: str = "auto",
     max_broadcast_grams: int = 20_000_000,
+    max_broadcast_bytes: int = 1 << 30,
     n_parts: int | None = None,
     driver_merge_max_rows: int = 2_000_000,
     output: str = "dataset",
@@ -878,13 +958,19 @@ def rarity_score(
 
     Two passes, contamination_check's scale shape: pass 1 is the gram DF
     census (per-block (doc,gram)-deduped partials -> string-hash digest
-    merge); pass 2 "broadcast" (below ``max_broadcast_grams``) ships the
-    (gram -> df) map once via ``ray.put`` and every corpus batch resolves
-    its grams with one Arrow ``index_in`` — the corpus STREAMS.
+    merge); pass 2 "broadcast" (below ``max_broadcast_grams`` rows AND
+    ``max_broadcast_bytes`` of census digest — grams are unbounded-length
+    strings, so the collect bound is byte-aware like self_top1's) ships
+    the (gram -> df) map once via ``ray.put`` and every corpus batch
+    resolves its grams with one Arrow ``index_in`` — the corpus STREAMS.
     "distributed" equi-joins (doc, gram) rows against the census on the
     string key and reduces per-doc sums through the digest merge, with
     gramless zero-fill via a left anti semi-join. ``id_col`` must be
-    unique corpus-wide (checked loudly per block). With an EXPLICIT
+    unique corpus-wide: checked loudly per batch in both modes, and the
+    distributed mode additionally detects duplicates SPLIT ACROSS batches
+    (a per-id batch-count digest over the already-materialized exploded
+    rows — broadcast scores such rows independently, which matches the
+    one-row-per-input-row contract there). With an EXPLICIT
     mode="distributed" the corpus is gram-extracted once (the census
     derives from the materialized exploded rows); mode="auto" that lands
     distributed pays a second extraction pass (the census must exist
@@ -953,6 +1039,7 @@ def rarity_score(
             return _doc_distinct_grams(batch, id_col, text_col, nn)
 
         exploded = ds.map_batches(dg, batch_format="pyarrow").materialize()
+        _assert_unique_ids_cross_batch(exploded, id_col, driver_merge_max_rows)
 
         def df_from_rows(batch: pa.Table) -> pa.Table:
             garr = batch["gram"].combine_chunks()
@@ -992,7 +1079,10 @@ def rarity_score(
     if mode == "auto":
         mode = (
             "broadcast"
-            if census.count() <= max_broadcast_grams
+            if (
+                census.count() <= max_broadcast_grams
+                and (census.size_bytes() or 0) <= max_broadcast_bytes
+            )
             else "distributed"
         )
         if mode == "distributed":
@@ -1000,6 +1090,9 @@ def rarity_score(
                 lambda b: _doc_distinct_grams(b, id_col, text_col, nn),
                 batch_format="pyarrow",
             ).materialize()
+            _assert_unique_ids_cross_batch(
+                exploded, id_col, driver_merge_max_rows
+            )
 
     def finish(ids, n_grams, df_sum):
         comm = df_sum.astype(np.float64) / np.maximum(

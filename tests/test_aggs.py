@@ -569,3 +569,79 @@ def test_rarity_score_large_string_text(rd):
     d = rarity_score(ds, ngram=2, mode="distributed", output="pandas")
     pd.testing.assert_frame_equal(b, d)
     assert len(b) == 6
+
+
+def test_rarity_score_rejects_cross_batch_duplicate_ids(rd):
+    """Duplicate ids SPLIT ACROSS blocks evade the per-batch check; the
+    distributed mode's per-id batch-count digest must catch them loudly
+    (ADVICE r4: the silent divergence was broadcast emitting two rows
+    while the distributed digest merge summed them into one)."""
+    import pytest
+
+    from raylink.textstats import rarity_score
+
+    t1 = pa.table({"doc_id": pa.array([7], pa.int64()),
+                   "text": pa.array(["a b c"], pa.string())})
+    t2 = pa.table({"doc_id": pa.array([7], pa.int64()),
+                   "text": pa.array(["c d e"], pa.string())})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    with pytest.raises(Exception, match="duplicate"):
+        rarity_score(ds, ngram=2, mode="distributed", output="pandas")
+
+
+def test_remove_boilerplate_rejects_duplicate_ids(rd):
+    """Duplicate ids are rejected loudly in BOTH modes (same-batch) and
+    in the distributed reassembly for cross-batch splits (ord clash) —
+    ADVICE r4 medium: the modes previously diverged silently (broadcast
+    two rows vs distributed one interleaved row)."""
+    import pytest
+
+    from raylink.textstats import remove_boilerplate
+
+    t = pa.table({"doc_id": pa.array([1, 1], pa.int64()),
+                  "text": pa.array(["a\nb", "c\nd"], pa.string())})
+    ds_same = rd.from_arrow(t)
+    for mode in ("broadcast", "distributed"):
+        with pytest.raises(Exception, match="duplicate|clashing"):
+            remove_boilerplate(ds_same, max_docs=3, mode=mode,
+                               output="pandas")
+    # cross-batch split: per-batch checks pass, the reassembly must raise
+    t1, t2 = t.slice(0, 1), t.slice(1, 1)
+    ds_split = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    with pytest.raises(Exception, match="clashing"):
+        remove_boilerplate(ds_split, max_docs=3, mode="distributed",
+                           output="pandas")
+
+
+def test_byte_aware_broadcast_switch(rd):
+    """mode='auto' with a tiny byte bound must route to distributed (and
+    stay value-identical) even when the row bound allows broadcast —
+    ADVICE r4: rows alone can't bound a collect of unbounded-length
+    strings."""
+    from raylink.dedup import contamination_check
+    from raylink.textstats import rarity_score, remove_boilerplate
+
+    texts = ["a b c d", "b c d e", "common line\nrare one",
+             "common line\nrare two", "common line\nrare three"]
+    t = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(2)
+
+    r_dist = rarity_score(ds, ngram=2, mode="auto", max_broadcast_bytes=1,
+                          output="pandas")
+    r_base = rarity_score(ds, ngram=2, mode="broadcast", output="pandas")
+    pd.testing.assert_frame_equal(r_dist, r_base)
+
+    b_dist = remove_boilerplate(ds, max_docs=1, mode="auto",
+                                max_broadcast_bytes=1, output="pandas")
+    b_base = remove_boilerplate(ds, max_docs=1, mode="broadcast",
+                                output="pandas")
+    pd.testing.assert_frame_equal(b_dist, b_base, check_dtype=False)
+
+    ev = rd.from_arrow(t.slice(0, 1))
+    c_dist = contamination_check(ds, ev, "doc_id", "text", ngram=2,
+                                 mode="auto", max_broadcast_bytes=1,
+                                 output="pandas")
+    c_base = contamination_check(ds, ev, "doc_id", "text", ngram=2,
+                                 mode="broadcast", output="pandas")
+    pd.testing.assert_frame_equal(c_dist, c_base)
