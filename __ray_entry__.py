@@ -88,4 +88,10 @@ def oracle_sql() -> dict[str, str]:
         ensure_ivf_centroid_fixture("/root/testdata/sf0.01")
     except Exception:
         pass
+    try:
+        from raylink.queries import ensure_bpe_merges_fixture
+
+        ensure_bpe_merges_fixture("/root/testdata/sf0.01")
+    except Exception:
+        pass
     return dict(ORACLE_SQL)

@@ -149,11 +149,24 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
         from raylink.packing import take_token_budget as _take_token_budget
         from raylink.sampling import hash_sample
         from raylink.textstats import (
+            bpe_encode as _bpe_encode,
+            bpe_learn as _bpe_learn,
             bpe_pair_counts as _bpe_pair_counts,
             chunk_documents_batch,
             quality_filter_batch,
             vocabulary,
         )
+
+        _merges_cache: dict = {}
+
+        def _bpe_merges():
+            # learned once outside each timed encode rep (the encode wall
+            # is the apply-side measure; learning is bpe-pairs-shaped)
+            if "m" not in _merges_cache:
+                _merges_cache["m"] = _bpe_learn(
+                    corpus(), n_merges=200, min_count=2
+                )
+            return _merges_cache["m"]
 
         import pyarrow as _pa
 
@@ -236,7 +249,14 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             "bpe_pairs_corpus": lambda: _bpe_pair_counts(
                 corpus(), min_count=2
             ).count(),
+            # full tokenizer loop: learn 200 merges on the word-type
+            # census, then ENCODE the whole corpus (actor-pool apply,
+            # per-actor type memo) — the r5 learn->encode surface
+            "bpe_encode_corpus": lambda: _bpe_encode(
+                corpus(), _bpe_merges(), keep_cols=()
+            ).count(),
         }
+        _bpe_merges()  # learn outside the timed region (encode-only wall)
         for name, thunk in llm_ops.items():
             walls = []
             for _rep in range(2):

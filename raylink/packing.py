@@ -28,13 +28,25 @@ import ray.data as rd
 
 
 @ray.remote(num_returns=2)
-def _block_token_counts(tbl: pa.Table, text_col: str):
-    """Whitespace token count per row (same rule as textstats.token_count).
-    Two returns so the driver fetches ONLY the scalar block total (the
-    per-row array stays object-store resident for the emit wave)."""
+def _block_token_counts(tbl: pa.Table, text_col: str, token_col=None):
+    """Token count per row: a caller-supplied precomputed int64 column
+    (``token_col`` — e.g. bpe_encode's n_tokens) when given, else the
+    whitespace count (same rule as textstats.token_count). Two returns so
+    the driver fetches ONLY the scalar block total (the per-row array
+    stays object-store resident for the emit wave)."""
     # empty post-sort blocks may drop the schema entirely
-    if tbl.num_rows == 0 or text_col not in tbl.column_names:
+    if tbl.num_rows == 0 or text_col not in tbl.column_names or (
+        token_col is not None and token_col not in tbl.column_names
+    ):
         return np.empty(0, dtype=np.int64), 0
+    if token_col is not None:
+        col = tbl[token_col]
+        if col.null_count:
+            raise ValueError(f"token_col {token_col!r} must be null-free")
+        n = np.asarray(col.to_numpy(zero_copy_only=False), np.int64)
+        if (n < 0).any():
+            raise ValueError(f"token_col {token_col!r} must be non-negative")
+        return n, int(n.sum())
     # nulls count as empty docs (0 tokens) — NaN through astype(int64)
     # would silently corrupt every downstream offset
     texts = pc.fill_null(tbl[text_col], "")
@@ -79,11 +91,14 @@ def pack_sequences(
     id_col: str,
     text_col: str,
     budget: int = 2048,
+    token_col: str | None = None,
     output: str = "dataset",
 ):
     """Assign every document its position in the packed fixed-``budget``
     token stream under ascending ``id_col`` order. Output columns:
     (id_col, n_tokens, first_seq, last_seq, offset_in_first).
+    ``token_col`` names a precomputed int64 token count (bpe_encode's
+    n_tokens — real tokenizer output instead of the whitespace proxy).
 
     Two task waves over the sorted blocks: (1) per-block token totals —
     O(blocks) int64s to the driver for the exclusive scan, (2) per-block
@@ -92,9 +107,12 @@ def pack_sequences(
     b = int(budget)
     if b <= 0:
         raise ValueError("budget must be positive")
-    sorted_ds = ds.select_columns([id_col, text_col]).sort(id_col).materialize()
+    pcols = [id_col, text_col] + (
+        [token_col] if token_col and token_col not in (id_col, text_col) else []
+    )
+    sorted_ds = ds.select_columns(pcols).sort(id_col).materialize()
     refs = sorted_ds.to_arrow_refs()
-    pairs = [_block_token_counts.remote(r, text_col) for r in refs]
+    pairs = [_block_token_counts.remote(r, text_col, token_col) for r in refs]
     count_refs = [p[0] for p in pairs]
     # driver state is O(blocks) scalars — per-row arrays never leave plasma
     block_sums = np.array(ray.get([p[1] for p in pairs]), dtype=np.int64)
@@ -155,6 +173,7 @@ def take_token_budget(
     order_col: str | None = None,
     descending: bool = False,
     keep_cols: tuple = (),
+    token_col: str | None = None,
     output: str = "dataset",
 ):
     """Trim a corpus to a TOKEN BUDGET in priority order: sort by
@@ -162,6 +181,9 @@ def take_token_budget(
     documents while the running INCLUSIVE token total stays
     ``<= budget`` — the "build a training mix to N tokens" step. Output
     columns: (id_col, n_tokens, cum_tokens) for every kept doc.
+    ``token_col`` names a precomputed int64 token count (bpe_encode's
+    n_tokens — real tokenizer output instead of the whitespace proxy);
+    it may not appear in ``keep_cols`` (it IS the n_tokens output).
 
     Same ordered-prefix-sum shape as :func:`pack_sequences` (per-block
     totals -> O(blocks) driver scan -> per-block emit), plus budget
@@ -182,6 +204,8 @@ def take_token_budget(
     cols = [id_col, text_col] + (
         [order_col] if order_col and order_col not in (id_col, text_col) else []
     )
+    if token_col and token_col not in cols:
+        cols.append(token_col)
     for c in keep_cols:
         if c not in cols:
             cols.append(c)
@@ -199,7 +223,7 @@ def take_token_budget(
     otypes = {id_col: types.get(id_col, pa.int64())}
     otypes.update({c: types.get(c, pa.string()) for c in keep_cols})
     refs = sorted_ds.to_arrow_refs()
-    pairs = [_block_token_counts.remote(r, text_col) for r in refs]
+    pairs = [_block_token_counts.remote(r, text_col, token_col) for r in refs]
     block_sums = np.array(ray.get([p[1] for p in pairs]), dtype=np.int64)
     bases = np.concatenate(([0], np.cumsum(block_sums)[:-1]))
     out_refs = [

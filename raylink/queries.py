@@ -480,14 +480,19 @@ def q_bpe_pairs(sf_dir: str):
 def q_training_mix(sf_dir: str):
     """Composite LLM-training-data pipeline, end-to-end SQL-oracled:
     C4-style quality filter (streaming) -> exact dedup keep-min-id
-    (string-hash digest merge) -> token-budget trim in doc_id order
-    (pruned ordered prefix sum) -> fixed-budget sequence packing
-    (ordered prefix sum). Each stage is an independently-oracled
-    operator; this query proves they COMPOSE with no driver round-trip
-    between stages."""
+    (string-hash digest merge) -> REAL BPE tokenization with the pinned
+    merge fixture (bpe_encode actor pool — r5: token accounting is
+    tokenizer output, not the whitespace proxy, closing bpe_learn's
+    learn -> encode -> budget -> pack loop) -> token-budget trim in
+    doc_id order (pruned ordered prefix sum, token_col) -> fixed-budget
+    sequence packing (ordered prefix sum, token_col). Each stage is an
+    independently-oracled operator; this query proves they COMPOSE with
+    no driver round-trip between stages."""
+    import pyarrow.parquet as pq
+
     from raylink.dedup import exact_dedup_survivors
     from raylink.packing import pack_sequences, take_token_budget
-    from raylink.textstats import quality_filter_batch
+    from raylink.textstats import bpe_encode, quality_filter_batch
 
     filtered = (
         _read(sf_dir, "documents")
@@ -495,10 +500,15 @@ def q_training_mix(sf_dir: str):
         .select_columns(["doc_id", "text"])
     )
     deduped = exact_dedup_survivors(filtered, "doc_id", "text")
+    merges = pq.read_table(ensure_bpe_merges_fixture(sf_dir)).to_pandas()
+    enc = bpe_encode(deduped, merges, keep_cols=("text",))
     budgeted = take_token_budget(
-        deduped, "doc_id", "text", budget=5000, keep_cols=("text",)
+        enc, "doc_id", "text", budget=5000,
+        token_col="n_tokens", keep_cols=("text",),
     )
-    return pack_sequences(budgeted, "doc_id", "text", budget=128)
+    return pack_sequences(
+        budgeted, "doc_id", "text", budget=128, token_col="n_tokens"
+    )
 
 
 def q_token_budget(sf_dir: str):
@@ -827,6 +837,75 @@ def q_ann_topk(sf_dir: str):
     out = brute_force_topk(ds, queries, k=10, batch_size=512)
     out["cosine"] = out["cosine"].round(4)
     return out
+
+
+# 40 merges leave the 31-type documents vocabulary PARTIALLY merged
+# (~2.6 tokens/word) — full-word merges would make the oracle unable to
+# distinguish BPE from plain word counting
+BPE_FIXTURE_MERGES = 40
+BPE_FIXTURE_MIN_COUNT = 2
+
+
+def bpe_merges_fixture_path(sf_dir: str) -> str:
+    # params in the name so a spec change invalidates the pinned fixture
+    return os.path.join(
+        FIXTURE_ROOT,
+        f"bpe-merges-{sf_name(sf_dir)}-m{BPE_FIXTURE_MERGES}"
+        f"-c{BPE_FIXTURE_MIN_COUNT}.parquet",
+    )
+
+
+def ensure_bpe_merges_fixture(sf_dir: str) -> str:
+    """Train the BPE merge table ONCE per scale on the documents table and
+    persist it as a parquet fixture BOTH sides read (the IVF-centroid
+    pinning pattern, VERDICT r4): the Ray query encodes with exactly
+    these merges and the DuckDB oracle replays the rank-ordered merge
+    passes over the same rows. Plain pyarrow/pandas (no Ray) so it's
+    callable from oracle_sql() before any query ran; the merge loop is
+    textstats._bpe_merge_loop — the SAME function bpe_learn trains with,
+    so the fixture is bit-identical to a distributed bpe_learn run
+    (pinned by test)."""
+    import pyarrow.parquet as pq
+
+    path = bpe_merges_fixture_path(sf_dir)
+    if os.path.exists(path):
+        return path
+    from raylink.textstats import _bpe_merge_loop, _tokenize_flat
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    _, words = _tokenize_flat(t["text"].combine_chunks())
+    codes, uniques = pd.factorize(words.to_numpy(zero_copy_only=False))
+    cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+    merges = _bpe_merge_loop(
+        [tuple(w) for w in uniques],
+        [int(c) for c in cnt],
+        BPE_FIXTURE_MERGES,
+        BPE_FIXTURE_MIN_COUNT,
+    )
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(merges, preserve_index=False), tmp)
+    os.replace(tmp, path)  # atomic: concurrent callers see whole files
+    return path
+
+
+def q_bpe_encode(sf_dir: str):
+    """Distributed BPE corpus tokenization (the APPLY side of bpe_learn):
+    encode every document with the pinned merge fixture, one actor-pool
+    map_batches pass with per-actor word-TYPE memoization. The DuckDB
+    oracle replays the rank-ordered merge passes as a recursive CTE over
+    the distinct word types (the wratio_short_branch lockstep playbook)
+    and re-aggregates per doc — n_tokens/n_words are exact ints, so the
+    comparison is hash-exact."""
+    import pyarrow.parquet as pq
+
+    from raylink.textstats import bpe_encode
+
+    merges = pq.read_table(ensure_bpe_merges_fixture(sf_dir)).to_pandas()
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return bpe_encode(docs, merges, output="pandas")
 
 
 def ivf_centroid_fixture_path(sf_dir: str) -> str:
@@ -1709,6 +1788,7 @@ QUERIES = {
     "token_budget": q_token_budget,
     "training_mix": q_training_mix,
     "bpe_pairs": q_bpe_pairs,
+    "bpe_encode": q_bpe_encode,
     "rarity_score": q_rarity_score,
     "wratio_short_branch": q_wratio_short_branch,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2052,6 +2132,50 @@ _IVF_ORACLE_SQL = f"""
 """
 
 
+# Shared BPE replay CTE block over a preceding CTE ``w`` (doc_id, word):
+# the merge table is the PINNED fixture (the IVF centroid pattern); each
+# rank applies as one wrapped-symbol string replace over the distinct word
+# types in a recursive CTE (all types advance in rank lockstep — the
+# wratio_short_branch playbook). Symbols render as chr(31)||sym||chr(31)
+# with NO separator sharing, so replace()'s left-to-right non-overlapping
+# scan is exactly the classic merge pass and a pattern can never match a
+# symbol suffix. The enclosing query must open with WITH RECURSIVE.
+_BPE_REPLAY_CTES = f"""
+        m AS (SELECT "rank" AS r, "left" AS l, "right" AS rr
+              FROM read_parquet('{bpe_merges_fixture_path("sf0.01")}')),
+        types AS (SELECT DISTINCT word FROM w),
+        ch AS (
+            SELECT word, unnest(generate_series(1, length(word))) AS i
+            FROM types
+        ),
+        init AS (
+            SELECT word,
+                   string_agg(chr(31) || substr(word, i, 1) || chr(31),
+                              '' ORDER BY i) AS state
+            FROM ch GROUP BY word
+        ),
+        enc AS (
+            SELECT word, state, 0 AS k FROM init
+            UNION ALL
+            SELECT e.word,
+                   replace(e.state,
+                           chr(31) || m.l || chr(31) || chr(31) || m.rr || chr(31),
+                           chr(31) || m.l || m.rr || chr(31)),
+                   e.k + 1
+            FROM enc e JOIN m ON m.r = e.k
+        ),
+        fin AS (
+            SELECT word,
+                   (length(state) - length(replace(state, chr(31), ''))) // 2
+                       AS n_tok
+            FROM enc WHERE k = (SELECT count(*) FROM m)
+        ),
+        per_doc AS (
+            SELECT w.doc_id, sum(f.n_tok)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_words
+            FROM w JOIN fin f USING (word) GROUP BY w.doc_id
+        )"""
+
 ORACLE_SQL = {
     "clean_documents": f"SELECT doc_id, {_CLEAN_T} AS clean_text FROM documents",
     "ngram_df": f"""
@@ -2271,12 +2395,28 @@ ORACLE_SQL = {
         SELECT "left", "right", count(*)::BIGINT AS n_occurrences
         FROM p GROUP BY 1, 2
     """,
-    "training_mix": r"""
-        WITH w AS (
+    "bpe_encode": f"""
+        WITH RECURSIVE
+        w AS (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
             FROM documents WHERE trim(text) <> ''
-        ),
+        ),{_BPE_REPLAY_CTES}
+        SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+               coalesce(p.n_words, 0) AS n_words
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    # r5: the token accounting is REAL BPE output — the shared replay
+    # CTEs compute per-doc tokenizer counts (all docs; survivors left-join
+    # them), replacing the whitespace proxy end to end
+    "training_mix": f"""
+        WITH RECURSIVE
+        w AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents WHERE trim(text) <> ''
+        ),{_BPE_REPLAY_CTES},
         r AS (
             SELECT doc_id, count(*)::BIGINT AS n_words,
                    count(DISTINCT word)::BIGINT AS ndw
@@ -2295,11 +2435,9 @@ ORACLE_SQL = {
             SELECT min(doc_id) AS doc_id, text FROM q GROUP BY text
         ),
         n AS (
-            SELECT doc_id, text,
-                   (CASE WHEN trim(text) = '' THEN 0
-                         ELSE length(regexp_split_to_array(trim(text), '\s+'))
-                    END)::BIGINT AS n_tokens
-            FROM dd
+            SELECT dd.doc_id, dd.text,
+                   coalesce(p.n_tokens, 0)::BIGINT AS n_tokens
+            FROM dd LEFT JOIN per_doc p USING (doc_id)
         ),
         c AS (
             SELECT doc_id, n_tokens,

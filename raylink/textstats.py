@@ -835,6 +835,15 @@ def bpe_learn(
     )
     words = [tuple(w) for w in vocab["token"].tolist()]
     counts = [int(c) for c in vocab["n_occurrences"].to_numpy()]
+    return _bpe_merge_loop(words, counts, int(n_merges), int(min_count))
+
+
+def _bpe_merge_loop(
+    words: list, counts: list, n_merges: int, min_count: int
+) -> pd.DataFrame:
+    """The driver-side greedy merge loop over a word-TYPE census, shared
+    by :func:`bpe_learn` (Ray census) and the oracle fixture generator
+    (plain-pyarrow census) so both train BIT-IDENTICAL merge tables."""
     # incremental pair statistics (the reference-BPE optimization): a
     # merge only touches the types CONTAINING the merged pair, so each
     # rank costs O(affected symbols), not O(total symbols)
@@ -887,6 +896,165 @@ def bpe_learn(
     return pd.DataFrame(
         merges, columns=["rank", "left", "right", "n_occurrences"]
     )
+
+
+def _bpe_apply_word(word: str, cand_ranks, pairs) -> tuple:
+    """Encode ONE word by applying the candidate merges in RANK order
+    (sequential rank passes — the exact application order of the trainer
+    itself, where each learned merge immediately re-encodes the types,
+    and the order a SQL replace-per-rank replay reproduces). Each pass is
+    the classic left-to-right non-overlapping scan."""
+    sym = list(word)
+    for r in cand_ranks:
+        if len(sym) < 2:
+            break
+        a, b = pairs[r]
+        i, n, out = 0, len(sym), []
+        while i < n:
+            if i + 1 < n and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return tuple(sym)
+
+
+class BPEEncoder:
+    """Actor-pool corpus tokenizer — the APPLY side of :func:`bpe_learn`
+    (VERDICT r4 #1). Setup once per actor (``__init__``: fetch the
+    broadcast merge table, build the substring prefilter patterns); work
+    per batch (``__call__``). Encoding is per word TYPE, never per token:
+    each batch factorizes its words to types, only UNSEEN types encode
+    (a per-actor memo persists across batches — Zipfian corpora re-use
+    almost every type), and a vectorized Arrow ``match_substring``
+    prefilter reduces each type's merge loop to the ranks whose joined
+    pair is a substring of the word (symbol concatenation is invariant
+    under merging, so that test is sound for every pass)."""
+
+    def __init__(self, merges_ref, id_col: str, text_col: str,
+                 emit_tokens: bool = False, keep_cols: tuple = ()):
+        pairs = ray.get(merges_ref)
+        self.pairs = pairs  # list[(left, right)] in rank order
+        self.pats = pa.array([a + b for a, b in pairs], pa.string())
+        self.id_col = id_col
+        self.text_col = text_col
+        self.emit_tokens = bool(emit_tokens)
+        self.keep_cols = tuple(keep_cols)
+        self.memo: dict = {}
+
+    def _encode_types(self, uniques: np.ndarray):
+        unknown = [w for w in uniques if w not in self.memo]
+        if unknown:
+            ua = pa.array(unknown, pa.string())
+            if len(self.pairs):
+                # R x U candidate mask, one C kernel call per rank
+                masks = np.stack(
+                    [
+                        pc.match_substring(ua, p.as_py()).to_numpy(
+                            zero_copy_only=False
+                        )
+                        for p in self.pats
+                    ]
+                )
+            else:
+                masks = np.zeros((0, len(unknown)), dtype=bool)
+            for j, w in enumerate(unknown):
+                cand = np.flatnonzero(masks[:, j])
+                self.memo[w] = _bpe_apply_word(w, cand, self.pairs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_idx, words = _tokenize_flat(batch[self.text_col])
+        n = batch.num_rows
+        n_tokens = np.zeros(n, dtype=np.int64)
+        n_words = np.zeros(n, dtype=np.int64)
+        out = {
+            self.id_col: batch[self.id_col],
+        }
+        if len(words):
+            codes, uniques = pd.factorize(
+                words.to_numpy(zero_copy_only=False)
+            )
+            self._encode_types(uniques)
+            type_tok = [self.memo[w] for w in uniques]
+            type_len = np.array([len(t) for t in type_tok], np.int64)
+            np.add.at(n_tokens, doc_idx, type_len[codes])
+            np.add.at(n_words, doc_idx, 1)
+        out["n_tokens"] = pa.array(n_tokens)
+        out["n_words"] = pa.array(n_words)
+        for c in self.keep_cols:
+            out[c] = batch[c]
+        if self.emit_tokens:
+            flat: list[str] = []
+            offs = np.zeros(n + 1, dtype=np.int64)
+            if len(words):
+                # words arrive doc-contiguous (flat split order), so one
+                # pass emits each doc's tokens in order
+                per_word = [type_tok[c] for c in codes]
+                counts = np.zeros(n, dtype=np.int64)
+                np.add.at(counts, doc_idx, type_len[codes])
+                np.cumsum(counts, out=offs[1:])
+                for toks in per_word:
+                    flat.extend(toks)
+            out["tokens"] = pa.LargeListArray.from_arrays(
+                pa.array(offs), pa.array(flat, pa.string())
+            )
+        return pa.table(out)
+
+
+def bpe_encode(
+    ds,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emit_tokens: bool = False,
+    keep_cols: tuple = (),
+    concurrency=None,
+    output: str = "dataset",
+):
+    """Distributed BPE corpus tokenization with a LEARNED merge table —
+    closes bpe_learn's learn -> encode -> budget -> pack loop (VERDICT r4
+    #1; reference BPE applies merges in rank order, Sennrich et al. 2016).
+    One streaming actor-pool ``map_batches`` stage: the merge table
+    broadcasts once via ``ray.put``, every batch encodes its word TYPES
+    (per-actor memo) and emits one row per input row:
+    (id_col, n_tokens, n_words[, *keep_cols pass-through][, tokens
+    list<string> when ``emit_tokens``]). Empty/whitespace/null text rows
+    emit 0/0.
+
+    ``merges``: pandas frame or Arrow table with (rank, left, right)
+    columns, ranks 0..R-1 (bpe_learn's output shape)."""
+    bad = set(keep_cols) & {id_col, "n_tokens", "n_words", "tokens"}
+    if bad:
+        raise ValueError(
+            f"keep_cols {sorted(bad)} collide with bpe_encode output columns"
+        )
+    if isinstance(merges, pa.Table):
+        merges = merges.to_pandas()
+    m = merges.sort_values("rank")
+    ranks = m["rank"].to_numpy()
+    if len(ranks) and not (ranks == np.arange(len(ranks))).all():
+        raise ValueError("merge ranks must be exactly 0..R-1")
+    pairs = list(zip(m["left"].tolist(), m["right"].tolist()))
+    merges_ref = ray.put(pairs)
+    if concurrency is None:
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    res = ds.map_batches(
+        BPEEncoder,
+        fn_constructor_kwargs=dict(
+            merges_ref=merges_ref,
+            id_col=id_col,
+            text_col=text_col,
+            emit_tokens=emit_tokens,
+            keep_cols=tuple(keep_cols),
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    if output == "pandas":
+        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+    return res
 
 
 def _assert_unique_ids_cross_batch(exploded, id_col: str,

@@ -645,3 +645,106 @@ def test_byte_aware_broadcast_switch(rd):
     c_base = contamination_check(ds, ev, "doc_id", "text", ngram=2,
                                  mode="broadcast", output="pandas")
     pd.testing.assert_frame_equal(c_dist, c_base)
+
+
+def test_bpe_encode_matches_brute(rd):
+    """bpe_encode (actor-pool apply side) == per-word sequential
+    rank-pass brute force, incl. empty/null/whitespace rows."""
+    from raylink.textstats import _bpe_apply_word, bpe_encode, bpe_learn
+
+    rng = np.random.default_rng(3)
+    vocab = ["low", "lower", "newest", "widest", "lowest", "abab", "aab"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 9))) for _ in range(150)
+    ] + ["", None, "   "]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    merges = bpe_learn(ds, n_merges=12, min_count=2)
+    assert len(merges) == 12
+    out = bpe_encode(ds, merges, output="pandas")
+    pairs = list(zip(merges["left"], merges["right"]))
+    for i, t in enumerate(texts):
+        ws = [w for w in (t or "").split() if w]
+        nt = sum(
+            len(_bpe_apply_word(w, range(len(pairs)), pairs)) for w in ws
+        )
+        row = out[out.doc_id == i].iloc[0]
+        assert (row.n_tokens, row.n_words) == (nt, len(ws)), (i, t)
+
+
+def test_bpe_encode_emit_tokens_and_keep_cols(rd):
+    from raylink.textstats import bpe_encode, bpe_learn
+
+    texts = ["low lower low", "newest", ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en", "en", "de"], pa.string()),
+    }))
+    merges = bpe_learn(ds, n_merges=4, min_count=2)
+    out = bpe_encode(ds, merges, emit_tokens=True, keep_cols=("lang",),
+                     output="pandas")
+    assert list(out.columns) == ["doc_id", "n_tokens", "n_words", "lang",
+                                 "tokens"]
+    assert all(len(t) == n for t, n in zip(out.tokens, out.n_tokens))
+    # tokens concatenate back to the words in order
+    r0 = out[out.doc_id == 0].iloc[0]
+    assert "".join(r0.tokens) == "lowlowerlow"
+    assert out[out.doc_id == 2].iloc[0].n_tokens == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        bpe_encode(ds, merges, keep_cols=("n_tokens",))
+    with pytest.raises(ValueError, match="ranks"):
+        bpe_encode(ds, merges.assign(rank=merges["rank"] + 1))
+
+
+def test_bpe_fixture_matches_bpe_learn(rd):
+    """The plain-pyarrow oracle fixture generator trains BIT-IDENTICAL
+    merges to the distributed bpe_learn census path (shared
+    _bpe_merge_loop) — the pinning guarantee behind the bpe_encode and
+    training_mix oracles."""
+    import pyarrow.parquet as pq
+
+    from raylink.queries import (
+        BPE_FIXTURE_MERGES,
+        BPE_FIXTURE_MIN_COUNT,
+        ensure_bpe_merges_fixture,
+    )
+    from raylink.textstats import bpe_learn
+
+    sf = "/root/testdata/sf0.001"
+    fixture = pq.read_table(ensure_bpe_merges_fixture(sf)).to_pandas()
+    ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    learned = bpe_learn(
+        ds, n_merges=BPE_FIXTURE_MERGES, min_count=BPE_FIXTURE_MIN_COUNT
+    )
+    pd.testing.assert_frame_equal(fixture, learned)
+
+
+def test_packing_token_col(rd):
+    """token_col routes precomputed counts through take_token_budget and
+    pack_sequences (the real-tokenizer path) — whitespace counting must
+    not run."""
+    from raylink.packing import pack_sequences, take_token_budget
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+        "text": pa.array(["a b", "c", "d e f", "", "g h"], pa.string()),
+        "nt": pa.array([10, 3, 7, 0, 5], pa.int64()),
+    })).repartition(2)
+    got = take_token_budget(ds, "doc_id", "text", budget=20,
+                            token_col="nt", output="pandas")
+    # cum by doc_id: 10, 13, 20 (doc 2 fits exactly), doc 3 adds 0 -> 20
+    assert got.doc_id.tolist() == [0, 1, 2, 3]
+    assert got.n_tokens.tolist() == [10, 3, 7, 0]
+    assert got.cum_tokens.tolist() == [10, 13, 20, 20]
+    packed = pack_sequences(ds, "doc_id", "text", budget=8,
+                            token_col="nt", output="pandas")
+    assert packed.n_tokens.tolist() == [10, 3, 7, 0, 5]
+    assert packed.first_seq.tolist() == [0, 1, 1, 2, 2]
+    # doc 0 spans tokens 0..9 -> seqs 0..1; doc 4 tokens 20..24 -> seq 2..3
+    assert packed.last_seq.tolist() == [1, 1, 2, 2, 3]
+    assert packed.offset_in_first.tolist() == [0, 2, 5, 4, 4]

@@ -143,7 +143,6 @@ def test_every_query_runs(entry_mod):
         "chunk_documents",
         "pack_sequences",
         "token_budget",
-        "training_mix",
         "bpe_pairs",
         "rarity_score",
         "deduped_corpus",
@@ -178,6 +177,25 @@ def test_transcript_sql_queries(entry_mod):
         "transcript_pr_curve",
     ]:
         ours = to_pandas(entry_mod.queries()[name]("/root/testdata/sf0.01"))
+        oracle = c.sql(entry_mod.oracle_sql()[name]).df()
+        assert_frames_match(ours, oracle, name)
+
+
+def test_bpe_sql_queries(entry_mod):
+    """bpe_encode / training_mix oracles replay the rank-ordered merge
+    passes from the PINNED merge fixture (static sf0.01 path, the
+    driver's comparison scale — the IVF/transcript pinning convention);
+    verify hash-exact there."""
+    from raylink.queries import ensure_bpe_merges_fixture
+
+    sf = "/root/testdata/sf0.01"
+    ensure_bpe_merges_fixture(sf)
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    for name in ["bpe_encode", "training_mix"]:
+        ours = to_pandas(entry_mod.queries()[name](sf))
         oracle = c.sql(entry_mod.oracle_sql()[name]).df()
         assert_frames_match(ours, oracle, name)
 
