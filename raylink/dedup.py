@@ -2648,3 +2648,355 @@ def exact_dedup_survivors(
     return reps_ds.map_batches(
         lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
     )
+
+
+_SPAN_POS_CAP = 1 << 21  # per-doc word-position bound for the (doc, pos) key
+_SPAN_ID_CAP = 1 << 42  # doc-id bound so id * POS_CAP + pos fits int64
+
+
+def _word_window_positions(texts, n: int):
+    """All ``n``-word windows of a string column WITH their start
+    positions: returns (doc_idx, pos, grams) where ``pos`` is the
+    0-based word position of the window start WITHIN its doc and grams
+    are space-joined windows (the stride-1 span census unit). Same
+    vectorized shape as :func:`_word_ngrams_flat` plus a run-rebased
+    position column."""
+    import pyarrow.compute as pc
+
+    doc_idx, words = _tokenize_flat(texts)
+    m = len(words)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             pa.array([], pa.string()))
+    if m < n:
+        return empty
+    valid = doc_idx[: m - n + 1] == doc_idx[n - 1 :]
+    starts = np.flatnonzero(valid)
+    if not len(starts):
+        return empty
+    # within-doc word index of every flat word: rebase on run starts
+    run_first = np.maximum.accumulate(
+        np.where(np.r_[True, doc_idx[1:] != doc_idx[:-1]],
+                 np.arange(m, dtype=np.int64), 0)
+    )
+    pos = starts - run_first[starts]
+    parts = [words.take(pa.array(starts + j)) for j in range(n)]
+    sep = (
+        pa.scalar(" ", pa.large_string())
+        if pa.types.is_large_string(parts[0].type)
+        else " "
+    )
+    grams = pc.binary_join_element_wise(*parts, sep)
+    return doc_idx[starts], pos, grams
+
+
+def remove_duplicate_spans(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    mode: str = "auto",
+    max_broadcast_grams: int = 20_000_000,
+    max_broadcast_bytes: int = 1 << 30,
+    n_parts: int | None = None,
+    driver_merge_max_rows: int = 2_000_000,
+    output: str = "dataset",
+):
+    """Exact duplicate-SPAN removal — the cross-document substring-dedup
+    primitive (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", approximated on stride-1 WORD windows
+    instead of a suffix array): every ``window``-word span whose exact
+    text occurs more than once in the corpus is removed from all
+    occurrences EXCEPT the globally first (smallest (doc_id, position)
+    composite); a flagged occurrence removes all ``window`` words it
+    covers and overlapping flagged windows union their coverage. Docs
+    reassemble from the surviving words space-joined (whitespace is
+    normalized — the operator works on tokens, like the reference
+    algorithm); docs left with zero words DROP (the remove_boilerplate
+    convention), docs with fewer than ``window`` words have no windows
+    and pass through. Output: (id_col, text_col).
+
+    Scale shape: pass 1 is a stride-1 window census through the shared
+    digest merge (per-block factorize -> (gram, count, min-key) digests;
+    the shuffle carries one row per distinct window per block). The
+    DUPLICATED set (count > 1) is bounded by total_windows / 2;
+    "broadcast" ships (gram -> min-key) once via ray.put and pass 2
+    streams the corpus with one Arrow index_in per batch. "distributed"
+    explodes (id, pos, gram) through an equi-join against the duplicated
+    census, expands flagged windows to covered word indexes, anti
+    semi-joins the word table on the (id, word-index) composite, and
+    reassembles per doc (ordered map_groups). ``id_col`` must be unique
+    (checked per batch), non-negative, < 2^42, and docs must stay under
+    2^21 words (loud checks — the composite key packs id * 2^21 + pos).
+
+    Reference scope note: PolyFuzz has no substring-dedup surface; this
+    is part of the large-scale-pipeline extension set (SURVEY §8)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.aggs import _digest_merge
+    from raylink.broadcast import cached_object as _co
+    from raylink.joins import _string_part_hash, equi_join, semi_join
+    from raylink.pipeline import _widen_text_if_needed
+
+    W = int(window)
+    if W < 1:
+        raise ValueError("window must be >= 1")
+
+    def _check_ids(ids: np.ndarray):
+        if len(ids) != len(np.unique(ids)):
+            raise ValueError(
+                f"duplicate {id_col} values within a batch — id_col must "
+                "be unique corpus-wide (the span keeper rule keys on it)"
+            )
+        if len(ids) and (ids.min() < 0 or ids.max() >= _SPAN_ID_CAP):
+            raise ValueError(
+                f"{id_col} must be in [0, 2^42) — the (doc, pos) "
+                "composite packs id * 2^21 + pos into int64"
+            )
+
+    def census_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            batch[id_col].to_numpy(zero_copy_only=False), np.int64
+        )
+        _check_ids(ids)
+        d, pos, grams = _word_window_positions(batch[text_col], W)
+        if len(pos) and pos.max() + W > _SPAN_POS_CAP:
+            raise ValueError("docs must stay under 2^21 words")
+        if not len(grams):
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "mk": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        comp = ids[d] * np.int64(_SPAN_POS_CAP) + pos
+        codes, uniques = pd.factorize(grams.to_numpy(zero_copy_only=False))
+        n = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        mk = np.full(len(uniques), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mk, codes, comp)
+        garr = pa.array(uniques, type=pa.string())
+        return pa.table(
+            {
+                "gram": garr,
+                "n": pa.array(n),
+                "mk": pa.array(mk),
+                "part": pa.array(
+                    (_string_part_hash(garr) % np.uint64(256)).astype(np.int64)
+                ),
+            }
+        )
+
+    def census_merge(g: pa.Table) -> pa.Table:
+        g = _widen_text_if_needed(g, "gram")
+        ga = g["gram"].combine_chunks()
+        if not len(ga):
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "mk": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniques = pd.factorize(ga.to_numpy(zero_copy_only=False))
+        n = np.zeros(len(uniques), np.int64)
+        mk = np.full(len(uniques), np.iinfo(np.int64).max, np.int64)
+        np.add.at(n, codes, g["n"].to_numpy(zero_copy_only=False))
+        np.minimum.at(mk, codes, g["mk"].to_numpy(zero_copy_only=False))
+        dup = n > 1  # only duplicated windows matter downstream
+        otype = (
+            pa.large_string()
+            if pa.types.is_large_string(ga.type)
+            else pa.string()
+        )
+        return pa.table(
+            {
+                "gram": pa.array(np.asarray(uniques)[dup], otype),
+                "mk": pa.array(mk[dup]),
+            }
+        )
+
+    dup_census = _digest_merge(
+        ds.select_columns([id_col, text_col]).map_batches(
+            census_partial, batch_format="pyarrow"
+        ),
+        census_merge,
+        driver_merge_max_rows,
+    ).materialize()
+
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if (
+                dup_census.count() <= max_broadcast_grams
+                and (dup_census.size_bytes() or 0) <= max_broadcast_bytes
+            )
+            else "distributed"
+        )
+
+    if mode == "broadcast":
+        tabs = ray.get(dup_census.to_arrow_refs())
+        allc = _widen_text_if_needed(
+            pa.concat_tables(tabs, promote_options="default"), "gram"
+        )
+        dup_ref = ray.put(
+            (
+                allc["gram"].combine_chunks(),
+                np.asarray(allc["mk"].to_numpy(zero_copy_only=False), np.int64),
+            )
+        )
+
+        def strip_spans(batch: pa.Table) -> pa.Table:
+            garr, mks = _co(dup_ref)
+            ids = np.asarray(
+                batch[id_col].to_numpy(zero_copy_only=False), np.int64
+            )
+            _check_ids(ids)
+            doc_idx, words = _tokenize_flat(batch[text_col])
+            m = len(words)
+            nrows = batch.num_rows
+            d, pos, grams = _word_window_positions(batch[text_col], W)
+            delta = np.zeros(m + 1, np.int64)
+            if len(grams):
+                hit = pc.index_in(grams, value_set=garr)
+                hv = np.asarray(
+                    pc.fill_null(hit, -1).to_numpy(zero_copy_only=False),
+                    np.int64,
+                )
+                comp = ids[d] * np.int64(_SPAN_POS_CAP) + pos
+                flagged = (hv >= 0) & (comp != mks[np.maximum(hv, 0)])
+                # flat window start index: run-rebase inverse (pos is
+                # within-doc; recover flat starts from doc word counts)
+                wc = np.bincount(doc_idx, minlength=nrows)
+                doc_first = np.concatenate(([0], np.cumsum(wc)[:-1]))
+                s_flat = doc_first[d[flagged]] + pos[flagged]
+                np.add.at(delta, s_flat, 1)
+                np.add.at(delta, s_flat + W, -1)
+            covered = np.cumsum(delta[:m]) > 0
+            keep = ~covered
+            kept_words = words.filter(pa.array(keep))
+            kept_counts = np.bincount(doc_idx[keep], minlength=nrows)
+            offs = np.zeros(nrows + 1, np.int64)
+            np.cumsum(kept_counts, out=offs[1:])
+            la = pa.LargeListArray.from_arrays(pa.array(offs), kept_words)
+            joined = pc.binary_join(la, " ")
+            alive = pa.array(kept_counts > 0)
+            return pa.table(
+                {
+                    id_col: batch[id_col].filter(alive),
+                    text_col: joined.filter(alive),
+                }
+            )
+
+        res = ds.select_columns([id_col, text_col]).map_batches(
+            strip_spans, batch_format="pyarrow"
+        )
+    else:
+
+        def explode_words(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                batch[id_col].to_numpy(zero_copy_only=False), np.int64
+            )
+            _check_ids(ids)
+            doc_idx, words = _tokenize_flat(batch[text_col])
+            m = len(words)
+            run_first = np.maximum.accumulate(
+                np.where(np.r_[True, doc_idx[1:] != doc_idx[:-1]],
+                         np.arange(m, dtype=np.int64), 0)
+            ) if m else np.empty(0, np.int64)
+            widx = np.arange(m, dtype=np.int64) - run_first
+            return pa.table(
+                {
+                    "wkey": pa.array(
+                        ids[doc_idx] * np.int64(_SPAN_POS_CAP) + widx
+                    ),
+                    "word": words,
+                }
+            )
+
+        def explode_windows(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                batch[id_col].to_numpy(zero_copy_only=False), np.int64
+            )
+            _check_ids(ids)
+            d, pos, grams = _word_window_positions(batch[text_col], W)
+            comp = (
+                ids[d] * np.int64(_SPAN_POS_CAP) + pos
+                if len(pos)
+                else np.empty(0, np.int64)
+            )
+            return pa.table({"gram": grams, "comp": pa.array(comp)})
+
+        flagged = equi_join(
+            ds.select_columns([id_col, text_col]).map_batches(
+                explode_windows, batch_format="pyarrow"
+            ),
+            dup_census,
+            left_key_col="gram",
+            right_key_col="gram",
+            left_cols=("comp",),
+            right_cols=("mk",),
+            mode="distributed",
+            n_parts=n_parts,
+        )
+
+        def cover(batch: pa.Table) -> pa.Table:
+            comp = np.asarray(
+                batch["comp"].to_numpy(zero_copy_only=False), np.int64
+            )
+            mk = np.asarray(
+                batch["mk"].to_numpy(zero_copy_only=False), np.int64
+            )
+            f = comp[comp != mk]
+            # expand each flagged window to its W covered word keys
+            # (same-doc by construction: pos + W <= 2^21 checked above)
+            keys = (f[:, None] + np.arange(W, dtype=np.int64)[None, :]).ravel()
+            return pa.table({"wkey": pa.array(np.unique(keys))})
+
+        covered = flagged.map_batches(cover, batch_format="pyarrow")
+        kept = semi_join(
+            ds.select_columns([id_col, text_col]).map_batches(
+                explode_words, batch_format="pyarrow"
+            ),
+            covered,
+            left_key_col="wkey",
+            right_key_col="wkey",
+            left_cols=("word",),
+            anti=True,
+            mode="distributed",
+            n_parts=n_parts,
+        )
+
+        def add_doc(batch: pa.Table) -> pa.Table:
+            wk = np.asarray(
+                batch["wkey"].to_numpy(zero_copy_only=False), np.int64
+            )
+            return pa.table(
+                {
+                    id_col: pa.array(wk // np.int64(_SPAN_POS_CAP)),
+                    "widx": pa.array(wk % np.int64(_SPAN_POS_CAP)),
+                    "word": batch["word"],
+                }
+            )
+
+        def reassemble(g: pa.Table) -> pa.Table:
+            order = pc.sort_indices(g["widx"])
+            ws = g["word"].combine_chunks().take(order)
+            offs = pa.array(np.array([0, len(ws)], dtype=np.int64))
+            la = pa.LargeListArray.from_arrays(offs, ws)
+            return pa.table(
+                {
+                    id_col: g[id_col].slice(0, 1),
+                    text_col: pc.binary_join(la, " "),
+                }
+            )
+
+        res = (
+            kept.map_batches(add_doc, batch_format="pyarrow")
+            .groupby(id_col)
+            .map_groups(reassemble, batch_format="pyarrow")
+        )
+
+    if output == "pandas":
+        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+    return res

@@ -477,6 +477,21 @@ def q_bpe_pairs(sf_dir: str):
     return bpe_pair_counts(_read(sf_dir, "documents"), min_count=1)
 
 
+def q_remove_duplicate_spans(sf_dir: str):
+    """Exact duplicate-SPAN removal (Lee et al. 2022 on stride-1 word
+    windows): every 6-word span occurring more than once in the corpus
+    is stripped from all but its globally-first occurrence; docs
+    reassemble from surviving words (whitespace-normalized), fully-
+    covered docs drop. The documents table carries exact-duplicate texts
+    by construction, so the removal is well-exercised."""
+    from raylink.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _read(sf_dir, "documents"), "doc_id", "text", window=6,
+        output="pandas",
+    )
+
+
 def q_training_mix(sf_dir: str):
     """Composite LLM-training-data pipeline, end-to-end SQL-oracled:
     C4-style quality filter (streaming) -> exact dedup keep-min-id
@@ -1789,6 +1804,7 @@ QUERIES = {
     "training_mix": q_training_mix,
     "bpe_pairs": q_bpe_pairs,
     "bpe_encode": q_bpe_encode,
+    "remove_duplicate_spans": q_remove_duplicate_spans,
     "rarity_score": q_rarity_score,
     "wratio_short_branch": q_wratio_short_branch,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2394,6 +2410,54 @@ ORACLE_SQL = {
         )
         SELECT "left", "right", count(*)::BIGINT AS n_occurrences
         FROM p GROUP BY 1, 2
+    """,
+    # duplicate-span removal replay: stride-1 word windows via projected
+    # list-slice windows, census with the same (doc*2^21 + pos) keeper
+    # composite, coverage union via a constant generate_series expansion
+    "remove_duplicate_spans": r"""
+        WITH lists AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+            FROM documents WHERE trim(text) <> ''
+        ),
+        wpos AS (
+            SELECT doc_id, l,
+                   unnest(generate_series(1, greatest(len(l) - 5, 0))) AS i
+            FROM lists
+        ),
+        grams AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(list_slice(l, i, i + 5), ' ') AS gram
+            FROM wpos
+        ),
+        census AS (
+            SELECT gram, count(*) AS n,
+                   min(doc_id * 2097152 + pos) AS mk
+            FROM grams GROUP BY gram
+        ),
+        flagged AS (
+            SELECT g.doc_id, g.pos
+            FROM grams g JOIN census c USING (gram)
+            WHERE c.n > 1 AND g.doc_id * 2097152 + g.pos <> c.mk
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, pos + o AS widx
+            FROM (SELECT doc_id, pos,
+                         unnest(generate_series(0, 5)) AS o
+                  FROM flagged)
+        ),
+        wi AS (
+            SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+            FROM lists
+        ),
+        words AS (SELECT doc_id, i - 1 AS widx, l[i] AS word FROM wi),
+        kept AS (
+            SELECT w.doc_id, w.widx, w.word
+            FROM words w LEFT JOIN covered c
+              ON w.doc_id = c.doc_id AND w.widx = c.widx
+            WHERE c.doc_id IS NULL
+        )
+        SELECT doc_id, string_agg(word, ' ' ORDER BY widx) AS text
+        FROM kept GROUP BY doc_id ORDER BY doc_id
     """,
     "bpe_encode": f"""
         WITH RECURSIVE

@@ -862,3 +862,68 @@ def test_minhash_collapse_exact_dataset_output(rd):
         .sort_values(["dup_group", "doc_id"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(want, got)
+
+
+def test_remove_duplicate_spans_matches_brute(rd):
+    """Both modes == the Lee-et-al.-shaped pandas oracle: keeper = global
+    min (doc, pos); overlapping flagged windows union coverage; fully
+    covered docs drop; short docs pass through; empty docs drop."""
+    from raylink.dedup import remove_duplicate_spans
+
+    SPAN = "the quick brown fox jumps over the lazy dog tonight"
+    texts = [
+        "intro words here " + SPAN + " closing remark",
+        "other doc starts " + SPAN + " and then differs wholly",
+        SPAN,                       # fully covered -> drops
+        "totally unrelated content with no duplicated span",
+        "short doc",                # < window: passes (normalized)
+        "",                         # empty -> drops
+    ]
+    ds = _docs(rd, texts).repartition(3)
+    W = 5
+    b = remove_duplicate_spans(ds, window=W, mode="broadcast",
+                               output="pandas")
+    d = remove_duplicate_spans(ds, window=W, mode="distributed",
+                               output="pandas")
+    pd.testing.assert_frame_equal(b, d)
+    words = {i: t.split() for i, t in enumerate(texts)}
+    census: dict = {}
+    for i, ws in words.items():
+        for p in range(len(ws) - W + 1):
+            census.setdefault(" ".join(ws[p:p + W]), []).append((i, p))
+    covered: dict = {i: set() for i in words}
+    for occ in census.values():
+        if len(occ) > 1:
+            keeper = min(occ)
+            for i, p in occ:
+                if (i, p) != keeper:
+                    covered[i].update(range(p, p + W))
+    want = {
+        i: " ".join(w for j, w in enumerate(ws) if j not in covered[i])
+        for i, ws in words.items()
+        if any(j not in covered[i] for j in range(len(ws)))
+    }
+    assert dict(zip(b.doc_id, b.text)) == want
+    # byte-aware auto switch routes to distributed and stays identical
+    auto = remove_duplicate_spans(ds, window=W, mode="auto",
+                                  max_broadcast_bytes=1, output="pandas")
+    pd.testing.assert_frame_equal(b, auto)
+
+
+def test_remove_duplicate_spans_guards(rd):
+    import pyarrow as pa
+
+    from raylink.dedup import remove_duplicate_spans
+
+    dup = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 1], pa.int64()),
+        "text": pa.array(["a b c d e f", "a b c d e f"], pa.string()),
+    }))
+    with pytest.raises(Exception, match="duplicate"):
+        remove_duplicate_spans(dup, window=3, output="pandas")
+    neg = rd.from_arrow(pa.table({
+        "doc_id": pa.array([-1], pa.int64()),
+        "text": pa.array(["a b c d"], pa.string()),
+    }))
+    with pytest.raises(Exception, match="2\\^42|non-negative|\\[0,"):
+        remove_duplicate_spans(neg, window=3, output="pandas")

@@ -144,6 +144,7 @@ def test_every_query_runs(entry_mod):
         "pack_sequences",
         "token_budget",
         "bpe_pairs",
+        "remove_duplicate_spans",
         "rarity_score",
         "deduped_corpus",
         "quality_filter",
