@@ -3000,3 +3000,58 @@ def remove_duplicate_spans(
     if output == "pandas":
         return res.to_pandas().sort_values(id_col).reset_index(drop=True)
     return res
+
+
+def semantic_dedup(
+    ds,
+    id_col: str,
+    emb_col: str,
+    threshold: float = 0.9,
+    output: str = "dataset",
+    **lsh_kwargs,
+):
+    """SemDeDup-shaped semantic dedup compose (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — cluster semantically near-identical items, keep ONE
+    per cluster): embedding near-dup pairs via the no-broadcast
+    random-hyperplane LSH path (:func:`embedding_lsh_pairs`, exact-cosine
+    verified) -> connected components over the verified pairs -> keep
+    the SMALLEST id per cluster (the deterministic keeper rule the
+    engine's dedup family shares) -> anti semi-join the corpus on the
+    dropped ids. Returns the SURVIVOR rows (id_col, emb_col) — an
+    un-collected Dataset by default; ``output="pandas"`` collects ids
+    sorted (small scales).
+
+    One named surface over existing primitives: pairs flow as a Dataset
+    (``lsh_kwargs`` forwards banding/verification thresholds), components
+    run distributed above the broadcast bound, membership never lands on
+    the driver on the default path."""
+    import ray.data as rd
+
+    from raylink.joins import semi_join
+    from raylink.linkage import distributed_connected_components
+
+    pairs = embedding_lsh_pairs(
+        ds, id_col, emb_col, threshold=threshold, output="dataset",
+        **lsh_kwargs,
+    )
+    labels = distributed_connected_components(pairs.select_columns(["a", "b"]))
+
+    def drops(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["node"], batch["label"])
+        return pa.table({"drop_id": batch["node"].filter(keep)})
+
+    drop_ds = labels.map_batches(drops, batch_format="pyarrow")
+    survivors = semi_join(
+        ds.select_columns([id_col, emb_col]),
+        drop_ds,
+        left_key_col=id_col,
+        right_key_col="drop_id",
+        left_cols=(emb_col,),
+        anti=True,
+    )
+    if output == "pandas":
+        return (
+            survivors.to_pandas().sort_values(id_col).reset_index(drop=True)
+        )
+    return survivors

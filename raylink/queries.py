@@ -1540,6 +1540,22 @@ def q_embedding_cosine_pairs(sf_dir: str):
     return out
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-shaped compose on the planted near-dup embedding fixture:
+    LSH pairs (recall exactly 1 at this threshold on this fixture) ->
+    connected components -> keep min-id per cluster -> anti semi-join.
+    The oracle replays transitive closure as a recursive-CTE reachability
+    fixpoint over the brute-force pair set — survivor ids are exact."""
+    from raylink.dedup import semantic_dedup
+
+    path = ensure_embedding_lsh_fixture()
+    surv = semantic_dedup(
+        _rd().read_parquet(path), "vec_id", "embedding", threshold=0.9
+    )
+    out = surv.select_columns(["vec_id"]).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_ngram_jaccard_pairs(sf_dir: str):
     """Exact n-gram Jaccard pairs via the inverted-index self-join,
     SQL-checked (integer intersection/union counts divide identically in
@@ -1797,6 +1813,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    "semantic_dedup": q_semantic_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     # --- new / newly-oracled in r4 ---
     "remove_boilerplate": q_remove_boilerplate,
@@ -3276,6 +3293,35 @@ ORACLE_SQL = {
           ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                      b.embedding::DOUBLE[]) >= 0.9
+    """,
+    # SemDeDup compose replay: brute-force pairs (recall-1 fixture) ->
+    # transitive closure as a recursive reachability fixpoint (UNION
+    # dedups, so the CTE terminates) -> min-reachable label -> survivors
+    "semantic_dedup": f"""
+        WITH RECURSIVE
+        emb AS (SELECT * FROM read_parquet(
+            '{os.path.join(EMBLSH_DIR, "embeddings.parquet")}')),
+        e AS (
+            SELECT a.vec_id AS x, b.vec_id AS y
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.9
+        ),
+        sym AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+        reach AS (
+            SELECT x, y FROM sym
+            UNION
+            SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+        ),
+        lab AS (
+            SELECT x AS node, least(x, min(y)) AS label
+            FROM reach GROUP BY x
+        ),
+        drops AS (SELECT node FROM lab WHERE node <> label)
+        SELECT v.vec_id
+        FROM emb v LEFT JOIN drops d ON v.vec_id = d.node
+        WHERE d.node IS NULL
+        ORDER BY v.vec_id
     """,
     "ngram_jaccard_pairs": f"""
         WITH docs AS (SELECT doc_id, {_CLEAN_T} AS t FROM documents),

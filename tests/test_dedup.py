@@ -927,3 +927,24 @@ def test_remove_duplicate_spans_guards(rd):
     }))
     with pytest.raises(Exception, match="2\\^42|non-negative|\\[0,"):
         remove_duplicate_spans(neg, window=3, output="pandas")
+
+
+def test_semantic_dedup_planted(rd):
+    """SemDeDup compose: planted near-dups drop (min id per cluster
+    survives), bases keep; survivors == all ids minus non-min cluster
+    members computed from brute-force pairs + union-find."""
+    from raylink.dedup import embedding_cosine_pairs, semantic_dedup
+    from raylink.linkage import connected_components_labels
+
+    ds = _planted_embeddings(rd, n=120, n_dups=15)
+    surv = semantic_dedup(ds, "vec_id", "embedding", threshold=0.9,
+                          output="pandas")
+    pairs = embedding_cosine_pairs(ds, "vec_id", "embedding", threshold=0.9)
+    labels = connected_components_labels(
+        pairs["a"].to_numpy(), pairs["b"].to_numpy()
+    )
+    drops = {n for n, lbl in labels.items() if n != lbl}
+    assert set(surv.vec_id) == set(range(135)) - drops
+    assert len(drops) >= 14  # the planted dups actually dropped
+    # embeddings ride along (the survivor rows keep the vector column)
+    assert list(surv.columns) == ["vec_id", "embedding"]

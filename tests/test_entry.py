@@ -145,6 +145,7 @@ def test_every_query_runs(entry_mod):
         "token_budget",
         "bpe_pairs",
         "remove_duplicate_spans",
+        "semantic_dedup",
         "rarity_score",
         "deduped_corpus",
         "quality_filter",
