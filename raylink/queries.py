@@ -40,8 +40,14 @@ def _rd():
     return rd
 
 
-def _read(sf_dir: str, table: str):
-    return _rd().read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+def _read(sf_dir: str, table: str, columns=None):
+    """Query-layer parquet read. PASS ``columns`` whenever the query
+    projects downstream — this file is the copy-paste template users
+    follow, and a read that loads every column for a two-column
+    transform never leaves storage pruned (VERDICT r4 #3)."""
+    return _rd().read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
 
 
 def sf_name(sf_dir: str) -> str:
@@ -209,7 +215,7 @@ def q_exact_dedup(sf_dir: str):
     """Exact dedup: hash-partitioned keep-first (training-data op)."""
     from raylink.dedup import exact_dedup
 
-    return exact_dedup(_read(sf_dir, "documents"), "doc_id", "text")
+    return exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]), "doc_id", "text")
 
 
 def q_minmax_normalize(sf_dir: str):
@@ -289,13 +295,13 @@ def q_ann_self_top1(sf_dir: str):
     search baseline; broadcast matrix, streamed batches)."""
     from raylink.ann import self_top1
 
-    return self_top1(_read(sf_dir, "embeddings"), batch_size=512, round_to=4)
+    return self_top1(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), batch_size=512, round_to=4)
 
 
 def q_token_count(sf_dir: str):
     from raylink.textstats import token_count_batch
 
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         token_count_batch, batch_format="pyarrow"
     )
 
@@ -303,7 +309,7 @@ def q_token_count(sf_dir: str):
 def q_quality_score(sf_dir: str):
     from raylink.textstats import quality_score_batch
 
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         quality_score_batch, batch_format="pyarrow"
     )
 
@@ -311,7 +317,7 @@ def q_quality_score(sf_dir: str):
 def q_lang_id(sf_dir: str):
     from raylink.textstats import lang_id_batch
 
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         lang_id_batch, batch_format="pyarrow"
     )
 
@@ -380,7 +386,7 @@ def q_pack_sequences(sf_dir: str):
     from raylink.packing import pack_sequences
 
     return pack_sequences(
-        _read(sf_dir, "documents"), "doc_id", "text", budget=64
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), "doc_id", "text", budget=64
     )
 
 
@@ -399,7 +405,7 @@ def q_vocabulary(sf_dir: str):
     primitive): exact token occurrence + document-frequency counts."""
     from raylink.textstats import vocabulary
 
-    return vocabulary(_read(sf_dir, "documents"), min_count=5)
+    return vocabulary(_read(sf_dir, "documents", columns=["doc_id", "text"]), min_count=5)
 
 
 def ensure_transcripts_jsonl(sf_dir: str) -> str:
@@ -465,7 +471,7 @@ def q_rarity_score(sf_dir: str):
     index_in resolve, division-only floats."""
     from raylink.textstats import rarity_score
 
-    return rarity_score(_read(sf_dir, "documents"), ngram=3)
+    return rarity_score(_read(sf_dir, "documents", columns=["doc_id", "text"]), ngram=3)
 
 
 def q_bpe_pairs(sf_dir: str):
@@ -474,7 +480,7 @@ def q_bpe_pairs(sf_dir: str):
     shuffle bounded by |charset|^2)."""
     from raylink.textstats import bpe_pair_counts
 
-    return bpe_pair_counts(_read(sf_dir, "documents"), min_count=1)
+    return bpe_pair_counts(_read(sf_dir, "documents", columns=["text"]), min_count=1)
 
 
 def q_remove_duplicate_spans(sf_dir: str):
@@ -487,7 +493,7 @@ def q_remove_duplicate_spans(sf_dir: str):
     from raylink.dedup import remove_duplicate_spans
 
     return remove_duplicate_spans(
-        _read(sf_dir, "documents"), "doc_id", "text", window=6,
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), "doc_id", "text", window=6,
         output="pandas",
     )
 
@@ -540,9 +546,7 @@ def q_token_budget(sf_dir: str):
         ).cast(pa.int64())
         return batch.append_column("pri", n)
 
-    ds = _read(sf_dir, "documents").select_columns(
-        ["doc_id", "text"]
-    ).map_batches(add_pri, batch_format="pyarrow")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(add_pri, batch_format="pyarrow")
     return take_token_budget(
         ds, "doc_id", "text", budget=5000, order_col="pri", descending=True
     )
@@ -789,7 +793,7 @@ def q_wratio_short_branch(sf_dir: str):
     from raylink.editdist import WRatioToSide, wratio_one_to_many
     from raylink.textstats import vocabulary
 
-    vocab = vocabulary(_read(sf_dir, "documents"), min_count=1).to_pandas()
+    vocab = vocabulary(_read(sf_dir, "documents", columns=["doc_id", "text"]), min_count=1).to_pandas()
     toks = sorted(
         t
         for t in vocab["token"].tolist()
@@ -919,7 +923,7 @@ def q_bpe_encode(sf_dir: str):
     from raylink.textstats import bpe_encode
 
     merges = pq.read_table(ensure_bpe_merges_fixture(sf_dir)).to_pandas()
-    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return bpe_encode(docs, merges, output="pandas")
 
 
@@ -1534,7 +1538,7 @@ def q_embedding_cosine_pairs(sf_dir: str):
     from raylink.dedup import embedding_cosine_pairs
 
     out = embedding_cosine_pairs(
-        _read(sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), "vec_id", "embedding", threshold=0.4
     )
     out["cosine"] = out["cosine"].round(4)
     return out
@@ -1563,7 +1567,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     from raylink.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _read(sf_dir, "documents"), "doc_id", "text", k=8, threshold=0.5
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), "doc_id", "text", k=8, threshold=0.5
     )
 
 
@@ -1573,7 +1577,7 @@ def q_minhash_dedup(sf_dir: str):
     from raylink.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(
-        _read(sf_dir, "documents"), "doc_id", "text",
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), "doc_id", "text",
         k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
         output="pandas",  # small-scale opt-in (library default: dataset)
     )
@@ -1585,7 +1589,7 @@ def q_dedup_representatives(sf_dir: str):
     from raylink.dedup import dedup_representatives
 
     return dedup_representatives(
-        _read(sf_dir, "documents"), "doc_id", "text",
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), "doc_id", "text",
         k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
         output="pandas", groups_output="pandas",  # small-scale opt-in
     )
@@ -1621,7 +1625,7 @@ def q_deduped_corpus(sf_dir: str):
     from raylink.dedup import apply_dedup
 
     return apply_dedup(
-        _read(sf_dir, "documents"), "doc_id", "text",
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), "doc_id", "text",
         k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
         groups_output="pandas",  # small-scale opt-in (default: dataset)
     )
