@@ -1882,6 +1882,26 @@ QUERIES = {
     "transcript_turn_stats": q_transcript_turn_stats,
 }
 
+# Driver-window rotation (VERDICT r4 #8): the driver's correctness check
+# covers the FIRST 50 queries each round, so the queries WITHOUT an r4
+# driver row — the r3 tail plus this round's additions — lead in r5; the
+# 50 r4-green ones follow. Every operator re-earns a fresh driver row at
+# least every other round.
+_R5_LEAD = [
+    "semantic_dedup", "bpe_encode", "remove_duplicate_spans",
+    "event_value_quantiles", "heavy_users", "split_documents", "sft_pairs",
+    "transcript_tool_stats", "clean_documents", "ngram_df", "exact_dedup",
+    "minmax_normalize", "threshold_filter", "pr_curve", "canonicalize_events",
+    "token_count", "quality_score", "lang_id", "fingerprint", "redact_pii",
+    "repetition_stats", "vocabulary", "chunk_documents", "pack_sequences",
+    "transcript_canonicalize", "transcript_from_json", "transcript_conv_text",
+    "transcript_turn_stats",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _R5_LEAD},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R5_LEAD)},
+}
+
 
 def _oracle_fixture_glob() -> str:
     # the driver's oracle comparison runs at sf0.01 (TESTDATA.md)
