@@ -2200,8 +2200,17 @@ def _doc_distinct_grams(batch: pa.Table, id_col: str, text_col: str, n: int):
     standing id contract). Duplicates SPLIT ACROSS batches evade this
     per-batch check — consumers whose distributed mode merges per id
     (rarity_score) run textstats._assert_unique_ids_cross_batch over the
-    exploded rows to catch those too. Shared by contamination_check and
-    rarity_score."""
+    exploded rows to catch those too; the ``dmk`` marker column (1 on
+    each doc's FIRST emitted gram row, 0 elsewhere) is what makes that
+    detector robust to Ray's dynamic block splitting — a marker row is
+    atomic, so summing markers per id counts DOCS, not the batches a
+    doc's rows happen to land in after an oversized output block splits.
+    Shared by contamination_check and rarity_score."""
+    if id_col == "dmk":
+        raise ValueError(
+            "id_col may not be named 'dmk' (reserved for the internal "
+            "doc-marker column of the exploded gram rows)"
+        )
     d, grams = _word_ngrams_flat(batch[text_col], n)
     ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
     if len(ids) != len(np.unique(ids)):
@@ -2215,10 +2224,14 @@ def _doc_distinct_grams(batch: pa.Table, id_col: str, text_col: str, n: int):
         comp = d.astype(np.int64) * np.int64(codes.max() + 1) + codes
         keep = np.unique(comp, return_index=True)[1]
         d, grams = d[keep], grams.take(pa.array(keep))
+    dmk = np.zeros(len(d), np.int8)
+    if len(d):
+        dmk[np.unique(d, return_index=True)[1]] = 1
     return pa.table(
         {
             id_col: pa.array(ids[d] if len(d) else ids[:0]),
             "gram": grams,
+            "dmk": pa.array(dmk),
         }
     )
 
@@ -2654,16 +2667,19 @@ _SPAN_POS_CAP = 1 << 21  # per-doc word-position bound for the (doc, pos) key
 _SPAN_ID_CAP = 1 << 42  # doc-id bound so id * POS_CAP + pos fits int64
 
 
-def _word_window_positions(texts, n: int):
+def _word_window_positions(texts, n: int, pretok=None):
     """All ``n``-word windows of a string column WITH their start
     positions: returns (doc_idx, pos, grams) where ``pos`` is the
     0-based word position of the window start WITHIN its doc and grams
     are space-joined windows (the stride-1 span census unit). Same
     vectorized shape as :func:`_word_ngrams_flat` plus a run-rebased
-    position column."""
+    position column. ``pretok`` passes an already-computed
+    (doc_idx, words) pair so callers that tokenized the batch for their
+    own use don't pay the regex split twice (the tokenize dominates the
+    per-batch kernel)."""
     import pyarrow.compute as pc
 
-    doc_idx, words = _tokenize_flat(texts)
+    doc_idx, words = pretok if pretok is not None else _tokenize_flat(texts)
     m = len(words)
     empty = (np.empty(0, np.int64), np.empty(0, np.int64),
              pa.array([], pa.string()))
@@ -2731,7 +2747,6 @@ def remove_duplicate_spans(
     Reference scope note: PolyFuzz has no substring-dedup surface; this
     is part of the large-scale-pipeline extension set (SURVEY §8)."""
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from raylink.aggs import _digest_merge
     from raylink.broadcast import cached_object as _co
@@ -2741,6 +2756,12 @@ def remove_duplicate_spans(
     W = int(window)
     if W < 1:
         raise ValueError("window must be >= 1")
+    # snapshot the input id dtype so BOTH modes emit it (the distributed
+    # path reconstructs ids from the packed int64 word key and would
+    # otherwise silently widen an int32 id column as a function of
+    # corpus size once mode="auto" flips)
+    _schema = ds.schema()
+    id_type = dict(zip(_schema.names, _schema.types))[id_col]
 
     def _check_ids(ids: np.ndarray):
         if len(ids) != len(np.unique(ids)):
@@ -2762,34 +2783,64 @@ def remove_duplicate_spans(
         d, pos, grams = _word_window_positions(batch[text_col], W)
         if len(pos) and pos.max() + W > _SPAN_POS_CAP:
             raise ValueError("docs must stay under 2^21 words")
-        if not len(grams):
-            return pa.table(
-                {
-                    "gram": pa.array([], pa.string()),
-                    "n": pa.array([], pa.int64()),
-                    "mk": pa.array([], pa.int64()),
-                    "part": pa.array([], pa.int64()),
-                }
-            )
-        comp = ids[d] * np.int64(_SPAN_POS_CAP) + pos
-        codes, uniques = pd.factorize(grams.to_numpy(zero_copy_only=False))
-        n = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
-        mk = np.full(len(uniques), np.iinfo(np.int64).max, np.int64)
-        np.minimum.at(mk, codes, comp)
-        garr = pa.array(uniques, type=pa.string())
+        if len(grams):
+            comp = ids[d] * np.int64(_SPAN_POS_CAP) + pos
+            codes, uniques = pd.factorize(grams.to_numpy(zero_copy_only=False))
+            n = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+            mk = np.full(len(uniques), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(mk, codes, comp)
+            garr = pa.array(uniques, type=pa.string())
+            gpart = (_string_part_hash(garr) % np.uint64(256)).astype(np.int64)
+        else:
+            garr = pa.array([], pa.string())
+            n = np.empty(0, np.int64)
+            mk = np.empty(0, np.int64)
+            gpart = np.empty(0, np.int64)
+        # id-claim rows (idr=1): one per INPUT row, carrying the id in mk
+        # and partitioned by id — the census merge sums these per id and
+        # raises loudly when a doc id appears in more than one input row
+        # (the per-batch _check_ids can't see duplicates split across
+        # blocks; both modes would otherwise silently corrupt — the
+        # distributed reassembly interleaves the two docs' words into one
+        # row, broadcast keeps both occurrences as keepers)
+        k = len(garr)
         return pa.table(
             {
-                "gram": garr,
-                "n": pa.array(n),
-                "mk": pa.array(mk),
-                "part": pa.array(
-                    (_string_part_hash(garr) % np.uint64(256)).astype(np.int64)
+                "gram": pa.concat_arrays(
+                    [garr, pa.nulls(len(ids), garr.type)]
                 ),
+                "n": pa.array(np.r_[n, np.ones(len(ids), np.int64)]),
+                "mk": pa.array(np.r_[mk, ids]),
+                "idr": pa.array(
+                    np.r_[
+                        np.zeros(k, np.int8), np.ones(len(ids), np.int8)
+                    ]
+                ),
+                "part": pa.array(np.r_[gpart, ids % np.int64(256)]),
             }
         )
 
     def census_merge(g: pa.Table) -> pa.Table:
-        g = _widen_text_if_needed(g, "gram")
+        idr = np.asarray(g["idr"].to_numpy(zero_copy_only=False), np.int8)
+        idm = idr == 1
+        if idm.any():
+            claimed = np.asarray(
+                g["mk"].to_numpy(zero_copy_only=False), np.int64
+            )[idm]
+            cn = np.asarray(g["n"].to_numpy(zero_copy_only=False), np.int64)[
+                idm
+            ]
+            u, inv = np.unique(claimed, return_inverse=True)
+            tot = np.zeros(len(u), np.int64)
+            np.add.at(tot, inv, cn)
+            if (tot > 1).any():
+                bad = u[tot > 1][:5].tolist()
+                raise ValueError(
+                    f"duplicate {id_col} values split across blocks "
+                    f"(e.g. {bad}) — id_col must be unique corpus-wide "
+                    "(the span keeper rule and the reassembly key on it)"
+                )
+        g = _widen_text_if_needed(g.filter(pa.array(~idm)), "gram")
         ga = g["gram"].combine_chunks()
         if not len(ga):
             return pa.table(
@@ -2824,18 +2875,31 @@ def remove_duplicate_spans(
         driver_merge_max_rows,
     ).materialize()
 
-    if mode == "auto":
+    n_dup = dup_census.count()
+    if n_dup == 0:
+        # duplicate-free corpus: nothing to strip. The broadcast kernel's
+        # empty-value-set branch keeps every word (output still
+        # whitespace-normalized, matching the op's contract); the
+        # distributed path can't run at all — an empty Dataset drops its
+        # schema and the equi-join staging needs one.
+        mode = "broadcast"
+    elif mode == "auto":
         mode = (
             "broadcast"
             if (
-                dup_census.count() <= max_broadcast_grams
+                n_dup <= max_broadcast_grams
                 and (dup_census.size_bytes() or 0) <= max_broadcast_bytes
             )
             else "distributed"
         )
 
     if mode == "broadcast":
-        tabs = ray.get(dup_census.to_arrow_refs())
+        tabs = ray.get(dup_census.to_arrow_refs()) or [
+            pa.table(
+                {"gram": pa.array([], pa.string()),
+                 "mk": pa.array([], pa.int64())}
+            )
+        ]
         allc = _widen_text_if_needed(
             pa.concat_tables(tabs, promote_options="default"), "gram"
         )
@@ -2855,9 +2919,14 @@ def remove_duplicate_spans(
             doc_idx, words = _tokenize_flat(batch[text_col])
             m = len(words)
             nrows = batch.num_rows
-            d, pos, grams = _word_window_positions(batch[text_col], W)
+            d, pos, grams = _word_window_positions(
+                batch[text_col], W, pretok=(doc_idx, words)
+            )
             delta = np.zeros(m + 1, np.int64)
-            if len(grams):
+            # len(garr) guard: a duplicate-free corpus has an EMPTY value
+            # set — index_in then returns all nulls and the mks[...] fancy
+            # index would hit an empty array (IndexError on a clean corpus)
+            if len(grams) and len(garr):
                 hit = pc.index_in(grams, value_set=garr)
                 hv = np.asarray(
                     pc.fill_null(hit, -1).to_numpy(zero_copy_only=False),
@@ -2973,7 +3042,14 @@ def remove_duplicate_spans(
             )
             return pa.table(
                 {
-                    id_col: pa.array(wk // np.int64(_SPAN_POS_CAP)),
+                    # cast back to the INPUT id dtype (ids were validated
+                    # non-negative < 2^42 so any input integer type holds
+                    # its own values) — broadcast mode filters the original
+                    # column, so without this the output schema would flip
+                    # between int32 and int64 as a function of corpus size
+                    id_col: pa.array(wk // np.int64(_SPAN_POS_CAP)).cast(
+                        id_type
+                    ),
                     "widx": pa.array(wk % np.int64(_SPAN_POS_CAP)),
                     "word": batch["word"],
                 }
@@ -3026,8 +3102,6 @@ def semantic_dedup(
     (``lsh_kwargs`` forwards banding/verification thresholds), components
     run distributed above the broadcast bound, membership never lands on
     the driver on the default path."""
-    import ray.data as rd
-
     from raylink.joins import semi_join
     from raylink.linkage import distributed_connected_components
 

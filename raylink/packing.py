@@ -201,6 +201,11 @@ def take_token_budget(
             f"keep_cols {bad} collide with take_token_budget output "
             f"columns {sorted(reserved)}"
         )
+    if token_col and token_col in keep_cols:
+        raise ValueError(
+            f"token_col {token_col!r} may not appear in keep_cols — it "
+            "already leaves as the n_tokens output column"
+        )
     cols = [id_col, text_col] + (
         [order_col] if order_col and order_col not in (id_col, text_col) else []
     )

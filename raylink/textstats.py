@@ -1059,23 +1059,36 @@ def bpe_encode(
 
 def _assert_unique_ids_cross_batch(exploded, id_col: str,
                                    driver_merge_max_rows: int):
-    """Cross-batch duplicate-id detector over exploded (id, ...) rows
-    whose per-batch id sets are already unique (checked at explode time):
-    count the number of BATCHES containing each id through the shared
-    digest merge and raise when any exceeds 1 (ADVICE r4: duplicate ids
-    split across batches made the broadcast and distributed modes
-    silently disagree — broadcast emits one row per input row while the
-    per-id digest merge sums them)."""
+    """Cross-batch duplicate-id detector over exploded (id, ..., dmk)
+    rows from :func:`raylink.dedup._doc_distinct_grams`, whose per-batch
+    id sets are already unique (checked at explode time): sum the per-doc
+    MARKER rows (``dmk`` = 1 on each doc's first emitted gram row) per id
+    through the shared digest merge and raise when any id's marker count
+    exceeds 1 — two docs claiming the same id each emit their own marker
+    (ADVICE r4: duplicate ids split across batches made the broadcast and
+    distributed modes silently disagree — broadcast emits one row per
+    input row while the per-id digest merge sums them). Markers, not
+    batch occurrences: Ray dynamically splits an oversized output block
+    at an arbitrary row boundary, so one doc's rows can legitimately land
+    in two downstream batches — counting batches-per-id would report that
+    unique id as a duplicate, while its single atomic marker row still
+    sums to 1."""
     from raylink.aggs import _digest_merge
 
     def partial(batch: pa.Table) -> pa.Table:
-        u = np.unique(
-            np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        ids = np.asarray(
+            batch[id_col].to_numpy(zero_copy_only=False), np.int64
         )
+        mk = np.asarray(batch["dmk"].to_numpy(zero_copy_only=False), np.int64)
+        u, inv = np.unique(ids, return_inverse=True)
+        c = np.zeros(len(u), np.int64)
+        np.add.at(c, inv, mk)
+        keep = c > 0  # marker-free slices of a split doc carry no claim
+        u, c = u[keep], c[keep]
         return pa.table(
             {
                 "i": pa.array(u),
-                "c": pa.array(np.ones(len(u), np.int64)),
+                "c": pa.array(c),
                 "part": pa.array((u % np.int64(256)).astype(np.int64)),
             }
         )
@@ -1095,7 +1108,7 @@ def _assert_unique_ids_cross_batch(exploded, id_col: str,
         return pa.table({"ok": pa.array([True])})
 
     _digest_merge(
-        exploded.select_columns([id_col]).map_batches(
+        exploded.select_columns([id_col, "dmk"]).map_batches(
             partial, batch_format="pyarrow"
         ),
         merge,

@@ -748,3 +748,45 @@ def test_packing_token_col(rd):
     # doc 0 spans tokens 0..9 -> seqs 0..1; doc 4 tokens 20..24 -> seq 2..3
     assert packed.last_seq.tolist() == [1, 1, 2, 2, 3]
     assert packed.offset_in_first.tolist() == [0, 2, 5, 4, 4]
+
+
+def test_cross_batch_id_guard_tolerates_split_blocks(rd):
+    """The cross-batch duplicate-id detector must count DOC MARKER rows,
+    not batches-per-id: Ray dynamically splits oversized output blocks at
+    arbitrary row boundaries, so one doc's exploded gram rows can land in
+    two batches — a false 'duplicate id' for valid input (r5 review).
+    Simulated here by hand-splitting one doc's exploded rows."""
+    import pytest
+
+    from raylink.dedup import _doc_distinct_grams
+    from raylink.textstats import _assert_unique_ids_cross_batch
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["a b c d e f"], pa.string())})
+    ex = _doc_distinct_grams(t, "doc_id", "text", 2)
+    assert ex["dmk"].to_pylist().count(1) == 1  # one marker per doc
+    split = rd.from_arrow([ex.slice(0, 2), ex.slice(2)])
+    _assert_unique_ids_cross_batch(split, "doc_id", 1000)  # no raise
+    # two DOCS claiming the same id in different blocks still raise
+    t2 = pa.table({"doc_id": pa.array([1], pa.int64()),
+                   "text": pa.array(["x y z w v"], pa.string())})
+    e2 = _doc_distinct_grams(t2, "doc_id", "text", 2)
+    with pytest.raises(Exception, match="duplicate"):
+        _assert_unique_ids_cross_batch(rd.from_arrow([ex, e2]),
+                                       "doc_id", 1000)
+
+
+def test_token_budget_rejects_token_col_in_keep_cols(rd):
+    import pytest
+
+    from raylink.packing import take_token_budget
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["a b"], pa.string()),
+        "nt": pa.array([2], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="keep_cols"):
+        take_token_budget(ds, "doc_id", "text", budget=5,
+                          token_col="nt", keep_cols=("nt",),
+                          output="pandas")

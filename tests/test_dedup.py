@@ -948,3 +948,70 @@ def test_semantic_dedup_planted(rd):
     assert len(drops) >= 14  # the planted dups actually dropped
     # embeddings ride along (the survivor rows keep the vector column)
     assert list(surv.columns) == ["vec_id", "embedding"]
+
+
+def test_remove_duplicate_spans_dup_free_corpus(rd):
+    """Empty duplicated-span census (a clean corpus) must not crash:
+    broadcast's index_in ran against an EMPTY value set and the keeper
+    fancy-index hit an empty array (r5 review — IndexError on the
+    DEFAULT path for any corpus without duplicated spans)."""
+    from raylink.dedup import remove_duplicate_spans
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+    ]
+    ds = _docs(rd, texts)
+    for mode in ("broadcast", "distributed", "auto"):
+        out = remove_duplicate_spans(ds, window=3, mode=mode,
+                                     output="pandas")
+        assert dict(zip(out.doc_id, out.text)) == dict(enumerate(texts))
+
+
+def test_remove_duplicate_spans_cross_block_dup_ids(rd):
+    """Duplicate ids split across blocks (each block individually clean)
+    raise loudly at the census merge instead of silently interleaving the
+    two docs' words in distributed mode / double-keeping in broadcast.
+    Short (< window words) duplicates are caught too: the id-claim rows
+    are emitted per INPUT row, not per window."""
+    from raylink.dedup import remove_duplicate_spans
+
+    t1 = pa.table({"doc_id": pa.array([7], pa.int64()),
+                   "text": pa.array(["a b c d e"], pa.string())})
+    t2 = pa.table({"doc_id": pa.array([7], pa.int64()),
+                   "text": pa.array(["f g h i j"], pa.string())})
+    with pytest.raises(Exception, match="across blocks"):
+        remove_duplicate_spans(rd.from_arrow([t1, t2]), window=3,
+                               output="pandas")
+    s1 = pa.table({"doc_id": pa.array([3], pa.int64()),
+                   "text": pa.array(["a b"], pa.string())})
+    s2 = pa.table({"doc_id": pa.array([3], pa.int64()),
+                   "text": pa.array(["c d"], pa.string())})
+    with pytest.raises(Exception, match="across blocks"):
+        remove_duplicate_spans(rd.from_arrow([s1, s2]), window=3,
+                               output="pandas")
+
+
+def test_remove_duplicate_spans_id_dtype_preserved(rd):
+    """mode must not change the output id dtype: distributed reconstructs
+    ids from the packed int64 word key and now casts back to the input
+    type (int32 here), matching broadcast's filter of the original
+    column."""
+    from raylink.dedup import remove_duplicate_spans
+
+    span = "w x y z q r"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int32()),
+        "text": pa.array([
+            "lead in " + span + " tail words",
+            "other start " + span + " different tail",
+            "unique content entirely its own here",
+        ], pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    b = remove_duplicate_spans(ds, window=4, mode="broadcast",
+                               output="pandas")
+    d = remove_duplicate_spans(ds, window=4, mode="distributed",
+                               output="pandas")
+    pd.testing.assert_frame_equal(b, d)
+    assert str(b.doc_id.dtype) == "int32"
