@@ -144,6 +144,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             apply_dedup,
             contamination_check,
             dedup_representatives,
+            remove_duplicate_spans,
         )
         from raylink.packing import pack_sequences
         from raylink.packing import take_token_budget as _take_token_budget
@@ -154,6 +155,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             bpe_pair_counts as _bpe_pair_counts,
             chunk_documents_batch,
             quality_filter_batch,
+            rarity_score,
             vocabulary,
         )
 
@@ -255,6 +257,16 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             "bpe_encode_corpus": lambda: _bpe_encode(
                 corpus(), _bpe_merges(), keep_cols=()
             ).count(),
+            # corpus-DF commonness scoring (perplexity-filter analog):
+            # 3-gram census digest merge + broadcast index_in resolve
+            "rarity_corpus": lambda: _consume(
+                rarity_score(corpus(), ngram=3)
+            ),
+            # Lee-et-al.-shaped duplicate-SPAN removal (r5): stride-1
+            # 10-word window census + broadcast coverage strip
+            "dup_spans_corpus": lambda: _consume(
+                remove_duplicate_spans(corpus(), window=10)
+            ),
         }
         _bpe_merges()  # learn outside the timed region (encode-only wall)
         for name, thunk in llm_ops.items():

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Scale probe for remove_duplicate_spans / bpe_encode / rarity_score
+(round 5): times each op at TWO volumes (2.5M and 10M docs by default)
+on a deterministic synthetic corpus — a super-linear stage shows as a
+wall ratio well above the 4x data ratio.
+
+Corpus shape (seed 13): ~20 words per doc from a 1,000-word Zipf-ish
+pool. The stride-1 window census is still dominated by DISTINCT windows
+(1000^10 space — the honest spans working set, ~11 windows/doc at
+window=10); 5% of docs embed one of 50 shared 12-word spans, so the
+duplicated set is real but bounded. rarity_score runs at ngram=2 so the
+DF census has genuine reuse (~hundreds of thousands of distinct bigrams
+with Zipf skew) — a DF=1-everywhere trigram census over random words is
+degenerate: it measures a pathological census merge, not the
+commonness-resolve path real corpora exercise. BPE merges are learned
+ONCE on the small corpus and applied to both (the apply wall is the
+measure, mirroring bench's encode-only timing).
+
+Usage: python scripts/llm_ops_scale_probe.py [--rows 10000000]
+Prints one JSON line; results recorded in BASELINE.md round 5.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = "/tmp/raylink_llm_probe"
+
+
+def synthesize(n_rows: int, seed: int = 13) -> str:
+    out = os.path.join(ROOT, f"docs-n{n_rows}-s{seed}-v1000-c250k")
+    done = os.path.join(out, ".complete")
+    if os.path.exists(done):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:04d}" for i in range(1000)])
+    # Zipf-ish draw: squared uniform skews toward low indices
+    spans = [
+        " ".join(vocab[rng.integers(0, 1000, size=12)]) for _ in range(50)
+    ]
+    chunk = 250_000
+    for i in range(0, n_rows, chunk):
+        n = min(chunk, n_rows - i)
+        widx = (rng.random((n, 20)) ** 2 * 1000).astype(np.int64)
+        body = [" ".join(vocab[r]) for r in widx]
+        has_span = rng.random(n) < 0.05
+        sidx = rng.integers(0, 50, size=n)
+        texts = [
+            (spans[sidx[r]] + " " + body[r]) if has_span[r] else body[r]
+            for r in range(n)
+        ]
+        t = pa.table({
+            "doc_id": pa.array(np.arange(i, i + n, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        })
+        pq.write_table(t, os.path.join(tmp, f"part-{i // chunk:05d}.parquet"))
+    with open(os.path.join(tmp, ".complete"), "w") as f:
+        f.write("ok")
+    os.rename(tmp, out)
+    return out
+
+
+def main():
+    n_big = 10_000_000
+    for a in sys.argv[1:]:
+        if a.startswith("--rows"):
+            n_big = int(sys.argv[sys.argv.index(a) + 1]) if a == "--rows" else int(a.split("=")[1])
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    from raylink.dedup import remove_duplicate_spans
+    from raylink.textstats import bpe_encode, bpe_learn, rarity_score
+
+    path = synthesize(n_big)
+    # Small volume = a FILE subset, never .limit(): Ray Data's limit is
+    # not re-execution-stable under streaming execution (two executions
+    # of the same lazy plan can pick different rows), and the two-pass
+    # ops here (census -> resolve) re-execute their input. rarity_score's
+    # census guard catches exactly this; file lists are deterministic.
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(path, "part-*.parquet")))
+    n_small_files = max(1, len(files) // 4)
+    n_small = n_small_files * 250_000
+    merges = bpe_learn(
+        rd.read_parquet(files[:n_small_files]), n_merges=200, min_count=2
+    )
+    res = {"metric": "llm_ops_scale_probe", "rows_small": n_small,
+           "rows_big": n_big}
+    for label, n in (("small", n_small), ("big", n_big)):
+        ds = rd.read_parquet(
+            files[:n_small_files] if n < n_big else files
+        )
+        res[label] = {}
+        for op, thunk in (
+            ("remove_duplicate_spans", lambda d=ds: remove_duplicate_spans(
+                d, "doc_id", "text", window=10).count()),
+            ("bpe_encode", lambda d=ds: bpe_encode(
+                d, merges, keep_cols=()).count()),
+            ("rarity_score", lambda d=ds: rarity_score(
+                d, "doc_id", "text", ngram=2).count()),
+        ):
+            walls, rows = [], 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = thunk()
+                walls.append(round(time.perf_counter() - t0, 2))
+            res[label][op] = {"sec": min(walls), "rows": rows, "walls": walls}
+    res["big_over_small_wall_ratio"] = {
+        op: round(res["big"][op]["sec"] / res["small"][op]["sec"], 2)
+        for op in res["small"]
+    }
+    print(json.dumps(res))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
