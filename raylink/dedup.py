@@ -2665,6 +2665,91 @@ def exact_dedup_survivors(
 
 _SPAN_POS_CAP = 1 << 21  # per-doc word-position bound for the (doc, pos) key
 _SPAN_ID_CAP = 1 << 42  # doc-id bound so id * POS_CAP + pos fits int64
+_FNV64_P = np.uint64(1099511628211)  # the repo-wide FNV64 prime family
+
+
+def _fnv64_strings(a: pa.Array) -> np.ndarray:
+    """Vectorized FULL-CONTENT FNV64 fold of a string array (the
+    _shingle_hashes polynomial h = h*P + byte from h0=0, splitmix64
+    finished), computed segment-wise straight off the flat Arrow buffers
+    — no per-row Python. Unlike joins._string_part_hash (prefix-8 +
+    suffix-8 + length, for partition BALANCE only) every byte
+    contributes, so it is usable as a census key where near-identical
+    strings must separate. Returns uint64, one per row."""
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    n = len(a)
+    if not n:
+        return np.empty(0, np.uint64)
+    odt = np.int64 if pa.types.is_large_string(a.type) else np.int32
+    offs = np.frombuffer(a.buffers()[1], dtype=odt)[
+        a.offset : a.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    lens = ends - starts
+    lo, hi = int(offs[0]), int(offs[-1])
+    if hi == lo:  # all rows empty
+        return _hash64(np.zeros(n, np.int64))
+    # h(s) = sum_j byte_j * P^(L-1-j) (mod 2^64): per-byte reverse index
+    # within its string, power table, one segmented sum via reduceat.
+    seg = data[lo:hi].astype(np.uint64)
+    rev = np.repeat(ends, lens) - 1 - np.arange(lo, hi, dtype=np.int64)
+    pw = np.empty(int(lens.max()), np.uint64)
+    pw[0] = np.uint64(1)
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
+        for k in range(1, len(pw)):
+            pw[k] = pw[k - 1] * _FNV64_P
+    # sentinel 0 so a zero-length row at the very end indexes past the
+    # real bytes instead of clamping into (and corrupting) the previous
+    # segment's sum; interior zero-length rows are zeroed below.
+    contrib = np.r_[seg * pw[rev], np.zeros(1, np.uint64)]
+    h = np.add.reduceat(contrib, starts - lo).astype(np.uint64)
+    if (lens == 0).any():
+        h[lens == 0] = np.uint64(0)
+    return _hash64(h.astype(np.int64))
+
+
+def _window_hash_positions(texts, n: int, pretok=None):
+    """Hash-census analog of :func:`_word_window_positions`: all n-word
+    windows WITH positions, but carrying uint64 CONTENT hashes instead of
+    materialized window strings (FNV64 of each distinct word via
+    dictionary_encode, polynomial-combined across the window, splitmix
+    finished). Equal window strings ALWAYS hash equal — the space-join
+    over whitespace-free tokens is bijective, so string equality is word
+    -sequence equality; distinct windows collide with ~2^-64 per pair and
+    the census treats a collision as a candidate that the string
+    confirmation pass resolves exactly. Returns
+    (doc_idx, pos, starts, words, hashes) — ``starts``/``words`` let the
+    caller materialize strings for a SUBSET of windows only."""
+    doc_idx, words = pretok if pretok is not None else _tokenize_flat(texts)
+    warr = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    m = len(warr)
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        warr,
+        np.empty(0, np.uint64),
+    )
+    if m < n:
+        return empty
+    valid = doc_idx[: m - n + 1] == doc_idx[n - 1 :]
+    starts = np.flatnonzero(valid)
+    if not len(starts):
+        return empty
+    run_first = np.maximum.accumulate(
+        np.where(np.r_[True, doc_idx[1:] != doc_idx[:-1]],
+                 np.arange(m, dtype=np.int64), 0)
+    )
+    pos = starts - run_first[starts]
+    denc = warr.dictionary_encode()
+    codes = np.asarray(denc.indices.to_numpy(zero_copy_only=False), np.int64)
+    wh = _fnv64_strings(denc.dictionary)[codes]
+    h = np.zeros(len(starts), np.uint64)
+    for j in range(n):
+        h = h * _FNV64_P + wh[starts + j]
+    return doc_idx[starts], pos, starts, warr, _hash64(h.astype(np.int64))
 
 
 def _word_window_positions(texts, n: int, pretok=None):
@@ -2711,6 +2796,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     window: int = 20,
     mode: str = "auto",
+    census: str = "hash",
     max_broadcast_grams: int = 20_000_000,
     max_broadcast_bytes: int = 1 << 30,
     n_parts: int | None = None,
@@ -2731,18 +2817,29 @@ def remove_duplicate_spans(
     convention), docs with fewer than ``window`` words have no windows
     and pass through. Output: (id_col, text_col).
 
-    Scale shape: pass 1 is a stride-1 window census through the shared
-    digest merge (per-block factorize -> (gram, count, min-key) digests;
-    the shuffle carries one row per distinct window per block). The
-    DUPLICATED set (count > 1) is bounded by total_windows / 2;
-    "broadcast" ships (gram -> min-key) once via ray.put and pass 2
-    streams the corpus with one Arrow index_in per batch. "distributed"
-    explodes (id, pos, gram) through an equi-join against the duplicated
-    census, expands flagged windows to covered word indexes, anti
-    semi-joins the word table on the (id, word-index) composite, and
-    reassembles per doc (ordered map_groups). ``id_col`` must be unique
-    (checked per batch), non-negative, < 2^42, and docs must stay under
-    2^21 words (loud checks — the composite key packs id * 2^21 + pos).
+    Scale shape: the default ``census="hash"`` finds duplicated windows
+    in two cheap passes — (1) an int64 HASH census (FNV64 word fold per
+    window, no window strings materialized) through the shared digest
+    merge, so the all-to-all carries fixed-width ints instead of W-word
+    strings (~4x less volume, and the sort compares ints, not strings;
+    measured 114 M windows: the string census sort alone cost 66-95 s vs
+    ~10 s for the int census at 10 M docs / 32 CPUs); (2) windows whose
+    hash is duplicated (true dups + ~n^2/2^64 expected collisions) are
+    re-extracted WITH their strings and confirmed string-exact through
+    the same digest merge, which also computes each true dup's min
+    composite key — so the result is bit-identical to ``census="string"``
+    (the direct one-pass string census, kept for forced-parity tests and
+    as the automatic fallback when the duplicated-hash set would exceed
+    ``max_broadcast_bytes``). The DUPLICATED set (count > 1) is bounded
+    by total_windows / 2; "broadcast" ships (gram -> min-key) once via
+    ray.put and the strip pass streams the corpus with one Arrow index_in
+    per batch. "distributed" explodes (id, pos, gram) through an
+    equi-join against the duplicated census, expands flagged windows to
+    covered word indexes, anti semi-joins the word table on the (id,
+    word-index) composite, and reassembles per doc (ordered map_groups).
+    ``id_col`` must be unique (checked per batch and, cross-block, at the
+    census merge), non-negative, < 2^42, and docs must stay under 2^21
+    words (loud checks — the composite key packs id * 2^21 + pos).
 
     Reference scope note: PolyFuzz has no substring-dedup surface; this
     is part of the large-scale-pipeline extension set (SURVEY §8)."""
@@ -2820,26 +2917,30 @@ def remove_duplicate_spans(
             }
         )
 
+    def _raise_dup_id_claims(claimed: np.ndarray, cn: np.ndarray):
+        u, inv = np.unique(claimed, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, cn)
+        if (tot > 1).any():
+            bad = u[tot > 1][:5].tolist()
+            raise ValueError(
+                f"duplicate {id_col} values split across blocks "
+                f"(e.g. {bad}) — id_col must be unique corpus-wide "
+                "(the span keeper rule and the reassembly key on it)"
+            )
+
     def census_merge(g: pa.Table) -> pa.Table:
         idr = np.asarray(g["idr"].to_numpy(zero_copy_only=False), np.int8)
         idm = idr == 1
         if idm.any():
-            claimed = np.asarray(
-                g["mk"].to_numpy(zero_copy_only=False), np.int64
-            )[idm]
-            cn = np.asarray(g["n"].to_numpy(zero_copy_only=False), np.int64)[
-                idm
-            ]
-            u, inv = np.unique(claimed, return_inverse=True)
-            tot = np.zeros(len(u), np.int64)
-            np.add.at(tot, inv, cn)
-            if (tot > 1).any():
-                bad = u[tot > 1][:5].tolist()
-                raise ValueError(
-                    f"duplicate {id_col} values split across blocks "
-                    f"(e.g. {bad}) — id_col must be unique corpus-wide "
-                    "(the span keeper rule and the reassembly key on it)"
-                )
+            _raise_dup_id_claims(
+                np.asarray(g["mk"].to_numpy(zero_copy_only=False), np.int64)[
+                    idm
+                ],
+                np.asarray(g["n"].to_numpy(zero_copy_only=False), np.int64)[
+                    idm
+                ],
+            )
         g = _widen_text_if_needed(g.filter(pa.array(~idm)), "gram")
         ga = g["gram"].combine_chunks()
         if not len(ga):
@@ -2867,13 +2968,166 @@ def remove_duplicate_spans(
             }
         )
 
-    dup_census = _digest_merge(
-        ds.select_columns([id_col, text_col]).map_batches(
-            census_partial, batch_format="pyarrow"
-        ),
-        census_merge,
-        driver_merge_max_rows,
-    ).materialize()
+    if census not in ("hash", "string"):
+        raise ValueError("census must be 'hash' or 'string'")
+
+    def _string_census():
+        return _digest_merge(
+            ds.select_columns([id_col, text_col]).map_batches(
+                census_partial, batch_format="pyarrow"
+            ),
+            census_merge,
+            driver_merge_max_rows,
+        ).materialize()
+
+    if census == "string":
+        dup_census = _string_census()
+    else:
+        # pass 1: int64 hash census — the all-to-all carries fixed-width
+        # ints, never window strings. Id-claim rows ride along (idr=1,
+        # key=id) for the cross-block duplicate-id check, as in the
+        # string census.
+        def hash_partial(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                batch[id_col].to_numpy(zero_copy_only=False), np.int64
+            )
+            _check_ids(ids)
+            _d, pos, _s, _w, wh = _window_hash_positions(batch[text_col], W)
+            if len(pos) and pos.max() + W > _SPAN_POS_CAP:
+                raise ValueError("docs must stay under 2^21 words")
+            if len(wh):
+                u, cnt = np.unique(wh, return_counts=True)
+                uk = u.astype(np.int64)
+                upart = (u % np.uint64(256)).astype(np.int64)
+            else:
+                uk = np.empty(0, np.int64)
+                cnt = np.empty(0, np.int64)
+                upart = np.empty(0, np.int64)
+            return pa.table(
+                {
+                    "k": pa.array(np.r_[uk, ids]),
+                    "n": pa.array(np.r_[cnt.astype(np.int64),
+                                        np.ones(len(ids), np.int64)]),
+                    "idr": pa.array(
+                        np.r_[np.zeros(len(uk), np.int8),
+                              np.ones(len(ids), np.int8)]
+                    ),
+                    "part": pa.array(np.r_[upart, ids % np.int64(256)]),
+                }
+            )
+
+        def hash_merge(g: pa.Table) -> pa.Table:
+            idr = np.asarray(g["idr"].to_numpy(zero_copy_only=False), np.int8)
+            idm = idr == 1
+            ks = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.int64)
+            ns = np.asarray(g["n"].to_numpy(zero_copy_only=False), np.int64)
+            if idm.any():
+                _raise_dup_id_claims(ks[idm], ns[idm])
+            k, n = ks[~idm], ns[~idm]
+            u, inv = np.unique(k, return_inverse=True)
+            tot = np.zeros(len(u), np.int64)
+            np.add.at(tot, inv, n)
+            return pa.table({"k": pa.array(u[tot > 1])})
+
+        hd_ds = _digest_merge(
+            ds.select_columns([id_col, text_col]).map_batches(
+                hash_partial, batch_format="pyarrow"
+            ),
+            hash_merge,
+            driver_merge_max_rows,
+        ).materialize()
+        hd_tabs = ray.get(hd_ds.to_arrow_refs())
+        hd = np.sort(
+            np.concatenate(
+                [
+                    np.asarray(t["k"].to_numpy(zero_copy_only=False), np.int64)
+                    # empty post-shuffle blocks can drop their schema
+                    # entirely (the SNM landmark) — skip, don't KeyError
+                    for t in hd_tabs
+                    if t.num_rows and "k" in t.column_names
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        if hd.nbytes > max_broadcast_bytes:
+            # duplicated-hash set too big to ship — a heavily-duplicated
+            # corpus where the string census pays for itself anyway
+            dup_census = _string_census()
+        elif not len(hd):
+            import ray.data as _rd
+
+            dup_census = _rd.from_arrow(
+                pa.table(
+                    {"gram": pa.array([], pa.string()),
+                     "mk": pa.array([], pa.int64())}
+                )
+            ).materialize()
+        else:
+            hd_ref = ray.put(hd)
+
+            # pass 2: string-exact confirmation — windows whose hash is
+            # duplicated re-extract WITH their strings (a take on the
+            # flagged subset only) and run the ORIGINAL string census
+            # merge, which drops hash-collision singletons (string count
+            # stays 1) and computes each true dup's min composite key.
+            def cand_partial(batch: pa.Table) -> pa.Table:
+                ids = np.asarray(
+                    batch[id_col].to_numpy(zero_copy_only=False), np.int64
+                )
+                _check_ids(ids)
+                d, pos, starts, warr, wh = _window_hash_positions(
+                    batch[text_col], W
+                )
+                hd_local = _co(hd_ref)
+                whi = wh.astype(np.int64)
+                ix = np.searchsorted(hd_local, whi)
+                hit = (ix < len(hd_local)) & (
+                    hd_local[np.minimum(ix, len(hd_local) - 1)] == whi
+                )
+                s = starts[hit]
+                if len(s):
+                    parts_ = [warr.take(pa.array(s + j)) for j in range(W)]
+                    sep = (
+                        pa.scalar(" ", pa.large_string())
+                        if pa.types.is_large_string(parts_[0].type)
+                        else " "
+                    )
+                    grams = pc.binary_join_element_wise(*parts_, sep)
+                    comp = ids[d[hit]] * np.int64(_SPAN_POS_CAP) + pos[hit]
+                    codes, uniques = pd.factorize(
+                        grams.to_numpy(zero_copy_only=False)
+                    )
+                    n = np.bincount(codes, minlength=len(uniques)).astype(
+                        np.int64
+                    )
+                    mk = np.full(len(uniques), np.iinfo(np.int64).max, np.int64)
+                    np.minimum.at(mk, codes, comp)
+                    garr = pa.array(uniques, type=pa.string())
+                    gpart = (
+                        _string_part_hash(garr) % np.uint64(256)
+                    ).astype(np.int64)
+                else:
+                    garr = pa.array([], pa.string())
+                    n = np.empty(0, np.int64)
+                    mk = np.empty(0, np.int64)
+                    gpart = np.empty(0, np.int64)
+                return pa.table(
+                    {
+                        "gram": garr,
+                        "n": pa.array(n),
+                        "mk": pa.array(mk),
+                        "idr": pa.array(np.zeros(len(n), np.int8)),
+                        "part": pa.array(gpart),
+                    }
+                )
+
+            dup_census = _digest_merge(
+                ds.select_columns([id_col, text_col]).map_batches(
+                    cand_partial, batch_format="pyarrow"
+                ),
+                census_merge,
+                driver_merge_max_rows,
+            ).materialize()
 
     n_dup = dup_census.count()
     if n_dup == 0:

@@ -1015,3 +1015,75 @@ def test_remove_duplicate_spans_id_dtype_preserved(rd):
                                output="pandas")
     pd.testing.assert_frame_equal(b, d)
     assert str(b.doc_id.dtype) == "int32"
+
+
+def test_fnv64_strings_matches_scalar_fold():
+    """The vectorized segment hash == the per-byte scalar FNV fold
+    (the _shingle_hashes polynomial), incl. empty strings (-> hash of
+    0), an empty string at the very END of the buffer (the reduceat
+    sentinel case), and large_string offsets."""
+    from raylink.blocking import _hash64
+    from raylink.dedup import _FNV64_P, _fnv64_strings
+
+    def scalar(s: str) -> np.uint64:
+        h = np.uint64(0)
+        for b in s.encode():
+            h = h * _FNV64_P + np.uint64(b)
+        return _hash64(np.array([h.astype(np.int64)]))[0]
+
+    vals = ["alpha", "", "beta gamma", "a", "alphb", "", "x" * 100, ""]
+    for typ in (pa.string(), pa.large_string()):
+        arr = pa.array(vals, type=typ)
+        got = _fnv64_strings(arr)
+        want = np.array([scalar(v) for v in vals], np.uint64)
+        assert (got == want).all()
+        # sliced arrays use the offset-aware buffer walk
+        got_slice = _fnv64_strings(arr.slice(2, 4))
+        assert (got_slice == want[2:6]).all()
+
+
+def test_remove_duplicate_spans_census_parity(rd):
+    """census='hash' (int census + string confirmation, the default) is
+    bit-identical to census='string' (the direct one-pass string
+    census), incl. a near-collision pair (windows differing in ONE
+    inner word — a prefix/suffix hash would conflate them)."""
+    from raylink.dedup import remove_duplicate_spans
+
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    near = "the quick brown fox DANCES over the lazy dog tonight"
+    texts = [
+        "intro words " + span + " tail one",
+        "other lead " + span + " tail two",
+        "near miss " + near + " must not dedup",
+        "plain unique content here",
+        span,
+        "",
+    ]
+    ds = _docs(rd, texts).repartition(3)
+    for mode in ("broadcast", "distributed"):
+        h = remove_duplicate_spans(ds, window=5, mode=mode,
+                                   census="hash", output="pandas")
+        s = remove_duplicate_spans(ds, window=5, mode=mode,
+                                   census="string", output="pandas")
+        pd.testing.assert_frame_equal(h, s)
+    # every window CONTAINING the near-miss word is unique, so the word
+    # itself survives (the shared suffix around it is legitimately
+    # stripped — it duplicates the span docs' suffix windows)
+    assert "DANCES" in " ".join(h.text)
+    with pytest.raises(Exception, match="census"):
+        remove_duplicate_spans(ds, window=5, census="bogus",
+                               output="pandas")
+
+
+def test_remove_duplicate_spans_hash_census_dup_ids(rd):
+    """The cross-block duplicate-id rejection fires on the HASH census
+    path too (the id-claim rows ride the int shuffle)."""
+    from raylink.dedup import remove_duplicate_spans
+
+    s1 = pa.table({"doc_id": pa.array([7], pa.int64()),
+                   "text": pa.array(["a b c d e"], pa.string())})
+    s2 = pa.table({"doc_id": pa.array([7], pa.int64()),
+                   "text": pa.array(["f g h i j"], pa.string())})
+    with pytest.raises(Exception, match="duplicate"):
+        remove_duplicate_spans(rd.from_arrow([s1, s2]), window=3,
+                               census="hash", output="pandas")
