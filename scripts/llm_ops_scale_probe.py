@@ -113,8 +113,12 @@ def main():
             ("rarity_score", lambda d=ds: rarity_score(
                 d, "doc_id", "text", ngram=2).count()),
         ):
+            # best-of-3 (not the bench's best-of-2): the big-volume first
+            # rep pays ~10-15 GiB of plasma first-touch page faults that
+            # rep 2 still partially re-pays — rep 3 is the steady state
+            # a long-running pipeline actually sees (raw walls kept).
             walls, rows = [], 0
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 rows = thunk()
                 walls.append(round(time.perf_counter() - t0, 2))
