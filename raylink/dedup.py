@@ -580,6 +580,8 @@ def _verify_pairs_distributed(
 def _collapse_exact_texts(
     ds, id_col: str, text_col: str, driver_merge_max_rows: int,
     want_doc_map: bool = True,
+    census: str = "hash",
+    max_broadcast_bytes: int = 1 << 30,
 ):
     """EXACT-dup collapse before near-dup banding (round-4 scale fix):
     templated corpora repeat byte-identical texts thousands of times —
@@ -591,10 +593,20 @@ def _collapse_exact_texts(
     Returns (reps_ds, doc_map_ds): reps = ({id_col}: rep id, {text_col},
     n_members), doc_map = ({id_col}, rep_id) for every non-null-text doc.
 
-    Scale shape: per-block factorize partials -> the shared bounded
-    digest merge (string-hash partitioned above the driver bound); the
-    doc->rep map is ONE equi_join on the text (broadcast below its bound,
-    string-keyed co-shuffle above)."""
+    Scale shape (``census="hash"``, the default — round-5): a web-scale
+    corpus is MOSTLY byte-unique, and unique texts don't need to shuffle
+    at all. Pass 1 is an int64 full-content hash census (one (hash, cnt)
+    int row per distinct hash per block through the shared digest merge);
+    texts whose hash is globally unduplicated become their OWN
+    representative straight off the streaming scan (zero shuffle, rep id
+    = own id, n_members = 1 — exact: a unique hash implies a unique
+    text). Only duplicated-hash texts (true dups + ~n^2/2^64 expected
+    collisions, resolved string-exact) run the original string digest
+    merge and — for ``want_doc_map`` — the doc->rep text equi_join, so
+    the all-to-alls carry the DUPLICATED subset instead of the corpus.
+    ``census="string"`` keeps the direct one-pass string census
+    (forced-parity tests; automatic fallback when the duplicated-hash
+    set exceeds ``max_broadcast_bytes``)."""
     import ray.data as rd
 
     from raylink.aggs import _default_parts, _digest_merge
@@ -602,6 +614,10 @@ def _collapse_exact_texts(
     from raylink.pipeline import _widen_text_if_needed
 
     P = _default_parts(None)
+    if census not in ("hash", "string"):
+        raise ValueError("census must be 'hash' or 'string'")
+    _schema = ds.schema()
+    id_type = dict(zip(_schema.names, _schema.types))[id_col]
 
     def partial(batch: pa.Table) -> pa.Table:
         txt = batch[text_col].combine_chunks()
@@ -672,49 +688,304 @@ def _collapse_exact_texts(
             }
         )
 
-    reps_ds = _digest_merge(
-        ds.select_columns([id_col, text_col]).map_batches(
-            partial, batch_format="pyarrow"
-        ),
+    use_hash = census == "hash"
+    if use_hash:
+
+        def hash_partial(batch: pa.Table) -> pa.Table:
+            txt = batch[text_col].combine_chunks()
+            sel = txt.filter(pc.is_valid(txt)) if txt.null_count else txt
+            if not len(sel):
+                return pa.table(
+                    {
+                        "h": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                        "part": pa.array([], pa.int64()),
+                    }
+                )
+            u, cnt = np.unique(_fnv64_strings(sel), return_counts=True)
+            return pa.table(
+                {
+                    "h": pa.array(u.astype(np.int64)),
+                    "cnt": pa.array(cnt.astype(np.int64)),
+                    "part": pa.array((u % np.uint64(P)).astype(np.int64)),
+                }
+            )
+
+        def hash_merge(g: pa.Table) -> pa.Table:
+            k = np.asarray(g["h"].to_numpy(zero_copy_only=False), np.int64)
+            n = np.asarray(g["cnt"].to_numpy(zero_copy_only=False), np.int64)
+            u, inv = np.unique(k, return_inverse=True)
+            tot = np.zeros(len(u), np.int64)
+            np.add.at(tot, inv, n)
+            return pa.table({"h": pa.array(u[tot > 1])})
+
+        hd_ds = _digest_merge(
+            ds.select_columns([text_col]).map_batches(
+                hash_partial, batch_format="pyarrow"
+            ),
+            hash_merge,
+            max(driver_merge_max_rows, _INT_CENSUS_DRIVER_MAX),
+        ).materialize()
+        hd = np.sort(
+            np.concatenate(
+                [
+                    np.asarray(t["h"].to_numpy(zero_copy_only=False), np.int64)
+                    for t in ray.get(hd_ds.to_arrow_refs())
+                    if t.num_rows and "h" in t.column_names
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        if hd.nbytes > max_broadcast_bytes:
+            use_hash = False  # heavily-templated corpus: string census
+
+    if not use_hash:
+        reps_ds = _digest_merge(
+            ds.select_columns([id_col, text_col]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            merge,
+            driver_merge_max_rows,
+        ).materialize()
+        # the driver-merge path returns ONE block — repartition so
+        # banding / shingling parallelize (measured 21 s -> 3 s at 20k
+        # reps x 32 cpus)
+        n_reps = reps_ds.count()
+        target_blocks = max(
+            1,
+            min(int(ray.cluster_resources().get("CPU", 8)) * 2, n_reps // 256),
+        )
+        if 1 < target_blocks and reps_ds.num_blocks() < target_blocks:
+            reps_ds = reps_ds.repartition(target_blocks).materialize()
+
+        if not want_doc_map:
+            # survivor-only callers (exact_dedup_survivors) skip the
+            # doc->rep join entirely — equi_join's broadcast prep
+            # otherwise eagerly collects every distinct text to the
+            # driver for a map that would be thrown away
+            return reps_ds, None
+
+        rep_slim = reps_ds.select_columns([text_col, id_col]).map_batches(
+            lambda b: pa.table(
+                {text_col: b[text_col], "rep_id": b[id_col]}
+            ),
+            batch_format="pyarrow",
+        )
+        joined = equi_join(
+            ds.select_columns([id_col, text_col]),
+            rep_slim,
+            text_col,
+            text_col,
+            left_cols=(id_col,),
+            right_cols=("rep_id",),
+        )
+        # left lazy: the pandas expansion branch streams it exactly once;
+        # the Dataset branch materializes it itself before its two joins
+        doc_map_ds = joined.map_batches(
+            lambda b: pa.table({id_col: b[id_col], "rep_id": b["rep_id"]}),
+            batch_format="pyarrow",
+        )
+        return reps_ds, doc_map_ds
+
+    if not len(hd):
+        # globally duplicate-free corpus (the common web-scale case):
+        # every doc is its own representative — pure streaming renames,
+        # no shuffle, no staged materialization, nothing held in plasma.
+        def all_direct(batch: pa.Table) -> pa.Table:
+            txt = batch[text_col].combine_chunks()
+            sel = batch.filter(pc.is_valid(txt)) if txt.null_count else batch
+            return pa.table(
+                {
+                    id_col: sel[id_col].cast(pa.int64()),
+                    text_col: sel[text_col],
+                    "n_members": pa.array(
+                        np.ones(sel.num_rows, np.int64)
+                    ),
+                }
+            )
+
+        reps_ds = ds.select_columns([id_col, text_col]).map_batches(
+            all_direct, batch_format="pyarrow"
+        )
+        if not want_doc_map:
+            return reps_ds, None
+
+        def all_ident(batch: pa.Table) -> pa.Table:
+            txt = batch[text_col].combine_chunks()
+            sel = batch.filter(pc.is_valid(txt)) if txt.null_count else batch
+            return pa.table(
+                {
+                    id_col: sel[id_col],
+                    "rep_id": sel[id_col].cast(pa.int64()),
+                }
+            )
+
+        return reps_ds, ds.select_columns([id_col, text_col]).map_batches(
+            all_ident, batch_format="pyarrow"
+        )
+
+    # hash path with dups present: one split scan. kind 0 = globally-
+    # unique text (its own rep, identity doc-map row), kind 1 = per-block
+    # DISTINCT duplicated-hash text (feeds the string digest merge),
+    # kind 2 = per-DOC duplicated-hash row (feeds the doc->rep join;
+    # emitted only when the caller wants the map).
+    hd_ref = ray.put(hd)
+    emit_doc_rows = bool(want_doc_map)
+
+    def split_scan(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col].combine_chunks()
+        sel = batch.filter(pc.is_valid(txt)) if txt.null_count else batch
+        txtc = sel[text_col].combine_chunks()
+        utype = txtc.type if len(txtc) else pa.string()
+        if not sel.num_rows:
+            return pa.table(
+                {
+                    "t": pa.array([], utype),
+                    "mn": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int8()),
+                }
+            )
+        ids = np.asarray(
+            sel[id_col].to_numpy(zero_copy_only=False), np.int64
+        )
+        if hd_ref is not None:
+            hdl = cached_object(hd_ref)
+            h = _fnv64_strings(txtc).astype(np.int64)
+            ix = np.searchsorted(hdl, h)
+            hit = (ix < len(hdl)) & (
+                hdl[np.minimum(ix, len(hdl) - 1)] == h
+            )
+        else:
+            hit = np.zeros(len(ids), bool)
+        miss_arr = pa.array(~hit)
+        t_out = [txtc.filter(miss_arr)]
+        mn_out = [ids[~hit]]
+        cnt_out = [np.ones(int((~hit).sum()), np.int64)]
+        part_out = [np.zeros(int((~hit).sum()), np.int64)]
+        kind_out = [np.zeros(int((~hit).sum()), np.int8)]
+        if hit.any():
+            hit_arr = pa.array(hit)
+            dup_txt = txtc.filter(hit_arr)
+            dup_ids = ids[hit]
+            codes, uniques = pd.factorize(
+                dup_txt.to_numpy(zero_copy_only=False)
+            )
+            mn = np.full(len(uniques), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(mn, codes, dup_ids)
+            cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+            uarr = pa.array(uniques, type=utype)
+            t_out.append(uarr)
+            mn_out.append(mn)
+            cnt_out.append(cnt)
+            part_out.append(
+                (_string_part_hash(uarr) % np.uint64(P)).astype(np.int64)
+            )
+            kind_out.append(np.ones(len(uniques), np.int8))
+            if emit_doc_rows:
+                t_out.append(dup_txt)
+                mn_out.append(dup_ids)
+                cnt_out.append(np.zeros(len(dup_ids), np.int64))
+                part_out.append(np.zeros(len(dup_ids), np.int64))
+                kind_out.append(np.full(len(dup_ids), 2, np.int8))
+        return pa.table(
+            {
+                "t": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                     else c for c in t_out]
+                ),
+                "mn": pa.array(np.concatenate(mn_out)),
+                "cnt": pa.array(np.concatenate(cnt_out)),
+                "part": pa.array(np.concatenate(part_out)),
+                "kind": pa.array(np.concatenate(kind_out)),
+            }
+        )
+
+    staged = ds.select_columns([id_col, text_col]).map_batches(
+        split_scan, batch_format="pyarrow"
+    )
+    if want_doc_map:
+        # three consumers (dup merge, direct reps, identity + join doc
+        # rows) — cache the scan; the survivor-only caller has two and
+        # streams instead (an extra scan beats a corpus-sized plasma
+        # copy at scale)
+        staged = staged.materialize()
+
+    def keep_dup(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["kind"], 1))
+        return sel.select(["t", "mn", "cnt", "part"])
+
+    def keep_direct(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["kind"], 0))
+        return pa.table(
+            {
+                id_col: sel["mn"],
+                text_col: sel["t"],
+                "n_members": sel["cnt"],
+            }
+        )
+
+    dup_reps = _digest_merge(
+        staged.map_batches(keep_dup, batch_format="pyarrow"),
         merge,
         driver_merge_max_rows,
     ).materialize()
-    # the driver-merge path returns ONE block — repartition so banding /
-    # shingling parallelize (measured 21 s -> 3 s at 20k reps x 32 cpus)
-    n_reps = reps_ds.count()
+    n_dup_reps = dup_reps.count()
     target_blocks = max(
-        1, min(int(ray.cluster_resources().get("CPU", 8)) * 2, n_reps // 256)
+        1,
+        min(int(ray.cluster_resources().get("CPU", 8)) * 2,
+            n_dup_reps // 256),
     )
-    if 1 < target_blocks and reps_ds.num_blocks() < target_blocks:
-        reps_ds = reps_ds.repartition(target_blocks).materialize()
+    if 1 < target_blocks and dup_reps.num_blocks() < target_blocks:
+        dup_reps = dup_reps.repartition(target_blocks).materialize()
+    reps_ds = staged.map_batches(keep_direct, batch_format="pyarrow")
+    if n_dup_reps:
+        reps_ds = reps_ds.union(dup_reps)
 
     if not want_doc_map:
-        # survivor-only callers (exact_dedup_survivors) skip the doc->rep
-        # join entirely — equi_join's broadcast prep otherwise eagerly
-        # collects every distinct text to the driver for a map that would
-        # be thrown away
         return reps_ds, None
 
-    rep_slim = reps_ds.select_columns([text_col, id_col]).map_batches(
-        lambda b: pa.table(
-            {text_col: b[text_col], "rep_id": b[id_col]}
-        ),
-        batch_format="pyarrow",
-    )
-    joined = equi_join(
-        ds.select_columns([id_col, text_col]),
-        rep_slim,
-        text_col,
-        text_col,
-        left_cols=(id_col,),
-        right_cols=("rep_id",),
-    )
-    # left lazy: the pandas expansion branch streams it exactly once;
-    # the Dataset branch materializes it itself before its two joins
-    doc_map_ds = joined.map_batches(
-        lambda b: pa.table({id_col: b[id_col], "rep_id": b["rep_id"]}),
-        batch_format="pyarrow",
-    )
+    def ident_map(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["kind"], 0))
+        return pa.table(
+            {
+                id_col: sel["mn"].cast(id_type),
+                "rep_id": sel["mn"],
+            }
+        )
+
+    doc_map_ds = staged.map_batches(ident_map, batch_format="pyarrow")
+    if n_dup_reps:
+
+        def dup_docs(batch: pa.Table) -> pa.Table:
+            sel = batch.filter(pc.equal(batch["kind"], 2))
+            return pa.table(
+                {id_col: sel["mn"].cast(id_type), text_col: sel["t"]}
+            )
+
+        rep_slim = dup_reps.select_columns([text_col, id_col]).map_batches(
+            lambda b: pa.table(
+                {text_col: b[text_col], "rep_id": b[id_col]}
+            ),
+            batch_format="pyarrow",
+        )
+        joined = equi_join(
+            staged.map_batches(dup_docs, batch_format="pyarrow"),
+            rep_slim,
+            text_col,
+            text_col,
+            left_cols=(id_col,),
+            right_cols=("rep_id",),
+        )
+        doc_map_ds = doc_map_ds.union(
+            joined.map_batches(
+                lambda b: pa.table(
+                    {id_col: b[id_col], "rep_id": b["rep_id"]}
+                ),
+                batch_format="pyarrow",
+            )
+        )
     return reps_ds, doc_map_ds
 
 
@@ -2666,6 +2937,11 @@ def exact_dedup_survivors(
 _SPAN_POS_CAP = 1 << 21  # per-doc word-position bound for the (doc, pos) key
 _SPAN_ID_CAP = 1 << 42  # doc-id bound so id * POS_CAP + pos fits int64
 _FNV64_P = np.uint64(1099511628211)  # the repo-wide FNV64 prime family
+# driver-merge bound for INT hash censuses: the shared 2M digest bound is
+# calibrated for string digests; fixed-width int64 rows are ~24 B each, so
+# 16M rows is a ~400 MB driver concat + np.unique (~1-2 s) vs a cold Ray
+# sort-shuffle's ~10 s of fixed overhead at exactly this volume
+_INT_CENSUS_DRIVER_MAX = 16_000_000
 
 
 def _fnv64_strings(a: pa.Array) -> np.ndarray:
@@ -3034,7 +3310,7 @@ def remove_duplicate_spans(
                 hash_partial, batch_format="pyarrow"
             ),
             hash_merge,
-            driver_merge_max_rows,
+            max(driver_merge_max_rows, _INT_CENSUS_DRIVER_MAX),
         ).materialize()
         hd_tabs = ray.get(hd_ds.to_arrow_refs())
         hd = np.sort(

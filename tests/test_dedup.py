@@ -1087,3 +1087,48 @@ def test_remove_duplicate_spans_hash_census_dup_ids(rd):
     with pytest.raises(Exception, match="duplicate"):
         remove_duplicate_spans(rd.from_arrow([s1, s2]), window=3,
                                census="hash", output="pandas")
+
+
+def test_collapse_exact_census_parity(rd):
+    """_collapse_exact_texts census='hash' (unique texts bypass the
+    shuffle entirely) == census='string' (the direct string census):
+    reps AND doc_map, with planted exact dups across blocks, a within-
+    block dup, null texts, empty-string dups, and an int32 id column."""
+    from raylink.dedup import _collapse_exact_texts
+
+    texts = [
+        "alpha beta gamma", "delta unique one", "alpha beta gamma",
+        None, "", "zeta unique two", "", "alpha beta gamma",
+        "eta unique three", None, "theta twice", "theta twice",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int32)),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+
+    def norm(reps_ds, map_ds):
+        r = (reps_ds.to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+        m = (map_ds.to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+        return r, m
+
+    rh, mh = norm(*_collapse_exact_texts(ds, "doc_id", "text", 2_000_000,
+                                         census="hash"))
+    rs, ms = norm(*_collapse_exact_texts(ds, "doc_id", "text", 2_000_000,
+                                         census="string"))
+    pd.testing.assert_frame_equal(rh, rs)
+    pd.testing.assert_frame_equal(mh, ms)
+    # spot semantics: reps are min-id with member counts; nulls excluded
+    got = dict(zip(rh.text, rh.n_members))
+    assert got["alpha beta gamma"] == 3 and got[""] == 2
+    assert got["theta twice"] == 2 and got["delta unique one"] == 1
+    assert len(mh) == len(texts) - 2  # null-text docs have no map row
+    assert str(mh.doc_id.dtype) == "int32"
+    # want_doc_map=False on both paths
+    r2, none2 = _collapse_exact_texts(ds, "doc_id", "text", 2_000_000,
+                                      census="hash", want_doc_map=False)
+    assert none2 is None
+    pd.testing.assert_frame_equal(
+        r2.to_pandas().sort_values("doc_id", ignore_index=True), rh)
