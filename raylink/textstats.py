@@ -417,6 +417,47 @@ def _split_paragraphs(texts, sep: str):
     return doc_idx, flat.values
 
 
+def _make_paragraph_merge(widen):
+    """Paragraph-census merge kernel factory: sums (n_occ, n_doc)
+    digests per exact paragraph string. ``widen`` is
+    pipeline._widen_text_if_needed passed in by the DRIVER so the
+    returned worker closure captures it instead of importing raylink at
+    runtime (the cross-cwd pickling contract)."""
+
+    def merge(g: pa.Table) -> pa.Table:
+        # paragraph strings are unbounded-length: widen above the
+        # int32-offset bound before the single-array combine
+        g = widen(g, "paragraph")
+        para = g["paragraph"].combine_chunks()
+        if not len(para):
+            return pa.table(
+                {
+                    "paragraph": pa.array([], pa.string()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniques = pd.factorize(para.to_numpy(zero_copy_only=False))
+        occ = np.zeros(len(uniques), dtype=np.int64)
+        doc = np.zeros(len(uniques), dtype=np.int64)
+        np.add.at(occ, codes, g["n_occ"].to_numpy(zero_copy_only=False))
+        np.add.at(doc, codes, g["n_doc"].to_numpy(zero_copy_only=False))
+        otype = (
+            pa.large_string()
+            if pa.types.is_large_string(para.type)
+            else pa.string()
+        )
+        return pa.table(
+            {
+                "paragraph": pa.array(np.asarray(uniques), otype),
+                "n_occurrences": pa.array(occ),
+                "n_docs": pa.array(doc),
+            }
+        )
+
+    return merge
+
+
 def paragraph_counts(
     ds,
     text_col: str = "text",
@@ -470,38 +511,7 @@ def paragraph_counts(
             }
         )
 
-    def merge(g: pa.Table) -> pa.Table:
-        # paragraph strings are unbounded-length: widen above the
-        # int32-offset bound before the single-array combine (captured
-        # from the enclosing scope — no runtime raylink import in a
-        # worker body)
-        g = _widen_text_if_needed(g, "paragraph")
-        para = g["paragraph"].combine_chunks()
-        if not len(para):
-            return pa.table(
-                {
-                    "paragraph": pa.array([], pa.string()),
-                    "n_occurrences": pa.array([], pa.int64()),
-                    "n_docs": pa.array([], pa.int64()),
-                }
-            )
-        codes, uniques = pd.factorize(para.to_numpy(zero_copy_only=False))
-        occ = np.zeros(len(uniques), dtype=np.int64)
-        doc = np.zeros(len(uniques), dtype=np.int64)
-        np.add.at(occ, codes, g["n_occ"].to_numpy(zero_copy_only=False))
-        np.add.at(doc, codes, g["n_doc"].to_numpy(zero_copy_only=False))
-        otype = (
-            pa.large_string()
-            if pa.types.is_large_string(para.type)
-            else pa.string()
-        )
-        return pa.table(
-            {
-                "paragraph": pa.array(np.asarray(uniques), otype),
-                "n_occurrences": pa.array(occ),
-                "n_docs": pa.array(doc),
-            }
-        )
+    merge = _make_paragraph_merge(_widen_text_if_needed)
 
     res = _digest_merge(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -532,9 +542,14 @@ def remove_boilerplate(
     paragraphs were all boilerplate (matching the SQL GROUP-BY replay).
     Output: (id_col, text_col) as an un-collected Dataset by default.
 
-    Two passes. Pass 1 is ``paragraph_counts`` (digest shuffle only);
-    the frequent set is then bounded by construction — paragraphs in
-    > max_docs docs number at most total_paragraphs / max_docs — so
+    Two passes. Pass 1 is ``paragraph_counts`` (digest shuffle only —
+    a hash-prefilter variant was built and MEASURED SLOWER in every
+    corpus shape, incl. 50 M mostly-unique paragraphs: short paragraphs
+    make the string sort cheap while the prefilter adds two full
+    split+hash scans; see BASELINE.md round 5 — unlike the span/collapse
+    censuses where the strings are long and prefix-shared); the frequent
+    set is then bounded by construction — paragraphs in > max_docs docs
+    number at most total_paragraphs / max_docs — so
     "broadcast" (``ray.put`` the frequent set once, per-batch Arrow
     ``is_in`` + LargeListArray reassembly, corpus STREAMS) is the default
     below ``max_broadcast_paras`` rows AND ``max_broadcast_bytes``

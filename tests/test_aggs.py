@@ -790,3 +790,24 @@ def test_token_budget_rejects_token_col_in_keep_cols(rd):
         take_token_budget(ds, "doc_id", "text", budget=5,
                           token_col="nt", keep_cols=("nt",),
                           output="pandas")
+
+
+def test_paragraph_merge_factory_matches_counts(rd):
+    """paragraph_counts through the shared _make_paragraph_merge factory
+    (the round-5 factoring) keeps its exact census semantics: occurrence
+    and distinct-doc counts over multi-block inputs with empty
+    paragraphs and a null text."""
+    from raylink.textstats import paragraph_counts
+
+    texts = ["a\nb\na", "b\nc", None, "a", "\nb"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = paragraph_counts(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(3),
+        output="pandas",
+    )
+    got = {r.paragraph: (r.n_occurrences, r.n_docs)
+           for r in out.itertuples()}
+    # null text -> one empty paragraph; "\nb" -> ["", "b"]
+    assert got["a"] == (3, 2) and got["b"] == (3, 3)
+    assert got["c"] == (1, 1) and got[""] == (2, 2)
