@@ -577,6 +577,27 @@ def _verify_pairs_distributed(
     return union.groupby("part").map_groups(verify_part, batch_format="pyarrow")
 
 
+def _key_sums(k: np.ndarray, n: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-distinct-key sums of ``n`` (the int-census merge core shared by
+    the hash censuses and the duplicate-id-claim checks): returns
+    (unique_keys, summed_counts)."""
+    u, inv = np.unique(k, return_inverse=True)
+    tot = np.zeros(len(u), np.int64)
+    np.add.at(tot, inv, n)
+    return u, tot
+
+
+def _sorted_member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership of ``vals`` in a SORTED int64 array via searchsorted
+    (the hash-census broadcast probe; empty set -> all False)."""
+    if not len(sorted_arr):
+        return np.zeros(len(vals), bool)
+    ix = np.searchsorted(sorted_arr, vals)
+    return (ix < len(sorted_arr)) & (
+        sorted_arr[np.minimum(ix, len(sorted_arr) - 1)] == vals
+    )
+
+
 def _collapse_exact_texts(
     ds, id_col: str, text_col: str, driver_merge_max_rows: int,
     want_doc_map: bool = True,
@@ -618,6 +639,10 @@ def _collapse_exact_texts(
         raise ValueError("census must be 'hash' or 'string'")
     _schema = ds.schema()
     id_type = dict(zip(_schema.names, _schema.types))[id_col]
+    # driver-snapshotted text type: empty post-split blocks must emit the
+    # SAME type as nonempty ones or from_arrow_refs sees divergent
+    # schemas (the take_token_budget empty-block landmark)
+    text_type = dict(zip(_schema.names, _schema.types))[text_col]
 
     def partial(batch: pa.Table) -> pa.Table:
         txt = batch[text_col].combine_chunks()
@@ -712,11 +737,10 @@ def _collapse_exact_texts(
             )
 
         def hash_merge(g: pa.Table) -> pa.Table:
-            k = np.asarray(g["h"].to_numpy(zero_copy_only=False), np.int64)
-            n = np.asarray(g["cnt"].to_numpy(zero_copy_only=False), np.int64)
-            u, inv = np.unique(k, return_inverse=True)
-            tot = np.zeros(len(u), np.int64)
-            np.add.at(tot, inv, n)
+            u, tot = _key_sums(
+                np.asarray(g["h"].to_numpy(zero_copy_only=False), np.int64),
+                np.asarray(g["cnt"].to_numpy(zero_copy_only=False), np.int64),
+            )
             return pa.table({"h": pa.array(u[tot > 1])})
 
         hd_ds = _digest_merge(
@@ -836,7 +860,7 @@ def _collapse_exact_texts(
         txt = batch[text_col].combine_chunks()
         sel = batch.filter(pc.is_valid(txt)) if txt.null_count else batch
         txtc = sel[text_col].combine_chunks()
-        utype = txtc.type if len(txtc) else pa.string()
+        utype = txtc.type if len(txtc) else text_type
         if not sel.num_rows:
             return pa.table(
                 {
@@ -850,15 +874,9 @@ def _collapse_exact_texts(
         ids = np.asarray(
             sel[id_col].to_numpy(zero_copy_only=False), np.int64
         )
-        if hd_ref is not None:
-            hdl = cached_object(hd_ref)
-            h = _fnv64_strings(txtc).astype(np.int64)
-            ix = np.searchsorted(hdl, h)
-            hit = (ix < len(hdl)) & (
-                hdl[np.minimum(ix, len(hdl) - 1)] == h
-            )
-        else:
-            hit = np.zeros(len(ids), bool)
+        hit = _sorted_member(
+            cached_object(hd_ref), _fnv64_strings(txtc).astype(np.int64)
+        )
         miss_arr = pa.array(~hit)
         t_out = [txtc.filter(miss_arr)]
         mn_out = [ids[~hit]]
@@ -2971,11 +2989,11 @@ def _fnv64_strings(a: pa.Array) -> np.ndarray:
     # within its string, power table, one segmented sum via reduceat.
     seg = data[lo:hi].astype(np.uint64)
     rev = np.repeat(ends, lens) - 1 - np.arange(lo, hi, dtype=np.int64)
-    pw = np.empty(int(lens.max()), np.uint64)
-    pw[0] = np.uint64(1)
-    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
-        for k in range(1, len(pw)):
-            pw[k] = pw[k - 1] * _FNV64_P
+    # vectorized power table (byte-identical to the scalar fold; a Python
+    # loop here costs ~1 s per 2 MB doc — review finding, round 5)
+    pw = np.ones(int(lens.max()), np.uint64)
+    pw[1:] = _FNV64_P
+    pw = np.multiply.accumulate(pw)
     # sentinel 0 so a zero-length row at the very end indexes past the
     # real bytes instead of clamping into (and corrupting) the previous
     # segment's sum; interior zero-length rows are zeroed below.
@@ -3194,9 +3212,7 @@ def remove_duplicate_spans(
         )
 
     def _raise_dup_id_claims(claimed: np.ndarray, cn: np.ndarray):
-        u, inv = np.unique(claimed, return_inverse=True)
-        tot = np.zeros(len(u), np.int64)
-        np.add.at(tot, inv, cn)
+        u, tot = _key_sums(claimed, cn)
         if (tot > 1).any():
             bad = u[tot > 1][:5].tolist()
             raise ValueError(
@@ -3299,10 +3315,7 @@ def remove_duplicate_spans(
             ns = np.asarray(g["n"].to_numpy(zero_copy_only=False), np.int64)
             if idm.any():
                 _raise_dup_id_claims(ks[idm], ns[idm])
-            k, n = ks[~idm], ns[~idm]
-            u, inv = np.unique(k, return_inverse=True)
-            tot = np.zeros(len(u), np.int64)
-            np.add.at(tot, inv, n)
+            u, tot = _key_sums(ks[~idm], ns[~idm])
             return pa.table({"k": pa.array(u[tot > 1])})
 
         hd_ds = _digest_merge(
@@ -3355,11 +3368,7 @@ def remove_duplicate_spans(
                     batch[text_col], W
                 )
                 hd_local = _co(hd_ref)
-                whi = wh.astype(np.int64)
-                ix = np.searchsorted(hd_local, whi)
-                hit = (ix < len(hd_local)) & (
-                    hd_local[np.minimum(ix, len(hd_local) - 1)] == whi
-                )
+                hit = _sorted_member(hd_local, wh.astype(np.int64))
                 s = starts[hit]
                 if len(s):
                     parts_ = [warr.take(pa.array(s + j)) for j in range(W)]

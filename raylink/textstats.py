@@ -417,47 +417,6 @@ def _split_paragraphs(texts, sep: str):
     return doc_idx, flat.values
 
 
-def _make_paragraph_merge(widen):
-    """Paragraph-census merge kernel factory: sums (n_occ, n_doc)
-    digests per exact paragraph string. ``widen`` is
-    pipeline._widen_text_if_needed passed in by the DRIVER so the
-    returned worker closure captures it instead of importing raylink at
-    runtime (the cross-cwd pickling contract)."""
-
-    def merge(g: pa.Table) -> pa.Table:
-        # paragraph strings are unbounded-length: widen above the
-        # int32-offset bound before the single-array combine
-        g = widen(g, "paragraph")
-        para = g["paragraph"].combine_chunks()
-        if not len(para):
-            return pa.table(
-                {
-                    "paragraph": pa.array([], pa.string()),
-                    "n_occurrences": pa.array([], pa.int64()),
-                    "n_docs": pa.array([], pa.int64()),
-                }
-            )
-        codes, uniques = pd.factorize(para.to_numpy(zero_copy_only=False))
-        occ = np.zeros(len(uniques), dtype=np.int64)
-        doc = np.zeros(len(uniques), dtype=np.int64)
-        np.add.at(occ, codes, g["n_occ"].to_numpy(zero_copy_only=False))
-        np.add.at(doc, codes, g["n_doc"].to_numpy(zero_copy_only=False))
-        otype = (
-            pa.large_string()
-            if pa.types.is_large_string(para.type)
-            else pa.string()
-        )
-        return pa.table(
-            {
-                "paragraph": pa.array(np.asarray(uniques), otype),
-                "n_occurrences": pa.array(occ),
-                "n_docs": pa.array(doc),
-            }
-        )
-
-    return merge
-
-
 def paragraph_counts(
     ds,
     text_col: str = "text",
@@ -511,7 +470,38 @@ def paragraph_counts(
             }
         )
 
-    merge = _make_paragraph_merge(_widen_text_if_needed)
+    def merge(g: pa.Table) -> pa.Table:
+        # paragraph strings are unbounded-length: widen above the
+        # int32-offset bound before the single-array combine (captured
+        # from the enclosing scope — no runtime raylink import in a
+        # worker body)
+        g = _widen_text_if_needed(g, "paragraph")
+        para = g["paragraph"].combine_chunks()
+        if not len(para):
+            return pa.table(
+                {
+                    "paragraph": pa.array([], pa.string()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniques = pd.factorize(para.to_numpy(zero_copy_only=False))
+        occ = np.zeros(len(uniques), dtype=np.int64)
+        doc = np.zeros(len(uniques), dtype=np.int64)
+        np.add.at(occ, codes, g["n_occ"].to_numpy(zero_copy_only=False))
+        np.add.at(doc, codes, g["n_doc"].to_numpy(zero_copy_only=False))
+        otype = (
+            pa.large_string()
+            if pa.types.is_large_string(para.type)
+            else pa.string()
+        )
+        return pa.table(
+            {
+                "paragraph": pa.array(np.asarray(uniques), otype),
+                "n_occurrences": pa.array(occ),
+                "n_docs": pa.array(doc),
+            }
+        )
 
     res = _digest_merge(
         ds.map_batches(partial, batch_format="pyarrow"),

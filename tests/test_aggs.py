@@ -793,10 +793,9 @@ def test_token_budget_rejects_token_col_in_keep_cols(rd):
 
 
 def test_paragraph_merge_factory_matches_counts(rd):
-    """paragraph_counts through the shared _make_paragraph_merge factory
-    (the round-5 factoring) keeps its exact census semantics: occurrence
-    and distinct-doc counts over multi-block inputs with empty
-    paragraphs and a null text."""
+    """paragraph_counts exact census semantics: occurrence and
+    distinct-doc counts over multi-block inputs with empty paragraphs
+    and a null text."""
     from raylink.textstats import paragraph_counts
 
     texts = ["a\nb\na", "b\nc", None, "a", "\nb"]
