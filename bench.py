@@ -34,6 +34,53 @@ def _num_cpus() -> int:
     return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _f1_probe() -> float:
+    """Pairwise F1 of the flagship's clusters vs the reference-semantics
+    oracle on labeled pairs at fixed blocking key — the north-rule
+    correctness metric, surfaced in every bench JSON. Runs at the gate's
+    documented probe scale (120 conversations, seed 42 — the
+    test_flagship_f1_gate fixture) so it costs seconds, not a second
+    sf-scale pass; the full battery + golden tests carry the at-scale
+    parity evidence."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from raylink.flagship import (
+        oracle_cluster_labels,
+        transcript_entity_resolution,
+    )
+    from raylink.metrics import pairwise_f1
+    from raylink.transcripts import generate_transcripts, labeled_pairs
+
+    transcripts, gt = generate_transcripts(120, seed=42)
+    pairs = labeled_pairs(gt).to_pandas()
+    result = transcript_entity_resolution(
+        rd.from_arrow(transcripts), link_min_similarity=0.75
+    )
+    cl = pa.concat_tables(
+        ray.get(result.clusters.to_arrow_refs()), promote_options="default"
+    )
+    ours = {
+        m: (bk, cid)
+        for bk, m, cid in zip(
+            cl["block_key"].to_pylist(),
+            cl["member"].to_pylist(),
+            cl["cluster_id"].to_pylist(),
+        )
+    }
+    ent = result.entities.to_pandas()
+    by_block: dict[str, list[str]] = {}
+    seen = set()
+    for bk, t in zip(ent["block_key"], ent["entity_text"]):
+        if (bk, t) not in seen:
+            seen.add((bk, t))
+            by_block.setdefault(bk, []).append(t)
+    ref = oracle_cluster_labels(by_block, 0.75)
+    return float(pairwise_f1(pairs, ours, ref)["f1"])
+
+
 def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
     import ray
 
@@ -105,6 +152,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
         result.timings["score"] + result.timings["group"], 3
     )
     extras["stage_timings"] = {k: round(v, 3) for k, v in result.timings.items()}
+    extras["pairwise_f1_vs_reference"] = round(_f1_probe(), 4)
 
     if not flagship_only:
         from raylink.queries import QUERIES
