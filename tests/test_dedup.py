@@ -1132,3 +1132,33 @@ def test_collapse_exact_census_parity(rd):
     assert none2 is None
     pd.testing.assert_frame_equal(
         r2.to_pandas().sort_values("doc_id", ignore_index=True), rh)
+
+
+def test_fnv64_strings_unicode_fuzz():
+    """Hypothesis fuzz: the vectorized fold == the scalar per-byte fold
+    over arbitrary unicode (UTF-8 bytes drive the hash), and distinct
+    strings in a batch get distinct hashes (content sensitivity at
+    fuzz sizes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raylink.blocking import _hash64
+    from raylink.dedup import _FNV64_P, _fnv64_strings
+
+    def scalar(s: str) -> np.uint64:
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for b in s.encode():
+                h = h * _FNV64_P + np.uint64(b)
+        return _hash64(np.array([h.astype(np.int64)]))[0]
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.text(max_size=40), min_size=1, max_size=20))
+    def check(vals):
+        got = _fnv64_strings(pa.array(vals, type=pa.string()))
+        want = np.array([scalar(v) for v in vals], np.uint64)
+        assert (got == want).all()
+        uniq_strings = len(set(vals))
+        assert len(np.unique(got)) == uniq_strings
+
+    check()
