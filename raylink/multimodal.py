@@ -40,6 +40,41 @@ def _fnv64_bytes(data, h: int = 0) -> int:
     return h
 
 
+def _fnv64_bytes_rows(col) -> np.ndarray:
+    """Vectorized per-row ``_fnv64_bytes`` over a binary column: every
+    payload's seed fold in one segmented numpy pass off the flat Arrow
+    buffers (h(s) = sum_j byte_j * P^(L-1-j) mod 2^64 — bit-identical to
+    the scalar fold, which remains for the 4-byte frame-suffix chaining).
+    Removes the last interpreter-speed per-byte loop from the fake-codec
+    hot path (VERDICT r4 finding #4)."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(a)
+    if not n:
+        return np.empty(0, np.uint64)
+    odt = np.int64 if pa.types.is_large_binary(a.type) else np.int32
+    offs = np.frombuffer(a.buffers()[1], dtype=odt)[
+        a.offset : a.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    lens = ends - starts
+    lo, hi = int(offs[0]), int(offs[-1])
+    if hi == lo:  # all rows empty
+        return np.zeros(n, np.uint64)
+    seg = data[lo:hi].astype(np.uint64)
+    rev = np.repeat(ends, lens) - 1 - np.arange(lo, hi, dtype=np.int64)
+    pw = np.ones(int(lens.max()), np.uint64)
+    pw[1:] = np.uint64(_FNV64_PRIME)
+    pw = np.multiply.accumulate(pw)
+    # sentinel 0 keeps a zero-length row at the very end from indexing
+    # past the real bytes; interior empty rows are zeroed below
+    contrib = np.r_[seg * pw[rev], np.zeros(1, np.uint64)]
+    h = np.add.reduceat(contrib, starts - lo).astype(np.uint64)
+    if (lens == 0).any():
+        h[lens == 0] = np.uint64(0)
+    return h
+
+
 def _binary_views(col) -> list:
     """Zero-copy per-item memoryviews of a binary column, straight off the
     flat Arrow buffers (offsets + data) — ``to_pylist()`` would copy every
@@ -128,7 +163,8 @@ class DecoderBackend:
             except (TypeError, ValueError):  # builtins/C callables: assume 4-arg
                 self._img_takes_frame = True
 
-    def decode_image(self, payload, width: int, height: int, frame: int | None = None) -> np.ndarray:
+    def decode_image(self, payload, width: int, height: int,
+                     frame: int | None = None, seed=None) -> np.ndarray:
         if self.image_decoder is not None:
             buf = payload if isinstance(payload, bytes) else bytes(payload)
             if frame is None:
@@ -147,15 +183,16 @@ class DecoderBackend:
                 f"image codec backend {self.backend!r} is not available in "
                 "this environment; use backend='fake' or inject image_decoder"
             )
-        seed = _fnv64_bytes(payload)
+        if seed is None:
+            seed = _fnv64_bytes(payload)
         if frame is not None:
             # fold the frame ordinal as a 4-byte LE suffix: identical to
             # hashing payload + frame_bytes without concatenating buffers
-            seed = _fnv64_bytes(int(frame).to_bytes(4, "little"), seed)
-        u = _splitmix_stream(seed, height * width * 3)
+            seed = _fnv64_bytes(int(frame).to_bytes(4, "little"), int(seed))
+        u = _splitmix_stream(int(seed), height * width * 3)
         return (u >> np.uint64(56)).astype(np.uint8).reshape(height, width, 3)
 
-    def decode_audio(self, payload, sample_rate: int) -> np.ndarray:
+    def decode_audio(self, payload, sample_rate: int, seed=None) -> np.ndarray:
         if self.audio_decoder is not None:
             buf = payload if isinstance(payload, bytes) else bytes(payload)
             return np.asarray(self.audio_decoder(buf, sample_rate), dtype=np.float32)
@@ -164,7 +201,10 @@ class DecoderBackend:
                 f"audio codec backend {self.backend!r} is not available; "
                 "use backend='fake' or inject audio_decoder"
             )
-        u = _splitmix_stream(_fnv64_bytes(payload), sample_rate)
+        u = _splitmix_stream(
+            int(seed) if seed is not None else _fnv64_bytes(payload),
+            sample_rate,
+        )
         return (
             (u.astype(np.float64) / np.float64(2**64)) * 2.0 - 1.0
         ).astype(np.float32)
@@ -197,19 +237,35 @@ class MediaFeatureActor:
         ids = batch["media_id"].to_pylist()
         types = batch["media_type"].to_pylist()
         payloads = _binary_views(batch["payload"])  # zero-copy buffer walk
+        # fake-codec seeds for the whole batch in one vectorized fold;
+        # injected decoders read the payload views directly and ignore it
+        fake_path = (
+            self.codec.backend == "fake"
+            and (self.codec.image_decoder is None
+                 or self.codec.audio_decoder is None)
+        )
+        seeds = (
+            _fnv64_bytes_rows(batch["payload"])
+            if fake_path
+            else np.zeros(batch.num_rows, np.uint64)
+        )
         widths = batch["meta_width"].to_pylist()
         heights = batch["meta_height"].to_pylist()
         rates = batch["meta_sample_rate"].to_pylist()
         frames = batch["meta_n_frames"].to_pylist()
         feats: list[list[float]] = []
         shapes: list[str] = []
-        for mt, p, w, h, sr, nf in zip(types, payloads, widths, heights, rates, frames):
+        for i, (mt, p, w, h, sr, nf) in enumerate(
+            zip(types, payloads, widths, heights, rates, frames)
+        ):
             if mt == "image":
-                img = self._resize(self.codec.decode_image(p, w, h))
+                img = self._resize(
+                    self.codec.decode_image(p, w, h, seed=seeds[i])
+                )
                 feats.append((img.astype(np.float64).mean(axis=2) / 255.0).ravel().tolist())
                 shapes.append(f"{self.resize_to}x{self.resize_to}")
             elif mt == "audio":
-                wav = self.codec.decode_audio(p, sr)
+                wav = self.codec.decode_audio(p, sr, seed=seeds[i])
                 seg = np.array_split(wav, self.resize_to * self.resize_to)
                 # rms in f64 over the f32 samples: keeps the math order
                 # identical to the SQL oracle's DOUBLE aggregation
@@ -232,7 +288,8 @@ class MediaFeatureActor:
                     # frame ordinal folds as a hash suffix — value-equal to
                     # decoding payload + frame_bytes, zero concatenation
                     frame = self._resize(
-                        self.codec.decode_image(p, w, h, frame=fi)
+                        self.codec.decode_image(p, w, h, frame=fi,
+                                                seed=seeds[i])
                     )
                     accum += frame.astype(np.float64).mean(axis=2) / 255.0
                 feats.append((accum / max(1, len(sampled))).ravel().tolist())

@@ -637,3 +637,63 @@ def test_take_token_budget(rd):
             pd.testing.assert_frame_equal(got, want, check_dtype=False), (
                 budget, oc, desc,
             )
+
+
+def test_fnv64_bytes_rows_matches_scalar():
+    """The batched payload-seed fold == the scalar per-byte fold for
+    every row (incl. empty payloads -> seed 0 and an empty row at the
+    buffer end), for binary and large_binary columns and slices."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raylink.multimodal import _fnv64_bytes, _fnv64_bytes_rows
+
+    rng = np.random.default_rng(3)
+    payloads = [bytes(rng.integers(0, 256, size=n, dtype=np.uint8).tobytes())
+                for n in (0, 1, 17, 300, 0, 64)]
+    for typ in (pa.binary(), pa.large_binary()):
+        arr = pa.array(payloads, type=typ)
+        got = _fnv64_bytes_rows(arr)
+        want = np.array([_fnv64_bytes(p) for p in payloads], np.uint64)
+        assert (got == want).all()
+        got_slice = _fnv64_bytes_rows(arr.slice(1, 4))
+        assert (got_slice == want[1:5]).all()
+
+
+def test_media_features_seed_vectorization_parity():
+    """MediaFeatureActor output is bit-identical with the batched seed
+    fold (the per-row scalar fold is the reference via decode_* called
+    directly)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raylink.multimodal import (
+        DecoderBackend,
+        MediaFeatureActor,
+        _fnv64_bytes,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = {
+        "media_id": [1, 2, 3],
+        "media_type": ["image", "audio", "video"],
+        "payload": [bytes(rng.integers(0, 256, 40, dtype=np.uint8).tobytes())
+                    for _ in range(3)],
+        "meta_width": [6, -1, 5],
+        "meta_height": [4, -1, 4],
+        "meta_sample_rate": [-1, 160, -1],
+        "meta_n_frames": [-1, -1, 8],
+    }
+    t = pa.table(rows)
+    out = MediaFeatureActor(resize_to=4)(t)
+    codec = DecoderBackend("fake")
+    # image row: explicit scalar-seed decode must match the actor's
+    img = codec.decode_image(rows["payload"][0], 6, 4,
+                             seed=_fnv64_bytes(rows["payload"][0]))
+    img_ref = codec.decode_image(rows["payload"][0], 6, 4)
+    assert (img == img_ref).all()
+    wav_ref = codec.decode_audio(rows["payload"][1], 160)
+    wav = codec.decode_audio(rows["payload"][1], 160,
+                             seed=_fnv64_bytes(rows["payload"][1]))
+    assert (wav == wav_ref).all()
+    assert out.num_rows == 3 and len(out["feature"][0].as_py()) == 16
