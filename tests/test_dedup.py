@@ -1162,3 +1162,43 @@ def test_fnv64_strings_unicode_fuzz():
         assert len(np.unique(got)) == uniq_strings
 
     check()
+
+
+def test_hash_census_unicode_parity(rd):
+    """Hash-census paths == string-census paths on non-ASCII corpora:
+    the FNV fold runs over UTF-8 bytes while the string census compares
+    codepoints — parity must hold for both collapse and span dedup."""
+    from raylink.dedup import _collapse_exact_texts, remove_duplicate_spans
+
+    span = "héllo wörld ünïcode προσοχή 日本語 emoji🙂 mixed"
+    texts = [
+        "prefix " + span + " suffixe à",
+        "autre début " + span + " fin différente",
+        span,
+        "ñandú unique çontent",
+        "héllo wörld",  # shorter than the window: passes through
+        "",
+    ]
+    ds = _docs(rd, texts).repartition(3)
+    for mode in ("broadcast", "distributed"):
+        h = remove_duplicate_spans(ds, window=4, mode=mode,
+                                   census="hash", output="pandas")
+        s = remove_duplicate_spans(ds, window=4, mode=mode,
+                                   census="string", output="pandas")
+        pd.testing.assert_frame_equal(h, s)
+    dup_texts = ["日本語テキスト", "ünïcode", "日本語テキスト", None, "ünïcode", "ñ"]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(dup_texts), dtype=np.int64)),
+        "text": pa.array(dup_texts, type=pa.string()),
+    })
+    cds = rd.from_arrow(t).repartition(3)
+    rh, mh = _collapse_exact_texts(cds, "doc_id", "text", 2_000_000,
+                                   census="hash")
+    rs, ms = _collapse_exact_texts(cds, "doc_id", "text", 2_000_000,
+                                   census="string")
+    pd.testing.assert_frame_equal(
+        rh.to_pandas().sort_values("doc_id", ignore_index=True),
+        rs.to_pandas().sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        mh.to_pandas().sort_values("doc_id", ignore_index=True),
+        ms.to_pandas().sort_values("doc_id", ignore_index=True))
