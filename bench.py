@@ -35,50 +35,14 @@ def _num_cpus() -> int:
 
 
 def _f1_probe() -> float:
-    """Pairwise F1 of the flagship's clusters vs the reference-semantics
-    oracle on labeled pairs at fixed blocking key — the north-rule
-    correctness metric, surfaced in every bench JSON. Runs at the gate's
-    documented probe scale (120 conversations, seed 42 — the
-    test_flagship_f1_gate fixture) so it costs seconds, not a second
-    sf-scale pass; the full battery + golden tests carry the at-scale
+    """North-rule pairwise F1 via the SHARED probe in raylink.flagship
+    (one implementation with the gate test — the gated number and the
+    reported number can't diverge). Seconds at the 120-conversation
+    fixture scale; the full battery + golden tests carry the at-scale
     parity evidence."""
-    import numpy as np
-    import pyarrow as pa
-    import ray
-    import ray.data as rd
+    from raylink.flagship import flagship_f1_probe
 
-    from raylink.flagship import (
-        oracle_cluster_labels,
-        transcript_entity_resolution,
-    )
-    from raylink.metrics import pairwise_f1
-    from raylink.transcripts import generate_transcripts, labeled_pairs
-
-    transcripts, gt = generate_transcripts(120, seed=42)
-    pairs = labeled_pairs(gt).to_pandas()
-    result = transcript_entity_resolution(
-        rd.from_arrow(transcripts), link_min_similarity=0.75
-    )
-    cl = pa.concat_tables(
-        ray.get(result.clusters.to_arrow_refs()), promote_options="default"
-    )
-    ours = {
-        m: (bk, cid)
-        for bk, m, cid in zip(
-            cl["block_key"].to_pylist(),
-            cl["member"].to_pylist(),
-            cl["cluster_id"].to_pylist(),
-        )
-    }
-    ent = result.entities.to_pandas()
-    by_block: dict[str, list[str]] = {}
-    seen = set()
-    for bk, t in zip(ent["block_key"], ent["entity_text"]):
-        if (bk, t) not in seen:
-            seen.add((bk, t))
-            by_block.setdefault(bk, []).append(t)
-    ref = oracle_cluster_labels(by_block, 0.75)
-    return float(pairwise_f1(pairs, ours, ref)["f1"])
+    return float(flagship_f1_probe()["f1"])
 
 
 def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
@@ -152,7 +116,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
         result.timings["score"] + result.timings["group"], 3
     )
     extras["stage_timings"] = {k: round(v, 3) for k, v in result.timings.items()}
-    extras["pairwise_f1_vs_reference"] = round(_f1_probe(), 4)
+    if not flagship_only:
+        # skipped in the --scaling subprocesses (flagship_only): they
+        # consume only stage timings and would pay a dead probe run
+        # inside the noise-sensitive harness (review finding)
+        extras["pairwise_f1_vs_reference"] = round(_f1_probe(), 4)
 
     if not flagship_only:
         from raylink.queries import QUERIES
@@ -335,7 +303,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": _sf_dir_to_sf(sf_dir),
         "num_cpus": num_cpus,
-        **{k: (round(v, 1) if isinstance(v, float) else v) for k, v in extras.items()},
+        # 4 decimals: round(v, 1) silently flattened the F1 metric's
+        # entire 0.95-1.0 regression range to "1.0" (review finding)
+        **{k: (round(v, 4) if isinstance(v, float) else v) for k, v in extras.items()},
     }
 
 

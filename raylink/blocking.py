@@ -32,6 +32,45 @@ from raylink.text import clean_strings_arrow
 MENTION_PATTERN = r'"(?P<mention>[^"]+)"'
 
 
+_FNV64_PRIME = np.uint64(1099511628211)  # the repo-wide FNV64 family
+
+
+def _fnv64_fold_rows(a: pa.Array, is_large: bool) -> np.ndarray:
+    """Raw segmented FNV64 fold per row of a variable-width string/binary
+    Arrow array: h(s) = sum_j byte_j * P^(L-1-j) mod 2^64, computed off
+    the flat buffers in one reduceat pass — no per-row Python. The ONE
+    implementation behind dedup._fnv64_strings (splitmix-finished census
+    keys) and multimodal._fnv64_bytes_rows (raw fake-codec seeds);
+    ``is_large`` picks the 64-bit offset walk for the caller's type
+    family. Empty rows fold to 0; a trailing empty row is guarded by a
+    sentinel so reduceat never indexes past the real bytes."""
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    n = len(a)
+    if not n:
+        return np.empty(0, np.uint64)
+    odt = np.int64 if is_large else np.int32
+    offs = np.frombuffer(a.buffers()[1], dtype=odt)[
+        a.offset : a.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    lens = ends - starts
+    lo, hi = int(offs[0]), int(offs[-1])
+    if hi == lo:  # all rows empty
+        return np.zeros(n, np.uint64)
+    seg = data[lo:hi].astype(np.uint64)
+    rev = np.repeat(ends, lens) - 1 - np.arange(lo, hi, dtype=np.int64)
+    pw = np.ones(int(lens.max()), np.uint64)
+    pw[1:] = _FNV64_PRIME
+    pw = np.multiply.accumulate(pw)  # mod-2^64 wraparound is the point
+    contrib = np.r_[seg * pw[rev], np.zeros(1, np.uint64)]
+    h = np.add.reduceat(contrib, starts - lo).astype(np.uint64)
+    if (lens == 0).any():
+        h[lens == 0] = np.uint64(0)
+    return h
+
+
 def _hash64(arr: np.ndarray) -> np.ndarray:
     """Cheap deterministic 64-bit mix of an int64 array (splitmix64)."""
     x = arr.astype(np.uint64, copy=True)

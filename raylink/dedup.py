@@ -37,7 +37,7 @@ import pyarrow.compute as pc
 
 import ray
 
-from raylink.blocking import _hash64
+from raylink.blocking import _fnv64_fold_rows, _hash64
 from raylink.broadcast import cached_object
 from raylink.embed import embeddings_to_matrix, l2_normalize
 from raylink.text import batch_ngrams, clean_strings_arrow
@@ -632,7 +632,7 @@ def _collapse_exact_texts(
 
     from raylink.aggs import _default_parts, _digest_merge
     from raylink.joins import _string_part_hash, equi_join
-    from raylink.pipeline import _widen_text_if_needed
+    from raylink.pipeline import ARROW_STR_WIDEN_BOUND, _widen_text_if_needed
 
     P = _default_parts(None)
     if census not in ("hash", "string"):
@@ -678,42 +678,67 @@ def _collapse_exact_texts(
             }
         )
 
-    def merge(g: pa.Table) -> pa.Table:
+    def _make_merge(force_wide: bool):
         # full document texts ride this digest: widen to large_string
         # above the int32-offset bound BEFORE the single-array combine
         # (the ARROW_STR_WIDEN_BOUND convention; overflow would otherwise
-        # raise ArrowCapacityError at ~2 GiB of concatenated text —
-        # _widen_text_if_needed is captured from the enclosing scope, a
-        # worker body must not import raylink at runtime)
-        g = _widen_text_if_needed(g, "t")
-        t = g["t"].combine_chunks()
-        if not len(t):
-            return pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    text_col: pa.array([], pa.string()),
-                    "n_members": pa.array([], pa.int64()),
-                }
-            )
-        codes, uniques = pd.factorize(t.to_numpy(zero_copy_only=False))
-        mn = np.full(len(uniques), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(mn, codes, g["mn"].to_numpy(zero_copy_only=False))
-        cnt = np.zeros(len(uniques), dtype=np.int64)
-        np.add.at(cnt, codes, g["cnt"].to_numpy(zero_copy_only=False))
-        otype = (
-            pa.large_string()
-            if pa.types.is_large_string(t.type)
+        # raise ArrowCapacityError at ~2 GiB of concatenated text).
+        # ``force_wide`` makes the output type a DRIVER decision (hash
+        # path: exact census byte total; fallback: conservatively wide) —
+        # a per-partition adaptive widen would emit large_string from
+        # some partitions and string from others, and the downstream
+        # union / equi_join would then mix schemas (round-5 review
+        # finding). _widen_text_if_needed stays as the per-partition
+        # overflow backstop for the explicit census="string" path, which
+        # has no driver census to decide from; it is captured from the
+        # enclosing scope (a worker body must not import raylink at
+        # runtime).
+        empty_otype = pa.large_string() if force_wide else (
+            pa.large_string() if pa.types.is_large_string(text_type)
             else pa.string()
         )
-        return pa.table(
-            {
-                id_col: pa.array(mn),
-                text_col: pa.array(np.asarray(uniques), type=otype),
-                "n_members": pa.array(cnt),
-            }
-        )
+
+        def merge(g: pa.Table) -> pa.Table:
+            if force_wide and not pa.types.is_large_string(g["t"].type):
+                g = g.set_column(
+                    g.column_names.index("t"), "t",
+                    g["t"].cast(pa.large_string()),
+                )
+            g = _widen_text_if_needed(g, "t")
+            t = g["t"].combine_chunks()
+            if not len(t):
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        text_col: pa.array([], empty_otype),
+                        "n_members": pa.array([], pa.int64()),
+                    }
+                )
+            codes, uniques = pd.factorize(t.to_numpy(zero_copy_only=False))
+            mn = np.full(len(uniques), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(mn, codes, g["mn"].to_numpy(zero_copy_only=False))
+            cnt = np.zeros(len(uniques), dtype=np.int64)
+            np.add.at(cnt, codes, g["cnt"].to_numpy(zero_copy_only=False))
+            otype = (
+                pa.large_string()
+                if pa.types.is_large_string(t.type)
+                else pa.string()
+            )
+            return pa.table(
+                {
+                    id_col: pa.array(mn),
+                    text_col: pa.array(np.asarray(uniques), type=otype),
+                    "n_members": pa.array(cnt),
+                }
+            )
+
+        return merge
 
     use_hash = census == "hash"
+    # driver-decided large_string widening for every text the merge /
+    # union / join path emits (explicit census="string" keeps the
+    # adaptive per-partition backstop: it has no census to decide from)
+    force_wide = False
     if use_hash:
 
         def hash_partial(batch: pa.Table) -> pa.Table:
@@ -724,24 +749,45 @@ def _collapse_exact_texts(
                     {
                         "h": pa.array([], pa.int64()),
                         "cnt": pa.array([], pa.int64()),
+                        "bl": pa.array([], pa.int64()),
                         "part": pa.array([], pa.int64()),
                     }
                 )
-            u, cnt = np.unique(_fnv64_strings(sel), return_counts=True)
+            u, idx, cnt = np.unique(
+                _fnv64_strings(sel), return_index=True, return_counts=True
+            )
+            # bl = byte length of this block's instance of each distinct
+            # hash: summed over duplicated hashes it is EXACTLY the
+            # string-merge input size (one kind-1 row per (block, dup
+            # text)), letting the driver decide large_string widening
+            # deterministically instead of per merge partition
+            lens = np.asarray(
+                pc.binary_length(sel).to_numpy(zero_copy_only=False),
+                np.int64,
+            )
             return pa.table(
                 {
                     "h": pa.array(u.astype(np.int64)),
                     "cnt": pa.array(cnt.astype(np.int64)),
+                    "bl": pa.array(lens[idx]),
                     "part": pa.array((u % np.uint64(P)).astype(np.int64)),
                 }
             )
 
         def hash_merge(g: pa.Table) -> pa.Table:
+            h = np.asarray(g["h"].to_numpy(zero_copy_only=False), np.int64)
             u, tot = _key_sums(
-                np.asarray(g["h"].to_numpy(zero_copy_only=False), np.int64),
+                h,
                 np.asarray(g["cnt"].to_numpy(zero_copy_only=False), np.int64),
             )
-            return pa.table({"h": pa.array(u[tot > 1])})
+            _, bl = _key_sums(
+                h,
+                np.asarray(g["bl"].to_numpy(zero_copy_only=False), np.int64),
+            )
+            dup = tot > 1
+            return pa.table(
+                {"h": pa.array(u[dup]), "bl": pa.array(bl[dup])}
+            )
 
         hd_ds = _digest_merge(
             ds.select_columns([text_col]).map_batches(
@@ -750,18 +796,35 @@ def _collapse_exact_texts(
             hash_merge,
             max(driver_merge_max_rows, _INT_CENSUS_DRIVER_MAX),
         ).materialize()
+        hd_tabs = [
+            t
+            for t in ray.get(hd_ds.to_arrow_refs())
+            if t.num_rows and "h" in t.column_names
+        ]
         hd = np.sort(
             np.concatenate(
                 [
                     np.asarray(t["h"].to_numpy(zero_copy_only=False), np.int64)
-                    for t in ray.get(hd_ds.to_arrow_refs())
-                    if t.num_rows and "h" in t.column_names
+                    for t in hd_tabs
                 ]
                 or [np.empty(0, np.int64)]
             )
         )
+        # exact string-merge input bytes (see hash_partial's bl): the
+        # driver-decided widen flag every merge partition and both union
+        # sides share, so the output text type cannot diverge per block
+        dup_in_bytes = sum(
+            int(pc.sum(t["bl"]).as_py() or 0) for t in hd_tabs
+        )
+        force_wide = dup_in_bytes > ARROW_STR_WIDEN_BOUND
         if hd.nbytes > max_broadcast_bytes:
-            use_hash = False  # heavily-templated corpus: string census
+            # heavily-templated corpus: string census; its merge input
+            # (per-block distinct of EVERYTHING, not just dups) has no
+            # driver census, so widen conservatively — always safe
+            use_hash = False
+            force_wide = True
+
+    merge = _make_merge(force_wide)
 
     if not use_hash:
         reps_ds = _digest_merge(
@@ -795,8 +858,19 @@ def _collapse_exact_texts(
             ),
             batch_format="pyarrow",
         )
+        join_left = ds.select_columns([id_col, text_col])
+        if force_wide and not pa.types.is_large_string(text_type):
+            # reps were force-widened: the join key types must match
+            join_left = join_left.map_batches(
+                lambda b: b.set_column(
+                    b.column_names.index(text_col),
+                    text_col,
+                    b[text_col].cast(pa.large_string()),
+                ),
+                batch_format="pyarrow",
+            )
         joined = equi_join(
-            ds.select_columns([id_col, text_col]),
+            join_left,
             rep_slim,
             text_col,
             text_col,
@@ -936,10 +1010,13 @@ def _collapse_exact_texts(
 
     def keep_direct(batch: pa.Table) -> pa.Table:
         sel = batch.filter(pc.equal(batch["kind"], 0))
+        t = sel["t"]
+        if force_wide and not pa.types.is_large_string(t.type):
+            t = t.cast(pa.large_string())  # match the merge side's type
         return pa.table(
             {
                 id_col: sel["mn"],
-                text_col: sel["t"],
+                text_col: t,
                 "n_members": sel["cnt"],
             }
         )
@@ -978,8 +1055,11 @@ def _collapse_exact_texts(
 
         def dup_docs(batch: pa.Table) -> pa.Table:
             sel = batch.filter(pc.equal(batch["kind"], 2))
+            t = sel["t"]
+            if force_wide and not pa.types.is_large_string(t.type):
+                t = t.cast(pa.large_string())  # join key must match reps
             return pa.table(
-                {id_col: sel["mn"].cast(id_type), text_col: sel["t"]}
+                {id_col: sel["mn"].cast(id_type), text_col: t}
             )
 
         rep_slim = dup_reps.select_columns([text_col, id_col]).map_batches(
@@ -2965,43 +3045,16 @@ _INT_CENSUS_DRIVER_MAX = 16_000_000
 def _fnv64_strings(a: pa.Array) -> np.ndarray:
     """Vectorized FULL-CONTENT FNV64 fold of a string array (the
     _shingle_hashes polynomial h = h*P + byte from h0=0, splitmix64
-    finished), computed segment-wise straight off the flat Arrow buffers
-    — no per-row Python. Unlike joins._string_part_hash (prefix-8 +
-    suffix-8 + length, for partition BALANCE only) every byte
-    contributes, so it is usable as a census key where near-identical
-    strings must separate. Returns uint64, one per row."""
-    if isinstance(a, pa.ChunkedArray):
-        a = a.combine_chunks()
-    n = len(a)
-    if not n:
-        return np.empty(0, np.uint64)
-    odt = np.int64 if pa.types.is_large_string(a.type) else np.int32
-    offs = np.frombuffer(a.buffers()[1], dtype=odt)[
-        a.offset : a.offset + n + 1
-    ].astype(np.int64)
-    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
-    starts, ends = offs[:-1], offs[1:]
-    lens = ends - starts
-    lo, hi = int(offs[0]), int(offs[-1])
-    if hi == lo:  # all rows empty
-        return _hash64(np.zeros(n, np.int64))
-    # h(s) = sum_j byte_j * P^(L-1-j) (mod 2^64): per-byte reverse index
-    # within its string, power table, one segmented sum via reduceat.
-    seg = data[lo:hi].astype(np.uint64)
-    rev = np.repeat(ends, lens) - 1 - np.arange(lo, hi, dtype=np.int64)
-    # vectorized power table (byte-identical to the scalar fold; a Python
-    # loop here costs ~1 s per 2 MB doc — review finding, round 5)
-    pw = np.ones(int(lens.max()), np.uint64)
-    pw[1:] = _FNV64_P
-    pw = np.multiply.accumulate(pw)
-    # sentinel 0 so a zero-length row at the very end indexes past the
-    # real bytes instead of clamping into (and corrupting) the previous
-    # segment's sum; interior zero-length rows are zeroed below.
-    contrib = np.r_[seg * pw[rev], np.zeros(1, np.uint64)]
-    h = np.add.reduceat(contrib, starts - lo).astype(np.uint64)
-    if (lens == 0).any():
-        h[lens == 0] = np.uint64(0)
-    return _hash64(h.astype(np.int64))
+    finished). The raw segmented fold is the SHARED kernel
+    blocking._fnv64_fold_rows (one copy of the reduceat sentinel /
+    empty-row logic, also behind multimodal._fnv64_bytes_rows); this
+    wrapper picks the string offset width and applies the splitmix
+    finish. Unlike joins._string_part_hash (prefix-8 + suffix-8 +
+    length, for partition BALANCE only) every byte contributes, so it
+    is usable as a census key where near-identical strings must
+    separate. Returns uint64, one per row."""
+    raw = _fnv64_fold_rows(a, pa.types.is_large_string(a.type))
+    return _hash64(raw.astype(np.int64))
 
 
 def _window_hash_positions(texts, n: int, pretok=None):

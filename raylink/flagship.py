@@ -349,3 +349,52 @@ def assign_clusters_distributed(entities_ds, clusters_ds, n_parts: int | None = 
         return pa.table(out)
 
     return union.groupby("part").map_groups(join_part, batch_format="pyarrow")
+
+
+def flagship_f1_probe(
+    n_conversations: int = 120,
+    seed: int = 42,
+    threshold: float = 0.75,
+) -> dict:
+    """Pairwise F1 of the flagship's clusters vs the reference-semantics
+    oracle on labeled pairs at fixed blocking key — the north-rule
+    correctness metric, at its documented probe scale (the
+    test_flagship_f1_gate fixture). ONE implementation shared by the
+    gate test and bench.py so the gated number and the reported number
+    can never diverge. Requires an initialized Ray session."""
+    import ray
+    import ray.data as rd
+
+    from raylink.metrics import pairwise_f1
+    from raylink.transcripts import generate_transcripts, labeled_pairs
+
+    transcripts, gt = generate_transcripts(n_conversations, seed=seed)
+    pairs = labeled_pairs(gt).to_pandas()
+    result = transcript_entity_resolution(
+        rd.from_arrow(transcripts), link_min_similarity=threshold
+    )
+    cl = pa.concat_tables(
+        ray.get(result.clusters.to_arrow_refs()), promote_options="default"
+    )
+    ours = {
+        m: (bk, cid)
+        for bk, m, cid in zip(
+            cl["block_key"].to_pylist(),
+            cl["member"].to_pylist(),
+            cl["cluster_id"].to_pylist(),
+        )
+    }
+    # oracle over the SAME distinct strings per block in the SAME order
+    ent = result.entities.to_pandas()
+    by_block: dict[str, list[str]] = {}
+    seen = set()
+    for bk, t in zip(ent["block_key"], ent["entity_text"]):
+        if (bk, t) not in seen:
+            seen.add((bk, t))
+            by_block.setdefault(bk, []).append(t)
+    ref = oracle_cluster_labels(by_block, threshold)
+    out = pairwise_f1(pairs, ours, ref)
+    out["n_assignments"] = result.assignments.count()
+    out["n_ground_truth"] = gt.num_rows
+    out["scored_pairs"] = result.scored_pairs
+    return out

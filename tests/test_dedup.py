@@ -1134,6 +1134,69 @@ def test_collapse_exact_census_parity(rd):
         r2.to_pandas().sort_values("doc_id", ignore_index=True), rh)
 
 
+def test_collapse_exact_force_wide_consistent_schema(rd, monkeypatch):
+    """When the driver-side census decides the string merge must widen to
+    large_string, EVERY output block (merge reps, kind-0 direct reps, the
+    doc-map join sides) must agree on the widened type — mixed
+    string/large_string blocks break pa.concat_tables
+    (promote_options='default') and the equi_join key kernel (round-5
+    review finding). Forces the flag via a tiny widen bound (the flag is
+    computed on the DRIVER, so the patch reaches it; workers' adaptive
+    backstop stays unpatched) and pins value parity vs the default run
+    plus concat-ability of the union output."""
+    import ray
+
+    import raylink.pipeline as rp
+    from raylink.dedup import _collapse_exact_texts
+
+    texts = [
+        "alpha beta gamma", "delta unique one", "alpha beta gamma",
+        None, "", "zeta unique two", "", "alpha beta gamma",
+        "eta unique three", None, "theta twice", "theta twice",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int32)),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+
+    def norm(reps_ds, map_ds):
+        r = (reps_ds.to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+        m = (map_ds.to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+        return r, m
+
+    base_r, base_m = norm(*_collapse_exact_texts(
+        ds, "doc_id", "text", 2_000_000, census="hash"))
+
+    monkeypatch.setattr(rp, "ARROW_STR_WIDEN_BOUND", 8)
+    reps, dmap = _collapse_exact_texts(ds, "doc_id", "text", 2_000_000,
+                                       census="hash")
+    tabs = [t_ for t_ in ray.get(reps.to_arrow_refs()) if t_.num_rows]
+    # the exact op the mixed schemas broke: concat with default promotion
+    cat = pa.concat_tables(tabs, promote_options="default")
+    assert all(pa.types.is_large_string(t_["text"].type) for t_ in tabs)
+    wr, wm = norm(rd.from_arrow(cat), dmap)
+    wr["text"] = wr["text"].astype(object)
+    pd.testing.assert_frame_equal(wr, base_r)
+    pd.testing.assert_frame_equal(wm, base_m)
+
+    # fallback-to-string-census path (max_broadcast_bytes=0): merge input
+    # has no byte census, so it widens conservatively — and the doc-map
+    # join's left side must be cast to match the widened reps
+    monkeypatch.setattr(rp, "ARROW_STR_WIDEN_BOUND", 1_800_000_000)
+    reps2, dmap2 = _collapse_exact_texts(ds, "doc_id", "text", 2_000_000,
+                                         census="hash",
+                                         max_broadcast_bytes=0)
+    tabs2 = [t_ for t_ in ray.get(reps2.to_arrow_refs()) if t_.num_rows]
+    assert all(pa.types.is_large_string(t_["text"].type) for t_ in tabs2)
+    fr, fm = norm(reps2, dmap2)
+    fr["text"] = fr["text"].astype(object)
+    pd.testing.assert_frame_equal(fr, base_r)
+    pd.testing.assert_frame_equal(fm, base_m)
+
+
 def test_fnv64_strings_unicode_fuzz():
     """Hypothesis fuzz: the vectorized fold == the scalar per-byte fold
     over arbitrary unicode (UTF-8 bytes drive the hash), and distinct

@@ -123,49 +123,16 @@ def test_blocked_match_is_per_block(rd):
 
 
 def test_flagship_f1_gate(rd):
-    import ray
+    """North-rule F1 gate via the SHARED probe (raylink.flagship.
+    flagship_f1_probe — the same implementation bench.py reports, so the
+    gated number and the reported number cannot diverge)."""
+    from raylink.flagship import flagship_f1_probe
 
-    from raylink.flagship import (
-        oracle_cluster_labels,
-        transcript_entity_resolution,
-    )
-    from raylink.transcripts import generate_transcripts, labeled_pairs
-
-    transcripts, gt = generate_transcripts(120, seed=42)
-    pairs = labeled_pairs(gt).to_pandas()
-    ds = rd.from_arrow(transcripts)
-    result = transcript_entity_resolution(ds, link_min_similarity=0.75)
-
-    cl = pa.concat_tables(
-        ray.get(result.clusters.to_arrow_refs()), promote_options="default"
-    )
-    ours = {
-        m: (bk, cid)
-        for bk, m, cid in zip(
-            cl["block_key"].to_pylist(),
-            cl["member"].to_pylist(),
-            cl["cluster_id"].to_pylist(),
-        )
-    }
-
-    # oracle over the SAME distinct strings per block in the SAME order
-    ent = result.entities.to_pandas()
-    ent["row_order"] = np.arange(len(ent))
-    by_block: dict[str, list[str]] = {}
-    seen = set()
-    for bk, t in zip(ent["block_key"], ent["entity_text"]):
-        if (bk, t) not in seen:
-            seen.add((bk, t))
-            by_block.setdefault(bk, []).append(t)
-    ref = oracle_cluster_labels(by_block, 0.75)
-
-    f1 = pairwise_f1(pairs, ours, ref)
+    f1 = flagship_f1_probe()
     assert f1["f1"] >= 0.99, f1
-
     # assignments cover every conversation
-    n_assign = result.assignments.count()
-    assert n_assign == gt.num_rows
-    assert result.scored_pairs > 0
+    assert f1["n_assignments"] == f1["n_ground_truth"]
+    assert f1["scored_pairs"] > 0
 
 
 def test_flagship_recovers_ground_truth(rd):
