@@ -117,12 +117,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
     )
     extras["stage_timings"] = {k: round(v, 3) for k, v in result.timings.items()}
     if not flagship_only:
-        # skipped in the --scaling subprocesses (flagship_only): they
-        # consume only stage timings and would pay a dead probe run
-        # inside the noise-sensitive harness (review finding)
+        # the probe and the query sweep are both skipped in the
+        # --scaling subprocesses (flagship_only): they consume only
+        # stage timings and would pay a dead probe run inside the
+        # noise-sensitive harness (review finding)
         extras["pairwise_f1_vs_reference"] = round(_f1_probe(), 4)
 
-    if not flagship_only:
         from raylink.queries import QUERIES
 
         bench_queries = [

@@ -577,14 +577,20 @@ def _verify_pairs_distributed(
     return union.groupby("part").map_groups(verify_part, batch_format="pyarrow")
 
 
-def _key_sums(k: np.ndarray, n: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Per-distinct-key sums of ``n`` (the int-census merge core shared by
-    the hash censuses and the duplicate-id-claim checks): returns
-    (unique_keys, summed_counts)."""
+def _key_sums(k: np.ndarray, *ns: np.ndarray):
+    """Per-distinct-key sums of each value array in ``ns`` over ONE
+    ``np.unique`` sort of ``k`` (the int-census merge core shared by the
+    hash censuses and the duplicate-id-claim checks): returns
+    ``(unique_keys, summed_1, ..., summed_n)``. Variadic so multi-column
+    digests (the collapse census's cnt + bl) pay the dominant O(n log n)
+    key sort once, not per column."""
     u, inv = np.unique(k, return_inverse=True)
-    tot = np.zeros(len(u), np.int64)
-    np.add.at(tot, inv, n)
-    return u, tot
+    sums = []
+    for n in ns:
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, n)
+        sums.append(tot)
+    return (u, *sums)
 
 
 def _sorted_member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
@@ -632,7 +638,7 @@ def _collapse_exact_texts(
 
     from raylink.aggs import _default_parts, _digest_merge
     from raylink.joins import _string_part_hash, equi_join
-    from raylink.pipeline import ARROW_STR_WIDEN_BOUND, _widen_text_if_needed
+    from raylink.pipeline import ARROW_STR_WIDEN_BOUND
 
     P = _default_parts(None)
     if census not in ("hash", "string"):
@@ -684,27 +690,41 @@ def _collapse_exact_texts(
         # (the ARROW_STR_WIDEN_BOUND convention; overflow would otherwise
         # raise ArrowCapacityError at ~2 GiB of concatenated text).
         # ``force_wide`` makes the output type a DRIVER decision (hash
-        # path: exact census byte total; fallback: conservatively wide) —
-        # a per-partition adaptive widen would emit large_string from
-        # some partitions and string from others, and the downstream
-        # union / equi_join would then mix schemas (round-5 review
-        # finding). _widen_text_if_needed stays as the per-partition
-        # overflow backstop for the explicit census="string" path, which
-        # has no driver census to decide from; it is captured from the
-        # enclosing scope (a worker body must not import raylink at
-        # runtime).
+        # path: census byte total with a 2x margin; string path: the
+        # materialized partials' block-metadata byte total, which the
+        # merge input is a subset of) — a per-partition adaptive widen
+        # would emit large_string from some partitions and string from
+        # others, and the downstream union / equi_join would then mix
+        # schemas (round-5 review finding). If a narrow decision is ever
+        # contradicted by an actual partition (census estimate undershot
+        # past its margin), raise loudly instead of silently widening —
+        # mixed schemas corrupt the downstream join, a crash does not.
+        widen_bound = ARROW_STR_WIDEN_BOUND  # captured value: worker
+        # bodies must not import raylink at runtime
         empty_otype = pa.large_string() if force_wide else (
             pa.large_string() if pa.types.is_large_string(text_type)
             else pa.string()
         )
 
         def merge(g: pa.Table) -> pa.Table:
-            if force_wide and not pa.types.is_large_string(g["t"].type):
-                g = g.set_column(
-                    g.column_names.index("t"), "t",
-                    g["t"].cast(pa.large_string()),
+            t_in = g["t"]
+            if force_wide:
+                if not pa.types.is_large_string(t_in.type):
+                    g = g.set_column(
+                        g.column_names.index("t"), "t",
+                        t_in.cast(pa.large_string()),
+                    )
+            elif (
+                pa.types.is_string(t_in.type)
+                and t_in.nbytes > widen_bound
+            ):
+                raise RuntimeError(
+                    "collapse merge partition exceeds the int32 string-"
+                    "offset bound but the driver census decided against "
+                    "widening — the byte estimate undershot its 2x "
+                    "margin; report this (per-partition widening would "
+                    "silently mix string/large_string block schemas)"
                 )
-            g = _widen_text_if_needed(g, "t")
             t = g["t"].combine_chunks()
             if not len(t):
                 return pa.table(
@@ -736,8 +756,10 @@ def _collapse_exact_texts(
 
     use_hash = census == "hash"
     # driver-decided large_string widening for every text the merge /
-    # union / join path emits (explicit census="string" keeps the
-    # adaptive per-partition backstop: it has no census to decide from)
+    # union / join path emits — on EVERY path (hash census: byte totals
+    # with a margin; string census: the materialized partials' metadata
+    # byte total). Per-partition adaptive widening is banned here: it
+    # mixes string/large_string block schemas (round-5 review finding).
     force_wide = False
     if use_hash:
 
@@ -775,18 +797,25 @@ def _collapse_exact_texts(
             )
 
         def hash_merge(g: pa.Table) -> pa.Table:
+            # nd (total doc instances per dup hash) rides along so the
+            # driver can bound the string-merge input ROW count: kind-1
+            # rows are per-(block, dup text), so their count is <= nd
+            # whatever the block structure — the offset-byte term of the
+            # widen decision needs a bound that survives batching drift
+            # between the census scan and the split scan
             h = np.asarray(g["h"].to_numpy(zero_copy_only=False), np.int64)
-            u, tot = _key_sums(
+            u, tot, bl = _key_sums(
                 h,
                 np.asarray(g["cnt"].to_numpy(zero_copy_only=False), np.int64),
-            )
-            _, bl = _key_sums(
-                h,
                 np.asarray(g["bl"].to_numpy(zero_copy_only=False), np.int64),
             )
             dup = tot > 1
             return pa.table(
-                {"h": pa.array(u[dup]), "bl": pa.array(bl[dup])}
+                {
+                    "h": pa.array(u[dup]),
+                    "bl": pa.array(bl[dup]),
+                    "nd": pa.array(tot[dup]),
+                }
             )
 
         hd_ds = _digest_merge(
@@ -810,27 +839,58 @@ def _collapse_exact_texts(
                 or [np.empty(0, np.int64)]
             )
         )
-        # exact string-merge input bytes (see hash_partial's bl): the
+        # string-merge input bytes (see hash_partial's bl / hash_merge's
+        # nd; the pc.sum calls read the plasma-mapped blocks zero-copy —
+        # only the h arrays are copied onto the driver heap): the
         # driver-decided widen flag every merge partition and both union
-        # sides share, so the output text type cannot diverge per block
+        # sides share, so the output text type cannot diverge per block.
+        # Data bytes are exact iff the census scan and the split scan see
+        # the same batch boundaries (both default to whole-block batches
+        # over the same plan); the 2x data + 16*rows margin absorbs
+        # batching drift and the per-row offset/validity overhead the
+        # backstop's nbytes check counts — widening early is always safe,
+        # and the merge raises loudly if the margin is ever breached.
         dup_in_bytes = sum(
             int(pc.sum(t["bl"]).as_py() or 0) for t in hd_tabs
         )
-        force_wide = dup_in_bytes > ARROW_STR_WIDEN_BOUND
+        dup_rows = sum(
+            int(pc.sum(t["nd"]).as_py() or 0) for t in hd_tabs
+        )
+        force_wide = (
+            2 * dup_in_bytes + 16 * dup_rows > ARROW_STR_WIDEN_BOUND
+        )
         if hd.nbytes > max_broadcast_bytes:
-            # heavily-templated corpus: string census; its merge input
-            # (per-block distinct of EVERYTHING, not just dups) has no
-            # driver census, so widen conservatively — always safe
+            # heavily-templated corpus: fall back to the string census
+            # below (its own driver decision takes over)
             use_hash = False
-            force_wide = True
+
+    parts_ds = None
+    if not use_hash:
+        # explicit census="string" and the broadcast-bound fallback:
+        # materialize the census partials FIRST — their block-metadata
+        # byte total dominates any merge partition's t-column nbytes
+        # (the merge input IS this dataset: same blocks, plus 24 B/row of
+        # int columns in the total), so the widen decision is a driver
+        # decision here too, with no extra scan and no margin needed
+        parts_ds = ds.select_columns([id_col, text_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ).materialize()
+        force_wide = parts_ds.size_bytes() > ARROW_STR_WIDEN_BOUND
+
+    def _cast_wide(arr):
+        # one copy of the "match the driver-decided merge output type"
+        # cast for every consumer (kind-0 direct reps, the doc-map join
+        # sides); captures the final force_wide — worker closures must
+        # not import raylink at runtime
+        if force_wide and not pa.types.is_large_string(arr.type):
+            return arr.cast(pa.large_string())
+        return arr
 
     merge = _make_merge(force_wide)
 
     if not use_hash:
         reps_ds = _digest_merge(
-            ds.select_columns([id_col, text_col]).map_batches(
-                partial, batch_format="pyarrow"
-            ),
+            parts_ds,
             merge,
             driver_merge_max_rows,
         ).materialize()
@@ -865,7 +925,7 @@ def _collapse_exact_texts(
                 lambda b: b.set_column(
                     b.column_names.index(text_col),
                     text_col,
-                    b[text_col].cast(pa.large_string()),
+                    _cast_wide(b[text_col]),
                 ),
                 batch_format="pyarrow",
             )
@@ -1010,9 +1070,7 @@ def _collapse_exact_texts(
 
     def keep_direct(batch: pa.Table) -> pa.Table:
         sel = batch.filter(pc.equal(batch["kind"], 0))
-        t = sel["t"]
-        if force_wide and not pa.types.is_large_string(t.type):
-            t = t.cast(pa.large_string())  # match the merge side's type
+        t = _cast_wide(sel["t"])  # match the merge side's type
         return pa.table(
             {
                 id_col: sel["mn"],
@@ -1055,9 +1113,7 @@ def _collapse_exact_texts(
 
         def dup_docs(batch: pa.Table) -> pa.Table:
             sel = batch.filter(pc.equal(batch["kind"], 2))
-            t = sel["t"]
-            if force_wide and not pa.types.is_large_string(t.type):
-                t = t.cast(pa.large_string())  # join key must match reps
+            t = _cast_wide(sel["t"])  # join key must match reps
             return pa.table(
                 {id_col: sel["mn"].cast(id_type), text_col: t}
             )

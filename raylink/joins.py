@@ -63,13 +63,20 @@ def asof_join(
     payload_types = {c: _rtypes[c] for c in payload}
 
     def left_rows(batch: pa.Table) -> pa.Table:
+        # ONE id column for both sides ("side" disambiguates): a second
+        # mutually-exclusive id column is 8 dead bytes per row on the
+        # all-to-all, and asof's staged width IS its scale cost (the
+        # round-5 probe's residual over the output-growth target was
+        # byte volume, not partition sizing). Cast to int64 so the two
+        # sides' blocks agree in the union (the old lid/rid staging
+        # already required int64 ids implicitly — the cross-side -1
+        # fill was int64).
         n = batch.num_rows
         cols = {
             "k": batch[key_col],
             "t": batch[ts_col],
             "side": pa.array(np.ones(n, dtype=np.int8)),
-            "lid": batch[left_id_col],
-            "rid": pa.array(np.full(n, -1, dtype=np.int64)),
+            "id": batch[left_id_col].cast(pa.int64()),
         }
         for c in payload:
             cols[c] = pa.nulls(n, payload_types[c])
@@ -83,8 +90,7 @@ def asof_join(
             "k": batch[key_col],
             "t": batch[ts_col],
             "side": pa.array(np.zeros(n, dtype=np.int8)),
-            "lid": pa.array(np.full(n, -1, dtype=np.int64)),
-            "rid": batch[right_id_col],
+            "id": batch[right_id_col].cast(pa.int64()),
         }
         for c in payload:
             cols[c] = batch[c]
@@ -102,11 +108,10 @@ def asof_join(
         k = np.asarray(g["k"].to_numpy(zero_copy_only=False), np.int64)
         t = _ts_int64(g["t"].combine_chunks())
         side = np.asarray(g["side"].to_numpy(zero_copy_only=False), np.int8)
-        lid = np.asarray(g["lid"].to_numpy(zero_copy_only=False), np.int64)
-        rid = np.asarray(g["rid"].to_numpy(zero_copy_only=False), np.int64)
+        rowid = np.asarray(g["id"].to_numpy(zero_copy_only=False), np.int64)
         empty_cols = {
-            left_id_col: pa.array([], g.schema.field("lid").type),
-            right_id_col: pa.array([], g.schema.field("rid").type),
+            left_id_col: pa.array([], g.schema.field("id").type),
+            right_id_col: pa.array([], g.schema.field("id").type),
             **{c: pa.array([], g.schema.field(c).type) for c in payload},
         }
         if not len(k):
@@ -116,7 +121,7 @@ def asof_join(
         # reverses so lefts cannot see equal-ts rights. Rights at equal
         # (key, ts) order by rid asc so the LAST one is the max id.
         side_order = np.where(is_right, 1, 0) if is_strict else np.where(is_right, 0, 1)
-        tie_id = np.where(is_right, rid, np.int64(0))
+        tie_id = np.where(is_right, rowid, np.int64(0))
         order = np.lexsort((tie_id, side_order, t, k))
         ks, sides_s = k[order], side[order]
         right_s = sides_s == 0
@@ -128,9 +133,10 @@ def asof_join(
         left_pos, f = left_pos[ok], f[ok]
         src_left = order[left_pos]
         src_right = order[f]
+        ids = g["id"].combine_chunks()
         out = {
-            left_id_col: g["lid"].combine_chunks().take(pa.array(src_left)),
-            right_id_col: g["rid"].combine_chunks().take(pa.array(src_right)),
+            left_id_col: ids.take(pa.array(src_left)),
+            right_id_col: ids.take(pa.array(src_right)),
         }
         for c in payload:
             out[c] = g[c].combine_chunks().take(pa.array(src_right))
@@ -337,7 +343,7 @@ def _sorted_pandas(res, sort_cols):
 
 
 _EQUI_STAGE_COLS = frozenset({"k", "side", "part"})
-_ASOF_STAGE_COLS = frozenset({"k", "t", "side", "part", "lid", "rid"})
+_ASOF_STAGE_COLS = frozenset({"k", "t", "side", "part", "id"})
 
 
 def _check_reserved(op: str, names, reserved=_EQUI_STAGE_COLS) -> None:

@@ -1182,19 +1182,43 @@ def test_collapse_exact_force_wide_consistent_schema(rd, monkeypatch):
     pd.testing.assert_frame_equal(wr, base_r)
     pd.testing.assert_frame_equal(wm, base_m)
 
-    # fallback-to-string-census path (max_broadcast_bytes=0): merge input
-    # has no byte census, so it widens conservatively — and the doc-map
-    # join's left side must be cast to match the widened reps
+    # fallback-to-string-census path (max_broadcast_bytes=0): the widen
+    # decision comes from the materialized census partials' byte total —
+    # narrow at this scale, and every block must AGREE on the narrow type
     monkeypatch.setattr(rp, "ARROW_STR_WIDEN_BOUND", 1_800_000_000)
     reps2, dmap2 = _collapse_exact_texts(ds, "doc_id", "text", 2_000_000,
                                          census="hash",
                                          max_broadcast_bytes=0)
     tabs2 = [t_ for t_ in ray.get(reps2.to_arrow_refs()) if t_.num_rows]
-    assert all(pa.types.is_large_string(t_["text"].type) for t_ in tabs2)
+    assert all(pa.types.is_string(t_["text"].type) for t_ in tabs2)
     fr, fm = norm(reps2, dmap2)
-    fr["text"] = fr["text"].astype(object)
     pd.testing.assert_frame_equal(fr, base_r)
     pd.testing.assert_frame_equal(fm, base_m)
+
+    # ... and the same fallback under a tiny bound must widen EVERY
+    # block (the string census's own driver decision), values unchanged
+    monkeypatch.setattr(rp, "ARROW_STR_WIDEN_BOUND", 8)
+    reps3, dmap3 = _collapse_exact_texts(ds, "doc_id", "text", 2_000_000,
+                                         census="hash",
+                                         max_broadcast_bytes=0)
+    tabs3 = [t_ for t_ in ray.get(reps3.to_arrow_refs()) if t_.num_rows]
+    assert all(pa.types.is_large_string(t_["text"].type) for t_ in tabs3)
+    wr3, wm3 = norm(reps3, dmap3)
+    wr3["text"] = wr3["text"].astype(object)
+    pd.testing.assert_frame_equal(wr3, base_r)
+    pd.testing.assert_frame_equal(wm3, base_m)
+
+    # explicit census="string" under the tiny bound: same driver
+    # decision (this path used to keep a PER-PARTITION adaptive widen —
+    # the exact mixed-schema defect the driver decision exists to kill)
+    repss, dmaps = _collapse_exact_texts(ds, "doc_id", "text", 2_000_000,
+                                         census="string")
+    tabss = [t_ for t_ in ray.get(repss.to_arrow_refs()) if t_.num_rows]
+    assert all(pa.types.is_large_string(t_["text"].type) for t_ in tabss)
+    sr, sm = norm(repss, dmaps)
+    sr["text"] = sr["text"].astype(object)
+    pd.testing.assert_frame_equal(sr, base_r)
+    pd.testing.assert_frame_equal(sm, base_m)
 
 
 def test_fnv64_strings_unicode_fuzz():
