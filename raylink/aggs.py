@@ -54,6 +54,37 @@ def _topk_rows(k_arr, v_arr, i_arr, k: int, descending: bool):
     return order[keep], ordn[keep]
 
 
+def _widen_or_raise(
+    g: pa.Table, col: str, force_wide: bool, bound: int
+) -> pa.Table:
+    """String-width discipline for digest merges whose key is unbounded
+    text (paragraphs, span windows, full documents): the large_string
+    decision is made ONCE on the driver (``force_wide``) and every merge
+    partition obeys it — a per-partition adaptive widen emits
+    large_string from some partitions and string from others, and the
+    downstream concat/union/join then mixes block schemas (round-5
+    review finding; pa.concat_tables(promote_options="default") refuses
+    string vs large_string). If a narrow decision is contradicted by an
+    actual partition (the driver's byte estimate undershot), raise
+    loudly rather than silently diverge. Worker-safe: capture this
+    function in the enclosing scope, never import it in a worker body."""
+    c = g[col]
+    if force_wide:
+        if not pa.types.is_large_string(c.type):
+            g = g.set_column(
+                g.column_names.index(col), col, c.cast(pa.large_string())
+            )
+    elif pa.types.is_string(c.type) and c.nbytes > bound:
+        raise RuntimeError(
+            f"digest merge partition for {col!r} exceeds the int32 "
+            "string-offset bound but the driver decided against "
+            "widening — the byte estimate undershot; report this "
+            "(per-partition widening would mix string/large_string "
+            "block schemas)"
+        )
+    return g
+
+
 def _digest_merge(parts_ds, merge_fn, driver_merge_max_rows: int):
     """Shared digest-merge dispatch: below the bound, concatenate the
     (already partially-reduced) digest blocks on the driver and run the

@@ -3248,10 +3248,10 @@ def remove_duplicate_spans(
     is part of the large-scale-pipeline extension set (SURVEY §8)."""
     import pyarrow.compute as pc
 
-    from raylink.aggs import _digest_merge
+    from raylink.aggs import _digest_merge, _widen_or_raise
     from raylink.broadcast import cached_object as _co
     from raylink.joins import _string_part_hash, equi_join, semi_join
-    from raylink.pipeline import _widen_text_if_needed
+    from raylink.pipeline import ARROW_STR_WIDEN_BOUND, _widen_text_if_needed
 
     W = int(window)
     if W < 1:
@@ -3330,54 +3330,72 @@ def remove_duplicate_spans(
                 "(the span keeper rule and the reassembly key on it)"
             )
 
-    def census_merge(g: pa.Table) -> pa.Table:
-        idr = np.asarray(g["idr"].to_numpy(zero_copy_only=False), np.int8)
-        idm = idr == 1
-        if idm.any():
-            _raise_dup_id_claims(
-                np.asarray(g["mk"].to_numpy(zero_copy_only=False), np.int64)[
-                    idm
-                ],
-                np.asarray(g["n"].to_numpy(zero_copy_only=False), np.int64)[
-                    idm
-                ],
+    widen_bound = ARROW_STR_WIDEN_BOUND  # captured: worker bodies must
+    _wor = _widen_or_raise  # not import raylink at runtime
+
+    def _make_census_merge(force_wide: bool):
+        # the large_string decision is a DRIVER decision (the
+        # materialized census partials' byte total, which each merge
+        # partition's input is a subset of) — per-partition adaptive
+        # widening would mix string/large_string census blocks and the
+        # broadcast concat / equi-join staging refuse mixed widths
+        # (round-5 review finding)
+        def census_merge(g: pa.Table) -> pa.Table:
+            idr = np.asarray(g["idr"].to_numpy(zero_copy_only=False), np.int8)
+            idm = idr == 1
+            if idm.any():
+                _raise_dup_id_claims(
+                    np.asarray(
+                        g["mk"].to_numpy(zero_copy_only=False), np.int64
+                    )[idm],
+                    np.asarray(
+                        g["n"].to_numpy(zero_copy_only=False), np.int64
+                    )[idm],
+                )
+            g = _wor(
+                g.filter(pa.array(~idm)), "gram", force_wide, widen_bound
             )
-        g = _widen_text_if_needed(g.filter(pa.array(~idm)), "gram")
-        ga = g["gram"].combine_chunks()
-        if not len(ga):
+            ga = g["gram"].combine_chunks()
+            if not len(ga):
+                return pa.table(
+                    {
+                        "gram": pa.array(
+                            [],
+                            pa.large_string() if force_wide else pa.string(),
+                        ),
+                        "mk": pa.array([], pa.int64()),
+                    }
+                )
+            codes, uniques = pd.factorize(ga.to_numpy(zero_copy_only=False))
+            n = np.zeros(len(uniques), np.int64)
+            mk = np.full(len(uniques), np.iinfo(np.int64).max, np.int64)
+            np.add.at(n, codes, g["n"].to_numpy(zero_copy_only=False))
+            np.minimum.at(mk, codes, g["mk"].to_numpy(zero_copy_only=False))
+            dup = n > 1  # only duplicated windows matter downstream
+            otype = (
+                pa.large_string()
+                if pa.types.is_large_string(ga.type)
+                else pa.string()
+            )
             return pa.table(
                 {
-                    "gram": pa.array([], pa.string()),
-                    "mk": pa.array([], pa.int64()),
+                    "gram": pa.array(np.asarray(uniques)[dup], otype),
+                    "mk": pa.array(mk[dup]),
                 }
             )
-        codes, uniques = pd.factorize(ga.to_numpy(zero_copy_only=False))
-        n = np.zeros(len(uniques), np.int64)
-        mk = np.full(len(uniques), np.iinfo(np.int64).max, np.int64)
-        np.add.at(n, codes, g["n"].to_numpy(zero_copy_only=False))
-        np.minimum.at(mk, codes, g["mk"].to_numpy(zero_copy_only=False))
-        dup = n > 1  # only duplicated windows matter downstream
-        otype = (
-            pa.large_string()
-            if pa.types.is_large_string(ga.type)
-            else pa.string()
-        )
-        return pa.table(
-            {
-                "gram": pa.array(np.asarray(uniques)[dup], otype),
-                "mk": pa.array(mk[dup]),
-            }
-        )
+
+        return census_merge
 
     if census not in ("hash", "string"):
         raise ValueError("census must be 'hash' or 'string'")
 
     def _string_census():
+        parts = ds.select_columns([id_col, text_col]).map_batches(
+            census_partial, batch_format="pyarrow"
+        ).materialize()
         return _digest_merge(
-            ds.select_columns([id_col, text_col]).map_batches(
-                census_partial, batch_format="pyarrow"
-            ),
-            census_merge,
+            parts,
+            _make_census_merge(parts.size_bytes() > ARROW_STR_WIDEN_BOUND),
             driver_merge_max_rows,
         ).materialize()
 
@@ -3515,11 +3533,14 @@ def remove_duplicate_spans(
                     }
                 )
 
+            cand_parts = ds.select_columns([id_col, text_col]).map_batches(
+                cand_partial, batch_format="pyarrow"
+            ).materialize()
             dup_census = _digest_merge(
-                ds.select_columns([id_col, text_col]).map_batches(
-                    cand_partial, batch_format="pyarrow"
+                cand_parts,
+                _make_census_merge(
+                    cand_parts.size_bytes() > ARROW_STR_WIDEN_BOUND
                 ),
-                census_merge,
                 driver_merge_max_rows,
             ).materialize()
 

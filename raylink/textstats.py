@@ -436,9 +436,9 @@ def paragraph_counts(
     corpus); per-doc distinct counting inside the partial is GLOBAL
     because each doc lives in exactly one block row. Merge dispatch is
     the shared bounded-driver-merge / keyed-groupby switch."""
-    from raylink.aggs import _default_parts, _digest_merge
+    from raylink.aggs import _default_parts, _digest_merge, _widen_or_raise
     from raylink.joins import _string_part_hash
-    from raylink.pipeline import _widen_text_if_needed
+    from raylink.pipeline import ARROW_STR_WIDEN_BOUND
 
     P = _default_parts(n_parts)
 
@@ -470,17 +470,28 @@ def paragraph_counts(
             }
         )
 
+    # paragraph strings are unbounded-length: the large_string decision
+    # is made ONCE here on the driver — the materialized partials'
+    # metadata byte total dominates any merge partition's paragraph-
+    # column nbytes (the merge input IS this dataset) — so the output
+    # width cannot diverge per partition (round-5 review finding; the
+    # consumers, remove_boilerplate's broadcast concat and anti
+    # semi-join, refuse mixed string/large_string blocks)
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    force_wide = parts_ds.size_bytes() > ARROW_STR_WIDEN_BOUND
+    widen_bound = ARROW_STR_WIDEN_BOUND  # captured values: no runtime
+    _wor = _widen_or_raise  # raylink imports in worker bodies
+
     def merge(g: pa.Table) -> pa.Table:
-        # paragraph strings are unbounded-length: widen above the
-        # int32-offset bound before the single-array combine (captured
-        # from the enclosing scope — no runtime raylink import in a
-        # worker body)
-        g = _widen_text_if_needed(g, "paragraph")
+        g = _wor(g, "paragraph", force_wide, widen_bound)
         para = g["paragraph"].combine_chunks()
         if not len(para):
             return pa.table(
                 {
-                    "paragraph": pa.array([], pa.string()),
+                    "paragraph": pa.array(
+                        [],
+                        pa.large_string() if force_wide else pa.string(),
+                    ),
                     "n_occurrences": pa.array([], pa.int64()),
                     "n_docs": pa.array([], pa.int64()),
                 }
@@ -504,7 +515,7 @@ def paragraph_counts(
         )
 
     res = _digest_merge(
-        ds.map_batches(partial, batch_format="pyarrow"),
+        parts_ds,
         merge,
         driver_merge_max_rows,
     )

@@ -810,3 +810,46 @@ def test_paragraph_merge_factory_matches_counts(rd):
     # null text -> one empty paragraph; "\nb" -> ["", "b"]
     assert got["a"] == (3, 2) and got["b"] == (3, 3)
     assert got["c"] == (1, 1) and got[""] == (2, 2)
+
+
+def test_paragraph_census_force_wide_consistent_schema(rd, monkeypatch):
+    """The paragraph census's large_string decision is made ONCE on the
+    driver (materialized-partials byte total) — a per-partition adaptive
+    widen would mix string/large_string census blocks, which
+    pa.concat_tables(promote_options='default') and the anti semi-join
+    staging refuse (round-5 review finding; same policy as the collapse
+    census). Forces the flag via a tiny widen bound and pins (a) every
+    census block agreeing on large_string, (b) value parity for
+    paragraph_counts AND both remove_boilerplate modes."""
+    import ray
+
+    import raylink.pipeline as rp
+    from raylink.textstats import paragraph_counts, remove_boilerplate
+
+    texts = [
+        "common para\nunique one\ncommon para", "common para\nunique two",
+        "solo text here", "common para\ncommon para\nunique three",
+        None, "", "unique four\ncommon para",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+
+    base_pc = paragraph_counts(ds, output="pandas")
+    base_b = remove_boilerplate(ds, mode="broadcast", output="pandas")
+    base_d = remove_boilerplate(ds, mode="distributed", output="pandas")
+
+    monkeypatch.setattr(rp, "ARROW_STR_WIDEN_BOUND", 8)
+    wide_counts = paragraph_counts(ds)
+    tabs = [t_ for t_ in ray.get(wide_counts.to_arrow_refs()) if t_.num_rows]
+    assert tabs and all(
+        pa.types.is_large_string(t_["paragraph"].type) for t_ in tabs
+    )
+    wide_pc = paragraph_counts(ds, output="pandas")
+    pd.testing.assert_frame_equal(wide_pc, base_pc)
+    pd.testing.assert_frame_equal(
+        remove_boilerplate(ds, mode="broadcast", output="pandas"), base_b)
+    pd.testing.assert_frame_equal(
+        remove_boilerplate(ds, mode="distributed", output="pandas"), base_d)

@@ -1289,3 +1289,42 @@ def test_hash_census_unicode_parity(rd):
     pd.testing.assert_frame_equal(
         mh.to_pandas().sort_values("doc_id", ignore_index=True),
         ms.to_pandas().sort_values("doc_id", ignore_index=True))
+
+
+def test_span_census_force_wide_consistent_schema(rd, monkeypatch):
+    """remove_duplicate_spans' census width is a DRIVER decision on both
+    census paths (hash confirmation pass and explicit census='string') —
+    per-partition widening would mix block widths into the broadcast
+    concat / join staging (round-5 review finding). Forces the flag via
+    a tiny widen bound; pins value parity for broadcast, distributed,
+    and census='string' against the unpatched run."""
+    import raylink.pipeline as rp
+    from raylink.dedup import remove_duplicate_spans
+
+    texts = [
+        "a b c d e f g h i j k l m n", "z y a b c d e f g h i j k l",
+        "totally different words here now", "a b c d e f g h i j q r s",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    W = 5
+    base_b = remove_duplicate_spans(ds, window=W, mode="broadcast",
+                                    output="pandas")
+    base_d = remove_duplicate_spans(ds, window=W, mode="distributed",
+                                    output="pandas")
+    base_s = remove_duplicate_spans(ds, window=W, census="string",
+                                    output="pandas")
+
+    monkeypatch.setattr(rp, "ARROW_STR_WIDEN_BOUND", 8)
+    pd.testing.assert_frame_equal(
+        remove_duplicate_spans(ds, window=W, mode="broadcast",
+                               output="pandas"), base_b)
+    pd.testing.assert_frame_equal(
+        remove_duplicate_spans(ds, window=W, mode="distributed",
+                               output="pandas"), base_d)
+    pd.testing.assert_frame_equal(
+        remove_duplicate_spans(ds, window=W, census="string",
+                               output="pandas"), base_s)
