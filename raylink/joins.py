@@ -58,7 +58,15 @@ def asof_join(
     _check_reserved("asof_join", right_payload_cols, _ASOF_STAGE_COLS)
     P = _stage_parts(n_parts)
     payload = tuple(right_payload_cols)
+    # schema BEFORE the null-filter wrap: a map over an empty dataset
+    # loses the inferable schema (the semi_join round-3 landmark)
     rschema = right_ds.schema()  # Ray Data Schema: names + pyarrow types
+    # null key or null ts rows can't satisfy the as-of predicate — drop
+    # them on BOTH sides (the repo-wide join null semantics; without the
+    # drop the int64 cast maps nulls to INT64_MIN and they match each
+    # other)
+    left_ds = _drop_null_keys(left_ds, key_col, ts_col)
+    right_ds = _drop_null_keys(right_ds, key_col, ts_col)
     _rtypes = dict(zip(rschema.names, rschema.types))
     payload_types = {c: _rtypes[c] for c in payload}
 
@@ -76,7 +84,9 @@ def asof_join(
             "k": batch[key_col],
             "t": batch[ts_col],
             "side": pa.array(np.ones(n, dtype=np.int8)),
-            "id": batch[left_id_col].cast(pa.int64()),
+            "id": _nonull(
+                batch[left_id_col], left_id_col, "asof_join"
+            ).cast(pa.int64()),
         }
         for c in payload:
             cols[c] = pa.nulls(n, payload_types[c])
@@ -90,7 +100,9 @@ def asof_join(
             "k": batch[key_col],
             "t": batch[ts_col],
             "side": pa.array(np.zeros(n, dtype=np.int8)),
-            "id": batch[right_id_col].cast(pa.int64()),
+            "id": _nonull(
+                batch[right_id_col], right_id_col, "asof_join"
+            ).cast(pa.int64()),
         }
         for c in payload:
             cols[c] = batch[c]
@@ -144,10 +156,7 @@ def asof_join(
 
     res = _sized_groupby(union, n_parts, merge_part)
     if output == "pandas":
-        out = res.to_pandas()
-        return out.sort_values(
-            [left_id_col, right_id_col], ignore_index=True
-        )
+        return _sorted_pandas(res, (left_id_col, right_id_col))
     return res
 
 
@@ -226,20 +235,43 @@ def _string_part_hash(a: pa.Array) -> np.ndarray:
     )
 
 
-def _drop_null_keys(ds, key_col: str):
-    """Null keys never satisfy SQL equality, but the distributed string
-    kernels would code every null to one shared sentinel and JOIN them to
-    each other — so null-key rows are dropped from both sides up front,
-    in every mode (documented join semantics; matches the broadcast
-    paths, where invalid ``index_in``/``is_in`` results filter out)."""
+def _drop_null_keys(ds, *key_cols: str):
+    """Null keys never satisfy SQL equality/comparison predicates, but
+    the int64 kernels would silently corrupt them (a null int64 column
+    round-trips through float64 in to_numpy: nulls become INT64_MIN and
+    every value above 2^53 in the batch loses precision) and the
+    distributed string kernels would code every null to one shared
+    sentinel and JOIN them to each other — so null-predicate rows are
+    dropped from both sides up front, in every mode (documented join
+    semantics; matches the broadcast paths, where invalid
+    ``index_in``/``is_in`` results filter out). Variadic: asof drops on
+    (key, ts) — a null timestamp can't satisfy the as-of comparison."""
 
     def f(batch: pa.Table) -> pa.Table:
-        col = batch[key_col]
-        if col.null_count == 0:
-            return batch
-        return batch.filter(pc.is_valid(col.combine_chunks()))
+        for key_col in key_cols:
+            col = batch[key_col]
+            if col.null_count:
+                batch = batch.filter(pc.is_valid(col.combine_chunks()))
+        return batch
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _nonull(col, name: str, op: str):
+    """Loud null rejection for columns the kernels cast to int64: the
+    float64 round-trip (see _drop_null_keys) is silent data corruption,
+    so columns that are OUTPUTS rather than join predicates (ids, order
+    columns, window keys) raise instead of dropping. Returns the
+    combined array."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if a.null_count:
+        raise ValueError(
+            f"{op}: column {name!r} contains null values — nulls would "
+            "silently corrupt the int64 kernel (null -> INT64_MIN via a "
+            "float64 round-trip that also rounds values above 2^53); "
+            "filter or fill upstream"
+        )
+    return a
 
 
 def _key_parts(col, P: int) -> np.ndarray:
@@ -289,7 +321,14 @@ def _stage_parts(n_parts: int | None) -> int:
     ``n_parts`` when given, else the FINE modulus that
     :func:`_sized_groupby` later rebases onto an input-sized effective
     count (the staging map can't know the input size yet)."""
-    return int(n_parts) if n_parts is not None else _FINE_PARTS
+    if n_parts is None:
+        return _FINE_PARTS
+    if int(n_parts) < 1:
+        # numpy `k % 0` silently yields 0 (RuntimeWarning only): every
+        # row would land in one mega-partition and the sized rebase is
+        # bypassed because n_parts is explicit
+        raise ValueError(f"n_parts must be >= 1, got {n_parts}")
+    return int(n_parts)
 
 
 def _sized_groupby(staged, n_parts: int | None, merge_fn):
@@ -748,6 +787,10 @@ def interval_join(
     overflow int64 (astronomical span x key-count — raise n_parts)."""
     P = _stage_parts(n_parts)
     gap = int(max_gap_us)
+    # null key/ts rows can't satisfy the pair predicate — drop (join
+    # null semantics); null ids raise (they're outputs, and the int64
+    # cast would silently corrupt them)
+    ds = _drop_null_keys(ds, key_col, ts_col)
 
     def add_part(batch: pa.Table) -> pa.Table:
         k = _int64_col(batch[key_col])
@@ -755,7 +798,7 @@ def interval_join(
             {
                 "k": batch[key_col],
                 "t": batch[ts_col],
-                "i": batch[id_col],
+                "i": _nonull(batch[id_col], id_col, "interval_join"),
                 "part": pa.array((k % P).astype(np.int64)),
             }
         )

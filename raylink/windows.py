@@ -27,7 +27,28 @@ import pyarrow as pa
 
 import ray
 
-from .joins import _key_codes, _key_parts, _sized_groupby, _stage_parts, _ts_int64
+from .joins import (
+    _key_codes,
+    _key_parts,
+    _nonull,
+    _sized_groupby,
+    _sorted_pandas,
+    _stage_parts,
+    _ts_int64,
+)
+
+
+def _check_out_names(op: str, user_cols, generated) -> None:
+    """Input column names colliding with an op's generated output or
+    staging columns would silently overwrite (dict-keyed table builds)
+    or break the groupby on a duplicate 'part' — collide loudly instead
+    (the joins' _check_reserved policy, applied to the window family)."""
+    bad = sorted(set(user_cols) & set(generated))
+    if bad:
+        raise ValueError(
+            f"{op}: input column name(s) {bad} collide with generated "
+            "output/staging columns — rename upstream"
+        )
 
 
 def _sorted_session_arrays(g: pa.Table, key_col, ts_col, id_col, gap_us):
@@ -35,10 +56,24 @@ def _sorted_session_arrays(g: pa.Table, key_col, ts_col, id_col, gap_us):
 
     Returns (order, ks, ts, sidx, new) — ``order`` indexes into ``g``,
     arrays are in sorted order, ``sidx`` is the 0-based session index
-    within each key run, ``new`` marks session starts."""
-    k = np.asarray(g[key_col].to_numpy(zero_copy_only=False), np.int64)
-    t = _ts_int64(g[ts_col].combine_chunks())
-    i = np.asarray(g[id_col].to_numpy(zero_copy_only=False), np.int64)
+    within each key run, ``new`` marks session starts. Nulls in any of
+    the three columns reject loudly (the int64 cast would silently map
+    them to INT64_MIN via a float64 round-trip that also corrupts values
+    above 2^53 — the windows null policy is loud rejection, matching the
+    value-column checks)."""
+    k = np.asarray(
+        _nonull(g[key_col], key_col, "windows").to_numpy(
+            zero_copy_only=False
+        ),
+        np.int64,
+    )
+    t = _ts_int64(_nonull(g[ts_col], ts_col, "windows"))
+    i = np.asarray(
+        _nonull(g[id_col], id_col, "windows").to_numpy(
+            zero_copy_only=False
+        ),
+        np.int64,
+    )
     order = np.lexsort((i, t, k))
     ks, ts, _ = k[order], t[order], i[order]
     new = np.ones(len(ks), dtype=bool)
@@ -57,7 +92,12 @@ def _partitioned(ds, key_col: str, n_parts: int | None):
     P = _stage_parts(n_parts)
 
     def add_part(batch: pa.Table) -> pa.Table:
-        k = np.asarray(batch[key_col].to_numpy(zero_copy_only=False), np.int64)
+        k = np.asarray(
+            _nonull(batch[key_col], key_col, "windows").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
         return batch.append_column("part", pa.array((k % P).astype(np.int64)))
 
     return ds.map_batches(add_part, batch_format="pyarrow")
@@ -75,6 +115,9 @@ def sessionize(
     """Per-event session assignment: one output row per input row with
     columns (key_col, id_col, session_idx). Integer key and id columns;
     ts may be timestamp or int64 microseconds."""
+    _check_out_names(
+        "sessionize", (key_col, ts_col, id_col), ("session_idx", "part")
+    )
     parts = _partitioned(ds.select_columns([key_col, ts_col, id_col]), key_col, n_parts)
 
     def assign(g: pa.Table) -> pa.Table:
@@ -99,9 +142,7 @@ def sessionize(
 
     res = _sized_groupby(parts, n_parts, assign)
     if output == "pandas":
-        return res.to_pandas().sort_values(
-            [key_col, id_col], ignore_index=True
-        )
+        return _sorted_pandas(res, (key_col, id_col))
     return res
 
 
@@ -118,6 +159,12 @@ def session_stats(
     end_us, duration_us), all int64. Computed inside the same single
     shuffle as ``sessionize`` — session boundaries are partition-local
     because a partition holds every row of its keys."""
+    _check_out_names(
+        "session_stats",
+        (key_col, ts_col, id_col),
+        ("session_idx", "n_events", "start_us", "end_us", "duration_us",
+         "part"),
+    )
     parts = _partitioned(ds.select_columns([key_col, ts_col, id_col]), key_col, n_parts)
 
     def stats(g: pa.Table) -> pa.Table:
@@ -150,9 +197,7 @@ def session_stats(
 
     res = _sized_groupby(parts, n_parts, stats)
     if output == "pandas":
-        return res.to_pandas().sort_values(
-            [key_col, "session_idx"], ignore_index=True
-        )
+        return _sorted_pandas(res, (key_col, "session_idx"))
     return res
 
 
@@ -187,6 +232,12 @@ def hopping_windows(
     from raylink.aggs import _default_parts, _digest_merge
     from raylink.blocking import _hash64
 
+    _check_out_names(
+        "hopping_windows",
+        (key_col, ts_col) + ((value_col,) if value_col is not None else ()),
+        ("win_start_us", "n_events", "sum_value_scaled", "n_partial",
+         "vq", "part"),
+    )
     P = _default_parts(None)
     size, hop = int(size_us), int(hop_us)
     if size <= 0 or hop <= 0 or size % hop:
@@ -197,14 +248,17 @@ def hopping_windows(
         # expansion AND partial (key, window) aggregation in one batch
         # pass — the groupby then shuffles per-block digests (distinct
         # (key, window) pairs), never the m-times-expanded rows
-        t = _ts_int64(batch[ts_col].combine_chunks())
+        t = _ts_int64(_nonull(batch[ts_col], ts_col, "hopping_windows"))
         n = len(t)
         q = np.floor_divide(t, hop)
         j = np.tile(np.arange(m, dtype=np.int64), n)
         starts = (np.repeat(q, m) - j) * hop
         keys = np.repeat(
             np.asarray(
-                batch[key_col].to_numpy(zero_copy_only=False), np.int64
+                _nonull(
+                    batch[key_col], key_col, "hopping_windows"
+                ).to_numpy(zero_copy_only=False),
+                np.int64,
             ),
             m,
         )
@@ -323,6 +377,11 @@ def rolling_window(
     is a lexsort + ONE cumulative sum with per-key-run rebasing — the
     rolling sum is cum[i] - cum[i - window] clamped at each key run's
     start, no per-key Python."""
+    _check_out_names(
+        "rolling_window",
+        (key_col, ts_col, id_col, value_col),
+        ("n_in_window", "roll_sum_scaled", "part"),
+    )
     sel = ds.map_batches(
         lambda b: pa.table(
             {
@@ -341,9 +400,19 @@ def rolling_window(
     scale = float(value_scale)
 
     def roll(g: pa.Table) -> pa.Table:
-        k = np.asarray(g[key_col].to_numpy(zero_copy_only=False), np.int64)
-        t = _ts_int64(g[ts_col].combine_chunks())
-        i = np.asarray(g[id_col].to_numpy(zero_copy_only=False), np.int64)
+        k = np.asarray(
+            _nonull(g[key_col], key_col, "rolling_window").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
+        t = _ts_int64(_nonull(g[ts_col], ts_col, "rolling_window"))
+        i = np.asarray(
+            _nonull(g[id_col], id_col, "rolling_window").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
         if g[value_col].null_count:
             raise ValueError(
                 f"rolling_window value column {value_col!r} contains nulls"
@@ -351,6 +420,15 @@ def rolling_window(
         v = np.asarray(
             g[value_col].to_numpy(zero_copy_only=False), np.float64
         )
+        if len(v) and not np.isfinite(v).all():
+            # non-null NaN/inf would np.rint -> astype(int64) to
+            # INT64_MIN silently, poisoning every rolling sum in the
+            # key's window range; hopping_windows' Arrow cast raises on
+            # the same input — align the siblings on loud
+            raise ValueError(
+                f"rolling_window value column {value_col!r} contains "
+                "NaN/inf values"
+            )
         n = len(k)
         if not n:
             return pa.table(
@@ -385,7 +463,7 @@ def rolling_window(
 
     res = _sized_groupby(parts, n_parts, roll)
     if output == "pandas":
-        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+        return _sorted_pandas(res, (id_col,))
     return res
 
 
@@ -402,6 +480,9 @@ def lag_deltas(
     integer microseconds — inter-arrival features in one co-shuffle.
     Output (id_col, key_col, prev_id, gap_us). Kernel: lexsort + one
     shift, first-of-key rows dropped (SQL LAG semantics)."""
+    _check_out_names(
+        "lag_deltas", (key_col, ts_col, id_col), ("prev_id", "gap_us", "part")
+    )
     sel = ds.map_batches(
         lambda b: pa.table(
             {key_col: b[key_col], ts_col: b[ts_col], id_col: b[id_col]}
@@ -411,9 +492,19 @@ def lag_deltas(
     parts = _partitioned(sel, key_col, n_parts)
 
     def lag(g: pa.Table) -> pa.Table:
-        k = np.asarray(g[key_col].to_numpy(zero_copy_only=False), np.int64)
-        t = _ts_int64(g[ts_col].combine_chunks())
-        i = np.asarray(g[id_col].to_numpy(zero_copy_only=False), np.int64)
+        k = np.asarray(
+            _nonull(g[key_col], key_col, "lag_deltas").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
+        t = _ts_int64(_nonull(g[ts_col], ts_col, "lag_deltas"))
+        i = np.asarray(
+            _nonull(g[id_col], id_col, "lag_deltas").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
         n = len(k)
         empty = pa.table(
             {
@@ -439,7 +530,7 @@ def lag_deltas(
 
     res = _sized_groupby(parts, n_parts, lag)
     if output == "pandas":
-        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+        return _sorted_pandas(res, (id_col,))
     return res
 
 
@@ -462,11 +553,17 @@ def lag_payload(
     per partition one lexsort over exact equality codes + an adjacent
     same-key mask; payloads move via two Arrow takes, never through
     Python objects."""
+    _check_out_names(
+        "lag_payload",
+        (key_col, order_col, *payload_cols),
+        {"part"} | {f"prev_{c}" for c in payload_cols},
+    )
     cols = [key_col, order_col, *payload_cols]
     sel = ds.select_columns(cols)
     P = _stage_parts(n_parts)
 
     def add_part(batch: pa.Table) -> pa.Table:
+        _nonull(batch[key_col], key_col, "lag_payload")
         return batch.append_column(
             "part", pa.array(_key_parts(batch[key_col], P))
         )
@@ -474,7 +571,10 @@ def lag_payload(
     def lag(g: pa.Table) -> pa.Table:
         codes = _key_codes(g[key_col])
         o = np.asarray(
-            g[order_col].to_numpy(zero_copy_only=False), np.int64
+            _nonull(g[order_col], order_col, "lag_payload").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
         )
         n = len(codes)
         # same column ORDER as the main branch (interleaved c, prev_c) —
@@ -512,9 +612,5 @@ def lag_payload(
         sel.map_batches(add_part, batch_format="pyarrow"), n_parts, lag
     )
     if output == "pandas":
-        return (
-            res.to_pandas()
-            .sort_values([key_col, order_col])
-            .reset_index(drop=True)
-        )
+        return _sorted_pandas(res, (key_col, order_col))
     return res

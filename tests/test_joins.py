@@ -389,3 +389,98 @@ def test_effective_parts_input_sized(ray_session):
     assert _effective_parts(1_000_000_000, 0) == max(floor, 1000)
     assert _effective_parts(0, 1 << 40) == max(floor, 8192)  # 1 TiB staged
     assert _effective_parts(10**12, 10**15) == _FINE_PARTS  # capped
+
+
+def test_asof_interval_null_predicate_semantics(rd):
+    """asof/interval drop null key/ts rows on both sides (the repo-wide
+    join null semantics) instead of letting the int64 cast map nulls to
+    INT64_MIN and join them to each other; null IDS raise loudly (they
+    are outputs — silently corrupting them is worse than dropping)."""
+    import pyarrow as pa
+
+    from raylink.joins import asof_join, interval_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, None], pa.int64()),
+        "ts": pa.array([10, 10, 11], pa.int64()),
+        "lid": pa.array([0, 1, 2], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, None], pa.int64()),
+        "ts": pa.array([5, 5], pa.int64()),
+        "rid": pa.array([100, 101], pa.int64()),
+        "val": pa.array([1.0, 2.0]),
+    }))
+    out = asof_join(left, right, "k", "ts", "lid", "rid",
+                    right_payload_cols=("val",), output="pandas")
+    assert list(zip(out["lid"], out["rid"])) == [(0, 100)]
+
+    # null ts dropped too (the as-of comparison can't be satisfied)
+    left2 = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([10, None], pa.int64()),
+        "lid": pa.array([0, 1], pa.int64()),
+    }))
+    out2 = asof_join(left2, right, "k", "ts", "lid", "rid",
+                     right_payload_cols=("val",), output="pandas")
+    assert list(out2["lid"]) == [0]
+
+    # null id raises loudly
+    left3 = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "ts": pa.array([10], pa.int64()),
+        "lid": pa.array([None], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="null"):
+        asof_join(left3, right, "k", "ts", "lid", "rid",
+                  output="pandas")
+
+    ev = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, None, None], pa.int64()),
+        "ts": pa.array([0, 5, 0, 5], pa.int64()),
+        "i": pa.array([10, 11, 12, 13], pa.int64()),
+    }))
+    pairs = interval_join(ev, "k", "ts", "i", max_gap_us=100,
+                          output="pandas")
+    # only the non-null key's pair emits; null-key rows never pair
+    assert list(zip(pairs["a"], pairs["b"])) == [(10, 11)]
+
+
+def test_asof_empty_input_pandas(rd):
+    """asof_join output='pandas' on an empty input must not KeyError on
+    the sort columns (empty Datasets lose their schema through
+    to_pandas — the _sorted_pandas rebuild the other joins already
+    use)."""
+    import pyarrow as pa
+
+    from raylink.joins import asof_join
+
+    empty_l = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.int64()),
+        "lid": pa.array([], pa.int64()),
+    }))
+    empty_r = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.int64()),
+        "rid": pa.array([], pa.int64()),
+    }))
+    out = asof_join(empty_l, empty_r, "k", "ts", "lid", "rid",
+                    output="pandas")
+    assert len(out) == 0
+
+
+def test_stage_parts_rejects_nonpositive(rd):
+    """n_parts=0 would make every staging kernel compute k % 0 = 0
+    (numpy RuntimeWarning only) and collapse the whole shuffle into one
+    mega-partition — reject loudly."""
+    import pyarrow as pa
+
+    from raylink.joins import equi_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                   "a": pa.array([1], pa.int64()),
+                                   "b": pa.array([2], pa.int64())}))
+    with pytest.raises(ValueError, match="n_parts"):
+        equi_join(left, left, "k", "k", ("a",), ("b",), n_parts=0,
+                  mode="distributed")

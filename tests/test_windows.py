@@ -301,3 +301,107 @@ def test_rolling_window_null_value_rejected(rd):
     with pytest.raises(Exception, match="null"):
         rolling_window(rd.from_arrow(t), "k", "ts", "i", "v", window=2,
                        output="pandas")
+
+
+def test_windows_reject_nulls_loudly(rd):
+    """Null key/ts/id values in the window ops would silently become
+    INT64_MIN through the float64 round-trip (corrupting every value
+    above 2^53 in the batch alongside) — the window null policy is loud
+    rejection, like the value-column checks."""
+    import pyarrow as pa
+
+    from raylink.windows import lag_deltas, rolling_window, sessionize
+
+    base = {
+        "k": pa.array([1, 1, None], pa.int64()),
+        "ts": pa.array([0, 5, 9], pa.int64()),
+        "i": pa.array([10, 11, 12], pa.int64()),
+    }
+    ds = rd.from_arrow(pa.table(base))
+    with pytest.raises(Exception, match="null"):
+        sessionize(ds, "k", "ts", "i", gap_us=2, output="pandas")
+    with pytest.raises(Exception, match="null"):
+        lag_deltas(ds, "k", "ts", "i", output="pandas")
+    null_ts = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([0, None], pa.int64()),
+        "i": pa.array([10, 11], pa.int64()),
+        "v": pa.array([1.0, 2.0]),
+    }))
+    with pytest.raises(Exception, match="null"):
+        rolling_window(null_ts, "k", "ts", "i", "v", window=2,
+                       output="pandas")
+
+
+def test_rolling_window_rejects_nan_values(rd):
+    """A non-null NaN in the value column would np.rint -> astype(int64)
+    to INT64_MIN silently (hopping's Arrow cast raises on the same
+    input) — rolling must raise too."""
+    import pyarrow as pa
+
+    from raylink.windows import rolling_window
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([0, 5], pa.int64()),
+        "i": pa.array([10, 11], pa.int64()),
+        "v": pa.array([1.0, float("nan")]),
+    }))
+    with pytest.raises(Exception, match="NaN"):
+        rolling_window(ds, "k", "ts", "i", "v", window=2, output="pandas")
+
+
+def test_windows_empty_input_pandas(rd):
+    """output='pandas' on empty inputs must not KeyError on the sort
+    columns (an empty Dataset loses its schema through to_pandas — the
+    joins' _sorted_pandas rebuild, adopted by the window family)."""
+    import pyarrow as pa
+
+    from raylink.windows import (
+        lag_deltas,
+        lag_payload,
+        rolling_window,
+        session_stats,
+        sessionize,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.int64()),
+        "i": pa.array([], pa.int64()),
+        "v": pa.array([], pa.float64()),
+        "p": pa.array([], pa.string()),
+    }))
+    assert len(sessionize(ds, "k", "ts", "i", gap_us=1,
+                          output="pandas")) == 0
+    assert len(session_stats(ds, "k", "ts", "i", gap_us=1,
+                             output="pandas")) == 0
+    assert len(rolling_window(ds, "k", "ts", "i", "v", window=2,
+                              output="pandas")) == 0
+    assert len(lag_deltas(ds, "k", "ts", "i", output="pandas")) == 0
+    assert len(lag_payload(ds, "k", "i", ("p",), output="pandas")) == 0
+
+
+def test_windows_reject_generated_name_collisions(rd):
+    """Input columns named like an op's generated output/staging columns
+    would be silently overwritten (dict-keyed table builds) or break the
+    groupby on a duplicate 'part' — collide loudly (the joins'
+    _check_reserved policy)."""
+    import pyarrow as pa
+
+    from raylink.windows import lag_payload, sessionize
+
+    ds = rd.from_arrow(pa.table({
+        "session_idx": pa.array([1], pa.int64()),
+        "ts": pa.array([0], pa.int64()),
+        "i": pa.array([10], pa.int64()),
+        "part": pa.array([0], pa.int64()),
+        "x": pa.array(["a"], pa.string()),
+        "prev_x": pa.array(["b"], pa.string()),
+    }))
+    with pytest.raises(ValueError, match="collide"):
+        sessionize(ds, "session_idx", "ts", "i", gap_us=1)
+    with pytest.raises(ValueError, match="collide"):
+        sessionize(ds, "part", "ts", "i", gap_us=1)
+    with pytest.raises(ValueError, match="collide"):
+        lag_payload(ds, "i", "ts", ("x", "prev_x"))
