@@ -23,15 +23,23 @@ import pyarrow as pa
 import ray
 import ray.data as _rd
 
+from raylink.blocking import _hash64
+
 
 def _np_i64(col) -> np.ndarray:
     return np.asarray(col.to_numpy(zero_copy_only=False), np.int64)
 
 
 def _default_parts(n_parts: int | None) -> int:
-    return n_parts if n_parts is not None else max(
-        8, int(ray.cluster_resources().get("CPU", 8)) * 2
-    )
+    """Staging modulus for the digest shuffles: the explicit ``n_parts``
+    when given, else the joins FINE modulus that :func:`_digest_merge`'s
+    sized groupby later rebases onto an input-sized effective partition
+    count (VERDICT r4 #1 applied to the census family — a fixed CPUs*2
+    count lets per-partition digest payload, and its O(n log n) merge
+    sort, grow without bound as the corpus grows on a fixed cluster)."""
+    from raylink.joins import _stage_parts
+
+    return _stage_parts(n_parts)
 
 
 def _key_run_ordinal(sorted_keys: np.ndarray) -> np.ndarray:
@@ -85,20 +93,32 @@ def _widen_or_raise(
     return g
 
 
-def _digest_merge(parts_ds, merge_fn, driver_merge_max_rows: int):
+def _digest_merge(
+    parts_ds, merge_fn, driver_merge_max_rows: int,
+    n_parts: int | None = None,
+):
     """Shared digest-merge dispatch: below the bound, concatenate the
     (already partially-reduced) digest blocks on the driver and run the
     SAME vectorized merge kernel once — a Ray groupby costs ~8 s of
-    overhead at digest volumes (bounded-merge landmark); above it, one
-    hash-partition keyed groupby runs the kernel per partition. Both
-    paths are value-identical (every kernel is vectorized across keys
-    and ignores the partition column)."""
+    overhead at digest volumes (bounded-merge landmark); above it, the
+    input-sized keyed groupby (joins._sized_groupby rebases the fine
+    staging modulus onto a per-partition-payload-bounded count; an
+    explicit ``n_parts`` — the modulus the partials staged with — flows
+    straight through). Both paths are value-identical (every kernel is
+    vectorized across keys and ignores the partition column)."""
+    from raylink.joins import _sized_groupby
+
     parts = parts_ds.materialize()
     if parts.count() <= driver_merge_max_rows:
         tabs = ray.get(parts.to_arrow_refs())
+        if not tabs:
+            # zero-block input (e.g. everything filtered upstream):
+            # pa.concat_tables([]) raises — an empty dataset is the
+            # correct empty digest
+            return parts
         allt = pa.concat_tables(tabs, promote_options="default")
         return _rd.from_arrow(merge_fn(allt))
-    return parts.groupby("part").map_groups(merge_fn, batch_format="pyarrow")
+    return _sized_groupby(parts, n_parts, merge_fn)
 
 
 def group_topk(
@@ -128,7 +148,7 @@ def group_topk(
         pos, _ = _topk_rows(ka, va, ia, kk, desc)
         sel = batch.select([key_col, val_col, id_col]).take(pa.array(pos))
         return sel.append_column(
-            "part", pa.array((ka[pos] % P).astype(np.int64))
+            "part", pa.array((_hash64(ka[pos]) % np.uint64(P)).astype(np.int64))
         )
 
     def merge(g: pa.Table) -> pa.Table:
@@ -150,6 +170,7 @@ def group_topk(
         ds.map_batches(partial, batch_format="pyarrow"),
         merge,
         driver_merge_max_rows,
+        n_parts=n_parts,
     )
     if output == "pandas":
         return (
@@ -209,7 +230,7 @@ def group_quantiles(
                 "k": pa.array(ks[starts]),
                 "v": pa.array(vs[starts]),
                 "cnt": pa.array(cnt.astype(np.int64)),
-                "part": pa.array((ks[starts] % P).astype(np.int64)),
+                "part": pa.array((_hash64(ks[starts]) % np.uint64(P)).astype(np.int64)),
             }
         )
 
@@ -262,6 +283,7 @@ def group_quantiles(
         ds.map_batches(partial, batch_format="pyarrow"),
         merge,
         driver_merge_max_rows,
+        n_parts=n_parts,
     )
     if output == "pandas":
         return res.to_pandas().sort_values(key_col).reset_index(drop=True)
@@ -369,7 +391,7 @@ def group_ndistinct(
             {
                 "k": pa.array(ks[start]),
                 "v": pa.array(vs[start]),
-                "part": pa.array((ks[start] % P).astype(np.int64)),
+                "part": pa.array((_hash64(ks[start]) % np.uint64(P)).astype(np.int64)),
             }
         )
 
@@ -406,6 +428,7 @@ def group_ndistinct(
         ds.map_batches(partial, batch_format="pyarrow"),
         merge,
         driver_merge_max_rows,
+        n_parts=n_parts,
     )
     if output == "pandas":
         return res.to_pandas().sort_values(key_col).reset_index(drop=True)
@@ -451,7 +474,7 @@ def label_centroids(
                 "lab": pa.array(ls[starts]),
                 "cnt": pa.array(cnts.astype(np.int64)),
                 "vec": pa.FixedSizeListArray.from_arrays(flat, d),
-                "part": pa.array((ls[starts] % P).astype(np.int64)),
+                "part": pa.array((_hash64(ls[starts]) % np.uint64(P)).astype(np.int64)),
             }
         )
 
@@ -498,6 +521,7 @@ def label_centroids(
         ds.map_batches(partial, batch_format="pyarrow"),
         merge,
         driver_merge_max_rows,
+        n_parts=n_parts,
     )
     if output == "pandas":
         return (
@@ -598,6 +622,7 @@ def group_count(
         ds.map_batches(partial, batch_format="pyarrow"),
         merge,
         driver_merge_max_rows,
+        n_parts=n_parts,
     )
     if output == "pandas":
         return (

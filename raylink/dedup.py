@@ -38,6 +38,12 @@ import pyarrow.compute as pc
 import ray
 
 from raylink.blocking import _fnv64_fold_rows, _hash64
+
+# fine staging modulus for digest shuffles (the joins _FINE_PARTS
+# convention — aggs._digest_merge's sized groupby rebases it onto an
+# input-sized partition count); module-level so worker closures can
+# capture it
+_FINE_STAGE_PARTS = 65_536
 from raylink.broadcast import cached_object
 from raylink.embed import embeddings_to_matrix, l2_normalize
 from raylink.text import batch_ngrams, clean_strings_arrow
@@ -2778,7 +2784,11 @@ def contamination_check(
             {
                 "i": pa.array(u),
                 "cnt": pa.array(c.astype(np.int64)),
-                "part": pa.array((u % np.int64(256)).astype(np.int64)),
+                "part": pa.array(
+                    (_hash64(u) % np.uint64(_FINE_STAGE_PARTS)).astype(
+                        np.int64
+                    )
+                ),
             }
         )
 
@@ -3250,12 +3260,22 @@ def remove_duplicate_spans(
 
     from raylink.aggs import _digest_merge, _widen_or_raise
     from raylink.broadcast import cached_object as _co
-    from raylink.joins import _string_part_hash, equi_join, semi_join
+    from raylink.joins import (
+        _stage_parts,
+        _string_part_hash,
+        equi_join,
+        semi_join,
+    )
     from raylink.pipeline import ARROW_STR_WIDEN_BOUND, _widen_text_if_needed
 
     W = int(window)
     if W < 1:
         raise ValueError("window must be >= 1")
+    # census staging modulus: explicit n_parts, else the fine modulus the
+    # sized digest groupby rebases onto an input-sized count (the window
+    # census grows ~10x the corpus word count — a fixed 256 let
+    # per-partition payload grow without bound)
+    CP = _stage_parts(n_parts)
     # snapshot the input id dtype so BOTH modes emit it (the distributed
     # path reconstructs ids from the packed int64 word key and would
     # otherwise silently widen an int32 id column as a function of
@@ -3290,7 +3310,7 @@ def remove_duplicate_spans(
             mk = np.full(len(uniques), np.iinfo(np.int64).max, np.int64)
             np.minimum.at(mk, codes, comp)
             garr = pa.array(uniques, type=pa.string())
-            gpart = (_string_part_hash(garr) % np.uint64(256)).astype(np.int64)
+            gpart = (_string_part_hash(garr) % np.uint64(CP)).astype(np.int64)
         else:
             garr = pa.array([], pa.string())
             n = np.empty(0, np.int64)
@@ -3316,7 +3336,10 @@ def remove_duplicate_spans(
                         np.zeros(k, np.int8), np.ones(len(ids), np.int8)
                     ]
                 ),
-                "part": pa.array(np.r_[gpart, ids % np.int64(256)]),
+                "part": pa.array(np.r_[
+                    gpart,
+                    (_hash64(ids) % np.uint64(CP)).astype(np.int64),
+                ]),
             }
         )
 
@@ -3397,6 +3420,7 @@ def remove_duplicate_spans(
             parts,
             _make_census_merge(parts.size_bytes() > ARROW_STR_WIDEN_BOUND),
             driver_merge_max_rows,
+            n_parts=n_parts,
         ).materialize()
 
     if census == "string":
@@ -3417,7 +3441,7 @@ def remove_duplicate_spans(
             if len(wh):
                 u, cnt = np.unique(wh, return_counts=True)
                 uk = u.astype(np.int64)
-                upart = (u % np.uint64(256)).astype(np.int64)
+                upart = (_hash64(u.astype(np.int64)) % np.uint64(CP)).astype(np.int64)
             else:
                 uk = np.empty(0, np.int64)
                 cnt = np.empty(0, np.int64)
@@ -3431,7 +3455,10 @@ def remove_duplicate_spans(
                         np.r_[np.zeros(len(uk), np.int8),
                               np.ones(len(ids), np.int8)]
                     ),
-                    "part": pa.array(np.r_[upart, ids % np.int64(256)]),
+                    "part": pa.array(np.r_[
+                        upart,
+                        (_hash64(ids) % np.uint64(CP)).astype(np.int64),
+                    ]),
                 }
             )
 
@@ -3451,6 +3478,7 @@ def remove_duplicate_spans(
             ),
             hash_merge,
             max(driver_merge_max_rows, _INT_CENSUS_DRIVER_MAX),
+            n_parts=n_parts,
         ).materialize()
         hd_tabs = ray.get(hd_ds.to_arrow_refs())
         hd = np.sort(
@@ -3516,7 +3544,7 @@ def remove_duplicate_spans(
                     np.minimum.at(mk, codes, comp)
                     garr = pa.array(uniques, type=pa.string())
                     gpart = (
-                        _string_part_hash(garr) % np.uint64(256)
+                        _string_part_hash(garr) % np.uint64(CP)
                     ).astype(np.int64)
                 else:
                     garr = pa.array([], pa.string())
@@ -3542,6 +3570,7 @@ def remove_duplicate_spans(
                     cand_parts.size_bytes() > ARROW_STR_WIDEN_BOUND
                 ),
                 driver_merge_max_rows,
+                n_parts=n_parts,
             ).materialize()
 
     n_dup = dup_census.count()

@@ -91,7 +91,7 @@ def asof_join(
         for c in payload:
             cols[c] = pa.nulls(n, payload_types[c])
         k = np.asarray(batch[key_col].to_numpy(zero_copy_only=False), np.int64)
-        cols["part"] = pa.array((k % P).astype(np.int64))
+        cols["part"] = pa.array((_hash64(k) % np.uint64(P)).astype(np.int64))
         return pa.table(cols)
 
     def right_rows(batch: pa.Table) -> pa.Table:
@@ -107,7 +107,7 @@ def asof_join(
         for c in payload:
             cols[c] = batch[c]
         k = np.asarray(batch[key_col].to_numpy(zero_copy_only=False), np.int64)
-        cols["part"] = pa.array((k % P).astype(np.int64))
+        cols["part"] = pa.array((_hash64(k) % np.uint64(P)).astype(np.int64))
         return pa.table(cols)
 
     union = left_ds.map_batches(left_rows, batch_format="pyarrow").union(
@@ -275,11 +275,15 @@ def _nonull(col, name: str, op: str):
 
 
 def _key_parts(col, P: int) -> np.ndarray:
-    """Partition id per row for an int64 OR string key column."""
+    """Partition id per row for an int64 OR string key column. Int keys
+    hash through splitmix64 before the modulus — a raw ``key % P``
+    collapses arithmetically structured key spaces (ids allocated in
+    P-divisible strides) onto a few partitions, defeating the sized
+    groupby's bounded-partition guarantee."""
     a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if _is_string_key(a.type):
         return (_string_part_hash(a) % np.uint64(P)).astype(np.int64)
-    return (_int64_col(a) % P).astype(np.int64)
+    return (_hash64(_int64_col(a)) % np.uint64(P)).astype(np.int64)
 
 
 def _key_codes(col) -> np.ndarray:
@@ -799,7 +803,9 @@ def interval_join(
                 "k": batch[key_col],
                 "t": batch[ts_col],
                 "i": _nonull(batch[id_col], id_col, "interval_join"),
-                "part": pa.array((k % P).astype(np.int64)),
+                "part": pa.array(
+                    (_hash64(k) % np.uint64(P)).astype(np.int64)
+                ),
             }
         )
 

@@ -21,6 +21,12 @@ import ray
 from raylink.blocking import _hash64
 from raylink.text import batch_ngrams, clean_strings_arrow
 
+# fine staging modulus for the per-id digest shuffles (the joins
+# _FINE_PARTS convention — _digest_merge's sized groupby rebases it onto
+# an input-sized effective partition count); module-level so worker
+# closures can capture it
+_ID_CLAIM_PARTS = 65_536
+
 # tiny deterministic stopword profiles (lang-id heuristic)
 LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
@@ -273,6 +279,7 @@ def vocabulary(
         ds.map_batches(partial, batch_format="pyarrow"),
         merge,
         driver_merge_max_rows,
+        n_parts=n_parts,
     )
     if output == "pandas":
         return res.to_pandas().sort_values("token").reset_index(drop=True)
@@ -518,6 +525,7 @@ def paragraph_counts(
         parts_ds,
         merge,
         driver_merge_max_rows,
+        n_parts=n_parts,
     )
     if output == "pandas":
         return res.to_pandas().sort_values("paragraph").reset_index(drop=True)
@@ -821,6 +829,7 @@ def bpe_pair_counts(
         ds.map_batches(partial, batch_format="pyarrow"),
         merge,
         driver_merge_max_rows,
+        n_parts=n_parts,
     )
     if output == "pandas":
         return (
@@ -959,26 +968,54 @@ class BPEEncoder:
         self.emit_tokens = bool(emit_tokens)
         self.keep_cols = tuple(keep_cols)
         self.memo: dict = {}
+        # live prefilter-matrix budget (bytes); instance attr so tests
+        # can force multi-chunk paths at small scale
+        self._rank_chunk_bytes = 32 << 20
 
     def _encode_types(self, uniques: np.ndarray):
         unknown = [w for w in uniques if w not in self.memo]
-        if unknown:
-            ua = pa.array(unknown, pa.string())
-            if len(self.pairs):
-                # R x U candidate mask, one C kernel call per rank
-                masks = np.stack(
-                    [
-                        pc.match_substring(ua, p.as_py()).to_numpy(
-                            zero_copy_only=False
-                        )
-                        for p in self.pats
-                    ]
-                )
-            else:
-                masks = np.zeros((0, len(unknown)), dtype=bool)
-            for j, w in enumerate(unknown):
-                cand = np.flatnonzero(masks[:, j])
-                self.memo[w] = _bpe_apply_word(w, cand, self.pairs)
+        if not unknown:
+            return
+        ua = pa.array(unknown, pa.string())
+        nu = len(unknown)
+        R = len(self.pairs)
+        # candidate (word, rank) pairs via rank-CHUNKED match_substring
+        # passes: a full R x U boolean matrix is R*U bytes (a 30k-rank
+        # vocab x an 80k-type first batch = 2.4 GB per actor — review
+        # finding); chunking the rank axis bounds the live matrix at
+        # ~32 MB while the surviving pairs stay sparse
+        chunk = max(16, self._rank_chunk_bytes // max(1, nu))
+        w_parts: list[np.ndarray] = []
+        r_parts: list[np.ndarray] = []
+        for r0 in range(0, R, chunk):
+            sub = self.pats.slice(r0, min(chunk, R - r0))
+            masks = np.stack(
+                [
+                    pc.match_substring(ua, p.as_py()).to_numpy(
+                        zero_copy_only=False
+                    )
+                    for p in sub
+                ]
+            )
+            ridx, widx = np.nonzero(masks)
+            if len(ridx):
+                w_parts.append(widx.astype(np.int64))
+                r_parts.append(ridx.astype(np.int64) + r0)
+        if w_parts:
+            wi = np.concatenate(w_parts)
+            ri = np.concatenate(r_parts)
+            order = np.lexsort((ri, wi))  # per word, ranks ascending
+            wi, ri = wi[order], ri[order]
+            starts = np.flatnonzero(np.r_[True, wi[1:] != wi[:-1]])
+            ends = np.append(starts[1:], len(wi))
+            have = wi[starts]
+        else:
+            starts = ends = have = np.empty(0, np.int64)
+        pos = {int(j): s for j, s in zip(have, range(len(have)))}
+        for j, w in enumerate(unknown):
+            s = pos.get(j)
+            cand = ri[starts[s]:ends[s]] if s is not None else ()
+            self.memo[w] = _bpe_apply_word(w, cand, self.pairs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_idx, words = _tokenize_flat(batch[self.text_col])
@@ -1105,7 +1142,11 @@ def _assert_unique_ids_cross_batch(exploded, id_col: str,
             {
                 "i": pa.array(u),
                 "c": pa.array(c),
-                "part": pa.array((u % np.int64(256)).astype(np.int64)),
+                "part": pa.array(
+                    (_hash64(u) % np.uint64(_ID_CLAIM_PARTS)).astype(
+                        np.int64
+                    )
+                ),
             }
         )
 
@@ -1265,12 +1306,14 @@ def rarity_score(
             exploded.map_batches(df_from_rows, batch_format="pyarrow"),
             df_merge,
             driver_merge_max_rows,
+            n_parts=n_parts,
         ).materialize()
     else:
         census = _digest_merge(
             ds.map_batches(df_partial, batch_format="pyarrow"),
             df_merge,
             driver_merge_max_rows,
+            n_parts=n_parts,
         ).materialize()
 
     if mode == "auto":
@@ -1385,7 +1428,9 @@ def rarity_score(
                 "i": pa.array(u),
                 "g": pa.array(cnt),
                 "s": pa.array(s),
-                "part": pa.array((u % np.int64(256)).astype(np.int64)),
+                "part": pa.array(
+                    (_hash64(u) % np.uint64(P)).astype(np.int64)
+                ),
             }
         )
 
@@ -1411,6 +1456,7 @@ def rarity_score(
         joined.map_batches(sum_partial, batch_format="pyarrow"),
         sum_merge,
         driver_merge_max_rows,
+        n_parts=n_parts,
     ).materialize()
 
     def zero_fill(batch: pa.Table) -> pa.Table:

@@ -27,6 +27,7 @@ import pyarrow as pa
 
 import ray
 
+from .blocking import _hash64
 from .joins import (
     _key_codes,
     _key_parts,
@@ -98,7 +99,9 @@ def _partitioned(ds, key_col: str, n_parts: int | None):
             ),
             np.int64,
         )
-        return batch.append_column("part", pa.array((k % P).astype(np.int64)))
+        return batch.append_column(
+            "part", pa.array((_hash64(k) % np.uint64(P)).astype(np.int64))
+        )
 
     return ds.map_batches(add_part, batch_format="pyarrow")
 

@@ -853,3 +853,42 @@ def test_paragraph_census_force_wide_consistent_schema(rd, monkeypatch):
         remove_boilerplate(ds, mode="broadcast", output="pandas"), base_b)
     pd.testing.assert_frame_equal(
         remove_boilerplate(ds, mode="distributed", output="pandas"), base_d)
+
+
+def test_bpe_encoder_chunked_prefilter_parity(rd):
+    """The rank-chunked match_substring prefilter (bounded live matrix,
+    review finding: a full R x U bool matrix OOMs a 30k-rank vocab on an
+    80k-type batch) must produce byte-identical encodings to the
+    one-chunk path. Forces multi-chunk by shrinking the per-chunk byte
+    budget to 1 (chunk = 16 ranks) against a 60-rank merge table."""
+    import ray
+
+    from raylink.textstats import BPEEncoder, bpe_learn
+
+    texts = [
+        "the quick brown foxes jumped over the lazy dogs repeatedly",
+        "the lazy dogs sleep while quick foxes jump over fences",
+        "tokenization merges frequent adjacent symbol pairs repeatedly",
+    ] * 10
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    }))
+    merges = bpe_learn(ds, n_merges=60, min_count=1)
+    assert len(merges) >= 40  # enough ranks for several 16-rank chunks
+    m = (merges.to_pandas() if isinstance(merges, pa.Table)
+         else merges).sort_values("rank")
+    pairs = list(zip(m["left"], m["right"]))
+    ref = ray.put(pairs)
+
+    batch = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    one = BPEEncoder(ref, "doc_id", "text", emit_tokens=True)
+    out_one = one(batch)
+    many = BPEEncoder(ref, "doc_id", "text", emit_tokens=True)
+    many._rank_chunk_bytes = 1  # chunk floor = 16 ranks -> 4 chunks
+    out_many = many(batch)
+    assert out_one.equals(out_many)
+    assert one.memo == many.memo
