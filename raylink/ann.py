@@ -36,6 +36,7 @@ import ray
 from raylink.broadcast import cached_object
 from raylink.embed import embeddings_to_matrix as _embeddings_to_matrix
 from raylink.embed import l2_normalize
+from raylink.joins import _nonull
 
 
 def _stack_embeddings(col) -> np.ndarray:
@@ -44,46 +45,96 @@ def _stack_embeddings(col) -> np.ndarray:
 
 
 def _ids_of(batch: pa.Table, id_col: str) -> np.ndarray:
+    # loud null rejection (module-level _nonull import — this runs in
+    # workers): a null int64 column round-trips through float64
+    # (null -> INT64_MIN, values above 2^53 rounded) and INT64_MIN
+    # would then collide with the -1 miss sentinel family
     return np.asarray(
-        batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64
+        _nonull(batch[id_col], id_col, "ann").to_numpy(
+            zero_copy_only=False
+        ),
+        dtype=np.int64,
     )
 
 
-def _merge_partials_topk(partials_ds, k: int) -> pd.DataFrame:
-    """Global top-k per query from bounded per-batch partials — one
-    vectorized lexsort, no pandas groupby. Ordering matches the per-batch
-    selection rule: cosine desc, vec_id asc (deterministic ties)."""
-    refs = partials_ds.to_arrow_refs()
-    if not refs:
-        qid = np.empty(0, np.int64)
-        vid = np.empty(0, np.int64)
-        cos = np.empty(0, np.float64)
-    else:
-        tbl = pa.concat_tables(ray.get(refs), promote_options="default")
-        qid = np.asarray(tbl["query_id"].to_numpy(zero_copy_only=False), np.int64)
-        vid = np.asarray(tbl["vec_id"].to_numpy(zero_copy_only=False), np.int64)
-        cos = np.asarray(tbl["cosine"].to_numpy(zero_copy_only=False), np.float64)
-    if not len(qid):
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype=np.int64),
-                "rank": pd.Series([], dtype=np.int64),
-                "vec_id": pd.Series([], dtype=np.int64),
-                "cosine": pd.Series([], dtype=np.float64),
-            }
-        )
+# rolling-merge chunk bound (rows on the driver heap per merge step);
+# module-level so tests can force multi-flush paths at small scale
+_MERGE_CHUNK_ROWS = 4_000_000
+
+
+def _reduce_topk_arrays(qid, vid, cos, k: int):
+    """Trim (query, vec, cosine) rows to the top-k per query — one
+    lexsort (cosine desc, vec_id asc: the per-batch tie rule). Returns
+    the kept (qid, vid, cos, rank0) in (query, rank) order."""
     order = np.lexsort((vid, -cos, qid))
     qid, vid, cos = qid[order], vid[order], cos[order]
     starts = np.flatnonzero(np.r_[True, qid[1:] != qid[:-1]])
     lens = np.diff(np.append(starts, len(qid)))
     rank = np.arange(len(qid), dtype=np.int64) - np.repeat(starts, lens)
     keep = rank < k
+    return qid[keep], vid[keep], cos[keep], rank[keep]
+
+
+def _merge_partials_topk(partials_ds, k: int) -> pd.DataFrame:
+    """Global top-k per query from bounded per-batch partials — a ROLLING
+    merge over the partial blocks (round-5 review finding: one giant
+    concat grows the driver heap with corpus block count — n_batches x
+    n_queries x k rows; the running state is O(n_queries * k) and each
+    merge chunk is bounded). Blocks stay plasma-resident via zero-copy
+    ray.get; only the chunk under merge lands on the heap. (query, vec)
+    pairs are unique across partials (each partial covers a disjoint
+    corpus slice), so the rolling trim is exact."""
+    refs = partials_ds.to_arrow_refs()
+    tabs = [t for t in ray.get(refs) if t.num_rows] if refs else []
+    run_q = np.empty(0, np.int64)
+    run_v = np.empty(0, np.int64)
+    run_c = np.empty(0, np.float64)
+    rank = np.empty(0, np.int64)
+    chunk_rows = _MERGE_CHUNK_ROWS
+    buf: list = []
+    buf_rows = 0
+
+    def flush():
+        nonlocal run_q, run_v, run_c, rank, buf, buf_rows
+        tbl = pa.concat_tables(buf, promote_options="default")
+        qid = np.concatenate([
+            run_q,
+            np.asarray(tbl["query_id"].to_numpy(zero_copy_only=False),
+                       np.int64),
+        ])
+        vid = np.concatenate([
+            run_v,
+            np.asarray(tbl["vec_id"].to_numpy(zero_copy_only=False),
+                       np.int64),
+        ])
+        cos = np.concatenate([
+            run_c,
+            np.asarray(tbl["cosine"].to_numpy(zero_copy_only=False),
+                       np.float64),
+        ])
+        run_q, run_v, run_c, rank = _reduce_topk_arrays(qid, vid, cos, k)
+        buf, buf_rows = [], 0
+
+    for t in tabs:
+        buf.append(t)
+        buf_rows += t.num_rows
+        if buf_rows >= chunk_rows:
+            flush()
+    if buf:
+        flush()
     return pd.DataFrame(
         {
-            "query_id": qid[keep],
-            "rank": rank[keep] + 1,
-            "vec_id": vid[keep],
-            "cosine": cos[keep],
+            "query_id": run_q,
+            "rank": rank + 1,
+            "vec_id": run_v,
+            "cosine": run_c,
+        }
+    ) if len(run_q) else pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "vec_id": pd.Series([], dtype=np.int64),
+            "cosine": pd.Series([], dtype=np.float64),
         }
     )
 
@@ -270,7 +321,18 @@ def self_top1(
         tbl = pa.concat_tables(
             ray.get(side.to_arrow_refs()), promote_options="default"
         )
-        ids = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False), np.int64)
+        ids = np.asarray(
+            _nonull(tbl[id_col], id_col, "self_top1").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
+        if len(ids) and ids.min() < 0:
+            # same loud check as the sharded build and topk_join: a real
+            # -1 id would collide with the miss sentinel, mode-dependently
+            raise ValueError(
+                "ANN id columns must be non-negative (-1 is the pad sentinel)"
+            )
         order = np.argsort(ids, kind="stable")
         mat = l2_normalize(_embeddings_to_matrix(tbl[emb_col]))[order]
         shard_refs = [ray.put((ids[order], mat))]

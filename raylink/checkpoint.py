@@ -262,11 +262,21 @@ def run_partitioned_stage(
     want_parts = {f"part-{k}.parquet" for k in keys}
     want_marks = {f"part-{k}.done.json" for k in keys}
     for f in os.listdir(data_dir):
-        if f.endswith(".parquet") and f not in want_parts:
+        # any .tmp is an incomplete write from a killed run (the replace
+        # never happened) — read_checkpoint's read_parquet has NO file-
+        # extension filter, so a surviving part-<key>.parquet.tmp whose
+        # key left the key set would be READ, duplicating or corrupting
+        # the resumed dataset (round-5 review finding). Current-run
+        # writes all happen after this prune.
+        if f.endswith(".tmp") or (
+            f.endswith(".parquet") and f not in want_parts
+        ):
             os.remove(os.path.join(data_dir, f))
     marks_dir = os.path.join(stage_dir, "marks")
     for f in os.listdir(marks_dir):
-        if f.endswith(".json") and f not in want_marks:
+        if f.endswith(".tmp") or (
+            f.endswith(".json") and f not in want_marks
+        ):
             os.remove(os.path.join(marks_dir, f))
 
     n_skipped = 0

@@ -127,19 +127,41 @@ class DecoderBackend:
         self.backend = backend
         self.image_decoder = image_decoder
         self.audio_decoder = audio_decoder
-        self._img_takes_frame = False
+        # how video rows pass the frame ordinal to an injected decoder:
+        # None (decoder can't take one — loud TypeError on video rows),
+        # "pos" (4th positional), or "kw" (frame=...). Only POSITIONAL
+        # kinds count toward the 4-arg test — **kwargs / keyword-only
+        # params are not positional slots, and a named `frame` param that
+        # is keyword-only must be passed by keyword (round-5 review
+        # finding: the old probe counted every param and then crashed a
+        # 3-positional **kwargs decoder inside the actor pool).
+        self._img_frame_mode: str | None = None
         if image_decoder is not None:
             import inspect
 
             try:
                 params = inspect.signature(image_decoder).parameters
-                self._img_takes_frame = len(params) >= 4 or any(
-                    p.kind == inspect.Parameter.VAR_POSITIONAL
-                    or p.name == "frame"
+                kinds = inspect.Parameter
+                named_frame = any(
+                    p.name == "frame"
+                    and p.kind in (kinds.POSITIONAL_OR_KEYWORD,
+                                   kinds.KEYWORD_ONLY)
                     for p in params.values()
                 )
+                n_pos = sum(
+                    p.kind in (kinds.POSITIONAL_ONLY,
+                               kinds.POSITIONAL_OR_KEYWORD)
+                    for p in params.values()
+                )
+                var_pos = any(
+                    p.kind == kinds.VAR_POSITIONAL for p in params.values()
+                )
+                if named_frame:
+                    self._img_frame_mode = "kw"
+                elif n_pos >= 4 or var_pos:
+                    self._img_frame_mode = "pos"
             except (TypeError, ValueError):  # builtins/C callables: assume 4-arg
-                self._img_takes_frame = True
+                self._img_frame_mode = "pos"
 
     def decode_image(self, payload, width: int, height: int,
                      frame: int | None = None, seed=None) -> np.ndarray:
@@ -147,7 +169,9 @@ class DecoderBackend:
             buf = payload if isinstance(payload, bytes) else bytes(payload)
             if frame is None:
                 out = self.image_decoder(buf, width, height)
-            elif self._img_takes_frame:
+            elif self._img_frame_mode == "kw":
+                out = self.image_decoder(buf, width, height, frame=frame)
+            elif self._img_frame_mode == "pos":
                 out = self.image_decoder(buf, width, height, frame)
             else:
                 raise TypeError(
@@ -212,6 +236,18 @@ class MediaFeatureActor:
         return img[yy][:, xx]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # loud null rejection: a null payload walks the buffer views as
+        # b'' (indistinguishable from a genuinely empty payload — the
+        # fake codec would emit well-formed seed-0 features for MISSING
+        # data), and a null media_type would mis-route; both reject
+        if batch["payload"].null_count:
+            raise ValueError(
+                "null payload values — media rows must carry a payload "
+                "(filter upstream; an empty payload is b'', not null)"
+            )
+        if batch["media_type"].null_count:
+            raise ValueError("null media_type values — expected "
+                             "image | audio | video")
         ids = batch["media_id"].to_pylist()
         types = batch["media_type"].to_pylist()
         payloads = _binary_views(batch["payload"])  # zero-copy buffer walk
@@ -258,7 +294,12 @@ class MediaFeatureActor:
                     ]
                 )
                 shapes.append(f"rms{self.resize_to * self.resize_to}")
-            else:  # video: frame-sample then image features of sampled frames
+            elif mt == "video":  # frame-sample then image features
+                if nf is None:
+                    raise ValueError(
+                        f"video row media_id={ids[i]} has null "
+                        "meta_n_frames — frame sampling needs a count"
+                    )
                 step = max(1, nf // self.n_sample_frames)
                 sampled = list(range(0, nf, step))[: self.n_sample_frames]
                 accum = np.zeros((self.resize_to, self.resize_to))
@@ -272,6 +313,12 @@ class MediaFeatureActor:
                     accum += frame.astype(np.float64).mean(axis=2) / 255.0
                 feats.append((accum / max(1, len(sampled))).ravel().tolist())
                 shapes.append(f"{len(sampled)}f:{self.resize_to}x{self.resize_to}")
+            else:
+                raise ValueError(
+                    f"unknown media_type {mt!r} for media_id={ids[i]} — "
+                    "expected image | audio | video (the old code "
+                    "silently routed typos into the video branch)"
+                )
         return pa.table(
             {
                 "media_id": pa.array(ids, type=pa.int64()),

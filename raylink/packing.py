@@ -58,12 +58,17 @@ def _block_token_counts(tbl: pa.Table, text_col: str, token_col=None):
 
 @ray.remote
 def _pack_block(
-    tbl: pa.Table, counts: np.ndarray, base: int, budget: int, id_col: str
+    tbl: pa.Table, counts: np.ndarray, base: int, budget: int, id_col: str,
+    id_type: pa.DataType,
 ) -> pa.Table:
     if not len(counts):  # empty blocks occur after sort/repartition
+        # DRIVER-snapshotted id type: a hardcoded int64 here emits a
+        # divergent block schema for non-int64 ids and from_arrow_refs
+        # unifies all blocks (the take_token_budget empty-block fix,
+        # applied here by the round-5 review)
         return pa.table(
             {
-                id_col: pa.array([], pa.int64()),
+                id_col: pa.array([], id_type),
                 "n_tokens": pa.array([], pa.int64()),
                 "first_seq": pa.array([], pa.int64()),
                 "last_seq": pa.array([], pa.int64()),
@@ -110,20 +115,59 @@ def pack_sequences(
     pcols = [id_col, text_col] + (
         [token_col] if token_col and token_col not in (id_col, text_col) else []
     )
+    _schema = ds.schema()
+    # a zero-block input can lose its schema entirely (schema() -> None);
+    # there is no recoverable id type then — int64 is the documented
+    # fallback for the typed-empty result
+    id_type = (
+        dict(zip(_schema.names, _schema.types))[id_col]
+        if _schema is not None
+        else pa.int64()
+    )
     sorted_ds = ds.select_columns(pcols).sort(id_col).materialize()
     refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        # zero-block input: from_arrow_refs([]) raises — build the typed
+        # empty result on the driver (take_token_budget's guard)
+        res = rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "first_seq": pa.array([], pa.int64()),
+                    "last_seq": pa.array([], pa.int64()),
+                    "offset_in_first": pa.array([], pa.int64()),
+                }
+            )
+        )
+        if output == "pandas":
+            return res.to_pandas()
+        return res
     pairs = [_block_token_counts.remote(r, text_col, token_col) for r in refs]
     count_refs = [p[0] for p in pairs]
     # driver state is O(blocks) scalars — per-row arrays never leave plasma
     block_sums = np.array(ray.get([p[1] for p in pairs]), dtype=np.int64)
     bases = np.concatenate(([0], np.cumsum(block_sums)[:-1]))
     out_refs = [
-        _pack_block.remote(r, cref, int(base), b, id_col)
+        _pack_block.remote(r, cref, int(base), b, id_col, id_type)
         for r, cref, base in zip(refs, count_refs, bases)
     ]
     res = rd.from_arrow_refs(out_refs)
     if output == "pandas":
-        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+        out = res.to_pandas()
+        if not len(out.columns):
+            # an ALL-empty Dataset loses its schema through to_pandas
+            # (the joins _sorted_pandas issue) — rebuild the typed frame
+            out = pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "first_seq": pa.array([], pa.int64()),
+                    "last_seq": pa.array([], pa.int64()),
+                    "offset_in_first": pa.array([], pa.int64()),
+                }
+            ).to_pandas()
+        return out.sort_values(id_col).reset_index(drop=True)
     return res
 
 

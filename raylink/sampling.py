@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .blocking import _hash64
+from .joins import _nonull
 
 
 def _rate_to_bp(rate: float) -> int:
@@ -43,7 +44,12 @@ def hash_sample(ds, id_col: str, rate: float, seed: int = 0, cols=None):
     bp = _rate_to_bp(rate)
 
     def filt(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        ids = np.asarray(
+            _nonull(batch[id_col], id_col, "sampling").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
         keep = sample_bucket(ids, seed) < bp
         sel = batch.select(list(cols)) if cols is not None else batch
         return sel.filter(pa.array(keep))
@@ -72,7 +78,12 @@ def stratified_sample(
     value_set = pa.array(names, pa.string())
 
     def filt(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        ids = np.asarray(
+            _nonull(batch[id_col], id_col, "sampling").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
         # missing strata -> the appended default slot (fill_null keeps
         # this a single int array, no NaN round-trip)
         slot = np.asarray(
@@ -112,7 +123,12 @@ def split_by_hash(
     labels = pa.array(names, pa.string())
 
     def tag(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        ids = np.asarray(
+            _nonull(batch[id_col], id_col, "sampling").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
         b = sample_bucket(ids, seed)
         slot = np.searchsorted(cuts, b, side="right")
         return batch.append_column(
@@ -131,7 +147,12 @@ def epoch_order(ds, id_col: str, epoch: int = 0, cols=None):
     Streaming map; replay/resume-invariant like the sampling family."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+        ids = np.asarray(
+            _nonull(batch[id_col], id_col, "sampling").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
         key = (
             _hash64((ids + np.int64(epoch)).astype(np.int64))
             % np.uint64(1 << 63)

@@ -697,3 +697,102 @@ def test_media_features_seed_vectorization_parity():
                              seed=_fnv64_bytes(rows["payload"][1]))
     assert (wav == wav_ref).all()
     assert out.num_rows == 3 and len(out["feature"][0].as_py()) == 16
+
+
+def test_review_hardening_null_and_sentinel_guards(rd):
+    """Round-5 review batch: samplers and ANN reject null ids loudly
+    (the int64->float64->INT64_MIN silent cast), self_top1's broadcast
+    path rejects negative ids like the sharded path (mode-dependent
+    semantics otherwise), and the media feature actor rejects null
+    payloads / null or unknown media_type instead of silently routing
+    into the video branch."""
+    import pytest
+
+    from raylink.ann import self_top1
+    from raylink.multimodal import media_features, synthesize_media_table
+    from raylink.sampling import hash_sample
+
+    null_ids = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, None], pa.int64()),
+        "x": pa.array([1, 2], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="null"):
+        hash_sample(null_ids, "doc_id", 0.5).count()
+
+    neg = rd.from_arrow(pa.table({
+        "vec_id": pa.array([-1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+                              pa.list_(pa.float64())),
+    }))
+    with pytest.raises(Exception, match="non-negative"):
+        self_top1(neg, mode="broadcast", output="pandas")
+
+    tbl = synthesize_media_table(6)
+    bad_type = tbl.set_column(
+        tbl.column_names.index("media_type"), "media_type",
+        pa.array(["image", "bogus", "audio", "video", "image", "audio"]),
+    )
+    with pytest.raises(Exception, match="unknown media_type"):
+        media_features(rd.from_arrow(bad_type), backend="fake").count()
+    null_payload = tbl.set_column(
+        tbl.column_names.index("payload"), "payload",
+        pa.array([None] + tbl["payload"].to_pylist()[1:], pa.binary()),
+    )
+    with pytest.raises(Exception, match="null payload"):
+        media_features(rd.from_arrow(null_payload), backend="fake").count()
+
+
+def test_media_decoder_kwargs_arity_probe(rd):
+    """A 3-positional decoder with **kwargs must NOT be probed as
+    4-positional (the old probe counted every param and crashed video
+    rows inside the actor pool); a keyword-only `frame` param is passed
+    by keyword."""
+    import numpy as np
+
+    from raylink.multimodal import DecoderBackend
+
+    def dec3_kwargs(payload, width, height, **opts):
+        return np.zeros((height, width, 3), np.uint8)
+
+    b = DecoderBackend("fake", image_decoder=dec3_kwargs)
+    assert b._img_frame_mode is None  # no frame slot -> loud on video
+    import pytest
+    with pytest.raises(TypeError, match="frame"):
+        b.decode_image(b"x", 2, 2, frame=0)
+
+    def dec_kw_frame(payload, width, height, *, frame=None):
+        v = 0 if frame is None else frame
+        return np.full((height, width, 3), v % 251, np.uint8)
+
+    bk = DecoderBackend("fake", image_decoder=dec_kw_frame)
+    assert bk._img_frame_mode == "kw"
+    out = bk.decode_image(b"x", 2, 2, frame=7)
+    assert out[0, 0, 0] == 7
+
+
+def test_merge_partials_topk_rolling_parity(rd, monkeypatch):
+    """The rolling bounded merge (chunk forced to flush per block) must
+    equal the one-shot merge — pins the round-5 driver-heap fix
+    byte-exact on a synthetic partials dataset with cross-block
+    overlapping queries and cosine ties."""
+    import numpy as np
+
+    import raylink.ann as ann
+
+    rng = np.random.default_rng(5)
+    tabs = []
+    vid0 = 0
+    for _ in range(6):
+        n = 40
+        tabs.append(pa.table({
+            "query_id": pa.array(rng.integers(0, 7, n).astype(np.int64)),
+            "vec_id": pa.array(np.arange(vid0, vid0 + n, dtype=np.int64)),
+            "cosine": pa.array(np.round(rng.random(n), 2)),  # forced ties
+        }))
+        vid0 += n
+    pds = rd.from_arrow(tabs)
+    base = ann._merge_partials_topk(pds, k=5)
+    monkeypatch.setattr(ann, "_MERGE_CHUNK_ROWS", 1)  # flush every block
+    rolled = ann._merge_partials_topk(pds, k=5)
+    pd.testing.assert_frame_equal(
+        rolled.reset_index(drop=True), base.reset_index(drop=True))

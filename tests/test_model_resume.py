@@ -302,3 +302,57 @@ def test_model_fit_refuses_sharded_index(ray_session):
         RayLinkModel(MatcherSpec(kind="tfidf")).fit(
             ds, max_broadcast_to_rows=10
         )
+
+
+def test_partitioned_stage_prunes_orphan_tmp(rd, tmp_path):
+    import pyarrow as pa
+    """A part-<key>.parquet.tmp left by a killed run whose key then
+    LEAVES the key set must be pruned — read_checkpoint's read_parquet
+    has no file-extension filter, so a surviving orphan would be READ
+    into the resumed dataset (round-5 review finding)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from raylink.checkpoint import read_checkpoint, run_partitioned_stage
+
+    root = str(tmp_path)
+
+    def produce(key):
+        return pa.table({"k": pa.array([key]), "v": pa.array([1])})
+
+    run_partitioned_stage(root, "st", ["a", "b"], produce)
+    # simulate a killed run for a key that will leave the key set
+    orphan = os.path.join(root, "st", "data", "part-zz.parquet.tmp")
+    pq.write_table(pa.table({"k": pa.array(["zz"]), "v": pa.array([9])}),
+                   orphan)
+    run_partitioned_stage(root, "st", ["a", "b"], produce)
+    assert not os.path.exists(orphan)
+    got = read_checkpoint(root, "st").to_pandas().sort_values(
+        "k", ignore_index=True)
+    assert list(got["k"]) == ["a", "b"]
+
+
+def test_pack_sequences_string_ids_and_empty_input(rd):
+    import pyarrow as pa
+    """pack_sequences must not emit a divergent empty-block schema for
+    non-int64 ids (the take_token_budget fix, applied by review), and a
+    zero-block input must return a typed empty result instead of
+    crashing from from_arrow_refs([])."""
+    from raylink.packing import pack_sequences
+
+    t = pa.table({
+        "doc": pa.array(["b", "a", "c"], pa.string()),
+        "text": pa.array(["x y", "z", "w w w"], pa.string()),
+    })
+    out = pack_sequences(rd.from_arrow(t).repartition(4), "doc", "text",
+                         budget=3, output="pandas")
+    assert list(out["doc"]) == ["a", "b", "c"]
+    assert out["n_tokens"].tolist() == [1, 2, 3]
+
+    empty = rd.from_arrow(pa.table({
+        "doc": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+    })).filter(lambda r: False)
+    eo = pack_sequences(empty, "doc", "text", budget=3, output="pandas")
+    assert len(eo) == 0
