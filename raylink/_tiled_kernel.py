@@ -18,6 +18,18 @@ than CAND_MARGIN distinct candidates sit within float32 rounding
 (~1e-7 relative) of the k-th best value, which the margin makes
 vanishingly unlikely (exact ties are unaffected: equal f64 values are
 equal in f32 and the column tie-break matches).
+
+DOCUMENTED APPROXIMATION BOUNDARY (round-5 review, measured): raising
+CAND_MARGIN to 8/16 costs ~5-15% kernel wall (the per-tile selection
+runs k+margin argmax passes) for a scenario that requires >= 5 DISTINCT
+to-texts within ~1e-7 relative similarity of the kth boundary — at that
+separation the exact sims are practically indistinguishable and the
+reported values are exact-f64 either way, so the margin stays at 4.
+The min_similarity pre-filter slack is 1e-4 (a pure comparison
+constant, no inner-loop cost): f32 accumulation error reaches the old
+1e-5 slack at ~100k shared grams per pair (100 KB+ texts), and a
+too-tight slack DROPS a true above-threshold candidate before the
+exact rescore can save it.
 """
 
 from __future__ import annotations
@@ -103,7 +115,7 @@ def topk_cosine_tiled(
             if apply_min_similarity and min_similarity > 0:
                 # f32 pre-filter with a safety slack; the exact rescore
                 # re-applies the bound in f64
-                sl[sl <= ms32 - np.float32(1e-5)] = 0.0
+                sl[sl <= ms32 - np.float32(1e-4)] = 0.0
             kk = min(km, width)
             t_val = np.zeros((nrows, km), dtype=np.float32)
             t_col = np.full((nrows, km), n_to, dtype=np.int64)

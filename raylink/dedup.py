@@ -44,6 +44,11 @@ from raylink.blocking import _fnv64_fold_rows, _hash64
 # input-sized partition count); module-level so worker closures can
 # capture it
 _FINE_STAGE_PARTS = 65_536
+
+# byte bound for the driver/task-pool minhash verification's candidate-
+# shingle collect (the pair-count rule alone is blind to document
+# length); above it, auto verification reroutes to the distributed path
+_DRIVER_SHINGLE_BYTES_MAX = 2 << 30
 from raylink.broadcast import cached_object
 from raylink.embed import embeddings_to_matrix, l2_normalize
 from raylink.text import batch_ngrams, clean_strings_arrow
@@ -1493,6 +1498,23 @@ def _minhash_after_bands(
         return pa.table({"doc_id": pa.array(sids[d]), "shingle": pa.array(h)})
 
     sh_ds_cand = ds.map_batches(shingles_of, batch_format="pyarrow")
+    if not distributed:
+        # byte-aware reroute (the self_top1 / remove_boilerplate switch
+        # precedent): the pair-count rule alone admits corpora of LONG
+        # documents whose candidate shingles exceed driver RAM — 4M
+        # pairs of 20 KB docs is ~8M docs x 20k shingles x 16 B. The
+        # shingle Dataset is materialized either way (the driver concat
+        # consumes it); its metadata byte size decides.
+        sh_ds_cand = sh_ds_cand.materialize()
+        if (sh_ds_cand.size_bytes() or 0) > _DRIVER_SHINGLE_BYTES_MAX:
+            if verification == "driver":
+                raise ValueError(
+                    "candidate shingles exceed the driver byte bound "
+                    f"({_DRIVER_SHINGLE_BYTES_MAX} B) — pass "
+                    'verification="distributed"'
+                )
+            distributed = True
+            need = _candidate_need_map(cand, P)
     if distributed:
         edges_ds = _verify_pairs_distributed(
             sh_ds_cand, cand, jaccard_threshold, n_parts=P, need=need
@@ -2007,6 +2029,12 @@ def embedding_lsh_band_rows(
     Arrow-native: the embedding list column flattens zero-copy into the
     sign-bit matmul."""
     ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+    if len(ids) and ids.min() < 0:
+        # same loud guard as minhash_band_rows: the distributed verify
+        # shuffle separates pair rows from vector payload rows with
+        # a = -1 — a real negative id would silently DROP its pairs in
+        # distributed verification while the driver path verifies them
+        raise ValueError("dedup id columns must be non-negative")
     mat = l2_normalize(embeddings_to_matrix(batch[emb_col]))
     bits = (mat @ planes) > 0  # (n, n_bits)
     n_bits = planes.shape[1]
@@ -2075,6 +2103,12 @@ def embedding_lsh_pairs(
     first = ds.limit(1).to_pandas()
     empty = pd.DataFrame({"a": [], "b": [], "cosine": []})
     if not len(first):
+        if output == "dataset":
+            # honor the output contract on the empty edge too — a scale
+            # pipeline chains .write_parquet / .map_batches on the result
+            import ray.data as rd
+
+            return rd.from_pandas(empty)
         return empty
     dim = len(first[emb_col].iloc[0])
     planes = _hyperplanes(dim, n_bits, seed)
@@ -2482,7 +2516,14 @@ def _reps_from_groups(ds, groups_ds, id_col, text_col, driver_merge_max_rows):
             {
                 "g": pa.array(gs), "c": pa.array(cs), "i": pa.array(is_),
                 "cnt": pa.array(cnt),
-                "part": pa.array((gs % P).astype(np.int64)),
+                # fine staging modulus + splitmix: _digest_merge's sized
+                # groupby rebases it input-sized (a CPUs*2 modulus caps
+                # the rebase; raw % collapses strided group ids)
+                "part": pa.array(
+                    (_hash64(gs) % np.uint64(_FINE_STAGE_PARTS)).astype(
+                        np.int64
+                    )
+                ),
             }
         )
 
@@ -3011,7 +3052,10 @@ def incremental_minhash_dedup(
                 {
                     "b": pa.array(bs[start]),
                     "ma": pa.array(as_[start]),
-                    "part": pa.array((bs[start] % P).astype(np.int64)),
+                    "part": pa.array(
+                        (_hash64(bs[start])
+                         % np.uint64(_FINE_STAGE_PARTS)).astype(np.int64)
+                    ),
                 }
             )
 

@@ -154,6 +154,18 @@ def dense_topk_cosine(
             sim[np.flatnonzero(valid), diag[valid]] = 0.0
         if k < n_to:
             part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+            # tie-exact selection: argpartition picks ARBITRARY members
+            # of a tie at the kth value (duplicate texts embed
+            # byte-identically, so exact cosine ties are the NORM on
+            # dup-bearing corpora) — rows with more than k candidates
+            # at >= kth re-resolve with a stable sort so broadcast and
+            # sharded runs emit the same lowest-index tie members
+            kth = np.take_along_axis(sim, part, axis=1).min(axis=1)
+            amb = np.flatnonzero((sim >= kth[:, None]).sum(axis=1) > k)
+            if len(amb):
+                part[amb] = np.argsort(
+                    -sim[amb], axis=1, kind="stable"
+                )[:, :k]
         else:
             part = np.broadcast_to(np.arange(n_to), sim.shape).copy()
         vals = np.take_along_axis(sim, part, axis=1)

@@ -220,8 +220,26 @@ def _cc_broadcast(edges_ds, nodes, left_col, right_col, max_iters):
         np.minimum.at(merged, idx, pl)
         changed = int((merged != labels).sum())
         labels = merged
+        # pointer-jumping shortcut (labels are node ids, so they index
+        # back into the label table): repeatedly replace label with
+        # label-of-label until fixpoint — turns O(component diameter)
+        # outer rounds into O(log diameter), so a 50-round cap covers
+        # any real graph (a diameter-60 chain otherwise returned SPLIT
+        # components silently; round-5 review finding)
+        while True:
+            nxt = labels[np.searchsorted(node_arr, labels)]
+            if (nxt == labels).all():
+                break
+            labels = nxt
+            changed = 1
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "distributed_connected_components (broadcast) did not "
+            f"converge in max_iters={max_iters} rounds — raising rather "
+            "than returning silently split components"
+        )
     return rd.from_arrow(
         pa.table({"node": pa.array(node_arr), "label": pa.array(labels)})
     )
@@ -332,6 +350,30 @@ def _cc_partition_join(
         out = pa.table({"node": pa.array(node), "cand": pa.array(mins)})
         return _split_by(out, _hash_parts(node, P), P)
 
+    @ray.remote
+    def _shortcut_request(labels_tbl: pa.Table) -> list:
+        # pointer jumping, wave 1: ship each (node, label) row to the
+        # partition OWNING the label value (labels are node ids, so the
+        # owner is hash(label) % P and the lookup there is exact)
+        lv = np.asarray(labels_tbl["label"].to_numpy(zero_copy_only=False))
+        return _split_by(labels_tbl, _hash_parts(lv, P), P)
+
+    @ray.remote
+    def _shortcut_resolve(labels_tbl: pa.Table, *req_tbls) -> list:
+        # wave 2: label-of-label via the owner's sorted label table,
+        # scattered back by node hash; _node_fold min-folds the result
+        # (label(l) <= l since labels only decrease, so min == assign)
+        reqs = pa.concat_tables(
+            [x for x in req_tbls], promote_options="default"
+        )
+        ln = np.asarray(labels_tbl["node"].to_numpy(zero_copy_only=False))
+        lv = np.asarray(labels_tbl["label"].to_numpy(zero_copy_only=False))
+        rl = np.asarray(reqs["label"].to_numpy(zero_copy_only=False))
+        cand = lv[np.searchsorted(ln, rl)] if len(ln) else rl[:0]
+        node = np.asarray(reqs["node"].to_numpy(zero_copy_only=False))
+        out = pa.table({"node": pa.array(node), "cand": pa.array(cand)})
+        return _split_by(out, _hash_parts(node, P), P)
+
     @ray.remote(num_returns=2)
     def _node_fold(labels_tbl: pa.Table, *prop_tbls):
         props = pa.concat_tables(
@@ -385,8 +427,35 @@ def _cc_partition_join(
         ]
         labels_p = [f[0] for f in folds]
         changed = sum(ray.get([f[1] for f in folds]))
+        # pointer-jumping shortcut round (three more waves): label-of-
+        # label compression turns O(component diameter) propagation
+        # rounds into O(log diameter) — a diameter > max_iters chain
+        # otherwise returned silently SPLIT components (round-5 review
+        # finding). Shortcut changes count toward convergence.
+        sreqs = [
+            _shortcut_request.options(num_returns=P).remote(labels_p[p])
+            for p in range(P)
+        ]
+        sres = [
+            _shortcut_resolve.options(num_returns=P).remote(
+                labels_p[q], *[sreqs[p][q] for p in range(P)]
+            )
+            for q in range(P)
+        ]
+        sfolds = [
+            _node_fold.remote(labels_p[p], *[sres[q][p] for q in range(P)])
+            for p in range(P)
+        ]
+        labels_p = [f[0] for f in sfolds]
+        changed += sum(ray.get([f[1] for f in sfolds]))
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "distributed_connected_components (partition-join) did not "
+            f"converge in max_iters={max_iters} rounds — raising rather "
+            "than returning silently split components"
+        )
     return rd.from_arrow_refs(labels_p)
 
 

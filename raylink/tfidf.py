@@ -427,6 +427,23 @@ def topk_cosine(
                     work[np.arange(work.shape[0]), j] = -np.inf
         else:
             part = np.argpartition(-slab, k - 1, axis=1)[:, :k]
+            # tie-exact selection (the ann._topk_cols_tie_exact rule):
+            # argpartition picks ARBITRARY tie members at the kth value,
+            # which would break the lowest-column tie rule the other two
+            # branches (iterative argmax, tiled) honor — rows with more
+            # than k candidates at >= kth re-resolve with a stable sort.
+            # kth == 0 rows are exempt: every positive is already in the
+            # selected set and the zero-tie members are masked to -1
+            # below, so their identity never surfaces.
+            kth = np.take_along_axis(slab, part, axis=1).min(axis=1)
+            amb = np.flatnonzero(
+                (kth > 0.0)
+                & ((slab >= kth[:, None]).sum(axis=1) > k)
+            )
+            if len(amb):
+                part[amb] = np.argsort(
+                    -slab[amb], axis=1, kind="stable"
+                )[:, :k]
             vals = np.take_along_axis(slab, part, axis=1)
             order2 = np.lexsort((part, -vals), axis=1)[:, :k]
             out_idx[r:r_end, :k] = np.take_along_axis(part, order2, axis=1)

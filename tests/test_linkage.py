@@ -146,3 +146,34 @@ def test_distributed_connected_components():
     assert got[1] == got[2] == got[3] == got[4] == 1
     assert got[10] == got[11] == 10
     assert got[20] == got[21] == got[22] == 20
+
+
+def test_cc_high_diameter_chain_converges(ray_session):
+    """A path-graph component whose diameter exceeds the round cap must
+    still resolve to ONE component (pointer-jumping shortcut: O(log
+    diameter) rounds; the old one-hop propagation silently returned the
+    chain SPLIT into several labels — round-5 review finding). Both
+    modes, with a cap far below the diameter."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.linkage import distributed_connected_components
+
+    n = 200  # diameter 199 >> max_iters=12
+    edges = pa.table({
+        "a": pa.array(np.arange(n - 1, dtype=np.int64)),
+        "b": pa.array(np.arange(1, n, dtype=np.int64)),
+    })
+    for force_partition in (False, True):
+        labels = distributed_connected_components(
+            rd.from_arrow(edges).repartition(3),
+            "a", "b",
+            max_iters=12,
+            broadcast_max_nodes=0 if force_partition else 2_000_000,
+        ).to_pandas().sort_values("node", ignore_index=True)
+        assert len(labels) == n
+        assert (labels["label"] == 0).all(), (
+            f"mode={'partition' if force_partition else 'broadcast'} "
+            "split the chain"
+        )
