@@ -184,37 +184,70 @@ def validate_conversations(ds) -> dict:
             *_sum_min_max_aggs()
         )
     )
-    import pyarrow.compute as _pc
 
-    tbl = pa.Table.from_pandas(checks.to_pandas())
-    n = tbl.num_rows
-    n_turns = tbl["sum(n_turns)"]
-    # min/max alone pass duplicated-with-gaps indices like [0,0,3,3]; the
-    # sum and sum-of-squares of 0..n-1 pin the multiset exactly for any
-    # realistic n (two moments + min + max + count)
-    nt = np.asarray(n_turns.to_numpy(zero_copy_only=False), np.int64)
-    want_sum = nt * (nt - 1) // 2
-    want_sq = (nt - 1) * nt * (2 * nt - 1) // 6
-    ok = _pc.and_(
-        _pc.and_(
-            _pc.equal(tbl["min(min_turn)"], 0),
-            _pc.equal(tbl["max(max_turn)"], _pc.subtract(n_turns, 1)),
-        ),
-        _pc.and_(
-            _pc.equal(tbl["sum(turn_sum)"], pa.array(want_sum)),
-            _pc.equal(tbl["sum(turn_sumsq)"], pa.array(want_sq)),
-        ),
-    )
-    n_bad = n - _pc.sum(_pc.cast(ok, pa.int64())).as_py()
+    def _finalize(batch: pa.Table) -> pa.Table:
+        # per-BLOCK scalar digests — the old checks.to_pandas() collected
+        # one row per conversation to the driver (grows with the corpus;
+        # round-5 review finding). min/max alone pass duplicated-with-
+        # gaps indices like [0,0,3,3]; the sum and sum-of-squares of
+        # 0..n-1 pin the multiset exactly for any realistic n.
+        n = batch.num_rows
+        if not n or "sum(n_turns)" not in batch.column_names:
+            return pa.table(
+                {
+                    "n": pa.array([0], pa.int64()),
+                    "bad": pa.array([0], pa.int64()),
+                    "xor": pa.array([0], pa.int64()),
+                }
+            )
+        nt = np.asarray(
+            batch["sum(n_turns)"].to_numpy(zero_copy_only=False), np.int64
+        )
+        mn = np.asarray(
+            batch["min(min_turn)"].to_numpy(zero_copy_only=False), np.int64
+        )
+        mx = np.asarray(
+            batch["max(max_turn)"].to_numpy(zero_copy_only=False), np.int64
+        )
+        ts = np.asarray(
+            batch["sum(turn_sum)"].to_numpy(zero_copy_only=False), np.int64
+        )
+        tq = np.asarray(
+            batch["sum(turn_sumsq)"].to_numpy(zero_copy_only=False), np.int64
+        )
+        fp = np.asarray(
+            batch["sum(fingerprint)"].to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        ok = (
+            (mn == 0)
+            & (mx == nt - 1)
+            & (ts == nt * (nt - 1) // 2)
+            & (tq == (nt - 1) * nt * (2 * nt - 1) // 6)
+        )
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "bad": pa.array([int(n - ok.sum())], pa.int64()),
+                "xor": pa.array(
+                    [int(np.bitwise_xor.reduce(fp))], pa.int64()
+                ),
+            }
+        )
+
+    rows = checks.map_batches(
+        _finalize, batch_format="pyarrow"
+    ).take_all()  # O(blocks) scalar rows
+    n = sum(r["n"] for r in rows)
     return {
-        "n_conversations": n,
-        "n_violations": int(n_bad),
+        "n_conversations": int(n),
+        "n_violations": int(sum(r["bad"] for r in rows)),
         "fingerprint_xor": int(
             np.bitwise_xor.reduce(
-                np.asarray(tbl["sum(fingerprint)"].to_numpy(zero_copy_only=False))
+                np.array([r["xor"] for r in rows], np.int64)
             )
         )
-        if n
+        if rows and n
         else 0,
     }
 

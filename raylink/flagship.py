@@ -106,11 +106,15 @@ def transcript_entity_resolution(
     else:
         dist_tbl = distinct_entities_table(entities)
         distinct_ds = spread_table(dist_tbl)
-        blocks = dist_tbl["block_key"].to_pylist()
-        _, counts = np.unique(
-            np.asarray(blocks, dtype=object), return_counts=True
+        # Arrow C value_counts — to_pylist + object-dtype np.unique
+        # materialized up to 20M Python strings inside the TIMED
+        # distinct stage (the make_assignment_lookup object-argsort
+        # lesson, round-5 review finding)
+        vc = pc.value_counts(dist_tbl["block_key"])
+        counts = np.asarray(
+            vc.field("counts").to_numpy(zero_copy_only=False), np.int64
         )
-        scored_pairs = int((counts.astype(np.int64) ** 2).sum())
+        scored_pairs = int((counts**2).sum())
         n_distinct = int(dist_tbl.num_rows)
     timings["distinct"] = time.perf_counter() - t0
 

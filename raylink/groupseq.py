@@ -73,11 +73,27 @@ def _agg_sorted_table(
 
 @ray.remote(num_returns=2)
 def _agg_block_remote(
-    tbl: pa.Table, key_col, count_name, firsts, joins, order_cols
+    tbl: pa.Table, key_col, count_name, firsts, joins, order_cols,
+    empty_fields=None,
 ):
     """Returns (interior_groups_table, boundary_partials_table). The first
     and last group of the block are ALWAYS routed to the boundary set (they
     may continue in a neighboring block); interior groups are final."""
+    if not tbl.num_rows or key_col not in tbl.column_names:
+        # empty post-sort blocks can DROP their schema entirely (the SNM
+        # landmark) — guard column access and emit the driver-snapshotted
+        # typed empty so from_arrow_refs never sees divergent schemas
+        if empty_fields is None:
+            raise ValueError(
+                f"schema-less empty block and no driver schema snapshot "
+                f"for {key_col!r}"
+            )
+        out_f, ord_f = empty_fields
+        e = pa.table({n: pa.array([], t) for n, t in out_f})
+        eb = e
+        for n, t in ord_f:
+            eb = eb.append_column(n, pa.array([], t))
+        return e, eb
     agg, starts = _agg_sorted_table(tbl, key_col, count_name, firsts, joins)
     # order-col first values ride along so the driver can sequence straddle
     # chains without trusting block index ordering
@@ -135,13 +151,34 @@ def ordered_seq_agg(
         ds = ds.select_columns(needed)
     sorted_ds = ds.sort([key_col, *order_cols]).materialize()
     refs = sorted_ds.to_arrow_refs()
-    if not refs:  # zero-block input: nothing to aggregate
+    # driver-snapshotted OUTPUT schema: empty post-sort blocks drop their
+    # schema (the SNM landmark), and the zero-block path must return the
+    # AGGREGATE schema, not the input's (round-5 review finding)
+    empty_fields = None
+    if sch is not None:
+        types = dict(zip(sch.names, sch.types))
+        out_f = [(key_col, types[key_col])]
+        if count_name:
+            out_f.append((count_name, pa.int64()))
+        out_f += [(out, types[src]) for src, out in firsts]
+        # binary_join's output width follows its input's
+        out_f += [(out, types[src]) for src, out, _sep in joins]
+        ord_f = [(f"__ord_{c}", types[c]) for c in order_cols]
+        empty_fields = (tuple(out_f), tuple(ord_f))
+    if not refs:  # zero-block input: typed empty aggregate
+        if empty_fields is not None:
+            return rd.from_arrow(
+                pa.table(
+                    {n: pa.array([], t) for n, t in empty_fields[0]}
+                )
+            )
         return sorted_ds
     interior_refs = []
     boundary_refs = []
     for r in refs:
         i_ref, b_ref = _agg_block_remote.remote(
-            r, key_col, count_name, firsts, joins, tuple(order_cols)
+            r, key_col, count_name, firsts, joins, tuple(order_cols),
+            empty_fields,
         )
         interior_refs.append(i_ref)
         boundary_refs.append(b_ref)
@@ -171,13 +208,15 @@ def _merge_boundary(
         key_col: bnd[key_col].combine_chunks().take(take_starts)
     }
     if count_name:
-        grp = np.repeat(np.arange(len(starts)), ends - starts)
-        counts = np.bincount(
-            grp,
-            weights=np.asarray(
-                bnd[count_name].to_numpy(zero_copy_only=False), dtype=np.float64
+        # exact int64 per-group sums over the key-sorted partials —
+        # bincount's float64 weights silently lose low bits above 2^53
+        # (the repo-wide float64 round-trip hazard)
+        counts = np.add.reduceat(
+            np.asarray(
+                bnd[count_name].to_numpy(zero_copy_only=False), np.int64
             ),
-        ).astype(np.int64)
+            starts,
+        )
         cols[count_name] = pa.array(counts, type=pa.int64())
     for _src, out in firsts:
         cols[out] = bnd[out].combine_chunks().take(take_starts)

@@ -157,9 +157,26 @@ def value_counts_bounded(ds, col: str):
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch[col].null_count:
+            # loud rejection: a null/NaN similarity row would sort LAST,
+            # never merge with anything (NaN != NaN), and poison the PR
+            # finalizers (n_ge picks up null counts above the max real
+            # sim; NaN*1000 -> int64 is platform-dependent). Callers
+            # following the <0.001 -> null frame rule must fill or
+            # filter first (the flagship pads 0.0).
+            raise ValueError(
+                f"null values in {col!r} — fill or filter before the "
+                "value-counts census (NaN never merges and corrupts the "
+                "PR finalizers silently)"
+            )
         vals = np.asarray(
             batch[col].to_numpy(zero_copy_only=False), dtype=np.float64
         )
+        if len(vals) and np.isnan(vals).any():
+            raise ValueError(
+                f"NaN values in {col!r} — fill or filter before the "
+                "value-counts census"
+            )
         u, c = np.unique(vals, return_counts=True)
         return pa.table(
             {"value": pa.array(u), "n": pa.array(c.astype(np.int64))}

@@ -995,8 +995,16 @@ def _cached_scorer(index_ref, spec, top_n_cols, self_match) -> "ScorerActor":
     s = _SCORER_CACHE.get(key)
     if s is None:
         if len(_SCORER_CACHE) > 8:
-            _SCORER_CACHE.clear()
+            # pop the COLDEST entry (insertion order approximates it) —
+            # clear() evicted the currently-hot scorer mid-stage and the
+            # next batch re-fetched the index from plasma (the broadcast
+            # cache's move-to-end LRU lesson, round-5 review finding)
+            _SCORER_CACHE.pop(next(iter(_SCORER_CACHE)))
         s = ScorerActor(index_ref, spec, top_n_cols, self_match)
+        _SCORER_CACHE[key] = s
+    else:
+        # move-to-end: a re-hit entry is hot again
+        _SCORER_CACHE.pop(key, None)
         _SCORER_CACHE[key] = s
     return s
 

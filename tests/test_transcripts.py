@@ -111,3 +111,42 @@ def test_read_parquet_with_row_order(ray_session, tmp_path):
     assert pdf["row_order"].tolist() == list(range(sum(n_per)))
     # row_order i corresponds to the i-th row in (file, row) order
     assert pdf["x"].tolist() == list(range(sum(n_per)))
+
+
+def test_ordered_seq_agg_empty_inputs(ray_session):
+    """Empty inputs return the typed AGGREGATE schema (the zero-block
+    path used to return the sorted INPUT dataset — wrong columns), and a
+    schema-less all-empty input raises a clear error instead of a
+    KeyError inside a Ray task (round-5 review finding)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from raylink.groupseq import ordered_seq_agg
+
+    t = pa.table({
+        "conv": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.int64()),
+        "tool": pa.array([], pa.string()),
+    })
+    import ray
+
+    out_ds = ordered_seq_agg(rd.from_arrow(t), "conv", ["ts"], count_name="n",
+                             firsts=(("ts", "first_ts"),),
+                             joins=(("tool", "seq", "|"),))
+    tabs = ray.get(out_ds.to_arrow_refs())
+    # every block carries the typed AGGREGATE schema (to_pandas on an
+    # all-empty Dataset drops columns — a Ray-wide behavior; the blocks
+    # are what downstream Arrow consumers see)
+    assert tabs and all(
+        t_.column_names == ["conv", "n", "first_ts", "seq"] for t_ in tabs
+    )
+    assert sum(t_.num_rows for t_ in tabs) == 0
+
+    lost = rd.from_arrow(pa.table({
+        "conv": pa.array([1], pa.int64()),
+        "ts": pa.array([1], pa.int64()),
+        "tool": pa.array(["x"], pa.string()),
+    })).filter(lambda r: False)
+    with pytest.raises(Exception, match="schema"):
+        ordered_seq_agg(lost, "conv", ["ts"], count_name="n").to_pandas()
