@@ -222,6 +222,12 @@ def test_profile_table_driver_and_groupby_paths_identical(rd):
     fast = profile_table(ds, ("a", "s"))
     slow = profile_table(ds, ("a", "s"), driver_merge_max_rows=0)
     pd.testing.assert_frame_equal(fast, slow)
+    # byte-aware forced reroute (distinct values are unbounded strings —
+    # the row bound alone could collect gigabytes) and explicit n_parts
+    by_bytes = profile_table(ds, ("a", "s"), max_driver_merge_bytes=0)
+    pd.testing.assert_frame_equal(fast, by_bytes)
+    pinned = profile_table(ds, ("a", "s"), n_parts=3, driver_merge_max_rows=0)
+    pd.testing.assert_frame_equal(fast, pinned)
 
 
 def test_digest_ops_driver_and_shuffle_paths_identical(rd):
