@@ -2412,12 +2412,19 @@ def dedup_representatives(
     output: str = "dataset",
     driver_merge_max_rows: int = 2_000_000,
     groups_output: str = "dataset",
+    groups=None,
     **minhash_kwargs,
 ):
     """Near-dup cluster representative selection — the end-step of corpus
     dedup: for every MinHash-LSH dup group, pick the doc to KEEP (longest
     text; tie -> smallest id) and report the group size. Output columns:
     (dup_group, rep_id, rep_chars, n_members).
+
+    ``groups`` (optional) is a PRECOMPUTED :func:`minhash_lsh_dedup`
+    result over the SAME input (pandas frame or Dataset with
+    (doc_id, dup_group)); passing it skips the minhash pipeline — the
+    pattern for pipelines that derive representatives AND survivors from
+    one grouping pass instead of recomputing LSH per consumer.
 
     Scale shape: the corpus streams ONCE through a slim (id, n_chars)
     projection; group membership joins in via :func:`raylink.joins.equi_join`
@@ -2438,11 +2445,12 @@ def dedup_representatives(
     from raylink.aggs import _digest_merge
     from raylink.joins import equi_join
 
-    groups = minhash_lsh_dedup(
-        ds, id_col, text_col, k=k, num_perm=num_perm, bands=bands,
-        jaccard_threshold=jaccard_threshold,
-        output=groups_output, **minhash_kwargs,
-    )
+    if groups is None:
+        groups = minhash_lsh_dedup(
+            ds, id_col, text_col, k=k, num_perm=num_perm, bands=bands,
+            jaccard_threshold=jaccard_threshold,
+            output=groups_output, **minhash_kwargs,
+        )
     groups_ds = _groups_with_id(
         rd.from_pandas(groups) if isinstance(groups, pd.DataFrame) else groups,
         id_col,
@@ -2574,11 +2582,17 @@ def apply_dedup(
     output: str = "dataset",
     driver_merge_max_rows: int = 2_000_000,
     groups_output: str = "dataset",
+    groups=None,
     **minhash_kwargs,
 ):
     """The actual corpus dedup: stream out the SURVIVORS — every doc not
     in a near-dup group, plus each group's representative (longest text,
-    tie -> smallest id). Composition of the existing primitives, each at
+    tie -> smallest id). ``groups`` (optional) is a PRECOMPUTED
+    :func:`minhash_lsh_dedup` result over the SAME input; passing it
+    skips the minhash pipeline (one grouping pass can then feed both
+    this op and :func:`dedup_representatives` — LSH is the dominant
+    cost, never recompute it per consumer).
+    Composition of the existing primitives, each at
     its own scale mode: minhash groups -> representative selection
     (:func:`_reps_from_groups`) -> drop-list = members x their group's
     rep via one equi_join filtered to non-reps -> corpus ANTI semi-join
@@ -2593,11 +2607,12 @@ def apply_dedup(
 
     from raylink.joins import equi_join, semi_join
 
-    groups = minhash_lsh_dedup(
-        ds, id_col, text_col, k=k, num_perm=num_perm, bands=bands,
-        jaccard_threshold=jaccard_threshold,
-        output=groups_output, **minhash_kwargs,
-    )
+    if groups is None:
+        groups = minhash_lsh_dedup(
+            ds, id_col, text_col, k=k, num_perm=num_perm, bands=bands,
+            jaccard_threshold=jaccard_threshold,
+            output=groups_output, **minhash_kwargs,
+        )
     groups_ds = _groups_with_id(
         rd.from_pandas(groups) if isinstance(groups, pd.DataFrame) else groups,
         id_col,

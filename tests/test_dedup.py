@@ -664,6 +664,19 @@ def test_apply_dedup_survivors(rd):
         assert row["text"] == texts[int(row.doc_id)]
     # the longest member of the BASE cluster (doc 3) is the survivor
     assert 3 in set(surv.doc_id) and 0 not in set(surv.doc_id)
+    # precomputed-groups pass-through: one grouping pass feeding both
+    # consumers must equal the internally-recomputed paths, for pandas
+    # AND Dataset groups forms
+    import pandas as pd
+    import ray.data as rdm
+
+    for g in (groups, rdm.from_pandas(groups)):
+        surv2 = apply_dedup(ds, "doc_id", "text", output="pandas",
+                            groups_output="pandas", groups=g, **kw)
+        pd.testing.assert_frame_equal(surv, surv2)
+        reps2 = dedup_representatives(ds, "doc_id", "text", output="pandas",
+                                      groups_output="pandas", groups=g, **kw)
+        pd.testing.assert_frame_equal(reps, reps2)
 
 
 def test_incremental_minhash_dedup(rd):
