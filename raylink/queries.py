@@ -1188,6 +1188,25 @@ def q_event_pairs(sf_dir: str):
     )
 
 
+def q_domain_cap(sf_dir: str):
+    """Per-key capped deterministic sample (raylink/sampling.cap_per_key)
+    — the RefinedWeb/C4-style "at most N docs per domain" primitive: keep
+    the 10 docs with smallest splitmix64(doc_id + 5) per source (ties ->
+    smaller id). Digest-merge keep-set + one id semi-join; membership is
+    partition/replay-invariant. SQL-checked: row_number() OVER
+    (PARTITION BY source ORDER BY splitmix64 replay, doc_id) <= 10."""
+    from raylink.sampling import cap_per_key
+
+    return cap_per_key(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        "source",
+        "doc_id",
+        cap=10,
+        seed=5,
+        cols=("source",),
+    )
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic per-stratum hash sample (raylink/sampling.py): keep
     50% of en, 20% of de, 10% of everything else — membership is a pure
@@ -1798,6 +1817,8 @@ def q_transcript_pr_curve(sf_dir: str):
 # FIRST; the longest-stable greens (driver-green every round since r1/r2)
 # sit in the tail, where a window cut costs the least evidence.
 QUERIES = {
+    # --- new in the round-5 close-out ---
+    "domain_cap": q_domain_cap,
     # --- never driver-checked in r3 (the r3 window cut them) ---
     "transcript_flagship": q_transcript_flagship,
     "transcript_pr_curve": q_transcript_pr_curve,
@@ -1888,7 +1909,7 @@ QUERIES = {
 # 50 r4-green ones follow. Every operator re-earns a fresh driver row at
 # least every other round.
 _R5_LEAD = [
-    "semantic_dedup", "bpe_encode", "remove_duplicate_spans",
+    "domain_cap", "semantic_dedup", "bpe_encode", "remove_duplicate_spans",
     "event_value_quantiles", "heavy_users", "split_documents", "sft_pairs",
     "transcript_tool_stats", "clean_documents", "ngram_df", "exact_dedup",
     "minmax_normalize", "threshold_filter", "pr_curve", "canonicalize_events",
@@ -3029,6 +3050,16 @@ ORACLE_SQL = {
                ) AS BIGINT) AS rank,
                user_id, n_events
         FROM c ORDER BY n_events DESC, user_id ASC LIMIT 20
+    """,
+    "domain_cap": f"""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {_sql_splitmix64('(doc_id + 5)')}, doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 10
     """,
     "stratified_sample": f"""
         SELECT doc_id, lang FROM documents

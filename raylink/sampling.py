@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .blocking import _hash64
-from .joins import _nonull
+from .joins import _nonull, _string_part_hash, semi_join
 
 
 def _rate_to_bp(rate: float) -> int:
@@ -136,6 +136,137 @@ def split_by_hash(
         )
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _cap_key_views(ka):
+    """(group-sortable int64 codes, partition hash) for a cap key column:
+    string keys factorize per table (grouping is within-table, so local
+    dictionary codes suffice) and partition via the shared string hash;
+    int64 keys group on their values and partition via splitmix64."""
+    ka = ka.combine_chunks() if isinstance(ka, pa.ChunkedArray) else ka
+    if ka.null_count:
+        raise ValueError(
+            "cap_per_key: null key values — cap keys must be non-null "
+            "(the loud-rejection policy of the grouped ops)"
+        )
+    if pa.types.is_string(ka.type) or pa.types.is_large_string(ka.type):
+        enc = pc.dictionary_encode(ka)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(
+            enc.indices.to_numpy(zero_copy_only=False), np.int64
+        )
+        return codes, _string_part_hash(ka)
+    codes = np.asarray(ka.to_numpy(zero_copy_only=False), np.int64)
+    return codes, _hash64(codes)
+
+
+def _cap_topk(codes, h, ids, cap):
+    """Row positions of the ``cap`` smallest (h, id) pairs per key code,
+    raising on duplicate (key, id) pairs (identical hashes sort adjacent,
+    so duplicates inside the table are always detected here)."""
+    order = np.lexsort((ids, h, codes))
+    kc, ki = codes[order], ids[order]
+    if len(kc) > 1:
+        dup = (kc[1:] == kc[:-1]) & (ki[1:] == ki[:-1])
+        if dup.any():
+            raise ValueError(
+                f"cap_per_key: duplicate id {int(ki[1:][dup][0])} within a "
+                "key — ids must be unique (the keep-set semi-join would "
+                "otherwise exceed the cap)"
+            )
+    first = np.ones(len(kc), dtype=bool)
+    first[1:] = kc[1:] != kc[:-1]
+    run_start = np.flatnonzero(first)
+    rank = np.arange(len(kc)) - np.repeat(
+        run_start, np.diff(np.append(run_start, len(kc)))
+    )
+    return order[rank < cap]
+
+
+def cap_per_key(
+    ds,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    seed: int = 0,
+    cols: tuple[str, ...] = (),
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+    n_parts: int | None = None,
+):
+    """Per-key capped deterministic sample — the RefinedWeb/C4-style
+    "at most ``cap`` documents per domain" primitive: within each key,
+    keep the ``cap`` rows with the smallest ``splitmix64(id + seed)``
+    (ties -> smaller id). Membership is a pure function of (key's row
+    set, id, seed): partition-independent, resume-invariant, and
+    SQL-replayable (``row_number() OVER (PARTITION BY key ORDER BY
+    splitmix64(id + seed), id) <= cap``).
+
+    Scale shape: per-block partials keep <= cap rows per (block, key),
+    so the shuffle carries digests, not the corpus; the keep-set merge
+    rides the shared digest dispatch (driver concat below the bound,
+    value-hash keyed groupby above — every key's candidates collocate);
+    survivors stream out through one id semi-join. Duplicate (key, id)
+    pairs raise loudly at the block AND merge stages. Output columns:
+    ``(id_col, *cols)``."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from .aggs import _digest_merge
+
+    P = int(n_parts) if n_parts is not None else 65_536
+    capi = int(cap)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            _nonull(batch[id_col], id_col, "cap_per_key").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
+        ka = batch[key_col].combine_chunks()
+        codes, ph = _cap_key_views(ka)
+        h = _hash64(ids + np.int64(seed))
+        pos = _cap_topk(codes, h, ids, capi)
+        take = pa.array(pos, pa.int64())
+        return pa.table(
+            {
+                key_col: ka.take(take),
+                id_col: pa.array(ids[pos]),
+                "h": pa.array(h[pos].astype(np.uint64)),
+                "part": pa.array((ph[pos] % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False), np.int64)
+        codes, _ph = _cap_key_views(g[key_col])
+        h = np.asarray(
+            g["h"].to_numpy(zero_copy_only=False), np.uint64
+        )
+        pos = _cap_topk(codes, h, ids, capi)
+        return pa.table({id_col: pa.array(ids[pos])})
+
+    keeps = _digest_merge(
+        ds.select_columns([key_col, id_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        merge,
+        driver_merge_max_rows,
+        n_parts=n_parts,
+    )
+    survivors = semi_join(
+        ds.select_columns(list(dict.fromkeys((id_col,) + tuple(cols)))),
+        keeps,
+        left_key_col=id_col,
+        right_key_col=id_col,
+        left_cols=tuple(c for c in cols if c != id_col),
+    )
+    if output == "pandas":
+        return (
+            survivors.to_pandas().sort_values(id_col).reset_index(drop=True)
+        )
+    return survivors
 
 
 def epoch_order(ds, id_col: str, epoch: int = 0, cols=None):

@@ -130,3 +130,84 @@ def test_epoch_order_deterministic_and_epoch_varying(rd):
     assert order1 != order2
     assert sorted(order1) == sorted(order2)  # both are full permutations
     assert (a["shuffle_key"] >= 0).all()
+
+
+def test_cap_per_key_brute_parity_and_paths(rd):
+    import pyarrow as pa
+
+    from raylink.blocking import _hash64
+    from raylink.sampling import cap_per_key
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    keys = [f"dom{v}.com" for v in rng.integers(0, 25, n)]
+    ids = rng.permutation(n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "source": pa.array(keys),
+            "doc_id": pa.array(ids),
+            "x": pa.array(rng.integers(0, 9, n)),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(7)
+    got = cap_per_key(
+        ds, "source", "doc_id", cap=10, seed=3, cols=("source", "x"),
+        output="pandas",
+    )
+    df = tbl.to_pandas()
+    df["h"] = _hash64(df.doc_id.to_numpy() + np.int64(3))
+    keep = df.sort_values(["h", "doc_id"]).groupby("source").head(10)
+    exp = (
+        df[df.doc_id.isin(keep.doc_id)][["doc_id", "source", "x"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+    # forced shuffle path and pinned n_parts — value-identical
+    forced = cap_per_key(
+        ds, "source", "doc_id", cap=10, seed=3, cols=("source", "x"),
+        output="pandas", driver_merge_max_rows=0,
+    )
+    pd.testing.assert_frame_equal(got, forced)
+    pinned = cap_per_key(
+        ds, "source", "doc_id", cap=10, seed=3, cols=("source", "x"),
+        output="pandas", driver_merge_max_rows=0, n_parts=3,
+    )
+    pd.testing.assert_frame_equal(got, pinned)
+
+
+def test_cap_per_key_int_key_and_guards(rd):
+    import pyarrow as pa
+    import pytest
+
+    from raylink.sampling import cap_per_key
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(np.arange(200, dtype=np.int64) % 5),
+                "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            }
+        )
+    ).repartition(3)
+    got = cap_per_key(ds, "k", "doc_id", cap=7, output="pandas")
+    assert len(got) == 35 and list(got.columns) == ["doc_id"]
+    # cap >= group size keeps everything
+    allkept = cap_per_key(ds, "k", "doc_id", cap=100, output="pandas")
+    assert len(allkept) == 200
+    with pytest.raises(Exception, match="duplicate id"):
+        cap_per_key(
+            rd.from_arrow(
+                pa.table({"k": pa.array(["a", "a"]), "doc_id": pa.array([5, 5])})
+            ),
+            "k", "doc_id", cap=1, output="pandas",
+        )
+    with pytest.raises(Exception, match="null"):
+        cap_per_key(
+            rd.from_arrow(
+                pa.table({"k": pa.array(["a", None]), "doc_id": pa.array([1, 2])})
+            ),
+            "k", "doc_id", cap=1, output="pandas",
+        )
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_key(ds, "k", "doc_id", cap=0, output="pandas")
