@@ -1207,6 +1207,22 @@ def q_domain_cap(sf_dir: str):
     )
 
 
+def q_sample_n(sf_dir: str):
+    """Deterministic exactly-n global sample (raylink/sampling.sample_n):
+    the 100 docs with smallest splitmix64(doc_id + 11), ties -> smaller
+    id — exact-count reproducible sampling (hash_sample's count is
+    binomial). SQL-checked: ORDER BY splitmix64 replay, doc_id LIMIT n."""
+    from raylink.sampling import sample_n
+
+    return sample_n(
+        _read(sf_dir, "documents", columns=["doc_id", "lang"]),
+        "doc_id",
+        n=100,
+        seed=11,
+        cols=("lang",),
+    )
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic per-stratum hash sample (raylink/sampling.py): keep
     50% of en, 20% of de, 10% of everything else — membership is a pure
@@ -1819,6 +1835,7 @@ def q_transcript_pr_curve(sf_dir: str):
 QUERIES = {
     # --- new in the round-5 close-out ---
     "domain_cap": q_domain_cap,
+    "sample_n": q_sample_n,
     # --- never driver-checked in r3 (the r3 window cut them) ---
     "transcript_flagship": q_transcript_flagship,
     "transcript_pr_curve": q_transcript_pr_curve,
@@ -1909,7 +1926,8 @@ QUERIES = {
 # 50 r4-green ones follow. Every operator re-earns a fresh driver row at
 # least every other round.
 _R5_LEAD = [
-    "domain_cap", "semantic_dedup", "bpe_encode", "remove_duplicate_spans",
+    "domain_cap", "sample_n", "semantic_dedup", "bpe_encode",
+    "remove_duplicate_spans",
     "event_value_quantiles", "heavy_users", "split_documents", "sft_pairs",
     "transcript_tool_stats", "clean_documents", "ngram_df", "exact_dedup",
     "minmax_normalize", "threshold_filter", "pr_curve", "canonicalize_events",
@@ -3050,6 +3068,10 @@ ORACLE_SQL = {
                ) AS BIGINT) AS rank,
                user_id, n_events
         FROM c ORDER BY n_events DESC, user_id ASC LIMIT 20
+    """,
+    "sample_n": f"""
+        SELECT doc_id, lang FROM documents
+        ORDER BY {_sql_splitmix64('(doc_id + 11)')}, doc_id LIMIT 100
     """,
     "domain_cap": f"""
         SELECT doc_id, source FROM (

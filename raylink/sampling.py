@@ -269,6 +269,82 @@ def cap_per_key(
     return survivors
 
 
+def sample_n(
+    ds,
+    id_col: str,
+    n: int,
+    seed: int = 0,
+    cols: tuple[str, ...] = (),
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+):
+    """Deterministic EXACTLY-n global sample: the n rows with the
+    smallest ``splitmix64(id + seed)`` (ties -> smaller id) — the
+    "give me exactly 100k docs, reproducibly" primitive. Unlike
+    :func:`hash_sample` (a rate, so the count is binomial), the output
+    size is exact; like the rest of the family it is a pure function of
+    (row set, seed): partition/resume-invariant and SQL-replayable
+    (``ORDER BY splitmix64(id + seed), id LIMIT n``).
+
+    Scale shape: the constant-key case of :func:`cap_per_key` — per-block
+    partials keep <= n rows, the keep-set merges through the shared
+    digest dispatch (n rows per block bounds the digest; the global
+    merge state is O(n)), survivors stream through one id semi-join.
+    Fewer than n input rows keeps everything. Output columns:
+    ``(id_col, *cols)``."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from .aggs import _digest_merge
+
+    ni = int(n)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            _nonull(batch[id_col], id_col, "sample_n").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
+        h = _hash64(ids + np.int64(seed))
+        pos = _cap_topk(np.zeros(len(ids), np.int64), h, ids, ni)
+        return pa.table(
+            {
+                id_col: pa.array(ids[pos]),
+                "h": pa.array(h[pos].astype(np.uint64)),
+                "part": pa.array(np.zeros(len(pos), np.int64)),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False), np.int64)
+        h = np.asarray(g["h"].to_numpy(zero_copy_only=False), np.uint64)
+        pos = _cap_topk(np.zeros(len(ids), np.int64), h, ids, ni)
+        return pa.table({id_col: pa.array(ids[pos])})
+
+    # one logical key -> one merge partition; n_parts=1 keeps the
+    # above-bound groupby from staging 65k near-empty partitions
+    keeps = _digest_merge(
+        ds.select_columns([id_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        merge,
+        driver_merge_max_rows,
+        n_parts=1,
+    )
+    survivors = semi_join(
+        ds.select_columns(list(dict.fromkeys((id_col,) + tuple(cols)))),
+        keeps,
+        left_key_col=id_col,
+        right_key_col=id_col,
+        left_cols=tuple(c for c in cols if c != id_col),
+    )
+    if output == "pandas":
+        return (
+            survivors.to_pandas().sort_values(id_col).reset_index(drop=True)
+        )
+    return survivors
+
+
 def epoch_order(ds, id_col: str, epoch: int = 0, cols=None):
     """Deterministic EPOCH SHUFFLE key — the data-loader ordering
     primitive: shuffle_key = splitmix64(id + epoch) mod 2^63, a pure

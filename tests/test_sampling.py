@@ -211,3 +211,38 @@ def test_cap_per_key_int_key_and_guards(rd):
         )
     with pytest.raises(ValueError, match="cap"):
         cap_per_key(ds, "k", "doc_id", cap=0, output="pandas")
+
+
+def test_sample_n_exact_count_and_parity(rd):
+    import pyarrow as pa
+    import pytest
+
+    from raylink.blocking import _hash64
+    from raylink.sampling import sample_n
+
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(1000).astype(np.int64)
+    tbl = pa.table(
+        {"doc_id": pa.array(ids), "x": pa.array(rng.integers(0, 9, 1000))}
+    )
+    ds = rd.from_arrow(tbl).repartition(6)
+    got = sample_n(ds, "doc_id", n=57, seed=4, cols=("x",), output="pandas")
+    assert len(got) == 57
+    # brute force: 57 smallest (h, id)
+    df = tbl.to_pandas()
+    df["h"] = _hash64(df.doc_id.to_numpy() + np.int64(4))
+    exp = (
+        df.sort_values(["h", "doc_id"]).head(57)[["doc_id", "x"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+    # forced shuffle path parity; n >= rows keeps everything
+    forced = sample_n(
+        ds, "doc_id", n=57, seed=4, cols=("x",), output="pandas",
+        driver_merge_max_rows=0,
+    )
+    pd.testing.assert_frame_equal(got, forced)
+    assert len(sample_n(ds, "doc_id", n=5000, output="pandas")) == 1000
+    with pytest.raises(ValueError, match="n must be"):
+        sample_n(ds, "doc_id", n=0, output="pandas")
