@@ -269,6 +269,12 @@ def cap_per_key(
     return survivors
 
 
+# rolling-merge chunk bound for sample_n (the ann._merge_partials_topk
+# pattern): candidates fold into the running top-n at most this many rows
+# at a time, so driver state stays O(n + chunk) regardless of block count
+_SAMPLE_MERGE_CHUNK_ROWS = 4_000_000
+
+
 def sample_n(
     ds,
     id_col: str,
@@ -276,7 +282,6 @@ def sample_n(
     seed: int = 0,
     cols: tuple[str, ...] = (),
     output: str = "dataset",
-    driver_merge_max_rows: int = 2_000_000,
 ):
     """Deterministic EXACTLY-n global sample: the n rows with the
     smallest ``splitmix64(id + seed)`` (ties -> smaller id) — the
@@ -286,15 +291,19 @@ def sample_n(
     (row set, seed): partition/resume-invariant and SQL-replayable
     (``ORDER BY splitmix64(id + seed), id LIMIT n``).
 
-    Scale shape: the constant-key case of :func:`cap_per_key` — per-block
-    partials keep <= n rows, the keep-set merges through the shared
-    digest dispatch (n rows per block bounds the digest; the global
-    merge state is O(n)), survivors stream through one id semi-join.
+    Scale shape: the constant-key case of :func:`cap_per_key`, except
+    the single logical key makes a keyed shuffle pointless (everything
+    would land in ONE merge partition — n × n_blocks rows in one task).
+    Instead: per-block partials keep <= n rows, then a ROLLING bounded
+    driver merge (the ann._merge_partials_topk pattern) folds partial
+    refs chunk by chunk with O(n + chunk) running state — never one
+    concat of all partials. Survivors stream through one id semi-join.
     Fewer than n input rows keeps everything. Output columns:
     ``(id_col, *cols)``."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    from .aggs import _digest_merge
+    import ray
+    import ray.data as rd
 
     ni = int(n)
 
@@ -311,26 +320,42 @@ def sample_n(
             {
                 id_col: pa.array(ids[pos]),
                 "h": pa.array(h[pos].astype(np.uint64)),
-                "part": pa.array(np.zeros(len(pos), np.int64)),
             }
         )
 
-    def merge(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False), np.int64)
-        h = np.asarray(g["h"].to_numpy(zero_copy_only=False), np.uint64)
-        pos = _cap_topk(np.zeros(len(ids), np.int64), h, ids, ni)
-        return pa.table({id_col: pa.array(ids[pos])})
-
-    # one logical key -> one merge partition; n_parts=1 keeps the
-    # above-bound groupby from staging 65k near-empty partitions
-    keeps = _digest_merge(
-        ds.select_columns([id_col]).map_batches(
-            partial, batch_format="pyarrow"
-        ),
-        merge,
-        driver_merge_max_rows,
-        n_parts=1,
+    parts = (
+        ds.select_columns([id_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
     )
+    run_ids = np.empty(0, np.int64)
+    run_h = np.empty(0, np.uint64)
+    buf_ids, buf_h, buf_rows = [], [], 0
+
+    def _fold():
+        nonlocal run_ids, run_h, buf_ids, buf_h, buf_rows
+        cand_ids = np.concatenate([run_ids] + buf_ids)
+        cand_h = np.concatenate([run_h] + buf_h)
+        pos = _cap_topk(np.zeros(len(cand_ids), np.int64), cand_h, cand_ids, ni)
+        run_ids, run_h = cand_ids[pos], cand_h[pos]
+        buf_ids, buf_h, buf_rows = [], [], 0
+
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        buf_ids.append(
+            np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        )
+        buf_h.append(
+            np.asarray(t["h"].to_numpy(zero_copy_only=False), np.uint64)
+        )
+        buf_rows += t.num_rows
+        if buf_rows >= _SAMPLE_MERGE_CHUNK_ROWS:
+            _fold()
+    if buf_rows:
+        _fold()
+    keeps = rd.from_arrow(pa.table({id_col: pa.array(run_ids)}))
     survivors = semi_join(
         ds.select_columns(list(dict.fromkeys((id_col,) + tuple(cols)))),
         keeps,

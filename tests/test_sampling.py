@@ -237,11 +237,17 @@ def test_sample_n_exact_count_and_parity(rd):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
-    # forced shuffle path parity; n >= rows keeps everything
-    forced = sample_n(
-        ds, "doc_id", n=57, seed=4, cols=("x",), output="pandas",
-        driver_merge_max_rows=0,
-    )
+    # forced tiny-chunk rolling merge parity (every partial folds alone)
+    import raylink.sampling as sampling_mod
+
+    old = sampling_mod._SAMPLE_MERGE_CHUNK_ROWS
+    sampling_mod._SAMPLE_MERGE_CHUNK_ROWS = 1
+    try:
+        forced = sample_n(
+            ds, "doc_id", n=57, seed=4, cols=("x",), output="pandas"
+        )
+    finally:
+        sampling_mod._SAMPLE_MERGE_CHUNK_ROWS = old
     pd.testing.assert_frame_equal(got, forced)
     assert len(sample_n(ds, "doc_id", n=5000, output="pandas")) == 1000
     with pytest.raises(ValueError, match="n must be"):
