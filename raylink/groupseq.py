@@ -95,6 +95,25 @@ def _agg_block_remote(
             eb = eb.append_column(n, pa.array([], t))
         return e, eb
     agg, starts = _agg_sorted_table(tbl, key_col, count_name, firsts, joins)
+    # duplicate (key, *order) rows make the join order ambiguous (the
+    # sort leaves tie order arbitrary) — reject loudly like lag_payload
+    # does, instead of emitting a nondeterministic sequence. Block-local
+    # check (duplicates split exactly at a block boundary are the
+    # documented residual, as in remove_boilerplate's ordinal rule);
+    # reuses the group starts so the key column isn't rematerialized.
+    if tbl.num_rows > 1 and order_cols:
+        is_start = np.zeros(tbl.num_rows, dtype=bool)
+        is_start[starts] = True
+        same = ~is_start[1:]
+        for c in order_cols:
+            v = np.asarray(tbl[c].to_numpy(zero_copy_only=False))
+            same &= v[1:] == v[:-1]
+        if same.any():
+            raise ValueError(
+                f"ordered_seq_agg: duplicate ({key_col}, "
+                f"{', '.join(order_cols)}) rows — the ordered join would "
+                "be nondeterministic; deduplicate or extend order_cols"
+            )
     # order-col first values ride along so the driver can sequence straddle
     # chains without trusting block index ordering
     take_starts = pa.array(starts, type=pa.int64())
@@ -201,6 +220,24 @@ def _merge_boundary(
     bnd = bnd.take(pc.sort_indices(bnd, sort_keys=sort_keys))
     keys = np.asarray(bnd[key_col].to_numpy(zero_copy_only=False))
     starts = _group_starts(keys)
+    # two straddle partials of one key with IDENTICAL first order values
+    # cannot be sequenced deterministically — the boundary-level face of
+    # the per-block duplicate-(key, order) rejection above
+    if bnd.num_rows > 1 and order_cols:
+        is_start = np.zeros(bnd.num_rows, dtype=bool)
+        is_start[starts] = True
+        same = ~is_start[1:]
+        for c in order_cols:
+            v = np.asarray(
+                bnd[f"__ord_{c}"].to_numpy(zero_copy_only=False)
+            )
+            same &= v[1:] == v[:-1]
+        if same.any():
+            raise ValueError(
+                f"ordered_seq_agg: boundary partials of one {key_col} "
+                "share identical first order values — duplicate "
+                "(key, order) rows straddling a block boundary"
+            )
     n = bnd.num_rows
     ends = np.append(starts[1:], n)
     take_starts = pa.array(starts, type=pa.int64())

@@ -150,3 +150,35 @@ def test_ordered_seq_agg_empty_inputs(ray_session):
     })).filter(lambda r: False)
     with pytest.raises(Exception, match="schema"):
         ordered_seq_agg(lost, "conv", ["ts"], count_name="n").to_pandas()
+
+
+def test_ordered_seq_agg_duplicate_order_rows_raise(ray_session):
+    """Duplicate (key, order) rows make the ordered join nondeterministic
+    (the sort leaves tie order arbitrary) — loud rejection, the
+    lag_payload discipline. Distinct keys sharing an order value stay
+    legal."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from raylink.groupseq import ordered_seq_agg
+
+    dup = pa.table({
+        "conv": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([5, 5, 5], pa.int64()),
+        "tool": pa.array(["a", "b", "c"], pa.string()),
+    })
+    with pytest.raises(Exception, match="duplicate"):
+        ordered_seq_agg(
+            rd.from_arrow(dup), "conv", ["ts"],
+            joins=(("tool", "seq", "|"),),
+        ).to_pandas()
+    ok = pa.table({
+        "conv": pa.array([1, 2, 1], pa.int64()),
+        "ts": pa.array([5, 5, 6], pa.int64()),
+        "tool": pa.array(["a", "c", "b"], pa.string()),
+    })
+    out = ordered_seq_agg(
+        rd.from_arrow(ok), "conv", ["ts"], joins=(("tool", "seq", "|"),),
+    ).to_pandas().sort_values("conv", ignore_index=True)
+    assert out["seq"].tolist() == ["a|b", "c"]
