@@ -2424,7 +2424,10 @@ def dedup_representatives(
     result over the SAME input (pandas frame or Dataset with
     (doc_id, dup_group)); passing it skips the minhash pipeline — the
     pattern for pipelines that derive representatives AND survivors from
-    one grouping pass instead of recomputing LSH per consumer.
+    one grouping pass instead of recomputing LSH per consumer. A lazy
+    Dataset re-executes its DAG per consumer — ``materialize()`` the
+    groups Dataset before passing it to BOTH this op and
+    :func:`apply_dedup`, or the LSH pass runs twice anyway.
 
     Scale shape: the corpus streams ONCE through a slim (id, n_chars)
     projection; group membership joins in via :func:`raylink.joins.equi_join`
@@ -2591,7 +2594,8 @@ def apply_dedup(
     :func:`minhash_lsh_dedup` result over the SAME input; passing it
     skips the minhash pipeline (one grouping pass can then feed both
     this op and :func:`dedup_representatives` — LSH is the dominant
-    cost, never recompute it per consumer).
+    cost, never recompute it per consumer; ``materialize()`` a Dataset
+    groups handle first, else its DAG re-executes per consumer).
     Composition of the existing primitives, each at
     its own scale mode: minhash groups -> representative selection
     (:func:`_reps_from_groups`) -> drop-list = members x their group's

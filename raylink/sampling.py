@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .blocking import _hash64
-from .joins import _nonull, _string_part_hash, semi_join
+from .joins import _check_reserved, _nonull, _string_part_hash, semi_join
 
 
 def _rate_to_bp(rate: float) -> int:
@@ -157,6 +157,11 @@ def _cap_key_views(ka):
             enc.indices.to_numpy(zero_copy_only=False), np.int64
         )
         return codes, _string_part_hash(ka)
+    if not pa.types.is_integer(ka.type):
+        raise ValueError(
+            f"cap_per_key: key column type {ka.type} — keys must be "
+            "string or integer (a float key would be silently truncated)"
+        )
     codes = np.asarray(ka.to_numpy(zero_copy_only=False), np.int64)
     return codes, _hash64(codes)
 
@@ -212,6 +217,12 @@ def cap_per_key(
     ``(id_col, *cols)``."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
+    # the partial digest stages through 'h'/'part' (the joins-family
+    # reserved-name policy: a user column with those names would be
+    # silently overwritten by staging metadata)
+    _check_reserved(
+        "cap_per_key", (key_col, id_col, *cols), frozenset({"h", "part"})
+    )
     from .aggs import _digest_merge
 
     P = int(n_parts) if n_parts is not None else 65_536
@@ -302,6 +313,7 @@ def sample_n(
     ``(id_col, *cols)``."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    _check_reserved("sample_n", (id_col, *cols), frozenset({"h"}))
     import ray
     import ray.data as rd
 
@@ -377,6 +389,11 @@ def epoch_order(ds, id_col: str, epoch: int = 0, cols=None):
     permutation with NO shuffle (consumers sort or range-partition by
     (shuffle_key, id); a new epoch value yields an independent order).
     Streaming map; replay/resume-invariant like the sampling family."""
+    _check_reserved(
+        "epoch_order",
+        (id_col, *(cols or ())),
+        frozenset({"shuffle_key"}),
+    )
 
     def tag(batch: pa.Table) -> pa.Table:
         ids = np.asarray(

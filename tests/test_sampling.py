@@ -252,3 +252,36 @@ def test_sample_n_exact_count_and_parity(rd):
     assert len(sample_n(ds, "doc_id", n=5000, output="pandas")) == 1000
     with pytest.raises(ValueError, match="n must be"):
         sample_n(ds, "doc_id", n=0, output="pandas")
+
+
+def test_reserved_staging_names_rejected(rd):
+    # the joins-family policy: user columns named like internal staging
+    # columns must collide loudly, not be silently overwritten
+    from raylink.sampling import cap_per_key, epoch_order, sample_n
+
+    tbl = pa.table({"h": pa.array([1, 2, 3]), "part": pa.array([0, 1, 0]),
+                    "doc_id": pa.array([1, 2, 3])})
+    ds = rd.from_arrow(tbl)
+    with pytest.raises(ValueError, match="reserved"):
+        cap_per_key(ds, "part", "h", cap=1)
+    with pytest.raises(ValueError, match="reserved"):
+        cap_per_key(ds, "part", "doc_id", cap=1, cols=("h",))
+    with pytest.raises(ValueError, match="reserved"):
+        sample_n(ds, "h", n=1)
+    with pytest.raises(ValueError, match="reserved"):
+        sample_n(ds, "doc_id", n=1, cols=("h",))
+    with pytest.raises(ValueError, match="reserved"):
+        epoch_order(
+            rd.from_arrow(pa.table({"shuffle_key": pa.array([1, 2])})),
+            "shuffle_key",
+        )
+
+
+def test_cap_per_key_rejects_float_keys(rd):
+    from raylink.sampling import cap_per_key
+
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array([1.0, 2.0]), "doc_id": pa.array([1, 2])})
+    )
+    with pytest.raises(Exception, match="float key"):
+        cap_per_key(ds, "k", "doc_id", cap=1, output="pandas")
