@@ -24,6 +24,7 @@ import ray
 import ray.data as _rd
 
 from raylink.blocking import _hash64
+from raylink.joins import typed_to_pandas
 
 
 def _np_i64(col) -> np.ndarray:
@@ -96,6 +97,7 @@ def _widen_or_raise(
 def _digest_merge(
     parts_ds, merge_fn, driver_merge_max_rows: int,
     n_parts: int | None = None,
+    empty_fn=None,
 ):
     """Shared digest-merge dispatch: below the bound, concatenate the
     (already partially-reduced) digest blocks on the driver and run the
@@ -110,11 +112,17 @@ def _digest_merge(
 
     parts = parts_ds.materialize()
     if parts.count() <= driver_merge_max_rows:
-        tabs = ray.get(parts.to_arrow_refs())
+        # an all-empty upstream can emit zero-COLUMN placeholder blocks
+        # (the schema-loss hazard) — they carry no digest rows, drop them
+        tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_columns]
         if not tabs:
             # zero-block input (e.g. everything filtered upstream):
-            # pa.concat_tables([]) raises — an empty dataset is the
-            # correct empty digest
+            # pa.concat_tables([]) raises. ``empty_fn`` (when the op
+            # provides one) builds the TYPED empty digest so downstream
+            # joins/collects see the documented schema; otherwise an
+            # empty dataset is the correct empty digest
+            if empty_fn is not None:
+                return _rd.from_arrow(empty_fn())
             return parts
         allt = pa.concat_tables(tabs, promote_options="default")
         return _rd.from_arrow(merge_fn(allt))
@@ -174,7 +182,7 @@ def group_topk(
     )
     if output == "pandas":
         return (
-            res.to_pandas()
+            typed_to_pandas(res)
             .sort_values([key_col, "rank"])
             .reset_index(drop=True)
         )
@@ -286,7 +294,7 @@ def group_quantiles(
         n_parts=n_parts,
     )
     if output == "pandas":
-        return res.to_pandas().sort_values(key_col).reset_index(drop=True)
+        return typed_to_pandas(res).sort_values(key_col).reset_index(drop=True)
     return res
 
 
@@ -431,7 +439,7 @@ def group_ndistinct(
         n_parts=n_parts,
     )
     if output == "pandas":
-        return res.to_pandas().sort_values(key_col).reset_index(drop=True)
+        return typed_to_pandas(res).sort_values(key_col).reset_index(drop=True)
     return res
 
 
@@ -525,7 +533,7 @@ def label_centroids(
     )
     if output == "pandas":
         return (
-            res.to_pandas()
+            typed_to_pandas(res)
             .sort_values([label_col, "dim"])
             .reset_index(drop=True)
         )
@@ -626,6 +634,6 @@ def group_count(
     )
     if output == "pandas":
         return (
-            res.to_pandas().sort_values(list(kc)).reset_index(drop=True)
+            typed_to_pandas(res).sort_values(list(kc)).reset_index(drop=True)
         )
     return res

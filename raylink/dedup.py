@@ -38,6 +38,7 @@ import pyarrow.compute as pc
 import ray
 
 from raylink.blocking import _fnv64_fold_rows, _hash64
+from raylink.joins import typed_to_pandas
 
 # fine staging modulus for digest shuffles (the joins _FINE_PARTS
 # convention — aggs._digest_merge's sized groupby rebases it onto an
@@ -2462,7 +2463,10 @@ def dedup_representatives(
         ds, groups_ds, id_col, text_col, driver_merge_max_rows
     )
     if output == "pandas":
-        return res.to_pandas().sort_values("dup_group").reset_index(drop=True)
+        return (
+            typed_to_pandas(res).sort_values("dup_group")
+            .reset_index(drop=True)
+        )
     return res
 
 
@@ -2538,20 +2542,23 @@ def _reps_from_groups(ds, groups_ds, id_col, text_col, driver_merge_max_rows):
             }
         )
 
+    def _empty_reps() -> pa.Table:
+        return pa.table(
+            {
+                "dup_group": pa.array([], pa.int64()),
+                "rep_id": pa.array([], pa.int64()),
+                "rep_chars": pa.array([], pa.int64()),
+                "n_members": pa.array([], pa.int64()),
+            }
+        )
+
     def merge(t: pa.Table) -> pa.Table:
         g = np.asarray(t["g"].to_numpy(zero_copy_only=False), np.int64)
         c = np.asarray(t["c"].to_numpy(zero_copy_only=False), np.int64)
         i = np.asarray(t["i"].to_numpy(zero_copy_only=False), np.int64)
         n = np.asarray(t["cnt"].to_numpy(zero_copy_only=False), np.int64)
         if not len(g):
-            return pa.table(
-                {
-                    "dup_group": pa.array([], pa.int64()),
-                    "rep_id": pa.array([], pa.int64()),
-                    "rep_chars": pa.array([], pa.int64()),
-                    "n_members": pa.array([], pa.int64()),
-                }
-            )
+            return _empty_reps()
         order = np.lexsort((i, -c, g))
         gs, cs, is_, ns = g[order], c[order], i[order], n[order]
         start = np.ones(len(gs), dtype=bool)
@@ -2571,6 +2578,10 @@ def _reps_from_groups(ds, groups_ds, id_col, text_col, driver_merge_max_rows):
         joined.map_batches(partial, batch_format="pyarrow"),
         merge,
         driver_merge_max_rows,
+        # a dup-free corpus has NO groups: the digest is all-empty and
+        # schema-less — build the typed empty so apply_dedup's joins and
+        # the pandas collect see the documented columns
+        empty_fn=_empty_reps,
     )
 
 
@@ -2648,7 +2659,7 @@ def apply_dedup(
     )
     if output == "pandas":
         return (
-            survivors.to_pandas().sort_values(id_col).reset_index(drop=True)
+            typed_to_pandas(survivors).sort_values(id_col).reset_index(drop=True)
         )
     return survivors
 
@@ -2822,7 +2833,7 @@ def contamination_check(
         res = corpus_ds.map_batches(count_hits, batch_format="pyarrow")
         if output == "pandas":
             return (
-                res.to_pandas().sort_values(id_col).reset_index(drop=True)
+                typed_to_pandas(res).sort_values(id_col).reset_index(drop=True)
             )
         return res
 
@@ -2921,7 +2932,7 @@ def contamination_check(
         clean_ids.map_batches(flag_clean, batch_format="pyarrow")
     )
     if output == "pandas":
-        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+        return typed_to_pandas(res).sort_values(id_col).reset_index(drop=True)
     return res
 
 
@@ -3835,7 +3846,7 @@ def remove_duplicate_spans(
         )
 
     if output == "pandas":
-        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+        return typed_to_pandas(res).sort_values(id_col).reset_index(drop=True)
     return res
 
 
@@ -3887,6 +3898,6 @@ def semantic_dedup(
     )
     if output == "pandas":
         return (
-            survivors.to_pandas().sort_values(id_col).reset_index(drop=True)
+            typed_to_pandas(survivors).sort_values(id_col).reset_index(drop=True)
         )
     return survivors

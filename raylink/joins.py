@@ -235,6 +235,25 @@ def _string_part_hash(a: pa.Array) -> np.ndarray:
     )
 
 
+def typed_to_pandas(ds):
+    """``output="pandas"`` collect that survives the zero-row quirk: a
+    zero-row Dataset's ``to_pandas()`` can come back COLUMN-LESS even
+    when ``ds.schema()`` still knows the types (the recurring empty-block
+    schema-loss hazard) — and the caller's ``sort_values(col)`` then
+    KeyErrors on a legitimately-empty result (a fully-filtered corpus, a
+    dup-free dedup, an over-strict min_count). Rebuild the typed empty
+    frame from the Dataset schema in that case; non-empty results pass
+    through untouched."""
+    df = ds.to_pandas()
+    if not len(df) and not len(df.columns):
+        sch = ds.schema()
+        if sch is not None:
+            df = pa.schema(
+                list(zip(sch.names, sch.types))
+            ).empty_table().to_pandas()
+    return df
+
+
 def _drop_null_keys(ds, *key_cols: str):
     """Null keys never satisfy SQL equality/comparison predicates, but
     the int64 kernels would silently corrupt them (a null int64 column
@@ -640,6 +659,19 @@ def semi_join(
     # cannot infer its schema (equi_join's hardening, mirrored here)
     lschema = left_ds.schema()
     rschema = right_ds.schema()
+    if rschema is None and lschema is not None:
+        # a zero-block right side (e.g. labels of a dup-free corpus) has
+        # no schema at all; its key set is EMPTY — substitute a typed
+        # empty keys table (key dtype borrowed from the left side, which
+        # is what the membership test compares against) so the normal
+        # broadcast path runs instead of crashing on schema access
+        import ray.data as rd
+
+        ltype = dict(zip(lschema.names, lschema.types))[left_key_col]
+        right_ds = rd.from_arrow(
+            pa.table({right_key_col: pa.array([], ltype)})
+        )
+        rschema = right_ds.schema()
     left_ds = _drop_null_keys(left_ds, left_key_col)
     right_ds = _drop_null_keys(right_ds, right_key_col)
     if mode == "auto":

@@ -164,6 +164,22 @@ def distributed_connected_components(
         .drop_columns(["count()"])
     ).materialize()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # zero edges (e.g. a dup-free corpus): an all-empty Dataset can
+        # drop its schema entirely (the recurring empty-block hazard), so
+        # build the typed empty (node, label) result explicitly instead
+        # of running the propagation machinery against a schema-less table
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                }
+            )
+        )
     if n_nodes <= broadcast_max_nodes:
         return _cc_broadcast(edges_ds, nodes, left_col, right_col, max_iters)
     return _cc_partition_join(edges_ds, nodes, left_col, right_col, max_iters)

@@ -21,7 +21,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .blocking import _hash64
-from .joins import _check_reserved, _nonull, _string_part_hash, semi_join
+from .joins import (
+    _check_reserved,
+    _nonull,
+    _string_part_hash,
+    semi_join,
+    typed_to_pandas,
+)
 
 
 def _rate_to_bp(rate: float) -> int:
@@ -275,7 +281,7 @@ def cap_per_key(
     )
     if output == "pandas":
         return (
-            survivors.to_pandas().sort_values(id_col).reset_index(drop=True)
+            typed_to_pandas(survivors).sort_values(id_col).reset_index(drop=True)
         )
     return survivors
 
@@ -377,7 +383,7 @@ def sample_n(
     )
     if output == "pandas":
         return (
-            survivors.to_pandas().sort_values(id_col).reset_index(drop=True)
+            typed_to_pandas(survivors).sort_values(id_col).reset_index(drop=True)
         )
     return survivors
 

@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import ray
 
 from raylink.blocking import _hash64
+from raylink.joins import typed_to_pandas
 from raylink.text import batch_ngrams, clean_strings_arrow
 
 # fine staging modulus for the per-id digest shuffles (the joins
@@ -282,7 +283,7 @@ def vocabulary(
         n_parts=n_parts,
     )
     if output == "pandas":
-        return res.to_pandas().sort_values("token").reset_index(drop=True)
+        return typed_to_pandas(res).sort_values("token").reset_index(drop=True)
     return res
 
 
@@ -528,7 +529,7 @@ def paragraph_counts(
         n_parts=n_parts,
     )
     if output == "pandas":
-        return res.to_pandas().sort_values("paragraph").reset_index(drop=True)
+        return typed_to_pandas(res).sort_values("paragraph").reset_index(drop=True)
     return res
 
 
@@ -697,7 +698,7 @@ def remove_boilerplate(
         )
 
     if output == "pandas":
-        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+        return typed_to_pandas(res).sort_values(id_col).reset_index(drop=True)
     return res
 
 
@@ -833,7 +834,7 @@ def bpe_pair_counts(
     )
     if output == "pandas":
         return (
-            res.to_pandas()
+            typed_to_pandas(res)
             .sort_values(["left", "right"])
             .reset_index(drop=True)
         )
@@ -1106,7 +1107,7 @@ def bpe_encode(
         concurrency=concurrency,
     )
     if output == "pandas":
-        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+        return typed_to_pandas(res).sort_values(id_col).reset_index(drop=True)
     return res
 
 
@@ -1396,7 +1397,7 @@ def rarity_score(
 
         res = ds.map_batches(score, batch_format="pyarrow")
         if output == "pandas":
-            return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+            return typed_to_pandas(res).sort_values(id_col).reset_index(drop=True)
         return res
 
     # distributed: (doc, gram) distinct rows join the census on the
@@ -1474,5 +1475,5 @@ def rarity_score(
     )
     res = scored.union(clean.map_batches(zero_fill, batch_format="pyarrow"))
     if output == "pandas":
-        return res.to_pandas().sort_values(id_col).reset_index(drop=True)
+        return typed_to_pandas(res).sort_values(id_col).reset_index(drop=True)
     return res

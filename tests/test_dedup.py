@@ -1373,3 +1373,67 @@ def test_minhash_shingle_byte_bound_reroutes_to_distributed(rd, monkeypatch):
             _docs(rd, texts), "doc_id", "text", jaccard_threshold=0.5,
             verification="driver", output="pandas",
         )
+
+
+def test_semantic_dedup_dup_free_corpus(rd):
+    """A corpus with NO near-dup pairs keeps every row on both output
+    paths (empty edges -> typed-empty labels -> schema-less drop set ->
+    anti semi-join keeps all; r5 close-out regression)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raylink.dedup import semantic_dedup
+
+    rng = np.random.default_rng(0)
+    V = rng.normal(size=(40, 32)).astype(np.float64)
+    tbl = pa.table({"vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                    "embedding": pa.array(list(V))})
+    ds = rd.from_arrow(tbl).repartition(3)
+    out = semantic_dedup(ds, "vec_id", "embedding", threshold=0.95,
+                         output="pandas")
+    assert len(out) == 40 and list(out.columns) == ["vec_id", "embedding"]
+    out2 = semantic_dedup(ds, "vec_id", "embedding", threshold=0.95)
+    assert out2.count() == 40
+
+
+def test_dedup_family_dup_free_corpus(rd):
+    """A corpus with NO near-dups must flow through every dedup surface
+    on BOTH output modes (r5 close-out: empty groups lost their schema
+    through the reps digest, zero-row to_pandas, and schema-less drop
+    sets — typed empties everywhere now)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raylink.dedup import (
+        apply_dedup,
+        dedup_representatives,
+        incremental_minhash_dedup,
+        minhash_lsh_dedup,
+    )
+
+    texts = [
+        f"completely unique document number {i} with distinct words "
+        f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f"
+        for i in range(30)
+    ]
+    tbl = pa.table({"doc_id": pa.array(np.arange(30, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(3)
+    assert minhash_lsh_dedup(ds, "doc_id", "text").count() == 0
+    assert apply_dedup(ds, "doc_id", "text").count() == 30
+    reps = dedup_representatives(ds, "doc_id", "text")
+    assert reps.count() == 0
+    surv_pd = apply_dedup(ds, "doc_id", "text", output="pandas",
+                          groups_output="pandas")
+    assert sorted(surv_pd.doc_id) == list(range(30))
+    reps_pd = dedup_representatives(ds, "doc_id", "text", output="pandas",
+                                    groups_output="pandas")
+    assert len(reps_pd) == 0
+    assert list(reps_pd.columns) == ["dup_group", "rep_id", "rep_chars",
+                                     "n_members"]
+    delta = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([100], pa.int64()),
+         "text": pa.array(["another fully unique delta doc xyz abc def"])}))
+    inc = incremental_minhash_dedup(ds, delta, "doc_id", "text")
+    n = len(inc) if hasattr(inc, "columns") else inc.count()
+    assert n == 1  # the unique delta doc survives

@@ -484,3 +484,27 @@ def test_stage_parts_rejects_nonpositive(rd):
     with pytest.raises(ValueError, match="n_parts"):
         equi_join(left, left, "k", "k", ("a",), ("b",), n_parts=0,
                   mode="distributed")
+
+
+def test_semi_join_schemaless_right(rd):
+    """A mapped-to-nothing right side can lose its schema ENTIRELY
+    (ds.schema() is None — e.g. connected-component labels of a dup-free
+    corpus); its key set is empty, so semi keeps nothing and anti keeps
+    everything, instead of crashing on rschema.names (r5 close-out)."""
+    import pyarrow as pa
+
+    from raylink.joins import semi_join
+
+    left = rd.from_arrow(pa.table({"key": pa.array([1, 2], pa.int64()),
+                                   "x": pa.array([7, 8], pa.int64())}))
+    # map every block to zero rows AND zero columns -> schema() is None
+    src = rd.from_arrow(pa.table({"key": pa.array([5], pa.int64())}))
+    schemaless = src.map_batches(
+        lambda b: pa.table({}), batch_format="pyarrow"
+    )
+    assert schemaless.schema() is None
+    out = semi_join(left, schemaless, "key", "key", ("x",), output="pandas")
+    assert len(out) == 0
+    anti = semi_join(left, schemaless, "key", "key", ("x",), anti=True,
+                     output="pandas")
+    assert sorted(anti["key"]) == [1, 2]

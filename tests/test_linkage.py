@@ -177,3 +177,22 @@ def test_cc_high_diameter_chain_converges(ray_session):
             f"mode={'partition' if force_partition else 'broadcast'} "
             "split the chain"
         )
+
+
+def test_distributed_connected_components_zero_edges(ray_session):
+    """Zero edges (a dup-free corpus) must yield a typed empty (node,
+    label) Dataset instead of crashing on a schema-less node table
+    (r5 close-out: semantic_dedup's default path on clean corpora)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.linkage import distributed_connected_components
+
+    empty = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                    "b": pa.array([], pa.int64())}))
+    labels = distributed_connected_components(empty)
+    tbl = pa.concat_tables(
+        [t for t in __import__("ray").get(labels.to_arrow_refs())]
+    )
+    assert tbl.num_rows == 0
+    assert set(tbl.column_names) == {"node", "label"}
