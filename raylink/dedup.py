@@ -2414,12 +2414,21 @@ def dedup_representatives(
     driver_merge_max_rows: int = 2_000_000,
     groups_output: str = "dataset",
     groups=None,
+    score_col: str | None = None,
     **minhash_kwargs,
 ):
     """Near-dup cluster representative selection — the end-step of corpus
     dedup: for every MinHash-LSH dup group, pick the doc to KEEP (longest
     text; tie -> smallest id) and report the group size. Output columns:
     (dup_group, rep_id, rep_chars, n_members).
+
+    ``score_col`` (optional) switches the keeper rule to QUALITY: keep
+    the member with the highest integer score (tie -> smallest id) —
+    the "keep the best document per duplicate cluster" policy real
+    corpus pipelines use instead of longest-text. Scores must be int64
+    and non-null (quantize float quality to milli-units — the engine's
+    deterministic-score discipline, which keeps the SQL oracle
+    bit-exact); the value column is then named ``rep_score``.
 
     ``groups`` (optional) is a PRECOMPUTED :func:`minhash_lsh_dedup`
     result over the SAME input (pandas frame or Dataset with
@@ -2460,7 +2469,8 @@ def dedup_representatives(
         id_col,
     )
     res = _reps_from_groups(
-        ds, groups_ds, id_col, text_col, driver_merge_max_rows
+        ds, groups_ds, id_col, text_col, driver_merge_max_rows,
+        score_col=score_col,
     )
     if output == "pandas":
         return (
@@ -2484,26 +2494,47 @@ def _groups_with_id(groups_ds, id_col: str):
     return groups_ds.map_batches(ren, batch_format="pyarrow")
 
 
-def _reps_from_groups(ds, groups_ds, id_col, text_col, driver_merge_max_rows):
+def _reps_from_groups(
+    ds, groups_ds, id_col, text_col, driver_merge_max_rows, score_col=None
+):
     """The representative-selection core over an existing membership table
-    (see :func:`dedup_representatives` for the scale shape)."""
+    (see :func:`dedup_representatives` for the scale shape). Keeper rule:
+    highest value wins, tie -> smallest id; the value is text length by
+    default (``rep_chars``) or the caller's integer ``score_col``
+    (``rep_score`` — the quality-keeper variant; int64 only, matching
+    the engine's deterministic-score discipline, so selection and the
+    SQL oracle agree bit-for-bit)."""
     import pyarrow.compute as pc
 
     from raylink.aggs import _digest_merge
     from raylink.joins import equi_join
 
     tcol = text_col
+    val_out = "rep_chars" if score_col is None else "rep_score"
 
     def slim(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "n_chars": pc.cast(pc.utf8_length(batch[tcol]), pa.int64()),
-            }
-        )
+        if score_col is None:
+            v = pc.cast(pc.utf8_length(batch[tcol]), pa.int64())
+        else:
+            sc = batch[score_col]
+            if not pa.types.is_integer(sc.type):
+                raise ValueError(
+                    f"score_col {score_col!r} has type {sc.type} — keeper "
+                    "scores must be integer (quantize floats to "
+                    "milli-units; the engine's deterministic-score rule)"
+                )
+            if sc.null_count:
+                raise ValueError(
+                    f"score_col {score_col!r} contains nulls — a null "
+                    "score cannot rank a representative"
+                )
+            v = pc.cast(sc, pa.int64())
+        return pa.table({id_col: batch[id_col], "n_chars": v})
 
     joined = equi_join(
-        ds.map_batches(slim, batch_format="pyarrow"),
+        ds.select_columns(
+            [id_col, tcol if score_col is None else score_col]
+        ).map_batches(slim, batch_format="pyarrow"),
         groups_ds,
         left_key_col=id_col,
         right_key_col=id_col,
@@ -2547,7 +2578,7 @@ def _reps_from_groups(ds, groups_ds, id_col, text_col, driver_merge_max_rows):
             {
                 "dup_group": pa.array([], pa.int64()),
                 "rep_id": pa.array([], pa.int64()),
-                "rep_chars": pa.array([], pa.int64()),
+                val_out: pa.array([], pa.int64()),
                 "n_members": pa.array([], pa.int64()),
             }
         )
@@ -2569,7 +2600,7 @@ def _reps_from_groups(ds, groups_ds, id_col, text_col, driver_merge_max_rows):
             {
                 "dup_group": pa.array(gs[starts]),
                 "rep_id": pa.array(is_[starts]),
-                "rep_chars": pa.array(cs[starts]),
+                val_out: pa.array(cs[starts]),
                 "n_members": pa.array(tot.astype(np.int64)),
             }
         )
@@ -2597,11 +2628,14 @@ def apply_dedup(
     driver_merge_max_rows: int = 2_000_000,
     groups_output: str = "dataset",
     groups=None,
+    score_col: str | None = None,
     **minhash_kwargs,
 ):
     """The actual corpus dedup: stream out the SURVIVORS — every doc not
     in a near-dup group, plus each group's representative (longest text,
-    tie -> smallest id). ``groups`` (optional) is a PRECOMPUTED
+    tie -> smallest id; or the highest integer ``score_col`` — the
+    quality-keeper rule, see :func:`dedup_representatives`).
+    ``groups`` (optional) is a PRECOMPUTED
     :func:`minhash_lsh_dedup` result over the SAME input; passing it
     skips the minhash pipeline (one grouping pass can then feed both
     this op and :func:`dedup_representatives` — LSH is the dominant
@@ -2633,7 +2667,8 @@ def apply_dedup(
         id_col,
     )
     reps = _reps_from_groups(
-        ds, groups_ds, id_col, text_col, driver_merge_max_rows
+        ds, groups_ds, id_col, text_col, driver_merge_max_rows,
+        score_col=score_col,
     ).select_columns(["dup_group", "rep_id"])
     member_rep = equi_join(
         groups_ds,

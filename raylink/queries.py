@@ -1630,6 +1630,37 @@ def q_dedup_representatives(sf_dir: str):
     )
 
 
+def q_dedup_reps_quality(sf_dir: str):
+    """Quality-keeper representative selection: keep the member with the
+    highest integer quality score (here whitespace-run token count —
+    length(t) - length(replace(t,' ','')) + 1, SQL-replayable exactly)
+    instead of the longest text; tie -> smallest id."""
+    from raylink.dedup import dedup_representatives
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_q(batch: pa.Table) -> pa.Table:
+        t = batch["text"].combine_chunks()
+        q = pc.add(
+            pc.subtract(
+                pc.cast(pc.utf8_length(t), pa.int64()),
+                pc.cast(
+                    pc.utf8_length(pc.replace_substring(t, " ", "")),
+                    pa.int64(),
+                ),
+            ),
+            1,
+        )
+        return batch.append_column("q", q)
+
+    return dedup_representatives(
+        docs.map_batches(with_q, batch_format="pyarrow"), "doc_id", "text",
+        k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
+        score_col="q",
+        output="pandas", groups_output="pandas",  # small-scale opt-in
+    )
+
+
 def q_incremental_dedup(sf_dir: str):
     """Continual-ingestion dedup: flag delta docs (doc_id >= 400) that
     near-dup any smaller-id doc; corpus (doc_id < 400) is never
@@ -1836,6 +1867,7 @@ QUERIES = {
     # --- new in the round-5 close-out ---
     "domain_cap": q_domain_cap,
     "sample_n": q_sample_n,
+    "dedup_reps_quality": q_dedup_reps_quality,
     # --- never driver-checked in r3 (the r3 window cut them) ---
     "transcript_flagship": q_transcript_flagship,
     "transcript_pr_curve": q_transcript_pr_curve,
@@ -1926,7 +1958,8 @@ QUERIES = {
 # 50 r4-green ones follow. Every operator re-earns a fresh driver row at
 # least every other round.
 _R5_LEAD = [
-    "domain_cap", "sample_n", "semantic_dedup", "bpe_encode",
+    "domain_cap", "sample_n", "dedup_reps_quality", "semantic_dedup",
+    "bpe_encode",
     "remove_duplicate_spans",
     "event_value_quantiles", "heavy_users", "split_documents", "sft_pairs",
     "transcript_tool_stats", "clean_documents", "ngram_df", "exact_dedup",
@@ -3778,6 +3811,24 @@ ORACLE_SQL["dedup_representatives"] = f"""
         JOIN documents d ON g.doc_id = d.doc_id
     ) WHERE rn = 1
 """
+# quality-keeper variant: same component subquery, rank by the integer
+# whitespace token count (length - length(replace(' ','')) + 1) instead
+# of text length — the score expression the Ray query computes per batch
+ORACLE_SQL["dedup_reps_quality"] = f"""
+    SELECT dup_group, doc_id AS rep_id, q AS rep_score, n_members FROM (
+        SELECT g.dup_group, g.doc_id,
+               (length(d.text) - length(replace(d.text, ' ', '')) + 1)::BIGINT AS q,
+               row_number() OVER (
+                   PARTITION BY g.dup_group
+                   ORDER BY (length(d.text) - length(replace(d.text, ' ', '')) + 1) DESC,
+                            g.doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY g.dup_group) AS n_members
+        FROM ({ORACLE_SQL['minhash_dedup']}) g
+        JOIN documents d ON g.doc_id = d.doc_id
+    ) WHERE rn = 1
+"""
+
 # multi-model compare = the two per-model oracles stacked with model_id
 ORACLE_SQL["multi_model_compare"] = f"""
     SELECT 'TF-IDF' AS model_id, *

@@ -1437,3 +1437,68 @@ def test_dedup_family_dup_free_corpus(rd):
     inc = incremental_minhash_dedup(ds, delta, "doc_id", "text")
     n = len(inc) if hasattr(inc, "columns") else inc.count()
     assert n == 1  # the unique delta doc survives
+
+
+def test_dedup_representatives_score_keeper(rd):
+    """score_col keeper: highest int score wins (tie -> smallest id),
+    value column renamed rep_score; apply_dedup keeps the best-quality
+    member; float/null scores reject loudly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raylink.dedup import apply_dedup, dedup_representatives
+
+    # 3 near-dup clusters of 3 (same text => same shingles) + 2 uniques
+    texts, ids, scores = [], [], []
+    words = ["alpha beta gamma delta epsilon zeta eta theta",
+             "monday tuesday wednesday thursday friday saturday sunday",
+             "red orange yellow green blue indigo violet magenta"]
+    for c in range(3):
+        base = f"shared {words[c]} repeated content"
+        for m in range(3):
+            texts.append(base)
+            ids.append(c * 10 + m)
+            scores.append([5, 9, 9][m] if c == 0 else [7, 3, 1][m])
+    texts += ["unique doc one aaa bbb ccc ddd eee fff",
+              "unique doc two ggg hhh iii jjj kkk lll"]
+    ids += [90, 91]
+    scores += [2, 4]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts),
+                    "q": pa.array(scores, pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(3)
+    reps = dedup_representatives(ds, "doc_id", "text", score_col="q",
+                                 output="pandas", groups_output="pandas")
+    assert list(reps.columns) == ["dup_group", "rep_id", "rep_score",
+                                  "n_members"]
+    by_group = {int(r.dup_group): (int(r.rep_id), int(r.rep_score))
+                for r in reps.itertuples()}
+    # cluster 0: scores 5,9,9 at ids 0,1,2 -> tie broken to id 1
+    assert by_group[0] == (1, 9)
+    # cluster 1/2: max score 7 at the first member
+    assert by_group[10] == (10, 7) and by_group[20] == (20, 7)
+    # forced shuffle path value-identical
+    forced = dedup_representatives(ds, "doc_id", "text", score_col="q",
+                                   output="pandas", groups_output="pandas",
+                                   driver_merge_max_rows=0)
+    import pandas as pd
+    pd.testing.assert_frame_equal(reps, forced)
+    # survivors = uniques + best-quality reps
+    surv = apply_dedup(ds, "doc_id", "text", score_col="q",
+                       output="pandas", groups_output="pandas")
+    assert sorted(surv.doc_id) == [1, 10, 20, 90, 91]
+    # loud rejections
+    bad_float = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array([texts[0], texts[0]]),
+         "q": pa.array([1.0, 2.0])}))
+    with pytest.raises(Exception, match="must be integer"):
+        dedup_representatives(bad_float, "doc_id", "text", score_col="q",
+                              output="pandas", groups_output="pandas")
+    bad_null = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array([texts[0], texts[0]]),
+         "q": pa.array([1, None], pa.int64())}))
+    with pytest.raises(Exception, match="nulls"):
+        dedup_representatives(bad_null, "doc_id", "text", score_col="q",
+                              output="pandas", groups_output="pandas")

@@ -146,6 +146,7 @@ def test_every_query_runs(entry_mod):
         "bpe_pairs",
         "remove_duplicate_spans",
         "semantic_dedup",
+        "dedup_reps_quality",
         "rarity_score",
         "deduped_corpus",
         "quality_filter",
