@@ -36,7 +36,7 @@ import ray
 from raylink.broadcast import cached_object
 from raylink.embed import embeddings_to_matrix as _embeddings_to_matrix
 from raylink.embed import l2_normalize
-from raylink.joins import _nonull
+from raylink.joins import _nonull, typed_to_pandas
 
 
 def _stack_embeddings(col) -> np.ndarray:
@@ -368,7 +368,7 @@ def self_top1(
     mapped = ds.map_batches(best, batch_format="pyarrow", batch_size=batch_size)
     if output == "dataset":
         return mapped
-    out = mapped.to_pandas()
+    out = typed_to_pandas(mapped)
     return out.sort_values("vec_id", ignore_index=True)
 
 
@@ -714,5 +714,5 @@ def topk_join(
     )
     if output == "dataset":
         return mapped
-    out = mapped.to_pandas()
+    out = typed_to_pandas(mapped)
     return out.sort_values(["query_id", "rank"], ignore_index=True)

@@ -395,10 +395,12 @@ def _sized_groupby(staged, n_parts: int | None, merge_fn):
 
 def _sorted_pandas(res, sort_cols):
     """Collect a (possibly empty) join result to sorted pandas; an empty
-    Dataset loses its schema through to_pandas, so rebuild the columns."""
+    Dataset loses its schema through to_pandas, so rebuild the columns
+    (typed, from ds.schema(), when available; bare sort columns as the
+    last resort for a fully schema-less result)."""
     import pandas as pd
 
-    out = res.to_pandas()
+    out = typed_to_pandas(res)
     if not len(out) and not len(out.columns):
         out = pd.DataFrame({c: [] for c in sort_cols})
     return out.sort_values(list(sort_cols)).reset_index(drop=True)

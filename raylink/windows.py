@@ -36,6 +36,7 @@ from .joins import (
     _sorted_pandas,
     _stage_parts,
     _ts_int64,
+    typed_to_pandas,
 )
 
 
@@ -352,7 +353,7 @@ def hopping_windows(
     )
     if output == "pandas":
         return (
-            res.to_pandas()
+            typed_to_pandas(res)
             .sort_values([key_col, "win_start_us"])
             .reset_index(drop=True)
         )
