@@ -180,7 +180,7 @@ def q_clean_documents(sf_dir: str):
             }
         )
 
-    return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 def q_ngram_df(sf_dir: str):
@@ -203,7 +203,7 @@ def q_ngram_df(sf_dir: str):
     from ray.data.aggregate import Sum
 
     out = (
-        _read(sf_dir, "documents")
+        _read(sf_dir, "documents", columns=["text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("gram")
         .aggregate(Sum("df", alias_name="df"))
@@ -222,7 +222,7 @@ def q_minmax_normalize(sf_dir: str):
     """A2 global min-max normalize as aggregate + second map pass."""
     from ray.data.aggregate import Max, Min
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
     stats = ds.aggregate(Min("value"), Max("value"))
     lo, hi = float(stats["min(value)"]), float(stats["max(value)"])
 
@@ -281,7 +281,7 @@ def q_canonicalize_events(sf_dir: str):
     from raylink.groupseq import ordered_seq_agg
 
     return ordered_seq_agg(
-        _read(sf_dir, "events"),
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]),
         key_col="user_id",
         order_cols=["ts", "event_id"],
         count_name="n_events",
@@ -329,7 +329,7 @@ def q_fingerprint(sf_dir: str):
         out = fingerprint_batch(batch)
         return out.select(["doc_id", "md5"])
 
-    return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 def q_redact_pii(sf_dir: str):
@@ -356,14 +356,14 @@ def q_redact_pii(sf_dir: str):
             pa.table({"doc_id": batch["doc_id"], "text": aug})
         )
 
-    return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 def q_repetition_stats(sf_dir: str):
     """Gopher-style duplicate-word repetition signals per document."""
     from raylink.textstats import repetition_stats_batch
 
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         repetition_stats_batch, batch_format="pyarrow"
     )
 
@@ -376,7 +376,7 @@ def q_chunk_documents(sf_dir: str):
     def f(batch: pa.Table) -> pa.Table:
         return chunk_documents_batch(batch, size=120, stride=90)
 
-    return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 def q_pack_sequences(sf_dir: str):
@@ -395,7 +395,7 @@ def q_quality_filter(sf_dir: str):
     (streaming filter, no shuffle)."""
     from raylink.textstats import quality_filter_batch
 
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         quality_filter_batch, batch_format="pyarrow"
     )
 
@@ -516,7 +516,7 @@ def q_training_mix(sf_dir: str):
     from raylink.textstats import bpe_encode, quality_filter_batch
 
     filtered = (
-        _read(sf_dir, "documents")
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
         .map_batches(quality_filter_batch, batch_format="pyarrow")
         .select_columns(["doc_id", "text"])
     )
@@ -674,7 +674,7 @@ def q_match_tfidf_documents(sf_dir: str):
     pytest-gated instead (tests/test_pipeline_ray.py)."""
     from raylink.pipeline import MatcherSpec, match_dataset
 
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
     res = match_dataset(
         ds,
         None,
@@ -691,7 +691,7 @@ def q_group_documents(sf_dir: str):
     single_linkage replayed as a recursive CTE (_LINKAGE_CTES)."""
     from raylink.pipeline import MatcherSpec, group_matches, match_dataset
 
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
     res = match_dataset(
         ds, None, MatcherSpec(kind="tfidf", min_similarity=0.0),
         text_col="text", block_col="lang",
@@ -714,7 +714,7 @@ def q_match_rapidfuzz(sf_dir: str):
             }
         )
 
-    ds = _read(sf_dir, "documents").map_batches(prefix, batch_format="pyarrow")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).map_batches(prefix, batch_format="pyarrow")
     from_ds = ds.filter(lambda r: r["doc_id"] % 20 == 0)
     to_ds = ds.filter(lambda r: r["doc_id"] % 20 == 1)
     res = match_dataset(
@@ -746,7 +746,7 @@ def q_match_editdistance(sf_dir: str):
                 }
             )
 
-        return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+        return _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).map_batches(f, batch_format="pyarrow")
 
     res = match_dataset(
         side(0), side(1),
@@ -764,7 +764,7 @@ def q_match_embeddings(sf_dir: str):
     frame rules mirrored (_EMBED_MATCH_SQL)."""
     from raylink.pipeline import MatcherSpec, match_dataset
 
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
     res = match_dataset(
         ds, None, MatcherSpec(kind="embeddings", min_similarity=0.0),
         text_col="text", block_col="lang",
@@ -846,7 +846,7 @@ def q_ann_topk(sf_dir: str):
     compared after round(., 4)."""
     from raylink.ann import brute_force_topk
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     head = (
         ds.filter(lambda r: r["vec_id"] < 4)
         .to_pandas()
@@ -1000,7 +1000,7 @@ def q_ann_ivf_topk(sf_dir: str):
     round(., 4) like ann_topk."""
     from raylink.ann import ivf_topk
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     head = (
         ds.filter(lambda r: r["vec_id"] < 4).to_pandas().sort_values("vec_id")
     )
@@ -1022,7 +1022,7 @@ def q_ann_ivf_partitioned(sf_dir: str):
 
     from raylink.ann import ivf_build_partitioned, ivf_topk_partitioned
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     head = (
         ds.filter(lambda r: r["vec_id"] < 4).to_pandas().sort_values("vec_id")
     )
@@ -1043,7 +1043,7 @@ def q_ann_topk_join(sf_dir: str):
     panel — SQL-checked like ann_topk, cosines compared after round(.,4)."""
     from raylink.ann import topk_join
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qds = ds.filter(lambda r: r["vec_id"] < 4)
     out = topk_join(qds, ds, k=10, batch_size=512, output="pandas")
     out["cosine"] = out["cosine"].round(4)
@@ -1059,7 +1059,7 @@ def q_snm_pairs(sf_dir: str):
     from raylink.blocking import sorted_neighborhood_pairs
     from raylink.text import clean_strings_arrow
 
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def keyed(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1081,7 +1081,10 @@ def q_asof_clicks_views(sf_dir: str):
     forward-fill kernel replays exactly that rule."""
     from raylink.joins import asof_join
 
-    ev = _read(sf_dir, "events")
+    ev = _read(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
 
     def mk_clicks(t: pa.Table) -> pa.Table:
         sel = t.filter(pc.equal(t["event_type"], "click"))
@@ -1115,7 +1118,7 @@ def q_event_windows(sf_dir: str):
     window derivation inside map_batches, then ONE bounded groupby."""
     from ray.data.aggregate import Count, Sum
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def bucket(t: pa.Table) -> pa.Table:
         ts = t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
@@ -1143,8 +1146,8 @@ def q_join_orders_customers(sf_dir: str):
     tested in tests/test_joins.py. SQL-checked: plain inner JOIN."""
     from raylink.joins import equi_join
 
-    orders = _read(sf_dir, "orders")
-    cust = _read(sf_dir, "customer")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_nationkey"])
     return equi_join(
         orders, cust, "o_custkey", "c_custkey",
         left_cols=("o_orderkey", "o_orderpriority"),
@@ -1160,8 +1163,8 @@ def q_customers_no_urgent(sf_dir: str):
     NOT EXISTS."""
     from raylink.joins import semi_join
 
-    cust = _read(sf_dir, "customer")
-    orders = _read(sf_dir, "orders")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
 
     def urgent(t: pa.Table) -> pa.Table:
         sel = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
@@ -1182,7 +1185,7 @@ def q_event_pairs(sf_dir: str):
     inequality self-join."""
     from raylink.joins import interval_join
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
     return interval_join(
         ev, "user_id", "ts", "event_id", max_gap_us=3_600_000_000
     )
@@ -1232,7 +1235,7 @@ def q_stratified_sample(sf_dir: str):
     simhash/embeddings)."""
     from raylink.sampling import stratified_sample
 
-    docs = _read(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
     return stratified_sample(
         docs,
         "doc_id",
@@ -1249,7 +1252,7 @@ def q_epoch_shuffle(sf_dir: str):
     ordering, every worker derives the same permutation."""
     from raylink.sampling import epoch_order
 
-    return epoch_order(_read(sf_dir, "documents"), "doc_id", epoch=3)
+    return epoch_order(_read(sf_dir, "documents", columns=["doc_id"]), "doc_id", epoch=3)
 
 
 def q_split_documents(sf_dir: str):
@@ -1260,7 +1263,7 @@ def q_split_documents(sf_dir: str):
     splitmix64 replay + CASE thresholds."""
     from raylink.sampling import split_by_hash
 
-    docs = _read(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
     out = split_by_hash(docs, "doc_id", seed=13)
 
     def slim(t: pa.Table) -> pa.Table:
@@ -1277,7 +1280,7 @@ def q_top_orders_per_customer(sf_dir: str):
     window."""
     from raylink.aggs import group_topk
 
-    orders = _read(sf_dir, "orders")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderkey"])
     return group_topk(orders, "o_custkey", "o_totalprice", "o_orderkey", k=3)
 
 
@@ -1289,7 +1292,7 @@ def q_event_value_quantiles(sf_dir: str):
     digests, not rows."""
     from raylink.aggs import group_quantiles
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
 
     def centi(t: pa.Table) -> pa.Table:
         vc = pc.round(pc.multiply(t["value"].combine_chunks(), 100.0))
@@ -1309,7 +1312,7 @@ def q_heavy_users(sf_dir: str):
     skew-diagnosis primitive. SQL-checked: count + row_number."""
     from raylink.aggs import heavy_hitters
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["user_id"])
     return heavy_hitters(ev, "user_id", top_n=20, count_col="n_events")
 
 
@@ -1320,7 +1323,7 @@ def q_user_active_days(sf_dir: str):
     SQL-checked: COUNT(DISTINCT)."""
     from raylink.aggs import group_ndistinct
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
 
     def day(t: pa.Table) -> pa.Table:
         ts = t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
@@ -1347,7 +1350,7 @@ def q_label_centroids(sf_dir: str):
     SQL-checked via list indexing + integer sums."""
     from raylink.aggs import label_centroids
 
-    emb = _read(sf_dir, "embeddings")
+    emb = _read(sf_dir, "embeddings", columns=["label", "embedding"])
     return label_centroids(emb, "label", "embedding")
 
 
@@ -1358,7 +1361,7 @@ def q_hopping_event_windows(sf_dir: str):
     Exact centi-unit sums. SQL-checked: CROSS JOIN range expansion."""
     from raylink.windows import hopping_windows
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
     return hopping_windows(
         ev,
         "user_id",
@@ -1375,7 +1378,7 @@ def q_top_revenue_customers(sf_dir: str):
     units — per-block partial sums bound the shuffle. SQL-checked."""
     from raylink.aggs import heavy_hitters
 
-    orders = _read(sf_dir, "orders")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def centi(t: pa.Table) -> pa.Table:
         cv = pc.round(pc.multiply(t["o_totalprice"].combine_chunks(), 100.0))
@@ -1400,7 +1403,7 @@ def q_profile_documents(sf_dir: str):
     COUNT / COUNT(DISTINCT)."""
     from raylink.profile import profile_table
 
-    docs = _read(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"])
     return profile_table(
         docs, ("doc_id", "text", "lang", "source", "n_chars")
     )
@@ -1415,7 +1418,7 @@ def q_docs_in_major_langs(sf_dir: str):
     incl. forced full-collision keys). SQL-checked: IN + HAVING."""
     from raylink.joins import semi_join
 
-    docs = _read(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
     counts = docs.groupby("lang").count()
 
     def major(t: pa.Table) -> pa.Table:
@@ -1433,7 +1436,7 @@ def q_rolling_user_value(sf_dir: str):
     per-key-run rebasing. SQL-checked: ROWS BETWEEN window frame."""
     from raylink.windows import rolling_window
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
     return rolling_window(ev, "user_id", "ts", "event_id", "value", window=5)
 
 
@@ -1444,7 +1447,7 @@ def q_event_lag_gaps(sf_dir: str):
     window."""
     from raylink.windows import lag_deltas
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
     return lag_deltas(ev, "user_id", "ts", "event_id")
 
 
@@ -1455,7 +1458,7 @@ def q_session_stats(sf_dir: str):
     kernel (raylink/windows.py)."""
     from raylink.windows import session_stats
 
-    ev = _read(sf_dir, "events")
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
     return session_stats(
         ev, "user_id", "ts", "event_id", gap_us=1_800_000_000, output="pandas"
     )
@@ -1667,7 +1670,7 @@ def q_incremental_dedup(sf_dir: str):
     re-deduped."""
     from raylink.dedup import incremental_minhash_dedup
 
-    docs = _read(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def below(batch: pa.Table) -> pa.Table:
         return batch.filter(pa.array(batch["doc_id"].to_numpy() < 400))
@@ -1677,7 +1680,7 @@ def q_incremental_dedup(sf_dir: str):
 
     return incremental_minhash_dedup(
         docs.map_batches(below, batch_format="pyarrow"),
-        _read(sf_dir, "documents").map_batches(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
             at_least, batch_format="pyarrow"
         ),
         "doc_id", "text",
@@ -1707,7 +1710,7 @@ def q_corpus_report(sf_dir: str):
     from raylink.joins import equi_join
     from raylink.textstats import quality_filter_batch
 
-    docs = _read(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source", "lang"])
     slim = docs.select_columns(["doc_id", "source", "lang"])
     surv = apply_dedup(
         docs, "doc_id", "text",
@@ -1742,13 +1745,13 @@ def q_contamination_check(sf_dir: str):
     3-gram with the eval subset (doc_id % 20 == 0); broadcast gram set."""
     from raylink.dedup import contamination_check
 
-    corpus = _read(sf_dir, "documents")
+    corpus = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def ev(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         return batch.filter(pa.array(ids % 20 == 0))
 
-    eval_ds = _read(sf_dir, "documents").map_batches(
+    eval_ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         ev, batch_format="pyarrow"
     )
     return contamination_check(corpus, eval_ds, "doc_id", "text", ngram=3)
@@ -1765,7 +1768,7 @@ def q_simhash(sf_dir: str):
             {"doc_id": batch["doc_id"], "simhash": pa.array(h.astype(np.int64))}
         )
 
-    return _read(sf_dir, "documents").map_batches(f, batch_format="pyarrow")
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 def q_fit_transform(sf_dir: str):
@@ -1776,7 +1779,7 @@ def q_fit_transform(sf_dir: str):
     from raylink.pipeline import MatcherSpec, dataset_with_row_order
 
     def half(parity: int):
-        return _read(sf_dir, "documents").map_batches(
+        return _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).map_batches(
             lambda t, p=parity: t.filter(
                 pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
             ),
@@ -1802,7 +1805,7 @@ def q_multi_model_compare(sf_dir: str):
 
     from raylink.pipeline import MatcherSpec, dataset_with_row_order, match_many
 
-    ds = dataset_with_row_order(_read(sf_dir, "documents"), "text", "lang")
+    ds = dataset_with_row_order(_read(sf_dir, "documents", columns=["text", "lang"]), "text", "lang")
     results = match_many(
         ds, None,
         [
