@@ -76,6 +76,9 @@ def main():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
                  logging_level="ERROR")
+    from raylink.workers import ensure_workers_can_import
+
+    ensure_workers_can_import()  # probe must run from any cwd, like the contract
     from raylink.packing import take_token_budget
     from raylink.textstats import remove_boilerplate
 

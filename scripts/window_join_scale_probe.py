@@ -172,6 +172,9 @@ def main():
             include_dashboard=False,
             logging_level="ERROR",
         )
+    from raylink.workers import ensure_workers_can_import
+
+    ensure_workers_can_import()  # probe must run from any cwd, like the contract
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
