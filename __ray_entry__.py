@@ -94,4 +94,10 @@ def oracle_sql() -> dict[str, str]:
         ensure_bpe_merges_fixture("/root/testdata/sf0.01")
     except Exception:
         pass
+    try:
+        from raylink.queries import ensure_hll_lc_fixture
+
+        ensure_hll_lc_fixture(12)
+    except Exception:
+        pass
     return dict(ORACLE_SQL)

@@ -540,6 +540,245 @@ def label_centroids(
     return res
 
 
+# --- approximate-distinct sketches -----------------------------------------
+#
+# group_ndistinct above is EXACT: its digest carries every distinct
+# (key, value) pair, so at 100 TB a high-cardinality column ships its whole
+# distinct set through the shuffle. The two sketches below bound the digest
+# instead — KMV at k rows per key, HLL at min(ndv, 2^p) register rows per
+# key — and stay mergeable (merge = k-smallest-of-union / elementwise max),
+# so the same partial/digest-merge machinery applies unchanged. Both hash
+# through blocking._hash64 (splitmix64), the repo's SQL-replayable family,
+# which is what lets the DuckDB oracles replay the ESTIMATES hash-exactly
+# (HUGEINT arithmetic; the one transcendental — linear counting's ln — pins
+# to a finite integer fixture, the IVF-centroid pattern).
+
+_HLL_ALPHA_NUM = 7213  # alpha_m = 0.7213/(1 + 1.079/m) == 7213*m/(10000*m + 10790)
+_HLL_ALPHA_DEN_OFF = 10790
+_HLL_SCALE_BITS = 50  # S scaled by 2^50; register terms 2^(50-rho), rho>50 -> 0
+_I64_MAX = (1 << 63) - 1
+
+
+def _hll_lc_table(p: int) -> np.ndarray:
+    """Linear-counting lookup for m=2^p registers: lc[V-1] =
+    rint(m * ln(m / V)) for V zero registers, V in [1, m]. ONE numpy
+    expression shared by the merge kernel and the pinned parquet fixture
+    (queries.ensure_hll_lc_fixture) so the DuckDB oracle reads the exact
+    integers the kernel uses — ln is the estimator's only transcendental
+    and pinning it keeps the oracle hash-exact."""
+    m = 1 << p
+    v = np.arange(1, m + 1, dtype=np.float64)
+    return np.rint(m * np.log(m / v)).astype(np.int64)
+
+
+def approx_ndistinct_kmv(
+    ds,
+    key_col: str,
+    val_col: str,
+    k: int = 256,
+    ndv_col: str = "ndv_approx",
+    n_parts: int | None = None,
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+):
+    """APPROXIMATE distinct int64 values per key via a K-minimum-values
+    sketch: keep the k smallest DISTINCT splitmix64 hashes per key; with
+    fewer than k distinct hashes the count is exact (splitmix64 is a
+    bijection on 64 bits, so distinct hashes == distinct values), else
+    estimate (k-1) * 2^64 // h_k (h_k = the kth smallest hash, hashes
+    uniform on [0, 2^64)) — pure integer arithmetic, replayed in HUGEINT
+    by the SQL oracle. Digest is <= k rows per key per block (vs the full
+    distinct set for group_ndistinct); merge = dedup + k-smallest again,
+    exactly associative. Relative error ~ 1/sqrt(k-2). The final
+    per-key division is a Python-int loop (>64-bit numerator) — O(keys)
+    driver-light arithmetic; everything row-shaped is vectorized."""
+    from raylink.joins import _nonull
+
+    if k < 2:
+        raise ValueError(f"approx_ndistinct_kmv: k must be >= 2, got {k}")
+    P = _default_parts(n_parts)
+
+    def _kmin(ka: np.ndarray, ha: np.ndarray):
+        """Dedup (key, hash) pairs and keep the k smallest hashes per key
+        (one lexsort; runs stay hash-ascending so ordinal<k is k-smallest)."""
+        order = np.lexsort((ha, ka))
+        ks, hs = ka[order], ha[order]
+        pair = np.ones(len(ks), dtype=bool)
+        pair[1:] = (ks[1:] != ks[:-1]) | (hs[1:] != hs[:-1])
+        ks, hs = ks[pair], hs[pair]
+        keep = _key_run_ordinal(ks) < k
+        return ks[keep], hs[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ka = _np_i64(_nonull(batch[key_col], key_col, "approx_ndistinct_kmv"))
+        va = _np_i64(_nonull(batch[val_col], val_col, "approx_ndistinct_kmv"))
+        ks, hs = _kmin(ka, _hash64(va))
+        return pa.table(
+            {
+                "k": pa.array(ks),
+                "h": pa.array(hs),
+                "part": pa.array(
+                    (_hash64(ks) % np.uint64(P)).astype(np.int64)
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                ndv_col: pa.array([], pa.int64()),
+            }
+        )
+        ka = _np_i64(g["k"])
+        if not len(ka):
+            return empty
+        ha = np.asarray(
+            g["h"].combine_chunks().to_numpy(zero_copy_only=False), np.uint64
+        )
+        ks, hs = _kmin(ka, ha)
+        key_start = np.ones(len(ks), dtype=bool)
+        key_start[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(key_start)
+        cnts = np.diff(np.append(starts, len(ks)))
+        est = cnts.astype(np.int64)
+        full = cnts >= k  # trimmed to k, so this is == k: estimate branch
+        if full.any():
+            num = (k - 1) << 64  # Python int: > 64 bits
+            kth = hs[starts[full] + (k - 1)]
+            est[full] = [min(num // int(h), _I64_MAX) for h in kth]
+        return pa.table(
+            {key_col: pa.array(ks[starts]), ndv_col: pa.array(est)}
+        )
+
+    res = _digest_merge(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
+        n_parts=n_parts,
+    )
+    if output == "pandas":
+        return typed_to_pandas(res).sort_values(key_col).reset_index(drop=True)
+    return res
+
+
+def approx_ndistinct_hll(
+    ds,
+    key_col: str,
+    val_col: str,
+    p: int = 12,
+    ndv_col: str = "ndv_approx",
+    n_parts: int | None = None,
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+):
+    """APPROXIMATE distinct int64 values per key via HyperLogLog (Flajolet
+    et al. 2007, 64-bit variant — no large-range correction needed):
+    bucket = top p bits of splitmix64(value), rho = 1 + leading zeros of
+    the remaining q=64-p bits (q+1 when they are all zero), register =
+    max rho per (key, bucket). Digest rows per key <= min(ndv, 2^p) —
+    strictly no larger than the exact op's distinct-pair digest, and
+    capped at m=2^p regardless of cardinality; merge = elementwise max.
+
+    The estimator is engineered integer-exact so the DuckDB oracle
+    replays it in HUGEINT: S = V*2^50 + sum(2^(50-rho)) (V = zero
+    registers; rho > 50 truncates to 0 — deterministic on both sides),
+    raw = (7213 * m^3 * 2^50) // ((10000*m + 10790) * S) (the alpha_m
+    constant as an exact rational), and the small-range branch
+    (V > 0 and 2*raw <= 5*m) reads linear counting from the pinned
+    integer table (_hll_lc_table). Relative error ~ 1.04/sqrt(m).
+    bit_length via np.frexp is exact because q <= 52 < 53 float64
+    mantissa bits — hence the p >= 12 floor; per-key estimate is a
+    Python-int loop (numerator ~2^99), O(keys) tiny arithmetic."""
+    from raylink.joins import _nonull
+
+    if not 12 <= p <= 16:
+        raise ValueError(
+            f"approx_ndistinct_hll: p must be in [12, 16], got {p} "
+            "(>=12 keeps the frexp bit_length exact, <=16 bounds the "
+            "register table)"
+        )
+    P = _default_parts(n_parts)
+    q = 64 - p
+    m = 1 << p
+    lc = _hll_lc_table(p)
+    scale = _HLL_SCALE_BITS
+
+    def _regs(ka: np.ndarray, ba: np.ndarray, ra: np.ndarray):
+        """Max rho per (key, bucket): one lexsort, keep each run's LAST
+        row (rho ascending within the run)."""
+        order = np.lexsort((ra, ba, ka))
+        ks, bs, rs = ka[order], ba[order], ra[order]
+        last = np.ones(len(ks), dtype=bool)
+        last[:-1] = (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])
+        return ks[last], bs[last], rs[last]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ka = _np_i64(_nonull(batch[key_col], key_col, "approx_ndistinct_hll"))
+        va = _np_i64(_nonull(batch[val_col], val_col, "approx_ndistinct_hll"))
+        h = _hash64(va)
+        bucket = (h >> np.uint64(q)).astype(np.int64)
+        w = (h & np.uint64((1 << q) - 1)).astype(np.float64)  # exact: q<=52
+        bl = np.frexp(w)[1].astype(np.int64)  # bit_length; 0 for w==0
+        rho = (q + 1) - bl
+        ks, bs, rs = _regs(ka, bucket, rho)
+        return pa.table(
+            {
+                "k": pa.array(ks),
+                "b": pa.array(bs),
+                "r": pa.array(rs),
+                "part": pa.array(
+                    (_hash64(ks) % np.uint64(P)).astype(np.int64)
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                ndv_col: pa.array([], pa.int64()),
+            }
+        )
+        ka = _np_i64(g["k"])
+        if not len(ka):
+            return empty
+        ks, bs, rs = _regs(ka, _np_i64(g["b"]), _np_i64(g["r"]))
+        key_start = np.ones(len(ks), dtype=bool)
+        key_start[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(key_start)
+        nb = np.diff(np.append(starts, len(ks)))  # registers present
+        terms = np.zeros(len(rs), dtype=np.int64)
+        small = rs <= scale
+        terms[small] = np.int64(1) << (scale - rs[small])
+        sums = np.add.reduceat(terms, starts)
+        keys_out = ks[starts]
+        vz = (m - nb).astype(np.int64)
+        est = np.empty(len(keys_out), dtype=np.int64)
+        num = _HLL_ALPHA_NUM * (m**3) << scale  # Python int: ~2^99 at p=12
+        den_base = 10000 * m + _HLL_ALPHA_DEN_OFF
+        for i in range(len(keys_out)):
+            s = int(vz[i]) * (1 << scale) + int(sums[i])
+            if s <= 0:
+                s = 1  # all-registers-above-50 degenerate; deterministic clamp
+            e_raw = num // (den_base * s)
+            if vz[i] > 0 and 2 * e_raw <= 5 * m:
+                est[i] = lc[vz[i] - 1]
+            else:
+                est[i] = min(e_raw, _I64_MAX)
+        return pa.table({key_col: pa.array(keys_out), ndv_col: pa.array(est)})
+
+    res = _digest_merge(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
+        n_parts=n_parts,
+    )
+    if output == "pandas":
+        return typed_to_pandas(res).sort_values(key_col).reset_index(drop=True)
+    return res
+
+
 def group_count(
     ds,
     key_cols: tuple[str, ...],

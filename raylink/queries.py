@@ -1342,6 +1342,87 @@ def q_user_active_days(sf_dir: str):
     )
 
 
+def hll_lc_fixture_path(p: int = 12) -> str:
+    return os.path.join(FIXTURE_ROOT, f"hll-lc-p{p}.parquet")
+
+
+def ensure_hll_lc_fixture(p: int = 12) -> str:
+    """Pin the HLL linear-counting integer table (aggs._hll_lc_table) as a
+    parquet fixture the DuckDB oracle reads — the estimator's only
+    transcendental (ln) made finite so the replay stays hash-exact (the
+    IVF-centroid / BPE-merges fixture pattern). Plain pyarrow/numpy (no
+    Ray): callable from oracle_sql() before any query ran; the kernel
+    itself computes the same numpy expression inline and never reads
+    this file."""
+    import pyarrow.parquet as pq
+
+    from raylink.aggs import _hll_lc_table
+
+    path = hll_lc_fixture_path(p)
+    if os.path.exists(path):
+        return path
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(
+        pa.table(
+            {
+                "v": pa.array(np.arange(1, (1 << p) + 1, dtype=np.int64)),
+                "lc": pa.array(_hll_lc_table(p)),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+def _events_day_users(sf_dir: str):
+    """(day, user_id) projection of events shared by the sketch queries."""
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def day(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "day": pc.divide(ts, 86_400_000_000),
+                "user_id": t["user_id"],
+            }
+        )
+
+    return ev.map_batches(day, batch_format="pyarrow")
+
+
+def q_approx_users_kmv(sf_dir: str):
+    """Approximate distinct users per day via the K-minimum-values sketch
+    (raylink/aggs.approx_ndistinct_kmv, k=64): the digest carries <= 64
+    splitmix64 hashes per day instead of the full distinct set. sf0.01
+    has ~100-140 distinct users/day, so the estimate branch
+    ((k-1) * 2^64 // h_k, pure integer) is what the driver compares;
+    SQL replays the hash in HUGEINT and ranks with row_number()."""
+    from raylink.aggs import approx_ndistinct_kmv
+
+    return approx_ndistinct_kmv(
+        _events_day_users(sf_dir), "day", "user_id", k=64
+    )
+
+
+def q_approx_users_hll(sf_dir: str):
+    """Approximate distinct users per day via HyperLogLog
+    (raylink/aggs.approx_ndistinct_hll, p=12 -> 4096 registers): at this
+    cardinality (~140/day << 2.5*m) every day takes the linear-counting
+    branch, whose round(m*ln(m/V)) values pin to the integer fixture
+    (ensure_hll_lc_fixture) both sides read; the raw branch is
+    integer-division-exact by construction (pytest covers it at 100k+
+    cardinality). SQL re-derives bucket/rho with a recursive powers CTE
+    — bit_length as max i with 2^i <= w, no float log anywhere."""
+    from raylink.aggs import approx_ndistinct_hll
+
+    ensure_hll_lc_fixture(12)
+    return approx_ndistinct_hll(
+        _events_day_users(sf_dir), "day", "user_id", p=12
+    )
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label mean embedding (raylink/aggs.label_centroids), EXACT:
     components quantize to integer milli-units so the partial sums are
@@ -1920,6 +2001,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "top_orders_per_customer": q_top_orders_per_customer,
     "user_active_days": q_user_active_days,
+    "approx_users_kmv": q_approx_users_kmv,
+    "approx_users_hll": q_approx_users_hll,
     "top_revenue_customers": q_top_revenue_customers,
     "docs_in_major_langs": q_docs_in_major_langs,
     "rolling_user_value": q_rolling_user_value,
@@ -1961,6 +2044,7 @@ QUERIES = {
 # 50 r4-green ones follow. Every operator re-earns a fresh driver row at
 # least every other round.
 _R5_LEAD = [
+    "approx_users_kmv", "approx_users_hll",
     "domain_cap", "sample_n", "dedup_reps_quality", "semantic_dedup",
     "bpe_encode",
     "remove_duplicate_spans",
@@ -3042,6 +3126,89 @@ ORACLE_SQL = {
                CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
                    AS n_days
         FROM events GROUP BY user_id
+    """,
+    # KMV sketch replay: distinct (day, splitmix64(user_id)) hashes ranked
+    # per day; < k -> exact count (splitmix64 is a 64-bit bijection, so
+    # distinct hashes == distinct users), else (k-1)*2^64 // h_k in HUGEINT
+    # — the kernel's exact integer estimator (aggs.approx_ndistinct_kmv).
+    "approx_users_kmv": f"""
+        WITH ev AS (
+            SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                   {_sql_splitmix64('user_id')} AS hv
+            FROM events
+        ),
+        r AS (
+            SELECT day, hv,
+                   row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+            FROM ev
+        )
+        SELECT day,
+               CAST(CASE WHEN MAX(rn) < 64 THEN CAST(MAX(rn) AS HUGEINT)
+                    ELSE LEAST(
+                        CAST(63 AS HUGEINT) * {_SQL_M64}
+                            // MAX(CASE WHEN rn = 64 THEN hv END),
+                        CAST(9223372036854775807 AS HUGEINT))
+                    END AS BIGINT) AS ndv_approx
+        FROM r GROUP BY day
+    """,
+    # HLL replay (aggs.approx_ndistinct_hll p=12): bucket = top 12 bits of
+    # splitmix64(user_id), rho = 53 - bit_length(low 52 bits) via a
+    # recursive powers-of-two CTE (no float log anywhere), register = max
+    # rho per (day, bucket); S = V*2^50 + sum(2^(50-rho)) and the raw
+    # estimate run in HUGEINT; the linear-counting branch reads the pinned
+    # integer fixture (queries.ensure_hll_lc_fixture).
+    "approx_users_hll": f"""
+        WITH RECURSIVE pows(i, v) AS (
+            SELECT 0, CAST(1 AS HUGEINT)
+            UNION ALL SELECT i + 1, v * 2 FROM pows WHERE i < 60
+        ),
+        ev AS (
+            SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                   {_sql_splitmix64('user_id')} AS hv
+            FROM events
+        ),
+        rw AS (
+            SELECT day,
+                   hv // (SELECT v FROM pows WHERE i = 52) AS bucket,
+                   hv % (SELECT v FROM pows WHERE i = 52) AS w
+            FROM ev
+        ),
+        reg AS (
+            SELECT day, bucket,
+                   MAX(53 - COALESCE((SELECT MAX(p2.i) + 1 FROM pows p2
+                                      WHERE p2.v <= rw.w), 0)) AS rho
+            FROM rw GROUP BY day, bucket
+        ),
+        agg AS (
+            SELECT day, COUNT(*) AS nb,
+                   SUM(CASE WHEN rho <= 50
+                            THEN (SELECT v FROM pows WHERE i = 50 - reg.rho)
+                            ELSE CAST(0 AS HUGEINT) END) AS sterm
+            FROM reg GROUP BY day
+        ),
+        est AS (
+            SELECT day, 4096 - nb AS vz,
+                   GREATEST(CAST(4096 - nb AS HUGEINT)
+                                * (SELECT v FROM pows WHERE i = 50) + sterm,
+                            CAST(1 AS HUGEINT)) AS s
+            FROM agg
+        ),
+        raw AS (
+            SELECT day, vz,
+                   (CAST(7213 AS HUGEINT) * 4096 * 4096 * 4096
+                        * (SELECT v FROM pows WHERE i = 50))
+                       // ((10000 * 4096 + 10790) * s) AS e_raw
+            FROM est
+        )
+        SELECT day,
+               CAST(CASE WHEN vz > 0 AND 2 * e_raw <= 5 * 4096
+                    THEN (SELECT lc FROM
+                              read_parquet('{hll_lc_fixture_path(12)}') f
+                          WHERE f.v = raw.vz)
+                    ELSE LEAST(e_raw,
+                               CAST(9223372036854775807 AS HUGEINT))
+                    END AS BIGINT) AS ndv_approx
+        FROM raw
     """,
     "label_centroids": """
         WITH e AS (

@@ -898,3 +898,99 @@ def test_bpe_encoder_chunked_prefilter_parity(rd):
     out_many = many(batch)
     assert out_one.equals(out_many)
     assert one.memo == many.memo
+
+
+def _sketch_frame(seed=29):
+    """Keys with planted distinct counts: key i has (i+1)*1500 distinct
+    values plus duplicates."""
+    rng = np.random.default_rng(seed)
+    ks, vs, truth = [], [], {}
+    for i in range(4):
+        nd = (i + 1) * 1500
+        vals = np.arange(nd, dtype=np.int64) + i * 10_000_000
+        draw = np.concatenate([vals, vals[rng.integers(0, nd, nd * 2)]])
+        ks.append(np.full(len(draw), i, np.int64))
+        vs.append(draw)
+        truth[i] = nd
+    ka, va = np.concatenate(ks), np.concatenate(vs)
+    perm = rng.permutation(len(ka))
+    return pa.table({"k": pa.array(ka[perm]), "v": pa.array(va[perm])}), truth
+
+
+def test_approx_ndistinct_sketch_accuracy(rd):
+    """KMV within ~4 sigma of 1/sqrt(k-2); HLL (linear-counting regime at
+    these cardinalities) within ~5x its 1.04/sqrt(m) stderr; a key with
+    fewer than k distinct values is EXACT under KMV."""
+    from raylink.aggs import approx_ndistinct_hll, approx_ndistinct_kmv
+
+    tbl, truth = _sketch_frame()
+    ds = rd.from_arrow(tbl).repartition(7)
+    kmv = approx_ndistinct_kmv(ds, "k", "v", k=256, output="pandas")
+    hll = approx_ndistinct_hll(ds, "k", "v", p=12, output="pandas")
+    for df, bound in ((kmv, 0.25), (hll, 0.08)):
+        assert list(df["k"]) == sorted(truth)
+        for _, row in df.iterrows():
+            t = truth[row["k"]]
+            assert abs(row["ndv_approx"] - t) / t <= bound, (row, t)
+    # exact branch: 80 distinct values < k=256
+    small = pa.table(
+        {
+            "k": pa.array(np.zeros(240, np.int64)),
+            "v": pa.array(np.arange(80, dtype=np.int64).repeat(3)),
+        }
+    )
+    sds = rd.from_arrow(small).repartition(3)
+    out = approx_ndistinct_kmv(sds, "k", "v", k=256, output="pandas")
+    assert out["ndv_approx"].tolist() == [80]
+
+
+def test_approx_ndistinct_hll_raw_branch(rd):
+    """Above 2.5*m (p=12 -> 10240) the raw HLL integer estimator runs
+    (no linear counting); accuracy stays inside ~5x stderr."""
+    from raylink.aggs import approx_ndistinct_hll
+
+    nd = 40_000
+    tbl = pa.table(
+        {
+            "k": pa.array(np.zeros(nd, np.int64)),
+            "v": pa.array(np.arange(nd, dtype=np.int64)),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(5)
+    out = approx_ndistinct_hll(ds, "k", "v", p=12, output="pandas")
+    est = out["ndv_approx"].iloc[0]
+    assert abs(est - nd) / nd <= 0.08, est
+
+
+def test_approx_ndistinct_driver_and_shuffle_paths_identical(rd):
+    from raylink.aggs import approx_ndistinct_hll, approx_ndistinct_kmv
+
+    tbl, _ = _sketch_frame(seed=31)
+    ds = rd.from_arrow(tbl).repartition(6)
+    for op, kw in [
+        (approx_ndistinct_kmv, dict(k=64)),
+        (approx_ndistinct_hll, dict(p=12)),
+    ]:
+        a = op(ds, "k", "v", output="pandas", **kw)
+        b = op(ds, "k", "v", output="pandas", driver_merge_max_rows=0, **kw)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_approx_ndistinct_rejects_nulls_and_bad_params(rd):
+    from raylink.aggs import approx_ndistinct_hll, approx_ndistinct_kmv
+
+    withnull = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "v": pa.array([1, None], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(withnull)
+    with pytest.raises(Exception, match="null"):
+        approx_ndistinct_kmv(ds, "k", "v", output="pandas")
+    with pytest.raises(Exception, match="null"):
+        approx_ndistinct_hll(ds, "k", "v", output="pandas")
+    with pytest.raises(ValueError, match="k must be"):
+        approx_ndistinct_kmv(ds, "k", "v", k=1)
+    with pytest.raises(ValueError, match="p must be"):
+        approx_ndistinct_hll(ds, "k", "v", p=8)
