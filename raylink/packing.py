@@ -295,3 +295,229 @@ def take_token_budget(
             return empty_tbl.to_pandas()
         return out.sort_values(id_col).reset_index(drop=True)
     return res
+
+
+def cap_tokens_per_key(
+    ds,
+    key_col: str,
+    id_col: str,
+    text_col: str,
+    budget,
+    order_col: str | None = None,
+    descending: bool = False,
+    token_col: str | None = None,
+    default_budget: int = 0,
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+    n_parts: int | None = None,
+):
+    """PER-KEY token budgets — the domain-mixing primitive ("2B tokens of
+    web, 500M of code, ..."): within each key, sort by (``order_col``
+    asc/desc, ``id_col`` asc tie-break) and keep whole documents while
+    the per-key running INCLUSIVE token total stays within that key's
+    budget. ``budget`` is one int for every key or a mapping
+    {key value -> budget} (missing keys fall back to ``default_budget``;
+    the mapping is config-sized — per-domain budgets — and travels by
+    closure capture, not the broadcast cache). Token counts come from
+    ``token_col`` (precomputed int64, e.g. bpe_encode's n_tokens) or the
+    whitespace rule (textstats.token_count). Output columns:
+    (key_col, id_col, n_tokens, cum_tokens).
+
+    Scale shape (the cap_per_key digest pattern, prefix-sum variant):
+    per-block partials keep, per (block, key), only rows whose EXCLUSIVE
+    block-local running total is <= budget — the local prefix plus at
+    most ONE boundary row. That is sound and exact: a dropped row's
+    block-local inclusive total already exceeds its budget, and local <=
+    global means every such row (and everything after it in its key's
+    global order) is out of the true keep set; conversely every truly
+    kept row's prior rows all have global total <= budget, hence local
+    total <= budget, hence they all reach the merge — so the merge's
+    global per-key cumsum over digest rows is the TRUE cumulative for
+    every row it keeps, and each block's boundary row forces the merged
+    total past the budget before any later stray row could sneak in.
+    Digest volume per (block, key) is bounded by the budget in TOKENS
+    plus one row; the merge rides the shared digest dispatch (driver
+    concat below the bound, value-hash keyed groupby above). Keys may be
+    string or int64 (the _cap_key_views contract: loud on null/float)."""
+    from .aggs import _digest_merge
+    from .joins import _check_reserved, _nonull, typed_to_pandas
+    from .sampling import _cap_key_views
+
+    if isinstance(budget, dict):
+        bmap = {k: int(v) for k, v in budget.items()}
+        for k, v in bmap.items():
+            if v < 0:
+                raise ValueError(f"budget for key {k!r} is negative")
+        bdefault = int(default_budget)
+        if bdefault < 0:
+            raise ValueError("default_budget must be non-negative")
+        bscalar = None
+    else:
+        bscalar = int(budget)
+        if bscalar < 0:
+            raise ValueError("budget must be non-negative")
+        bmap = None
+        bdefault = 0
+    _check_reserved(
+        "cap_tokens_per_key",
+        (key_col, id_col, text_col, order_col or id_col),
+        frozenset({"nt", "o", "part", "n_tokens", "cum_tokens"}),
+    )
+    P = int(n_parts) if n_parts is not None else 65_536
+
+    def _counts(batch: pa.Table) -> np.ndarray:
+        if token_col is not None:
+            col = _nonull(batch[token_col], token_col, "cap_tokens_per_key")
+            n = np.asarray(col.to_numpy(zero_copy_only=False), np.int64)
+            if (n < 0).any():
+                raise ValueError(
+                    f"token_col {token_col!r} must be non-negative"
+                )
+            return n
+        texts = pc.fill_null(batch[text_col], "")
+        return pc.count_substring_regex(
+            pc.utf8_trim_whitespace(texts), r"\S+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _run_budgets(ka_sorted, starts: np.ndarray, lens: np.ndarray):
+        """Per-row budget, expanded from one lookup per key run."""
+        if bmap is None:
+            return None  # scalar: compare against bscalar directly
+        keys = ka_sorted.take(pa.array(starts, pa.int64())).to_pylist()
+        per_run = np.array(
+            [bmap.get(k, bdefault) for k in keys], dtype=np.int64
+        )
+        return np.repeat(per_run, lens)
+
+    def _prefix(batch: pa.Table, inclusive: bool):
+        """Sort (key, order, id), per-key running totals; keep rows with
+        (inclusive? cum : cum - nt) <= budget. Shared by both stages —
+        the partial (inclusive=False, raw input columns) keeps the
+        EXCLUSIVE prefix (+ boundary row); the merge (inclusive=True,
+        staged digest columns 'nt'/'o') keeps the true INCLUSIVE
+        prefix."""
+        ids = np.asarray(
+            _nonull(batch[id_col], id_col, "cap_tokens_per_key").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
+        ka = batch[key_col].combine_chunks()
+        codes, ph = _cap_key_views(ka)
+        if inclusive:
+            nt = np.asarray(
+                batch["nt"].to_numpy(zero_copy_only=False), np.int64
+            )
+            ov = np.asarray(
+                batch["o"].to_numpy(zero_copy_only=False), np.int64
+            )
+        else:
+            nt = _counts(batch)
+            if order_col is not None:
+                ov = np.asarray(
+                    _nonull(
+                        batch[order_col], order_col, "cap_tokens_per_key"
+                    ).to_numpy(zero_copy_only=False),
+                    np.int64,
+                )
+            else:
+                ov = ids
+        if not len(ids):
+            u64 = np.empty(0, np.uint64)
+            i64 = np.empty(0, np.int64)
+            return ka, i64, i64, i64, u64, i64
+        osort = -ov if descending else ov
+        pos = np.lexsort((ids, osort, codes))
+        ks, ns = codes[pos], nt[pos]
+        # duplicate (key, id) pairs make the sort (and therefore which
+        # row lands under the budget boundary) order-dependent — reject
+        # loudly at both stages (the cap_per_key/lag_payload policy; a
+        # cross-block duplicate whose first copy was dropped at the
+        # partial escapes this check, but every row at or past that
+        # point is already over budget — documented residual)
+        ids_s = ids[pos]
+        dup = (ks[1:] == ks[:-1]) & (ids_s[1:] == ids_s[:-1])
+        if dup.any():
+            raise ValueError(
+                "cap_tokens_per_key: duplicate (key, id) pair "
+                f"(key code {ks[1:][dup][0]}, id {ids_s[1:][dup][0]}) — "
+                "ids must be unique per key for a deterministic budget "
+                "boundary"
+            )
+        start = np.ones(len(ks), dtype=bool)
+        start[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(start)
+        lens = np.diff(np.append(starts, len(ks)))
+        cum = np.cumsum(ns)
+        base = np.repeat(
+            np.concatenate(([0], cum[starts[1:] - 1])), lens
+        )
+        incl = cum - base
+        side = incl if inclusive else incl - ns
+        ka_sorted = ka.take(pa.array(pos, pa.int64()))
+        budgets = _run_budgets(ka_sorted, starts, lens)
+        keep = side <= (bscalar if budgets is None else budgets)
+        kpos = np.flatnonzero(keep)
+        take = pa.array(pos[kpos], pa.int64())
+        return (
+            ka.take(take),
+            ids[pos][kpos],
+            ns[kpos],
+            ov[pos][kpos],
+            ph[pos][kpos],
+            incl[kpos],
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kv, ids, ns, ov, ph, _ = _prefix(batch, inclusive=False)
+        return pa.table(
+            {
+                key_col: kv,
+                id_col: pa.array(ids),
+                "nt": pa.array(ns),
+                "o": pa.array(ov),
+                "part": pa.array((ph % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array(
+                    [], g[key_col].type if g.num_columns else pa.string()
+                ),
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "cum_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if not g.num_rows:
+            return empty
+        kv, ids, ns, _ov, _ph, incl = _prefix(g, inclusive=True)
+        return pa.table(
+            {
+                key_col: kv,
+                id_col: pa.array(ids),
+                "n_tokens": pa.array(ns),
+                "cum_tokens": pa.array(incl.astype(np.int64)),
+            }
+        )
+
+    cols = [key_col, id_col]
+    if order_col and order_col not in cols:
+        cols.append(order_col)
+    if token_col is not None:
+        if token_col not in cols:
+            cols.append(token_col)
+    elif text_col not in cols:
+        cols.append(text_col)
+    res = _digest_merge(
+        ds.select_columns(cols).map_batches(partial, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
+        n_parts=n_parts,
+    )
+    if output == "pandas":
+        out = typed_to_pandas(res)
+        return out.sort_values([key_col, id_col]).reset_index(drop=True)
+    return res

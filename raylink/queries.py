@@ -1423,6 +1423,30 @@ def q_approx_users_hll(sf_dir: str):
     )
 
 
+def q_domain_token_budget(sf_dir: str):
+    """Per-domain token budgets (raylink/packing.cap_tokens_per_key) —
+    the domain-mixing primitive: within each source, longest docs first
+    (n_chars desc, doc_id tie), keep whole docs while the per-source
+    running whitespace-token total stays within that source's budget
+    (mapping with a default). Digest = per-(block,key) exclusive prefix
+    + one boundary row; SQL replays the inclusive window sum."""
+    from raylink.packing import cap_tokens_per_key
+
+    docs = _read(
+        sf_dir, "documents", columns=["source", "doc_id", "text", "n_chars"]
+    )
+    return cap_tokens_per_key(
+        docs,
+        "source",
+        "doc_id",
+        "text",
+        {"src0": 400, "src1": 700},
+        order_col="n_chars",
+        descending=True,
+        default_budget=550,
+    )
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label mean embedding (raylink/aggs.label_centroids), EXACT:
     components quantize to integer milli-units so the partial sums are
@@ -2003,6 +2027,7 @@ QUERIES = {
     "user_active_days": q_user_active_days,
     "approx_users_kmv": q_approx_users_kmv,
     "approx_users_hll": q_approx_users_hll,
+    "domain_token_budget": q_domain_token_budget,
     "top_revenue_customers": q_top_revenue_customers,
     "docs_in_major_langs": q_docs_in_major_langs,
     "rolling_user_value": q_rolling_user_value,
@@ -2044,7 +2069,7 @@ QUERIES = {
 # 50 r4-green ones follow. Every operator re-earns a fresh driver row at
 # least every other round.
 _R5_LEAD = [
-    "approx_users_kmv", "approx_users_hll",
+    "approx_users_kmv", "approx_users_hll", "domain_token_budget",
     "domain_cap", "sample_n", "dedup_reps_quality", "semantic_dedup",
     "bpe_encode",
     "remove_duplicate_spans",
@@ -3150,6 +3175,30 @@ ORACLE_SQL = {
                         CAST(9223372036854775807 AS HUGEINT))
                     END AS BIGINT) AS ndv_approx
         FROM r GROUP BY day
+    """,
+    # cap_tokens_per_key replay: inclusive per-key window sum under the
+    # same (order desc, id) priority; per-source budgets as a CASE.
+    "domain_token_budget": r"""
+        WITH n AS (
+            SELECT source, doc_id, n_chars,
+                   (CASE WHEN trim(text) = '' THEN 0
+                         ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                    END)::BIGINT AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT source, doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS cum_tokens
+            FROM n
+        )
+        SELECT source, doc_id, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= CASE source WHEN 'src0' THEN 400
+                                        WHEN 'src1' THEN 700
+                                        ELSE 550 END
     """,
     # HLL replay (aggs.approx_ndistinct_hll p=12): bucket = top 12 bits of
     # splitmix64(user_id), rho = 53 - bit_length(low 52 bits) via a

@@ -994,3 +994,112 @@ def test_approx_ndistinct_rejects_nulls_and_bad_params(rd):
         approx_ndistinct_kmv(ds, "k", "v", k=1)
     with pytest.raises(ValueError, match="p must be"):
         approx_ndistinct_hll(ds, "k", "v", p=8)
+
+
+def _ctk_frame(seed=3, n=4000):
+    """Domains with a planted huge doc per key: at the highest priority it
+    exercises the boundary-row digest logic (everything after it must
+    drop), at the lowest it is a plain tail row."""
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "dom": rng.choice(["a", "b", "web", "code"], n),
+            "id": np.arange(n, dtype=np.int64),
+            "prio": rng.integers(0, 1000, n).astype(np.int64),
+            "nt": rng.integers(0, 40, n).astype(np.int64),
+        }
+    )
+    for i, k in enumerate(["a", "web"]):
+        df.loc[df.index[i], ["dom", "prio", "nt"]] = [k, 2000, 10_000]
+    df["text"] = [" ".join(["w"] * t) for t in df["nt"]]
+    return df
+
+
+def _ctk_brute(df, budget_fn, desc):
+    out = []
+    for k, g in df.groupby("dom"):
+        g = g.sort_values(["prio", "id"], ascending=[not desc, True])
+        cum = g["nt"].cumsum()
+        kept = g[cum <= budget_fn(k)].copy()
+        kept["cum_tokens"] = cum[cum <= budget_fn(k)]
+        out.append(kept)
+    r = pd.concat(out)
+    r = r.rename(columns={"nt": "n_tokens"})
+    return (
+        r[["dom", "id", "n_tokens", "cum_tokens"]]
+        .sort_values(["dom", "id"])
+        .reset_index(drop=True)
+        .astype({"cum_tokens": "int64"})
+    )
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_cap_tokens_per_key_matches_brute(rd, descending):
+    """Mapping budgets + default, whitespace vs precomputed token counts,
+    boundary-row soundness (the planted huge doc at top priority under
+    descending order must zero out its key's tail across blocks)."""
+    from raylink.packing import cap_tokens_per_key
+
+    df = _ctk_frame()
+    bud = {"a": 300, "web": 900, "code": 0}
+    want = _ctk_brute(df, lambda k: bud.get(k, 500), descending)
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(
+            df[["dom", "id", "prio", "text", "nt"]], preserve_index=False
+        )
+    ).repartition(9)
+    for tc in (None, "nt"):
+        got = cap_tokens_per_key(
+            ds, "dom", "id", "text", bud,
+            order_col="prio", descending=descending, token_col=tc,
+            default_budget=500, output="pandas",
+        ).astype({"cum_tokens": "int64"})
+        pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_cap_tokens_per_key_paths_scalar_and_validation(rd):
+    from raylink.packing import cap_tokens_per_key
+
+    df = _ctk_frame(seed=11)
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(
+            df[["dom", "id", "prio", "text"]], preserve_index=False
+        )
+    ).repartition(7)
+    # scalar budget, id order (no order_col), driver vs forced shuffle
+    a = cap_tokens_per_key(ds, "dom", "id", "text", 250, output="pandas")
+    b = cap_tokens_per_key(
+        ds, "dom", "id", "text", 250, output="pandas",
+        driver_merge_max_rows=0,
+    )
+    pd.testing.assert_frame_equal(a, b)
+    want = _ctk_brute(
+        df.assign(prio=df["id"]), lambda k: 250, False
+    )
+    pd.testing.assert_frame_equal(
+        a.astype({"cum_tokens": "int64"}), want.astype(
+            a.astype({"cum_tokens": "int64"}).dtypes.to_dict()
+        )
+    )
+    with pytest.raises(ValueError, match="negative"):
+        cap_tokens_per_key(ds, "dom", "id", "text", -1)
+    with pytest.raises(ValueError, match="negative"):
+        cap_tokens_per_key(ds, "dom", "id", "text", {"a": -2})
+    with pytest.raises(ValueError, match="collide"):
+        cap_tokens_per_key(ds, "dom", "nt", "text", 10)
+
+
+def test_cap_tokens_per_key_rejects_duplicate_key_id(rd):
+    from raylink.packing import cap_tokens_per_key
+
+    t = pa.table(
+        {
+            "dom": pa.array(["a", "a", "b"]),
+            "id": pa.array([1, 1, 2], pa.int64()),
+            "text": pa.array(["x y", "z", "w"]),
+        }
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        cap_tokens_per_key(
+            rd.from_arrow(t), "dom", "id", "text", 100, output="pandas"
+        )
