@@ -23,8 +23,8 @@ import pyarrow as pa
 import ray
 import ray.data as _rd
 
-from raylink.blocking import _hash64
-from raylink.joins import typed_to_pandas
+from raylink.blocking import _fnv64_fold_rows, _hash64
+from raylink.joins import _nonull, typed_to_pandas
 
 
 def _np_i64(col) -> np.ndarray:
@@ -559,6 +559,28 @@ _HLL_SCALE_BITS = 50  # S scaled by 2^50; register terms 2^(50-rho), rho>50 -> 0
 _I64_MAX = (1 << 63) - 1
 
 
+def _sketch_val_hashes(col, name: str, op: str) -> np.ndarray:
+    """uint64 value hashes for the distinct sketches: splitmix64 over
+    int64 values (a 64-bit bijection — distinct hashes == distinct
+    values, so KMV's < k branch is EXACT), or splitmix-finished
+    full-content FNV64 over string values (the dedup._fnv64_strings
+    census family — distinct strings collide with ~2^-64 per pair, so
+    string counts are exact only up to hash collisions; the estimates
+    are unaffected). Nulls reject loudly; other types reject rather
+    than silently round through float64."""
+    a = _nonull(col, name, op)
+    if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+        raw = _fnv64_fold_rows(a, pa.types.is_large_string(a.type))
+        return _hash64(raw.astype(np.int64))
+    if not pa.types.is_integer(a.type):
+        raise ValueError(
+            f"{op}: value column {name!r} has type {a.type} — sketch "
+            "values must be int64 or string (a float value would be "
+            "silently truncated)"
+        )
+    return _hash64(np.asarray(a.to_numpy(zero_copy_only=False), np.int64))
+
+
 def _hll_lc_table(p: int) -> np.ndarray:
     """Linear-counting lookup for m=2^p registers: lc[V-1] =
     rint(m * ln(m / V)) for V zero registers, V in [1, m]. ONE numpy
@@ -592,8 +614,6 @@ def approx_ndistinct_kmv(
     exactly associative. Relative error ~ 1/sqrt(k-2). The final
     per-key division is a Python-int loop (>64-bit numerator) — O(keys)
     driver-light arithmetic; everything row-shaped is vectorized."""
-    from raylink.joins import _nonull
-
     if k < 2:
         raise ValueError(f"approx_ndistinct_kmv: k must be >= 2, got {k}")
     P = _default_parts(n_parts)
@@ -611,8 +631,10 @@ def approx_ndistinct_kmv(
 
     def partial(batch: pa.Table) -> pa.Table:
         ka = _np_i64(_nonull(batch[key_col], key_col, "approx_ndistinct_kmv"))
-        va = _np_i64(_nonull(batch[val_col], val_col, "approx_ndistinct_kmv"))
-        ks, hs = _kmin(ka, _hash64(va))
+        h = _sketch_val_hashes(
+            batch[val_col], val_col, "approx_ndistinct_kmv"
+        )
+        ks, hs = _kmin(ka, h)
         return pa.table(
             {
                 "k": pa.array(ks),
@@ -690,8 +712,6 @@ def approx_ndistinct_hll(
     bit_length via np.frexp is exact because q <= 52 < 53 float64
     mantissa bits — hence the p >= 12 floor; per-key estimate is a
     Python-int loop (numerator ~2^99), O(keys) tiny arithmetic."""
-    from raylink.joins import _nonull
-
     if not 12 <= p <= 16:
         raise ValueError(
             f"approx_ndistinct_hll: p must be in [12, 16], got {p} "
@@ -715,8 +735,9 @@ def approx_ndistinct_hll(
 
     def partial(batch: pa.Table) -> pa.Table:
         ka = _np_i64(_nonull(batch[key_col], key_col, "approx_ndistinct_hll"))
-        va = _np_i64(_nonull(batch[val_col], val_col, "approx_ndistinct_hll"))
-        h = _hash64(va)
+        h = _sketch_val_hashes(
+            batch[val_col], val_col, "approx_ndistinct_hll"
+        )
         bucket = (h >> np.uint64(q)).astype(np.int64)
         w = (h & np.uint64((1 << q) - 1)).astype(np.float64)  # exact: q<=52
         bl = np.frexp(w)[1].astype(np.int64)  # bit_length; 0 for w==0

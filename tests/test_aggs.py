@@ -1103,3 +1103,38 @@ def test_cap_tokens_per_key_rejects_duplicate_key_id(rd):
         cap_tokens_per_key(
             rd.from_arrow(t), "dom", "id", "text", 100, output="pandas"
         )
+
+
+def test_approx_ndistinct_string_values(rd):
+    """String value columns hash through the full-content FNV64 census
+    family: KMV under k distinct stays exact (up to ~2^-64 collisions),
+    HLL's linear-counting estimate lands on the planted cardinality."""
+    from raylink.aggs import approx_ndistinct_hll, approx_ndistinct_kmv
+
+    rng = np.random.default_rng(41)
+    urls = np.array([f"https://example.com/p/{i}" for i in range(700)])
+    draw = urls[rng.integers(0, 700, 5000)]
+    t = pa.table(
+        {
+            "k": pa.array(np.zeros(5000, np.int64)),
+            "v": pa.array(draw, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(6)
+    seen = len(np.unique(draw))
+    kmv = approx_ndistinct_kmv(ds, "k", "v", k=1024, output="pandas")
+    assert kmv["ndv_approx"].tolist() == [seen]
+    hll = approx_ndistinct_hll(ds, "k", "v", p=12, output="pandas")
+    est = hll["ndv_approx"].iloc[0]
+    assert abs(est - seen) / seen <= 0.08, (est, seen)
+    # floats reject loudly
+    bad = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "v": pa.array([1.5], pa.float64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="int64 or string"):
+        approx_ndistinct_kmv(bad, "k", "v", output="pandas")
