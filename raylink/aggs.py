@@ -800,6 +800,133 @@ def approx_ndistinct_hll(
     return res
 
 
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Exact bit_length of non-negative int64 values. np.frexp is only
+    exact below 2^53 (the sketch p>=12 trick does not transfer — values
+    here go to 2^63-1, where float64 rounding can bump a just-below-
+    power value onto the power and overstate the length by one), so:
+    6-step branchless binary reduction, pure integer."""
+    x = v.astype(np.uint64)
+    n = np.zeros(len(x), np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        n[big] += s
+        x[big] >>= np.uint64(s)
+    return n + (x == 1)
+
+
+def _log_bucket_ids(v: np.ndarray, s: int) -> np.ndarray:
+    """DDSketch-style log bucket of non-negative int64 values: below
+    2^(s+1) the value IS its bucket (exact region); above, the bucket
+    keys on (bit_length, top s+1 bits) — 2^s sub-buckets per octave, so
+    the bucket's span is a <= 2^-s relative slice of its value."""
+    lim = 1 << (s + 1)
+    ids = v.copy()
+    big = v >= lim
+    if big.any():
+        vb = v[big]
+        bl = _bit_length_u64(vb)  # >= s+2 here
+        t = (vb.astype(np.uint64) >> (bl - 1 - s).astype(np.uint64)).astype(
+            np.int64
+        )  # in [2^s, 2^(s+1))
+        ids[big] = lim + (bl - s - 2) * (1 << s) + (t - (1 << s))
+    return ids
+
+
+def _log_bucket_rep(ids: np.ndarray, s: int) -> np.ndarray:
+    """Deterministic representative (the bucket's LOWER bound, so
+    rep <= true quantile value < rep * (1 + 2^-s)): the inverse of
+    :func:`_log_bucket_ids` at the bucket floor."""
+    lim = 1 << (s + 1)
+    rep = ids.copy()
+    big = ids >= lim
+    if big.any():
+        off = ids[big] - lim
+        octv = off >> s
+        sub = off & ((1 << s) - 1)
+        rep[big] = ((1 << s) + sub) << (octv + 1)
+    return rep
+
+
+def approx_quantiles_log(
+    ds,
+    key_col: str,
+    val_col: str,
+    qs: tuple[tuple[int, int, str], ...] = (
+        (1, 2, "p50"),
+        (9, 10, "p90"),
+        (99, 100, "p99"),
+    ),
+    sub_bits: int = 4,
+    n_parts: int | None = None,
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+):
+    """APPROXIMATE per-key quantiles with a BOUNDED digest — the
+    DDSketch idea (Masson et al. 2019) in deterministic integer form:
+    values bucket by (bit_length, top ``sub_bits``+1 bits), so the
+    digest is at most ~62*2^sub_bits + 2^(sub_bits+1) (key, bucket,
+    count) rows per key REGARDLESS of value cardinality, where exact
+    :func:`group_quantiles` ships every distinct (key, value) pair.
+    Merge = count sum (trivially associative). Each reported quantile is
+    the crossing bucket's LOWER bound: rep <= true value < rep *
+    (1 + 2^-sub_bits) — a guaranteed relative error, exact below
+    2^(sub_bits+1). Values must be non-negative int64 (loud rejection —
+    log buckets are undefined for negatives; offset upstream).
+
+    Implementation is a pure composition: bucketize per batch (exact
+    integer bit_length — no float log), run the EXACT quantile machinery
+    over bucket ids, then map the crossing ids back to representative
+    values. Everything is integer arithmetic both sides, so the DuckDB
+    oracle replays it hash-exactly (bit_length via the recursive
+    powers-of-two CTE)."""
+    s = int(sub_bits)
+    if not 1 <= s <= 8:
+        raise ValueError(
+            f"approx_quantiles_log: sub_bits must be in [1, 8], got {s}"
+        )
+    labels = [str(lbl) for _, _, lbl in qs]
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        va = _nonull(batch[val_col], val_col, "approx_quantiles_log")
+        v = np.asarray(va.to_numpy(zero_copy_only=False), np.int64)
+        if len(v) and v.min() < 0:
+            raise ValueError(
+                "approx_quantiles_log: negative values — log buckets "
+                "are undefined for negatives; offset or split upstream"
+            )
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                val_col: pa.array(_log_bucket_ids(v, s)),
+            }
+        )
+
+    bres = group_quantiles(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        key_col,
+        val_col,
+        qs=qs,
+        n_parts=n_parts,
+        output="dataset",
+        driver_merge_max_rows=driver_merge_max_rows,
+    )
+
+    def to_rep(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in batch.column_names}
+        for lbl in labels:
+            ids = np.asarray(
+                batch[lbl].to_numpy(zero_copy_only=False), np.int64
+            )
+            cols[lbl] = pa.array(_log_bucket_rep(ids, s))
+        return pa.table(cols)
+
+    res = bres.map_batches(to_rep, batch_format="pyarrow")
+    if output == "pandas":
+        return typed_to_pandas(res).sort_values(key_col).reset_index(drop=True)
+    return res
+
+
 def group_count(
     ds,
     key_cols: tuple[str, ...],

@@ -163,6 +163,17 @@ def _sql_splitmix64(x: str) -> str:
     return f"CAST({e} AS HUGEINT)"
 
 
+def _sql_log_rep(b: str) -> str:
+    """aggs._log_bucket_rep at sub_bits=4 over a BIGINT bucket-id expr
+    (requires the recursive ``pows(i, v)`` CTE in scope): the bucket's
+    lower bound — exact below 32, else (16 + sub) << (octave + 1)."""
+    return (
+        f"CASE WHEN {b} < 32 THEN {b} "
+        f"ELSE (16 + ({b} - 32) % 16) * "
+        f"(SELECT v FROM pows WHERE i = ({b} - 32) // 16 + 1) END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # query implementations
 # ---------------------------------------------------------------------------
@@ -1305,6 +1316,32 @@ def q_event_value_quantiles(sf_dir: str):
     )
 
 
+def q_approx_event_quantiles(sf_dir: str):
+    """APPROXIMATE per-user value quantiles via the deterministic
+    log-bucket sketch (raylink/aggs.approx_quantiles_log, sub_bits=4):
+    the digest is bounded (~62*16 buckets per key max) where the exact
+    op ships distinct (key, value) pairs; each answer is the crossing
+    bucket's lower bound (rep <= true < rep * 1.0625). Pure integer
+    arithmetic both sides — SQL re-derives bit_length from the
+    recursive powers CTE and replays bucket + representative exactly."""
+    from raylink.aggs import approx_quantiles_log
+
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def centi(t: pa.Table) -> pa.Table:
+        vc = pc.round(pc.multiply(t["value"].combine_chunks(), 100.0))
+        return pa.table(
+            {"user_id": t["user_id"], "cv": vc.cast(pa.int64())}
+        )
+
+    return approx_quantiles_log(
+        ev.map_batches(centi, batch_format="pyarrow"),
+        "user_id",
+        "cv",
+        sub_bits=4,
+    )
+
+
 def q_heavy_users(sf_dir: str):
     """Exact heavy hitters (raylink/aggs.heavy_hitters): the 20 users
     with the most events (ties: smaller user id) — per-block partial
@@ -2028,6 +2065,7 @@ QUERIES = {
     "approx_users_kmv": q_approx_users_kmv,
     "approx_users_hll": q_approx_users_hll,
     "domain_token_budget": q_domain_token_budget,
+    "approx_event_quantiles": q_approx_event_quantiles,
     "top_revenue_customers": q_top_revenue_customers,
     "docs_in_major_langs": q_docs_in_major_langs,
     "rolling_user_value": q_rolling_user_value,
@@ -2070,6 +2108,7 @@ QUERIES = {
 # least every other round.
 _R5_LEAD = [
     "approx_users_kmv", "approx_users_hll", "domain_token_budget",
+    "approx_event_quantiles",
     "domain_cap", "sample_n", "dedup_reps_quality", "semantic_dedup",
     "bpe_encode",
     "remove_duplicate_spans",
@@ -3199,6 +3238,54 @@ ORACLE_SQL = {
         WHERE cum_tokens <= CASE source WHEN 'src0' THEN 400
                                         WHEN 'src1' THEN 700
                                         ELSE 550 END
+    """,
+    # approx_quantiles_log replay (sub_bits=4): log-bucketize centi
+    # values (bit_length via the powers CTE — no float log), run the
+    # exact percentile_disc rank replay over BUCKET ids, map the
+    # crossing ids to their lower-bound representatives.
+    "approx_event_quantiles": f"""
+        WITH RECURSIVE pows(i, v) AS (
+            SELECT 0, CAST(1 AS BIGINT)
+            UNION ALL SELECT i + 1, v * 2 FROM pows WHERE i < 62
+        ),
+        cvt AS (
+            SELECT user_id, CAST(round(value * 100.0) AS BIGINT) AS cv
+            FROM events
+        ),
+        wl AS (
+            SELECT user_id, cv,
+                   CASE WHEN cv < 32 THEN NULL
+                        ELSE (SELECT MAX(p.i) + 1 FROM pows p
+                              WHERE p.v <= cvt.cv) END AS bl
+            FROM cvt
+        ),
+        bk AS (
+            SELECT user_id,
+                   CASE WHEN cv < 32 THEN cv
+                        ELSE 32 + (bl - 6) * 16
+                             + (cv // (SELECT v FROM pows WHERE i = wl.bl - 5)
+                                - 16)
+                   END AS b
+            FROM wl
+        ),
+        r AS (
+            SELECT user_id, b,
+                   row_number() OVER (PARTITION BY user_id ORDER BY b) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM bk
+        ),
+        qsel AS (
+            SELECT user_id, any_value(n) AS n,
+                   min(CASE WHEN rn = (1 * n + 1) // 2 THEN b END) AS b50,
+                   min(CASE WHEN rn = (9 * n + 9) // 10 THEN b END) AS b90,
+                   min(CASE WHEN rn = (99 * n + 99) // 100 THEN b END) AS b99
+            FROM r GROUP BY user_id
+        )
+        SELECT user_id, n,
+               {_sql_log_rep('b50')} AS p50,
+               {_sql_log_rep('b90')} AS p90,
+               {_sql_log_rep('b99')} AS p99
+        FROM qsel
     """,
     # HLL replay (aggs.approx_ndistinct_hll p=12): bucket = top 12 bits of
     # splitmix64(user_id), rho = 53 - bit_length(low 52 bits) via a

@@ -90,7 +90,9 @@ def main():
     from raylink.aggs import (
         approx_ndistinct_hll,
         approx_ndistinct_kmv,
+        approx_quantiles_log,
         group_ndistinct,
+        group_quantiles,
     )
     from raylink.packing import cap_tokens_per_key
 
@@ -120,6 +122,16 @@ def main():
                 "approx_ndistinct_hll",
                 ["key", "val"],
                 lambda d: approx_ndistinct_hll(d, "key", "val", p=12).count(),
+            ),
+            (
+                "group_quantiles_exact",
+                ["key", "val"],
+                lambda d: group_quantiles(d, "key", "val").count(),
+            ),
+            (
+                "approx_quantiles_log",
+                ["key", "val"],
+                lambda d: approx_quantiles_log(d, "key", "val").count(),
             ),
             (
                 "cap_tokens_per_key",

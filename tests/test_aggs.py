@@ -1138,3 +1138,62 @@ def test_approx_ndistinct_string_values(rd):
     )
     with pytest.raises(Exception, match="int64 or string"):
         approx_ndistinct_kmv(bad, "k", "v", output="pandas")
+
+
+def test_approx_quantiles_log_guarantee_and_paths(rd):
+    """Every reported quantile is the crossing bucket's lower bound:
+    rep <= true percentile value < rep * (1 + 2^-sub_bits); exact below
+    2^(sub_bits+1). Driver and forced-shuffle paths identical; negative
+    values and bad sub_bits reject loudly."""
+    from raylink.aggs import approx_quantiles_log
+
+    rng = np.random.default_rng(5)
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n).astype(np.int64),
+            "v": rng.lognormal(8, 2, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    out = approx_quantiles_log(ds, "k", "v", sub_bits=4, output="pandas")
+    assert len(out) == 8
+    for _, r in out.iterrows():
+        g = np.sort(df[df.k == r["k"]]["v"].to_numpy())
+        for q, lbl in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            true = g[int(np.ceil(q * len(g))) - 1]
+            assert r[lbl] <= true < max(r[lbl], 1) * (1 + 2**-4) + 1, (
+                r["k"], lbl, r[lbl], true,
+            )
+    b = approx_quantiles_log(
+        ds, "k", "v", output="pandas", driver_merge_max_rows=0
+    )
+    pd.testing.assert_frame_equal(out, b)
+    neg = rd.from_arrow(
+        pa.table(
+            {"k": pa.array([1], pa.int64()), "v": pa.array([-1], pa.int64())}
+        )
+    )
+    with pytest.raises(Exception, match="negative"):
+        approx_quantiles_log(neg, "k", "v", output="pandas")
+    with pytest.raises(ValueError, match="sub_bits"):
+        approx_quantiles_log(ds, "k", "v", sub_bits=0)
+
+
+def test_log_bucket_kernels_exact():
+    """bit_length exact across the float53 boundary; bucket/rep
+    roundtrip; rep is each bucket's floor."""
+    from raylink.aggs import _bit_length_u64, _log_bucket_ids, _log_bucket_rep
+
+    v = np.array(
+        [0, 1, 2, 3, 31, 32, 2**52, 2**53 - 1, 2**53, 2**60 - 1, 2**63 - 1],
+        np.int64,
+    )
+    assert _bit_length_u64(v).tolist() == [
+        int(x).bit_length() for x in v
+    ]
+    for s in (1, 4, 8):
+        ids = _log_bucket_ids(v, s)
+        reps = _log_bucket_rep(ids, s)
+        assert (_log_bucket_ids(reps, s) == ids).all()
+        assert (reps <= v).all()
