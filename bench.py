@@ -162,7 +162,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             dedup_representatives,
             remove_duplicate_spans,
         )
-        from raylink.packing import pack_sequences
+        from raylink.aggs import approx_ndistinct_hll
+        from raylink.packing import cap_tokens_per_key, pack_sequences
         from raylink.packing import take_token_budget as _take_token_budget
         from raylink.sampling import hash_sample
         from raylink.textstats import (
@@ -186,6 +187,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
                 )
             return _merges_cache["m"]
 
+        import numpy as _np
         import pyarrow as _pa
 
         def _to_docs(b):
@@ -205,6 +207,17 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
 
         def _consume(out):
             return out.count() if hasattr(out, "count") else len(out)
+
+        def _const_key(batch):
+            return batch.append_column(
+                "k", _pa.array(_np.zeros(batch.num_rows, _np.int64))
+            )
+
+        def _mod_key(batch):
+            ids = batch["doc_id"].to_numpy()
+            return batch.append_column(
+                "k", _pa.array((ids % 32).astype("int64"))
+            )
 
         llm_ops = {
             "vocabulary_corpus": lambda: vocabulary(
@@ -282,6 +295,33 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             # 10-word window census + broadcast coverage strip
             "dup_spans_corpus": lambda: _consume(
                 remove_duplicate_spans(corpus(), window=10)
+            ),
+            # r5 third-session surface: global approximate-distinct-TEXT
+            # count (HLL p=12 — the full-content FNV fold over 1.05M
+            # strings is the honest wall; digest caps at 4096 registers)
+            "approx_text_ndistinct_corpus": lambda: _consume(
+                approx_ndistinct_hll(
+                    corpus().map_batches(
+                        _const_key, batch_format="pyarrow"
+                    ),
+                    "k",
+                    "text",
+                    p=12,
+                )
+            ),
+            # per-domain token budgets over 32 synthetic domains
+            # (exclusive-prefix + boundary-row digest; ~1.6M of ~6.4M
+            # tokens kept)
+            "token_budget_per_key_corpus": lambda: _consume(
+                cap_tokens_per_key(
+                    corpus().map_batches(
+                        _mod_key, batch_format="pyarrow"
+                    ),
+                    "k",
+                    "doc_id",
+                    "text",
+                    50_000,
+                )
             ),
         }
         _bpe_merges()  # learn outside the timed region (encode-only wall)
