@@ -555,7 +555,13 @@ def label_centroids(
 
 _HLL_ALPHA_NUM = 7213  # alpha_m = 0.7213/(1 + 1.079/m) == 7213*m/(10000*m + 10790)
 _HLL_ALPHA_DEN_OFF = 10790
-_HLL_SCALE_BITS = 50  # S scaled by 2^50; register terms 2^(50-rho), rho>50 -> 0
+# S is scaled by 2^(62-p): register terms 2^(scale-rho) (rho > scale -> 0,
+# deterministic both sides). The scale is p-DEPENDENT so the int64
+# per-key reduceat cannot overflow: worst case (every register at rho=1)
+# sums to m * 2^(scale-1) = 2^61 for every p — a fixed scale of 50
+# overflows int64 from p=14 (2^14 * 2^49 = 2^63; review finding). At the
+# oracle's p=12 this is the same 50 the SQL replays.
+_HLL_SCALE_FOR_P = {p: 62 - p for p in range(12, 17)}
 _I64_MAX = (1 << 63) - 1
 
 
@@ -703,9 +709,11 @@ def approx_ndistinct_hll(
     capped at m=2^p regardless of cardinality; merge = elementwise max.
 
     The estimator is engineered integer-exact so the DuckDB oracle
-    replays it in HUGEINT: S = V*2^50 + sum(2^(50-rho)) (V = zero
-    registers; rho > 50 truncates to 0 — deterministic on both sides),
-    raw = (7213 * m^3 * 2^50) // ((10000*m + 10790) * S) (the alpha_m
+    replays it in HUGEINT: with scale = 62-p (= 50 at the oracle's
+    p=12; p-dependent so the int64 register-term sum cannot overflow),
+    S = V*2^scale + sum(2^(scale-rho)) (V = zero registers; rho > scale
+    truncates to 0 — deterministic on both sides),
+    raw = (7213 * m^3 * 2^scale) // ((10000*m + 10790) * S) (the alpha_m
     constant as an exact rational), and the small-range branch
     (V > 0 and 2*raw <= 5*m) reads linear counting from the pinned
     integer table (_hll_lc_table). Relative error ~ 1.04/sqrt(m).
@@ -722,7 +730,7 @@ def approx_ndistinct_hll(
     q = 64 - p
     m = 1 << p
     lc = _hll_lc_table(p)
-    scale = _HLL_SCALE_BITS
+    scale = _HLL_SCALE_FOR_P[p]
 
     def _regs(ka: np.ndarray, ba: np.ndarray, ra: np.ndarray):
         """Max rho per (key, bucket): one lexsort, keep each run's LAST
@@ -889,6 +897,14 @@ def approx_quantiles_log(
 
     def bucketize(batch: pa.Table) -> pa.Table:
         va = _nonull(batch[val_col], val_col, "approx_quantiles_log")
+        if not pa.types.is_integer(va.type):
+            # a float column would truncate toward zero silently and void
+            # the relative-error guarantee (the _sketch_val_hashes rule)
+            raise ValueError(
+                f"approx_quantiles_log: value column {val_col!r} has "
+                f"type {va.type} — values must be integer (quantize "
+                "floats upstream, as group_quantiles requires)"
+            )
         v = np.asarray(va.to_numpy(zero_copy_only=False), np.int64)
         if len(v) and v.min() < 0:
             raise ValueError(

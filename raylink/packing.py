@@ -363,7 +363,12 @@ def cap_tokens_per_key(
         (key_col, id_col, text_col, order_col or id_col),
         frozenset({"nt", "o", "part", "n_tokens", "cum_tokens"}),
     )
-    P = int(n_parts) if n_parts is not None else 65_536
+    from .joins import _stage_parts
+
+    # the shared staging-modulus guard: n_parts=0 would make every
+    # `% P` collapse the shuffle into one partition (k % 0 -> warning,
+    # not error; review finding — never reimplement the modulus inline)
+    P = _stage_parts(n_parts)
 
     def _counts(batch: pa.Table) -> np.ndarray:
         if token_col is not None:
@@ -379,11 +384,14 @@ def cap_tokens_per_key(
             pc.utf8_trim_whitespace(texts), r"\S+"
         ).to_numpy(zero_copy_only=False).astype(np.int64)
 
-    def _run_budgets(ka_sorted, starts: np.ndarray, lens: np.ndarray):
-        """Per-row budget, expanded from one lookup per key run."""
+    def _run_budgets(ka, pos, starts: np.ndarray, lens: np.ndarray):
+        """Per-row budget, expanded from one lookup per key run. The key
+        gather touches only the run-START positions (O(keys), not the
+        O(n) full sorted take — review finding; the scalar path gathers
+        nothing at all)."""
         if bmap is None:
             return None  # scalar: compare against bscalar directly
-        keys = ka_sorted.take(pa.array(starts, pa.int64())).to_pylist()
+        keys = ka.take(pa.array(pos[starts], pa.int64())).to_pylist()
         per_run = np.array(
             [bmap.get(k, bdefault) for k in keys], dtype=np.int64
         )
@@ -434,13 +442,17 @@ def cap_tokens_per_key(
         # loudly at both stages (the cap_per_key/lag_payload policy; a
         # cross-block duplicate whose first copy was dropped at the
         # partial escapes this check, but every row at or past that
-        # point is already over budget — documented residual)
-        ids_s = ids[pos]
-        dup = (ks[1:] == ks[:-1]) & (ids_s[1:] == ids_s[:-1])
+        # point is already over budget — documented residual). The check
+        # sorts on (key, id) DIRECTLY: under the priority sort two
+        # copies with different order values land apart, so adjacency
+        # there misses them (review finding)
+        chk = np.lexsort((ids, codes))
+        kc, ic = codes[chk], ids[chk]
+        dup = (kc[1:] == kc[:-1]) & (ic[1:] == ic[:-1])
         if dup.any():
             raise ValueError(
                 "cap_tokens_per_key: duplicate (key, id) pair "
-                f"(key code {ks[1:][dup][0]}, id {ids_s[1:][dup][0]}) — "
+                f"(key code {kc[1:][dup][0]}, id {ic[1:][dup][0]}) — "
                 "ids must be unique per key for a deterministic budget "
                 "boundary"
             )
@@ -454,8 +466,7 @@ def cap_tokens_per_key(
         )
         incl = cum - base
         side = incl if inclusive else incl - ns
-        ka_sorted = ka.take(pa.array(pos, pa.int64()))
-        budgets = _run_budgets(ka_sorted, starts, lens)
+        budgets = _run_budgets(ka, pos, starts, lens)
         keep = side <= (bscalar if budgets is None else budgets)
         kpos = np.flatnonzero(keep)
         take = pa.array(pos[kpos], pa.int64())

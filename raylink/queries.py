@@ -1295,14 +1295,11 @@ def q_top_orders_per_customer(sf_dir: str):
     return group_topk(orders, "o_custkey", "o_totalprice", "o_orderkey", k=3)
 
 
-def q_event_value_quantiles(sf_dir: str):
-    """Exact per-user value quantiles (raylink/aggs.group_quantiles)
-    over centi-quantized event values: p50/p90/p99 at integer rank
-    ceil(q*n) — the rank arithmetic is pure integer on BOTH sides, so
-    the oracle is bit-exact. Shuffle volume is (key, value, count)
-    digests, not rows."""
-    from raylink.aggs import group_quantiles
-
+def _centi_events(sf_dir: str):
+    """(user_id, cv) projection of events with centi-quantized values —
+    ONE copy shared by the exact and approximate quantile queries so the
+    two can never silently desynchronize (review finding; both oracles
+    replay the identical round(value*100) expression)."""
     ev = _read(sf_dir, "events", columns=["user_id", "value"])
 
     def centi(t: pa.Table) -> pa.Table:
@@ -1311,9 +1308,18 @@ def q_event_value_quantiles(sf_dir: str):
             {"user_id": t["user_id"], "cv": vc.cast(pa.int64())}
         )
 
-    return group_quantiles(
-        ev.map_batches(centi, batch_format="pyarrow"), "user_id", "cv"
-    )
+    return ev.map_batches(centi, batch_format="pyarrow")
+
+
+def q_event_value_quantiles(sf_dir: str):
+    """Exact per-user value quantiles (raylink/aggs.group_quantiles)
+    over centi-quantized event values: p50/p90/p99 at integer rank
+    ceil(q*n) — the rank arithmetic is pure integer on BOTH sides, so
+    the oracle is bit-exact. Shuffle volume is (key, value, count)
+    digests, not rows."""
+    from raylink.aggs import group_quantiles
+
+    return group_quantiles(_centi_events(sf_dir), "user_id", "cv")
 
 
 def q_approx_event_quantiles(sf_dir: str):
@@ -1326,19 +1332,8 @@ def q_approx_event_quantiles(sf_dir: str):
     recursive powers CTE and replays bucket + representative exactly."""
     from raylink.aggs import approx_quantiles_log
 
-    ev = _read(sf_dir, "events", columns=["user_id", "value"])
-
-    def centi(t: pa.Table) -> pa.Table:
-        vc = pc.round(pc.multiply(t["value"].combine_chunks(), 100.0))
-        return pa.table(
-            {"user_id": t["user_id"], "cv": vc.cast(pa.int64())}
-        )
-
     return approx_quantiles_log(
-        ev.map_batches(centi, batch_format="pyarrow"),
-        "user_id",
-        "cv",
-        sub_bits=4,
+        _centi_events(sf_dir), "user_id", "cv", sub_bits=4
     )
 
 

@@ -1197,3 +1197,66 @@ def test_log_bucket_kernels_exact():
         reps = _log_bucket_rep(ids, s)
         assert (_log_bucket_ids(reps, s) == ids).all()
         assert (reps <= v).all()
+
+
+def test_approx_ndistinct_hll_high_p_no_overflow(rd):
+    """p=14/16 raw-branch estimates (review finding: a fixed 2^50 scale
+    overflowed the int64 register-term sum from p=14 when most registers
+    are populated; the scale is now 62-p, worst-case sum 2^61)."""
+    from raylink.aggs import approx_ndistinct_hll
+
+    for p, nd in ((14, 150_000), (16, 450_000)):
+        tbl = pa.table(
+            {
+                "k": pa.array(np.zeros(nd, np.int64)),
+                "v": pa.array(np.arange(nd, dtype=np.int64)),
+            }
+        )
+        ds = rd.from_arrow(tbl).repartition(4)
+        out = approx_ndistinct_hll(ds, "k", "v", p=p, output="pandas")
+        est = out["ndv_approx"].iloc[0]
+        assert abs(est - nd) / nd <= 0.05, (p, est, nd)
+
+
+def test_cap_tokens_per_key_guards(rd):
+    """Review findings: duplicate (key,id) with DIFFERENT order values
+    must still reject (the priority sort separates the copies); an
+    explicit n_parts=0 must raise, not silently collapse the shuffle;
+    float values in approx_quantiles_log reject."""
+    from raylink.aggs import approx_quantiles_log
+    from raylink.packing import cap_tokens_per_key
+
+    t = pa.table(
+        {
+            "dom": pa.array(["a", "a", "a"]),
+            "id": pa.array([7, 3, 7], pa.int64()),
+            "prio": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["x", "y z", "w"]),
+        }
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        cap_tokens_per_key(
+            rd.from_arrow(t), "dom", "id", "text", 100,
+            order_col="prio", output="pandas",
+        )
+    ok = pa.table(
+        {
+            "dom": pa.array(["a"]),
+            "id": pa.array([1], pa.int64()),
+            "text": pa.array(["x"]),
+        }
+    )
+    with pytest.raises(ValueError, match="n_parts"):
+        cap_tokens_per_key(
+            rd.from_arrow(ok), "dom", "id", "text", 100, n_parts=0
+        )
+    fl = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "v": pa.array([2.7], pa.float64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="integer"):
+        approx_quantiles_log(fl, "k", "v", output="pandas")
