@@ -2773,6 +2773,72 @@ def _doc_distinct_grams(batch: pa.Table, id_col: str, text_col: str, n: int):
     )
 
 
+# Bloom prefilter geometry for contamination_check's scale path: k probe
+# bits per gram; bitmap sized at ~16 bits per (over-counted) distinct eval
+# gram -> FP rate (1 - e^{-4/16})^4 ~ 0.24%, bounded [1 MiB-worth of bits,
+# 1 GiB bitmap]. The bitmap is a PREFILTER only — every positive is
+# confirmed by the exact semi-join, so the output is identical across
+# modes regardless of geometry (a too-small bitmap costs confirm-shuffle
+# volume, never correctness).
+_BLOOM_K = 4
+_BLOOM_BITS_PER_GRAM = 16
+_BLOOM_BITS_MIN = 1 << 23
+_BLOOM_BITS_MAX = 1 << 33
+
+
+def _bloom_positions(grams, m_bits: int) -> np.ndarray:
+    """(n, _BLOOM_K) uint64 bit positions for a gram string array: the
+    full-content FNV64 census hash (_fnv64_strings — every byte
+    contributes) splitmix64-rehashed at k additive offsets, masked to
+    ``m_bits`` (a power of two). Pure function of the gram bytes — the
+    same gram sets/tests the same bits on every worker."""
+    g = _fnv64_strings(grams).astype(np.int64)  # wraparound view, exact
+    mask = np.uint64(m_bits - 1)
+    pos = np.empty((len(g), _BLOOM_K), np.uint64)
+    for i in range(_BLOOM_K):
+        pos[:, i] = _hash64(g + np.int64(i)) & mask
+    return pos
+
+
+def _bloom_test(bm: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """AND of the k probe bits per row: True = maybe-member (confirm
+    exactly downstream), False = DEFINITELY absent (safe to drop)."""
+    hit = np.ones(pos.shape[0], bool)
+    for i in range(_BLOOM_K):
+        p = pos[:, i]
+        word = bm[(p >> np.uint64(6)).astype(np.int64)]
+        hit &= ((word >> (p & np.uint64(63))) & np.uint64(1)).astype(bool)
+    return hit
+
+
+def _bloom_build(eval_grams_ds, m_bits: int) -> np.ndarray:
+    """OR-fold the eval grams' probe bits into one uint64 bitmap. Each
+    block ships its block-distinct positions (<= 32 bytes per gram —
+    comparable to the gram strings, and the fold streams block by block
+    with O(m_bits/8) driver state); the corpus side never sees the gram
+    strings, only this fixed-size bitmap."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams = batch["gram"].combine_chunks()
+        if not len(grams):
+            return pa.table({"p": pa.array([], pa.uint64())})
+        return pa.table(
+            {"p": pa.array(np.unique(_bloom_positions(grams, m_bits)))}
+        )
+
+    bm = np.zeros(m_bits >> 6, np.uint64)
+    stream = eval_grams_ds.map_batches(partial, batch_format="pyarrow")
+    for t in stream.iter_batches(batch_format="pyarrow", batch_size=None):
+        p = np.asarray(t["p"].to_numpy(zero_copy_only=False), np.uint64)
+        if len(p):
+            np.bitwise_or.at(
+                bm,
+                (p >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (p & np.uint64(63)),
+            )
+    return bm
+
+
 def contamination_check(
     corpus_ds,
     eval_ds,
@@ -2784,6 +2850,7 @@ def contamination_check(
     max_broadcast_bytes: int = 1 << 30,
     driver_merge_max_rows: int = 2_000_000,
     output: str = "dataset",
+    bloom_bits: int | None = None,
 ):
     """Training-data DECONTAMINATION: for every corpus doc, count how many
     of its distinct word ``ngram``-grams appear anywhere in the eval set,
@@ -2797,12 +2864,22 @@ def contamination_check(
     partials -> bounded driver unique merge), ``ray.put`` ONCE, and every
     corpus batch tests membership with one Arrow ``is_in`` (C++ hash set,
     zero-copy value set) — the corpus STREAMS, nothing shuffles.
-    "distributed": corpus (doc, gram) rows semi-join the eval gram set on
-    the string key (raylink.joins.semi_join co-shuffle, eval grams never
-    land on the driver), and per-doc hit counts reduce through the shared
-    digest merge. Per-doc gram dedup inside the batch is GLOBAL dedup
-    because each doc lives in exactly one block row. Both modes are
-    value-identical (tested)."""
+    "bloom" (the default ABOVE the broadcast bound): eval grams OR-fold
+    into a fixed-size Bloom bitmap (~16 bits/gram, <= 1 GiB even for
+    billions of grams) broadcast ONCE; the corpus streams, tests each
+    doc-distinct gram against the bitmap, and ONLY bloom-positive
+    (doc, gram) rows enter the exact semi-join confirm — so the shuffle
+    carries true hits + ~0.24% false positives instead of the whole
+    corpus gram stream, and the output is still EXACT (every positive is
+    confirmed against the real eval gram set).
+    "distributed" (explicit opt-in): ALL corpus (doc, gram) rows
+    semi-join the eval gram set on the string key (raylink.joins
+    co-shuffle, eval grams never land on the driver) — the no-prefilter
+    reference path. In both, per-doc hit counts reduce through the
+    shared digest merge. Per-doc gram dedup inside the batch is GLOBAL
+    dedup because each doc lives in exactly one block row. All three
+    modes are value-identical (tested, incl. a deliberately tiny
+    ``bloom_bits`` that forces false positives through the confirm)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -2823,17 +2900,20 @@ def contamination_check(
         """(doc_id, gram) with per-doc distinct grams (shared helper)."""
         return _doc_distinct_grams(batch, id_col, text_col, nn)
 
-    if mode == "auto":
+    if mode == "auto" or (mode == "bloom" and bloom_bits is None):
         eval_grams_ds = eval_grams_ds.materialize()  # count + reuse, one pass
         n_eval = eval_grams_ds.count()
-        # byte-aware like self_top1's switch: grams are unbounded-length
-        # strings, so the row bound alone can't keep the collect safe
-        mode = (
-            "broadcast"
-            if n_eval <= max_broadcast_grams
-            and (eval_grams_ds.size_bytes() or 0) <= max_broadcast_bytes
-            else "distributed"
-        )
+        if mode == "auto":
+            # byte-aware like self_top1's switch: grams are unbounded-length
+            # strings, so the row bound alone can't keep the collect safe;
+            # above the bound the bitmap prefilter replaces the full
+            # corpus-gram shuffle ("distributed" stays the explicit opt-in)
+            mode = (
+                "broadcast"
+                if n_eval <= max_broadcast_grams
+                and (eval_grams_ds.size_bytes() or 0) <= max_broadcast_bytes
+                else "bloom"
+            )
 
     if mode == "broadcast":
         tabs = ray.get(eval_grams_ds.materialize().to_arrow_refs())
@@ -2872,10 +2952,48 @@ def contamination_check(
             )
         return res
 
-    # distributed: (doc, gram) rows semi-join the eval gram set, then the
-    # per-doc hit counts reduce through the shared digest merge
+    corpus_gram_fn = corpus_grams
+    if mode == "bloom":
+        if bloom_bits is None:
+            # n_eval counts per-block-distinct rows (>= true distinct),
+            # so the bitmap only ever over-sizes
+            m_bits = 1 << int(
+                max(
+                    _BLOOM_BITS_MIN.bit_length() - 1,
+                    int(np.ceil(np.log2(_BLOOM_BITS_PER_GRAM * max(n_eval, 1)))),
+                )
+            )
+            m_bits = min(m_bits, _BLOOM_BITS_MAX)
+        else:
+            m_bits = int(bloom_bits)
+            if m_bits < 64 or m_bits & (m_bits - 1):
+                raise ValueError(
+                    f"bloom_bits must be a power of two >= 64, got {bloom_bits}"
+                )
+        eval_grams_ds = eval_grams_ds.materialize()  # bitmap build + confirm
+        bm_ref = ray.put(_bloom_build(eval_grams_ds, m_bits))
+
+        def corpus_grams_bloom(batch: pa.Table) -> pa.Table:
+            t = _doc_distinct_grams(batch, id_col, text_col, nn).select(
+                [id_col, "gram"]
+            )
+            grams = t["gram"].combine_chunks()
+            if not len(grams):
+                return t
+            hit = _bloom_test(
+                cached_object(bm_ref), _bloom_positions(grams, m_bits)
+            )
+            return t.filter(pa.array(hit))
+
+        corpus_gram_fn = corpus_grams_bloom
+    elif mode != "distributed":
+        raise ValueError(f"contamination_check: unknown mode {mode!r}")
+
+    # bloom/distributed: (bloom-positive) (doc, gram) rows semi-join the
+    # eval gram set, then per-doc hit counts reduce through the shared
+    # digest merge
     hit_rows = semi_join(
-        corpus_ds.map_batches(corpus_grams, batch_format="pyarrow"),
+        corpus_ds.map_batches(corpus_gram_fn, batch_format="pyarrow"),
         eval_grams_ds,
         left_key_col="gram",
         right_key_col="gram",

@@ -1894,6 +1894,31 @@ def q_contamination_check(sf_dir: str):
     return contamination_check(corpus, eval_ds, "doc_id", "text", ngram=3)
 
 
+def q_contamination_bloom(sf_dir: str):
+    """Decontamination via the Bloom-prefilter scale path: eval grams
+    fold into a fixed-size bitmap broadcast once; the corpus streams and
+    only bloom-positive (doc, gram) rows enter the exact semi-join
+    confirm — output is EXACT (identical to broadcast/distributed), so
+    the oracle is the same gram-join SQL. The deliberately small
+    16Kbit bitmap forces real false positives through the confirm pass
+    at this scale."""
+    from raylink.dedup import contamination_check
+
+    corpus = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ev(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return batch.filter(pa.array(ids % 15 == 0))
+
+    eval_ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        ev, batch_format="pyarrow"
+    )
+    return contamination_check(
+        corpus, eval_ds, "doc_id", "text", ngram=3,
+        mode="bloom", bloom_bits=1 << 14,
+    )
+
+
 def q_simhash(sf_dir: str):
     """SimHash values per document — SQL-checked bit-exactly (the
     FNV64+splitmix64 shingle hash re-derived in HUGEINT arithmetic)."""
@@ -2014,6 +2039,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "dedup_representatives": q_dedup_representatives,
     "contamination_check": q_contamination_check,
+    "contamination_bloom": q_contamination_bloom,
     "deduped_corpus": q_deduped_corpus,
     "incremental_dedup": q_incremental_dedup,
     "corpus_report": q_corpus_report,
@@ -2102,6 +2128,7 @@ QUERIES = {
 # 50 r4-green ones follow. Every operator re-earns a fresh driver row at
 # least every other round.
 _R5_LEAD = [
+    "contamination_bloom",
     "approx_users_kmv", "approx_users_hll", "domain_token_budget",
     "approx_event_quantiles",
     "domain_cap", "sample_n", "dedup_reps_quality", "semantic_dedup",
@@ -2602,6 +2629,35 @@ ORACLE_SQL = {
                length(regexp_extract_all(t2,
                    '\+?[0-9][0-9\-() ]{6,}[0-9]'))::BIGINT AS n_phones
         FROM s2
+    """,
+    # contamination_bloom returns the SAME exact result as
+    # contamination_check (the bitmap is a prefilter; every positive is
+    # confirmed by the exact gram semi-join) — only the eval slice (%15)
+    # differs from the broadcast-mode query
+    "contamination_bloom": r"""
+        WITH cw AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        cg AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+            FROM cw, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        eg AS (
+            SELECT DISTINCT array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+            FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+                  FROM documents
+                  WHERE doc_id % 15 = 0 AND trim(text) <> '') ew,
+                 unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+        ),
+        hits AS (
+            SELECT cg.doc_id, count(*)::BIGINT AS n
+            FROM cg JOIN eg USING (gram) GROUP BY cg.doc_id
+        )
+        SELECT d.doc_id, coalesce(hits.n, 0) AS n_hit_grams,
+               coalesce(hits.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
     """,
     "contamination_check": r"""
         WITH cw AS (

@@ -613,6 +613,30 @@ def test_contamination_check_modes_identical(rd):
     for i in range(0, 35, 7):
         row = b[b.doc_id == i].iloc[0]
         assert row["contaminated"] and row["n_hit_grams"] >= 1
+    # bloom prefilter mode: auto-sized bitmap AND a deliberately tiny
+    # 256-bit bitmap (forces false positives through the exact confirm
+    # pass) are both value-identical — the bitmap is a prefilter, never
+    # the answer
+    bl = contamination_check(corpus, ev, "doc_id", "text", ngram=3,
+                             mode="bloom", output="pandas")
+    pd.testing.assert_frame_equal(b, bl)
+    bl_tiny = contamination_check(corpus, ev, "doc_id", "text", ngram=3,
+                                  mode="bloom", bloom_bits=256,
+                                  output="pandas")
+    pd.testing.assert_frame_equal(b, bl_tiny)
+    # geometry guards: non-power-of-two / unknown mode raise loudly
+    with pytest.raises(ValueError, match="power of two"):
+        contamination_check(corpus, ev, "doc_id", "text", ngram=3,
+                            mode="bloom", bloom_bits=300, output="pandas")
+    with pytest.raises(ValueError, match="unknown mode"):
+        contamination_check(corpus, ev, "doc_id", "text", ngram=3,
+                            mode="blom", output="pandas")
+    # empty eval set: all-zero bitmap -> no candidates -> every doc clean
+    bl_empty = contamination_check(
+        corpus, _docs(rd, ["", " "]), "doc_id", "text", ngram=3,
+        mode="bloom", output="pandas")
+    assert not bl_empty["contaminated"].any()
+    assert len(bl_empty) == len(b)
     # pandas brute-force oracle
     def grams(t, n=3):
         ws = t.split()

@@ -140,6 +140,7 @@ def test_every_query_runs(entry_mod):
         "vocabulary",
         "dedup_representatives",
         "contamination_check",
+        "contamination_bloom",
         "chunk_documents",
         "pack_sequences",
         "token_budget",
