@@ -1237,6 +1237,27 @@ def q_sample_n(sf_dir: str):
     )
 
 
+def q_sample_mix(sf_dir: str):
+    """Deterministic proportional mix sample (raylink/sampling.sample_mix)
+    — the training-mix allocator: exactly 150 docs allocated 50/20/15/10
+    integer parts across en/de/es/fr (largest-remainder quotas; zh
+    unlisted and therefore excluded), each lang keeping its quota of
+    smallest splitmix64(doc_id + 7) (ties -> smaller id). SQL-checked:
+    quota CTE (integer floor + remainder-rank window) + row_number per
+    lang over the splitmix replay."""
+    from raylink.sampling import sample_mix
+
+    return sample_mix(
+        _read(sf_dir, "documents", columns=["doc_id", "lang"]),
+        "lang",
+        "doc_id",
+        n=150,
+        weights={"en": 50, "de": 20, "es": 15, "fr": 10},
+        seed=7,
+        cols=("lang",),
+    )
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic per-stratum hash sample (raylink/sampling.py): keep
     50% of en, 20% of de, 10% of everything else — membership is a pure
@@ -2031,6 +2052,7 @@ def q_transcript_pr_curve(sf_dir: str):
 QUERIES = {
     # --- new in the round-5 close-out ---
     "domain_cap": q_domain_cap,
+    "sample_mix": q_sample_mix,
     "sample_n": q_sample_n,
     "dedup_reps_quality": q_dedup_reps_quality,
     # --- never driver-checked in r3 (the r3 window cut them) ---
@@ -2131,7 +2153,8 @@ _R5_LEAD = [
     "contamination_bloom",
     "approx_users_kmv", "approx_users_hll", "domain_token_budget",
     "approx_event_quantiles",
-    "domain_cap", "sample_n", "dedup_reps_quality", "semantic_dedup",
+    "domain_cap", "sample_n", "sample_mix", "dedup_reps_quality",
+    "semantic_dedup",
     "bpe_encode",
     "remove_duplicate_spans",
     "event_value_quantiles", "heavy_users", "split_documents", "sft_pairs",
@@ -3462,6 +3485,37 @@ ORACLE_SQL = {
     "sample_n": f"""
         SELECT doc_id, lang FROM documents
         ORDER BY {_sql_splitmix64('(doc_id + 11)')}, doc_id LIMIT 100
+    """,
+    # sample_mix: the largest-remainder quota arithmetic is pure integer
+    # (floor + remainder-rank window, ties -> key ascending), so the
+    # whole allocation replays bit-exactly; selection is the splitmix64
+    # row_number family
+    "sample_mix": f"""
+        WITH w(key, wt) AS (
+            VALUES ('de', 20), ('en', 50), ('es', 15), ('fr', 10)
+        ),
+        tot AS (SELECT sum(wt)::BIGINT AS tw FROM w),
+        q0 AS (
+            SELECT key, (150 * wt) // tw AS fl, (150 * wt) % tw AS rem
+            FROM w, tot
+        ),
+        resid AS (SELECT 150 - sum(fl)::BIGINT AS r FROM q0),
+        q AS (
+            SELECT key,
+                   fl + CASE WHEN row_number() OVER (
+                            ORDER BY rem DESC, key ASC
+                        ) <= (SELECT r FROM resid) THEN 1 ELSE 0 END AS quota
+            FROM q0
+        ),
+        ranked AS (
+            SELECT d.doc_id, d.lang, q.quota,
+                   row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY {_sql_splitmix64('(d.doc_id + 7)')}, d.doc_id
+                   ) AS rn
+            FROM documents d JOIN q ON d.lang = q.key
+        )
+        SELECT doc_id, lang FROM ranked WHERE rn <= quota
     """,
     "domain_cap": f"""
         SELECT doc_id, source FROM (

@@ -175,16 +175,18 @@ def _cap_key_views(ka):
 def _cap_topk(codes, h, ids, cap):
     """Row positions of the ``cap`` smallest (h, id) pairs per key code,
     raising on duplicate (key, id) pairs (identical hashes sort adjacent,
-    so duplicates inside the table are always detected here)."""
+    so duplicates inside the table are always detected here). ``cap`` is
+    a scalar (cap_per_key/sample_n) or an int64 array indexed by key code
+    (sample_mix's per-key quotas)."""
     order = np.lexsort((ids, h, codes))
     kc, ki = codes[order], ids[order]
     if len(kc) > 1:
         dup = (kc[1:] == kc[:-1]) & (ki[1:] == ki[:-1])
         if dup.any():
             raise ValueError(
-                f"cap_per_key: duplicate id {int(ki[1:][dup][0])} within a "
-                "key — ids must be unique (the keep-set semi-join would "
-                "otherwise exceed the cap)"
+                f"duplicate id {int(ki[1:][dup][0])} within a key — ids "
+                "must be unique (the keep-set semi-join would otherwise "
+                "exceed the cap/quota)"
             )
     first = np.ones(len(kc), dtype=bool)
     first[1:] = kc[1:] != kc[:-1]
@@ -192,7 +194,8 @@ def _cap_topk(codes, h, ids, cap):
     rank = np.arange(len(kc)) - np.repeat(
         run_start, np.diff(np.append(run_start, len(kc)))
     )
-    return order[rank < cap]
+    lim = cap[kc] if isinstance(cap, np.ndarray) else cap
+    return order[rank < lim]
 
 
 def cap_per_key(
@@ -374,6 +377,172 @@ def sample_n(
     if buf_rows:
         _fold()
     keeps = rd.from_arrow(pa.table({id_col: pa.array(run_ids)}))
+    survivors = semi_join(
+        ds.select_columns(list(dict.fromkeys((id_col,) + tuple(cols)))),
+        keeps,
+        left_key_col=id_col,
+        right_key_col=id_col,
+        left_cols=tuple(c for c in cols if c != id_col),
+    )
+    if output == "pandas":
+        return (
+            typed_to_pandas(survivors).sort_values(id_col).reset_index(drop=True)
+        )
+    return survivors
+
+
+def _mix_quotas(n: int, weights: dict) -> tuple[list, np.ndarray]:
+    """Largest-remainder integer quotas: quota_k = n*w_k // W, plus +1
+    for the R = n - Σ floors keys of largest remainder (n*w_k) % W (ties
+    -> key ascending). Pure integer arithmetic — bit-replayable in SQL
+    (integer division + a remainder-rank window). Returns (sorted keys,
+    aligned quota vector); Σ quotas == n always."""
+    keys = list(weights)
+    if not keys:
+        raise ValueError("sample_mix: weights must be non-empty")
+    # homogeneous key type BEFORE sorting (mixed str/int keys would make
+    # sorted() raise an opaque TypeError)
+    if not (
+        all(isinstance(k, str) for k in keys)
+        or all(
+            isinstance(k, (int, np.integer)) and not isinstance(k, bool)
+            for k in keys
+        )
+    ):
+        raise ValueError(
+            "sample_mix: weight keys must be all-string or all-int "
+            f"(got {sorted({type(k).__name__ for k in keys})})"
+        )
+    names = sorted(keys)
+    w = [weights[k] for k in names]
+    if any(not isinstance(x, (int, np.integer)) or x <= 0 for x in w):
+        raise ValueError(
+            "sample_mix: weights must be positive INTEGERS (integer "
+            "parts keep the quota arithmetic exact and SQL-replayable; "
+            f"got {weights!r})"
+        )
+    W = int(sum(w))
+    fl = [n * int(x) // W for x in w]
+    rem = [n * int(x) % W for x in w]
+    R = n - sum(fl)
+    order = sorted(range(len(names)), key=lambda i: (-rem[i], names[i]))
+    q = np.array(fl, np.int64)
+    for i in order[:R]:
+        q[i] += 1
+    return names, q
+
+
+def sample_mix(
+    ds,
+    key_col: str,
+    id_col: str,
+    n: int,
+    weights: dict,
+    seed: int = 0,
+    cols: tuple[str, ...] = (),
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+    n_parts: int | None = None,
+):
+    """Deterministic PROPORTIONAL mix sample — the training-mix
+    allocator ("exactly n docs: 50 parts web, 30 code, 20 books"):
+    integer largest-remainder quotas per key from integer ``weights``
+    (see :func:`_mix_quotas`; Σ quotas == n), then each key keeps its
+    quota_k rows with the smallest ``splitmix64(id + seed)`` (ties ->
+    smaller id). Rows whose key is NOT in ``weights`` are excluded by
+    design (the weights define the mix); null keys raise (the family's
+    loud-rejection policy). A key with fewer rows than its quota keeps
+    everything it has — the output is then short of ``n``, with NO
+    redistribution, so membership stays a pure function of (key row
+    set, weights, n, seed): partition/resume-invariant and
+    SQL-replayable (quota CTE + ``row_number() OVER (PARTITION BY key
+    ORDER BY splitmix64(id + seed), id) <= quota``).
+
+    Scale shape: the per-key generalization of :func:`cap_per_key` —
+    per-block partials keep <= quota_k rows per (block, key) (a local
+    top-quota is a superset of the global one), so the shuffle carries
+    digests bounded by n per block; the keep-set merge rides the shared
+    digest dispatch partitioned by key hash (every key's candidates
+    collocate); survivors stream out through one id semi-join. The
+    key -> quota map is config-sized and closure-captured (the
+    cap_tokens_per_key exception to the ray.put rule). Output columns:
+    ``(id_col, *cols)``."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    _check_reserved(
+        "sample_mix", (key_col, id_col, *cols), frozenset({"s", "h", "part"})
+    )
+    from .aggs import _digest_merge
+
+    names, quota = _mix_quotas(int(n), weights)
+    value_set = (
+        pa.array(names, pa.string())
+        if isinstance(names[0], str)
+        else pa.array([int(k) for k in names], pa.int64())
+    )
+    P = int(n_parts) if n_parts is not None else 65_536
+
+    def _slots(ka) -> np.ndarray:
+        """weights-dict slot per row; -1 = key not in the mix."""
+        ka = ka.combine_chunks() if isinstance(ka, pa.ChunkedArray) else ka
+        if ka.null_count:
+            raise ValueError(
+                "sample_mix: null key values — keys must be non-null "
+                "(the loud-rejection policy of the grouped ops)"
+            )
+        if pa.types.is_large_string(ka.type) and pa.types.is_string(
+            value_set.type
+        ):
+            ka = pc.cast(ka, pa.string())
+        return np.asarray(
+            pc.fill_null(pc.index_in(ka, value_set), -1).to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            _nonull(batch[id_col], id_col, "sample_mix").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
+        slot = _slots(batch[key_col])
+        keep = slot >= 0
+        ids, slot = ids[keep], slot[keep]
+        h = _hash64(ids + np.int64(seed))
+        pos = _cap_topk(slot, h, ids, quota)
+        return pa.table(
+            {
+                "s": pa.array(slot[pos]),
+                id_col: pa.array(ids[pos]),
+                "h": pa.array(h[pos].astype(np.uint64)),
+                "part": pa.array(
+                    (_hash64(slot[pos]) % np.uint64(P)).astype(np.int64)
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False), np.int64)
+        slot = np.asarray(g["s"].to_numpy(zero_copy_only=False), np.int64)
+        h = np.asarray(g["h"].to_numpy(zero_copy_only=False), np.uint64)
+        pos = _cap_topk(slot, h, ids, quota)
+        return pa.table({id_col: pa.array(ids[pos])})
+
+    def _empty_keeps() -> pa.Table:
+        return pa.table({id_col: pa.array([], pa.int64())})
+
+    keeps = _digest_merge(
+        ds.select_columns([key_col, id_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        merge,
+        driver_merge_max_rows,
+        n_parts=n_parts,
+        empty_fn=_empty_keeps,
+    )
     survivors = semi_join(
         ds.select_columns(list(dict.fromkeys((id_col,) + tuple(cols)))),
         keeps,

@@ -123,6 +123,7 @@ def test_every_query_runs(entry_mod):
         "customers_no_urgent",
         "event_pairs",
         "stratified_sample",
+        "sample_mix",
         "split_documents",
         "top_orders_per_customer",
         "event_value_quantiles",

@@ -285,3 +285,110 @@ def test_cap_per_key_rejects_float_keys(rd):
     )
     with pytest.raises(Exception, match="float key"):
         cap_per_key(ds, "k", "doc_id", cap=1, output="pandas")
+
+
+def test_mix_quotas_largest_remainder():
+    from raylink.sampling import _mix_quotas
+
+    names, q = _mix_quotas(150, {"en": 50, "de": 20, "es": 15, "fr": 10})
+    assert dict(zip(names, q.tolist())) == {
+        "de": 31, "en": 79, "es": 24, "fr": 16
+    }
+    assert q.sum() == 150
+    # remainder ties break to the SMALLER key (the SQL ORDER BY rem DESC,
+    # key ASC replay): n=5, equal weights over 3 keys -> floors 1,1,1 and
+    # the 2 residual units go to 'a' and 'b'
+    names, q = _mix_quotas(5, {"c": 1, "a": 1, "b": 1})
+    assert dict(zip(names, q.tolist())) == {"a": 2, "b": 2, "c": 1}
+    import pytest
+
+    with pytest.raises(ValueError, match="positive INTEGERS"):
+        _mix_quotas(10, {"a": 0.5})
+    with pytest.raises(ValueError, match="positive INTEGERS"):
+        _mix_quotas(10, {"a": 0})
+    with pytest.raises(ValueError, match="non-empty"):
+        _mix_quotas(10, {})
+
+
+def test_sample_mix_brute_parity_and_paths(rd):
+    import pyarrow as pa
+    import pytest
+
+    from raylink.blocking import _hash64
+    from raylink.sampling import _mix_quotas, sample_mix
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            "lang": rng.choice(
+                ["en", "de", "es", "fr", "zh"], 400, p=[0.4, 0.15, 0.15, 0.1, 0.2]
+            ),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    weights = {"en": 50, "de": 20, "es": 15, "fr": 10}
+    got = sample_mix(
+        ds, "lang", "doc_id", 150, weights, seed=7, cols=("lang",),
+        output="pandas",
+    )
+    # brute-force: per-key quota smallest (splitmix64(id+7), id)
+    names, q = _mix_quotas(150, weights)
+    want = set()
+    for k, m in zip(names, q):
+        sub = df[df.lang == k]
+        h = _hash64(sub["doc_id"].to_numpy(np.int64) + np.int64(7))
+        o = np.lexsort((sub["doc_id"].to_numpy(), h))
+        want |= set(sub["doc_id"].to_numpy()[o][:m])
+    assert set(got["doc_id"]) == want and len(got) == 150
+    # zh (unlisted) never appears
+    assert not (got["lang"] == "zh").any()
+    # forced distributed merge + pinned n_parts are value-identical
+    for kw in ({"driver_merge_max_rows": 0},
+               {"driver_merge_max_rows": 0, "n_parts": 3}):
+        alt = sample_mix(ds, "lang", "doc_id", 150, weights, seed=7,
+                         cols=("lang",), output="pandas", **kw)
+        pd.testing.assert_frame_equal(got, alt)
+    # quota above availability keeps every row of that key, output short
+    # quotas: fr 39501//100=395 rem 1, de 399//100=3 rem 99; residual 1
+    # unit -> de (larger remainder) => fr 395 (capped at availability),
+    # de 4
+    short = sample_mix(ds, "lang", "doc_id", 399, {"fr": 99, "de": 1},
+                       output="pandas")
+    n_fr = int((df.lang == "fr").sum())
+    assert n_fr < 395  # the fixture really is short on fr
+    assert len(short) == n_fr + 4
+    assert set(short["doc_id"]) >= set(df[df.lang == "fr"]["doc_id"])
+    # guards: null keys, mixed key types, bad n
+    with pytest.raises(Exception, match="null"):
+        sample_mix(
+            rd.from_arrow(pa.table({"k": pa.array(["a", None]),
+                                    "doc_id": pa.array([1, 2])})),
+            "k", "doc_id", 1, {"a": 1}, output="pandas",
+        )
+    with pytest.raises(ValueError, match="all-string or all-int"):
+        sample_mix(ds, "lang", "doc_id", 10, {"en": 1, 3: 1})
+    with pytest.raises(ValueError, match="n must be"):
+        sample_mix(ds, "lang", "doc_id", 0, weights)
+    with pytest.raises(ValueError, match="reserved"):
+        sample_mix(ds, "lang", "doc_id", 10, weights, cols=("h",))
+
+
+def test_sample_mix_int_keys(rd):
+    import pyarrow as pa
+
+    from raylink.sampling import sample_mix
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "dom": pa.array(np.arange(300, dtype=np.int64) % 6),
+                "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+            }
+        )
+    ).repartition(4)
+    got = sample_mix(ds, "dom", "doc_id", 30, {0: 1, 2: 1, 4: 1},
+                     cols=("dom",), output="pandas")
+    assert len(got) == 30
+    assert set(got["dom"].unique()) == {0, 2, 4}
+    assert got.groupby("dom").size().tolist() == [10, 10, 10]
