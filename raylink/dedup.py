@@ -2989,11 +2989,20 @@ def contamination_check(
     elif mode != "distributed":
         raise ValueError(f"contamination_check: unknown mode {mode!r}")
 
+    candidates = corpus_ds.map_batches(corpus_gram_fn, batch_format="pyarrow")
+    if mode == "bloom":
+        # the filtered candidate set is bounded (true hits + ~0.24% FPs),
+        # so materialize it: semi_join consumes a lazy left THREE times
+        # (schema probe, null filter, staging) — re-running the corpus
+        # explode per consumer costs more than the candidates weigh
+        # (materialize-before-shuffle landmark)
+        candidates = candidates.materialize()
+
     # bloom/distributed: (bloom-positive) (doc, gram) rows semi-join the
     # eval gram set, then per-doc hit counts reduce through the shared
     # digest merge
     hit_rows = semi_join(
-        corpus_ds.map_batches(corpus_gram_fn, batch_format="pyarrow"),
+        candidates,
         eval_grams_ds,
         left_key_col="gram",
         right_key_col="gram",
