@@ -532,3 +532,46 @@ def cap_tokens_per_key(
         out = typed_to_pandas(res)
         return out.sort_values([key_col, id_col]).reset_index(drop=True)
     return res
+
+
+def token_mix(
+    ds,
+    key_col: str,
+    id_col: str,
+    text_col: str,
+    total_tokens: int,
+    weights: dict,
+    order_col: str | None = None,
+    descending: bool = False,
+    token_col: str | None = None,
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+    n_parts: int | None = None,
+):
+    """Token-denominated PROPORTIONAL mix — the training-mix allocator in
+    tokens instead of rows ("a 2B-token mix: 50 parts web, 30 code, 20
+    books"): integer largest-remainder TOKEN quotas per key from integer
+    ``weights`` (sampling._mix_quotas — Σ quotas == total_tokens, pure
+    integer, SQL-replayable), applied as :func:`cap_tokens_per_key`
+    budgets (whole-doc granularity, so each key's kept total is the
+    largest prefix ≤ its quota; keys absent from ``weights`` get budget
+    0 and are excluded by design). Inherits cap_tokens_per_key's digest
+    scale shape and output columns (key_col, id_col, n_tokens,
+    cum_tokens)."""
+    from .sampling import _mix_quotas
+
+    names, quota = _mix_quotas(int(total_tokens), weights)
+    return cap_tokens_per_key(
+        ds,
+        key_col,
+        id_col,
+        text_col,
+        budget=dict(zip(names, quota.tolist())),
+        order_col=order_col,
+        descending=descending,
+        token_col=token_col,
+        default_budget=0,
+        output=output,
+        driver_merge_max_rows=driver_merge_max_rows,
+        n_parts=n_parts,
+    )

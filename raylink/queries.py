@@ -1258,6 +1258,26 @@ def q_sample_mix(sf_dir: str):
     )
 
 
+def q_token_mix(sf_dir: str):
+    """Token-denominated proportional mix (raylink/packing.token_mix):
+    an 8000-token mix allocated 50/20/15/10 integer parts across
+    en/de/es/fr (largest-remainder TOKEN quotas -> cap_tokens_per_key
+    budgets; zh unlisted -> budget 0, excluded), whole docs kept in
+    (doc_id) order while each lang's running whitespace-token total
+    stays within its quota. SQL-checked: quota CTE + inclusive window
+    sum vs the per-key quota."""
+    from raylink.packing import token_mix
+
+    return token_mix(
+        _read(sf_dir, "documents", columns=["lang", "doc_id", "text"]),
+        "lang",
+        "doc_id",
+        "text",
+        total_tokens=8000,
+        weights={"en": 50, "de": 20, "es": 15, "fr": 10},
+    )
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic per-stratum hash sample (raylink/sampling.py): keep
     50% of en, 20% of de, 10% of everything else — membership is a pure
@@ -2108,6 +2128,7 @@ QUERIES = {
     "approx_users_kmv": q_approx_users_kmv,
     "approx_users_hll": q_approx_users_hll,
     "domain_token_budget": q_domain_token_budget,
+    "token_mix": q_token_mix,
     "approx_event_quantiles": q_approx_event_quantiles,
     "top_revenue_customers": q_top_revenue_customers,
     "docs_in_major_langs": q_docs_in_major_langs,
@@ -2152,6 +2173,7 @@ QUERIES = {
 _R5_LEAD = [
     "contamination_bloom",
     "approx_users_kmv", "approx_users_hll", "domain_token_budget",
+    "token_mix",
     "approx_event_quantiles",
     "domain_cap", "sample_n", "sample_mix", "dedup_reps_quality",
     "semantic_dedup",
@@ -3291,6 +3313,44 @@ ORACLE_SQL = {
     """,
     # cap_tokens_per_key replay: inclusive per-key window sum under the
     # same (order desc, id) priority; per-source budgets as a CASE.
+    # token_mix: largest-remainder TOKEN quotas (same integer CTE shape
+    # as sample_mix) feeding the cap_tokens_per_key inclusive window sum
+    "token_mix": r"""
+        WITH w(key, wt) AS (
+            VALUES ('de', 20), ('en', 50), ('es', 15), ('fr', 10)
+        ),
+        tot AS (SELECT sum(wt)::BIGINT AS tw FROM w),
+        q0 AS (
+            SELECT key, (8000 * wt) // tw AS fl, (8000 * wt) % tw AS rem
+            FROM w, tot
+        ),
+        resid AS (SELECT 8000 - sum(fl)::BIGINT AS r FROM q0),
+        q AS (
+            SELECT key,
+                   fl + CASE WHEN row_number() OVER (
+                            ORDER BY rem DESC, key ASC
+                        ) <= (SELECT r FROM resid) THEN 1 ELSE 0 END AS quota
+            FROM q0
+        ),
+        n AS (
+            SELECT lang, doc_id,
+                   (CASE WHEN trim(text) = '' THEN 0
+                         ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                    END)::BIGINT AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT lang, doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS cum_tokens
+            FROM n
+        )
+        SELECT c.lang, c.doc_id, c.n_tokens, c.cum_tokens
+        FROM c JOIN q ON c.lang = q.key
+        WHERE c.cum_tokens <= q.quota
+    """,
     "domain_token_budget": r"""
         WITH n AS (
             SELECT source, doc_id, n_chars,

@@ -399,7 +399,7 @@ def _mix_quotas(n: int, weights: dict) -> tuple[list, np.ndarray]:
     aligned quota vector); Σ quotas == n always."""
     keys = list(weights)
     if not keys:
-        raise ValueError("sample_mix: weights must be non-empty")
+        raise ValueError("mix weights must be non-empty")
     # homogeneous key type BEFORE sorting (mixed str/int keys would make
     # sorted() raise an opaque TypeError)
     if not (
@@ -410,14 +410,14 @@ def _mix_quotas(n: int, weights: dict) -> tuple[list, np.ndarray]:
         )
     ):
         raise ValueError(
-            "sample_mix: weight keys must be all-string or all-int "
+            "mix weight keys must be all-string or all-int "
             f"(got {sorted({type(k).__name__ for k in keys})})"
         )
     names = sorted(keys)
     w = [weights[k] for k in names]
     if any(not isinstance(x, (int, np.integer)) or x <= 0 for x in w):
         raise ValueError(
-            "sample_mix: weights must be positive INTEGERS (integer "
+            "mix weights must be positive INTEGERS (integer "
             "parts keep the quota arithmetic exact and SQL-replayable; "
             f"got {weights!r})"
         )

@@ -1260,3 +1260,40 @@ def test_cap_tokens_per_key_guards(rd):
     )
     with pytest.raises(Exception, match="integer"):
         approx_quantiles_log(fl, "k", "v", output="pandas")
+
+
+def test_token_mix_quota_budgets(rd):
+    """token_mix == cap_tokens_per_key with the largest-remainder quota
+    budgets; unlisted keys excluded (budget 0)."""
+    import pyarrow as pa
+
+    from raylink.packing import cap_tokens_per_key, token_mix
+    from raylink.sampling import _mix_quotas
+
+    rng = np.random.default_rng(5)
+    langs = rng.choice(["en", "de", "zh"], 200)
+    texts = [" ".join(f"t{j}" for j in range(rng.integers(1, 9))) for _ in range(200)]
+    tbl = pa.table(
+        {
+            "lang": pa.array(langs),
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(3)
+    weights = {"en": 3, "de": 1}
+    got = token_mix(ds, "lang", "doc_id", "text", 100, weights,
+                    output="pandas")
+    names, q = _mix_quotas(100, weights)
+    want = cap_tokens_per_key(
+        ds, "lang", "doc_id", "text",
+        budget=dict(zip(names, q.tolist())), default_budget=0,
+        output="pandas",
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert not (got["lang"] == "zh").any()
+    # per-key kept totals respect the quotas (whole-doc prefix <= quota)
+    per = got.groupby("lang")["n_tokens"].sum().to_dict()
+    qmap = dict(zip(names, q.tolist()))
+    for k, tot in per.items():
+        assert tot <= qmap[k]

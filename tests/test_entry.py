@@ -145,6 +145,7 @@ def test_every_query_runs(entry_mod):
         "chunk_documents",
         "pack_sequences",
         "token_budget",
+        "token_mix",
         "bpe_pairs",
         "remove_duplicate_spans",
         "semantic_dedup",
