@@ -554,15 +554,26 @@ def token_mix(
     ``weights`` (sampling._mix_quotas — Σ quotas == total_tokens, pure
     integer, SQL-replayable), applied as :func:`cap_tokens_per_key`
     budgets (whole-doc granularity, so each key's kept total is the
-    largest prefix ≤ its quota; keys absent from ``weights`` get budget
-    0 and are excluded by design). Inherits cap_tokens_per_key's digest
-    scale shape and output columns (key_col, id_col, n_tokens,
-    cum_tokens)."""
-    from .sampling import _mix_quotas
+    largest prefix ≤ its quota; keys absent from ``weights`` are
+    FILTERED OUT before the digest — excluded by design, and a budget-0
+    pass-through would leak their zero-token docs, which the quota-join
+    SQL replay excludes). Inherits cap_tokens_per_key's digest scale
+    shape and output columns (key_col, id_col, n_tokens, cum_tokens)."""
+    from .sampling import _mix_quotas, _mix_slots, _mix_value_set
 
+    if int(total_tokens) < 1:
+        raise ValueError(
+            f"total_tokens must be >= 1, got {total_tokens}"
+        )
     names, quota = _mix_quotas(int(total_tokens), weights)
+    value_set = _mix_value_set(names)
+
+    def _listed(batch: pa.Table) -> pa.Table:
+        slot = _mix_slots(batch[key_col], value_set, "token_mix")
+        return batch.filter(pa.array(slot >= 0))
+
     return cap_tokens_per_key(
-        ds,
+        ds.map_batches(_listed, batch_format="pyarrow"),
         key_col,
         id_col,
         text_col,

@@ -391,6 +391,58 @@ def sample_n(
     return survivors
 
 
+def _mix_slots(ka, value_set: pa.Array, op: str) -> np.ndarray:
+    """Weights-dict slot per row (-1 = key not in the mix), with the
+    family's loud guards: null keys raise; the key column's type CLASS
+    must match the weight keys' (index_in silently cross-matches int64
+    columns against string weight keys by decimal rendering — verified —
+    and _mix_quotas sorted string keys LEXICALLY, so the remainder
+    tie-break order would silently differ from genuine int keys); float
+    keys raise (silent truncation). Shared by sample_mix and
+    packing.token_mix."""
+    ka = ka.combine_chunks() if isinstance(ka, pa.ChunkedArray) else ka
+    if ka.null_count:
+        raise ValueError(
+            f"{op}: null key values — keys must be non-null "
+            "(the loud-rejection policy of the grouped ops)"
+        )
+    col_is_str = pa.types.is_string(ka.type) or pa.types.is_large_string(
+        ka.type
+    )
+    if col_is_str != pa.types.is_string(value_set.type):
+        raise ValueError(
+            f"{op}: key column type {ka.type} does not match the weight "
+            f"key type ({value_set.type}) — weights and the key column "
+            "must both be string or both be int"
+        )
+    if pa.types.is_large_string(ka.type):
+        ka = pc.cast(ka, pa.string())
+    elif not col_is_str:
+        if not pa.types.is_integer(ka.type):
+            raise ValueError(
+                f"{op}: key column type {ka.type} — keys must be string "
+                "or integer (a float key would be silently truncated)"
+            )
+        if not pa.types.is_int64(ka.type):
+            ka = pc.cast(ka, pa.int64())
+    return np.asarray(
+        pc.fill_null(pc.index_in(ka, value_set), -1).to_numpy(
+            zero_copy_only=False
+        ),
+        np.int64,
+    )
+
+
+def _mix_value_set(names: list) -> pa.Array:
+    """The weight-key lookup array for _mix_slots (sorted _mix_quotas
+    names -> typed Arrow value set)."""
+    return (
+        pa.array(names, pa.string())
+        if isinstance(names[0], str)
+        else pa.array([int(k) for k in names], pa.int64())
+    )
+
+
 def _mix_quotas(n: int, weights: dict) -> tuple[list, np.ndarray]:
     """Largest-remainder integer quotas: quota_k = n*w_k // W, plus +1
     for the R = n - Σ floors keys of largest remainder (n*w_k) % W (ties
@@ -474,32 +526,13 @@ def sample_mix(
     )
     from .aggs import _digest_merge
 
-    names, quota = _mix_quotas(int(n), weights)
-    value_set = (
-        pa.array(names, pa.string())
-        if isinstance(names[0], str)
-        else pa.array([int(k) for k in names], pa.int64())
-    )
-    P = int(n_parts) if n_parts is not None else 65_536
+    from .joins import _stage_parts
 
-    def _slots(ka) -> np.ndarray:
-        """weights-dict slot per row; -1 = key not in the mix."""
-        ka = ka.combine_chunks() if isinstance(ka, pa.ChunkedArray) else ka
-        if ka.null_count:
-            raise ValueError(
-                "sample_mix: null key values — keys must be non-null "
-                "(the loud-rejection policy of the grouped ops)"
-            )
-        if pa.types.is_large_string(ka.type) and pa.types.is_string(
-            value_set.type
-        ):
-            ka = pc.cast(ka, pa.string())
-        return np.asarray(
-            pc.fill_null(pc.index_in(ka, value_set), -1).to_numpy(
-                zero_copy_only=False
-            ),
-            np.int64,
-        )
+    names, quota = _mix_quotas(int(n), weights)
+    value_set = _mix_value_set(names)
+    # the shared staging-modulus guard (cap_tokens_per_key landmark):
+    # n_parts=0 would make `% P` silently collapse the merge shuffle
+    P = _stage_parts(n_parts)
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = np.asarray(
@@ -508,7 +541,7 @@ def sample_mix(
             ),
             np.int64,
         )
-        slot = _slots(batch[key_col])
+        slot = _mix_slots(batch[key_col], value_set, "sample_mix")
         keep = slot >= 0
         ids, slot = ids[keep], slot[keep]
         h = _hash64(ids + np.int64(seed))

@@ -141,6 +141,9 @@ def main():
 
     from raylink.broadcast import cached_object
     from raylink.dedup import (
+        _BLOOM_BITS_MAX,
+        _BLOOM_BITS_MIN,
+        _BLOOM_BITS_PER_GRAM,
         _bloom_build,
         _bloom_positions,
         _bloom_test,
@@ -158,7 +161,16 @@ def main():
         .materialize()
     )
     n_eval = eg.count()
-    m_bits = 1 << max(23, int(np.ceil(np.log2(16 * max(n_eval, 1)))))
+    # the library's auto-sizing, constants included — the probe must
+    # measure the bitmap contamination_check actually uses
+    m_bits = min(
+        1
+        << max(
+            _BLOOM_BITS_MIN.bit_length() - 1,
+            int(np.ceil(np.log2(_BLOOM_BITS_PER_GRAM * max(n_eval, 1)))),
+        ),
+        _BLOOM_BITS_MAX,
+    )
     bm_ref = ray.put(_bloom_build(eg, m_bits))
 
     def cg_bloom(batch: pa.Table) -> pa.Table:

@@ -1297,3 +1297,32 @@ def test_token_mix_quota_budgets(rd):
     qmap = dict(zip(names, q.tolist()))
     for k, tot in per.items():
         assert tot <= qmap[k]
+    # review finding: an unlisted key's ZERO-TOKEN doc must not leak
+    # through a budget-0 pass-through (the quota-join SQL excludes it) —
+    # unlisted keys are filtered BEFORE the digest
+    tbl2 = pa.table(
+        {
+            "lang": pa.array(["zh", "en", "en"]),
+            "doc_id": pa.array(np.array([0, 1, 2], np.int64)),
+            "text": pa.array(["", "a b", "c"]),
+        }
+    )
+    got2 = token_mix(rd.from_arrow(tbl2), "lang", "doc_id", "text", 10,
+                     {"en": 1}, output="pandas")
+    assert not (got2["lang"] == "zh").any() and len(got2) == 2
+    import pytest
+
+    with pytest.raises(ValueError, match="total_tokens"):
+        token_mix(ds, "lang", "doc_id", "text", 0, weights)
+    # type-mismatched weights vs key column raise loudly (index_in would
+    # silently cross-match int64 columns against string keys)
+    tbl3 = pa.table(
+        {
+            "lang": pa.array(np.array([0, 1], np.int64)),
+            "doc_id": pa.array(np.array([0, 1], np.int64)),
+            "text": pa.array(["a", "b"]),
+        }
+    )
+    with pytest.raises(Exception, match="does not match the weight"):
+        token_mix(rd.from_arrow(tbl3), "lang", "doc_id", "text", 10,
+                  {"0": 1}, output="pandas")

@@ -372,6 +372,19 @@ def test_sample_mix_brute_parity_and_paths(rd):
         sample_mix(ds, "lang", "doc_id", 0, weights)
     with pytest.raises(ValueError, match="reserved"):
         sample_mix(ds, "lang", "doc_id", 10, weights, cols=("h",))
+    # review findings: n_parts=0 must raise (k % 0 silently collapses the
+    # shuffle), and an int key column vs string weight keys must raise
+    # (index_in silently matches by decimal rendering)
+    with pytest.raises(Exception, match="n_parts"):
+        sample_mix(ds, "lang", "doc_id", 10, weights,
+                   driver_merge_max_rows=0, n_parts=0, output="pandas")
+    int_ds = rd.from_arrow(pa.table({
+        "dom": pa.array(np.array([0, 1, 2], np.int64)),
+        "doc_id": pa.array(np.array([0, 1, 2], np.int64)),
+    }))
+    with pytest.raises(Exception, match="does not match the weight"):
+        sample_mix(int_ds, "dom", "doc_id", 2, {"0": 1, "1": 1},
+                   output="pandas")
 
 
 def test_sample_mix_int_keys(rd):
