@@ -165,7 +165,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
         from raylink.aggs import approx_ndistinct_hll
         from raylink.packing import cap_tokens_per_key, pack_sequences
         from raylink.packing import take_token_budget as _take_token_budget
-        from raylink.sampling import hash_sample
+        from raylink.sampling import hash_sample, sample_mix
         from raylink.textstats import (
             bpe_encode as _bpe_encode,
             bpe_learn as _bpe_learn,
@@ -321,6 +321,21 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
                     "doc_id",
                     "text",
                     50_000,
+                )
+            ),
+            # r5 fourth-session surface: proportional mix allocation —
+            # exactly 200k docs split 4/2/1/1 across 4 of the 32
+            # synthetic domains (largest-remainder quotas + per-key
+            # smallest-splitmix64 keep; the other 28 domains excluded)
+            "sample_mix_corpus": lambda: _consume(
+                sample_mix(
+                    corpus().map_batches(
+                        _mod_key, batch_format="pyarrow"
+                    ),
+                    "k",
+                    "doc_id",
+                    n=200_000,
+                    weights={0: 4, 1: 2, 2: 1, 3: 1},
                 )
             ),
         }
