@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as _rd
@@ -370,6 +371,161 @@ def heavy_hitters(
         out = top.to_pandas().reset_index(drop=True)
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return pd.DataFrame(out)
+
+
+def frequent_items(
+    ds,
+    value_col: str,
+    k: int,
+    count_col: str = "n_rows",
+):
+    """EXACTLY the values with frequency STRICTLY above total/k — the
+    guaranteed-threshold frequent-items op with a BOUNDED digest (the
+    Misra-Gries guarantee made exact by a recount). Where
+    :func:`heavy_hitters`' partial ships one row per DISTINCT value per
+    block (unbounded on near-unique columns), this op's pass-1 digest
+    carries at most k-1 candidate rows per block by pigeonhole: if
+    ``freq(x)·k > N`` then some block has ``freq_b(x)·k > rows_b``
+    (otherwise summing gives ``freq·k ≤ N``), so the per-block locally
+    heavy values are a SUPERSET of the answer. Pass 2 broadcasts the
+    candidate set (< k per block, usually far fewer) and recounts ONLY
+    candidates exactly; the final filter ``count·k > N`` is pure
+    integers, so the SQL replay is GROUP BY + HAVING. The output is
+    provably < k rows (pandas). Values may be int64 or string; nulls
+    raise (family policy). ``ds`` is consumed twice — hand it a source-
+    backed or materialized Dataset."""
+    import pandas as pd
+
+    from .broadcast import cached_object
+
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _counts(col):
+        """(values pa.Array, counts int64) of one batch column."""
+        ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if ca.null_count:
+            raise ValueError(
+                f"frequent_items: null values in {value_col!r} — values "
+                "must be non-null (the loud-rejection policy)"
+            )
+        if pa.types.is_string(ca.type) or pa.types.is_large_string(ca.type):
+            enc = pc.dictionary_encode(ca)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            cnt = np.bincount(
+                np.asarray(enc.indices.to_numpy(zero_copy_only=False))
+            ).astype(np.int64)
+            return enc.dictionary, cnt
+        if not pa.types.is_integer(ca.type):
+            raise ValueError(
+                f"frequent_items: value column type {ca.type} — values "
+                "must be string or integer"
+            )
+        u, c = np.unique(
+            np.asarray(ca.to_numpy(zero_copy_only=False), np.int64),
+            return_counts=True,
+        )
+        return pa.array(u, pa.int64()), c.astype(np.int64)
+
+    def cand_partial(batch: pa.Table) -> pa.Table:
+        vals, cnt = _counts(batch[value_col])
+        rows = batch.num_rows
+        if not rows:  # keep the typed empty schema (empty-input policy)
+            return pa.table(
+                {
+                    value_col: vals,
+                    "cnt": pa.array([], pa.int64()),
+                    "is_total": pa.array([], pa.int8()),
+                }
+            )
+        heavy = cnt * kk > rows  # the pigeonhole candidate rule, exact ints
+        take = pa.array(np.flatnonzero(heavy), pa.int64())
+        n_heavy = int(heavy.sum())
+        # one marker row per block carries its TOTAL row count so N sums
+        # exactly even for candidate-free blocks (is_total=1 rows never
+        # contribute to any value's count: their cnt only feeds N)
+        return pa.table(
+            {
+                value_col: pa.concat_arrays(
+                    [vals.take(take).combine_chunks()
+                     if isinstance(vals.take(take), pa.ChunkedArray)
+                     else vals.take(take), vals[:1]]
+                ),
+                "cnt": pa.array(
+                    np.concatenate([cnt[heavy], [rows]]).astype(np.int64)
+                ),
+                "is_total": pa.array(
+                    np.concatenate(
+                        [np.zeros(n_heavy, np.int8), [1]]
+                    ).astype(np.int8)
+                ),
+            }
+        )
+
+    parts = ray.get(
+        ds.select_columns([value_col])
+        .map_batches(cand_partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    parts = [t for t in parts if t.num_rows and value_col in t.column_names]
+    if not parts:
+        return pd.DataFrame(
+            {value_col: pd.Series([], dtype=object),
+             count_col: pd.Series([], dtype=np.int64)}
+        )
+    allp = pa.concat_tables(parts, promote_options="default")
+    is_tot = np.asarray(allp["is_total"].to_numpy(zero_copy_only=False), bool)
+    n_total = int(
+        np.asarray(allp["cnt"].to_numpy(zero_copy_only=False), np.int64)[
+            is_tot
+        ].sum()
+    )
+    cand = pc.unique(allp.filter(pa.array(~is_tot))[value_col].combine_chunks())
+    if not len(cand):
+        empty_vals = cand.to_pandas()
+        return pd.DataFrame(
+            {value_col: empty_vals, count_col: pd.Series([], dtype=np.int64)}
+        )
+    cand_ref = ray.put(cand)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        vals, cnt = _counts(batch[value_col])
+        cs = cached_object(cand_ref)
+        slot = pc.fill_null(pc.index_in(vals, cs), -1).to_numpy(
+            zero_copy_only=False
+        )
+        keep = slot >= 0
+        return pa.table(
+            {
+                "s": pa.array(slot[keep].astype(np.int64)),
+                "cnt": pa.array(cnt[keep]),
+            }
+        )
+
+    rec = ray.get(
+        ds.select_columns([value_col])
+        .map_batches(recount, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    rec = [t for t in rec if t.num_rows and "s" in t.column_names]
+    totals = np.zeros(len(cand), np.int64)
+    for t in rec:
+        np.add.at(
+            totals,
+            np.asarray(t["s"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(t["cnt"].to_numpy(zero_copy_only=False), np.int64),
+        )
+    qual = totals * kk > n_total
+    out_vals = cand.take(pa.array(np.flatnonzero(qual), pa.int64()))
+    df = pd.DataFrame(
+        {value_col: out_vals.to_pandas(), count_col: totals[qual]}
+    )
+    order = np.lexsort((df[value_col].to_numpy(), -df[count_col].to_numpy()))
+    return df.iloc[order].reset_index(drop=True)
 
 
 def group_ndistinct(

@@ -1258,6 +1258,19 @@ def q_sample_mix(sf_dir: str):
     )
 
 
+def q_frequent_langs(sf_dir: str):
+    """Guaranteed-threshold frequent items (raylink/aggs.frequent_items):
+    exactly the langs covering > 1/7 of the corpus — pigeonhole
+    candidates (<= k-1 per block regardless of cardinality, unlike the
+    census-sized heavy_hitters digest) + exact recount of candidates
+    only. SQL-checked: GROUP BY lang HAVING count(*)*7 > total."""
+    from raylink.aggs import frequent_items
+
+    return frequent_items(
+        _read(sf_dir, "documents", columns=["lang"]), "lang", k=7
+    )
+
+
 def q_token_mix(sf_dir: str):
     """Token-denominated proportional mix (raylink/packing.token_mix):
     an 8000-token mix allocated 50/20/15/10 integer parts across
@@ -2129,6 +2142,7 @@ QUERIES = {
     "approx_users_hll": q_approx_users_hll,
     "domain_token_budget": q_domain_token_budget,
     "token_mix": q_token_mix,
+    "frequent_langs": q_frequent_langs,
     "approx_event_quantiles": q_approx_event_quantiles,
     "top_revenue_customers": q_top_revenue_customers,
     "docs_in_major_langs": q_docs_in_major_langs,
@@ -2173,7 +2187,7 @@ QUERIES = {
 _R5_LEAD = [
     "contamination_bloom",
     "approx_users_kmv", "approx_users_hll", "domain_token_budget",
-    "token_mix",
+    "token_mix", "frequent_langs",
     "approx_event_quantiles",
     "domain_cap", "sample_n", "sample_mix", "dedup_reps_quality",
     "semantic_dedup",
@@ -3315,6 +3329,11 @@ ORACLE_SQL = {
     # same (order desc, id) priority; per-source budgets as a CASE.
     # token_mix: largest-remainder TOKEN quotas (same integer CTE shape
     # as sample_mix) feeding the cap_tokens_per_key inclusive window sum
+    "frequent_langs": r"""
+        SELECT lang, count(*)::BIGINT AS n_rows FROM documents
+        GROUP BY lang
+        HAVING count(*) * 7 > (SELECT count(*) FROM documents)
+    """,
     "token_mix": r"""
         WITH w(key, wt) AS (
             VALUES ('de', 20), ('en', 50), ('es', 15), ('fr', 10)

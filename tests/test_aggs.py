@@ -1326,3 +1326,59 @@ def test_token_mix_quota_budgets(rd):
     with pytest.raises(Exception, match="does not match the weight"):
         token_mix(rd.from_arrow(tbl3), "lang", "doc_id", "text", 10,
                   {"0": 1}, output="pandas")
+
+
+def test_frequent_items_guarantee_and_types(rd):
+    """frequent_items == exactly the values with count*k > N (pigeonhole
+    candidates + exact recount); int and string values; bounded digest
+    is what distinguishes it from heavy_hitters."""
+    import pyarrow as pa
+    import pytest
+
+    from raylink.aggs import frequent_items
+
+    rng = np.random.default_rng(3)
+    v = np.where(
+        rng.random(20000) < 0.4, 7,
+        np.where(rng.random(20000) < 0.25, 3, rng.integers(0, 1000, 20000)),
+    ).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(v)})).repartition(7)
+    for k in (2, 5, 20):
+        got = frequent_items(ds, "v", k)
+        vc = pd.Series(v).value_counts()
+        want = sorted(int(x) for x in vc.index[vc.values * k > len(v)])
+        assert sorted(got["v"].tolist()) == want
+        assert (got["n_rows"].to_numpy() == vc.loc[got["v"]].to_numpy()).all()
+        # output provably < k rows
+        assert len(got) < k
+    # deterministic ordering: count desc, value asc
+    g5 = frequent_items(ds, "v", 5)
+    assert g5["n_rows"].is_monotonic_decreasing
+    # string values
+    s = np.where(
+        rng.random(5000) < 0.3, "en",
+        rng.choice([f"l{i}" for i in range(50)], 5000),
+    )
+    dss = rd.from_arrow(pa.table({"lang": pa.array(s)})).repartition(4)
+    got = frequent_items(dss, "lang", 5)
+    vc = pd.Series(s).value_counts()
+    assert sorted(got["lang"].tolist()) == sorted(
+        x for x in vc.index if vc[x] * 5 > len(s)
+    )
+    # k=1 can never qualify (count > N impossible); empty input
+    assert len(frequent_items(ds, "v", 1)) == 0
+    assert len(frequent_items(
+        rd.from_arrow(pa.table({"v": pa.array([], pa.int64())})), "v", 3
+    )) == 0
+    # guards
+    with pytest.raises(ValueError, match="k must be"):
+        frequent_items(ds, "v", 0)
+    with pytest.raises(Exception, match="null"):
+        frequent_items(
+            rd.from_arrow(pa.table({"v": pa.array([1, None], pa.int64())})),
+            "v", 2,
+        )
+    with pytest.raises(Exception, match="string or integer"):
+        frequent_items(
+            rd.from_arrow(pa.table({"v": pa.array([1.5, 2.5])})), "v", 2
+        )

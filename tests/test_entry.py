@@ -146,6 +146,7 @@ def test_every_query_runs(entry_mod):
         "pack_sequences",
         "token_budget",
         "token_mix",
+        "frequent_langs",
         "bpe_pairs",
         "remove_duplicate_spans",
         "semantic_dedup",
