@@ -91,8 +91,10 @@ def main():
         approx_ndistinct_hll,
         approx_ndistinct_kmv,
         approx_quantiles_log,
+        frequent_items,
         group_ndistinct,
         group_quantiles,
+        heavy_hitters,
     )
     from raylink.packing import cap_tokens_per_key
 
@@ -122,6 +124,21 @@ def main():
                 "approx_ndistinct_hll",
                 ["key", "val"],
                 lambda d: approx_ndistinct_hll(d, "key", "val", p=12).count(),
+            ),
+            # heavy-value detection on the NEAR-UNIQUE val column:
+            # heavy_hitters ships the full per-block distinct census
+            # (~rows), frequent_items ships <= k-1 candidates per block
+            # (none qualify at k=16 on this uniform draw — the honest
+            # empty answer with a constant-size digest)
+            (
+                "heavy_hitters_census",
+                ["val"],
+                lambda d: len(heavy_hitters(d, "val", top_n=15)),
+            ),
+            (
+                "frequent_items_bounded",
+                ["val"],
+                lambda d: len(frequent_items(d, "val", k=16)),
             ),
             (
                 "group_quantiles_exact",
