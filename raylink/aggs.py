@@ -390,10 +390,13 @@ def frequent_items(
     heavy values are a SUPERSET of the answer. Pass 2 broadcasts the
     candidate set (< k per block, usually far fewer) and recounts ONLY
     candidates exactly; the final filter ``count·k > N`` is pure
-    integers, so the SQL replay is GROUP BY + HAVING. The output is
-    provably < k rows (pandas). Values may be int64 or string; nulls
-    raise (family policy). ``ds`` is consumed twice — hand it a source-
-    backed or materialized Dataset."""
+    integers (computed as the overflow-free equivalent
+    ``count > N // k`` — for ints, count·k > N ⟺ count ≥ ⌊N/k⌋+1 — so
+    arbitrarily large k never wraps int64), and the SQL replay is
+    GROUP BY + HAVING. The output is provably < k rows (pandas). Values
+    may be signed-int or string; nulls and uint64 raise (family policy
+    — a uint64 ≥ 2⁶³ would silently reinterpret negative). ``ds`` is
+    consumed twice — hand it a source-backed or materialized Dataset."""
     import pandas as pd
 
     from .broadcast import cached_object
@@ -401,6 +404,11 @@ def frequent_items(
     kk = int(k)
     if kk < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if value_col in ("cnt", "is_total", "s"):
+        raise ValueError(
+            f"frequent_items: value column {value_col!r} collides with the "
+            "internal staging columns ('cnt', 'is_total', 's') — rename it"
+        )
 
     def _counts(col):
         """(values pa.Array, counts int64) of one batch column."""
@@ -418,10 +426,13 @@ def frequent_items(
                 np.asarray(enc.indices.to_numpy(zero_copy_only=False))
             ).astype(np.int64)
             return enc.dictionary, cnt
-        if not pa.types.is_integer(ca.type):
+        if not pa.types.is_integer(ca.type) or (
+            pa.types.is_unsigned_integer(ca.type) and ca.type.bit_width == 64
+        ):
             raise ValueError(
                 f"frequent_items: value column type {ca.type} — values "
-                "must be string or integer"
+                "must be string or signed integer (uint64 >= 2^63 would "
+                "silently reinterpret negative through the int64 cast)"
             )
         u, c = np.unique(
             np.asarray(ca.to_numpy(zero_copy_only=False), np.int64),
@@ -440,7 +451,9 @@ def frequent_items(
                     "is_total": pa.array([], pa.int8()),
                 }
             )
-        heavy = cnt * kk > rows  # the pigeonhole candidate rule, exact ints
+        # the pigeonhole candidate rule: cnt·k > rows, computed division-
+        # side (⟺ cnt > rows//k for ints) so huge k cannot wrap int64
+        heavy = cnt > rows // kk
         take = pa.array(np.flatnonzero(heavy), pa.int64())
         n_heavy = int(heavy.sum())
         # one marker row per block carries its TOTAL row count so N sums
@@ -449,9 +462,7 @@ def frequent_items(
         return pa.table(
             {
                 value_col: pa.concat_arrays(
-                    [vals.take(take).combine_chunks()
-                     if isinstance(vals.take(take), pa.ChunkedArray)
-                     else vals.take(take), vals[:1]]
+                    [vals.take(take), vals[:1]]
                 ),
                 "cnt": pa.array(
                     np.concatenate([cnt[heavy], [rows]]).astype(np.int64)
@@ -470,13 +481,20 @@ def frequent_items(
         .materialize()
         .to_arrow_refs()
     )
-    parts = [t for t in parts if t.num_rows and value_col in t.column_names]
-    if not parts:
-        return pd.DataFrame(
-            {value_col: pd.Series([], dtype=object),
-             count_col: pd.Series([], dtype=np.int64)}
+    parts = [t for t in parts if value_col in t.column_names]
+    nonempty = [t for t in parts if t.num_rows]
+    if not nonempty:
+        # typed empty (empty-input policy): value dtype from the partial
+        # schema when any block reported one, else object
+        vals = (
+            parts[0][value_col].combine_chunks().to_pandas()
+            if parts
+            else pd.Series([], dtype=object)
         )
-    allp = pa.concat_tables(parts, promote_options="default")
+        return pd.DataFrame(
+            {value_col: vals, count_col: pd.Series([], dtype=np.int64)}
+        )
+    allp = pa.concat_tables(nonempty, promote_options="default")
     is_tot = np.asarray(allp["is_total"].to_numpy(zero_copy_only=False), bool)
     n_total = int(
         np.asarray(allp["cnt"].to_numpy(zero_copy_only=False), np.int64)[
@@ -519,7 +537,8 @@ def frequent_items(
             np.asarray(t["s"].to_numpy(zero_copy_only=False), np.int64),
             np.asarray(t["cnt"].to_numpy(zero_copy_only=False), np.int64),
         )
-    qual = totals * kk > n_total
+    # overflow-free equivalent of totals*k > N (count >= N//k + 1)
+    qual = totals > n_total // kk
     out_vals = cand.take(pa.array(np.flatnonzero(qual), pa.int64()))
     df = pd.DataFrame(
         {value_col: out_vals.to_pandas(), count_col: totals[qual]}

@@ -3329,11 +3329,6 @@ ORACLE_SQL = {
     # same (order desc, id) priority; per-source budgets as a CASE.
     # token_mix: largest-remainder TOKEN quotas (same integer CTE shape
     # as sample_mix) feeding the cap_tokens_per_key inclusive window sum
-    "frequent_langs": r"""
-        SELECT lang, count(*)::BIGINT AS n_rows FROM documents
-        GROUP BY lang
-        HAVING count(*) * 7 > (SELECT count(*) FROM documents)
-    """,
     "token_mix": r"""
         WITH w(key, wt) AS (
             VALUES ('de', 20), ('en', 50), ('es', 15), ('fr', 10)
@@ -3369,6 +3364,13 @@ ORACLE_SQL = {
         SELECT c.lang, c.doc_id, c.n_tokens, c.cum_tokens
         FROM c JOIN q ON c.lang = q.key
         WHERE c.cum_tokens <= q.quota
+    """,
+    # frequent_items replay: GROUP BY + HAVING count*k > total (the
+    # kernel computes the overflow-free count > total//k equivalent)
+    "frequent_langs": r"""
+        SELECT lang, count(*)::BIGINT AS n_rows FROM documents
+        GROUP BY lang
+        HAVING count(*) * 7 > (SELECT count(*) FROM documents)
     """,
     "domain_token_budget": r"""
         WITH n AS (

@@ -1351,9 +1351,31 @@ def test_frequent_items_guarantee_and_types(rd):
         assert (got["n_rows"].to_numpy() == vc.loc[got["v"]].to_numpy()).all()
         # output provably < k rows
         assert len(got) < k
-    # deterministic ordering: count desc, value asc
-    g5 = frequent_items(ds, "v", 5)
-    assert g5["n_rows"].is_monotonic_decreasing
+    # deterministic ordering: count desc, value asc — exercised on a
+    # PLANTED multi-row result with an exact count tie (review finding:
+    # the k=5 result is a single row, so asserting on it was vacuous)
+    tie = np.concatenate([
+        np.full(50, 9), np.full(30, 4), np.full(30, 2), np.arange(100, 110),
+    ]).astype(np.int64)
+    gt = frequent_items(
+        rd.from_arrow(pa.table({"v": pa.array(tie)})).repartition(3), "v", 6
+    )
+    # N=120, N//6=20: 9 (50) then the 30/30 tie broken value-ascending
+    assert gt["v"].tolist() == [9, 2, 4]
+    assert gt["n_rows"].tolist() == [50, 30, 30]
+    # staging-name and huge-k guards (overflow-free comparisons)
+    with pytest.raises(ValueError, match="staging"):
+        frequent_items(
+            rd.from_arrow(pa.table({"cnt": pa.array([1, 1], pa.int64())})),
+            "cnt", 2,
+        )
+    gk = frequent_items(ds, "v", 1 << 62)  # every value qualifies, no wrap
+    assert len(gk) == pd.Series(v).nunique()
+    with pytest.raises(Exception, match="signed integer"):
+        frequent_items(
+            rd.from_arrow(pa.table({"v": pa.array([1, 2], pa.uint64())})),
+            "v", 2,
+        )
     # string values
     s = np.where(
         rng.random(5000) < 0.3, "en",
@@ -1378,7 +1400,7 @@ def test_frequent_items_guarantee_and_types(rd):
             rd.from_arrow(pa.table({"v": pa.array([1, None], pa.int64())})),
             "v", 2,
         )
-    with pytest.raises(Exception, match="string or integer"):
+    with pytest.raises(Exception, match="string or signed integer"):
         frequent_items(
             rd.from_arrow(pa.table({"v": pa.array([1.5, 2.5])})), "v", 2
         )
