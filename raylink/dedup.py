@@ -3313,6 +3313,266 @@ def incremental_minhash_dedup(
     return flags_frame(matched)
 
 
+def fuzzy_contamination(
+    corpus_ds,
+    eval_ds,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 200,
+    verification: str = "auto",
+    driver_verify_max_pairs: int = 2_000_000,
+    band_driver_threshold: int = 20_000_000,
+    taskpool_verify_min_pairs: int = 50_000,
+    output: str = "dataset",
+):
+    """Fuzzy decontamination: flag each CORPUS doc that near-dups any
+    EVAL doc — the MinHash counterpart to :func:`contamination_check`'s
+    exact n-gram overlap, for eval leakage that survives light edits
+    (whitespace/casing noise, boilerplate wrappers). Returns the MATCHED
+    corpus rows only: ``(id_col, eval_id)`` with ``eval_id`` the SMALLEST
+    matching eval doc; absent = clean. The output is sized by the
+    contamination, never the corpus, so neither mode collects the corpus.
+
+    Pipeline: eval ids are remapped into a disjoint range above the
+    corpus max (internal only — the two id spaces may overlap; the
+    reported ``eval_id`` is the caller's) -> band corpus+eval
+    (``minhash_band_rows``) -> LSH candidates filtered to CROSSING pairs
+    only (``a < off <= b``: corpus x eval; corpus-corpus and eval-eval
+    pairs never reach verification) -> the same exact-Jaccard
+    verification dispatch as :func:`minhash_lsh_dedup` (driver /
+    task-pool / pair-partitioned distributed, byte-aware reroute) ->
+    per-corpus-doc min-eval-partner digest. Ids must be unique per side
+    (the family contract); duplicate ids would merge shingle sets.
+    """
+    import ray.data as rd
+
+    from raylink.aggs import _digest_merge
+
+    corpus_slim = corpus_ds.select_columns([id_col, text_col])
+    eval_slim = eval_ds.select_columns([id_col, text_col])
+
+    def _empty_matched() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype=np.int64),
+                "eval_id": pd.Series([], dtype=np.int64),
+            }
+        )
+
+    corpus_max = corpus_slim.max(id_col)
+    eval_min = eval_slim.min(id_col)
+    if corpus_max is None or eval_min is None:  # either side empty: clean
+        if output == "dataset":
+            return rd.from_pandas(_empty_matched())
+        return _empty_matched()
+    if int(corpus_max) < 0 or int(eval_min) < 0:
+        raise ValueError("dedup id columns must be non-negative")
+    off = int(corpus_max) + 1
+    eval_max = int(eval_slim.max(id_col))
+    if eval_max + off >= (1 << 62):
+        raise ValueError(
+            f"eval ids too large to remap past the corpus max: "
+            f"{eval_max} + {off} overflows the int64 staging range"
+        )
+
+    def remap_eval(batch: pa.Table) -> pa.Table:
+        ids = pc.add_checked(pc.cast(batch[id_col], pa.int64()), off)
+        return batch.set_column(
+            batch.schema.get_field_index(id_col), id_col, ids
+        )
+
+    union_ds = corpus_slim.union(
+        eval_slim.map_batches(remap_eval, batch_format="pyarrow")
+    )
+    band_ds = union_ds.map_batches(
+        lambda t: minhash_band_rows(t, id_col, text_col, k, num_perm, bands),
+        batch_format="pyarrow",
+    )
+    cand = candidate_pairs_from_bands(
+        band_ds, max_bucket, driver_threshold=band_driver_threshold
+    )
+    # crossing pairs only (pairs are emitted a < b, so corpus x eval
+    # means exactly a < off <= b)
+    if isinstance(cand, pd.DataFrame):
+        cand = cand[(cand["a"] < off) & (cand["b"] >= off)].drop_duplicates(
+            ignore_index=True
+        )
+        n_pairs = len(cand)
+    else:
+        cand = cand.map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.less(t["a"], off), pc.greater_equal(t["b"], off))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        n_pairs = cand.count()  # pre-dedup upper bound — routing only
+
+    if not n_pairs:
+        if output == "dataset":
+            return rd.from_pandas(_empty_matched())
+        return _empty_matched()
+
+    distributed = verification == "distributed" or (
+        verification == "auto"
+        # dataset output REQUIRES distributed verification: auto routes
+        # there regardless of pair count (the loud error below is for an
+        # EXPLICIT verification="driver" conflict only)
+        and (n_pairs > driver_verify_max_pairs or output == "dataset")
+    )
+    if not distributed and not isinstance(cand, pd.DataFrame):
+        cand = cand.to_pandas().drop_duplicates(ignore_index=True)
+
+    P = _default_parts()
+    need = None
+    if distributed:
+        need = _candidate_need_map(cand, P)
+        nd_docs = need[0]
+        cand_ids = nd_docs[np.r_[True, nd_docs[1:] != nd_docs[:-1]]]
+    else:
+        cand_ids = np.unique(
+            np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
+        )
+    cand_ids_ref = ray.put(cand_ids)
+
+    def shingles_of(batch: pa.Table) -> pa.Table:
+        cids = cached_object(cand_ids_ref)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+        mask = np.isin(ids, cids)
+        sel = batch.filter(pa.array(mask))
+        if sel.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shingle": pa.array([], pa.int64())})
+        d, h = _shingle_hashes(sel[text_col].combine_chunks(), k)
+        sids = np.asarray(sel[id_col].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(sids[d]), "shingle": pa.array(h)})
+
+    sh_ds_cand = union_ds.map_batches(shingles_of, batch_format="pyarrow")
+    if not distributed:
+        # byte-aware reroute (the minhash_lsh_dedup switch): the
+        # pair-count rule alone admits corpora of LONG documents whose
+        # candidate shingles exceed driver RAM
+        sh_ds_cand = sh_ds_cand.materialize()
+        if (sh_ds_cand.size_bytes() or 0) > _DRIVER_SHINGLE_BYTES_MAX:
+            if verification == "driver":
+                raise ValueError(
+                    "candidate shingles exceed the driver byte bound "
+                    f"({_DRIVER_SHINGLE_BYTES_MAX} B) — pass "
+                    'verification="distributed"'
+                )
+            distributed = True
+            need = _candidate_need_map(cand, P)
+
+    def matched_frame(va: np.ndarray, vb: np.ndarray) -> pd.DataFrame:
+        # per-corpus-doc min eval partner; report the CALLER's eval id
+        order = np.lexsort((vb, va))
+        as_, bs = va[order], vb[order]
+        start = np.ones(len(as_), dtype=bool)
+        start[1:] = as_[1:] != as_[:-1]
+        return pd.DataFrame(
+            {id_col: as_[start], "eval_id": bs[start] - off}
+        ).astype(np.int64)
+
+    if distributed:
+        edges_ds = _verify_pairs_distributed(
+            sh_ds_cand, cand, jaccard_threshold, n_parts=P, need=need
+        )
+
+        # per-corpus-doc min partner: per-block (a, min b) digests,
+        # shared merge (the incremental_minhash_dedup pattern, keyed by
+        # the corpus side)
+        def part_min(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch["a"].to_numpy(zero_copy_only=False), np.int64)
+            b = np.asarray(batch["b"].to_numpy(zero_copy_only=False), np.int64)
+            order = np.lexsort((b, a))
+            as_, bs = a[order], b[order]
+            start = np.ones(len(as_), dtype=bool)
+            start[1:] = as_[1:] != as_[:-1]
+            return pa.table(
+                {
+                    "ca": pa.array(as_[start]),
+                    "mb": pa.array(bs[start]),
+                    "part": pa.array(
+                        (_hash64(as_[start])
+                         % np.uint64(_FINE_STAGE_PARTS)).astype(np.int64)
+                    ),
+                }
+            )
+
+        def merge_min(t: pa.Table) -> pa.Table:
+            a = np.asarray(t["ca"].to_numpy(zero_copy_only=False), np.int64)
+            b = np.asarray(t["mb"].to_numpy(zero_copy_only=False), np.int64)
+            if not len(a):
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "eval_id": pa.array([], pa.int64()),
+                    }
+                )
+            order = np.lexsort((b, a))
+            as_, bs = a[order], b[order]
+            start = np.ones(len(as_), dtype=bool)
+            start[1:] = as_[1:] != as_[:-1]
+            return pa.table(
+                {
+                    id_col: pa.array(as_[start]),
+                    "eval_id": pa.array(bs[start] - off),
+                }
+            )
+
+        def empty_min() -> pa.Table:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "eval_id": pa.array([], pa.int64()),
+                }
+            )
+
+        matched_res = _digest_merge(
+            edges_ds.map_batches(part_min, batch_format="pyarrow"),
+            merge_min,
+            driver_verify_max_pairs,
+            empty_fn=empty_min,
+        )
+        if output == "dataset":
+            return matched_res
+        return (
+            typed_to_pandas(matched_res)
+            .sort_values(id_col)
+            .reset_index(drop=True)
+        )
+
+    if output == "dataset":
+        raise ValueError('output="dataset" requires verification="distributed"')
+
+    sh = pa.concat_tables(
+        ray.get(sh_ds_cand.to_arrow_refs()), promote_options="default"
+    )
+    sh_doc = np.asarray(sh["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+    sh_val = np.asarray(sh["shingle"].to_numpy(zero_copy_only=False), np.int64)
+    if len(cand) > taskpool_verify_min_pairs:
+        verified = _verify_pairs_taskpool(
+            sh_doc, sh_val, cand["a"].to_numpy().astype(np.int64),
+            cand["b"].to_numpy().astype(np.int64), jaccard_threshold,
+        )
+    else:
+        doc_arrays = _doc_arrays_from_sorted(sh_doc, sh_val)
+        verified = _verify_with_doc_arrays(
+            cand["a"].to_numpy(), cand["b"].to_numpy(), doc_arrays,
+            jaccard_threshold,
+        )
+    if not verified:
+        return _empty_matched()
+    va = np.array([x[0] for x in verified], dtype=np.int64)
+    vb = np.array([x[1] for x in verified], dtype=np.int64)
+    return (
+        matched_frame(va, vb).sort_values(id_col).reset_index(drop=True)
+    )
+
+
 def exact_dedup_survivors(
     ds,
     id_col: str,

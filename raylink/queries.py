@@ -1879,6 +1879,38 @@ def q_incremental_dedup(sf_dir: str):
     )
 
 
+def q_fuzzy_contamination(sf_dir: str):
+    """Fuzzy decontamination (raylink/dedup.fuzzy_contamination): corpus
+    docs (doc_id < 400) flagged when any eval doc (doc_id >= 400)
+    near-dups them at exact-Jaccard >= 0.8 over 5-char shingles of the
+    cleaned text (MinHash-LSH candidates, exact verification, crossing
+    pairs only). Output = matched corpus rows (doc_id, eval_id = the
+    smallest matching eval doc); absent = clean. SQL-checked:
+    complete-graph exact Jaccard restricted to crossing pairs — valid
+    for the same reason as the incremental_dedup oracle (verification
+    keeps only true-Jaccard pairs; candidate completeness over
+    qualifying pairs is checked by the hash-exact comparison itself)."""
+    from raylink.dedup import fuzzy_contamination
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def below(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() < 400))
+
+    def at_least(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() >= 400))
+
+    return fuzzy_contamination(
+        docs.map_batches(below, batch_format="pyarrow"),
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            at_least, batch_format="pyarrow"
+        ),
+        "doc_id", "text",
+        k=5, num_perm=64, bands=16, jaccard_threshold=0.8,
+        output="pandas",  # small-scale opt-in (default: dataset)
+    )
+
+
 def q_deduped_corpus(sf_dir: str):
     """The actual deduped corpus: survivors after near-dup removal
     (non-members + per-group representatives), streaming anti semi-join."""
@@ -2084,6 +2116,7 @@ def q_transcript_pr_curve(sf_dir: str):
 # sit in the tail, where a window cut costs the least evidence.
 QUERIES = {
     # --- new in the round-5 close-out ---
+    "fuzzy_contamination": q_fuzzy_contamination,
     "domain_cap": q_domain_cap,
     "sample_mix": q_sample_mix,
     "sample_n": q_sample_n,
@@ -2185,6 +2218,7 @@ QUERIES = {
 # 50 r4-green ones follow. Every operator re-earns a fresh driver row at
 # least every other round.
 _R5_LEAD = [
+    "fuzzy_contamination",
     "contamination_bloom",
     "approx_users_kmv", "approx_users_hll", "domain_token_budget",
     "token_mix", "frequent_langs",
@@ -4227,6 +4261,34 @@ ORACLE_SQL["incremental_dedup"] = f"""
            coalesce(m.match_id, -1) AS match_id
     FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
     LEFT JOIN m ON d.doc_id = m.doc_id
+"""
+
+# fuzzy-decontamination oracle: the incremental_dedup replay restricted
+# to CROSSING pairs (corpus a < 400 <= eval b), min eval partner per
+# corpus doc, matched rows only — hash-exact on the same completeness
+# argument (the LSH candidate graph covers every qualifying pair on this
+# fixture, checked by the comparison itself)
+ORACLE_SQL["fuzzy_contamination"] = f"""
+    WITH docs AS (SELECT doc_id, {_CLEAN_T} AS t FROM documents),
+    pos AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(length(t) - 4, 0))) AS i
+        FROM docs
+    ),
+    sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS s FROM pos),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE a.doc_id < 400 AND b.doc_id >= 400
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT inter.a AS doc_id, min(inter.b) AS eval_id
+    FROM inter
+    JOIN sz sa ON sa.doc_id = inter.a
+    JOIN sz sb ON sb.doc_id = inter.b
+    WHERE inter.i / CAST(sa.n + sb.n - inter.i AS DOUBLE) >= 0.8
+    GROUP BY inter.a
 """
 
 # dataset-card report: the deduped_corpus + quality_filter predicates

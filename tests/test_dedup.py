@@ -780,6 +780,75 @@ def test_incremental_dedup_empty_delta(rd):
     assert list(out.columns) == ["doc_id", "is_dup", "match_id"]
 
 
+def test_fuzzy_contamination(rd):
+    """Crossing pairs only: corpus docs matching an EVAL doc are flagged
+    (min eval partner); corpus-corpus and eval-eval near-dups are not.
+    Id spaces overlap on purpose (the internal offset must disambiguate)."""
+    from raylink.dedup import fuzzy_contamination
+
+    corpus_texts = [
+        BASE,                                  # 0: matches eval 0 and 2
+        BASE,                                  # 1: corpus-corpus dup of 0
+        "completely unrelated corpus doc standing alone over here today",
+    ]
+    eval_texts = [
+        BASE.replace("quick", "quikc"),        # 0: near-dup of corpus 0/1
+        "brand new benchmark question nothing alike at all",
+        BASE + " tail",                        # 2: also matches corpus 0/1
+    ]
+    corpus = _docs(rd, corpus_texts)
+    evals = _docs(rd, eval_texts)
+    out = fuzzy_contamination(
+        corpus, evals, "doc_id", "text", jaccard_threshold=0.5,
+        output="pandas",
+    )
+    # both BASE copies flagged with the SMALLEST eval partner; the clean
+    # corpus doc and the corpus-corpus duplication are absent
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["eval_id"].tolist() == [0, 0]
+    # forced-distributed verification and dataset candidates are
+    # value-identical; output="dataset" returns the same matched rows
+    forced = fuzzy_contamination(
+        corpus, evals, "doc_id", "text", jaccard_threshold=0.5,
+        band_driver_threshold=0, verification="distributed",
+        output="pandas",
+    )
+    pd.testing.assert_frame_equal(out, forced)
+    matched = (
+        fuzzy_contamination(
+            corpus, evals, "doc_id", "text", jaccard_threshold=0.5,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(matched.astype(np.int64), out)
+
+
+def test_fuzzy_contamination_empty_and_invalid(rd):
+    from raylink.dedup import fuzzy_contamination
+
+    corpus = _docs(rd, [BASE, "other text"])
+    empty = _docs(rd, [])
+    for a, b in ((corpus, empty), (empty, corpus)):
+        got = fuzzy_contamination(a, b, "doc_id", "text", output="pandas")
+        assert len(got) == 0
+        assert list(got.columns) == ["doc_id", "eval_id"]
+        assert got["doc_id"].dtype == np.int64
+        ds_got = fuzzy_contamination(a, b, "doc_id", "text")
+        assert ds_got.to_pandas().empty
+    neg = rd.from_arrow(pa.table({
+        "doc_id": pa.array([-1], pa.int64()),
+        "text": pa.array([BASE], pa.string()),
+    }))
+    with pytest.raises(ValueError, match="non-negative"):
+        fuzzy_contamination(corpus, neg, "doc_id", "text", output="pandas")
+    with pytest.raises(ValueError, match="non-negative"):
+        fuzzy_contamination(neg, corpus, "doc_id", "text", output="pandas")
+    # no qualifying pairs -> typed empty
+    clean = _docs(rd, ["totally different words in every position here"])
+    got = fuzzy_contamination(corpus, clean, "doc_id", "text", output="pandas")
+    assert len(got) == 0 and list(got.columns) == ["doc_id", "eval_id"]
+
+
 def test_simhash_dedup_short_docs_not_grouped(rd):
     """Docs whose cleaned text is shorter than k all simhash to 0 — they
     must NOT verify as near-dups of each other."""
