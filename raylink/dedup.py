@@ -3573,6 +3573,150 @@ def fuzzy_contamination(
     )
 
 
+def corpus_diff(
+    old_ds,
+    new_ds,
+    id_col: str,
+    text_col: str,
+    driver_merge_max_rows: int = 2_000_000,
+    include_unchanged: bool = False,
+    output: str = "dataset",
+):
+    """Snapshot diff between two corpus versions: one row per id whose
+    membership or content differs — ``status`` in ``added`` (id only in
+    new), ``removed`` (only in old), ``changed`` (both, content differs);
+    ``include_unchanged=True`` adds the ``unchanged`` rows. The
+    corpus-versioning primitive for iterative dataset building (what
+    moved between crawl N and crawl N+1, what a cleaning-pass rewrite
+    actually touched).
+
+    Scale shape: each side streams once through a slim
+    ``(id, content-hash, side)`` projection — full-content FNV64
+    (:func:`_fnv64_strings`, the SQL-replayable family hash), ~25 B/row
+    on the wire regardless of document length — then ONE id-keyed digest
+    merge (driver concat below ``driver_merge_max_rows`` staged rows,
+    input-sized keyed shuffle above; ids collocate by hash so each
+    partition decides its ids independently). Texts never ship.
+    Content equality is hash equality: a 64-bit collision between an
+    id's two versions would report ``unchanged`` for a changed doc
+    (probability ~2^-64 per changed id; the simhash/spans caveat).
+    Duplicate ids WITHIN a side are rejected loudly at the merge (and
+    per-block at the scan); null ids or texts are rejected loudly.
+    """
+    import ray.data as rd
+
+    from raylink.aggs import _digest_merge
+    from raylink.joins import _nonull
+
+    if id_col in ("h", "s", "part", "status") or text_col in (
+        "h", "s", "part", "status"
+    ):
+        raise ValueError(
+            "corpus_diff input columns must not be named h/s/part/status "
+            "(internal staging names)"
+        )
+
+    def slim_side(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                _nonull(batch[id_col], id_col, "corpus_diff").to_numpy(
+                    zero_copy_only=False
+                ),
+                np.int64,
+            )
+            txt = batch[text_col].combine_chunks()
+            if txt.null_count:
+                raise ValueError(
+                    f"corpus_diff {text_col!r} contains nulls — drop or "
+                    "fill them explicitly upstream"
+                )
+            if len(ids) != len(np.unique(ids)):
+                raise ValueError(
+                    f"duplicate {id_col!r} values within one side of "
+                    "corpus_diff"
+                )
+            h = _fnv64_strings(txt).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "h": pa.array(h),
+                    "s": pa.array(np.full(len(ids), side, dtype=np.int64)),
+                    "part": pa.array(
+                        (_hash64(ids) % np.uint64(_FINE_STAGE_PARTS)).astype(
+                            np.int64
+                        )
+                    ),
+                }
+            )
+
+        return f
+
+    parts_ds = (
+        old_ds.select_columns([id_col, text_col])
+        .map_batches(slim_side(0), batch_format="pyarrow")
+        .union(
+            new_ds.select_columns([id_col, text_col]).map_batches(
+                slim_side(1), batch_format="pyarrow"
+            )
+        )
+    )
+
+    def merge_status(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        h = np.asarray(t["h"].to_numpy(zero_copy_only=False), np.int64)
+        s = np.asarray(t["s"].to_numpy(zero_copy_only=False), np.int64)
+        if not len(ids):
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "status": pa.array([], pa.string())}
+            )
+        order = np.lexsort((s, ids))
+        ids, h, s = ids[order], h[order], s[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        sizes = np.diff(np.append(starts, len(ids)))
+        if sizes.max() > 2:
+            raise ValueError(
+                f"duplicate {id_col!r} values within one side of corpus_diff"
+            )
+        two = starts[sizes == 2]
+        if len(two) and ((s[two] != 0).any() or (s[two + 1] != 1).any()):
+            raise ValueError(
+                f"duplicate {id_col!r} values within one side of corpus_diff"
+            )
+        one = starts[sizes == 1]
+        out_ids = [ids[one], ids[two]]
+        one_status = np.where(s[one] == 0, "removed", "added")
+        both_status = np.where(h[two] != h[two + 1], "changed", "unchanged")
+        out_status = [one_status, both_status]
+        oid = np.concatenate(out_ids)
+        ost = np.concatenate(out_status)
+        if not include_unchanged:
+            keep = ost != "unchanged"
+            oid, ost = oid[keep], ost[keep]
+        return pa.table(
+            {id_col: pa.array(oid), "status": pa.array(ost, pa.string())}
+        )
+
+    def empty_diff() -> pa.Table:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "status": pa.array([], pa.string())}
+        )
+
+    res = _digest_merge(
+        parts_ds, merge_status, driver_merge_max_rows, empty_fn=empty_diff
+    )
+    if output == "dataset":
+        return res
+    if output != "pandas":
+        raise ValueError('output must be "dataset" or "pandas"')
+    return (
+        typed_to_pandas(res)
+        .sort_values([id_col, "status"])
+        .reset_index(drop=True)
+    )
+
+
 def exact_dedup_survivors(
     ds,
     id_col: str,

@@ -1911,6 +1911,49 @@ def q_fuzzy_contamination(sf_dir: str):
     )
 
 
+def q_corpus_diff(sf_dir: str):
+    """Corpus snapshot diff (raylink/dedup.corpus_diff): old = the
+    documents table; new = a deterministic edit pass (drop doc_id % 13
+    == 0, append ' v2' where doc_id % 7 == 0, add doc 10000+doc_id for
+    doc_id % 11 == 0) — one (doc_id, status) row per added / removed /
+    changed id. SQL-checked: FULL OUTER JOIN on doc_id with direct text
+    comparison (content-hash equality == text equality absent a 64-bit
+    FNV collision, which the hash-exact comparison itself would
+    catch)."""
+    from raylink.dedup import corpus_diff
+
+    old = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def edit_pass(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = batch.filter(pa.array(ids % 13 != 0))
+        kids = keep["doc_id"].to_numpy()
+        txt = keep["text"].combine_chunks()
+        mod = pa.array(kids % 7 == 0)
+        new_txt = pc.if_else(
+            mod, pc.binary_join_element_wise(txt, " v2", ""), txt
+        )
+        return pa.table({"doc_id": keep["doc_id"], "text": new_txt})
+
+    def added_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sel = batch.filter(pa.array(ids % 11 == 0))
+        sids = pc.cast(sel["doc_id"].combine_chunks(), pa.int64())
+        txt = pc.binary_join_element_wise(
+            "new doc ", pc.cast(sids, pa.string()), ""
+        )
+        return pa.table(
+            {"doc_id": pc.add_checked(sids, 10000), "text": txt}
+        )
+
+    new = old.map_batches(edit_pass, batch_format="pyarrow").union(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            added_rows, batch_format="pyarrow"
+        )
+    )
+    return corpus_diff(old, new, "doc_id", "text", output="pandas")
+
+
 def q_deduped_corpus(sf_dir: str):
     """The actual deduped corpus: survivors after near-dup removal
     (non-members + per-group representatives), streaming anti semi-join."""
@@ -2117,6 +2160,7 @@ def q_transcript_pr_curve(sf_dir: str):
 QUERIES = {
     # --- new in the round-5 close-out ---
     "fuzzy_contamination": q_fuzzy_contamination,
+    "corpus_diff": q_corpus_diff,
     "domain_cap": q_domain_cap,
     "sample_mix": q_sample_mix,
     "sample_n": q_sample_n,
@@ -2219,6 +2263,7 @@ QUERIES = {
 # least every other round.
 _R5_LEAD = [
     "fuzzy_contamination",
+    "corpus_diff",
     "contamination_bloom",
     "approx_users_kmv", "approx_users_hll", "domain_token_budget",
     "token_mix", "frequent_langs",
@@ -4289,6 +4334,31 @@ ORACLE_SQL["fuzzy_contamination"] = f"""
     JOIN sz sb ON sb.doc_id = inter.b
     WHERE inter.i / CAST(sa.n + sb.n - inter.i AS DOUBLE) >= 0.8
     GROUP BY inter.a
+"""
+
+# corpus snapshot diff: FULL OUTER JOIN on id, text compared directly
+# (the kernel compares full-content FNV64 hashes; equality coincides with
+# text equality absent a 64-bit collision between an id's two versions)
+ORACLE_SQL["corpus_diff"] = """
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 10000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 11 = 0
+    ),
+    d AS (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.text <> n.text THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, status FROM d WHERE status <> 'unchanged'
 """
 
 # dataset-card report: the deduped_corpus + quality_filter predicates

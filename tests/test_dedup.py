@@ -849,6 +849,79 @@ def test_fuzzy_contamination_empty_and_invalid(rd):
     assert len(got) == 0 and list(got.columns) == ["doc_id", "eval_id"]
 
 
+def test_corpus_diff(rd):
+    """added/removed/changed statuses; unchanged rows excluded by
+    default; driver merge, forced shuffle, and dataset output agree."""
+    from raylink.dedup import corpus_diff
+
+    old = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(12, dtype=np.int64)),
+        "text": pa.array([f"doc {i} body" for i in range(12)], pa.string()),
+    }))
+    new_rows = [(i, f"doc {i} body" + (" v2" if i % 3 == 0 else ""))
+                for i in range(12) if i % 5 != 0] + [(100, "brand new")]
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in new_rows], pa.int64()),
+        "text": pa.array([r[1] for r in new_rows], pa.string()),
+    }))
+    exp = pd.DataFrame({
+        "doc_id": np.array([0, 3, 5, 6, 9, 10, 100], dtype=np.int64),
+        "status": ["removed", "changed", "removed", "changed", "changed",
+                   "removed", "added"],
+    })
+    got = corpus_diff(old, new, "doc_id", "text", output="pandas")
+    pd.testing.assert_frame_equal(got, exp)
+    forced = corpus_diff(old, new, "doc_id", "text",
+                         driver_merge_max_rows=0, output="pandas")
+    pd.testing.assert_frame_equal(forced, exp)
+    ds_got = (
+        corpus_diff(old, new, "doc_id", "text")
+        .to_pandas().sort_values(["doc_id", "status"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        ds_got.astype({"doc_id": np.int64}), exp
+    )
+    withu = corpus_diff(old, new, "doc_id", "text",
+                        include_unchanged=True, output="pandas")
+    assert (withu["status"] == "unchanged").sum() == 12 - len(exp) + 1
+    # identical corpora -> typed empty both modes
+    same = corpus_diff(old, old, "doc_id", "text", output="pandas")
+    assert len(same) == 0 and list(same.columns) == ["doc_id", "status"]
+    assert corpus_diff(old, old, "doc_id", "text").to_pandas().empty
+
+
+def test_corpus_diff_rejections(rd):
+    from raylink.dedup import corpus_diff
+
+    old = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a", "b"], pa.string()),
+    }))
+    # duplicate ids within one side: per-block and cross-block
+    dup = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 1], pa.int64()),
+        "text": pa.array(["a", "b"], pa.string()),
+    }))
+    with pytest.raises(Exception, match="duplicate"):
+        corpus_diff(old, dup, "doc_id", "text", output="pandas")
+    one = lambda i, t: rd.from_arrow(pa.table({
+        "doc_id": pa.array([i], pa.int64()),
+        "text": pa.array([t], pa.string()),
+    }))
+    with pytest.raises(Exception, match="duplicate"):
+        corpus_diff(old, one(1, "a").union(one(1, "b")),
+                    "doc_id", "text", output="pandas")
+    # nulls and reserved staging names reject loudly
+    nulls = rd.from_arrow(pa.table({
+        "doc_id": pa.array([2], pa.int64()),
+        "text": pa.array([None], pa.string()),
+    }))
+    with pytest.raises(Exception, match="null"):
+        corpus_diff(old, nulls, "doc_id", "text", output="pandas")
+    with pytest.raises(ValueError, match="staging"):
+        corpus_diff(old, old, "status", "text")
+
+
 def test_simhash_dedup_short_docs_not_grouped(rd):
     """Docs whose cleaned text is shorter than k all simhash to 0 — they
     must NOT verify as near-dups of each other."""
