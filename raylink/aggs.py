@@ -299,6 +299,209 @@ def group_quantiles(
     return res
 
 
+def filter_by_key_quantile(
+    ds,
+    key_col: str,
+    val_col: str,
+    q_num: int,
+    q_den: int,
+    keep: str = "ge",
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+    n_parts: int | None = None,
+    max_broadcast_rows: int = 2_000_000,
+):
+    """Per-key quantile gate: keep the rows whose ``val_col`` clears
+    their key's EXACT quantile — percentile_disc semantics, the value at
+    integer rank ceil(q*n) in per-key sorted order, the same rank
+    arithmetic as :func:`group_quantiles` — the percentile-based quality
+    pruning primitive ("drop the bottom half by quality score within
+    each language/domain" made exact).
+
+    ``keep``: "ge" (default) keeps ``val >= threshold``; "gt"/"le"/"lt"
+    are the other comparisons. Keys may be int64 or string; values must
+    be non-null int64 (quantize floats upstream — integer values are
+    what make exactness and the SQL oracle possible). Null keys or
+    values reject loudly (a silent drop would shift every rank).
+
+    Scale shape: one streaming pass reduces each block to its distinct
+    (key, value, count) digest (shuffle volume = distinct pairs, not
+    rows); the merged thresholds — ONE row per key — join back via
+    joins.equi_join (broadcast below ``max_broadcast_rows`` keys, so the
+    corpus STREAMS; hash-partitioned co-shuffle above) and the gate is a
+    vectorized per-batch filter. The input is consumed twice (threshold
+    pass + gate pass) — materialize upstream if it is expensive to
+    recompute. Output columns keep the input's order.
+    """
+    from raylink.joins import _nonull, _string_part_hash, equi_join
+
+    if keep not in ("ge", "gt", "le", "lt"):
+        raise ValueError(
+            f'filter_by_key_quantile: keep must be "ge"/"gt"/"le"/"lt", '
+            f"got {keep!r}"
+        )
+    if q_den <= 0 or not (1 <= q_num <= q_den):
+        raise ValueError(
+            f"filter_by_key_quantile: quantile ({q_num},{q_den}) must "
+            "satisfy 1 <= q_num <= q_den"
+        )
+    names = ds.schema().names
+    if "thr" in names:
+        raise ValueError(
+            'filter_by_key_quantile: input column "thr" collides with '
+            "the internal threshold column — rename it"
+        )
+    schema = ds.schema()
+    key_type = schema.types[schema.names.index(key_col)]
+    # pandas-backed datasets report numpy dtypes / `object` here, Arrow-
+    # backed ones a pyarrow DataType — accept both spellings
+    if isinstance(key_type, pa.DataType):
+        int_key = pa.types.is_integer(key_type)
+        str_key = pa.types.is_string(key_type) or pa.types.is_large_string(
+            key_type
+        )
+        pa_key_type = key_type
+    else:
+        try:
+            dt = np.dtype(key_type)
+        except TypeError:
+            dt = np.dtype(object)
+        int_key = np.issubdtype(dt, np.integer)
+        str_key = dt == np.dtype(object) or np.issubdtype(dt, np.str_)
+        pa_key_type = pa.int64() if int_key else pa.string()
+    if not int_key and not str_key:
+        raise ValueError(
+            f"filter_by_key_quantile: key column {key_col!r} must be "
+            f"int64 or string, got {key_type}"
+        )
+
+    def check(batch: pa.Table) -> pa.Table:
+        _nonull(batch[key_col], key_col, "filter_by_key_quantile")
+        _nonull(batch[val_col], val_col, "filter_by_key_quantile")
+        return batch
+
+    vds = ds.map_batches(check, batch_format="pyarrow")
+
+    if int_key:
+        thr_ds = group_quantiles(
+            vds, key_col, val_col, qs=((q_num, q_den, "thr"),),
+            n_parts=n_parts, output="dataset",
+            driver_merge_max_rows=driver_merge_max_rows,
+        ).select_columns([key_col, "thr"])
+    else:
+        P = _default_parts(n_parts)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].combine_chunks()
+            va = _np_i64(batch[val_col])
+            enc = keys.dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64
+            )
+            order = np.lexsort((va, codes))
+            cs_, vs = codes[order], va[order]
+            start = np.ones(len(cs_), dtype=bool)
+            start[1:] = (cs_[1:] != cs_[:-1]) | (vs[1:] != vs[:-1])
+            starts = np.flatnonzero(start)
+            cnt = np.diff(np.append(starts, len(cs_)))
+            out_keys = enc.dictionary.take(pa.array(cs_[starts]))
+            return pa.table(
+                {
+                    "k": out_keys,
+                    "v": pa.array(vs[starts]),
+                    "cnt": pa.array(cnt.astype(np.int64)),
+                    "part": pa.array(
+                        (_string_part_hash(out_keys) % np.uint64(P)).astype(
+                            np.int64
+                        )
+                    ),
+                }
+            )
+
+        def merge(g: pa.Table) -> pa.Table:
+            keys_col = g["k"].combine_chunks() if g.num_rows else None
+            va = _np_i64(g["v"])
+            ca = _np_i64(g["cnt"])
+            n = len(va)
+            if not n:
+                return pa.table(
+                    {
+                        key_col: pa.array([], pa_key_type),
+                        "thr": pa.array([], pa.int64()),
+                    }
+                )
+            enc = keys_col.dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64
+            )
+            order = np.lexsort((va, codes))
+            ks, vs, cs = codes[order], va[order], ca[order]
+            # the group_quantiles crossing scan (duplicate (key, value)
+            # digest rows from different blocks stay adjacent after the
+            # sort; the cumulative count walks through them exactly)
+            idx = np.arange(n, dtype=np.int64)
+            key_start = np.ones(n, dtype=bool)
+            key_start[1:] = ks[1:] != ks[:-1]
+            run_first = np.maximum.accumulate(np.where(key_start, idx, 0))
+            cum_all = np.cumsum(cs)
+            base = cum_all[run_first] - cs[run_first]
+            cum = cum_all - base
+            starts = np.flatnonzero(key_start)
+            ends = np.append(starts[1:], n) - 1
+            totals = cum[ends]
+            n_per_row = np.repeat(totals, np.diff(np.append(starts, n)))
+            target = (q_num * n_per_row + q_den - 1) // q_den
+            crossing = (cum >= target) & ((cum - cs) < target)
+            run_id = np.cumsum(key_start) - 1
+            vals = np.empty(len(starts), dtype=np.int64)
+            vals[run_id[crossing]] = vs[crossing]
+            return pa.table(
+                {
+                    key_col: enc.dictionary.take(pa.array(ks[starts])),
+                    "thr": pa.array(vals),
+                }
+            )
+
+        def empty_thr() -> pa.Table:
+            return pa.table(
+                {key_col: pa.array([], pa_key_type),
+                 "thr": pa.array([], pa.int64())}
+            )
+
+        thr_ds = _digest_merge(
+            vds.map_batches(partial, batch_format="pyarrow"),
+            merge,
+            driver_merge_max_rows,
+            n_parts=n_parts,
+            empty_fn=empty_thr,
+        )
+
+    other_cols = tuple(c for c in names if c != key_col)
+    joined = equi_join(
+        vds, thr_ds, key_col, key_col,
+        left_cols=other_cols, right_cols=("thr",),
+        mode="auto", max_broadcast_rows=max_broadcast_rows,
+        n_parts=n_parts, output="dataset",
+    )
+    cmp_fn = {
+        "ge": pc.greater_equal, "gt": pc.greater,
+        "le": pc.less_equal, "lt": pc.less,
+    }[keep]
+
+    def gate(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(cmp_fn(batch[val_col], batch["thr"]))
+        return kept.select(list(names))
+
+    res = joined.map_batches(gate, batch_format="pyarrow")
+    if output == "pandas":
+        return (
+            typed_to_pandas(res)
+            .sort_values([key_col, val_col])
+            .reset_index(drop=True)
+        )
+    return res
+
+
 def heavy_hitters(
     ds,
     key_col: str,

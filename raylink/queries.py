@@ -1911,6 +1911,21 @@ def q_fuzzy_contamination(sf_dir: str):
     )
 
 
+def q_docs_above_lang_median(sf_dir: str):
+    """Per-key quantile gate (raylink/aggs.filter_by_key_quantile): keep
+    documents whose n_chars clears their language's EXACT median
+    (percentile_disc at integer rank ceil(n/2) — group_quantiles' rank
+    arithmetic). The percentile-based quality pruning primitive.
+    SQL-checked: row_number/count window replay of the same integer rank,
+    then join + filter."""
+    from raylink.aggs import filter_by_key_quantile
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return filter_by_key_quantile(
+        docs, "lang", "n_chars", 1, 2, keep="ge", output="pandas"
+    )
+
+
 def q_corpus_diff(sf_dir: str):
     """Corpus snapshot diff (raylink/dedup.corpus_diff): old = the
     documents table; new = a deterministic edit pass (drop doc_id % 13
@@ -2161,6 +2176,7 @@ QUERIES = {
     # --- new in the round-5 close-out ---
     "fuzzy_contamination": q_fuzzy_contamination,
     "corpus_diff": q_corpus_diff,
+    "docs_above_lang_median": q_docs_above_lang_median,
     "domain_cap": q_domain_cap,
     "sample_mix": q_sample_mix,
     "sample_n": q_sample_n,
@@ -2264,6 +2280,7 @@ QUERIES = {
 _R5_LEAD = [
     "fuzzy_contamination",
     "corpus_diff",
+    "docs_above_lang_median",
     "contamination_bloom",
     "approx_users_kmv", "approx_users_hll", "domain_token_budget",
     "token_mix", "frequent_langs",
@@ -4334,6 +4351,27 @@ ORACLE_SQL["fuzzy_contamination"] = f"""
     JOIN sz sb ON sb.doc_id = inter.b
     WHERE inter.i / CAST(sa.n + sb.n - inter.i AS DOUBLE) >= 0.8
     GROUP BY inter.a
+"""
+
+# per-key quantile gate: the event_value_quantiles rank replay (integer
+# rank ceil(n/2) via row_number/count windows), then join + filter
+ORACLE_SQL["docs_above_lang_median"] = """
+    WITH r AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n_chars
+               ) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    ),
+    thr AS (
+        SELECT lang,
+               min(CASE WHEN rn = (1 * n + 1) // 2 THEN n_chars END) AS thr
+        FROM r GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE d.n_chars >= thr.thr
 """
 
 # corpus snapshot diff: FULL OUTER JOIN on id, text compared directly

@@ -1404,3 +1404,95 @@ def test_frequent_items_guarantee_and_types(rd):
         frequent_items(
             rd.from_arrow(pa.table({"v": pa.array([1.5, 2.5])})), "v", 2
         )
+
+
+def test_filter_by_key_quantile(rd):
+    """Per-key percentile gate matches a per-group sort replay for string
+    AND int keys, all four comparisons; forced digest-shuffle + forced
+    distributed-join paths are value-identical to the defaults."""
+    import math
+
+    from raylink.aggs import filter_by_key_quantile
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(["en", "de", "fr"], size=n),
+        "ki": rng.integers(0, 5, size=n).astype(np.int64),
+        "score": rng.integers(0, 400, size=n).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(5)
+
+    def expected(key, qn, qd, keep):
+        out = []
+        for _, g in df.groupby(key):
+            sv = np.sort(g["score"].to_numpy())
+            t = sv[math.ceil(qn * len(sv) / qd) - 1]
+            m = {"ge": g["score"] >= t, "gt": g["score"] > t,
+                 "le": g["score"] <= t, "lt": g["score"] < t}[keep]
+            out.append(g[m])
+        cols = ["doc_id", "lang", "ki", "score"]
+        return (
+            pd.concat(out)[cols].sort_values(cols).reset_index(drop=True)
+        )
+
+    for key, qn, qd, keep in [
+        ("lang", 1, 2, "ge"), ("lang", 9, 10, "gt"),
+        ("ki", 1, 2, "ge"), ("ki", 1, 4, "lt"), ("lang", 99, 100, "le"),
+    ]:
+        got = filter_by_key_quantile(
+            ds, key, "score", qn, qd, keep=keep, output="pandas"
+        )
+        cols = list(got.columns)
+        pd.testing.assert_frame_equal(
+            got.sort_values(cols).reset_index(drop=True),
+            expected(key, qn, qd, keep),
+        )
+    base = filter_by_key_quantile(ds, "lang", "score", 1, 2, output="pandas")
+    forced = filter_by_key_quantile(
+        ds, "lang", "score", 1, 2, output="pandas",
+        driver_merge_max_rows=0, max_broadcast_rows=0,
+    )
+    cols = list(base.columns)
+    pd.testing.assert_frame_equal(
+        base.sort_values(cols).reset_index(drop=True),
+        forced.sort_values(cols).reset_index(drop=True),
+    )
+    ds_out = filter_by_key_quantile(ds, "lang", "score", 1, 2)
+    assert ds_out.count() == len(base)
+
+
+def test_filter_by_key_quantile_guards(rd):
+    from raylink.aggs import filter_by_key_quantile
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b"], pa.string()),
+        "lang": pa.array(["a", "b"], pa.string()),
+        "score": pa.array([1, 2], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="keep must be"):
+        filter_by_key_quantile(ds, "lang", "score", 1, 2, keep="xx")
+    with pytest.raises(ValueError, match="1 <= q_num <= q_den"):
+        filter_by_key_quantile(ds, "lang", "score", 0, 2)
+    with pytest.raises(ValueError, match="1 <= q_num <= q_den"):
+        filter_by_key_quantile(ds, "lang", "score", 3, 2)
+    nulls = rd.from_arrow(pa.table({
+        "lang": pa.array(["a", "b"], pa.string()),
+        "score": pa.array([1, None], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="null"):
+        filter_by_key_quantile(nulls, "lang", "score", 1, 2, output="pandas")
+    thr = rd.from_arrow(pa.table({
+        "lang": pa.array(["a"], pa.string()),
+        "thr": pa.array([1], pa.int64()),
+        "score": pa.array([1], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="thr"):
+        filter_by_key_quantile(thr, "lang", "score", 1, 2)
+    floats = rd.from_arrow(pa.table({
+        "lang": pa.array([1.5, 2.5]),
+        "score": pa.array([1, 2], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="int64 or string"):
+        filter_by_key_quantile(floats, "lang", "score", 1, 2)
