@@ -3599,7 +3599,10 @@ def corpus_diff(
     partition decides its ids independently). Texts never ship.
     Content equality is hash equality: a 64-bit collision between an
     id's two versions would report ``unchanged`` for a changed doc
-    (probability ~2^-64 per changed id; the simhash/spans caveat).
+    (probability ~2^-64 per changed id; the simhash/spans caveat — plus
+    the h0=0 fold's documented fixed point, which absorbs LEADING NUL
+    bytes, so two versions differing only in leading NULs compare
+    unchanged).
     Duplicate ids WITHIN a side are rejected loudly at the merge (and
     per-block at the scan); null ids or texts are rejected loudly.
     """
@@ -3758,7 +3761,11 @@ def _fnv64_strings(a: pa.Array) -> np.ndarray:
     finish. Unlike joins._string_part_hash (prefix-8 + suffix-8 +
     length, for partition BALANCE only) every byte contributes, so it
     is usable as a census key where near-identical strings must
-    separate. Returns uint64, one per row."""
+    separate. Known fixed point of the h0=0 fold: LEADING NUL bytes are
+    absorbed (h = 0*P + 0 stays 0 until the first nonzero byte), so ""
+    and "\\x00a" vs "a" collide by construction — census consumers
+    confirm string-exact past the hash, and the SQL replays share the
+    fixed point. Returns uint64, one per row."""
     raw = _fnv64_fold_rows(a, pa.types.is_large_string(a.type))
     return _hash64(raw.astype(np.int64))
 

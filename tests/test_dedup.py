@@ -1424,8 +1424,15 @@ def test_fnv64_strings_unicode_fuzz():
         got = _fnv64_strings(pa.array(vals, type=pa.string()))
         want = np.array([scalar(v) for v in vals], np.uint64)
         assert (got == want).all()
-        uniq_strings = len(set(vals))
-        assert len(np.unique(got)) == uniq_strings
+        # distinctness holds modulo the documented zero fixed point of
+        # the h0=0 FNV family: LEADING NUL bytes are absorbed (h = 0*P+0
+        # stays 0 until the first nonzero byte), so "" / "\x00" / "\x00a"
+        # vs "a" share hashes by construction — hypothesis found
+        # ['', '\x00']. The SQL replays share the fixed point (same
+        # fold), and every census consumer confirms string-exact past the
+        # hash, so this is a test-model fix, not a kernel bug.
+        canon = {v.lstrip("\x00") for v in vals}
+        assert len(np.unique(got)) == len(canon)
 
     check()
 
