@@ -159,10 +159,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
         from raylink.dedup import (
             apply_dedup,
             contamination_check,
+            corpus_diff,
             dedup_representatives,
+            fuzzy_contamination,
             remove_duplicate_spans,
         )
-        from raylink.aggs import approx_ndistinct_hll
+        from raylink.aggs import approx_ndistinct_hll, filter_by_key_quantile
         from raylink.packing import cap_tokens_per_key, pack_sequences
         from raylink.packing import take_token_budget as _take_token_budget
         from raylink.sampling import hash_sample, sample_mix
@@ -217,6 +219,32 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             ids = batch["doc_id"].to_numpy()
             return batch.append_column(
                 "k", _pa.array((ids % 32).astype("int64"))
+            )
+
+        def _edit_pass(batch):
+            # deterministic "next crawl": drop doc_id % 13, edit % 7
+            import pyarrow.compute as _pc
+
+            ids = batch["doc_id"].to_numpy()
+            keep = batch.filter(_pa.array(ids % 13 != 0))
+            kids = keep["doc_id"].to_numpy()
+            txt = keep["text"].combine_chunks()
+            new_txt = _pc.if_else(
+                _pa.array(kids % 7 == 0),
+                _pc.binary_join_element_wise(txt, " v2", ""),
+                txt,
+            )
+            return _pa.table({"doc_id": keep["doc_id"], "text": new_txt})
+
+        def _with_len(batch):
+            import pyarrow.compute as _pc
+
+            return batch.append_column(
+                "nc",
+                _pc.cast(
+                    _pc.utf8_length(batch["text"].combine_chunks()),
+                    _pa.int64(),
+                ),
             )
 
         llm_ops = {
@@ -321,6 +349,38 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
                     "doc_id",
                     "text",
                     50_000,
+                )
+            ),
+            # r5 fifth-session surface: fuzzy decontamination over the
+            # 5% dedup sample (minhash crossing pairs; eval = every 97th
+            # doc of the sample, so real contamination exists)
+            "fuzzy_contamination_corpus": lambda: _consume(
+                fuzzy_contamination(
+                    hash_sample(corpus(), "doc_id", rate=0.05),
+                    hash_sample(corpus(), "doc_id", rate=0.05).map_batches(
+                        _ev_filter, batch_format="pyarrow"
+                    ),
+                    "doc_id", "text",
+                )
+            ),
+            # snapshot diff over the FULL 1.05M-row corpus vs a
+            # deterministic edit pass (slim FNV64 projections + one
+            # id-keyed digest merge; texts never ship)
+            "corpus_diff_corpus": lambda: _consume(
+                corpus_diff(
+                    corpus(),
+                    corpus().map_batches(_edit_pass, batch_format="pyarrow"),
+                    "doc_id", "text",
+                )
+            ),
+            # per-key exact-median gate over 32 synthetic domains on the
+            # full corpus (digest thresholds + broadcast join filter)
+            "key_quantile_gate_corpus": lambda: _consume(
+                filter_by_key_quantile(
+                    corpus()
+                    .map_batches(_mod_key, batch_format="pyarrow")
+                    .map_batches(_with_len, batch_format="pyarrow"),
+                    "k", "nc", 1, 2,
                 )
             ),
             # r5 fourth-session surface: proportional mix allocation —
