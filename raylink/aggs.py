@@ -190,6 +190,40 @@ def group_topk(
     return res
 
 
+def _quantile_crossings(ks, vs, cs, q_list):
+    """Shared percentile_disc crossing scan over digest rows pre-sorted
+    by (key, value) — ``ks`` int64 keys OR dictionary codes, ``vs``
+    values, ``cs`` per-(key, value) counts (duplicate pairs from
+    different blocks stay adjacent after the sort; the cumulative count
+    walks through them exactly). One kernel for :func:`group_quantiles`
+    and :func:`filter_by_key_quantile` — the rank arithmetic must never
+    fork (review finding). Caller handles the empty case. Returns
+    (key-run starts, per-key totals, {label: per-key crossing values})."""
+    n = len(ks)
+    idx = np.arange(n, dtype=np.int64)
+    key_start = np.ones(n, dtype=bool)
+    key_start[1:] = ks[1:] != ks[:-1]
+    run_first = np.maximum.accumulate(np.where(key_start, idx, 0))
+    cum_all = np.cumsum(cs)
+    base = cum_all[run_first] - cs[run_first]
+    cum = cum_all - base  # within-key cumulative count
+    # per-key totals live at each key's last row; scatter them back
+    starts = np.flatnonzero(key_start)
+    ends = np.append(starts[1:], n) - 1
+    totals = cum[ends]
+    n_per_row = np.repeat(totals, np.diff(np.append(starts, n)))
+    run_id = np.cumsum(key_start) - 1
+    vals_by_label = {}
+    for q_num, q_den, label in q_list:
+        target = (q_num * n_per_row + q_den - 1) // q_den
+        crossing = (cum >= target) & ((cum - cs) < target)
+        # exactly one crossing row per key
+        vals = np.empty(len(starts), dtype=np.int64)
+        vals[run_id[crossing]] = vs[crossing]
+        vals_by_label[label] = vals
+    return starts, totals, vals_by_label
+
+
 def group_quantiles(
     ds,
     key_col: str,
@@ -261,31 +295,13 @@ def group_quantiles(
                     },
                 }
             )
-        idx = np.arange(n, dtype=np.int64)
-        key_start = np.ones(n, dtype=bool)
-        key_start[1:] = ks[1:] != ks[:-1]
-        run_first = np.maximum.accumulate(np.where(key_start, idx, 0))
-        cum_all = np.cumsum(cs)
-        base = cum_all[run_first] - cs[run_first]
-        cum = cum_all - base  # within-key cumulative count
-        # per-key totals live at each key's last row; scatter them back
-        starts = np.flatnonzero(key_start)
-        ends = np.append(starts[1:], n) - 1
-        totals = cum[ends]
-        n_per_row = np.repeat(totals, np.diff(np.append(starts, n)))
-        keys_out = ks[starts]
+        starts, totals, vals_by_label = _quantile_crossings(ks, vs, cs, q_list)
         cols = {
-            key_col: pa.array(keys_out),
+            key_col: pa.array(ks[starts]),
             "n": pa.array(totals.astype(np.int64)),
         }
-        run_id = np.cumsum(key_start) - 1
-        for q_num, q_den, label in q_list:
-            target = (q_num * n_per_row + q_den - 1) // q_den
-            crossing = (cum >= target) & ((cum - cs) < target)
-            # exactly one crossing row per key
-            vals = np.empty(len(keys_out), dtype=np.int64)
-            vals[run_id[crossing]] = vs[crossing]
-            cols[label] = pa.array(vals)
+        for _, _, label in q_list:
+            cols[label] = pa.array(vals_by_label[label])
         return pa.table(cols)
 
     res = _digest_merge(
@@ -340,6 +356,8 @@ def filter_by_key_quantile(
             f'filter_by_key_quantile: keep must be "ge"/"gt"/"le"/"lt", '
             f"got {keep!r}"
         )
+    if output not in ("dataset", "pandas"):
+        raise ValueError('output must be "dataset" or "pandas"')
     if q_den <= 0 or not (1 <= q_num <= q_den):
         raise ValueError(
             f"filter_by_key_quantile: quantile ({q_num},{q_den}) must "
@@ -350,6 +368,11 @@ def filter_by_key_quantile(
         raise ValueError(
             'filter_by_key_quantile: input column "thr" collides with '
             "the internal threshold column — rename it"
+        )
+    if key_col == "n":
+        raise ValueError(
+            'filter_by_key_quantile: key column must not be named "n" '
+            "(group_quantiles' per-key count output would overwrite it)"
         )
     schema = ds.schema()
     key_type = schema.types[schema.names.index(key_col)]
@@ -376,8 +399,24 @@ def filter_by_key_quantile(
         )
 
     def check(batch: pa.Table) -> pa.Table:
-        _nonull(batch[key_col], key_col, "filter_by_key_quantile")
-        _nonull(batch[val_col], val_col, "filter_by_key_quantile")
+        ka = _nonull(batch[key_col], key_col, "filter_by_key_quantile")
+        if int_key and ka.type == pa.uint64():
+            raise ValueError(
+                f"filter_by_key_quantile: key column {key_col!r} is "
+                "uint64 — values above 2^63 would wrap in the int64 "
+                "digest; cast to int64 upstream"
+            )
+        va = _nonull(batch[val_col], val_col, "filter_by_key_quantile")
+        # the digest casts values to int64: floats would be silently
+        # TRUNCATED in the threshold while the gate compares originals
+        # (wrong row set, no error) — quantize floats upstream instead
+        if not pa.types.is_integer(va.type) or va.type == pa.uint64():
+            raise ValueError(
+                f"filter_by_key_quantile: value column {val_col!r} must "
+                f"be a signed integer (got {va.type}) — floats would be "
+                "truncated in the threshold digest but compared raw at "
+                "the gate; quantize upstream (centi-units etc.)"
+            )
         return batch
 
     vds = ds.map_batches(check, batch_format="pyarrow")
@@ -436,29 +475,15 @@ def filter_by_key_quantile(
             )
             order = np.lexsort((va, codes))
             ks, vs, cs = codes[order], va[order], ca[order]
-            # the group_quantiles crossing scan (duplicate (key, value)
-            # digest rows from different blocks stay adjacent after the
-            # sort; the cumulative count walks through them exactly)
-            idx = np.arange(n, dtype=np.int64)
-            key_start = np.ones(n, dtype=bool)
-            key_start[1:] = ks[1:] != ks[:-1]
-            run_first = np.maximum.accumulate(np.where(key_start, idx, 0))
-            cum_all = np.cumsum(cs)
-            base = cum_all[run_first] - cs[run_first]
-            cum = cum_all - base
-            starts = np.flatnonzero(key_start)
-            ends = np.append(starts[1:], n) - 1
-            totals = cum[ends]
-            n_per_row = np.repeat(totals, np.diff(np.append(starts, n)))
-            target = (q_num * n_per_row + q_den - 1) // q_den
-            crossing = (cum >= target) & ((cum - cs) < target)
-            run_id = np.cumsum(key_start) - 1
-            vals = np.empty(len(starts), dtype=np.int64)
-            vals[run_id[crossing]] = vs[crossing]
+            # group_quantiles' crossing scan over dictionary codes — ONE
+            # shared kernel, the rank arithmetic must never fork
+            starts, _totals, vals_by_label = _quantile_crossings(
+                ks, vs, cs, ((q_num, q_den, "thr"),)
+            )
             return pa.table(
                 {
                     key_col: enc.dictionary.take(pa.array(ks[starts])),
-                    "thr": pa.array(vals),
+                    "thr": pa.array(vals_by_label["thr"]),
                 }
             )
 

@@ -3349,11 +3349,32 @@ def fuzzy_contamination(
     (the family contract); duplicate ids would merge shingle sets.
     """
     import ray.data as rd
+    from ray.data.aggregate import Max, Min
 
     from raylink.aggs import _digest_merge
+    from raylink.joins import _nonull
 
-    corpus_slim = corpus_ds.select_columns([id_col, text_col])
-    eval_slim = eval_ds.select_columns([id_col, text_col])
+    if output not in ("dataset", "pandas"):
+        raise ValueError('output must be "dataset" or "pandas"')
+    if verification not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            'verification must be "auto"/"driver"/"distributed", got '
+            f"{verification!r}"
+        )
+
+    def _check_ids(batch: pa.Table) -> pa.Table:
+        # loud null rejection (the NULL int64 POLICY): a null id would
+        # float64-round-trip to NaN through the banding kernel and the
+        # doc would silently vanish from the contamination check
+        _nonull(batch[id_col], id_col, "fuzzy_contamination")
+        return batch
+
+    corpus_slim = corpus_ds.select_columns([id_col, text_col]).map_batches(
+        _check_ids, batch_format="pyarrow"
+    )
+    eval_slim = eval_ds.select_columns([id_col, text_col]).map_batches(
+        _check_ids, batch_format="pyarrow"
+    )
 
     def _empty_matched() -> pd.DataFrame:
         return pd.DataFrame(
@@ -3364,7 +3385,10 @@ def fuzzy_contamination(
         )
 
     corpus_max = corpus_slim.max(id_col)
-    eval_min = eval_slim.min(id_col)
+    # one aggregate pass for BOTH eval bounds (review finding: min and
+    # max as separate calls re-scanned the eval side)
+    ev_stats = eval_slim.aggregate(Min(id_col), Max(id_col)) or {}
+    eval_min = ev_stats.get(f"min({id_col})")
     if corpus_max is None or eval_min is None:  # either side empty: clean
         if output == "dataset":
             return rd.from_pandas(_empty_matched())
@@ -3372,7 +3396,7 @@ def fuzzy_contamination(
     if int(corpus_max) < 0 or int(eval_min) < 0:
         raise ValueError("dedup id columns must be non-negative")
     off = int(corpus_max) + 1
-    eval_max = int(eval_slim.max(id_col))
+    eval_max = int(ev_stats[f"max({id_col})"])
     if eval_max + off >= (1 << 62):
         raise ValueError(
             f"eval ids too large to remap past the corpus max: "
@@ -3599,10 +3623,9 @@ def corpus_diff(
     partition decides its ids independently). Texts never ship.
     Content equality is hash equality: a 64-bit collision between an
     id's two versions would report ``unchanged`` for a changed doc
-    (probability ~2^-64 per changed id; the simhash/spans caveat — plus
-    the h0=0 fold's documented fixed point, which absorbs LEADING NUL
-    bytes, so two versions differing only in leading NULs compare
-    unchanged).
+    (probability ~2^-64 per changed id; the simhash/spans caveat). The
+    byte length is folded into the seam hash, so the FNV h0=0 fold's
+    leading-NUL fixed point cannot deterministically alias two versions.
     Duplicate ids WITHIN a side are rejected loudly at the merge (and
     per-block at the scan); null ids or texts are rejected loudly.
     """
@@ -3638,7 +3661,18 @@ def corpus_diff(
                     f"duplicate {id_col!r} values within one side of "
                     "corpus_diff"
                 )
-            h = _fnv64_strings(txt).astype(np.int64)
+            # fold the byte LENGTH into the seam hash: the h0=0 FNV fold
+            # absorbs leading NUL bytes (its documented fixed point), so
+            # 'a' vs '\x00a' would otherwise compare "unchanged" with
+            # probability 1 — length disambiguates that whole class and
+            # leaves only the generic ~2^-64 collision (review finding)
+            blen = np.asarray(
+                pc.binary_length(txt).to_numpy(zero_copy_only=False),
+                np.int64,
+            )
+            h = _hash64(
+                (_fnv64_strings(txt) ^ _hash64(blen)).astype(np.int64)
+            ).astype(np.int64)
             return pa.table(
                 {
                     id_col: pa.array(ids),

@@ -1496,3 +1496,28 @@ def test_filter_by_key_quantile_guards(rd):
     }))
     with pytest.raises(ValueError, match="int64 or string"):
         filter_by_key_quantile(floats, "lang", "score", 1, 2)
+    # float / uint64 VALUES reject loudly: the digest would truncate the
+    # threshold while the gate compares originals (silent wrong row set)
+    fvals = rd.from_arrow(pa.table({
+        "lang": pa.array(["a", "a"], pa.string()),
+        "score": pa.array([0.5, 0.6]),
+    }))
+    with pytest.raises(Exception, match="signed integer"):
+        filter_by_key_quantile(fvals, "lang", "score", 1, 2,
+                               output="pandas")
+    uvals = rd.from_arrow(pa.table({
+        "lang": pa.array(["a", "a"], pa.string()),
+        "score": pa.array([1, 2], pa.uint64()),
+    }))
+    with pytest.raises(Exception, match="signed integer"):
+        filter_by_key_quantile(uvals, "lang", "score", 1, 2,
+                               output="pandas")
+    # key named "n" would be overwritten by group_quantiles' count col
+    nkey = rd.from_arrow(pa.table({
+        "n": pa.array([1, 2], pa.int64()),
+        "score": pa.array([1, 2], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match='"n"'):
+        filter_by_key_quantile(nkey, "n", "score", 1, 2)
+    with pytest.raises(ValueError, match="output"):
+        filter_by_key_quantile(ds, "lang", "score", 1, 2, output="Pandas")

@@ -847,6 +847,22 @@ def test_fuzzy_contamination_empty_and_invalid(rd):
     clean = _docs(rd, ["totally different words in every position here"])
     got = fuzzy_contamination(corpus, clean, "doc_id", "text", output="pandas")
     assert len(got) == 0 and list(got.columns) == ["doc_id", "eval_id"]
+    # null ids reject loudly (NULL int64 policy); bad mode strings too
+    withnull = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, None], pa.int64()),
+        "text": pa.array([BASE, BASE], pa.string()),
+    }))
+    with pytest.raises(Exception, match="null"):
+        fuzzy_contamination(corpus, withnull, "doc_id", "text",
+                            output="pandas")
+    with pytest.raises(Exception, match="null"):
+        fuzzy_contamination(withnull, corpus, "doc_id", "text",
+                            output="pandas")
+    with pytest.raises(ValueError, match="output"):
+        fuzzy_contamination(corpus, corpus, "doc_id", "text", output="Pandas")
+    with pytest.raises(ValueError, match="verification"):
+        fuzzy_contamination(corpus, corpus, "doc_id", "text",
+                            verification="none")
 
 
 def test_corpus_diff(rd):
@@ -920,6 +936,25 @@ def test_corpus_diff_rejections(rd):
         corpus_diff(old, nulls, "doc_id", "text", output="pandas")
     with pytest.raises(ValueError, match="staging"):
         corpus_diff(old, old, "status", "text")
+
+
+def test_corpus_diff_leading_nul_versions(rd):
+    """Two versions differing only in leading NUL bytes must report
+    'changed': the seam hash folds the byte length past the FNV h0=0
+    fixed point (which absorbs leading NULs)."""
+    from raylink.dedup import corpus_diff
+
+    old = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a", ""], pa.string()),
+    }))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["\x00a", "\x00"], pa.string()),
+    }))
+    got = corpus_diff(old, new, "doc_id", "text", output="pandas")
+    assert got["doc_id"].tolist() == [0, 1]
+    assert set(got["status"]) == {"changed"}
 
 
 def test_simhash_dedup_short_docs_not_grouped(rd):
