@@ -2173,7 +2173,7 @@ def q_transcript_pr_curve(sf_dir: str):
 # FIRST; the longest-stable greens (driver-green every round since r1/r2)
 # sit in the tail, where a window cut costs the least evidence.
 QUERIES = {
-    # --- new in the round-5 close-out ---
+    # --- never driver-checked (round-5 additions; window slots 1-18) ---
     "fuzzy_contamination": q_fuzzy_contamination,
     "corpus_diff": q_corpus_diff,
     "docs_above_lang_median": q_docs_above_lang_median,
@@ -2181,75 +2181,23 @@ QUERIES = {
     "sample_mix": q_sample_mix,
     "sample_n": q_sample_n,
     "dedup_reps_quality": q_dedup_reps_quality,
-    # --- never driver-checked in r3 (the r3 window cut them) ---
-    "transcript_flagship": q_transcript_flagship,
-    "transcript_pr_curve": q_transcript_pr_curve,
-    "minhash_dedup": q_minhash_dedup,
-    "dedup_representatives": q_dedup_representatives,
-    "contamination_check": q_contamination_check,
     "contamination_bloom": q_contamination_bloom,
-    "deduped_corpus": q_deduped_corpus,
-    "incremental_dedup": q_incremental_dedup,
-    "corpus_report": q_corpus_report,
-    "quality_filter": q_quality_filter,
-    "simhash": q_simhash,
-    "fit_transform": q_fit_transform,
-    "multi_model_compare": q_multi_model_compare,
-    "epoch_shuffle": q_epoch_shuffle,
-    "customers_no_urgent": q_customers_no_urgent,
-    "event_pairs": q_event_pairs,
-    "multimodal_features": q_multimodal_features,
-    "embedding_cosine_pairs": q_embedding_cosine_pairs,
-    "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "semantic_dedup": q_semantic_dedup,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    # --- new / newly-oracled in r4 ---
-    "remove_boilerplate": q_remove_boilerplate,
-    "token_budget": q_token_budget,
-    "training_mix": q_training_mix,
-    "bpe_pairs": q_bpe_pairs,
     "bpe_encode": q_bpe_encode,
     "remove_duplicate_spans": q_remove_duplicate_spans,
-    "rarity_score": q_rarity_score,
-    "wratio_short_branch": q_wratio_short_branch,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_ivf_partitioned": q_ann_ivf_partitioned,
-    # --- r3-green, code touched or heavy this round ---
-    "match_tfidf_documents": q_match_tfidf_documents,
-    "group_documents": q_group_documents,
     "match_rapidfuzz": q_match_rapidfuzz,
-    "match_editdistance": q_match_editdistance,
-    "match_embeddings": q_match_embeddings,
-    "ann_topk": q_ann_topk,
-    "ann_self_top1": q_ann_self_top1,
-    "ann_topk_join": q_ann_topk_join,
-    "snm_pairs": q_snm_pairs,
-    "asof_clicks_views": q_asof_clicks_views,
-    "event_windows": q_event_windows,
-    "session_stats": q_session_stats,
-    "join_orders_customers": q_join_orders_customers,
-    "stratified_sample": q_stratified_sample,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "user_active_days": q_user_active_days,
     "approx_users_kmv": q_approx_users_kmv,
     "approx_users_hll": q_approx_users_hll,
     "domain_token_budget": q_domain_token_budget,
     "token_mix": q_token_mix,
     "frequent_langs": q_frequent_langs,
     "approx_event_quantiles": q_approx_event_quantiles,
-    "top_revenue_customers": q_top_revenue_customers,
-    "docs_in_major_langs": q_docs_in_major_langs,
-    "rolling_user_value": q_rolling_user_value,
-    "event_lag_gaps": q_event_lag_gaps,
-    "profile_documents": q_profile_documents,
-    "label_centroids": q_label_centroids,
-    "hopping_event_windows": q_hopping_event_windows,
+    # --- last driver-green in r3 (slots 19-43) ---
     "event_value_quantiles": q_event_value_quantiles,
     "heavy_users": q_heavy_users,
     "split_documents": q_split_documents,
     "sft_pairs": q_sft_pairs,
     "transcript_tool_stats": q_transcript_tool_stats,
-    # --- tail: driver-green every round since r1/r2, untouched in r4 ---
     "clean_documents": q_clean_documents,
     "ngram_df": q_ngram_df,
     "exact_dedup": q_exact_dedup,
@@ -2270,13 +2218,66 @@ QUERIES = {
     "transcript_from_json": q_transcript_from_json,
     "transcript_conv_text": q_transcript_conv_text,
     "transcript_turn_stats": q_transcript_turn_stats,
+    # --- r4-green whose code the round-5 sessions touched (slots 44-50) ---
+    "transcript_flagship": q_transcript_flagship,
+    "minhash_dedup": q_minhash_dedup,
+    "dedup_representatives": q_dedup_representatives,
+    "deduped_corpus": q_deduped_corpus,
+    "contamination_check": q_contamination_check,
+    "training_mix": q_training_mix,
+    "remove_boilerplate": q_remove_boilerplate,
+    # --- tail: driver-green in r4, code stable since (window cut costs least) ---
+    "transcript_pr_curve": q_transcript_pr_curve,
+    "incremental_dedup": q_incremental_dedup,
+    "corpus_report": q_corpus_report,
+    "quality_filter": q_quality_filter,
+    "simhash": q_simhash,
+    "fit_transform": q_fit_transform,
+    "multi_model_compare": q_multi_model_compare,
+    "epoch_shuffle": q_epoch_shuffle,
+    "customers_no_urgent": q_customers_no_urgent,
+    "event_pairs": q_event_pairs,
+    "multimodal_features": q_multimodal_features,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "token_budget": q_token_budget,
+    "bpe_pairs": q_bpe_pairs,
+    "rarity_score": q_rarity_score,
+    "wratio_short_branch": q_wratio_short_branch,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_partitioned": q_ann_ivf_partitioned,
+    "match_tfidf_documents": q_match_tfidf_documents,
+    "group_documents": q_group_documents,
+    "match_editdistance": q_match_editdistance,
+    "match_embeddings": q_match_embeddings,
+    "ann_topk": q_ann_topk,
+    "ann_self_top1": q_ann_self_top1,
+    "ann_topk_join": q_ann_topk_join,
+    "snm_pairs": q_snm_pairs,
+    "asof_clicks_views": q_asof_clicks_views,
+    "event_windows": q_event_windows,
+    "session_stats": q_session_stats,
+    "join_orders_customers": q_join_orders_customers,
+    "stratified_sample": q_stratified_sample,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "user_active_days": q_user_active_days,
+    "top_revenue_customers": q_top_revenue_customers,
+    "docs_in_major_langs": q_docs_in_major_langs,
+    "rolling_user_value": q_rolling_user_value,
+    "event_lag_gaps": q_event_lag_gaps,
+    "profile_documents": q_profile_documents,
+    "label_centroids": q_label_centroids,
+    "hopping_event_windows": q_hopping_event_windows,
 }
 
 # Driver-window rotation (VERDICT r4 #8): the driver's correctness check
-# covers the FIRST 50 queries each round, so the queries WITHOUT an r4
-# driver row — the r3 tail plus this round's additions — lead in r5; the
-# 50 r4-green ones follow. Every operator re-earns a fresh driver row at
-# least every other round.
+# covers the FIRST 50 queries each round. The r5 window = the 18 queries
+# that have NEVER had a driver row (round-5 additions) + the 25 whose last
+# green row was r3 + 7 r4-green queries whose kernels the round-5 sessions
+# changed (dedup defaults, byte-aware broadcast switches, BPE-count
+# training_mix, flagship). The 42 r4-green-and-stable queries sit in the
+# tail, where a window cut costs the least fresh evidence.
 _R5_LEAD = [
     "fuzzy_contamination",
     "corpus_diff",
