@@ -138,6 +138,21 @@ def _sql_fnv(gram_expr: str, k: int) -> str:
     return h
 
 
+def _sql_fnv_str(col: str) -> str:
+    """Full-content FNV64 byte fold of a VARCHAR column — the
+    blocking._fnv64_fold_rows kernel replayed over the column's UTF-8
+    bytes via hex(encode(.)) pairs (the media-payload byte-fold pattern,
+    so non-ASCII keys replay byte-exactly too). Empty strings fold to 0,
+    matching the kernel. HUGEINT in [0, 2^64)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+        f"list_transform(regexp_extract_all(hex(encode({col})), '..'), "
+        f"hx -> CAST((strpos('0123456789ABCDEF', substring(hx, 1, 1)) - 1) * 16 "
+        f"+ (strpos('0123456789ABCDEF', substring(hx, 2, 1)) - 1) AS HUGEINT))), "
+        f"(hh, c) -> (hh * {_SQL_FNV_P} + c) % {_SQL_M64})"
+    )
+
+
 def _sql_mulmod64(x: str, c: int) -> str:
     xe = f"CAST({x} AS HUGEINT)"
     return (
@@ -1337,6 +1352,19 @@ def q_split_documents(sf_dir: str):
     return out.map_batches(slim, batch_format="pyarrow")
 
 
+def q_grouped_split(sf_dir: str):
+    """Leakage-safe group-coherent split (raylink/sampling.split_by_key):
+    every document of one ``source`` lands in the same train/val/test
+    split, so near-duplicates inside a source family can never straddle
+    the held-out boundary. String keys bucket via the full-content FNV64
+    fold + double splitmix64 — SQL-checked byte-for-byte via the HUGEINT
+    replay (the simhash/media hash family)."""
+    from raylink.sampling import split_by_key
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return split_by_key(docs, "source", seed=5)
+
+
 def q_top_orders_per_customer(sf_dir: str):
     """Per-group top-k (raylink/aggs.group_topk): each customer's 3
     priciest orders (ties: smaller orderkey). The per-block partial
@@ -2174,6 +2202,7 @@ def q_transcript_pr_curve(sf_dir: str):
 # sit in the tail, where a window cut costs the least evidence.
 QUERIES = {
     # --- never driver-checked (round-5 additions; window slots 1-18) ---
+    "grouped_split": q_grouped_split,
     "fuzzy_contamination": q_fuzzy_contamination,
     "corpus_diff": q_corpus_diff,
     "docs_above_lang_median": q_docs_above_lang_median,
@@ -2279,6 +2308,7 @@ QUERIES = {
 # training_mix, flagship). The 42 r4-green-and-stable queries sit in the
 # tail, where a window cut costs the least fresh evidence.
 _R5_LEAD = [
+    "grouped_split",
     "fuzzy_contamination",
     "corpus_diff",
     "docs_above_lang_median",
@@ -3726,6 +3756,22 @@ ORACLE_SQL = {
         FROM (
             SELECT doc_id,
                    {_sql_splitmix64('(doc_id + 13)')} % 10000 AS b
+            FROM documents
+        )
+    """,
+    # group-coherent split: bucket = splitmix64(splitmix64(fnv64(source))
+    # + seed) % 10000 — the double-hash replayed in HUGEINT mod-2^64
+    "grouped_split": f"""
+        SELECT doc_id, source,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, source,
+                   {_sql_splitmix64(
+                       f"(({_sql_splitmix64(_sql_fnv_str('source'))} + 5)"
+                       f" % {_SQL_M64})"
+                   )} % 10000 AS b
             FROM documents
         )
     """,

@@ -20,9 +20,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .blocking import _hash64
+from .blocking import _fnv64_fold_rows, _hash64
 from .joins import (
     _check_reserved,
+    _is_string_key,
     _nonull,
     _string_part_hash,
     semi_join,
@@ -106,6 +107,30 @@ def stratified_sample(
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def _split_plan(splits, split_col: str):
+    """Shared split validation: labels + interior basis-point cuts.
+    Rates must sum to 1 (10000 bp exactly) so every row lands in exactly
+    one split."""
+    names = [n for n, _ in splits]
+    bps = [_rate_to_bp(r) for _, r in splits]
+    if sum(bps) != 10000:
+        raise ValueError(f"split rates must sum to 1.0 exactly, got {bps} bp")
+    if split_col in names:
+        raise ValueError(f"split_col {split_col!r} collides with a split name")
+    cuts = np.cumsum(bps[:-1], dtype=np.int64)  # interior boundaries
+    return pa.array(names, pa.string()), cuts
+
+
+def _guard_split_col(batch: pa.Table, split_col: str):
+    # Arrow append_column allows duplicate names silently; a pre-existing
+    # column of the same name would make the output ambiguous downstream.
+    if split_col in batch.column_names:
+        raise ValueError(
+            f"sampling: input already has a column named {split_col!r} — "
+            "pass a different split_col"
+        )
+
+
 def split_by_hash(
     ds,
     id_col: str,
@@ -119,16 +144,11 @@ def split_by_hash(
 ):
     """Disjoint, exhaustive train/val/test assignment: the bucket space
     [0, 10000) is partitioned by cumulative basis-point thresholds and
-    each row gets the label of its bucket's slice. Rates must sum to 1
-    (10000 bp exactly) so every row lands in exactly one split."""
-    names = [n for n, _ in splits]
-    bps = [_rate_to_bp(r) for _, r in splits]
-    if sum(bps) != 10000:
-        raise ValueError(f"split rates must sum to 1.0 exactly, got {bps} bp")
-    cuts = np.cumsum(bps[:-1], dtype=np.int64)  # interior boundaries
-    labels = pa.array(names, pa.string())
+    each row gets the label of its bucket's slice."""
+    labels, cuts = _split_plan(splits, split_col)
 
     def tag(batch: pa.Table) -> pa.Table:
+        _guard_split_col(batch, split_col)
         ids = np.asarray(
             _nonull(batch[id_col], id_col, "sampling").to_numpy(
                 zero_copy_only=False
@@ -136,6 +156,55 @@ def split_by_hash(
             np.int64,
         )
         b = sample_bucket(ids, seed)
+        slot = np.searchsorted(cuts, b, side="right")
+        return batch.append_column(
+            split_col, labels.take(pa.array(slot, pa.int64()))
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def split_by_key(
+    ds,
+    key_col: str,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    seed: int = 0,
+    split_col: str = "split",
+):
+    """Leakage-safe GROUP-COHERENT split: the bucket is a pure function
+    of the key (domain / source / cluster id), so every row sharing a key
+    lands in the same split — near-duplicates within a group can never
+    straddle train/test (the split-by-domain rule large corpus pipelines
+    use to keep template families out of held-out sets). String keys
+    hash through the full-content FNV64 fold + splitmix64 (the repo-wide
+    SQL-replayable family; blocking._fnv64_fold_rows — note its
+    documented leading-NUL fixed point, irrelevant for domain-like
+    keys); int64 keys bucket directly via splitmix64(key + seed), so an
+    int-keyed call equals split_by_hash on that column. Weights
+    partition the KEY-hash space: realized row proportions track the
+    weights only as well as group sizes balance — the price of
+    coherence. Null keys reject loudly (sampler policy); streams as one
+    map_batches pass, no shuffle."""
+    labels, cuts = _split_plan(splits, split_col)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        _guard_split_col(batch, split_col)
+        a = _nonull(batch[key_col], key_col, "sampling")
+        if _is_string_key(a.type):
+            raw = _fnv64_fold_rows(a, pa.types.is_large_string(a.type))
+            kh = _hash64(raw.astype(np.int64)).astype(np.int64)
+        elif pa.types.is_integer(a.type):
+            kh = np.asarray(a.to_numpy(zero_copy_only=False), np.int64)
+        else:
+            raise TypeError(
+                f"split_by_key: key column {key_col!r} must be string or "
+                f"integer, got {a.type}"
+            )
+        b = sample_bucket(kh, seed)
         slot = np.searchsorted(cuts, b, side="right")
         return batch.append_column(
             split_col, labels.take(pa.array(slot, pa.int64()))

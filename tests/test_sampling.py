@@ -108,6 +108,98 @@ def test_split_by_hash_rejects_non_unit_sum(rd):
         )
 
 
+def test_split_by_key_group_coherent(rd):
+    """Every row sharing a key lands in the same split, regardless of
+    partitioning, and realized proportions are in the right ballpark
+    when keys are plentiful."""
+    from raylink.sampling import split_by_key
+
+    n = 6000
+    keys = pa.array([f"domain-{i % 500}.com" for i in range(n)])
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)), "host": keys}
+    )
+    out = split_by_key(
+        rd.from_arrow(tbl).repartition(5), "host", seed=9
+    ).to_pandas()
+    assert len(out) == n
+    per_key = out.groupby("host")["split"].nunique()
+    assert (per_key == 1).all()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.1
+    # partition-invariant
+    out2 = split_by_key(rd.from_arrow(tbl), "host", seed=9).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_split_by_key_matches_direct_kernel(rd):
+    """Brute parity: bucket = splitmix64(splitmix64(fnv64(key)) + seed)
+    % 10000 against the cuts, computed directly."""
+    from raylink.blocking import _fnv64_fold_rows, _hash64
+    from raylink.sampling import sample_bucket, split_by_key
+
+    keys = pa.array(["", "a", "aa", "web.example", "éclair", "x" * 300])
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(6, dtype=np.int64)), "k": keys}
+    )
+    out = (
+        split_by_key(rd.from_arrow(tbl), "k", seed=42)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    kh = _hash64(_fnv64_fold_rows(keys, False).astype(np.int64)).astype(
+        np.int64
+    )
+    b = sample_bucket(kh, 42)
+    want = np.where(b < 8000, "train", np.where(b < 9000, "val", "test"))
+    assert list(out["split"]) == list(want)
+
+
+def test_split_by_key_int_key_equals_split_by_hash(rd):
+    from raylink.sampling import split_by_hash, split_by_key
+
+    tbl = _docs_table(n=2000)
+    a = split_by_key(rd.from_arrow(tbl), "doc_id", seed=3).to_pandas()
+    b = split_by_hash(rd.from_arrow(tbl), "doc_id", seed=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_split_by_key_guards(rd):
+    from raylink.sampling import split_by_hash, split_by_key
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "k": pa.array(["a", None]),
+            "f": pa.array([1.0, 2.0]),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    with pytest.raises(Exception, match="null"):
+        split_by_key(ds, "k", seed=1).materialize()
+    with pytest.raises(Exception, match="string or integer"):
+        split_by_key(ds, "f", seed=1).materialize()
+    # pre-existing split column rejected (both splitters)
+    tagged = rd.from_arrow(tbl.drop_columns(["k"]).append_column(
+        "split", pa.array(["x", "y"])
+    ))
+    with pytest.raises(Exception, match="already has a column"):
+        split_by_key(tagged, "doc_id", seed=1).materialize()
+    with pytest.raises(Exception, match="already has a column"):
+        split_by_hash(tagged, "doc_id", seed=1).materialize()
+    # a split label colliding with split_col is ambiguous
+    with pytest.raises(ValueError, match="collides"):
+        split_by_key(
+            ds, "doc_id", splits=(("s", 1.0),), split_col="s"
+        )
+
+
 def test_epoch_order_deterministic_and_epoch_varying(rd):
     import pyarrow as pa
 
