@@ -3754,6 +3754,144 @@ def corpus_diff(
     )
 
 
+def apply_corpus_delta(
+    base_ds,
+    delta_ds,
+    id_col: str,
+    delete_ids=None,
+    mode: str = "auto",
+    n_parts: int | None = None,
+    output: str = "dataset",
+):
+    """Apply a CDC-style delta to a corpus snapshot: every ``delta_ds``
+    row UPSERTS (replaces the same-id base row, or adds a new id) and
+    every id in ``delete_ids`` is removed. The write side of the
+    versioning pair — :func:`corpus_diff` tells you what moved between
+    snapshots; this produces the next snapshot from a base plus a change
+    set, without rewriting the unchanged majority through Python.
+
+    new = base ANTI-semi-join (delta ids ∪ delete ids)  ∪  delta
+
+    Scale shape: the BASE streams exactly once through the anti
+    semi-join (broadcast of the slim int64 removal-id set below the
+    semi_join bound, hash-partition co-shuffle above — ``mode`` /
+    ``n_parts`` forward); the delta pays one extra slim id pass for the
+    duplicate-id guard. Nothing corpus-sized lands on the driver on the
+    default path.
+
+    Guards (the versioning family's determinism rules): delta ids must
+    be unique and non-null (cross-block exact, via a group_count
+    digest); an id present in BOTH delta and delete_ids is ambiguous
+    and rejects; base null ids and within-block base duplicate ids
+    reject loudly (cross-block base uniqueness is the snapshot
+    invariant the CALLER maintains — validating it would cost a second
+    full base pass); base and delta must share the same column-name
+    set. Deleting an id absent from the base is an idempotent no-op.
+    ``delete_ids`` may be a Dataset holding an ``id_col`` column or any
+    int sequence. A zero-row delta whose Dataset lost its schema
+    (filter-produced) is not supported — pass a typed empty."""
+    import ray.data as rd
+
+    from raylink.aggs import group_count
+    from raylink.joins import _nonull, semi_join
+
+    base_names = list(base_ds.schema().names)
+    delta_names = list(delta_ds.schema().names)
+    if set(base_names) != set(delta_names):
+        raise ValueError(
+            "apply_corpus_delta: base and delta column sets differ: "
+            f"{sorted(base_names)} vs {sorted(delta_names)}"
+        )
+    if id_col not in base_names:
+        raise ValueError(f"apply_corpus_delta: no {id_col!r} column")
+
+    # delta dup-id guard: exact across blocks (group_count also rejects
+    # null delta ids loudly). The delta is the small side by contract,
+    # so the extra slim pass is cheap relative to the base stream.
+    cnt = group_count(
+        delta_ds.select_columns([id_col]), (id_col,), count_name="n_rows"
+    )
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        # empty post-shuffle blocks can drop their schema entirely (the
+        # SNM landmark) — skip, don't KeyError
+        if "n_rows" not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        return t.select([id_col]).filter(
+            pc.greater(t["n_rows"], pa.scalar(1, pa.int64()))
+        )
+
+    dup = cnt.map_batches(only_dups, batch_format="pyarrow").count()
+    if dup:
+        raise ValueError(
+            f"apply_corpus_delta: {dup} duplicate {id_col!r} values in the "
+            "delta — an upsert with two rows for one id is ambiguous"
+        )
+
+    delta_ids = delta_ds.select_columns([id_col])
+    if delete_ids is not None:
+        if hasattr(delete_ids, "select_columns"):
+            del_ds = delete_ids.select_columns([id_col])
+        else:
+            arr = pa.array(
+                np.asarray(list(delete_ids), dtype=np.int64), pa.int64()
+            )
+            del_ds = rd.from_arrow(pa.table({id_col: arr}))
+        clash = semi_join(
+            delta_ids, del_ds, id_col, id_col, mode=mode, n_parts=n_parts
+        ).count()
+        if clash:
+            raise ValueError(
+                f"apply_corpus_delta: {clash} ids appear in BOTH the delta "
+                "and delete_ids — upsert-then-delete order is ambiguous; "
+                "resolve upstream"
+            )
+        remove_ids = delta_ids.union(del_ds)
+    else:
+        remove_ids = delta_ids
+
+    def check_base(t: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            _nonull(t[id_col], id_col, "apply_corpus_delta").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
+        if len(ids) != len(np.unique(ids)):
+            raise ValueError(
+                f"apply_corpus_delta: duplicate {id_col!r} values in the "
+                "base snapshot block — snapshot ids must be unique"
+            )
+        return t
+
+    survivors = semi_join(
+        base_ds.map_batches(check_base, batch_format="pyarrow"),
+        remove_ids,
+        id_col,
+        id_col,
+        left_cols=tuple(c for c in base_names if c != id_col),
+        anti=True,
+        mode=mode,
+        n_parts=n_parts,
+    )
+
+    def reorder(t: pa.Table) -> pa.Table:
+        return t.select(base_names)
+
+    res = survivors.map_batches(reorder, batch_format="pyarrow").union(
+        delta_ds.map_batches(reorder, batch_format="pyarrow")
+    )
+    if output == "dataset":
+        return res
+    if output != "pandas":
+        raise ValueError('output must be "dataset" or "pandas"')
+    return (
+        typed_to_pandas(res)
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+
+
 def exact_dedup_survivors(
     ds,
     id_col: str,

@@ -1997,6 +1997,57 @@ def q_corpus_diff(sf_dir: str):
     return corpus_diff(old, new, "doc_id", "text", output="pandas")
 
 
+def q_apply_delta(sf_dir: str):
+    """CDC-style snapshot application (raylink/dedup.apply_corpus_delta):
+    base = the documents table; delta = upserts (text || ' v2' where
+    doc_id % 7 == 0, new docs 10000+doc_id where doc_id % 11 == 0);
+    deletes = doc_id % 13 == 0 minus the upserted ids (delta ∩ delete
+    rejects loudly by design). The base streams once through one anti
+    semi-join against the slim removal-id set; output = the next
+    snapshot. SQL-checked: NOT IN against delta/delete ids + UNION ALL
+    of the delta."""
+    from raylink.dedup import apply_corpus_delta
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def upserts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sel = batch.filter(pa.array(ids % 7 == 0))
+        txt = pc.binary_join_element_wise(
+            sel["text"].combine_chunks(), " v2", ""
+        )
+        return pa.table({"doc_id": sel["doc_id"], "text": txt})
+
+    def added_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sel = batch.filter(pa.array(ids % 11 == 0))
+        sids = pc.cast(sel["doc_id"].combine_chunks(), pa.int64())
+        txt = pc.binary_join_element_wise(
+            "new doc ", pc.cast(sids, pa.string()), ""
+        )
+        return pa.table(
+            {"doc_id": pc.add_checked(sids, 10000), "text": txt}
+        )
+
+    def del_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return pa.table(
+            {"doc_id": batch["doc_id"].filter(
+                pa.array((ids % 13 == 0) & (ids % 7 != 0))
+            )}
+        )
+
+    delta = base.map_batches(upserts, batch_format="pyarrow").union(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            added_rows, batch_format="pyarrow"
+        )
+    )
+    dels = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        del_rows, batch_format="pyarrow"
+    )
+    return apply_corpus_delta(base, delta, "doc_id", delete_ids=dels)
+
+
 def q_deduped_corpus(sf_dir: str):
     """The actual deduped corpus: survivors after near-dup removal
     (non-members + per-group representatives), streaming anti semi-join."""
@@ -2203,6 +2254,7 @@ def q_transcript_pr_curve(sf_dir: str):
 QUERIES = {
     # --- never driver-checked (round-5 additions; window slots 1-18) ---
     "grouped_split": q_grouped_split,
+    "apply_delta": q_apply_delta,
     "fuzzy_contamination": q_fuzzy_contamination,
     "corpus_diff": q_corpus_diff,
     "docs_above_lang_median": q_docs_above_lang_median,
@@ -2309,6 +2361,7 @@ QUERIES = {
 # tail, where a window cut costs the least fresh evidence.
 _R5_LEAD = [
     "grouped_split",
+    "apply_delta",
     "fuzzy_contamination",
     "corpus_diff",
     "docs_above_lang_median",
@@ -4444,6 +4497,27 @@ ORACLE_SQL["corpus_diff"] = """
         FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
     )
     SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+"""
+
+# CDC snapshot application: base anti-joined on (delta ∪ delete) ids,
+# UNION ALL the delta upserts — the write side of the corpus_diff pair
+ORACLE_SQL["apply_delta"] = """
+    WITH delta AS (
+        SELECT doc_id, text || ' v2' AS text
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 10000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 11 = 0
+    ),
+    dels AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+    )
+    SELECT d.doc_id, d.text FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM delta)
+      AND d.doc_id NOT IN (SELECT doc_id FROM dels)
+    UNION ALL
+    SELECT doc_id, text FROM delta
 """
 
 # dataset-card report: the deduped_corpus + quality_filter predicates

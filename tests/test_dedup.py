@@ -938,6 +938,103 @@ def test_corpus_diff_rejections(rd):
         corpus_diff(old, old, "status", "text")
 
 
+def _acd_frame(n=20):
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array([f"doc {i} body" for i in range(n)], pa.string()),
+        "lang": pa.array(["en", "de"] * (n // 2), pa.string()),
+    })
+
+
+def test_apply_corpus_delta(rd):
+    """Upserts replace same-id rows, new ids append, deletes remove;
+    column order follows the base; broadcast and forced-distributed
+    anti-join agree; delete of an absent id is a no-op."""
+    from raylink.dedup import apply_corpus_delta
+
+    base_tbl = _acd_frame()
+    base = rd.from_arrow(base_tbl).repartition(3)
+    delta = rd.from_arrow(pa.table({
+        # deliberately different column ORDER — same name set
+        "lang": pa.array(["fr", "fr"], pa.string()),
+        "doc_id": pa.array([3, 100], pa.int64()),
+        "text": pa.array(["updated 3", "brand new"], pa.string()),
+    }))
+    exp = base_tbl.to_pandas()
+    exp = exp[~exp["doc_id"].isin([3, 7, 100])]
+    exp = pd.concat([exp, pd.DataFrame({
+        "doc_id": np.array([3, 100], dtype=np.int64),
+        "text": ["updated 3", "brand new"],
+        "lang": ["fr", "fr"],
+    })]).sort_values("doc_id").reset_index(drop=True)
+
+    got = apply_corpus_delta(
+        base, delta, "doc_id", delete_ids=[7, 999], output="pandas"
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # dataset output (default) matches; forced-distributed anti-join too
+    ds_got = (
+        apply_corpus_delta(base, delta, "doc_id", delete_ids=[7, 999])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ds_got, exp)
+    dist = apply_corpus_delta(
+        base, delta, "doc_id", delete_ids=[7, 999],
+        mode="distributed", output="pandas",
+    )
+    pd.testing.assert_frame_equal(dist, exp)
+    # delete_ids as a Dataset; no deletes at all
+    del_ds = rd.from_arrow(pa.table({"doc_id": pa.array([7], pa.int64())}))
+    got2 = apply_corpus_delta(
+        base, delta, "doc_id", delete_ids=del_ds, output="pandas"
+    )
+    pd.testing.assert_frame_equal(got2, exp)
+    no_del = apply_corpus_delta(base, delta, "doc_id", output="pandas")
+    assert set(no_del["doc_id"]) == set(exp["doc_id"]) | {7}
+
+
+def test_apply_corpus_delta_guards(rd):
+    from raylink.dedup import apply_corpus_delta
+
+    base = rd.from_arrow(_acd_frame())
+    one = lambda i: rd.from_arrow(pa.table({
+        "doc_id": pa.array([i], pa.int64()),
+        "text": pa.array(["x"], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+    }))
+    # duplicate delta ids: cross-block (two single-row blocks)
+    with pytest.raises(ValueError, match="duplicate"):
+        apply_corpus_delta(base, one(5).union(one(5)), "doc_id")
+    # delta ∩ delete_ids is ambiguous
+    with pytest.raises(ValueError, match="BOTH"):
+        apply_corpus_delta(base, one(5), "doc_id", delete_ids=[5])
+    # column-name sets must match
+    with pytest.raises(ValueError, match="column sets differ"):
+        apply_corpus_delta(
+            base,
+            rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64())})),
+            "doc_id",
+        )
+    # null / duplicate base ids reject loudly (nulls would silently
+    # drop through the anti-join's join policy otherwise)
+    null_base = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, None], pa.int64()),
+        "text": pa.array(["a", "b"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    }))
+    with pytest.raises(Exception, match="null"):
+        apply_corpus_delta(null_base, one(9), "doc_id", output="pandas")
+    dup_base = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 1], pa.int64()),
+        "text": pa.array(["a", "b"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    }))
+    with pytest.raises(Exception, match="duplicate"):
+        apply_corpus_delta(dup_base, one(9), "doc_id", output="pandas")
+    with pytest.raises(ValueError, match="output"):
+        apply_corpus_delta(base, one(9), "doc_id", output="Pandas")
+
+
 def test_corpus_diff_leading_nul_versions(rd):
     """Two versions differing only in leading NUL bytes must report
     'changed': the seam hash folds the byte length past the FNV h0=0
