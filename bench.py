@@ -157,6 +157,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
         # regressions in the new operator layer must be visible per round.
         # Same best-of-2 discipline; each op consumed with count().
         from raylink.dedup import (
+            apply_corpus_delta,
             apply_dedup,
             contamination_check,
             corpus_diff,
@@ -235,6 +236,26 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
                 txt,
             )
             return _pa.table({"doc_id": keep["doc_id"], "text": new_txt})
+
+        def _upserts(batch):
+            import pyarrow.compute as _pc
+
+            ids = batch["doc_id"].to_numpy()
+            sel = batch.filter(_pa.array(ids % 7 == 0))
+            txt = _pc.binary_join_element_wise(
+                sel["text"].combine_chunks(), " v2", ""
+            )
+            return _pa.table({"doc_id": sel["doc_id"], "text": txt})
+
+        def _del_rows(batch):
+            ids = batch["doc_id"].to_numpy()
+            return _pa.table(
+                {
+                    "doc_id": batch["doc_id"].filter(
+                        _pa.array((ids % 13 == 0) & (ids % 7 != 0))
+                    )
+                }
+            )
 
         def _with_len(batch):
             import pyarrow.compute as _pc
@@ -371,6 +392,21 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
                     corpus(),
                     corpus().map_batches(_edit_pass, batch_format="pyarrow"),
                     "doc_id", "text",
+                )
+            ),
+            # r5 sixth-session surface: CDC snapshot application over
+            # the FULL corpus — ~150k upserts (doc_id % 7) + ~70k
+            # deletes (doc_id % 13, minus the upserted ids); the base
+            # streams once through one anti semi-join, the delta pays
+            # one slim dup-guard pass
+            "apply_delta_corpus": lambda: _consume(
+                apply_corpus_delta(
+                    corpus(),
+                    corpus().map_batches(_upserts, batch_format="pyarrow"),
+                    "doc_id",
+                    delete_ids=corpus().map_batches(
+                        _del_rows, batch_format="pyarrow"
+                    ),
                 )
             ),
             # per-key exact-median gate over 32 synthetic domains on the

@@ -3804,13 +3804,21 @@ def apply_corpus_delta(
         )
     if id_col not in base_names:
         raise ValueError(f"apply_corpus_delta: no {id_col!r} column")
+    if id_col == "n_rows":
+        raise ValueError(
+            "apply_corpus_delta: id_col 'n_rows' collides with the "
+            "dup-guard staging column — rename the id column"
+        )
+
+    # The slim id projection is consumed up to three times (dup guard,
+    # delete-clash check, removal set) — materialize it ONCE so a derived
+    # delta pipeline doesn't re-execute per consumer (8 B/row in plasma).
+    delta_ids = delta_ds.select_columns([id_col]).materialize()
 
     # delta dup-id guard: exact across blocks (group_count also rejects
     # null delta ids loudly). The delta is the small side by contract,
     # so the extra slim pass is cheap relative to the base stream.
-    cnt = group_count(
-        delta_ds.select_columns([id_col]), (id_col,), count_name="n_rows"
-    )
+    cnt = group_count(delta_ids, (id_col,), count_name="n_rows")
 
     def only_dups(t: pa.Table) -> pa.Table:
         # empty post-shuffle blocks can drop their schema entirely (the
@@ -3828,14 +3836,19 @@ def apply_corpus_delta(
             "delta — an upsert with two rows for one id is ambiguous"
         )
 
-    delta_ids = delta_ds.select_columns([id_col])
     if delete_ids is not None:
         if hasattr(delete_ids, "select_columns"):
             del_ds = delete_ids.select_columns([id_col])
         else:
-            arr = pa.array(
-                np.asarray(list(delete_ids), dtype=np.int64), pa.int64()
-            )
+            raw = np.asarray(list(delete_ids))
+            if raw.size and raw.dtype.kind not in "iu":
+                # a float sequence would truncate silently through the
+                # int64 cast (the repo-wide float-key rejection policy)
+                raise TypeError(
+                    "apply_corpus_delta: delete_ids must be integers, "
+                    f"got dtype {raw.dtype}"
+                )
+            arr = pa.array(raw.astype(np.int64), pa.int64())
             del_ds = rd.from_arrow(pa.table({id_col: arr}))
         clash = semi_join(
             delta_ids, del_ds, id_col, id_col, mode=mode, n_parts=n_parts

@@ -197,12 +197,15 @@ def split_by_key(
         if _is_string_key(a.type):
             raw = _fnv64_fold_rows(a, pa.types.is_large_string(a.type))
             kh = _hash64(raw.astype(np.int64)).astype(np.int64)
-        elif pa.types.is_integer(a.type):
+        elif pa.types.is_integer(a.type) and not pa.types.is_uint64(
+            a.type
+        ):
             kh = np.asarray(a.to_numpy(zero_copy_only=False), np.int64)
         else:
+            # uint64 would wrap silently through the int64 bucket view
             raise TypeError(
                 f"split_by_key: key column {key_col!r} must be string or "
-                f"integer, got {a.type}"
+                f"integer (uint64 excluded), got {a.type}"
             )
         b = sample_bucket(kh, seed)
         slot = np.searchsorted(cuts, b, side="right")

@@ -1033,6 +1033,16 @@ def test_apply_corpus_delta_guards(rd):
         apply_corpus_delta(dup_base, one(9), "doc_id", output="pandas")
     with pytest.raises(ValueError, match="output"):
         apply_corpus_delta(base, one(9), "doc_id", output="Pandas")
+    # float delete ids would truncate silently through the int64 cast
+    with pytest.raises(TypeError, match="integers"):
+        apply_corpus_delta(base, one(9), "doc_id", delete_ids=[1.5])
+    # id_col colliding with the dup-guard staging column
+    renamed = rd.from_arrow(pa.table({
+        "n_rows": pa.array([1], pa.int64()),
+        "text": pa.array(["a"], pa.string()),
+    }))
+    with pytest.raises(ValueError, match="n_rows"):
+        apply_corpus_delta(renamed, renamed, "n_rows")
 
 
 def test_corpus_diff_leading_nul_versions(rd):

@@ -185,6 +185,10 @@ def test_split_by_key_guards(rd):
         split_by_key(ds, "k", seed=1).materialize()
     with pytest.raises(Exception, match="string or integer"):
         split_by_key(ds, "f", seed=1).materialize()
+    # uint64 keys would wrap silently through the int64 bucket view
+    u64 = rd.from_arrow(pa.table({"u": pa.array([1, 2], pa.uint64())}))
+    with pytest.raises(Exception, match="uint64"):
+        split_by_key(u64, "u", seed=1).materialize()
     # pre-existing split column rejected (both splitters)
     tagged = rd.from_arrow(tbl.drop_columns(["k"]).append_column(
         "split", pa.array(["x", "y"])
