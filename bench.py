@@ -164,6 +164,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             dedup_representatives,
             fuzzy_contamination,
             remove_duplicate_spans,
+            winnow_overlap_pairs,
         )
         from raylink.aggs import approx_ndistinct_hll, filter_by_key_quantile
         from raylink.packing import cap_tokens_per_key, pack_sequences
@@ -344,6 +345,18 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             # 10-word window census + broadcast coverage strip
             "dup_spans_corpus": lambda: _consume(
                 remove_duplicate_spans(corpus(), window=10)
+            ),
+            # MOSS winnowing partial-overlap pairs (r5 sixth session):
+            # streaming fingerprints at density 2/(w+1) + inverted-index
+            # shared-count join; 5% dedup sample (the corpus is near-dup
+            # DENSE — full-corpus fp buckets blow up by construction) with
+            # the posting cap keeping boilerplate fingerprints bounded
+            "winnow_pairs_corpus": lambda: _consume(
+                winnow_overlap_pairs(
+                    hash_sample(corpus(), "doc_id", rate=0.05),
+                    "doc_id", "text", k=16, window=8, min_shared=2,
+                    max_posting=200,
+                )
             ),
             # r5 third-session surface: global approximate-distinct-TEXT
             # count (HLL p=12 — the full-content FNV fold over 1.05M

@@ -1970,6 +1970,276 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003 — the MOSS primitive)
+# ---------------------------------------------------------------------------
+
+
+def _positional_shingle_hashes(
+    texts: pa.Array, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc k-char shingle hashes in POSITION order (duplicates kept —
+    the winnowing input, unlike _shingle_hashes' deduped sets). Same
+    FNV64+splitmix64 family so DuckDB replays it bit-exactly. Returns
+    (doc_ids int64 ascending, hashes uint64); within a doc the hash at
+    output index i is the shingle starting at cleaned-text position i."""
+    cleaned = clean_strings_arrow(pc.fill_null(texts, ""))
+    doc_ids, grams = batch_ngrams(
+        cleaned, (k, k), remove_space_ngrams=False, pad_width=k
+    )
+    if len(grams) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    raw = np.frombuffer(grams.tobytes(), dtype=np.uint8).reshape(len(grams), -1)
+    h = np.zeros(len(grams), dtype=np.uint64)
+    for col in range(raw.shape[1]):
+        h = h * np.uint64(1099511628211) + raw[:, col].astype(np.uint64)
+    return doc_ids, _hash64(h.astype(np.int64))
+
+
+def _winnow_select(
+    doc_ids: np.ndarray, h: np.ndarray, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing selection over position-ordered per-doc hash runs: every
+    full window of ``window`` consecutive hashes keeps its minimum
+    (rightmost position on ties — the Schleimer et al. rule); a run
+    shorter than one full window contributes its single rightmost
+    minimum. Comparison is UNSIGNED (the SQL replay ranks HUGEINT in
+    [0, 2^64), so a signed min would diverge on high-bit hashes).
+    Returns distinct (doc, fp) pairs, fp as the int64 wraparound view."""
+    m = len(h)
+    if m == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    w = int(window)
+    starts = np.flatnonzero(np.r_[True, doc_ids[1:] != doc_ids[:-1]])
+    run_len = np.diff(np.append(starts, m))
+    sel_parts: list[np.ndarray] = []
+    if m >= w:
+        wv = np.lib.stride_tricks.sliding_window_view(h, w)
+        ws = np.arange(m - w + 1, dtype=np.int64)
+        # doc_ids ascend, so equal endpoints => the whole window is one doc
+        vsel = np.flatnonzero(doc_ids[ws] == doc_ids[ws + w - 1])
+        if len(vsel):
+            # argmin over the REVERSED window = rightmost minimum
+            j = np.argmin(wv[vsel][:, ::-1], axis=1)
+            sel_parts.append(vsel + (w - 1 - j))
+    short = np.flatnonzero(run_len < w)
+    if len(short):
+        s0, l0 = starts[short], run_len[short]
+        rstarts = np.cumsum(l0) - l0
+        pos = (
+            np.arange(int(l0.sum()), dtype=np.int64)
+            - np.repeat(rstarts, l0)
+            + np.repeat(s0, l0)
+        )
+        hh = h[pos]
+        rmin = np.minimum.reduceat(hh, rstarts)
+        cand = hh == np.repeat(rmin, l0)
+        # positions are >= 0, so -1 never wins the rightmost-max reduce
+        sel_parts.append(np.maximum.reduceat(np.where(cand, pos, -1), rstarts))
+    sel = np.concatenate(sel_parts)
+    d = doc_ids[sel]
+    fp = h[sel].astype(np.int64)  # wraparound view, exact
+    order = np.lexsort((fp, d))
+    d, fp = d[order], fp[order]
+    keep = np.r_[True, (d[1:] != d[:-1]) | (fp[1:] != fp[:-1])]
+    return d[keep], fp[keep]
+
+
+def _winnow_batch_ids(batch: pa.Table, id_col: str, op: str) -> np.ndarray:
+    # worker-executed: no runtime raylink imports (the cloudpickle
+    # by-value fallback invariant) — the null check is inlined
+    col = batch[id_col]
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if a.null_count:
+        raise ValueError(
+            f"{op}: column {id_col!r} contains null values — nulls would "
+            "silently corrupt the int64 kernel; filter or fill upstream"
+        )
+    ids = np.asarray(a.to_numpy(zero_copy_only=False), np.int64)
+    if len(ids) and int(ids.min()) < 0:
+        raise ValueError(f"{op}: {id_col!r} values must be non-negative int64")
+    if len(np.unique(ids)) != len(ids):
+        raise ValueError(
+            f"{op}: duplicate {id_col!r} values within a batch — duplicate "
+            "ids would silently duplicate (doc, fp) rows (cross-batch "
+            "duplicates are the family's documented per-batch scope)"
+        )
+    return ids
+
+
+def winnow_fingerprints(
+    ds,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    output: str = "dataset",
+):
+    """MOSS-style winnowed fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every k-char shingle of the cleaned text, slide a
+    window of ``window`` consecutive hashes, keep each window's minimum
+    (rightmost on ties); a doc with fewer than ``window`` shingles
+    contributes its single rightmost minimum. Guarantee: any shared
+    substring of length >= k + window - 1 cleaned chars yields at least
+    one SHARED fingerprint, at expected density 2/(window+1) — the
+    partial-overlap primitive that minhash (whole-doc resemblance) and
+    remove_duplicate_spans (exact fixed windows) don't cover.
+
+    Output: distinct (id_col, fp) rows per doc; docs whose cleaned text
+    has no k-gram emit nothing. Pure streaming map_batches — no shuffle;
+    each doc's text lives in one row so selection is batch-local.
+    SQL-replayable (FNV64+splitmix64 over HUGEINT — the family hash)."""
+    if int(k) < 1 or int(window) < 1:
+        raise ValueError("winnow_fingerprints: k and window must be >= 1")
+
+    def fps(batch: pa.Table) -> pa.Table:
+        ids = _winnow_batch_ids(batch, id_col, "winnow_fingerprints")
+        d, h = _positional_shingle_hashes(batch[text_col].combine_chunks(), k)
+        sd, fp = _winnow_select(d, h, window)
+        return pa.table({id_col: pa.array(ids[sd]), "fp": pa.array(fp)})
+
+    out = ds.map_batches(fps, batch_format="pyarrow")
+    if output == "pandas":
+        pdf = typed_to_pandas(out)
+        return pdf.sort_values([id_col, "fp"], ignore_index=True)
+    if output != "dataset":
+        raise ValueError(f"winnow_fingerprints: unknown output {output!r}")
+    return out
+
+
+def winnow_overlap_pairs(
+    ds,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_posting: int = 1000,
+    driver_agg_max_rows: int = 20_000_000,
+    output: str = "dataset",
+):
+    """Partial-overlap candidate pairs: docs sharing >= ``min_shared``
+    winnowed fingerprints (a, b, n_shared). The inverted-index self-join
+    shape of ngram_jaccard_pairs over a ~2/(window+1)-density fingerprint
+    stream instead of the full shingle set: explode (fp, doc), hash-
+    partition by fp, emit co-occurrence pairs per bucket (postings capped
+    at ``max_posting``, oversized buckets dropped with a logged count —
+    boilerplate fingerprints carry no overlap signal), then count shared
+    fingerprints per pair. ``output="dataset"`` (default) keeps the pair
+    aggregation fully distributed (pair-hash partitioned — identical
+    (a, b) rows co-locate, so per-partition counts are exact);
+    ``output="pandas"`` collects below ``driver_agg_max_rows``
+    co-occurrence rows and returns (a, b, n_shared) sorted."""
+    if int(min_shared) < 1:
+        raise ValueError("winnow_overlap_pairs: min_shared must be >= 1")
+    if output not in ("dataset", "pandas"):
+        raise ValueError(f"winnow_overlap_pairs: unknown output {output!r}")
+    fp_ds = winnow_fingerprints(ds, id_col, text_col, k=k, window=window)
+    P = _default_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        f = np.asarray(batch["fp"].to_numpy(zero_copy_only=False), np.int64)
+        # fp is already splitmix-mixed — the raw modulus spreads evenly
+        return batch.append_column("part", pa.array((f % P).astype(np.int64)))
+
+    def pairs_part(g: pa.Table) -> pa.Table:
+        f = np.asarray(g["fp"].to_numpy(zero_copy_only=False), np.int64)
+        doc = np.asarray(g[id_col].to_numpy(zero_copy_only=False), np.int64)
+        if not len(f):
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        order = np.lexsort((doc, f))
+        f, doc = f[order], doc[order]
+        # guard duplicated (fp, doc) rows (cross-batch duplicate ids):
+        # without it, dupes emit self-pairs and double-count shares
+        keep = np.r_[True, (f[1:] != f[:-1]) | (doc[1:] != doc[:-1])]
+        f, doc = f[keep], doc[keep]
+        bstarts = np.flatnonzero(np.r_[True, f[1:] != f[:-1]])
+        bsizes = np.diff(np.append(bstarts, len(f)))
+        (ab,) = _emit_bucket_pairs(
+            bstarts, bsizes, max_posting, [doc], oversize="skip"
+        )
+        return pa.table({"a": pa.array(ab[0]), "b": pa.array(ab[1])})
+
+    # materialize before the keyed groupby consumes it (fused
+    # explode -> shuffle de-parallelizes; the repo-wide landmark)
+    co_ds = (
+        fp_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pyarrow")
+        .materialize()
+    )
+    mins = int(min_shared)
+
+    def agg_pairs(a: np.ndarray, b: np.ndarray) -> pa.Table:
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        pstarts = np.flatnonzero(
+            np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        )
+        n = np.diff(np.append(pstarts, len(a)))
+        keep = n >= mins
+        return pa.table(
+            {
+                "a": pa.array(a[pstarts][keep]),
+                "b": pa.array(b[pstarts][keep]),
+                "n_shared": pa.array(n[keep].astype(np.int64)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "n_shared": pa.array([], pa.int64()),
+        }
+    )
+    n_co = co_ds.count()
+    if output == "pandas" and n_co <= driver_agg_max_rows:
+        if not n_co:
+            return empty.to_pandas()
+        tbl = pa.concat_tables(
+            ray.get(co_ds.to_arrow_refs()), promote_options="default"
+        )
+        out = agg_pairs(
+            np.asarray(tbl["a"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(tbl["b"].to_numpy(zero_copy_only=False), np.int64),
+        ).to_pandas()
+        return out.sort_values(["a", "b"], ignore_index=True)
+
+    if not n_co:
+        import ray.data as rd
+
+        out_ds = rd.from_arrow(empty)
+        return typed_to_pandas(out_ds) if output == "pandas" else out_ds
+
+    # distributed pair aggregation: one more keyed shuffle, partitioned by
+    # a MIXED pair hash (raw `a % P` collapses strided id spaces — the
+    # round-5 landmark); a is the partition function, so identical (a, b)
+    # rows always co-locate and per-partition counts are exact
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False), np.int64)
+        p2 = (_hash64(a).astype(np.int64) % P).astype(np.int64)
+        return batch.append_column("p2", pa.array(p2))
+
+    def agg_part(g: pa.Table) -> pa.Table:
+        return agg_pairs(
+            np.asarray(g["a"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(g["b"].to_numpy(zero_copy_only=False), np.int64),
+        )
+
+    out_ds = (
+        co_ds.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("p2")
+        .map_groups(agg_part, batch_format="pyarrow")
+    )
+    if output == "pandas":
+        pdf = typed_to_pandas(out_ds)
+        return pdf.sort_values(["a", "b"], ignore_index=True)
+    return out_ds
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

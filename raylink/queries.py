@@ -1828,6 +1828,36 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_winnow_fingerprints(sf_dir: str):
+    """MOSS winnowed fingerprints (raylink/dedup.winnow_fingerprints —
+    Schleimer, Wilkerson & Aiken, SIGMOD 2003) over documents: 16-char
+    shingles, window 8; each window keeps its minimum hash, rightmost on
+    ties. SQL-checked bit-exactly: the FNV64+splitmix64 family hash in
+    HUGEINT, the window selection replayed as a row_number over the
+    (window end, hash ASC, position DESC) order."""
+    from raylink.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        "doc_id", "text", k=16, window=8,
+        output="pandas",  # small-scale opt-in (library default: dataset)
+    )
+
+
+def q_winnow_overlap(sf_dir: str):
+    """Partial-overlap pairs sharing >= 2 winnowed fingerprints
+    (raylink/dedup.winnow_overlap_pairs) — the plagiarism-shaped overlap
+    primitive that minhash's whole-doc resemblance misses. SQL-checked:
+    fingerprint self-join + HAVING count >= 2 (integer counts, exact)."""
+    from raylink.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        "doc_id", "text", k=16, window=8, min_shared=2,
+        output="pandas",  # small-scale opt-in (library default: dataset)
+    )
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash-LSH near-dedup over documents — SQL-checked (recursive-CTE
     connected components over the verified near-dup edges)."""
@@ -2253,6 +2283,8 @@ def q_transcript_pr_curve(sf_dir: str):
 # sit in the tail, where a window cut costs the least evidence.
 QUERIES = {
     # --- never driver-checked (round-5 additions; window slots 1-18) ---
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap": q_winnow_overlap,
     "grouped_split": q_grouped_split,
     "apply_delta": q_apply_delta,
     "fuzzy_contamination": q_fuzzy_contamination,
@@ -2360,6 +2392,8 @@ QUERIES = {
 # training_mix, flagship). The 42 r4-green-and-stable queries sit in the
 # tail, where a window cut costs the least fresh evidence.
 _R5_LEAD = [
+    "winnow_fingerprints",
+    "winnow_overlap",
     "grouped_split",
     "apply_delta",
     "fuzzy_contamination",
@@ -4243,6 +4277,56 @@ _EMBED_MATCH_SQL = f"""
     LEFT JOIN documents t2 ON t2.doc_id = ebest.tid
 """
 ORACLE_SQL["match_embeddings"] = _EMBED_MATCH_SQL
+
+
+# -- winnowing fingerprints oracled -----------------------------------------
+# dedup.winnow_fingerprints replayed in SQL: per-position FNV64+splitmix64
+# shingle hashes in HUGEINT, window ends = every position >= w plus each
+# doc's LAST position (one whole-run window for docs shorter than a full
+# window — the kernel's short-run branch), rightmost-minimum selection via
+# row_number over (hash ASC, position DESC). Comparison ranks HUGEINT in
+# [0, 2^64) — the kernel's unsigned min.
+def _winnow_ctes(k: int, w: int) -> str:
+    return f"""
+    docs AS (SELECT doc_id, {_CLEAN_T} AS t FROM documents),
+    pos AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(length(t) - {k - 1}, 0))) AS i
+            FROM docs),
+    g AS (SELECT doc_id, i,
+                 {_sql_splitmix64(_sql_fnv(f'substring(t, i, {k})', k))} AS h
+          FROM pos),
+    mx AS (SELECT doc_id, max(i) AS m FROM g GROUP BY doc_id),
+    we AS (SELECT g.doc_id, g.i FROM g JOIN mx ON g.doc_id = mx.doc_id
+           WHERE g.i >= {w} OR g.i = mx.m),
+    sel AS (
+        SELECT doc_id, h FROM (
+            SELECT we.doc_id, s.h,
+                   row_number() OVER (PARTITION BY we.doc_id, we.i
+                                      ORDER BY s.h ASC, s.i DESC) AS rn
+            FROM we JOIN g s ON s.doc_id = we.doc_id
+                            AND s.i BETWEEN we.i - {w - 1} AND we.i
+        ) WHERE rn = 1
+    ),
+    fp AS (SELECT DISTINCT doc_id, h FROM sel)
+"""
+
+
+ORACLE_SQL["winnow_fingerprints"] = f"""
+    WITH {_winnow_ctes(16, 8)}
+    SELECT doc_id,
+           CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN h - {_SQL_M64} ELSE h END AS BIGINT) AS fp
+    FROM fp ORDER BY doc_id, fp
+"""
+
+ORACLE_SQL["winnow_overlap"] = f"""
+    WITH {_winnow_ctes(16, 8)}
+    SELECT f1.doc_id AS a, f2.doc_id AS b, count(*) AS n_shared
+    FROM fp f1 JOIN fp f2 ON f1.h = f2.h AND f1.doc_id < f2.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY a, b
+"""
+
 
 # -- multimodal features oracled --------------------------------------------
 # The fake codec (multimodal.DecoderBackend) derives pixel / sample streams

@@ -1817,3 +1817,140 @@ def test_dedup_representatives_score_keeper(rd):
     with pytest.raises(Exception, match="nulls"):
         dedup_representatives(bad_null, "doc_id", "text", score_col="q",
                               output="pandas", groups_output="pandas")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _ref_winnow(h, w):
+    """Pure-python winnowing over one doc's position-ordered hashes: full
+    windows (min, rightmost tie) for runs >= w, whole-run rightmost min
+    for shorter runs. Returns the distinct selected hash set."""
+    m = len(h)
+    if m == 0:
+        return set()
+    sel = set()
+    if m < w:
+        mn = min(h)
+        sel.add(max(i for i in range(m) if h[i] == mn))
+    else:
+        for j in range(w - 1, m):
+            win = h[j - w + 1 : j + 1]
+            mn = min(win)
+            sel.add(j - w + 1 + max(i for i in range(w) if win[i] == mn))
+    return {int(h[i]) for i in sel}
+
+
+def test_winnow_select_matches_pure_python_reference():
+    from raylink.dedup import _positional_shingle_hashes, _winnow_select
+
+    rng = np.random.default_rng(7)
+    texts = [
+        "".join(rng.choice(list("ab c"), int(rng.integers(0, 60))))
+        for _ in range(150)
+    ]
+    # ties (all-equal hashes), short runs, empty docs, boundary lengths
+    texts += ["aaaaaaaaaaaaaaaa", "a" * 7, "", "abc", "a" * 9]
+    k, w = 8, 4
+    d, h = _positional_shingle_hashes(pa.array(texts), k)
+    sd, fp = _winnow_select(d, h, w)
+    got = {}
+    for dd, ff in zip(sd, fp):
+        got.setdefault(int(dd), set()).add(int(np.uint64(ff)))
+    for di in range(len(texts)):
+        want = _ref_winnow(list(h[d == di]), w)
+        assert got.get(di, set()) == want, texts[di]
+
+
+def test_winnow_overlap_coverage_guarantee(rd):
+    # any shared substring of >= k + w - 1 cleaned chars must share a
+    # fingerprint (the winnowing coverage bound)
+    from raylink.dedup import winnow_overlap_pairs
+
+    shared = "zqxjkvwpyg bmfdl cnrt hsau eoiz qxjkvwpygb"  # 42 chars
+    texts = [
+        "first document unique preamble " + shared + " unique first tail",
+        "second one starts differently " + shared + " and ends its own way",
+        "third document with no overlap at all in any window of text here",
+    ]
+    out = winnow_overlap_pairs(
+        _docs(rd, texts), "doc_id", "text", k=8, window=4, min_shared=1,
+        output="pandas",
+    )
+    assert (0, 1) in set(zip(out["a"], out["b"]))
+    assert not any(2 in p for p in zip(out["a"], out["b"]))
+
+
+def test_winnow_dataset_pandas_and_distributed_agg_parity(rd):
+    from raylink.dedup import winnow_fingerprints, winnow_overlap_pairs
+
+    rng = np.random.default_rng(11)
+    pool = list("abcdefgh ")
+    texts = ["".join(rng.choice(pool, 80)) for _ in range(40)]
+    # plant overlaps
+    texts[5] = texts[3][:50] + " tail five"
+    texts[9] = texts[3][:50] + " other tail"
+    ds = _docs(rd, texts)
+    fps_pd = winnow_fingerprints(ds, "doc_id", "text", k=8, window=4,
+                                 output="pandas")
+    fps_ds = winnow_fingerprints(ds, "doc_id", "text", k=8, window=4).to_pandas()
+    fps_ds = fps_ds.sort_values(["doc_id", "fp"], ignore_index=True)
+    pd.testing.assert_frame_equal(fps_pd, fps_ds)
+
+    base = winnow_overlap_pairs(ds, "doc_id", "text", k=8, window=4,
+                                min_shared=2, output="pandas")
+    # force the distributed pair aggregation (driver bound 0)
+    forced = winnow_overlap_pairs(ds, "doc_id", "text", k=8, window=4,
+                                  min_shared=2, driver_agg_max_rows=0,
+                                  output="pandas")
+    pd.testing.assert_frame_equal(base, forced)
+    as_ds = winnow_overlap_pairs(ds, "doc_id", "text", k=8, window=4,
+                                 min_shared=2).to_pandas()
+    as_ds = as_ds.sort_values(["a", "b"], ignore_index=True)
+    pd.testing.assert_frame_equal(base, as_ds)
+    assert len(base) >= 1
+
+
+def test_winnow_rejections_and_empty(rd):
+    from raylink.dedup import winnow_fingerprints, winnow_overlap_pairs
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 1], type=pa.int64()),
+            "text": pa.array([BASE, BASE]),
+        }
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        winnow_fingerprints(rd.from_arrow(tbl), "doc_id", "text",
+                            output="pandas")
+    nulls = pa.table(
+        {
+            "doc_id": pa.array([1, None], type=pa.int64()),
+            "text": pa.array([BASE, BASE]),
+        }
+    )
+    with pytest.raises(Exception, match="null"):
+        winnow_fingerprints(rd.from_arrow(nulls), "doc_id", "text",
+                            output="pandas")
+    neg = pa.table(
+        {
+            "doc_id": pa.array([-1], type=pa.int64()),
+            "text": pa.array([BASE]),
+        }
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        winnow_fingerprints(rd.from_arrow(neg), "doc_id", "text",
+                            output="pandas")
+    with pytest.raises(ValueError):
+        winnow_fingerprints(_docs(rd, [BASE]), "doc_id", "text", window=0)
+    # no-overlap corpus -> typed empty pairs, both output modes
+    texts = ["alpha beta gamma delta epsilon", "zeta eta theta iota kappa"]
+    out = winnow_overlap_pairs(_docs(rd, texts), "doc_id", "text",
+                               k=12, window=6, min_shared=1, output="pandas")
+    assert list(out.columns) == ["a", "b", "n_shared"] and len(out) == 0
+    out_ds = winnow_overlap_pairs(_docs(rd, texts), "doc_id", "text",
+                                  k=12, window=6, min_shared=1)
+    pdf = out_ds.to_pandas()
+    assert len(pdf) == 0
