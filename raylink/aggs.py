@@ -527,6 +527,244 @@ def filter_by_key_quantile(
     return res
 
 
+def rank_within_key(
+    ds,
+    key_col: str,
+    val_col: str,
+    rank_col: str = "rank_lt",
+    n_col: str = "key_n",
+    output: str = "dataset",
+    n_parts: int | None = None,
+    driver_merge_max_rows: int = 2_000_000,
+    max_broadcast_rows: int = 2_000_000,
+):
+    """Per-row EXACT rank within key: ``rank_col`` = count of rows in
+    the same key with a STRICTLY smaller value (``RANK() OVER
+    (PARTITION BY key ORDER BY value) - 1`` — ties share a rank),
+    ``n_col`` = the key's total row count. The curriculum-ordering /
+    per-domain score-normalization primitive ("where does this doc sit
+    in its language's quality distribution"); the percentile itself is
+    the division-only ratio rank/n, left to the caller so the output
+    stays pure int64 (the SQL-oracle-ability rule).
+
+    Keys may be int64 or string; values must be non-null signed int64
+    (quantize floats upstream — integer ranks are what make exactness
+    possible). Nulls reject loudly (a silent drop would shift ranks).
+
+    Scale shape: one streaming pass reduces each block to its distinct
+    (key, value, count) digest (shuffle volume = distinct pairs, not
+    rows); per-partition merges (keys co-locate by key hash) turn
+    cumulative counts into a rank MAP — one row per distinct (key,
+    value) — which joins back on a composite key||US||value string
+    through equi_join's broadcast/distributed auto-switch (the
+    assign_clusters composite pattern; the separator parse is
+    unambiguous because the value suffix after the LAST separator is
+    all digits, so keys containing the separator cannot collide). The
+    input is consumed twice (census + join) — materialize upstream if
+    it is expensive to recompute. Output = input columns + rank + n."""
+    from raylink.joins import _nonull, _string_part_hash, equi_join
+
+    if output not in ("dataset", "pandas"):
+        raise ValueError('rank_within_key: output must be "dataset" or "pandas"')
+    names = ds.schema().names
+    staging = {"k", "v", "cnt", "part", "kv"}
+    for c in (key_col, val_col):
+        if c in staging:
+            raise ValueError(
+                f"rank_within_key: column {c!r} collides with an internal "
+                f"staging name ({sorted(staging)}) — rename it upstream"
+            )
+    for c in (rank_col, n_col, "kv"):
+        if c in names:
+            raise ValueError(
+                f"rank_within_key: input column {c!r} collides with an "
+                "output/staging column — rename it upstream"
+            )
+    if rank_col == n_col:
+        raise ValueError("rank_within_key: rank_col and n_col must differ")
+    schema = ds.schema()
+    key_type = schema.types[schema.names.index(key_col)]
+    if isinstance(key_type, pa.DataType):
+        int_key = pa.types.is_integer(key_type)
+        str_key = pa.types.is_string(key_type) or pa.types.is_large_string(
+            key_type
+        )
+        pa_key_type = key_type
+    else:
+        try:
+            dt = np.dtype(key_type)
+        except TypeError:
+            dt = np.dtype(object)
+        int_key = np.issubdtype(dt, np.integer)
+        str_key = dt == np.dtype(object) or np.issubdtype(dt, np.str_)
+        pa_key_type = pa.int64() if int_key else pa.string()
+    if not int_key and not str_key:
+        raise ValueError(
+            f"rank_within_key: key column {key_col!r} must be int64 or "
+            f"string, got {key_type}"
+        )
+    P = _default_parts(n_parts)
+
+    def check(batch: pa.Table) -> pa.Table:
+        ka = _nonull(batch[key_col], key_col, "rank_within_key")
+        if int_key and ka.type == pa.uint64():
+            raise ValueError(
+                f"rank_within_key: key column {key_col!r} is uint64 — "
+                "values above 2^63 would wrap in the int64 digest; cast "
+                "to int64 upstream"
+            )
+        va = _nonull(batch[val_col], val_col, "rank_within_key")
+        if not pa.types.is_integer(va.type) or va.type == pa.uint64():
+            raise ValueError(
+                f"rank_within_key: value column {val_col!r} must be a "
+                f"signed integer (got {va.type}) — floats would be "
+                "silently truncated in the rank digest; quantize upstream"
+            )
+        return batch
+
+    vds = ds.map_batches(check, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        va = _np_i64(batch[val_col])
+        if int_key:
+            ka = _np_i64(batch[key_col])
+            order = np.lexsort((va, ka))
+            ks, vs = ka[order], va[order]
+            start = np.ones(len(ks), dtype=bool)
+            start[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+            starts = np.flatnonzero(start)
+            cnt = np.diff(np.append(starts, len(ks)))
+            out_keys = pa.array(ks[starts])
+            parts = (_hash64(ks[starts]) % np.uint64(P)).astype(np.int64)
+        else:
+            keys = batch[key_col].combine_chunks()
+            enc = keys.dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64
+            )
+            order = np.lexsort((va, codes))
+            cs_, vs = codes[order], va[order]
+            start = np.ones(len(cs_), dtype=bool)
+            start[1:] = (cs_[1:] != cs_[:-1]) | (vs[1:] != vs[:-1])
+            starts = np.flatnonzero(start)
+            cnt = np.diff(np.append(starts, len(cs_)))
+            out_keys = enc.dictionary.take(pa.array(cs_[starts]))
+            parts = (
+                _string_part_hash(out_keys) % np.uint64(P)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "k": out_keys,
+                "v": pa.array(vs[starts]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "part": pa.array(parts),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        va = _np_i64(g["v"])
+        ca = _np_i64(g["cnt"])
+        if not len(va):
+            return pa.table(
+                {
+                    key_col: pa.array([], pa_key_type),
+                    "v": pa.array([], pa.int64()),
+                    rank_col: pa.array([], pa.int64()),
+                    n_col: pa.array([], pa.int64()),
+                }
+            )
+        if int_key:
+            codes = _np_i64(g["k"])
+            dictionary = None
+        else:
+            enc = g["k"].combine_chunks().dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64
+            )
+            dictionary = enc.dictionary
+        order = np.lexsort((va, codes))
+        ks, vs, cs = codes[order], va[order], ca[order]
+        # combine same (key, value) counts from different blocks
+        pstart = np.ones(len(ks), dtype=bool)
+        pstart[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        ps = np.flatnonzero(pstart)
+        pk, pv = ks[ps], vs[ps]
+        pcnt = np.add.reduceat(cs, ps)
+        # exclusive cumulative count within each key run = rank_lt
+        kstart = np.ones(len(pk), dtype=bool)
+        kstart[1:] = pk[1:] != pk[:-1]
+        kidx = np.flatnonzero(kstart)
+        klen = np.diff(np.append(kidx, len(pk)))
+        cum = np.cumsum(pcnt) - pcnt
+        rank = cum - np.repeat(cum[kidx], klen)
+        key_n = np.repeat(np.add.reduceat(pcnt, kidx), klen)
+        out_k = (
+            pa.array(pk)
+            if dictionary is None
+            else dictionary.take(pa.array(pk))
+        )
+        return pa.table(
+            {
+                key_col: out_k,
+                "v": pa.array(pv),
+                rank_col: pa.array(rank.astype(np.int64)),
+                n_col: pa.array(key_n.astype(np.int64)),
+            }
+        )
+
+    def empty_map() -> pa.Table:
+        return pa.table(
+            {
+                key_col: pa.array([], pa_key_type),
+                "v": pa.array([], pa.int64()),
+                rank_col: pa.array([], pa.int64()),
+                n_col: pa.array([], pa.int64()),
+            }
+        )
+
+    map_ds = _digest_merge(
+        vds.map_batches(partial, batch_format="pyarrow"),
+        merge,
+        driver_merge_max_rows,
+        n_parts=n_parts,
+        empty_fn=empty_map,
+    )
+
+    # composite key||US||value staging column on both sides (Arrow C
+    # kernels; US = \x1f). Unambiguous even for keys containing US: the
+    # segment after the LAST separator is all digits on both sides.
+    def add_kv(kc: str, vc: str):
+        def _add(batch: pa.Table) -> pa.Table:
+            kstr = pc.cast(batch[kc], pa.string()) if int_key else batch[kc]
+            vstr = pc.cast(batch[vc], pa.string())
+            kv = pc.binary_join_element_wise(kstr, vstr, "\x1f")
+            return batch.append_column("kv", kv)
+
+        return _add
+
+    corpus_kv = vds.map_batches(add_kv(key_col, val_col), batch_format="pyarrow")
+    map_kv = map_ds.map_batches(add_kv(key_col, "v"), batch_format="pyarrow")
+    joined = equi_join(
+        corpus_kv, map_kv, "kv", "kv",
+        left_cols=tuple(names), right_cols=(rank_col, n_col),
+        mode="auto", max_broadcast_rows=max_broadcast_rows,
+        n_parts=n_parts, output="dataset",
+    )
+    out_names = [*names, rank_col, n_col]
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(out_names)
+
+    res = joined.map_batches(strip, batch_format="pyarrow")
+    if output == "pandas":
+        return (
+            typed_to_pandas(res)
+            .sort_values(out_names)
+            .reset_index(drop=True)
+        )
+    return res
+
+
 def heavy_hitters(
     ds,
     key_col: str,

@@ -1984,6 +1984,18 @@ def q_docs_above_lang_median(sf_dir: str):
     )
 
 
+def q_rank_in_lang(sf_dir: str):
+    """Per-row exact rank within key (raylink/aggs.rank_within_key):
+    every document's strict-rank and key total within its language's
+    n_chars distribution — RANK() OVER (PARTITION BY lang ORDER BY
+    n_chars) - 1 made distributed (census digest + composite-key join
+    back). SQL-checked: the window-function replay, integer-exact."""
+    from raylink.aggs import rank_within_key
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return rank_within_key(docs, "lang", "n_chars", output="pandas")
+
+
 def q_corpus_diff(sf_dir: str):
     """Corpus snapshot diff (raylink/dedup.corpus_diff): old = the
     documents table; new = a deterministic edit pass (drop doc_id % 13
@@ -2285,6 +2297,7 @@ QUERIES = {
     # --- never driver-checked (round-5 additions; window slots 1-18) ---
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
+    "rank_in_lang": q_rank_in_lang,
     "grouped_split": q_grouped_split,
     "apply_delta": q_apply_delta,
     "fuzzy_contamination": q_fuzzy_contamination,
@@ -2394,6 +2407,7 @@ QUERIES = {
 _R5_LEAD = [
     "winnow_fingerprints",
     "winnow_overlap",
+    "rank_in_lang",
     "grouped_split",
     "apply_delta",
     "fuzzy_contamination",
@@ -4310,6 +4324,14 @@ def _winnow_ctes(k: int, w: int) -> str:
     fp AS (SELECT DISTINCT doc_id, h FROM sel)
 """
 
+
+ORACLE_SQL["rank_in_lang"] = """
+    SELECT doc_id, lang, n_chars,
+           RANK() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rank_lt,
+           COUNT(*) OVER (PARTITION BY lang) AS key_n
+    FROM documents
+    ORDER BY doc_id, lang, n_chars
+"""
 
 ORACLE_SQL["winnow_fingerprints"] = f"""
     WITH {_winnow_ctes(16, 8)}

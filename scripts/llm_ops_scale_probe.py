@@ -70,6 +70,42 @@ def synthesize(n_rows: int, seed: int = 13) -> str:
     return out
 
 
+def synthesize_diverse(n_rows: int, seed: int = 17) -> str:
+    """Winnow-shaped corpus: ~20 words from a 200k-word pool (16-char
+    shingles mostly UNIQUE — the realistic web-diversity case; the
+    Zipf corpus above makes every 3-word phrase boilerplate and the
+    pair volume degenerates to the posting caps), with 4% of docs
+    appending a 12-word chunk copied from the previous doc so true
+    pairwise overlaps exist at bucket size ~2."""
+    out = os.path.join(ROOT, f"docs-div-n{n_rows}-s{seed}-v200k")
+    done = os.path.join(out, ".complete")
+    if os.path.exists(done):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    chunk = 250_000
+    for i in range(0, n_rows, chunk):
+        n = min(chunk, n_rows - i)
+        widx = rng.integers(0, 200_000, size=(n, 20))
+        body = [" ".join(f"w{j:06d}" for j in r) for r in widx]
+        copies = rng.random(n) < 0.04
+        texts = [
+            (body[r] + " " + " ".join(body[r - 1].split()[:12]))
+            if (copies[r] and r > 0) else body[r]
+            for r in range(n)
+        ]
+        t = pa.table({
+            "doc_id": pa.array(np.arange(i, i + n, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        })
+        pq.write_table(t, os.path.join(tmp, f"part-{i // chunk:05d}.parquet"))
+    with open(os.path.join(tmp, ".complete"), "w") as f:
+        f.write("ok")
+    os.rename(tmp, out)
+    return out
+
+
 def main():
     n_big = 10_000_000
     for a in sys.argv[1:]:
@@ -84,8 +120,12 @@ def main():
     from raylink.workers import ensure_workers_can_import
 
     ensure_workers_can_import()  # probe must run from any cwd, like the contract
-    from raylink.dedup import remove_duplicate_spans
+    from raylink.dedup import remove_duplicate_spans, winnow_overlap_pairs
     from raylink.textstats import bpe_encode, bpe_learn, rarity_score
+
+    only = None
+    if "--ops" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--ops") + 1].split(","))
 
     path = synthesize(n_big)
     # Small volume = a FILE subset, never .limit(): Ray Data's limit is
@@ -103,9 +143,21 @@ def main():
     )
     res = {"metric": "llm_ops_scale_probe", "rows_small": n_small,
            "rows_big": n_big}
+    want_winnow = only is None or "winnow_overlap_pairs" in only
+    dfiles = []
+    if want_winnow:
+        dpath = synthesize_diverse(n_big)
+        dfiles = sorted(_glob.glob(os.path.join(dpath, "part-*.parquet")))
     for label, n in (("small", n_small), ("big", n_big)):
         ds = rd.read_parquet(
             files[:n_small_files] if n < n_big else files
+        )
+        dds = (
+            rd.read_parquet(
+                dfiles[:n_small_files] if n < n_big else dfiles
+            )
+            if want_winnow
+            else None
         )
         res[label] = {}
         for op, thunk in (
@@ -115,7 +167,18 @@ def main():
                 d, merges, keep_cols=()).count()),
             ("rarity_score", lambda d=ds: rarity_score(
                 d, "doc_id", "text", ngram=2).count()),
+            # winnowing (r5 sixth session) runs on the DIVERSE corpus:
+            # the Zipf pool makes every 3-word phrase boilerplate, so
+            # the mid-size fingerprint buckets alone emit a spill-
+            # breaking pair volume (measured: object-store spill filled
+            # the disk at 10M docs) — a degenerate all-boilerplate
+            # corpus is a cap-tuning exercise, not a scale shape
+            ("winnow_overlap_pairs", lambda d=dds: winnow_overlap_pairs(
+                d, "doc_id", "text", k=16, window=8, min_shared=2,
+                max_posting=200).count()),
         ):
+            if only is not None and op not in only:
+                continue
             # best-of-3 (not the bench's best-of-2): the big-volume first
             # rep pays ~10-15 GiB of plasma first-touch page faults that
             # rep 2 still partially re-pays — rep 3 is the steady state

@@ -1521,3 +1521,111 @@ def test_filter_by_key_quantile_guards(rd):
         filter_by_key_quantile(nkey, "n", "score", 1, 2)
     with pytest.raises(ValueError, match="output"):
         filter_by_key_quantile(ds, "lang", "score", 1, 2, output="Pandas")
+
+
+# ---------------------------------------------------------------------------
+# rank_within_key
+# ---------------------------------------------------------------------------
+
+
+def _rank_frame(n=4000, nkeys=30, seed=19):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, nkeys, n).astype(np.int64),
+            # coarse grid forces ties within keys
+            "val": rng.integers(0, 60, n).astype(np.int64),
+        }
+    )
+
+
+def _rank_expect(df, keyc="key"):
+    exp = df.copy()
+    exp["rank_lt"] = (
+        df.groupby(keyc)["val"].rank(method="min").astype(np.int64) - 1
+    )
+    exp["key_n"] = df.groupby(keyc)["val"].transform("count").astype(np.int64)
+    return exp.sort_values(list(exp.columns)).reset_index(drop=True)
+
+
+def test_rank_within_key_matches_pandas_int_and_string(rd):
+    from raylink.aggs import rank_within_key
+
+    df = _rank_frame()
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    got = rank_within_key(ds, "key", "val", output="pandas")
+    pd.testing.assert_frame_equal(got, _rank_expect(df))
+
+    sdf = df.assign(key=df["key"].map(lambda x: f"lang{x:02d}"))
+    sds = rd.from_arrow(pa.Table.from_pandas(sdf)).repartition(7)
+    sgot = rank_within_key(sds, "key", "val", output="pandas")
+    pd.testing.assert_frame_equal(sgot, _rank_expect(sdf))
+
+
+def test_rank_within_key_forced_paths_and_dataset(rd):
+    from raylink.aggs import rank_within_key
+
+    df = _rank_frame(n=2500, nkeys=8, seed=23)
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    base = rank_within_key(ds, "key", "val", output="pandas")
+    forced = rank_within_key(
+        ds, "key", "val", output="pandas",
+        driver_merge_max_rows=0, max_broadcast_rows=0, n_parts=5,
+    )
+    pd.testing.assert_frame_equal(base, forced)
+    as_ds = rank_within_key(ds, "key", "val").to_pandas()
+    as_ds = as_ds.sort_values(list(as_ds.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, as_ds)
+    # separator-bearing string keys must not collide across pairs
+    tricky = pd.DataFrame(
+        {
+            "key": ["a\x1f1", "a", "a\x1f1", "a"],
+            "val": np.array([2, 12, 2, 9], dtype=np.int64),
+        }
+    )
+    tds = rd.from_arrow(pa.Table.from_pandas(tricky))
+    tgot = rank_within_key(tds, "key", "val", output="pandas")
+    exp = tricky.copy()
+    exp["rank_lt"] = (
+        tricky.groupby("key")["val"].rank(method="min").astype(np.int64) - 1
+    )
+    exp["key_n"] = (
+        tricky.groupby("key")["val"].transform("count").astype(np.int64)
+    )
+    exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(tgot, exp)
+
+
+def test_rank_within_key_rejections(rd):
+    from raylink.aggs import rank_within_key
+
+    df = _rank_frame(n=50, nkeys=3, seed=5)
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    with pytest.raises(ValueError, match="staging"):
+        rank_within_key(
+            rd.from_arrow(pa.Table.from_pandas(df.rename(columns={"key": "v"}))),
+            "v", "val",
+        )
+    with pytest.raises(ValueError, match="collides"):
+        rank_within_key(
+            rd.from_arrow(pa.Table.from_pandas(df.assign(kv=1))),
+            "key", "val",
+        )
+    with pytest.raises(ValueError, match="differ"):
+        rank_within_key(ds, "key", "val", rank_col="r", n_col="r")
+    with pytest.raises(Exception, match="signed integer"):
+        rank_within_key(
+            rd.from_arrow(pa.Table.from_pandas(df.assign(val=df["val"] * 1.5))),
+            "key", "val", output="pandas",
+        )
+    nulls = pa.table(
+        {
+            "key": pa.array([1, None], type=pa.int64()),
+            "val": pa.array([1, 2], type=pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="null"):
+        rank_within_key(rd.from_arrow(nulls), "key", "val", output="pandas")
+    with pytest.raises(ValueError, match="output"):
+        rank_within_key(ds, "key", "val", output="arrow")
