@@ -703,10 +703,18 @@ def rank_within_key(
             if dictionary is None
             else dictionary.take(pa.array(pk))
         )
+        va_out = pa.array(pv)
+        # kv emitted HERE (not via a later map_batches): a mapped empty
+        # dataset loses its schema and equi_join's empty-right fallback
+        # needs the typed one from the digest merge
+        kv = pc.binary_join_element_wise(
+            pc.cast(out_k, pa.string()), pc.cast(va_out, pa.string()), "\x1f"
+        )
         return pa.table(
             {
+                "kv": kv,
                 key_col: out_k,
-                "v": pa.array(pv),
+                "v": va_out,
                 rank_col: pa.array(rank.astype(np.int64)),
                 n_col: pa.array(key_n.astype(np.int64)),
             }
@@ -715,6 +723,7 @@ def rank_within_key(
     def empty_map() -> pa.Table:
         return pa.table(
             {
+                "kv": pa.array([], pa.string()),
                 key_col: pa.array([], pa_key_type),
                 "v": pa.array([], pa.int64()),
                 rank_col: pa.array([], pa.int64()),
@@ -730,22 +739,41 @@ def rank_within_key(
         empty_fn=empty_map,
     )
 
-    # composite key||US||value staging column on both sides (Arrow C
-    # kernels; US = \x1f). Unambiguous even for keys containing US: the
-    # segment after the LAST separator is all digits on both sides.
-    def add_kv(kc: str, vc: str):
-        def _add(batch: pa.Table) -> pa.Table:
-            kstr = pc.cast(batch[kc], pa.string()) if int_key else batch[kc]
-            vstr = pc.cast(batch[vc], pa.string())
-            kv = pc.binary_join_element_wise(kstr, vstr, "\x1f")
-            return batch.append_column("kv", kv)
+    # composite key||US||value staging column on the corpus side (Arrow
+    # C kernels; US = \x1f; the map side's kv comes typed from the
+    # merge). Unambiguous even for keys containing US: the segment
+    # after the LAST separator is all digits on both sides.
+    def add_kv(batch: pa.Table) -> pa.Table:
+        kstr = pc.cast(batch[key_col], pa.string())
+        vstr = pc.cast(batch[val_col], pa.string())
+        kv = pc.binary_join_element_wise(kstr, vstr, "\x1f")
+        return batch.append_column("kv", kv)
 
-        return _add
+    corpus_kv = vds.map_batches(add_kv, batch_format="pyarrow")
+    if corpus_kv.schema() is None:
+        # zero-row input: the mapped dataset dropped its schema (the
+        # empty-input policy) — rebuild the typed empty output directly
+        def _pa_type(t):
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                return pa.from_numpy_dtype(np.dtype(t))
+            except (TypeError, pa.ArrowNotImplementedError):
+                return pa.string()  # pandas object dtype
 
-    corpus_kv = vds.map_batches(add_kv(key_col, val_col), batch_format="pyarrow")
-    map_kv = map_ds.map_batches(add_kv(key_col, "v"), batch_format="pyarrow")
+        types = dict(zip(schema.names, schema.types))
+        empty_out = pa.table(
+            {
+                **{n: pa.array([], _pa_type(types[n])) for n in names},
+                rank_col: pa.array([], pa.int64()),
+                n_col: pa.array([], pa.int64()),
+            }
+        )
+        if output == "pandas":
+            return empty_out.to_pandas()
+        return _rd.from_arrow(empty_out)
     joined = equi_join(
-        corpus_kv, map_kv, "kv", "kv",
+        corpus_kv, map_ds, "kv", "kv",
         left_cols=tuple(names), right_cols=(rank_col, n_col),
         mode="auto", max_broadcast_rows=max_broadcast_rows,
         n_parts=n_parts, output="dataset",

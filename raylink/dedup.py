@@ -2014,13 +2014,16 @@ def _winnow_select(
     sel_parts: list[np.ndarray] = []
     if m >= w:
         wv = np.lib.stride_tricks.sliding_window_view(h, w)
-        ws = np.arange(m - w + 1, dtype=np.int64)
         # doc_ids ascend, so equal endpoints => the whole window is one doc
-        vsel = np.flatnonzero(doc_ids[ws] == doc_ids[ws + w - 1])
-        if len(vsel):
+        vsel = np.flatnonzero(doc_ids[: m - w + 1] == doc_ids[w - 1 :])
+        # slice the gather: wv[vsel] MATERIALIZES a slice_len x w copy —
+        # sliced it is bounded (~128 MB at w=8), not w x the block's text
+        CH = 1 << 21
+        for s in range(0, len(vsel), CH):
+            vs = vsel[s : s + CH]
             # argmin over the REVERSED window = rightmost minimum
-            j = np.argmin(wv[vsel][:, ::-1], axis=1)
-            sel_parts.append(vsel + (w - 1 - j))
+            j = np.argmin(wv[vs][:, ::-1], axis=1)
+            sel_parts.append(vs + (w - 1 - j))
     short = np.flatnonzero(run_len < w)
     if len(short):
         s0, l0 = starts[short], run_len[short]
@@ -2100,6 +2103,14 @@ def winnow_fingerprints(
     out = ds.map_batches(fps, batch_format="pyarrow")
     if output == "pandas":
         pdf = typed_to_pandas(out)
+        if not len(pdf) and list(pdf.columns) != [id_col, "fp"]:
+            # zero-block input loses even the mapped schema — rebuild
+            pdf = pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "fp": pd.Series([], dtype="int64"),
+                }
+            )
         return pdf.sort_values([id_col, "fp"], ignore_index=True)
     if output != "dataset":
         raise ValueError(f"winnow_fingerprints: unknown output {output!r}")
@@ -2199,7 +2210,13 @@ def winnow_overlap_pairs(
         if not n_co:
             return empty.to_pandas()
         tbl = pa.concat_tables(
-            ray.get(co_ds.to_arrow_refs()), promote_options="default"
+            # empty blocks can carry a zero-column placeholder schema
+            [
+                t
+                for t in ray.get(co_ds.to_arrow_refs())
+                if "a" in t.column_names
+            ],
+            promote_options="default",
         )
         out = agg_pairs(
             np.asarray(tbl["a"].to_numpy(zero_copy_only=False), np.int64),
@@ -2218,6 +2235,14 @@ def winnow_overlap_pairs(
     # round-5 landmark); a is the partition function, so identical (a, b)
     # rows always co-locate and per-partition counts are exact
     def add_pair_part(batch: pa.Table) -> pa.Table:
+        if "a" not in batch.column_names:  # zero-column placeholder block
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "p2": pa.array([], pa.int64()),
+                }
+            )
         a = np.asarray(batch["a"].to_numpy(zero_copy_only=False), np.int64)
         p2 = (_hash64(a).astype(np.int64) % P).astype(np.int64)
         return batch.append_column("p2", pa.array(p2))

@@ -1629,3 +1629,25 @@ def test_rank_within_key_rejections(rd):
         rank_within_key(rd.from_arrow(nulls), "key", "val", output="pandas")
     with pytest.raises(ValueError, match="output"):
         rank_within_key(ds, "key", "val", output="arrow")
+
+
+def test_rank_within_key_empty_input(rd):
+    from raylink.aggs import rank_within_key
+    from raylink.joins import typed_to_pandas
+
+    empty = pa.table(
+        {
+            "doc": pa.array([], pa.int64()),
+            "key": pa.array([], pa.string()),
+            "val": pa.array([], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(empty)
+    out = rank_within_key(ds, "key", "val", output="pandas")
+    assert list(out.columns) == ["doc", "key", "val", "rank_lt", "key_n"]
+    assert len(out) == 0
+    dset = rank_within_key(ds, "key", "val")
+    assert [f.name for f in dset.schema().base_schema] == [
+        "doc", "key", "val", "rank_lt", "key_n",
+    ]
+    assert len(typed_to_pandas(dset)) == 0

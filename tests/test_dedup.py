@@ -1954,3 +1954,16 @@ def test_winnow_rejections_and_empty(rd):
                                   k=12, window=6, min_shared=1)
     pdf = out_ds.to_pandas()
     assert len(pdf) == 0
+
+
+def test_winnow_fully_empty_input(rd):
+    from raylink.dedup import winnow_fingerprints, winnow_overlap_pairs
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    ds = rd.from_arrow(empty)
+    fps = winnow_fingerprints(ds, "doc_id", "text", output="pandas")
+    assert list(fps.columns) == ["doc_id", "fp"] and len(fps) == 0
+    pairs = winnow_overlap_pairs(ds, "doc_id", "text", output="pandas")
+    assert list(pairs.columns) == ["a", "b", "n_shared"] and len(pairs) == 0
