@@ -315,6 +315,109 @@ def group_quantiles(
     return res
 
 
+def _int64_key_info(schema, key_col: str, op: str):
+    """(int_key, str_key, pa_key_type) for an int64-or-string key column.
+    pandas-backed datasets report numpy dtypes / ``object`` here, Arrow-
+    backed ones a pyarrow DataType — both spellings accepted (the
+    round-5 landmark). Shared by filter_by_key_quantile and
+    rank_within_key so the detection quirk never forks."""
+    key_type = schema.types[schema.names.index(key_col)]
+    if isinstance(key_type, pa.DataType):
+        int_key = pa.types.is_integer(key_type)
+        str_key = pa.types.is_string(key_type) or pa.types.is_large_string(
+            key_type
+        )
+        pa_key_type = key_type
+    else:
+        try:
+            dt = np.dtype(key_type)
+        except TypeError:
+            dt = np.dtype(object)
+        int_key = np.issubdtype(dt, np.integer)
+        str_key = dt == np.dtype(object) or np.issubdtype(dt, np.str_)
+        pa_key_type = pa.int64() if int_key else pa.string()
+    if not int_key and not str_key:
+        raise ValueError(
+            f"{op}: key column {key_col!r} must be int64 or string, "
+            f"got {key_type}"
+        )
+    return int_key, str_key, pa_key_type
+
+
+def _make_kv_check(key_col: str, val_col: str, int_key: bool, op: str):
+    """Per-batch loud rejection for (key, value) census ops: null keys/
+    values, uint64 keys (wrap above 2^63), non-signed-integer values
+    (floats would be silently TRUNCATED in the int64 digest while
+    downstream comparisons see originals — wrong rows, no error)."""
+
+    def check(batch: pa.Table) -> pa.Table:
+        ka = _nonull(batch[key_col], key_col, op)
+        if int_key and ka.type == pa.uint64():
+            raise ValueError(
+                f"{op}: key column {key_col!r} is uint64 — values above "
+                "2^63 would wrap in the int64 digest; cast to int64 "
+                "upstream"
+            )
+        va = _nonull(batch[val_col], val_col, op)
+        if not pa.types.is_integer(va.type) or va.type == pa.uint64():
+            raise ValueError(
+                f"{op}: value column {val_col!r} must be a signed "
+                f"integer (got {va.type}) — floats would be truncated "
+                "in the int64 digest but compared raw downstream; "
+                "quantize upstream (centi-units etc.)"
+            )
+        return batch
+
+    return check
+
+
+def _kv_census_partial(key_col: str, val_col: str, int_key: bool, P: int):
+    """Per-block distinct (key, value, count) census digest — columns
+    (k, v, cnt, part) with part = key hash % P, so every key's pairs
+    co-locate at the merge. The shared partial behind
+    filter_by_key_quantile's string branch and rank_within_key."""
+    from raylink.joins import _string_part_hash
+
+    def partial(batch: pa.Table) -> pa.Table:
+        va = _np_i64(batch[val_col])
+        if int_key:
+            ka = _np_i64(batch[key_col])
+            order = np.lexsort((va, ka))
+            ks, vs = ka[order], va[order]
+            start = np.ones(len(ks), dtype=bool)
+            start[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+            starts = np.flatnonzero(start)
+            cnt = np.diff(np.append(starts, len(ks)))
+            out_keys = pa.array(ks[starts])
+            parts = (_hash64(ks[starts]) % np.uint64(P)).astype(np.int64)
+        else:
+            keys = batch[key_col].combine_chunks()
+            enc = keys.dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64
+            )
+            order = np.lexsort((va, codes))
+            cs_, vs = codes[order], va[order]
+            start = np.ones(len(cs_), dtype=bool)
+            start[1:] = (cs_[1:] != cs_[:-1]) | (vs[1:] != vs[:-1])
+            starts = np.flatnonzero(start)
+            cnt = np.diff(np.append(starts, len(cs_)))
+            out_keys = enc.dictionary.take(pa.array(cs_[starts]))
+            parts = (
+                _string_part_hash(out_keys) % np.uint64(P)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "k": out_keys,
+                "v": pa.array(vs[starts]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "part": pa.array(parts),
+            }
+        )
+
+    return partial
+
+
 def filter_by_key_quantile(
     ds,
     key_col: str,
@@ -349,7 +452,7 @@ def filter_by_key_quantile(
     pass + gate pass) — materialize upstream if it is expensive to
     recompute. Output columns keep the input's order.
     """
-    from raylink.joins import _nonull, _string_part_hash, equi_join
+    from raylink.joins import equi_join
 
     if keep not in ("ge", "gt", "le", "lt"):
         raise ValueError(
@@ -375,50 +478,12 @@ def filter_by_key_quantile(
             "(group_quantiles' per-key count output would overwrite it)"
         )
     schema = ds.schema()
-    key_type = schema.types[schema.names.index(key_col)]
-    # pandas-backed datasets report numpy dtypes / `object` here, Arrow-
-    # backed ones a pyarrow DataType — accept both spellings
-    if isinstance(key_type, pa.DataType):
-        int_key = pa.types.is_integer(key_type)
-        str_key = pa.types.is_string(key_type) or pa.types.is_large_string(
-            key_type
-        )
-        pa_key_type = key_type
-    else:
-        try:
-            dt = np.dtype(key_type)
-        except TypeError:
-            dt = np.dtype(object)
-        int_key = np.issubdtype(dt, np.integer)
-        str_key = dt == np.dtype(object) or np.issubdtype(dt, np.str_)
-        pa_key_type = pa.int64() if int_key else pa.string()
-    if not int_key and not str_key:
-        raise ValueError(
-            f"filter_by_key_quantile: key column {key_col!r} must be "
-            f"int64 or string, got {key_type}"
-        )
-
-    def check(batch: pa.Table) -> pa.Table:
-        ka = _nonull(batch[key_col], key_col, "filter_by_key_quantile")
-        if int_key and ka.type == pa.uint64():
-            raise ValueError(
-                f"filter_by_key_quantile: key column {key_col!r} is "
-                "uint64 — values above 2^63 would wrap in the int64 "
-                "digest; cast to int64 upstream"
-            )
-        va = _nonull(batch[val_col], val_col, "filter_by_key_quantile")
-        # the digest casts values to int64: floats would be silently
-        # TRUNCATED in the threshold while the gate compares originals
-        # (wrong row set, no error) — quantize floats upstream instead
-        if not pa.types.is_integer(va.type) or va.type == pa.uint64():
-            raise ValueError(
-                f"filter_by_key_quantile: value column {val_col!r} must "
-                f"be a signed integer (got {va.type}) — floats would be "
-                "truncated in the threshold digest but compared raw at "
-                "the gate; quantize upstream (centi-units etc.)"
-            )
-        return batch
-
+    int_key, _str_key, pa_key_type = _int64_key_info(
+        schema, key_col, "filter_by_key_quantile"
+    )
+    check = _make_kv_check(
+        key_col, val_col, int_key, "filter_by_key_quantile"
+    )
     vds = ds.map_batches(check, batch_format="pyarrow")
 
     if int_key:
@@ -429,33 +494,7 @@ def filter_by_key_quantile(
         ).select_columns([key_col, "thr"])
     else:
         P = _default_parts(n_parts)
-
-        def partial(batch: pa.Table) -> pa.Table:
-            keys = batch[key_col].combine_chunks()
-            va = _np_i64(batch[val_col])
-            enc = keys.dictionary_encode()
-            codes = np.asarray(
-                enc.indices.to_numpy(zero_copy_only=False), np.int64
-            )
-            order = np.lexsort((va, codes))
-            cs_, vs = codes[order], va[order]
-            start = np.ones(len(cs_), dtype=bool)
-            start[1:] = (cs_[1:] != cs_[:-1]) | (vs[1:] != vs[:-1])
-            starts = np.flatnonzero(start)
-            cnt = np.diff(np.append(starts, len(cs_)))
-            out_keys = enc.dictionary.take(pa.array(cs_[starts]))
-            return pa.table(
-                {
-                    "k": out_keys,
-                    "v": pa.array(vs[starts]),
-                    "cnt": pa.array(cnt.astype(np.int64)),
-                    "part": pa.array(
-                        (_string_part_hash(out_keys) % np.uint64(P)).astype(
-                            np.int64
-                        )
-                    ),
-                }
-            )
+        partial = _kv_census_partial(key_col, val_col, False, P)
 
         def merge(g: pa.Table) -> pa.Table:
             keys_col = g["k"].combine_chunks() if g.num_rows else None
@@ -562,7 +601,7 @@ def rank_within_key(
     all digits, so keys containing the separator cannot collide). The
     input is consumed twice (census + join) — materialize upstream if
     it is expensive to recompute. Output = input columns + rank + n."""
-    from raylink.joins import _nonull, _string_part_hash, equi_join
+    from raylink.joins import equi_join
 
     if output not in ("dataset", "pandas"):
         raise ValueError('rank_within_key: output must be "dataset" or "pandas"')
@@ -580,86 +619,24 @@ def rank_within_key(
                 f"rank_within_key: input column {c!r} collides with an "
                 "output/staging column — rename it upstream"
             )
+    for c in (rank_col, n_col):
+        if c in staging:
+            # a rank_col/n_col named "kv"/"v"/... would silently win the
+            # merge table's dict-literal collision and corrupt the join
+            raise ValueError(
+                f"rank_within_key: output column {c!r} collides with an "
+                f"internal staging name ({sorted(staging)}) — pick another"
+            )
     if rank_col == n_col:
         raise ValueError("rank_within_key: rank_col and n_col must differ")
     schema = ds.schema()
-    key_type = schema.types[schema.names.index(key_col)]
-    if isinstance(key_type, pa.DataType):
-        int_key = pa.types.is_integer(key_type)
-        str_key = pa.types.is_string(key_type) or pa.types.is_large_string(
-            key_type
-        )
-        pa_key_type = key_type
-    else:
-        try:
-            dt = np.dtype(key_type)
-        except TypeError:
-            dt = np.dtype(object)
-        int_key = np.issubdtype(dt, np.integer)
-        str_key = dt == np.dtype(object) or np.issubdtype(dt, np.str_)
-        pa_key_type = pa.int64() if int_key else pa.string()
-    if not int_key and not str_key:
-        raise ValueError(
-            f"rank_within_key: key column {key_col!r} must be int64 or "
-            f"string, got {key_type}"
-        )
+    int_key, _str_key, pa_key_type = _int64_key_info(
+        schema, key_col, "rank_within_key"
+    )
     P = _default_parts(n_parts)
-
-    def check(batch: pa.Table) -> pa.Table:
-        ka = _nonull(batch[key_col], key_col, "rank_within_key")
-        if int_key and ka.type == pa.uint64():
-            raise ValueError(
-                f"rank_within_key: key column {key_col!r} is uint64 — "
-                "values above 2^63 would wrap in the int64 digest; cast "
-                "to int64 upstream"
-            )
-        va = _nonull(batch[val_col], val_col, "rank_within_key")
-        if not pa.types.is_integer(va.type) or va.type == pa.uint64():
-            raise ValueError(
-                f"rank_within_key: value column {val_col!r} must be a "
-                f"signed integer (got {va.type}) — floats would be "
-                "silently truncated in the rank digest; quantize upstream"
-            )
-        return batch
-
+    check = _make_kv_check(key_col, val_col, int_key, "rank_within_key")
     vds = ds.map_batches(check, batch_format="pyarrow")
-
-    def partial(batch: pa.Table) -> pa.Table:
-        va = _np_i64(batch[val_col])
-        if int_key:
-            ka = _np_i64(batch[key_col])
-            order = np.lexsort((va, ka))
-            ks, vs = ka[order], va[order]
-            start = np.ones(len(ks), dtype=bool)
-            start[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
-            starts = np.flatnonzero(start)
-            cnt = np.diff(np.append(starts, len(ks)))
-            out_keys = pa.array(ks[starts])
-            parts = (_hash64(ks[starts]) % np.uint64(P)).astype(np.int64)
-        else:
-            keys = batch[key_col].combine_chunks()
-            enc = keys.dictionary_encode()
-            codes = np.asarray(
-                enc.indices.to_numpy(zero_copy_only=False), np.int64
-            )
-            order = np.lexsort((va, codes))
-            cs_, vs = codes[order], va[order]
-            start = np.ones(len(cs_), dtype=bool)
-            start[1:] = (cs_[1:] != cs_[:-1]) | (vs[1:] != vs[:-1])
-            starts = np.flatnonzero(start)
-            cnt = np.diff(np.append(starts, len(cs_)))
-            out_keys = enc.dictionary.take(pa.array(cs_[starts]))
-            parts = (
-                _string_part_hash(out_keys) % np.uint64(P)
-            ).astype(np.int64)
-        return pa.table(
-            {
-                "k": out_keys,
-                "v": pa.array(vs[starts]),
-                "cnt": pa.array(cnt.astype(np.int64)),
-                "part": pa.array(parts),
-            }
-        )
+    partial = _kv_census_partial(key_col, val_col, int_key, P)
 
     def merge(g: pa.Table) -> pa.Table:
         va = _np_i64(g["v"])

@@ -91,23 +91,17 @@ def exact_dedup(ds, id_col: str, text_col: str):
 def _shingle_hashes(texts: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc k-char shingle hashes (int64), vectorized via the ngram
     byte-window machinery. Returns (doc_ids, hashes) with duplicates
-    removed per doc."""
-    cleaned = clean_strings_arrow(texts)
-    doc_ids, grams = batch_ngrams(cleaned, (k, k), remove_space_ngrams=False, pad_width=k)
-    if len(grams) == 0:
+    removed per doc. The dedupe of :func:`_positional_shingle_hashes` —
+    ONE fold kernel, so the minhash and winnowing SQL oracles can never
+    desynchronize."""
+    doc_ids, h = _positional_shingle_hashes(texts, k)
+    if len(h) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    raw = np.frombuffer(grams.tobytes(), dtype=np.uint8).reshape(len(grams), -1)
-    h = np.zeros(len(grams), dtype=np.uint64)
-    for col in range(raw.shape[1]):
-        h = h * np.uint64(1099511628211) + raw[:, col].astype(np.uint64)
-    h = _hash64(h.astype(np.int64))
-    # dedupe (doc, shingle)
     order = np.lexsort((h, doc_ids))
     d, hh = doc_ids[order], h[order]
     keep = np.empty(len(d), bool)
-    if len(d):
-        keep[0] = True
-        keep[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+    keep[0] = True
+    keep[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
     return d[keep], hh[keep].astype(np.int64)
 
 
@@ -2093,6 +2087,14 @@ def winnow_fingerprints(
     SQL-replayable (FNV64+splitmix64 over HUGEINT — the family hash)."""
     if int(k) < 1 or int(window) < 1:
         raise ValueError("winnow_fingerprints: k and window must be >= 1")
+    if id_col in ("fp", "part", "a", "b", "p2"):
+        # "fp" would silently win the output table's dict-literal
+        # collision (ids gone, no error); the rest are the overlap-pairs
+        # staging names — rejected here so both winnow ops agree
+        raise ValueError(
+            f"winnow_fingerprints: id_col {id_col!r} collides with an "
+            "output/staging column name — rename it upstream"
+        )
 
     def fps(batch: pa.Table) -> pa.Table:
         ids = _winnow_batch_ids(batch, id_col, "winnow_fingerprints")

@@ -1984,6 +1984,27 @@ def q_docs_above_lang_median(sf_dir: str):
     )
 
 
+def q_repeated_lines(sf_dir: str):
+    """Gopher-style intra-document repetition cleanup
+    (raylink/textstats.remove_repeated_lines): per-conversation
+    turn-joined text, every line repeating an earlier line of the SAME
+    conversation dropped (keep-first, order preserved) — purely per-row,
+    one streaming pass, no shuffle. SQL-checked: string_split +
+    row_number-over-first-occurrence + ordered string_agg replay
+    (1,696 of 3,483 sf0.01 conversations actually change)."""
+    info = ensure_transcript_fixture(sf_dir)
+    from raylink.groupseq import ordered_seq_agg
+    from raylink.textstats import remove_repeated_lines
+
+    conv = ordered_seq_agg(
+        _rd().read_parquet(info["transcripts"]),
+        key_col="conv_id",
+        order_cols=["turn_idx"],
+        joins=(("text", "text", "\n"),),
+    )
+    return remove_repeated_lines(conv, id_col="conv_id", output="pandas")
+
+
 def q_rank_in_lang(sf_dir: str):
     """Per-row exact rank within key (raylink/aggs.rank_within_key):
     every document's strict-rank and key total within its language's
@@ -2298,6 +2319,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
     "rank_in_lang": q_rank_in_lang,
+    "repeated_lines": q_repeated_lines,
     "grouped_split": q_grouped_split,
     "apply_delta": q_apply_delta,
     "fuzzy_contamination": q_fuzzy_contamination,
@@ -2408,6 +2430,7 @@ _R5_LEAD = [
     "winnow_fingerprints",
     "winnow_overlap",
     "rank_in_lang",
+    "repeated_lines",
     "grouped_split",
     "apply_delta",
     "fuzzy_contamination",
@@ -4324,6 +4347,29 @@ def _winnow_ctes(k: int, w: int) -> str:
     fp AS (SELECT DISTINCT doc_id, h FROM sel)
 """
 
+
+ORACLE_SQL["repeated_lines"] = f"""
+    WITH conv AS (
+        SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text
+        FROM read_parquet('{_oracle_fixture_glob()}')
+        GROUP BY conv_id
+    ),
+    lines AS (
+        SELECT conv_id,
+               unnest(string_split(text, chr(10))) AS l,
+               unnest(generate_series(
+                   1, len(string_split(text, chr(10))))) AS i
+        FROM conv
+    ),
+    keep AS (
+        SELECT conv_id, i, l,
+               row_number() OVER (PARTITION BY conv_id, l ORDER BY i) = 1
+                   AS k
+        FROM lines
+    )
+    SELECT conv_id, string_agg(l, chr(10) ORDER BY i) AS text
+    FROM keep WHERE k GROUP BY conv_id ORDER BY conv_id
+"""
 
 ORACLE_SQL["rank_in_lang"] = """
     SELECT doc_id, lang, n_chars,

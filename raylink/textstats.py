@@ -702,6 +702,76 @@ def remove_boilerplate(
     return res
 
 
+def remove_repeated_lines(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 0,
+    output: str = "dataset",
+):
+    """Gopher-style INTRA-document repetition cleanup (Rae et al. 2021's
+    repetition filters, made a transform instead of a doc drop): within
+    each doc, drop every ``sep``-delimited line that exactly repeats an
+    EARLIER line of the same doc — keep-first, order preserved. Lines
+    shorter than ``min_chars`` always survive (a partition of equal
+    lines is entirely short or entirely not, so the rule is consistent
+    with the SQL replay's per-content CASE). Docs never drop: the first
+    occurrence always survives, so every row keeps >= 1 line. Null text
+    splits as empty text (one empty line), mirroring string_split.
+
+    Complementary to remove_boilerplate (cross-doc paragraph census —
+    needs a shuffle) and remove_duplicate_spans (cross-doc windows):
+    this is purely per-row, so it is ONE streaming map_batches pass —
+    no shuffle, no census, duplicate ids are harmless (each row is
+    cleaned independently). Output: (id_col, text_col)."""
+    if output not in ("dataset", "pandas"):
+        raise ValueError(
+            f'remove_repeated_lines: output must be "dataset" or '
+            f'"pandas", got {output!r}'
+        )
+    m = int(min_chars)
+
+    def drop_repeats(batch: pa.Table) -> pa.Table:
+        doc_idx, lines = _split_paragraphs(batch[text_col], sep)
+        n = batch.num_rows
+        lc = np.asarray(
+            pc.utf8_length(lines).to_numpy(zero_copy_only=False), np.int64
+        )
+        keep = np.ones(len(lines), dtype=bool)
+        cand = np.flatnonzero(lc >= m)
+        if len(cand):
+            enc = lines.take(pa.array(cand)).dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64
+            )
+            d = doc_idx[cand]
+            # (doc, content, position): the first of each run is the
+            # earliest occurrence — everything after it drops
+            order = np.lexsort((cand, codes, d))
+            ds_, cs_ = d[order], codes[order]
+            dup = np.zeros(len(order), dtype=bool)
+            dup[1:] = (ds_[1:] == ds_[:-1]) & (cs_[1:] == cs_[:-1])
+            keep[cand[order[dup]]] = False
+        kept_vals = lines.filter(pa.array(keep))
+        kept_counts = np.bincount(doc_idx[keep], minlength=n)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=offs[1:])
+        la = pa.LargeListArray.from_arrays(pa.array(offs), kept_vals)
+        return pa.table(
+            {id_col: batch[id_col], text_col: pc.binary_join(la, sep)}
+        )
+
+    res = ds.map_batches(drop_repeats, batch_format="pyarrow")
+    if output == "pandas":
+        return (
+            typed_to_pandas(res)
+            .sort_values(id_col)
+            .reset_index(drop=True)
+        )
+    return res
+
+
 def _pair_counts_of_types(uniq: pa.Array, cnt: np.ndarray):
     """Adjacent-char pair counts over a WORD-TYPE table, weighted by type
     occurrence counts. Vectorized across words per char POSITION (the

@@ -1651,3 +1651,71 @@ def test_rank_within_key_empty_input(rd):
         "doc", "key", "val", "rank_lt", "key_n",
     ]
     assert len(typed_to_pandas(dset)) == 0
+
+
+def test_remove_repeated_lines_semantics(rd):
+    from raylink.textstats import remove_repeated_lines
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a\nb\na\nc\nb",      # interleaved repeats
+                    "x\n\n\nx\nx",        # empty lines dedupe too
+                    "",                   # empty doc passes through
+                    "only one line here",
+                ]
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = remove_repeated_lines(ds, output="pandas")
+    assert out["text"].tolist() == ["a\nb\nc", "x\n", "", "only one line here"]
+    assert out["doc_id"].tolist() == [1, 2, 3, 4]
+    # min_chars: short lines always survive (all lines here are 1 char)
+    kept = remove_repeated_lines(ds, min_chars=2, output="pandas")
+    assert kept["text"].tolist() == t["text"].to_pylist()
+    # pure-python reference parity on random multi-line docs
+    rng = np.random.default_rng(3)
+    lines_pool = ["ok", "yes", "the answer is 42", "", "done", "retry"]
+    docs = [
+        "\n".join(rng.choice(lines_pool, int(rng.integers(0, 12))))
+        for _ in range(200)
+    ]
+    rds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+                "text": pa.array(docs),
+            }
+        )
+    ).repartition(5)
+    got = remove_repeated_lines(rds, output="pandas")
+
+    def ref(s):
+        seen, keep = set(), []
+        for l in s.split("\n"):
+            if l not in seen:
+                seen.add(l)
+                keep.append(l)
+        return "\n".join(keep)
+
+    assert got["text"].tolist() == [ref(d) for d in docs]
+    # dataset output parity + rejection
+    as_ds = remove_repeated_lines(rds).to_pandas()
+    as_ds = as_ds.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, as_ds)
+    with pytest.raises(ValueError, match="output"):
+        remove_repeated_lines(rds, output="arrow")
+
+
+def test_rank_within_key_output_name_staging_guard(rd):
+    from raylink.aggs import rank_within_key
+
+    df = _rank_frame(n=20, nkeys=2, seed=1)
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    with pytest.raises(ValueError, match="staging"):
+        rank_within_key(ds, "key", "val", rank_col="kv")
+    with pytest.raises(ValueError, match="staging"):
+        rank_within_key(ds, "key", "val", n_col="v")

@@ -1967,3 +1967,13 @@ def test_winnow_fully_empty_input(rd):
     assert list(fps.columns) == ["doc_id", "fp"] and len(fps) == 0
     pairs = winnow_overlap_pairs(ds, "doc_id", "text", output="pandas")
     assert list(pairs.columns) == ["a", "b", "n_shared"] and len(pairs) == 0
+
+
+def test_winnow_id_col_name_guard(rd):
+    from raylink.dedup import winnow_fingerprints
+
+    t = pa.table(
+        {"fp": pa.array([1], pa.int64()), "text": pa.array([BASE])}
+    )
+    with pytest.raises(ValueError, match="collides"):
+        winnow_fingerprints(rd.from_arrow(t), "fp", "text")
