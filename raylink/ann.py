@@ -716,3 +716,196 @@ def topk_join(
         return mapped
     out = typed_to_pandas(mapped)
     return out.sort_values(["query_id", "rank"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the memory-compression scale path
+# ---------------------------------------------------------------------------
+
+
+class PQCodebooks:
+    """Product-quantization codebooks (Jegou, Douze & Schmid, TPAMI 2011):
+    the L2-normalized embedding splits into ``m`` contiguous subvectors
+    and each subspace k-means-quantizes independently; a vector is stored
+    as m small centroid ids (here 8 x 4 bits of information at the
+    defaults vs 64 x 8 bytes raw — the memory-compression counterpart to
+    IVF's compute pruning), and query scores are approximated by m
+    lookup-table reads (ADC). Seeded + driver-side fit = deterministic
+    for a fixed (sample, seed), so the books can pin to a parquet fixture
+    the SQL oracle replays (the IVF-centroid pattern)."""
+
+    def __init__(self, books: np.ndarray):
+        b = np.asarray(books, dtype=np.float64)
+        if b.ndim != 3:
+            raise ValueError("PQCodebooks: books must be (m, k, dsub)")
+        self.books = b
+
+    @classmethod
+    def from_exact(cls, books: np.ndarray) -> "PQCodebooks":
+        """Adopt stored float64s verbatim (the fixture path — any
+        recomputation would perturb last bits and break oracle parity)."""
+        return cls(books)
+
+    @classmethod
+    def fit(
+        cls,
+        sample: np.ndarray,
+        m: int = 8,
+        k: int = 16,
+        n_iter: int = 10,
+        seed: int = 0,
+    ) -> "PQCodebooks":
+        s = l2_normalize(np.asarray(sample, dtype=np.float64))
+        n, d = s.shape
+        if d % m:
+            raise ValueError(f"PQCodebooks: dim {d} not divisible by m={m}")
+        dsub = d // m
+        rng = np.random.default_rng(seed)
+        books = np.empty((m, min(k, n), dsub), dtype=np.float64)
+        for mi in range(m):
+            sub = s[:, mi * dsub : (mi + 1) * dsub]
+            idx = rng.choice(n, size=min(k, n), replace=False)
+            cents = sub[idx].copy()
+            for _ in range(n_iter):
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+                assign = np.argmin(d2, axis=1)
+                for c in range(len(cents)):
+                    mem = sub[assign == c]
+                    if len(mem):
+                        cents[c] = mem.mean(axis=0)
+            books[mi] = cents  # subvectors are NOT unit — no normalization
+        return cls(books)
+
+    def encode(self, mat: np.ndarray) -> np.ndarray:
+        """(n, d) L2-normalized rows -> (n, m) int64 codes. Nearest
+        centroid by squared distance via argmax(c.x - |c|^2/2) — the
+        monotone-equivalent form whose two dot products the SQL replay
+        computes with the same ascending-element order; ties -> smallest
+        centroid id (argmax first occurrence)."""
+        m, k, dsub = self.books.shape
+        if mat.shape[1] != m * dsub:
+            raise ValueError(
+                f"PQCodebooks.encode: dim {mat.shape[1]} != m*dsub {m * dsub}"
+            )
+        codes = np.empty((len(mat), m), np.int64)
+        for mi in range(m):
+            sub = mat[:, mi * dsub : (mi + 1) * dsub]
+            half = 0.5 * (self.books[mi] ** 2).sum(axis=1)
+            score = sub @ self.books[mi].T - half[None, :]
+            codes[:, mi] = np.argmax(score, axis=1)
+        return codes
+
+
+def pq_encode(
+    ds,
+    books: PQCodebooks,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    output: str = "dataset",
+):
+    """Encode an embedding column to PQ codes: one streaming map_batches
+    pass (books broadcast once via ray.put), output (id_col, c0..c{m-1})
+    int64 — m separate columns so the codes are directly SQL-comparable.
+    Null/absent ids reject loudly (the family id rule)."""
+    if output not in ("dataset", "pandas"):
+        raise ValueError(f"pq_encode: unknown output {output!r}")
+    m = books.books.shape[0]
+    if id_col in tuple(f"c{i}" for i in range(m)):
+        raise ValueError(
+            f"pq_encode: id_col {id_col!r} collides with a code column"
+        )
+    ref = ray.put(books.books)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        ids = _ids_of(batch, id_col)
+        cols = {id_col: pa.array(ids)}
+        if len(ids):
+            mat = l2_normalize(_embeddings_to_matrix(batch[emb_col]))
+            codes = PQCodebooks(cached_object(ref)).encode(mat)
+        else:
+            codes = np.empty((0, m), np.int64)
+        for mi in range(m):
+            cols[f"c{mi}"] = pa.array(codes[:, mi])
+        return pa.table(cols)
+
+    out = ds.map_batches(enc, batch_format="pyarrow")
+    if output == "pandas":
+        pdf = typed_to_pandas(out)
+        if not len(pdf) and list(pdf.columns) != [id_col] + [
+            f"c{i}" for i in range(m)
+        ]:
+            pdf = pd.DataFrame(
+                {
+                    c: pd.Series([], dtype=np.int64)
+                    for c in (id_col, *(f"c{i}" for i in range(m)))
+                }
+            )
+        return pdf.sort_values(id_col, ignore_index=True)
+    return out
+
+
+def pq_topk(
+    codes_ds,
+    queries: np.ndarray,
+    books: PQCodebooks,
+    id_col: str = "vec_id",
+    k: int = 10,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """ADC top-k over a PQ-codes dataset (pq_encode's output): per query
+    an (m, k_cent) lookup table of subvector inner products is built once
+    on the driver; each streamed batch scores rows by m LUT gathers
+    accumulated in ascending-subspace order (the order the SQL replay's
+    explicit addition chain mirrors) — no embedding reads, no matmul
+    against the corpus. Same output schema and smaller-id tie rule as
+    brute_force_topk; scores are the PQ APPROXIMATION of cosine (recall
+    < 1 by design — the memory-compression scale path)."""
+    m, kc, dsub = books.books.shape
+    qn = l2_normalize(np.asarray(queries, dtype=np.float64))
+    nq = len(qn)
+    # LUT[mi][q][j] = <q_sub(mi), centroid j of subspace mi>
+    lut = np.empty((m, nq, kc), dtype=np.float64)
+    for mi in range(m):
+        lut[mi] = qn[:, mi * dsub : (mi + 1) * dsub] @ books.books[mi].T
+    ref = ray.put(lut)
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if id_col not in batch.column_names:  # placeholder empty block
+            return empty
+        t = cached_object(ref)
+        ids = _ids_of(batch, id_col)
+        if not len(ids):
+            return empty
+        o = np.argsort(ids, kind="stable")  # smaller-id tie layout
+        ids = ids[o]
+        sim = np.zeros((nq, len(ids)), dtype=np.float64)
+        for mi in range(m):
+            cm = np.asarray(
+                batch[f"c{mi}"].to_numpy(zero_copy_only=False), np.int64
+            )[o]
+            sim += t[mi][:, cm]
+        kk = min(k, sim.shape[1])
+        part = _topk_cols_tie_exact(sim, kk)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.repeat(np.arange(nq, dtype=np.int64), kk)
+                ),
+                "vec_id": pa.array(ids[part.ravel()]),
+                "cosine": pa.array(
+                    np.take_along_axis(sim, part, axis=1).ravel()
+                ),
+            }
+        )
+
+    partials = codes_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    return _merge_partials_topk(partials, k)

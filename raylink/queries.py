@@ -1017,6 +1017,111 @@ def _ivf_pinned_index(sf_dir: str):
     return IVFIndex.from_exact_centroids(cents)
 
 
+def pq_codebook_fixture_path(sf_dir: str) -> str:
+    # params in the name so a spec change invalidates the pinned fixture
+    return os.path.join(
+        FIXTURE_ROOT, f"pq-books-{sf_name(sf_dir)}-m16-k128-s0.parquet"
+    )
+
+
+def ensure_pq_codebook_fixture(sf_dir: str) -> str:
+    """Fit the seeded per-subspace PQ k-means ONCE per scale and persist
+    the codebooks as a parquet fixture BOTH sides read (the IVF-centroid
+    pattern): the Ray queries adopt the exact stored float64s
+    (PQCodebooks.from_exact) and the DuckDB oracle replays encoding +
+    ADC scoring from the same values. Plain pyarrow/numpy (no Ray):
+    callable from oracle_sql() before any query ran."""
+    import pyarrow.parquet as pq
+
+    path = pq_codebook_fixture_path(sf_dir)
+    if os.path.exists(path):
+        return path
+    from raylink.ann import PQCodebooks, _stack_embeddings
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    sample = _stack_embeddings(
+        t["embedding"].slice(0, 4096).to_pandas().to_numpy()
+    )
+    books = PQCodebooks.fit(sample, m=16, k=128, seed=0)
+    m, kc, dsub = books.books.shape
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(
+        pa.table(
+            {
+                "m": pa.array(np.repeat(np.arange(m, dtype=np.int64), kc)),
+                "j": pa.array(np.tile(np.arange(kc, dtype=np.int64), m)),
+                "centroid": pa.array(
+                    [c for mi in range(m) for c in books.books[mi]],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, path)  # atomic: concurrent callers see whole files
+    return path
+
+
+def _load_pq_books(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from raylink.ann import PQCodebooks
+
+    path = ensure_pq_codebook_fixture(sf_dir)
+    t = pq.read_table(path)
+    m = int(pc.max(t["m"]).as_py()) + 1
+    kc = int(pc.max(t["j"]).as_py()) + 1
+    cents = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t["centroid"].to_pylist()]
+    )
+    return PQCodebooks.from_exact(cents.reshape(m, kc, -1))
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization encoding (raylink/ann.pq_encode, Jegou et al.
+    2011): every embedding as 16 per-subspace nearest-centroid ids from
+    the PINNED codebook fixture — the memory-compression ANN scale path
+    (16 small ids vs 64 float64s). SQL-checked: per-subspace argmin
+    replay via list_slice + list_inner_product ranking over the same
+    stored float64 centroids (integer codes, exact)."""
+    from raylink.ann import pq_encode
+
+    books = _load_pq_books(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_encode(ds, books, output="pandas")
+
+
+def q_pq_topk(sf_dir: str):
+    """ADC top-10 over PQ codes (raylink/ann.pq_topk): queries = the
+    first 8 embeddings, scored by 16 LUT reads per (query, row) —
+    no corpus matmul. SQL-checked: the explicit 16-term inner-product
+    addition chain (the kernel's ascending-subspace accumulation order),
+    round-4 scores (the ann_ivf_partitioned float rule)."""
+    from raylink.ann import pq_encode, pq_topk
+
+    books = _load_pq_books(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pqt
+
+    t = pqt.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    from raylink.ann import _stack_embeddings
+
+    order = np.argsort(np.asarray(t["vec_id"].to_numpy(zero_copy_only=False)))
+    queries = _stack_embeddings(
+        t["embedding"].take(pa.array(order[:8])).to_pandas().to_numpy()
+    )
+    codes = pq_encode(ds, books)
+    out = pq_topk(codes, queries, books, k=10)
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF ANN (sub-linear scale path) for the fixed vec_id<4 panel.
     SQL-checked via PINNED centroids: the seeded k-means fit is persisted
@@ -2320,6 +2425,8 @@ QUERIES = {
     "winnow_overlap": q_winnow_overlap,
     "rank_in_lang": q_rank_in_lang,
     "repeated_lines": q_repeated_lines,
+    "pq_codes": q_pq_codes,
+    "pq_topk": q_pq_topk,
     "grouped_split": q_grouped_split,
     "apply_delta": q_apply_delta,
     "fuzzy_contamination": q_fuzzy_contamination,
@@ -2431,6 +2538,8 @@ _R5_LEAD = [
     "winnow_overlap",
     "rank_in_lang",
     "repeated_lines",
+    "pq_codes",
+    "pq_topk",
     "grouped_split",
     "apply_delta",
     "fuzzy_contamination",
@@ -4370,6 +4479,85 @@ ORACLE_SQL["repeated_lines"] = f"""
     SELECT conv_id, string_agg(l, chr(10) ORDER BY i) AS text
     FROM keep WHERE k GROUP BY conv_id ORDER BY conv_id
 """
+
+# -- product quantization oracled -------------------------------------------
+# Encoding + ADC replay from the PINNED codebook fixture (the IVF-centroid
+# pattern): per-subspace nearest centroid by the kernel's own monotone form
+# argmax(<x_sub, c> - |c|^2/2) over the stored float64s; the ADC score is
+# the explicit 16-term addition chain mirroring the kernel's ascending-
+# subspace accumulation; scores round to 4 (the ann_ivf float rule).
+_PQ_DSUB = 4  # 64-dim embeddings / m=16 subspaces
+
+
+def _pq_base_ctes() -> str:
+    return f"""
+    cb AS (SELECT m, j, centroid
+           FROM read_parquet('{pq_codebook_fixture_path("sf0.01")}')),
+    b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    bn AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(e, e) = 0 THEN e
+                       ELSE list_transform(
+                           e, x -> x / sqrt(list_inner_product(e, e)))
+                  END AS en
+           FROM b),
+    scored AS (
+        SELECT bn.vec_id, cb.m, cb.j,
+               list_inner_product(
+                   list_slice(bn.en, cb.m * {_PQ_DSUB} + 1,
+                              cb.m * {_PQ_DSUB} + {_PQ_DSUB}),
+                   cb.centroid)
+                 - 0.5 * list_inner_product(cb.centroid, cb.centroid) AS s
+        FROM bn CROSS JOIN cb
+    ),
+    best AS (
+        SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY s DESC, j ASC) AS rn
+        FROM scored
+    ),
+    codes AS (
+        SELECT vec_id,
+               {", ".join(f"max(CASE WHEN m = {mi} THEN j END) AS c{mi}"
+                          for mi in range(16))}
+        FROM best WHERE rn = 1 GROUP BY vec_id
+    )
+"""
+
+
+ORACLE_SQL["pq_codes"] = f"""
+    WITH {_pq_base_ctes()}
+    SELECT vec_id, {", ".join(f"c{mi}" for mi in range(16))}
+    FROM codes ORDER BY vec_id
+"""
+
+_PQ_ADC_CHAIN = " + ".join(
+    f"list_inner_product(list_slice(q.en, {mi * _PQ_DSUB + 1}, "
+    f"{mi * _PQ_DSUB + _PQ_DSUB}), cb{mi}.centroid)"
+    for mi in range(16)
+)
+_PQ_ADC_JOINS = "\n        ".join(
+    f"JOIN cb cb{mi} ON cb{mi}.m = {mi} AND cb{mi}.j = v.c{mi}"
+    for mi in range(16)
+)
+
+ORACLE_SQL["pq_topk"] = f"""
+    WITH {_pq_base_ctes()},
+    q AS (SELECT vec_id AS query_id, en FROM bn WHERE vec_id < 8),
+    sims AS (
+        SELECT q.query_id, v.vec_id, {_PQ_ADC_CHAIN} AS s
+        FROM q CROSS JOIN codes v
+        {_PQ_ADC_JOINS}
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, s,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, vec_id ASC) AS rn
+        FROM sims
+    )
+    SELECT query_id, rn AS rank, vec_id, round(s, 4) AS cosine
+    FROM ranked WHERE rn <= 10
+"""
+
 
 ORACLE_SQL["rank_in_lang"] = """
     SELECT doc_id, lang, n_chars,

@@ -796,3 +796,90 @@ def test_merge_partials_topk_rolling_parity(rd, monkeypatch):
     rolled = ann._merge_partials_topk(pds, k=5)
     pd.testing.assert_frame_equal(
         rolled.reset_index(drop=True), base.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_matches_reference(emb_ds):
+    from raylink.ann import PQCodebooks, pq_encode
+    from raylink.embed import l2_normalize
+
+    ds, mat = emb_ds
+    books = PQCodebooks.fit(mat, m=4, k=8, seed=0)
+    got = pq_encode(ds, books, output="pandas")
+    assert list(got.columns) == ["vec_id", "c0", "c1", "c2", "c3"]
+    # per-row nearest-centroid reference (plain squared distance argmin,
+    # smallest-id tie) — must equal the kernel's monotone argmax form
+    dn = l2_normalize(mat)
+    m, kc, dsub = books.books.shape
+    for mi in range(m):
+        sub = dn[:, mi * dsub : (mi + 1) * dsub]
+        d2 = ((sub[:, None, :] - books.books[mi][None, :, :]) ** 2).sum(-1)
+        # argmin over exact d2 can disagree with the monotone form only
+        # on float noise; check score-equality instead of index-equality
+        half = 0.5 * (books.books[mi] ** 2).sum(axis=1)
+        score = sub @ books.books[mi].T - half[None, :]
+        expect = np.argmax(score, axis=1)
+        assert got[f"c{mi}"].tolist() == expect.tolist()
+    # determinism + from_exact roundtrip
+    again = PQCodebooks.fit(mat, m=4, k=8, seed=0)
+    assert np.array_equal(books.books, again.books)
+    assert np.array_equal(
+        PQCodebooks.from_exact(books.books).books, books.books
+    )
+
+
+def test_pq_topk_recall_and_tie_rule(emb_ds):
+    from raylink.ann import PQCodebooks, brute_force_topk, pq_encode, pq_topk
+
+    ds, mat = emb_ds
+    books = PQCodebooks.fit(mat, m=8, k=32, seed=0)
+    codes = pq_encode(ds, books)
+    queries = mat[:5]
+    approx = pq_topk(codes, queries, books, k=10, batch_size=64)
+    exact = brute_force_topk(ds, queries, k=10, batch_size=64)
+    rec = np.mean(
+        [
+            len(
+                set(approx[approx.query_id == q]["vec_id"])
+                & set(exact[exact.query_id == q]["vec_id"])
+            )
+            / 10
+            for q in range(5)
+        ]
+    )
+    # 16-dim, 8x32 books on the training sample itself: recall is high
+    assert rec >= 0.6, rec
+    assert list(approx.columns) == ["query_id", "rank", "vec_id", "cosine"]
+    assert len(approx) == 50
+    # scores descend within each query; rank ties -> smaller vec_id
+    for q in range(5):
+        sub = approx[approx.query_id == q].sort_values("rank")
+        c = sub["cosine"].to_numpy()
+        assert (np.diff(c) <= 0).all()
+        v = sub["vec_id"].to_numpy()
+        for i in range(len(c) - 1):
+            if c[i] == c[i + 1]:
+                assert v[i] < v[i + 1]
+
+
+def test_pq_guards(emb_ds):
+    from raylink.ann import PQCodebooks, pq_encode
+
+    ds, mat = emb_ds
+    with pytest.raises(ValueError, match="divisible"):
+        PQCodebooks.fit(mat, m=5)
+    with pytest.raises(ValueError, match="books"):
+        PQCodebooks(np.zeros((2, 2)))
+    books = PQCodebooks.fit(mat, m=4, k=8, seed=0)
+    with pytest.raises(ValueError, match="output"):
+        pq_encode(ds, books, output="arrow")
+    renamed = ds.map_batches(
+        lambda b: b.rename_columns(["c0", "embedding"]),
+        batch_format="pyarrow",
+    )
+    with pytest.raises(ValueError, match="collides"):
+        pq_encode(renamed, books, id_col="c0")
