@@ -2557,9 +2557,16 @@ _R5_LEAD = [
     "transcript_tool_stats", "clean_documents", "ngram_df", "exact_dedup",
     "minmax_normalize", "threshold_filter", "pr_curve", "canonicalize_events",
     "token_count", "quality_score", "lang_id", "fingerprint", "redact_pii",
-    "repetition_stats", "vocabulary", "chunk_documents", "pack_sequences",
-    "transcript_canonicalize", "transcript_from_json", "transcript_conv_text",
-    "transcript_turn_stats",
+    "repetition_stats", "vocabulary", "chunk_documents",
+    "transcript_canonicalize",
+    # r5-touched kernels keep their window slots (sixth session: the
+    # shingle-fold refactor sits under minhash, the dedup defaults and
+    # BPE counts under flagship/training_mix/boilerplate); the stable
+    # r3-green transcript tail (from_json/conv_text/turn_stats,
+    # pack_sequences) rotates out — test_entry re-checks those at
+    # sf0.001 every round
+    "transcript_flagship", "minhash_dedup", "training_mix",
+    "remove_boilerplate",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _R5_LEAD},
