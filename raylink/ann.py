@@ -796,6 +796,18 @@ class PQCodebooks:
         return codes
 
 
+def _pq_code_dtype(kc: int):
+    """Narrowest signed dtype holding codes 0..kc-1 — the compression IS
+    the point (int8 at the k=128 fixture config: 16 B/row of codes vs
+    256 B/row of float32 embedding). Value-compared oracles are dtype-
+    agnostic (the driver hashes values, not widths)."""
+    if kc <= 128:
+        return np.int8
+    if kc <= 32768:
+        return np.int16
+    return np.int64
+
+
 def pq_encode(
     ds,
     books: PQCodebooks,
@@ -805,11 +817,12 @@ def pq_encode(
 ):
     """Encode an embedding column to PQ codes: one streaming map_batches
     pass (books broadcast once via ray.put), output (id_col, c0..c{m-1})
-    int64 — m separate columns so the codes are directly SQL-comparable.
-    Null/absent ids reject loudly (the family id rule)."""
+    in the narrowest signed int that fits k — m separate columns so the
+    codes are directly SQL-comparable. Null/absent ids reject loudly."""
     if output not in ("dataset", "pandas"):
         raise ValueError(f"pq_encode: unknown output {output!r}")
-    m = books.books.shape[0]
+    m, kc = books.books.shape[0], books.books.shape[1]
+    cdt = _pq_code_dtype(kc)
     if id_col in tuple(f"c{i}" for i in range(m)):
         raise ValueError(
             f"pq_encode: id_col {id_col!r} collides with a code column"
@@ -825,7 +838,7 @@ def pq_encode(
         else:
             codes = np.empty((0, m), np.int64)
         for mi in range(m):
-            cols[f"c{mi}"] = pa.array(codes[:, mi])
+            cols[f"c{mi}"] = pa.array(codes[:, mi].astype(cdt))
         return pa.table(cols)
 
     out = ds.map_batches(enc, batch_format="pyarrow")
@@ -902,6 +915,129 @@ def pq_topk(
                 "cosine": pa.array(
                     np.take_along_axis(sim, part, axis=1).ravel()
                 ),
+            }
+        )
+
+    partials = codes_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    return _merge_partials_topk(partials, k)
+
+
+def ivfpq_encode(
+    ds,
+    books: PQCodebooks,
+    index: IVFIndex,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    list_col: str = "list_id",
+):
+    """One streaming pass emitting (id_col, list_col, c0..c{m-1}): the
+    row's IVF list assignment (nearest centroid, smaller-id tie via
+    argmax first occurrence) plus its PQ codes — the ingest side of
+    IVF-PQ. Books and centroids broadcast once."""
+    m, kc = books.books.shape[0], books.books.shape[1]
+    cdt = _pq_code_dtype(kc)
+    for c in (id_col, list_col):
+        if c in tuple(f"c{i}" for i in range(m)) or (
+            c == list_col and id_col == list_col
+        ):
+            raise ValueError(
+                f"ivfpq_encode: column {c!r} collides with an output column"
+            )
+    ref = ray.put((books.books, index.centroids))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        bks, cents = cached_object(ref)
+        ids = _ids_of(batch, id_col)
+        cols = {id_col: pa.array(ids)}
+        if len(ids):
+            mat = l2_normalize(_embeddings_to_matrix(batch[emb_col]))
+            assign = np.argmax(mat @ cents.T, axis=1).astype(np.int64)
+            codes = PQCodebooks(bks).encode(mat)
+        else:
+            assign = np.empty(0, np.int64)
+            codes = np.empty((0, m), np.int64)
+        cols[list_col] = pa.array(assign)
+        for mi in range(m):
+            cols[f"c{mi}"] = pa.array(codes[:, mi].astype(cdt))
+        return pa.table(cols)
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def ivfpq_topk(
+    codes_ds,
+    queries: np.ndarray,
+    books: PQCodebooks,
+    index: IVFIndex,
+    id_col: str = "vec_id",
+    list_col: str = "list_id",
+    k: int = 10,
+    n_probe: int = 4,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """IVF-PQ ADC top-k (the standard production ANN shape: IVF's
+    compute pruning x PQ's memory compression): each query probes its
+    ``n_probe`` nearest IVF lists and ADC-scores ONLY rows assigned to
+    a probed list — per batch that is m LUT gathers plus a boolean
+    probe mask, no embedding reads. Same output schema and smaller-id
+    tie rule as brute_force_topk; recall < 1 twice over (probe misses
+    and code quantization), the documented scale trade."""
+    m, kc, dsub = books.books.shape
+    n_lists = len(index.centroids)
+    qn = l2_normalize(np.asarray(queries, dtype=np.float64))
+    nq = len(qn)
+    probes = index.probe_lists(qn, n_probe)
+    lut = np.empty((m, nq, kc), dtype=np.float64)
+    for mi in range(m):
+        lut[mi] = qn[:, mi * dsub : (mi + 1) * dsub] @ books.books[mi].T
+    probe_mask = np.zeros((nq, n_lists), dtype=bool)
+    probe_mask[
+        np.repeat(np.arange(nq), probes.shape[1]), probes.ravel()
+    ] = True
+    ref = ray.put((lut, probe_mask))
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if id_col not in batch.column_names:  # placeholder empty block
+            return empty
+        t, mask = cached_object(ref)
+        ids = _ids_of(batch, id_col)
+        if not len(ids):
+            return empty
+        o = np.argsort(ids, kind="stable")  # smaller-id tie layout
+        ids = ids[o]
+        lists = np.asarray(
+            batch[list_col].to_numpy(zero_copy_only=False), np.int64
+        )[o]
+        active = mask[:, lists]  # (nq, nb)
+        if not active.any():
+            return empty
+        sim = np.zeros((nq, len(ids)), dtype=np.float64)
+        for mi in range(m):
+            cm = np.asarray(
+                batch[f"c{mi}"].to_numpy(zero_copy_only=False), np.int64
+            )[o]
+            sim += t[mi][:, cm]
+        sim = np.where(active, sim, -np.inf)
+        kk = min(k, sim.shape[1])
+        part = _topk_cols_tie_exact(sim, kk)
+        cos = np.take_along_axis(sim, part, axis=1).ravel()
+        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        vid = ids[part.ravel()]
+        valid = np.isfinite(cos)
+        return pa.table(
+            {
+                "query_id": pa.array(qid[valid]),
+                "vec_id": pa.array(vid[valid]),
+                "cosine": pa.array(cos[valid]),
             }
         )
 

@@ -1122,6 +1122,37 @@ def q_pq_topk(sf_dir: str):
     return out
 
 
+def q_ivfpq_topk(sf_dir: str):
+    """IVF-PQ (raylink/ann.ivfpq_topk) — the standard production ANN
+    shape: each query ADC-scores only rows assigned to one of its 4
+    probed IVF lists; per (query, row) that is 16 LUT reads and a mask,
+    no embedding access. BOTH stages from pinned fixtures (IVF
+    centroids + PQ codebooks). SQL-checked hash-exact: probe/assign
+    ranked by list_inner_product over raw vectors (norm is a positive
+    per-row constant), ADC via the explicit 16-term chain, round-4."""
+    from raylink.ann import ivfpq_encode, ivfpq_topk
+
+    books = _load_pq_books(sf_dir)
+    index = _ivf_pinned_index(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pqt
+
+    t = pqt.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    from raylink.ann import _stack_embeddings
+
+    order = np.argsort(np.asarray(t["vec_id"].to_numpy(zero_copy_only=False)))
+    queries = _stack_embeddings(
+        t["embedding"].take(pa.array(order[:8])).to_pandas().to_numpy()
+    )
+    codes = ivfpq_encode(ds, books, index)
+    out = ivfpq_topk(codes, queries, books, index, k=10, n_probe=4)
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF ANN (sub-linear scale path) for the fixed vec_id<4 panel.
     SQL-checked via PINNED centroids: the seeded k-means fit is persisted
@@ -2427,6 +2458,7 @@ QUERIES = {
     "repeated_lines": q_repeated_lines,
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "grouped_split": q_grouped_split,
     "apply_delta": q_apply_delta,
     "fuzzy_contamination": q_fuzzy_contamination,
@@ -2540,6 +2572,7 @@ _R5_LEAD = [
     "repeated_lines",
     "pq_codes",
     "pq_topk",
+    "ivfpq_topk",
     "grouped_split",
     "apply_delta",
     "fuzzy_contamination",
@@ -2557,7 +2590,7 @@ _R5_LEAD = [
     "transcript_tool_stats", "clean_documents", "ngram_df", "exact_dedup",
     "minmax_normalize", "threshold_filter", "pr_curve", "canonicalize_events",
     "token_count", "quality_score", "lang_id", "fingerprint", "redact_pii",
-    "repetition_stats", "vocabulary", "chunk_documents",
+    "repetition_stats", "vocabulary",
     "transcript_canonicalize",
     # r5-touched kernels keep their window slots (sixth session: the
     # shingle-fold refactor sits under minhash, the dedup defaults and
@@ -4553,6 +4586,50 @@ ORACLE_SQL["pq_topk"] = f"""
     sims AS (
         SELECT q.query_id, v.vec_id, {_PQ_ADC_CHAIN} AS s
         FROM q CROSS JOIN codes v
+        {_PQ_ADC_JOINS}
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, s,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, vec_id ASC) AS rn
+        FROM sims
+    )
+    SELECT query_id, rn AS rank, vec_id, round(s, 4) AS cosine
+    FROM ranked WHERE rn <= 10
+"""
+
+
+ORACLE_SQL["ivfpq_topk"] = f"""
+    WITH {_pq_base_ctes()},
+    icents AS (SELECT list_id, centroid AS ic
+               FROM read_parquet('{ivf_centroid_fixture_path("sf0.01")}')),
+    assign AS (
+        SELECT b.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY list_inner_product(b.e, c.ic)
+                                      DESC, c.list_id ASC) AS arn
+        FROM b CROSS JOIN icents c
+    ),
+    q AS (SELECT bn.vec_id AS query_id, bn.en, b.e
+          FROM bn JOIN b ON b.vec_id = bn.vec_id WHERE bn.vec_id < 8),
+    qprobe AS (
+        SELECT q.query_id, c.list_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_inner_product(q.e, c.ic)
+                                      DESC, c.list_id ASC) AS prn
+        FROM q CROSS JOIN icents c
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM (SELECT query_id, list_id FROM qprobe WHERE prn <= 4) p
+        JOIN (SELECT vec_id, list_id FROM assign WHERE arn = 1) a
+          ON a.list_id = p.list_id
+    ),
+    sims AS (
+        SELECT cand.query_id, cand.vec_id, {_PQ_ADC_CHAIN} AS s
+        FROM cand
+        JOIN q ON q.query_id = cand.query_id
+        JOIN codes v ON v.vec_id = cand.vec_id
         {_PQ_ADC_JOINS}
     ),
     ranked AS (

@@ -883,3 +883,41 @@ def test_pq_guards(emb_ds):
     )
     with pytest.raises(ValueError, match="collides"):
         pq_encode(renamed, books, id_col="c0")
+
+
+def test_ivfpq_probe_all_equals_pq(emb_ds):
+    from raylink.ann import (
+        IVFIndex,
+        PQCodebooks,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+    )
+
+    ds, mat = emb_ds
+    books = PQCodebooks.fit(mat, m=4, k=8, seed=0)
+    index = IVFIndex.fit(mat, n_clusters=4, seed=0)
+    queries = mat[:4]
+    codes = ivfpq_encode(ds, books, index)
+    # probing EVERY list makes IVF-PQ exactly PQ (the mask never cuts)
+    full = ivfpq_topk(codes, queries, books, index, k=8, n_probe=4,
+                      batch_size=64)
+    plain = pq_topk(pq_encode(ds, books), queries, books, k=8,
+                    batch_size=64)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), plain.reset_index(drop=True)
+    )
+    # a restricted probe returns a subset of ids per query
+    narrow = ivfpq_topk(codes, queries, books, index, k=8, n_probe=1,
+                        batch_size=64)
+    for q in range(4):
+        assert set(narrow[narrow.query_id == q]["vec_id"]) <= set(
+            codes.to_pandas()["vec_id"]
+        )
+        assert len(narrow[narrow.query_id == q]) <= 8
+    # codes columns are narrow ints (the compression IS the point)
+    sch = codes.schema()
+    assert str(sch.types[sch.names.index("c0")]) == "int8"
+    with pytest.raises(ValueError, match="collides"):
+        ivfpq_encode(ds, books, index, id_col="c1")
