@@ -830,6 +830,18 @@ def pq_encode(
     ref = ray.put(books.books)
 
     def enc(batch: pa.Table) -> pa.Table:
+        if id_col not in batch.column_names:  # schema-dropped empty block
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    **{
+                        f"c{mi}": pa.array(
+                            np.empty(0, cdt)
+                        )
+                        for mi in range(m)
+                    },
+                }
+            )
         ids = _ids_of(batch, id_col)
         cols = {id_col: pa.array(ids)}
         if len(ids):
@@ -849,12 +861,34 @@ def pq_encode(
         ]:
             pdf = pd.DataFrame(
                 {
-                    c: pd.Series([], dtype=np.int64)
-                    for c in (id_col, *(f"c{i}" for i in range(m)))
+                    id_col: pd.Series([], dtype=np.int64),
+                    **{
+                        f"c{i}": pd.Series([], dtype=cdt)
+                        for i in range(m)
+                    },
                 }
             )
         return pdf.sort_values(id_col, ignore_index=True)
     return out
+
+
+def _pq_codes_of(batch: pa.Table, mi: int, kc: int, op: str) -> np.ndarray:
+    """Loudly validated code column read (the ANN int-read policy): null
+    codes would round-trip to INT64_MIN and out-of-range values silently
+    gather the WRONG LUT entry (numpy negative indexing wraps)."""
+    cm = np.asarray(
+        _nonull(batch[f"c{mi}"], f"c{mi}", op).to_numpy(
+            zero_copy_only=False
+        ),
+        np.int64,
+    )
+    if len(cm) and (int(cm.min()) < 0 or int(cm.max()) >= kc):
+        raise ValueError(
+            f"{op}: code column c{mi} has values outside [0, {kc}) — "
+            "out-of-range codes would silently score against the wrong "
+            "centroids"
+        )
+    return cm
 
 
 def pq_topk(
@@ -900,9 +934,7 @@ def pq_topk(
         ids = ids[o]
         sim = np.zeros((nq, len(ids)), dtype=np.float64)
         for mi in range(m):
-            cm = np.asarray(
-                batch[f"c{mi}"].to_numpy(zero_copy_only=False), np.int64
-            )[o]
+            cm = _pq_codes_of(batch, mi, kc, "pq_topk")[o]
             sim += t[mi][:, cm]
         kk = min(k, sim.shape[1])
         part = _topk_cols_tie_exact(sim, kk)
@@ -948,6 +980,17 @@ def ivfpq_encode(
     ref = ray.put((books.books, index.centroids))
 
     def enc(batch: pa.Table) -> pa.Table:
+        if id_col not in batch.column_names:  # schema-dropped empty block
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    list_col: pa.array([], pa.int64()),
+                    **{
+                        f"c{mi}": pa.array(np.empty(0, cdt))
+                        for mi in range(m)
+                    },
+                }
+            )
         bks, cents = cached_object(ref)
         ids = _ids_of(batch, id_col)
         cols = {id_col: pa.array(ids)}
@@ -1015,16 +1058,26 @@ def ivfpq_topk(
         o = np.argsort(ids, kind="stable")  # smaller-id tie layout
         ids = ids[o]
         lists = np.asarray(
-            batch[list_col].to_numpy(zero_copy_only=False), np.int64
+            _nonull(batch[list_col], list_col, "ivfpq_topk").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
         )[o]
+        if len(lists) and (
+            int(lists.min()) < 0 or int(lists.max()) >= mask.shape[1]
+        ):
+            # a -1 list would WRAP to the last IVF list under numpy
+            # indexing and probe-mask silently wrong rows
+            raise ValueError(
+                f"ivfpq_topk: {list_col!r} has values outside "
+                f"[0, {mask.shape[1]}) — reassign with ivfpq_encode"
+            )
         active = mask[:, lists]  # (nq, nb)
         if not active.any():
             return empty
         sim = np.zeros((nq, len(ids)), dtype=np.float64)
         for mi in range(m):
-            cm = np.asarray(
-                batch[f"c{mi}"].to_numpy(zero_copy_only=False), np.int64
-            )[o]
+            cm = _pq_codes_of(batch, mi, kc, "ivfpq_topk")[o]
             sim += t[mi][:, cm]
         sim = np.where(active, sim, -np.inf)
         kk = min(k, sim.shape[1])

@@ -1080,6 +1080,20 @@ def _load_pq_books(sf_dir: str):
     return PQCodebooks.from_exact(cents.reshape(m, kc, -1))
 
 
+def _embedding_query_panel(sf_dir: str, n: int) -> np.ndarray:
+    """The fixed vec_id < n query panel (the ann_topk/ivf pattern) —
+    a pruned filtered read, not a whole-table driver materialization."""
+    from raylink.ann import _stack_embeddings
+
+    head = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < n)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return _stack_embeddings(head["embedding"].to_numpy())
+
+
 def q_pq_codes(sf_dir: str):
     """Product-quantization encoding (raylink/ann.pq_encode, Jegou et al.
     2011): every embedding as 16 per-subspace nearest-centroid ids from
@@ -1104,18 +1118,7 @@ def q_pq_topk(sf_dir: str):
 
     books = _load_pq_books(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    import pyarrow.parquet as pqt
-
-    t = pqt.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    )
-    from raylink.ann import _stack_embeddings
-
-    order = np.argsort(np.asarray(t["vec_id"].to_numpy(zero_copy_only=False)))
-    queries = _stack_embeddings(
-        t["embedding"].take(pa.array(order[:8])).to_pandas().to_numpy()
-    )
+    queries = _embedding_query_panel(sf_dir, 8)
     codes = pq_encode(ds, books)
     out = pq_topk(codes, queries, books, k=10)
     out["cosine"] = out["cosine"].round(4)
@@ -1135,18 +1138,7 @@ def q_ivfpq_topk(sf_dir: str):
     books = _load_pq_books(sf_dir)
     index = _ivf_pinned_index(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    import pyarrow.parquet as pqt
-
-    t = pqt.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    )
-    from raylink.ann import _stack_embeddings
-
-    order = np.argsort(np.asarray(t["vec_id"].to_numpy(zero_copy_only=False)))
-    queries = _stack_embeddings(
-        t["embedding"].take(pa.array(order[:8])).to_pandas().to_numpy()
-    )
+    queries = _embedding_query_panel(sf_dir, 8)
     codes = ivfpq_encode(ds, books, index)
     out = ivfpq_topk(codes, queries, books, index, k=10, n_probe=4)
     out["cosine"] = out["cosine"].round(4)

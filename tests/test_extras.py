@@ -908,14 +908,19 @@ def test_ivfpq_probe_all_equals_pq(emb_ds):
     pd.testing.assert_frame_equal(
         full.reset_index(drop=True), plain.reset_index(drop=True)
     )
-    # a restricted probe returns a subset of ids per query
+    # n_probe=1: every returned id must sit in THAT query's single
+    # probed list (an inverted probe mask would leak other lists)
     narrow = ivfpq_topk(codes, queries, books, index, k=8, n_probe=1,
                         batch_size=64)
+    from raylink.embed import l2_normalize as _l2n
+
+    probes = index.probe_lists(_l2n(queries), 1)[:, 0]
+    cdf = codes.to_pandas().set_index("vec_id")
     for q in range(4):
-        assert set(narrow[narrow.query_id == q]["vec_id"]) <= set(
-            codes.to_pandas()["vec_id"]
-        )
-        assert len(narrow[narrow.query_id == q]) <= 8
+        got_ids = narrow[narrow.query_id == q]["vec_id"].tolist()
+        assert len(got_ids) <= 8
+        assert got_ids, "probed list unexpectedly empty"
+        assert all(cdf.loc[v, "list_id"] == probes[q] for v in got_ids)
     # codes columns are narrow ints (the compression IS the point)
     sch = codes.schema()
     assert str(sch.types[sch.names.index("c0")]) == "int8"
