@@ -1731,3 +1731,298 @@ def group_count(
             typed_to_pandas(res).sort_values(list(kc)).reset_index(drop=True)
         )
     return res
+
+
+# ---------------------------------------------------------------------------
+# survivorship / golden-record merge (the MDM / entity-resolution primitive)
+# ---------------------------------------------------------------------------
+
+_MERGE_RULES = ("longest", "max", "min", "first", "mode")
+
+
+def _pick_first_per_cluster(tbl: pa.Table, sort_keys) -> pa.Table:
+    """One row per cluster: Arrow multi-key sort (binary string order —
+    the DuckDB collation) + first-of-run mask. ``tbl`` must carry "k"."""
+    idx = pc.sort_indices(tbl, sort_keys=sort_keys)
+    s = tbl.take(idx)
+    ka = s["k"].combine_chunks()
+    if pa.types.is_integer(ka.type):
+        kn = np.asarray(ka.to_numpy(zero_copy_only=False))
+        first = np.r_[True, kn[1:] != kn[:-1]]
+    else:
+        enc = ka.dictionary_encode()
+        kn = np.asarray(enc.indices.to_numpy(zero_copy_only=False))
+        first = np.r_[True, kn[1:] != kn[:-1]]
+    return s.filter(pa.array(first))
+
+
+def _rule_sort_keys(rule: str, with_id: bool):
+    if rule == "longest":
+        return [("k", "ascending"), ("ln", "descending"), ("v", "ascending")]
+    if rule == "max":
+        return [("k", "ascending"), ("v", "descending")]
+    if rule == "min":
+        return [("k", "ascending"), ("v", "ascending")]
+    if rule == "first":
+        return [("k", "ascending"), ("i", "ascending"), ("v", "ascending")]
+    raise AssertionError(rule)
+
+
+def merge_records(
+    ds,
+    cluster_col: str,
+    rules: dict,
+    id_col: str | None = None,
+    output: str = "dataset",
+    driver_merge_max_rows: int = 2_000_000,
+    n_parts: int | None = None,
+    max_broadcast_rows: int = 2_000_000,
+):
+    """Survivorship / golden-record merge: ONE output row per cluster,
+    each listed column resolved by its rule —
+
+      * ``"longest"``: the longest string (ties -> lexicographically
+        smallest, binary collation both engines);
+      * ``"max"`` / ``"min"``: the extreme value (works for numerics and
+        strings — Arrow's multi-key sort is the binary order SQL uses);
+      * ``"first"``: the value on the row with the smallest ``id_col``
+        (duplicate ids tie to the smaller value — deterministic);
+      * ``"mode"``: the most frequent value (ties -> smallest value).
+
+    The record-linkage consumer of the match->group pipeline: after
+    clustering, collapse each entity's rows into one canonical record.
+
+    Scale shape: the reduce rules (longest/max/min/first) share ONE
+    streaming pass emitting a single candidate row per (block, cluster)
+    — the digest is cluster-cardinality-bounded per block and rides
+    :func:`_digest_merge` (clusters co-locate by key hash, the
+    per-partition re-pick is exact because every rule's pick is
+    associative over row subsets). Each ``"mode"`` column adds its own
+    (cluster, value, count) census pass (frequency is NOT reducible to
+    one candidate per block). Results join back cluster-keyed through
+    equi_join's broadcast/distributed auto-switch. The input is
+    consumed 1 + n_mode times — materialize upstream if recomputing it
+    is expensive. Null clusters or values reject loudly."""
+    from raylink.joins import _string_part_hash, equi_join
+
+    if output not in ("dataset", "pandas"):
+        raise ValueError(f'merge_records: output must be "dataset"/"pandas"')
+    if not rules:
+        raise ValueError("merge_records: rules must name at least one column")
+    names = ds.schema().names
+    for col, rule in rules.items():
+        if rule not in _MERGE_RULES:
+            raise ValueError(
+                f"merge_records: unknown rule {rule!r} for {col!r} "
+                f"(valid: {_MERGE_RULES})"
+            )
+        if col not in names:
+            raise ValueError(f"merge_records: no input column {col!r}")
+        if col == cluster_col:
+            raise ValueError(
+                "merge_records: the cluster column cannot carry a rule"
+            )
+    if any(r == "first" for r in rules.values()) and id_col is None:
+        raise ValueError('merge_records: rule "first" requires id_col')
+    staging = {"k", "v", "ln", "i", "cnt", "part"}
+    bad = staging & ({cluster_col, id_col or ""} | set(rules))
+    if bad:
+        raise ValueError(
+            f"merge_records: column(s) {sorted(bad)} collide with internal "
+            f"staging names ({sorted(staging)}) — rename upstream"
+        )
+    int_key, _s, pa_key_type = _int64_key_info(
+        ds.schema(), cluster_col, "merge_records"
+    )
+    P = _default_parts(n_parts)
+    reduce_cols = [c for c, r in rules.items() if r != "mode"]
+    mode_cols = [c for c, r in rules.items() if r == "mode"]
+
+    def _part_col(keys: pa.Array) -> pa.Array:
+        if pa.types.is_integer(keys.type):
+            kn = np.asarray(keys.to_numpy(zero_copy_only=False), np.int64)
+            return pa.array((_hash64(kn) % np.uint64(P)).astype(np.int64))
+        return pa.array(
+            (_string_part_hash(keys) % np.uint64(P)).astype(np.int64)
+        )
+
+    def _check_nonull(col, name):
+        a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if a.null_count:
+            raise ValueError(
+                f"merge_records: column {name!r} contains nulls — fill or "
+                "filter upstream (a silent drop would change the winner)"
+            )
+        return a
+
+    def _rule_tbl(batch: pa.Table, col: str) -> pa.Table:
+        rule = rules[col]
+        cols = {
+            "k": _check_nonull(batch[cluster_col], cluster_col),
+            "v": _check_nonull(batch[col], col),
+        }
+        if rule == "longest":
+            cols["ln"] = pc.cast(pc.utf8_length(cols["v"]), pa.int64())
+        if rule == "first":
+            cols["i"] = _check_nonull(batch[id_col], id_col)
+        return pa.table(cols)
+
+    def _reduce_partial_for(col: str):
+        rule = rules[col]
+        skeys = _rule_sort_keys(rule, rule == "first")
+
+        def partial(batch: pa.Table) -> pa.Table:
+            if cluster_col not in batch.column_names:  # placeholder block
+                return _reduce_empty_for(col)
+            t = _pick_first_per_cluster(_rule_tbl(batch, col), skeys)
+            return t.append_column("part", _part_col(t["k"].combine_chunks()))
+
+        return partial
+
+    def _reduce_empty_for(col: str) -> pa.Table:
+        rule = rules[col]
+        vt = dict(zip(names, ds.schema().types)).get(col)
+        vt = vt if isinstance(vt, pa.DataType) else pa.string()
+        cols = {"k": pa.array([], pa_key_type), "v": pa.array([], vt)}
+        if rule == "longest":
+            cols["ln"] = pa.array([], pa.int64())
+        if rule == "first":
+            cols["i"] = pa.array([], pa.int64())
+        cols["part"] = pa.array([], pa.int64())
+        return pa.table(cols)
+
+    def _reduce_merge_for(col: str):
+        skeys = _rule_sort_keys(rules[col], rules[col] == "first")
+
+        def merge(g: pa.Table) -> pa.Table:
+            if not g.num_rows:
+                return pa.table(
+                    {
+                        cluster_col: pa.array([], pa_key_type),
+                        col: pa.array([], _reduce_empty_for(col)["v"].type),
+                    }
+                )
+            t = _pick_first_per_cluster(g, skeys)
+            return pa.table({cluster_col: t["k"], col: t["v"]})
+
+        return merge
+
+    def _mode_partial_for(col: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            if cluster_col not in batch.column_names:
+                return _mode_empty_for(col)
+            keys = _check_nonull(batch[cluster_col], cluster_col)
+            vals = _check_nonull(batch[col], col)
+            tmp = pa.table({"k": keys, "v": vals})
+            gb = tmp.group_by(["k", "v"]).aggregate([([], "count_all")])
+            cnt = pc.cast(gb["count_all"], pa.int64())
+            out = pa.table({"k": gb["k"], "v": gb["v"], "cnt": cnt})
+            return out.append_column(
+                "part", _part_col(out["k"].combine_chunks())
+            )
+
+        return partial
+
+    def _mode_empty_for(col: str) -> pa.Table:
+        vt = dict(zip(names, ds.schema().types)).get(col)
+        vt = vt if isinstance(vt, pa.DataType) else pa.string()
+        return pa.table(
+            {
+                "k": pa.array([], pa_key_type),
+                "v": pa.array([], vt),
+                "cnt": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            }
+        )
+
+    def _mode_merge_for(col: str):
+        def merge(g: pa.Table) -> pa.Table:
+            if not g.num_rows:
+                return pa.table(
+                    {
+                        cluster_col: pa.array([], pa_key_type),
+                        col: pa.array([], _mode_empty_for(col)["v"].type),
+                    }
+                )
+            gb = g.group_by(["k", "v"]).aggregate([("cnt", "sum")])
+            t = pa.table(
+                {
+                    "k": gb["k"],
+                    "v": gb["v"],
+                    "cnt": pc.cast(gb["cnt_sum"], pa.int64()),
+                }
+            )
+            t = _pick_first_per_cluster(
+                t,
+                [("k", "ascending"), ("cnt", "descending"),
+                 ("v", "ascending")],
+            )
+            return pa.table({cluster_col: t["k"], col: t["v"]})
+
+        return merge
+
+    results = []
+    for col in reduce_cols:
+        results.append(
+            _digest_merge(
+                ds.map_batches(
+                    _reduce_partial_for(col), batch_format="pyarrow"
+                ),
+                _reduce_merge_for(col),
+                driver_merge_max_rows,
+                n_parts=n_parts,
+                empty_fn=lambda c=col: pa.table(
+                    {
+                        cluster_col: pa.array([], pa_key_type),
+                        c: pa.array([], _reduce_empty_for(c)["v"].type),
+                    }
+                ),
+            )
+        )
+    for col in mode_cols:
+        results.append(
+            _digest_merge(
+                ds.map_batches(_mode_partial_for(col), batch_format="pyarrow"),
+                _mode_merge_for(col),
+                driver_merge_max_rows,
+                n_parts=n_parts,
+                empty_fn=lambda c=col: pa.table(
+                    {
+                        cluster_col: pa.array([], pa_key_type),
+                        c: pa.array([], _mode_empty_for(c)["v"].type),
+                    }
+                ),
+            )
+        )
+    out_cols = reduce_cols + mode_cols
+    joined = results[0]
+    for col, nxt in zip(out_cols[1:], results[1:]):
+        joined = equi_join(
+            joined, nxt, cluster_col, cluster_col,
+            left_cols=tuple(
+                c for c in out_cols[: out_cols.index(col)]
+            ),
+            right_cols=(col,),
+            mode="auto", max_broadcast_rows=max_broadcast_rows,
+            n_parts=n_parts, output="dataset",
+        )
+    if output == "pandas":
+        pdf = typed_to_pandas(joined)
+        if not len(pdf) and list(pdf.columns) != [cluster_col, *out_cols]:
+            vt = dict(zip(names, ds.schema().types))
+
+            def _pd_t(c):
+                t = vt.get(c)
+                return t.to_pandas_dtype() if isinstance(t, pa.DataType) else object
+
+            pdf = pd.DataFrame(
+                {
+                    cluster_col: pd.Series(
+                        [],
+                        dtype=pa_key_type.to_pandas_dtype(),
+                    ),
+                    **{c: pd.Series([], dtype=_pd_t(c)) for c in out_cols},
+                }
+            )
+        return pdf.sort_values(cluster_col, ignore_index=True)
+    return joined

@@ -2133,6 +2133,26 @@ def q_repeated_lines(sf_dir: str):
     return remove_repeated_lines(conv, id_col="conv_id", output="pandas")
 
 
+def q_golden_records(sf_dir: str):
+    """Survivorship / golden-record merge (raylink/aggs.merge_records) —
+    the record-linkage consumer of match->group: one canonical record
+    per cluster (here per lang), text by longest (tie lexicographic),
+    n_chars by max, doc_id by first (min id), source by mode (tie
+    smallest). SQL-checked: row_number window replays per rule + joins."""
+    from raylink.aggs import merge_records
+
+    docs = _read(
+        sf_dir, "documents",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    return merge_records(
+        docs, "lang",
+        {"text": "longest", "n_chars": "max", "doc_id": "first",
+         "source": "mode"},
+        id_col="doc_id", output="pandas",
+    )
+
+
 def q_rank_in_lang(sf_dir: str):
     """Per-row exact rank within key (raylink/aggs.rank_within_key):
     every document's strict-rank and key total within its language's
@@ -2451,6 +2471,7 @@ QUERIES = {
     "pq_codes": q_pq_codes,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "golden_records": q_golden_records,
     "grouped_split": q_grouped_split,
     "apply_delta": q_apply_delta,
     "fuzzy_contamination": q_fuzzy_contamination,
@@ -2565,6 +2586,7 @@ _R5_LEAD = [
     "pq_codes",
     "pq_topk",
     "ivfpq_topk",
+    "golden_records",
     "grouped_split",
     "apply_delta",
     "fuzzy_contamination",
@@ -2581,7 +2603,7 @@ _R5_LEAD = [
     "event_value_quantiles", "heavy_users", "split_documents", "sft_pairs",
     "transcript_tool_stats", "clean_documents", "ngram_df", "exact_dedup",
     "minmax_normalize", "threshold_filter", "pr_curve", "canonicalize_events",
-    "token_count", "quality_score", "lang_id", "fingerprint", "redact_pii",
+    "token_count", "quality_score", "lang_id", "redact_pii",
     "repetition_stats", "vocabulary",
     "transcript_canonicalize",
     # r5-touched kernels keep their window slots (sixth session: the
@@ -4634,6 +4656,39 @@ ORACLE_SQL["ivfpq_topk"] = f"""
     FROM ranked WHERE rn <= 10
 """
 
+
+ORACLE_SQL["golden_records"] = """
+    WITH lt AS (
+        SELECT lang, text FROM (
+            SELECT lang, text,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY length(text) DESC,
+                                               text ASC) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ),
+    mx AS (SELECT lang, max(n_chars) AS n_chars FROM documents GROUP BY lang),
+    fi AS (
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ),
+    mo AS (
+        SELECT lang, source FROM (
+            SELECT lang, source,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY cnt DESC, source ASC) AS rn
+            FROM (SELECT lang, source, count(*) AS cnt
+                  FROM documents GROUP BY lang, source)
+        ) WHERE rn = 1
+    )
+    SELECT lt.lang, lt.text, mx.n_chars, fi.doc_id, mo.source
+    FROM lt JOIN mx USING (lang) JOIN fi USING (lang) JOIN mo USING (lang)
+    ORDER BY lang
+"""
 
 ORACLE_SQL["rank_in_lang"] = """
     SELECT doc_id, lang, n_chars,

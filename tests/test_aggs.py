@@ -1719,3 +1719,118 @@ def test_rank_within_key_output_name_staging_guard(rd):
         rank_within_key(ds, "key", "val", rank_col="kv")
     with pytest.raises(ValueError, match="staging"):
         rank_within_key(ds, "key", "val", n_col="v")
+
+
+# ---------------------------------------------------------------------------
+# merge_records (survivorship / golden record)
+# ---------------------------------------------------------------------------
+
+
+def _mr_frame(n=1200, nkeys=15, seed=31):
+    rng = np.random.default_rng(seed)
+    words = ["acme", "acme corp", "acme corporation", "ac", "beta", "beta inc"]
+    return pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "cluster": rng.integers(0, nkeys, n).astype(np.int64),
+            "name": rng.choice(words, n),
+            "score": rng.integers(0, 9, n).astype(np.int64),
+        }
+    )
+
+
+def _mr_expect(df):
+    out = []
+    for k, g in df.groupby("cluster"):
+        longest = g.loc[
+            g.assign(_l=g["name"].str.len())
+            .sort_values(["_l", "name"], ascending=[False, True])
+            .index[0],
+            "name",
+        ]
+        cnt = g.groupby("name").size().reset_index(name="c")
+        mode = cnt.sort_values(["c", "name"], ascending=[False, True]).iloc[0][
+            "name"
+        ]
+        first = g.sort_values(["rid", "score"]).iloc[0]["score"]
+        out.append(
+            {
+                "cluster": k,
+                "name": longest,
+                "score": int(g["score"].max()),
+                "rid": int(g["rid"].min()),
+                "mode_name": mode,
+                "first_score": int(first),
+            }
+        )
+    return pd.DataFrame(out).sort_values("cluster").reset_index(drop=True)
+
+
+def test_merge_records_matches_pandas(rd):
+    from raylink.aggs import merge_records
+
+    df = _mr_frame()
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = merge_records(
+        ds, "cluster",
+        {"name": "longest", "score": "max", "rid": "first"},
+        id_col="rid", output="pandas",
+    )
+    exp = _mr_expect(df)
+    pd.testing.assert_frame_equal(
+        got, exp[["cluster", "name", "score", "rid"]]
+    )
+    # mode + first-value + string cluster keys
+    sdf = df.assign(cluster=df["cluster"].map(lambda x: f"e{x:02d}"))
+    sds = rd.from_arrow(pa.Table.from_pandas(sdf)).repartition(6)
+    got2 = merge_records(
+        sds, "cluster", {"name": "mode", "score": "first"},
+        id_col="rid", output="pandas",
+    )
+    exp2 = _mr_expect(sdf)[["cluster", "first_score", "mode_name"]].rename(
+        columns={"first_score": "score", "mode_name": "name"}
+    )
+    pd.testing.assert_frame_equal(got2, exp2)
+
+
+def test_merge_records_forced_paths_and_guards(rd):
+    from raylink.aggs import merge_records
+
+    df = _mr_frame(n=600, nkeys=5, seed=7)
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    spec = {"name": "longest", "score": "max", "rid": "first"}
+    base = merge_records(ds, "cluster", spec, id_col="rid", output="pandas")
+    forced = merge_records(
+        ds, "cluster", spec, id_col="rid", output="pandas",
+        driver_merge_max_rows=0, max_broadcast_rows=0, n_parts=5,
+    )
+    pd.testing.assert_frame_equal(base, forced)
+    as_ds = merge_records(ds, "cluster", spec, id_col="rid")
+    from raylink.joins import typed_to_pandas
+
+    pdf = typed_to_pandas(as_ds).sort_values("cluster", ignore_index=True)
+    pd.testing.assert_frame_equal(base, pdf)
+    with pytest.raises(ValueError, match="unknown rule"):
+        merge_records(ds, "cluster", {"name": "best"})
+    with pytest.raises(ValueError, match="requires id_col"):
+        merge_records(ds, "cluster", {"name": "first"})
+    with pytest.raises(ValueError, match="no input column"):
+        merge_records(ds, "cluster", {"missing": "max"})
+    with pytest.raises(ValueError, match="cluster column"):
+        merge_records(ds, "cluster", {"cluster": "max"})
+    with pytest.raises(ValueError, match="staging"):
+        merge_records(
+            rd.from_arrow(pa.Table.from_pandas(df.rename(columns={"name": "v"}))),
+            "cluster", {"v": "longest"},
+        )
+    nulls = pa.table(
+        {
+            "cluster": pa.array([1, 1], pa.int64()),
+            "name": pa.array(["a", None]),
+        }
+    )
+    with pytest.raises(Exception, match="null"):
+        merge_records(
+            rd.from_arrow(nulls), "cluster", {"name": "longest"},
+            output="pandas",
+        )
