@@ -166,7 +166,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
             remove_duplicate_spans,
             winnow_overlap_pairs,
         )
-        from raylink.aggs import approx_ndistinct_hll, filter_by_key_quantile
+        from raylink.aggs import (
+            approx_ndistinct_hll,
+            filter_by_key_quantile,
+            merge_records,
+        )
         from raylink.packing import cap_tokens_per_key, pack_sequences
         from raylink.packing import take_token_budget as _take_token_budget
         from raylink.sampling import hash_sample, sample_mix
@@ -445,6 +449,19 @@ def run_benchmarks(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> d
                     "doc_id",
                     n=200_000,
                     weights={0: 4, 1: 2, 2: 1, 3: 1},
+                )
+            ),
+            # survivorship golden record per conversation (r5 sixth
+            # session): 1.05M turns -> ~210k canonical records; one
+            # candidate-per-(block,cluster) digest pass + one role census
+            "golden_records_corpus": lambda: _consume(
+                merge_records(
+                    rd.read_parquet(
+                        info["transcripts"],
+                        columns=["conv_id", "turn_idx", "role", "text"],
+                    ),
+                    "conv_id",
+                    {"text": "longest", "role": "mode", "turn_idx": "max"},
                 )
             ),
         }
