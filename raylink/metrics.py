@@ -268,3 +268,194 @@ def pairwise_f1(
         "recall": recall,
         "f1": f1,
     }
+
+
+def blocking_quality(
+    pairs_ds,
+    labels_ds,
+    id_a: str = "a",
+    id_b: str = "b",
+    label_id: str = "id",
+    label_col: str = "entity",
+    max_broadcast_rows: int = 20_000_000,
+    driver_merge_max_rows: int = 2_000_000,
+):
+    """Blocking-scheme evaluation against ground truth — the two standard
+    ER blocking metrics, integer-exact:
+
+      * pair completeness  = matched candidate pairs / true pairs
+        (how much of the linkage signal the blocking keeps);
+      * reduction ratio    = 1 - candidate pairs / C(n, 2)
+        (how much of the quadratic comparison space it prunes).
+
+    ``pairs_ds`` = candidate pairs (rows counted AS GIVEN — deduplicate
+    upstream if the scheme can emit a pair twice); ``labels_ds`` = one
+    row per record (``label_id``, ``label_col``). True pairs are counted
+    from per-entity sizes (sum n_e*(n_e-1)/2 — never materialized); the
+    matched count joins each pair to its two labels (label map broadcast
+    via ray.put below ``max_broadcast_rows`` records so the pairs stream;
+    two equi_join co-shuffles above). Returns ONE pandas row of counts
+    plus milli-ratios (integer * 1000 // denominator — the SQL-exact
+    division rule): n_records, n_cand_pairs, n_true_pairs, n_matched,
+    pair_completeness_milli, reduction_ratio_milli."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from raylink.aggs import _digest_merge, _int64_key_info
+    from raylink.blocking import _hash64
+    from raylink.broadcast import cached_object
+    from raylink.joins import _nonull, _string_part_hash, equi_join
+
+    int_ent, _s, _t = _int64_key_info(
+        labels_ds.schema(), label_col, "blocking_quality"
+    )
+    n_records = labels_ds.count()
+    n_cand = pairs_ds.count()
+
+    # ---- true-pair count from per-entity sizes (digest, never pairs)
+    P = 1024
+
+    def ent_partial(batch: pa.Table) -> pa.Table:
+        ents = _nonull(batch[label_col], label_col, "blocking_quality")
+        enc = ents.dictionary_encode()
+        codes = np.asarray(
+            enc.indices.to_numpy(zero_copy_only=False), np.int64
+        )
+        u, c = np.unique(codes, return_counts=True)
+        keys = enc.dictionary.take(pa.array(u))
+        if int_ent:
+            kn = np.asarray(keys.to_numpy(zero_copy_only=False), np.int64)
+            part = (_hash64(kn) % np.uint64(P)).astype(np.int64)
+        else:
+            part = (_string_part_hash(keys) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "k": keys,
+                "cnt": pa.array(c.astype(np.int64)),
+                "part": pa.array(part),
+            }
+        )
+
+    def ent_merge(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table({"tp": pa.array([], pa.int64())})
+        ka = g["k"].combine_chunks()
+        enc = ka.dictionary_encode()
+        codes = np.asarray(
+            enc.indices.to_numpy(zero_copy_only=False), np.int64
+        )
+        cnts = np.asarray(g["cnt"].to_numpy(zero_copy_only=False), np.int64)
+        order = np.argsort(codes, kind="stable")
+        cs, vs = codes[order], cnts[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        tot = np.add.reduceat(vs, starts)
+        tp = int((tot * (tot - 1) // 2).sum())
+        return pa.table({"tp": pa.array([tp], pa.int64())})
+
+    tp_parts = _digest_merge(
+        labels_ds.map_batches(ent_partial, batch_format="pyarrow"),
+        ent_merge,
+        driver_merge_max_rows,
+        empty_fn=lambda: pa.table({"tp": pa.array([], pa.int64())}),
+    )
+    n_true = int(
+        sum(
+            int(t["tp"][i].as_py())
+            for t in ray.get(tp_parts.to_arrow_refs())
+            if "tp" in t.column_names
+            for i in range(t.num_rows)
+        )
+    )
+
+    # ---- matched candidate pairs
+    if n_records <= max_broadcast_rows:
+        slim = pa.concat_tables(
+            [
+                t.select([label_id, label_col])
+                for t in ray.get(labels_ds.to_arrow_refs())
+                if label_id in t.column_names
+            ],
+            promote_options="default",
+        )
+        ids_arr = _nonull(slim[label_id], label_id, "blocking_quality")
+        ents_arr = _nonull(slim[label_col], label_col, "blocking_quality")
+        ref = ray.put((ids_arr, ents_arr))
+
+        def count_matched(batch: pa.Table) -> pa.Table:
+            sids, sents = cached_object(ref)
+            # index_in: exact hash lookup, int OR string ids; misses are
+            # null -> both lookups must land AND entities must equal
+            ia = pc.index_in(
+                _nonull(batch[id_a], id_a, "blocking_quality"),
+                value_set=sids,
+            )
+            ib = pc.index_in(
+                _nonull(batch[id_b], id_b, "blocking_quality"),
+                value_set=sids,
+            )
+            ea = sents.take(ia)  # null index -> null value
+            eb = sents.take(ib)
+            eq = pc.and_kleene(
+                pc.equal(ea, eb),
+                pc.and_(pc.is_valid(ea), pc.is_valid(eb)),
+            )
+            n = int(pc.sum(pc.cast(eq, pa.int64())).as_py() or 0)
+            return pa.table({"m": pa.array([n], pa.int64())})
+
+        m_ds = pairs_ds.map_batches(count_matched, batch_format="pyarrow")
+    else:
+        la = equi_join(
+            pairs_ds, labels_ds, id_a, label_id,
+            left_cols=(id_b,), right_cols=(label_col,),
+            mode="distributed", output="dataset",
+        )
+
+        def ren(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [id_a, id_b, "ent_a"]
+            )
+
+        la = la.map_batches(ren, batch_format="pyarrow")
+        lb = equi_join(
+            la, labels_ds, id_b, label_id,
+            left_cols=("ent_a",), right_cols=(label_col,),
+            mode="distributed", output="dataset",
+        )
+
+        def cm(batch: pa.Table) -> pa.Table:
+            if "ent_a" not in batch.column_names:
+                return pa.table({"m": pa.array([0], pa.int64())})
+            n = int(
+                pc.sum(
+                    pc.equal(batch["ent_a"], batch[label_col])
+                ).as_py()
+                or 0
+            )
+            return pa.table({"m": pa.array([n], pa.int64())})
+
+        m_ds = lb.map_batches(cm, batch_format="pyarrow")
+    n_matched = int(
+        sum(
+            int(t["m"][i].as_py())
+            for t in ray.get(m_ds.to_arrow_refs())
+            if "m" in t.column_names
+            for i in range(t.num_rows)
+        )
+    )
+    space = n_records * (n_records - 1) // 2
+    return pd.DataFrame(
+        {
+            "n_records": [n_records],
+            "n_cand_pairs": [n_cand],
+            "n_true_pairs": [n_true],
+            "n_matched": [n_matched],
+            "pair_completeness_milli": [
+                (n_matched * 1000 // n_true) if n_true else 0
+            ],
+            "reduction_ratio_milli": [
+                ((space - n_cand) * 1000 // space) if space else 0
+            ],
+        }
+    )

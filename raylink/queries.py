@@ -2133,6 +2133,54 @@ def q_repeated_lines(sf_dir: str):
     return remove_repeated_lines(conv, id_col="conv_id", output="pandas")
 
 
+def q_blocking_quality(sf_dir: str):
+    """Blocking-scheme evaluation (raylink/metrics.blocking_quality):
+    SNM over the cleaned entity VARIANTS scored against the fixture's
+    entity ground truth — pair completeness and reduction ratio as
+    integer counts + milli ratios (integer*1000//denominator, the SQL
+    division rule). SQL-checked: the SNM window-join replay over the
+    ground-truth parquet + label equality counts."""
+    info = ensure_transcript_fixture(sf_dir)
+    from raylink.blocking import sorted_neighborhood_pairs
+    from raylink.metrics import blocking_quality
+    from raylink.text import clean_strings_arrow
+
+    gt = _rd().read_parquet(
+        info["ground_truth"], columns=["conv_id", "variant", "entity_id"]
+    )
+
+    def _rid(col: pa.ChunkedArray) -> pa.Array:
+        # fixture conv_id = cXXXXX-YYY (fixed width, zero padded) -> the
+        # int64 id SNM needs; rid order == conv_id lexicographic order,
+        # so the oracle's ORDER BY key, conv_id sorts identically
+        c = col.combine_chunks()
+        hi = pc.cast(pc.utf8_slice_codeunits(c, 1, 6), pa.int64())
+        lo = pc.cast(pc.utf8_slice_codeunits(c, 7, 10), pa.int64())
+        return pc.add(pc.multiply(hi, 1000), lo)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": clean_strings_arrow(t["variant"].combine_chunks()),
+                "rid": _rid(t["conv_id"]),
+            }
+        )
+
+    def labeled(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"rid": _rid(t["conv_id"]), "entity_id": t["entity_id"]}
+        )
+
+    pairs = sorted_neighborhood_pairs(
+        gt.map_batches(keyed, batch_format="pyarrow"),
+        "key", "rid", window=5, output="dataset",
+    )
+    labels = gt.map_batches(labeled, batch_format="pyarrow")
+    return blocking_quality(
+        pairs, labels, label_id="rid", label_col="entity_id"
+    )
+
+
 def q_golden_records(sf_dir: str):
     """Survivorship / golden-record merge (raylink/aggs.merge_records) —
     the record-linkage consumer of match->group: one canonical record
@@ -2472,6 +2520,7 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "golden_records": q_golden_records,
+    "blocking_quality": q_blocking_quality,
     "grouped_split": q_grouped_split,
     "apply_delta": q_apply_delta,
     "fuzzy_contamination": q_fuzzy_contamination,
@@ -2587,6 +2636,7 @@ _R5_LEAD = [
     "pq_topk",
     "ivfpq_topk",
     "golden_records",
+    "blocking_quality",
     "grouped_split",
     "apply_delta",
     "fuzzy_contamination",
@@ -2603,7 +2653,7 @@ _R5_LEAD = [
     "event_value_quantiles", "heavy_users", "split_documents", "sft_pairs",
     "transcript_tool_stats", "clean_documents", "ngram_df", "exact_dedup",
     "minmax_normalize", "threshold_filter", "pr_curve", "canonicalize_events",
-    "token_count", "quality_score", "lang_id", "redact_pii",
+    "token_count", "quality_score", "lang_id",
     "repetition_stats", "vocabulary",
     "transcript_canonicalize",
     # r5-touched kernels keep their window slots (sixth session: the
@@ -4656,6 +4706,39 @@ ORACLE_SQL["ivfpq_topk"] = f"""
     FROM ranked WHERE rn <= 10
 """
 
+
+ORACLE_SQL["blocking_quality"] = f"""
+    WITH gt AS (
+        SELECT conv_id, entity_id, {_clean_sql("variant")} AS key
+        FROM read_parquet('{os.path.join(transcript_fixture_dir("sf0.01"),
+                                         "ground_truth.parquet")}')
+    ),
+    ranked AS (
+        SELECT conv_id, entity_id,
+               row_number() OVER (ORDER BY key, conv_id) AS rn
+        FROM gt
+    ),
+    cand AS (
+        SELECT a.entity_id AS ea, b.entity_id AS eb
+        FROM ranked a JOIN ranked b
+          ON b.rn > a.rn AND b.rn <= a.rn + 4
+    ),
+    sizes AS (SELECT entity_id, count(*) AS n FROM gt GROUP BY entity_id),
+    stats AS (
+        SELECT (SELECT count(*) FROM gt) AS n_records,
+               (SELECT count(*) FROM cand) AS n_cand_pairs,
+               (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT)
+                FROM sizes) AS n_true_pairs,
+               (SELECT count(*) FROM cand WHERE ea = eb) AS n_matched
+    )
+    SELECT n_records, n_cand_pairs, n_true_pairs, n_matched,
+           CAST(n_matched * 1000 // n_true_pairs AS BIGINT)
+               AS pair_completeness_milli,
+           (n_records * (n_records - 1) // 2 - n_cand_pairs) * 1000
+               // (n_records * (n_records - 1) // 2)
+               AS reduction_ratio_milli
+    FROM stats
+"""
 
 ORACLE_SQL["golden_records"] = """
     WITH lt AS (

@@ -91,3 +91,60 @@ def test_pr_curve_from_value_counts_empty():
     out = pr_curve_from_value_counts(np.empty(0), np.empty(0))
     assert len(out) == 101
     assert (out["recall"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# blocking_quality
+# ---------------------------------------------------------------------------
+
+
+def test_blocking_quality_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.metrics import blocking_quality
+
+    # entities: {0,1,2}->A (3 true pairs), {3,4}->B (1), {5}->C (0)
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                "entity": pa.array(["A", "A", "A", "B", "B", "C"]),
+            }
+        )
+    )
+    # candidates: 2 true (0-1, 3-4), 2 false (0-3, 2-5), 1 unknown id (9)
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([0, 3, 0, 2, 9], pa.int64()),
+                "b": pa.array([1, 4, 3, 5, 1], pa.int64()),
+            }
+        )
+    )
+    out = blocking_quality(pairs, labels)
+    row = out.iloc[0]
+    assert row["n_records"] == 6
+    assert row["n_cand_pairs"] == 5
+    assert row["n_true_pairs"] == 4  # 3 + 1
+    assert row["n_matched"] == 2
+    assert row["pair_completeness_milli"] == 500
+    assert row["reduction_ratio_milli"] == (15 - 5) * 1000 // 15
+    # distributed label join path must agree
+    forced = blocking_quality(pairs, labels, max_broadcast_rows=0)
+    pd.testing.assert_frame_equal(out, forced)
+    # string ids work too (index_in lookup)
+    sl = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(["r0", "r1", "r2"]),
+                "entity": pa.array([7, 7, 8], pa.int64()),
+            }
+        )
+    )
+    sp = rd.from_arrow(
+        pa.table({"a": pa.array(["r0", "r0"]), "b": pa.array(["r1", "r2"])})
+    )
+    srow = blocking_quality(sp, sl).iloc[0]
+    assert srow["n_true_pairs"] == 1 and srow["n_matched"] == 1
+    assert srow["pair_completeness_milli"] == 1000
