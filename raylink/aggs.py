@@ -1740,23 +1740,39 @@ def group_count(
 _MERGE_RULES = ("longest", "max", "min", "first", "mode")
 
 
+def _pa_type_of(t, default=pa.string()):
+    """Arrow type of a ds.schema() entry — pandas-backed datasets report
+    numpy dtypes / ``object`` (the round-5 quirk); default covers object."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (TypeError, pa.ArrowNotImplementedError):
+        return default
+
+
 def _pick_first_per_cluster(tbl: pa.Table, sort_keys) -> pa.Table:
     """One row per cluster: Arrow multi-key sort (binary string order —
-    the DuckDB collation) + first-of-run mask. ``tbl`` must carry "k"."""
+    the DuckDB collation) + first-of-run mask. ``tbl`` must carry "k".
+    Rows come back k-ASCENDING — the alignment the combined digest
+    relies on. Zero-row tables pass through (np.r_ would emit a
+    length-1 mask)."""
+    if not tbl.num_rows:
+        return tbl
     idx = pc.sort_indices(tbl, sort_keys=sort_keys)
     s = tbl.take(idx)
     ka = s["k"].combine_chunks()
     if pa.types.is_integer(ka.type):
         kn = np.asarray(ka.to_numpy(zero_copy_only=False))
-        first = np.r_[True, kn[1:] != kn[:-1]]
     else:
-        enc = ka.dictionary_encode()
-        kn = np.asarray(enc.indices.to_numpy(zero_copy_only=False))
-        first = np.r_[True, kn[1:] != kn[:-1]]
+        kn = np.asarray(
+            ka.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        )
+    first = np.r_[True, kn[1:] != kn[:-1]]
     return s.filter(pa.array(first))
 
 
-def _rule_sort_keys(rule: str, with_id: bool):
+def _rule_sort_keys(rule: str):
     if rule == "longest":
         return [("k", "ascending"), ("ln", "descending"), ("v", "ascending")]
     if rule == "max":
@@ -1792,24 +1808,27 @@ def merge_records(
     The record-linkage consumer of the match->group pipeline: after
     clustering, collapse each entity's rows into one canonical record.
 
-    Scale shape: the reduce rules (longest/max/min/first) share ONE
-    streaming pass emitting a single candidate row per (block, cluster)
-    — the digest is cluster-cardinality-bounded per block and rides
-    :func:`_digest_merge` (clusters co-locate by key hash, the
-    per-partition re-pick is exact because every rule's pick is
+    Scale shape: ALL reduce rules (longest/max/min/first) share ONE
+    streaming pass emitting a single combined candidate row per
+    (block, cluster) — every pick sorts its cluster key ascending and
+    covers the same per-block cluster set (nulls reject), so the
+    per-rule picks align positionally and ride one digest through
+    :func:`_digest_merge` (clusters co-locate by key hash; the
+    per-partition re-pick is exact because each rule's pick is
     associative over row subsets). Each ``"mode"`` column adds its own
     (cluster, value, count) census pass (frequency is NOT reducible to
-    one candidate per block). Results join back cluster-keyed through
+    one candidate per block), joining back cluster-keyed through
     equi_join's broadcast/distributed auto-switch. The input is
     consumed 1 + n_mode times — materialize upstream if recomputing it
     is expensive. Null clusters or values reject loudly."""
     from raylink.joins import _string_part_hash, equi_join
 
     if output not in ("dataset", "pandas"):
-        raise ValueError(f'merge_records: output must be "dataset"/"pandas"')
+        raise ValueError('merge_records: output must be "dataset"/"pandas"')
     if not rules:
         raise ValueError("merge_records: rules must name at least one column")
     names = ds.schema().names
+    types_of = dict(zip(names, ds.schema().types))
     for col, rule in rules.items():
         if rule not in _MERGE_RULES:
             raise ValueError(
@@ -1824,7 +1843,11 @@ def merge_records(
             )
     if any(r == "first" for r in rules.values()) and id_col is None:
         raise ValueError('merge_records: rule "first" requires id_col')
-    staging = {"k", "v", "ln", "i", "cnt", "part"}
+    if id_col is not None and id_col not in names:
+        raise ValueError(f"merge_records: no input column {id_col!r}")
+    # "side" is equi_join's reserved staging name — reject at THIS seam
+    # so multi-rule calls don't fail deep inside the join-back
+    staging = {"k", "v", "ln", "i", "cnt", "part", "side"}
     bad = staging & ({cluster_col, id_col or ""} | set(rules))
     if bad:
         raise ValueError(
@@ -1837,6 +1860,12 @@ def merge_records(
     P = _default_parts(n_parts)
     reduce_cols = [c for c, r in rules.items() if r != "mode"]
     mode_cols = [c for c, r in rules.items() if r == "mode"]
+    id_type = (
+        _pa_type_of(types_of[id_col]) if id_col is not None else pa.int64()
+    )
+
+    def _vtype(col: str) -> pa.DataType:
+        return _pa_type_of(types_of[col])
 
     def _part_col(keys: pa.Array) -> pa.Array:
         if pa.types.is_integer(keys.type):
@@ -1855,85 +1884,110 @@ def merge_records(
             )
         return a
 
-    def _rule_tbl(batch: pa.Table, col: str) -> pa.Table:
-        rule = rules[col]
-        cols = {
-            "k": _check_nonull(batch[cluster_col], cluster_col),
-            "v": _check_nonull(batch[col], col),
-        }
+    def _staged(keys, vals, rule, ids=None) -> pa.Table:
+        cols = {"k": keys, "v": vals}
         if rule == "longest":
-            cols["ln"] = pc.cast(pc.utf8_length(cols["v"]), pa.int64())
+            cols["ln"] = pc.cast(pc.utf8_length(vals), pa.int64())
         if rule == "first":
-            cols["i"] = _check_nonull(batch[id_col], id_col)
+            cols["i"] = ids
         return pa.table(cols)
 
-    def _reduce_partial_for(col: str):
-        rule = rules[col]
-        skeys = _rule_sort_keys(rule, rule == "first")
-
-        def partial(batch: pa.Table) -> pa.Table:
-            if cluster_col not in batch.column_names:  # placeholder block
-                return _reduce_empty_for(col)
-            t = _pick_first_per_cluster(_rule_tbl(batch, col), skeys)
-            return t.append_column("part", _part_col(t["k"].combine_chunks()))
-
-        return partial
-
-    def _reduce_empty_for(col: str) -> pa.Table:
-        rule = rules[col]
-        vt = dict(zip(names, ds.schema().types)).get(col)
-        vt = vt if isinstance(vt, pa.DataType) else pa.string()
-        cols = {"k": pa.array([], pa_key_type), "v": pa.array([], vt)}
-        if rule == "longest":
-            cols["ln"] = pa.array([], pa.int64())
-        if rule == "first":
-            cols["i"] = pa.array([], pa.int64())
+    # ---- ONE combined reduce digest: per (block, cluster), one row
+    # carrying every reduce rule's candidate (+ the winning id for
+    # "first" rules, so the global min-id re-pick at the merge is exact)
+    def reduce_empty() -> pa.Table:
+        cols = {"k": pa.array([], pa_key_type)}
+        for c in reduce_cols:
+            cols[f"v_{c}"] = pa.array([], _vtype(c))
+            if rules[c] == "first":
+                cols[f"i_{c}"] = pa.array([], id_type)
         cols["part"] = pa.array([], pa.int64())
         return pa.table(cols)
 
-    def _reduce_merge_for(col: str):
-        skeys = _rule_sort_keys(rules[col], rules[col] == "first")
+    def reduce_partial(batch: pa.Table) -> pa.Table:
+        if cluster_col not in batch.column_names or not batch.num_rows:
+            return reduce_empty()
+        keys = _check_nonull(batch[cluster_col], cluster_col)
+        ids = (
+            _check_nonull(batch[id_col], id_col)
+            if id_col is not None and id_col in batch.column_names
+            else None
+        )
+        out_cols = None
+        for c in reduce_cols:
+            rule = rules[c]
+            vals = _check_nonull(batch[c], c)
+            t = _pick_first_per_cluster(
+                _staged(keys, vals, rule, ids), _rule_sort_keys(rule)
+            )
+            if out_cols is None:
+                out_cols = {"k": t["k"]}
+            # picks sort k ascending over the SAME cluster set -> aligned
+            out_cols[f"v_{c}"] = t["v"]
+            if rule == "first":
+                out_cols[f"i_{c}"] = t["i"]
+        t = pa.table(out_cols)
+        return t.append_column("part", _part_col(t["k"].combine_chunks()))
 
-        def merge(g: pa.Table) -> pa.Table:
-            if not g.num_rows:
-                return pa.table(
-                    {
-                        cluster_col: pa.array([], pa_key_type),
-                        col: pa.array([], _reduce_empty_for(col)["v"].type),
-                    }
-                )
-            t = _pick_first_per_cluster(g, skeys)
-            return pa.table({cluster_col: t["k"], col: t["v"]})
+    def reduce_merge(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table(
+                {
+                    cluster_col: pa.array([], pa_key_type),
+                    **{c: pa.array([], _vtype(c)) for c in reduce_cols},
+                }
+            )
+        out_cols = None
+        for c in reduce_cols:
+            rule = rules[c]
+            t = _pick_first_per_cluster(
+                _staged(
+                    g["k"].combine_chunks(),
+                    g[f"v_{c}"].combine_chunks(),
+                    rule,
+                    g[f"i_{c}"].combine_chunks() if rule == "first" else None,
+                ),
+                _rule_sort_keys(rule),
+            )
+            if out_cols is None:
+                out_cols = {cluster_col: t["k"]}
+            out_cols[c] = t["v"]
+        return pa.table(out_cols)
 
-        return merge
+    # ---- per-mode-column census digests
+    def _mode_empty_for(col: str) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array([], pa_key_type),
+                "v": pa.array([], _vtype(col)),
+                "cnt": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int64()),
+            }
+        )
 
     def _mode_partial_for(col: str):
         def partial(batch: pa.Table) -> pa.Table:
-            if cluster_col not in batch.column_names:
+            if cluster_col not in batch.column_names or not batch.num_rows:
                 return _mode_empty_for(col)
             keys = _check_nonull(batch[cluster_col], cluster_col)
             vals = _check_nonull(batch[col], col)
-            tmp = pa.table({"k": keys, "v": vals})
-            gb = tmp.group_by(["k", "v"]).aggregate([([], "count_all")])
-            cnt = pc.cast(gb["count_all"], pa.int64())
-            out = pa.table({"k": gb["k"], "v": gb["v"], "cnt": cnt})
+            gb = (
+                pa.table({"k": keys, "v": vals})
+                .group_by(["k", "v"])
+                .aggregate([([], "count_all")])
+            )
+            out = pa.table(
+                {
+                    "k": gb["k"],
+                    "v": gb["v"],
+                    "cnt": pc.cast(gb["count_all"], pa.int64()),
+                }
+            )
             return out.append_column(
                 "part", _part_col(out["k"].combine_chunks())
             )
 
         return partial
-
-    def _mode_empty_for(col: str) -> pa.Table:
-        vt = dict(zip(names, ds.schema().types)).get(col)
-        vt = vt if isinstance(vt, pa.DataType) else pa.string()
-        return pa.table(
-            {
-                "k": pa.array([], pa_key_type),
-                "v": pa.array([], vt),
-                "cnt": pa.array([], pa.int64()),
-                "part": pa.array([], pa.int64()),
-            }
-        )
 
     def _mode_merge_for(col: str):
         def merge(g: pa.Table) -> pa.Table:
@@ -1941,19 +1995,18 @@ def merge_records(
                 return pa.table(
                     {
                         cluster_col: pa.array([], pa_key_type),
-                        col: pa.array([], _mode_empty_for(col)["v"].type),
+                        col: pa.array([], _vtype(col)),
                     }
                 )
             gb = g.group_by(["k", "v"]).aggregate([("cnt", "sum")])
-            t = pa.table(
-                {
-                    "k": gb["k"],
-                    "v": gb["v"],
-                    "cnt": pc.cast(gb["cnt_sum"], pa.int64()),
-                }
-            )
             t = _pick_first_per_cluster(
-                t,
+                pa.table(
+                    {
+                        "k": gb["k"],
+                        "v": gb["v"],
+                        "cnt": pc.cast(gb["cnt_sum"], pa.int64()),
+                    }
+                ),
                 [("k", "ascending"), ("cnt", "descending"),
                  ("v", "ascending")],
             )
@@ -1961,67 +2014,71 @@ def merge_records(
 
         return merge
 
-    results = []
-    for col in reduce_cols:
-        results.append(
-            _digest_merge(
-                ds.map_batches(
-                    _reduce_partial_for(col), batch_format="pyarrow"
-                ),
-                _reduce_merge_for(col),
-                driver_merge_max_rows,
-                n_parts=n_parts,
-                empty_fn=lambda c=col: pa.table(
-                    {
-                        cluster_col: pa.array([], pa_key_type),
-                        c: pa.array([], _reduce_empty_for(c)["v"].type),
-                    }
+    tables = []
+    covered: list = []
+    if reduce_cols:
+        tables.append(
+            (
+                reduce_cols,
+                _digest_merge(
+                    ds.map_batches(reduce_partial, batch_format="pyarrow"),
+                    reduce_merge,
+                    driver_merge_max_rows,
+                    n_parts=n_parts,
+                    empty_fn=lambda: pa.table(
+                        {
+                            cluster_col: pa.array([], pa_key_type),
+                            **{
+                                c: pa.array([], _vtype(c))
+                                for c in reduce_cols
+                            },
+                        }
+                    ),
                 ),
             )
         )
     for col in mode_cols:
-        results.append(
-            _digest_merge(
-                ds.map_batches(_mode_partial_for(col), batch_format="pyarrow"),
-                _mode_merge_for(col),
-                driver_merge_max_rows,
-                n_parts=n_parts,
-                empty_fn=lambda c=col: pa.table(
-                    {
-                        cluster_col: pa.array([], pa_key_type),
-                        c: pa.array([], _mode_empty_for(c)["v"].type),
-                    }
+        tables.append(
+            (
+                [col],
+                _digest_merge(
+                    ds.map_batches(
+                        _mode_partial_for(col), batch_format="pyarrow"
+                    ),
+                    _mode_merge_for(col),
+                    driver_merge_max_rows,
+                    n_parts=n_parts,
+                    empty_fn=lambda c=col: pa.table(
+                        {
+                            cluster_col: pa.array([], pa_key_type),
+                            c: pa.array([], _vtype(c)),
+                        }
+                    ),
                 ),
             )
         )
-    out_cols = reduce_cols + mode_cols
-    joined = results[0]
-    for col, nxt in zip(out_cols[1:], results[1:]):
+    covered, joined = list(tables[0][0]), tables[0][1]
+    for cols_n, nxt in tables[1:]:
         joined = equi_join(
             joined, nxt, cluster_col, cluster_col,
-            left_cols=tuple(
-                c for c in out_cols[: out_cols.index(col)]
-            ),
-            right_cols=(col,),
+            left_cols=tuple(covered), right_cols=tuple(cols_n),
             mode="auto", max_broadcast_rows=max_broadcast_rows,
             n_parts=n_parts, output="dataset",
         )
+        covered.extend(cols_n)
+    out_cols = reduce_cols + mode_cols
     if output == "pandas":
         pdf = typed_to_pandas(joined)
         if not len(pdf) and list(pdf.columns) != [cluster_col, *out_cols]:
-            vt = dict(zip(names, ds.schema().types))
-
-            def _pd_t(c):
-                t = vt.get(c)
-                return t.to_pandas_dtype() if isinstance(t, pa.DataType) else object
-
             pdf = pd.DataFrame(
                 {
                     cluster_col: pd.Series(
-                        [],
-                        dtype=pa_key_type.to_pandas_dtype(),
+                        [], dtype=pa_key_type.to_pandas_dtype()
                     ),
-                    **{c: pd.Series([], dtype=_pd_t(c)) for c in out_cols},
+                    **{
+                        c: pd.Series([], dtype=_vtype(c).to_pandas_dtype())
+                        for c in out_cols
+                    },
                 }
             )
         return pdf.sort_values(cluster_col, ignore_index=True)

@@ -311,8 +311,49 @@ def blocking_quality(
     int_ent, _s, _t = _int64_key_info(
         labels_ds.schema(), label_col, "blocking_quality"
     )
+    # both inputs are consumed more than once (count + scan/joins) —
+    # materialize so a lazy upstream never re-executes per consumer
+    labels_ds = labels_ds.materialize()
+    pairs_ds = pairs_ds.materialize()
+
+    # per-batch loud rejections in EVERY mode (the broadcast path would
+    # otherwise raise where the distributed equi_join path silently
+    # drops null keys, and duplicate label ids make the two modes count
+    # matches differently — index_in hits the first occurrence, a join
+    # emits one row per duplicate)
+    def _check_pairs(batch: pa.Table) -> pa.Table:
+        _nonull(batch[id_a], id_a, "blocking_quality")
+        _nonull(batch[id_b], id_b, "blocking_quality")
+        return batch
+
+    def _check_labels(batch: pa.Table) -> pa.Table:
+        ids = _nonull(batch[label_id], label_id, "blocking_quality")
+        _nonull(batch[label_col], label_col, "blocking_quality")
+        n_dup = batch.num_rows - len(pc.unique(ids))
+        if n_dup:
+            raise ValueError(
+                f"blocking_quality: {n_dup} duplicate {label_id!r} "
+                "value(s) within a batch — duplicate label ids make the "
+                "match count mode-dependent; dedupe upstream (cross-batch "
+                "duplicates are the family's documented per-batch scope)"
+            )
+        return batch
+
+    pairs_ds = pairs_ds.map_batches(_check_pairs, batch_format="pyarrow")
+    labels_ds = labels_ds.map_batches(_check_labels, batch_format="pyarrow")
     n_records = labels_ds.count()
     n_cand = pairs_ds.count()
+    if n_records == 0:
+        return pd.DataFrame(
+            {
+                "n_records": [0],
+                "n_cand_pairs": [n_cand],
+                "n_true_pairs": [0],
+                "n_matched": [0],
+                "pair_completeness_milli": [0],
+                "reduction_ratio_milli": [0],
+            }
+        )
 
     # ---- true-pair count from per-entity sizes (digest, never pairs)
     P = 1024
@@ -381,6 +422,12 @@ def blocking_quality(
         )
         ids_arr = _nonull(slim[label_id], label_id, "blocking_quality")
         ents_arr = _nonull(slim[label_col], label_col, "blocking_quality")
+        if len(pc.unique(ids_arr)) != len(ids_arr):
+            # the collected side sees CROSS-batch duplicates too
+            raise ValueError(
+                f"blocking_quality: duplicate {label_id!r} values across "
+                "batches — dedupe the label table upstream"
+            )
         ref = ray.put((ids_arr, ents_arr))
 
         def count_matched(batch: pa.Table) -> pa.Table:

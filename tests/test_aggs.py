@@ -1834,3 +1834,34 @@ def test_merge_records_forced_paths_and_guards(rd):
             rd.from_arrow(nulls), "cluster", {"name": "longest"},
             output="pandas",
         )
+
+
+def test_merge_records_empty_blocks_and_string_id(rd):
+    from raylink.aggs import merge_records
+
+    # more blocks than rows -> zero-row blocks WITH schema must not crash
+    df = _mr_frame(n=3, nkeys=2, seed=2)
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(8)
+    out = merge_records(
+        ds, "cluster", {"name": "longest", "score": "max"}, output="pandas"
+    )
+    exp = _mr_expect(df)[["cluster", "name", "score"]]
+    pd.testing.assert_frame_equal(out, exp)
+    # string id_col for rule "first" (the typed-empty id hazard)
+    sdf = df.assign(sid=df["rid"].map(lambda x: f"r{x:03d}"))
+    sds = rd.from_arrow(pa.Table.from_pandas(sdf)).repartition(8)
+    got = merge_records(
+        sds, "cluster", {"name": "first"}, id_col="sid", output="pandas"
+    )
+    exp2 = (
+        sdf.sort_values(["sid", "name"]).groupby("cluster").first()
+        .reset_index()[["cluster", "name"]]
+    )
+    pd.testing.assert_frame_equal(got, exp2)
+    with pytest.raises(ValueError, match="no input column"):
+        merge_records(sds, "cluster", {"name": "first"}, id_col="nope")
+    with pytest.raises(ValueError, match="staging"):
+        merge_records(
+            rd.from_arrow(pa.Table.from_pandas(df.rename(columns={"name": "side"}))),
+            "cluster", {"side": "max"},
+        )

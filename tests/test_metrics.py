@@ -148,3 +148,49 @@ def test_blocking_quality_counts(ray_session):
     srow = blocking_quality(sp, sl).iloc[0]
     assert srow["n_true_pairs"] == 1 and srow["n_matched"] == 1
     assert srow["pair_completeness_milli"] == 1000
+
+
+def test_blocking_quality_guards(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.metrics import blocking_quality
+
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array([1], pa.int64()), "b": pa.array([2], pa.int64())})
+    )
+    dup = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 1], pa.int64()),
+                "entity": pa.array(["A", "B"]),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        blocking_quality(pairs, dup)
+    nullp = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, None], pa.int64()),
+                "b": pa.array([2, 3], pa.int64()),
+            }
+        )
+    )
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "entity": pa.array([0, 0, 1], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="null"):
+        blocking_quality(nullp, labels)
+    empty = rd.from_arrow(
+        pa.table(
+            {"id": pa.array([], pa.int64()), "entity": pa.array([], pa.string())}
+        )
+    )
+    row = blocking_quality(pairs, empty).iloc[0]
+    assert row["n_records"] == 0 and row["n_true_pairs"] == 0
