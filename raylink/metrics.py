@@ -506,3 +506,155 @@ def blocking_quality(
             ],
         }
     )
+
+
+def clustering_quality(
+    labels_ds,
+    pred_col: str,
+    true_col: str,
+    driver_merge_max_rows: int = 2_000_000,
+):
+    """Pairwise clustering evaluation against ground truth — the ER
+    cluster-quality metrics, integer-exact from the CONTINGENCY census
+    (no pair is ever materialized):
+
+      * TP          = Σ_cells C(n_ij, 2)   (pairs together in BOTH)
+      * pred pairs  = Σ_i C(n_i., 2)       (pairs the clustering makes)
+      * true pairs  = Σ_j C(n_.j, 2)       (pairs the truth makes)
+      * precision   = TP / pred pairs, recall = TP / true pairs,
+        F1 = 2·TP / (pred + true)  — all as milli ratios
+        (integer·1000 // denominator, the SQL division rule).
+
+    ``labels_ds`` = one row per record with its predicted cluster and
+    its true entity (int64 or string, both columns). Scale shape: one
+    (pred, true, count) census partitioned by PRED hash (a pred
+    cluster's cells co-locate, so per-partition Σ C(n_ij,2) and
+    Σ C(n_i.,2) are exact) plus one (true, count) census partitioned by
+    TRUE hash for the true marginal — the input is consumed twice
+    (materialized internally). Nulls reject loudly. Returns ONE pandas
+    row of counts + milli ratios."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from raylink.aggs import _digest_merge, _int64_key_info
+    from raylink.blocking import _hash64
+    from raylink.joins import _nonull, _string_part_hash
+
+    _int64_key_info(labels_ds.schema(), pred_col, "clustering_quality")
+    _int64_key_info(labels_ds.schema(), true_col, "clustering_quality")
+    labels_ds = labels_ds.materialize()
+    n_records = labels_ds.count()
+    P = 1024
+
+    def _hash_part(keys: pa.Array) -> pa.Array:
+        if pa.types.is_integer(keys.type):
+            kn = np.asarray(keys.to_numpy(zero_copy_only=False), np.int64)
+            return pa.array((_hash64(kn) % np.uint64(P)).astype(np.int64))
+        return pa.array(
+            (_string_part_hash(keys) % np.uint64(P)).astype(np.int64)
+        )
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        preds = _nonull(batch[pred_col], pred_col, "clustering_quality")
+        trues = _nonull(batch[true_col], true_col, "clustering_quality")
+        gb = (
+            pa.table({"p": preds, "t": trues})
+            .group_by(["p", "t"])
+            .aggregate([([], "count_all")])
+        )
+        out = pa.table(
+            {
+                "p": gb["p"],
+                "t": gb["t"],
+                "cnt": pc.cast(gb["count_all"], pa.int64()),
+            }
+        )
+        return out.append_column("part", _hash_part(out["p"].combine_chunks()))
+
+    def cell_merge(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table(
+                {"tp": pa.array([], pa.int64()),
+                 "pp": pa.array([], pa.int64())}
+            )
+        gb = g.group_by(["p", "t"]).aggregate([("cnt", "sum")])
+        n = np.asarray(gb["cnt_sum"].to_numpy(zero_copy_only=False), np.int64)
+        tp = int((n * (n - 1) // 2).sum())
+        pm = (
+            pa.table({"p": gb["p"], "n": pa.array(n)})
+            .group_by(["p"])
+            .aggregate([("n", "sum")])
+        )
+        m = np.asarray(pm["n_sum"].to_numpy(zero_copy_only=False), np.int64)
+        pp = int((m * (m - 1) // 2).sum())
+        return pa.table(
+            {"tp": pa.array([tp], pa.int64()), "pp": pa.array([pp], pa.int64())}
+        )
+
+    def true_partial(batch: pa.Table) -> pa.Table:
+        trues = _nonull(batch[true_col], true_col, "clustering_quality")
+        gb = (
+            pa.table({"t": trues})
+            .group_by(["t"])
+            .aggregate([([], "count_all")])
+        )
+        out = pa.table(
+            {"t": gb["t"], "cnt": pc.cast(gb["count_all"], pa.int64())}
+        )
+        return out.append_column("part", _hash_part(out["t"].combine_chunks()))
+
+    def true_merge(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table({"tpair": pa.array([], pa.int64())})
+        gb = g.group_by(["t"]).aggregate([("cnt", "sum")])
+        m = np.asarray(gb["cnt_sum"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
+            {"tpair": pa.array([int((m * (m - 1) // 2).sum())], pa.int64())}
+        )
+
+    def _sum_col(parts_ds, col: str) -> int:
+        return int(
+            sum(
+                int(t[col][i].as_py())
+                for t in ray.get(parts_ds.to_arrow_refs())
+                if col in t.column_names
+                for i in range(t.num_rows)
+            )
+        )
+
+    cells = _digest_merge(
+        labels_ds.map_batches(cell_partial, batch_format="pyarrow"),
+        cell_merge,
+        driver_merge_max_rows,
+        empty_fn=lambda: pa.table(
+            {"tp": pa.array([], pa.int64()), "pp": pa.array([], pa.int64())}
+        ),
+    )
+    tp = _sum_col(cells, "tp")
+    pred_pairs = _sum_col(cells, "pp")
+    trues = _digest_merge(
+        labels_ds.map_batches(true_partial, batch_format="pyarrow"),
+        true_merge,
+        driver_merge_max_rows,
+        empty_fn=lambda: pa.table({"tpair": pa.array([], pa.int64())}),
+    )
+    true_pairs = _sum_col(trues, "tpair")
+    return pd.DataFrame(
+        {
+            "n_records": [n_records],
+            "pred_pairs": [pred_pairs],
+            "true_pairs": [true_pairs],
+            "tp": [tp],
+            "precision_milli": [
+                (tp * 1000 // pred_pairs) if pred_pairs else 0
+            ],
+            "recall_milli": [(tp * 1000 // true_pairs) if true_pairs else 0],
+            "f1_milli": [
+                (2 * tp * 1000 // (pred_pairs + true_pairs))
+                if (pred_pairs + true_pairs)
+                else 0
+            ],
+        }
+    )

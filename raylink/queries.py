@@ -2181,6 +2181,35 @@ def q_blocking_quality(sf_dir: str):
     )
 
 
+def q_clustering_quality(sf_dir: str):
+    """Pairwise clustering evaluation (raylink/metrics.clustering_quality)
+    of exact-variant clustering (pred cluster = the cleaned variant
+    string) against the entity ground truth — precision/recall/F1 from
+    the contingency census, integer-exact milli ratios. The fixture's
+    known label quirk (one variant string owned by two entities) shows
+    up as precision < 1000 — a real measurement. SQL-checked: three
+    GROUP BY censuses + the same integer divisions."""
+    info = ensure_transcript_fixture(sf_dir)
+    from raylink.metrics import clustering_quality
+    from raylink.text import clean_strings_arrow
+
+    gt = _rd().read_parquet(
+        info["ground_truth"], columns=["variant", "entity_id"]
+    )
+
+    def labeled(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pred": clean_strings_arrow(t["variant"].combine_chunks()),
+                "entity_id": t["entity_id"],
+            }
+        )
+
+    return clustering_quality(
+        gt.map_batches(labeled, batch_format="pyarrow"), "pred", "entity_id"
+    )
+
+
 def q_golden_records(sf_dir: str):
     """Survivorship / golden-record merge (raylink/aggs.merge_records) —
     the record-linkage consumer of match->group: one canonical record
@@ -2521,6 +2550,7 @@ QUERIES = {
     "ivfpq_topk": q_ivfpq_topk,
     "golden_records": q_golden_records,
     "blocking_quality": q_blocking_quality,
+    "clustering_quality": q_clustering_quality,
     "grouped_split": q_grouped_split,
     "apply_delta": q_apply_delta,
     "fuzzy_contamination": q_fuzzy_contamination,
@@ -2637,6 +2667,7 @@ _R5_LEAD = [
     "ivfpq_topk",
     "golden_records",
     "blocking_quality",
+    "clustering_quality",
     "grouped_split",
     "apply_delta",
     "fuzzy_contamination",
@@ -2654,7 +2685,7 @@ _R5_LEAD = [
     "transcript_tool_stats", "clean_documents", "ngram_df", "exact_dedup",
     "minmax_normalize", "threshold_filter", "pr_curve", "canonicalize_events",
     "token_count", "quality_score", "lang_id",
-    "repetition_stats", "vocabulary",
+    "vocabulary",
     "transcript_canonicalize",
     # r5-touched kernels keep their window slots (sixth session: the
     # shingle-fold refactor sits under minhash, the dedup defaults and
@@ -4737,6 +4768,35 @@ ORACLE_SQL["blocking_quality"] = f"""
            (n_records * (n_records - 1) // 2 - n_cand_pairs) * 1000
                // (n_records * (n_records - 1) // 2)
                AS reduction_ratio_milli
+    FROM stats
+"""
+
+ORACLE_SQL["clustering_quality"] = f"""
+    WITH gt AS (
+        SELECT {_clean_sql("variant")} AS pred, entity_id
+        FROM read_parquet('{os.path.join(transcript_fixture_dir("sf0.01"),
+                                         "ground_truth.parquet")}')
+    ),
+    cells AS (
+        SELECT pred, entity_id, count(*) AS n
+        FROM gt GROUP BY pred, entity_id
+    ),
+    pm AS (SELECT pred, sum(n) AS m FROM cells GROUP BY pred),
+    tm AS (SELECT entity_id, sum(n) AS m FROM cells GROUP BY entity_id),
+    stats AS (
+        SELECT (SELECT count(*) FROM gt) AS n_records,
+               (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) FROM pm)
+                   AS pred_pairs,
+               (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) FROM tm)
+                   AS true_pairs,
+               (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) FROM cells)
+                   AS tp
+    )
+    SELECT n_records, pred_pairs, true_pairs, tp,
+           CAST(tp * 1000 // pred_pairs AS BIGINT) AS precision_milli,
+           CAST(tp * 1000 // true_pairs AS BIGINT) AS recall_milli,
+           CAST(2 * tp * 1000 // (pred_pairs + true_pairs) AS BIGINT)
+               AS f1_milli
     FROM stats
 """
 

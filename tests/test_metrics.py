@@ -194,3 +194,37 @@ def test_blocking_quality_guards(ray_session):
     )
     row = blocking_quality(pairs, empty).iloc[0]
     assert row["n_records"] == 0 and row["n_true_pairs"] == 0
+
+
+def test_clustering_quality_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.metrics import clustering_quality
+
+    # pred {0:[a,b], 1:[c], 2:[d,e,f]}; true {A:[a,b,c], B:[d,e], C:[f]}
+    tbl = pa.table(
+        {
+            "pred": pa.array([0, 0, 1, 2, 2, 2], pa.int64()),
+            "truth": pa.array(["A", "A", "A", "B", "B", "C"]),
+        }
+    )
+    out = clustering_quality(rd.from_arrow(tbl), "pred", "truth")
+    row = out.iloc[0]
+    assert (row["pred_pairs"], row["true_pairs"], row["tp"]) == (4, 4, 2)
+    assert row["precision_milli"] == 500
+    assert row["recall_milli"] == 500
+    assert row["f1_milli"] == 500
+    forced = clustering_quality(
+        rd.from_arrow(tbl).repartition(4), "pred", "truth",
+        driver_merge_max_rows=0,
+    )
+    pd.testing.assert_frame_equal(out, forced)
+    nulls = pa.table(
+        {
+            "pred": pa.array([1, None], pa.int64()),
+            "truth": pa.array(["A", "B"]),
+        }
+    )
+    with pytest.raises(Exception, match="null"):
+        clustering_quality(rd.from_arrow(nulls), "pred", "truth")
