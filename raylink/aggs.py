@@ -1904,15 +1904,16 @@ def merge_records(
         cols["part"] = pa.array([], pa.int64())
         return pa.table(cols)
 
+    need_id = any(rules[c] == "first" for c in reduce_cols)
+
     def reduce_partial(batch: pa.Table) -> pa.Table:
         if cluster_col not in batch.column_names or not batch.num_rows:
             return reduce_empty()
         keys = _check_nonull(batch[cluster_col], cluster_col)
-        ids = (
-            _check_nonull(batch[id_col], id_col)
-            if id_col is not None and id_col in batch.column_names
-            else None
-        )
+        # the id column is touched (and null-checked) ONLY when a
+        # "first" rule needs it — an id_col passed along with other
+        # rules must not newly reject null ids
+        ids = _check_nonull(batch[id_col], id_col) if need_id else None
         out_cols = None
         for c in reduce_cols:
             rule = rules[c]
@@ -2015,7 +2016,6 @@ def merge_records(
         return merge
 
     tables = []
-    covered: list = []
     if reduce_cols:
         tables.append(
             (

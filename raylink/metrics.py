@@ -311,22 +311,23 @@ def blocking_quality(
     int_ent, _s, _t = _int64_key_info(
         labels_ds.schema(), label_col, "blocking_quality"
     )
-    # both inputs are consumed more than once (count + scan/joins) —
-    # materialize so a lazy upstream never re-executes per consumer
-    labels_ds = labels_ds.materialize()
-    pairs_ds = pairs_ds.materialize()
-
     # per-batch loud rejections in EVERY mode (the broadcast path would
     # otherwise raise where the distributed equi_join path silently
     # drops null keys, and duplicate label ids make the two modes count
     # matches differently — index_in hits the first occurrence, a join
-    # emits one row per duplicate)
+    # emits one row per duplicate). The checks run BEFORE materialize,
+    # so they execute exactly once and downstream consumers read the
+    # checked blocks; zero-column placeholder blocks pass through.
     def _check_pairs(batch: pa.Table) -> pa.Table:
+        if id_a not in batch.column_names:  # schema-dropped empty block
+            return batch
         _nonull(batch[id_a], id_a, "blocking_quality")
         _nonull(batch[id_b], id_b, "blocking_quality")
         return batch
 
     def _check_labels(batch: pa.Table) -> pa.Table:
+        if label_id not in batch.column_names:
+            return batch
         ids = _nonull(batch[label_id], label_id, "blocking_quality")
         _nonull(batch[label_col], label_col, "blocking_quality")
         n_dup = batch.num_rows - len(pc.unique(ids))
@@ -334,13 +335,16 @@ def blocking_quality(
             raise ValueError(
                 f"blocking_quality: {n_dup} duplicate {label_id!r} "
                 "value(s) within a batch — duplicate label ids make the "
-                "match count mode-dependent; dedupe upstream (cross-batch "
-                "duplicates are the family's documented per-batch scope)"
+                "match count mode-dependent; dedupe upstream"
             )
         return batch
 
-    pairs_ds = pairs_ds.map_batches(_check_pairs, batch_format="pyarrow")
-    labels_ds = labels_ds.map_batches(_check_labels, batch_format="pyarrow")
+    pairs_ds = pairs_ds.map_batches(
+        _check_pairs, batch_format="pyarrow"
+    ).materialize()
+    labels_ds = labels_ds.map_batches(
+        _check_labels, batch_format="pyarrow"
+    ).materialize()
     n_records = labels_ds.count()
     n_cand = pairs_ds.count()
     if n_records == 0:
@@ -453,6 +457,63 @@ def blocking_quality(
 
         m_ds = pairs_ds.map_batches(count_matched, batch_format="pyarrow")
     else:
+        # cross-batch duplicate label ids must fail HERE too (the
+        # broadcast path checks the collected table): per-id count
+        # digest partitioned by id hash — a global count > 1 raises,
+        # never a silently inflated match count
+        def id_partial(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+            if label_id not in batch.column_names or not batch.num_rows:
+                return empty
+            ids = _nonull(batch[label_id], label_id, "blocking_quality")
+            enc = ids.dictionary_encode()
+            codes = np.asarray(
+                enc.indices.to_numpy(zero_copy_only=False), np.int64
+            )
+            u, c = np.unique(codes, return_counts=True)
+            keys = enc.dictionary.take(pa.array(u))
+            if pa.types.is_integer(keys.type):
+                kn = np.asarray(
+                    keys.to_numpy(zero_copy_only=False), np.int64
+                )
+                part = (_hash64(kn) % np.uint64(P)).astype(np.int64)
+            else:
+                part = (
+                    _string_part_hash(keys) % np.uint64(P)
+                ).astype(np.int64)
+            return pa.table(
+                {
+                    "k": keys,
+                    "cnt": pa.array(c.astype(np.int64)),
+                    "part": pa.array(part),
+                }
+            )
+
+        def id_merge(g: pa.Table) -> pa.Table:
+            if g.num_rows:
+                gb = g.group_by(["k"]).aggregate([("cnt", "sum")])
+                mx = pc.max(gb["cnt_sum"]).as_py()
+                if mx and int(mx) > 1:
+                    raise ValueError(
+                        f"blocking_quality: duplicate {label_id!r} values "
+                        "across batches — dedupe the label table upstream"
+                    )
+            return pa.table({"ok": pa.array([1], pa.int64())})
+
+        _digest_merge(
+            labels_ds.map_batches(id_partial, batch_format="pyarrow"),
+            id_merge,
+            driver_merge_max_rows,  # both dispatch paths see every id's
+            # global count (driver concat / id-hash partitions)
+            empty_fn=lambda: pa.table({"ok": pa.array([], pa.int64())}),
+        ).count()
+
         la = equi_join(
             pairs_ds, labels_ds, id_a, label_id,
             left_cols=(id_b,), right_cols=(label_col,),
@@ -538,12 +599,15 @@ def clustering_quality(
 
     import ray
 
-    from raylink.aggs import _digest_merge, _int64_key_info
+    from raylink.aggs import _digest_merge, _int64_key_info, _pa_type_of
     from raylink.blocking import _hash64
     from raylink.joins import _nonull, _string_part_hash
 
     _int64_key_info(labels_ds.schema(), pred_col, "clustering_quality")
     _int64_key_info(labels_ds.schema(), true_col, "clustering_quality")
+    _sch = dict(zip(labels_ds.schema().names, labels_ds.schema().types))
+    pred_t = _pa_type_of(_sch[pred_col])
+    true_t = _pa_type_of(_sch[true_col])
     labels_ds = labels_ds.materialize()
     n_records = labels_ds.count()
     P = 1024
@@ -557,6 +621,17 @@ def clustering_quality(
         )
 
     def cell_partial(batch: pa.Table) -> pa.Table:
+        if pred_col not in batch.column_names or not batch.num_rows:
+            # typed empty — a string-typed placeholder would mix block
+            # schemas with int64 pred/true columns at the digest concat
+            return pa.table(
+                {
+                    "p": pa.array([], pred_t),
+                    "t": pa.array([], true_t),
+                    "cnt": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
         preds = _nonull(batch[pred_col], pred_col, "clustering_quality")
         trues = _nonull(batch[true_col], true_col, "clustering_quality")
         gb = (
@@ -594,6 +669,14 @@ def clustering_quality(
         )
 
     def true_partial(batch: pa.Table) -> pa.Table:
+        if true_col not in batch.column_names or not batch.num_rows:
+            return pa.table(
+                {
+                    "t": pa.array([], true_t),
+                    "cnt": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
         trues = _nonull(batch[true_col], true_col, "clustering_quality")
         gb = (
             pa.table({"t": trues})
@@ -632,8 +715,12 @@ def clustering_quality(
             {"tp": pa.array([], pa.int64()), "pp": pa.array([], pa.int64())}
         ),
     )
-    tp = _sum_col(cells, "tp")
-    pred_pairs = _sum_col(cells, "pp")
+    tp = pred_pairs = 0
+    for t in ray.get(cells.to_arrow_refs()):
+        if "tp" in t.column_names:
+            for i in range(t.num_rows):
+                tp += int(t["tp"][i].as_py())
+                pred_pairs += int(t["pp"][i].as_py())
     trues = _digest_merge(
         labels_ds.map_batches(true_partial, batch_format="pyarrow"),
         true_merge,

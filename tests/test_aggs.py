@@ -1865,3 +1865,21 @@ def test_merge_records_empty_blocks_and_string_id(rd):
             rd.from_arrow(pa.Table.from_pandas(df.rename(columns={"name": "side"}))),
             "cluster", {"side": "max"},
         )
+
+
+def test_merge_records_id_col_untouched_without_first_rule(rd):
+    from raylink.aggs import merge_records
+
+    t = pa.table(
+        {
+            "cluster": pa.array([1, 1], pa.int64()),
+            "name": pa.array(["a", "bb"]),
+            "rid": pa.array([1, None], pa.int64()),
+        }
+    )
+    # a null-bearing id_col must NOT reject when no rule needs it
+    out = merge_records(
+        rd.from_arrow(t), "cluster", {"name": "longest"}, id_col="rid",
+        output="pandas",
+    )
+    assert out["name"].tolist() == ["bb"]

@@ -228,3 +228,27 @@ def test_clustering_quality_counts(ray_session):
     )
     with pytest.raises(Exception, match="null"):
         clustering_quality(rd.from_arrow(nulls), "pred", "truth")
+
+
+def test_blocking_quality_cross_batch_dup_distributed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.metrics import blocking_quality
+
+    labels = rd.from_arrow(
+        pa.table({"id": pa.array([7], pa.int64()), "entity": pa.array(["A"])})
+    ).union(
+        rd.from_arrow(
+            pa.table(
+                {"id": pa.array([7], pa.int64()), "entity": pa.array(["B"])}
+            )
+        )
+    )
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array([7], pa.int64()), "b": pa.array([7], pa.int64())})
+    )
+    # the DISTRIBUTED path must reject cross-batch duplicates too (the
+    # broadcast path checks the collected table)
+    with pytest.raises(Exception, match="duplicate"):
+        blocking_quality(pairs, labels, max_broadcast_rows=0)
