@@ -120,8 +120,26 @@ def main():
     from raylink.workers import ensure_workers_can_import
 
     ensure_workers_can_import()  # probe must run from any cwd, like the contract
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from raylink.aggs import merge_records, rank_within_key
     from raylink.dedup import remove_duplicate_spans, winnow_overlap_pairs
     from raylink.textstats import bpe_encode, bpe_learn, rarity_score
+
+    def _with_key_len(b):
+        ids = _np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
+        return _pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": b["text"],
+                "k32": _pa.array((ids % 32).astype("int64")),
+                "nc": _pc.cast(
+                    _pc.utf8_length(b["text"].combine_chunks()), _pa.int64()
+                ),
+            }
+        )
 
     only = None
     if "--ops" in sys.argv:
@@ -176,6 +194,18 @@ def main():
             ("winnow_overlap_pairs", lambda d=dds: winnow_overlap_pairs(
                 d, "doc_id", "text", k=16, window=8, min_shared=2,
                 max_posting=200).count()),
+            # r5 eighth session: the aggs transforms over 32 domains —
+            # rank = census digest + composite-key join-back over the
+            # full corpus; merge = one combined reduce digest + one
+            # mode census
+            ("rank_within_key", lambda d=ds: rank_within_key(
+                d.map_batches(_with_key_len, batch_format="pyarrow"),
+                "k32", "nc").count()),
+            ("merge_records", lambda d=ds: merge_records(
+                d.map_batches(_with_key_len, batch_format="pyarrow"),
+                "k32",
+                {"text": "longest", "nc": "max", "doc_id": "first"},
+                id_col="doc_id").count()),
         ):
             if only is not None and op not in only:
                 continue
