@@ -1883,3 +1883,43 @@ def test_merge_records_id_col_untouched_without_first_rule(rd):
         output="pandas",
     )
     assert out["name"].tolist() == ["bb"]
+
+
+def test_pick_first_per_cluster_property():
+    # kernel-level (no Ray): random tables with heavy ties, every rule's
+    # sort spec vs the pandas sort+first reference
+    from raylink.aggs import _pick_first_per_cluster, _rule_sort_keys
+
+    rng = np.random.default_rng(41)
+    for trial in range(30):
+        n = int(rng.integers(1, 60))
+        tbl = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 5, n).astype(np.int64)),
+                "v": pa.array(
+                    rng.choice(["a", "bb", "bb", "ccc", ""], n)
+                ),
+                "ln": pa.array(rng.integers(0, 4, n).astype(np.int64)),
+                "i": pa.array(rng.integers(0, 10, n).astype(np.int64)),
+            }
+        )
+        df = tbl.to_pandas()
+        for rule, by, asc in (
+            ("longest", ["k", "ln", "v"], [True, False, True]),
+            ("max", ["k", "v"], [True, False]),
+            ("min", ["k", "v"], [True, True]),
+            ("first", ["k", "i", "v"], [True, True, True]),
+        ):
+            got = _pick_first_per_cluster(
+                tbl, _rule_sort_keys(rule)
+            ).to_pandas()
+            exp = (
+                df.sort_values(by, ascending=asc, kind="stable")
+                .drop_duplicates("k")
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+            got = got.sort_values("k").reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got[["k", "v"]], exp[["k", "v"]], obj=f"trial{trial}:{rule}"
+            )
