@@ -926,3 +926,19 @@ def test_ivfpq_probe_all_equals_pq(emb_ds):
     assert str(sch.types[sch.names.index("c0")]) == "int8"
     with pytest.raises(ValueError, match="collides"):
         ivfpq_encode(ds, books, index, id_col="c1")
+
+
+def test_pq_wide_codebook_int16_roundtrip(emb_ds):
+    from raylink.ann import PQCodebooks, _pq_code_dtype, pq_encode, pq_topk
+
+    assert _pq_code_dtype(128) == np.int8
+    assert _pq_code_dtype(129) == np.int16
+    assert _pq_code_dtype(40000) == np.int64
+    ds, mat = emb_ds
+    books = PQCodebooks.fit(mat, m=4, k=150, seed=0)  # > int8 range
+    codes = pq_encode(ds, books)
+    sch = codes.schema()
+    assert str(sch.types[sch.names.index("c0")]) == "int16"
+    out = pq_topk(codes, mat[:3], books, k=5, batch_size=64)
+    assert len(out) == 15
+    assert (out.groupby("query_id")["rank"].max() == 5).all()
