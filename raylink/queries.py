@@ -2210,6 +2210,32 @@ def q_clustering_quality(sf_dir: str):
     )
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional deterministic sample
+    (raylink/sampling.weighted_hash_sample): documents kept with
+    probability min(1, (n_chars/100)*500/10000) — longer docs survive
+    more often, membership a pure integer function of (id, weight,
+    seed). SQL-checked: the HUGEINT splitmix64 bucket replay against
+    the same integer threshold."""
+    from raylink.sampling import weighted_hash_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def weighted(t: pa.Table) -> pa.Table:
+        w = pc.cast(
+            pc.divide(t["n_chars"].combine_chunks(), 100), pa.int64()
+        )
+        return pa.table({"doc_id": t["doc_id"], "w": w})
+
+    from raylink.joins import typed_to_pandas
+
+    out = weighted_hash_sample(
+        docs.map_batches(weighted, batch_format="pyarrow"),
+        "doc_id", "w", bp_per_unit=500, seed=3,
+    )
+    return typed_to_pandas(out).sort_values("doc_id", ignore_index=True)
+
+
 def q_golden_records(sf_dir: str):
     """Survivorship / golden-record merge (raylink/aggs.merge_records) —
     the record-linkage consumer of match->group: one canonical record
@@ -2551,6 +2577,7 @@ QUERIES = {
     "golden_records": q_golden_records,
     "blocking_quality": q_blocking_quality,
     "clustering_quality": q_clustering_quality,
+    "weighted_sample": q_weighted_sample,
     "grouped_split": q_grouped_split,
     "apply_delta": q_apply_delta,
     "fuzzy_contamination": q_fuzzy_contamination,
@@ -2668,6 +2695,7 @@ _R5_LEAD = [
     "golden_records",
     "blocking_quality",
     "clustering_quality",
+    "weighted_sample",
     "grouped_split",
     "apply_delta",
     "fuzzy_contamination",
@@ -2684,7 +2712,7 @@ _R5_LEAD = [
     "event_value_quantiles", "heavy_users", "split_documents", "sft_pairs",
     "transcript_tool_stats", "clean_documents", "ngram_df", "exact_dedup",
     "minmax_normalize", "threshold_filter", "pr_curve", "canonicalize_events",
-    "token_count", "quality_score", "lang_id",
+    "token_count", "lang_id",
     "vocabulary",
     "transcript_canonicalize",
     # r5-touched kernels keep their window slots (sixth session: the
@@ -4769,6 +4797,15 @@ ORACLE_SQL["blocking_quality"] = f"""
                // (n_records * (n_records - 1) // 2)
                AS reduction_ratio_milli
     FROM stats
+"""
+
+ORACLE_SQL["weighted_sample"] = f"""
+    SELECT doc_id, n_chars // 100 AS w
+    FROM documents
+    WHERE {_sql_splitmix64('(doc_id + 3)')} % 10000 <
+          least(CAST(10000 AS HUGEINT),
+                CAST((n_chars // 100) * 500 AS HUGEINT))
+    ORDER BY doc_id
 """
 
 ORACLE_SQL["clustering_quality"] = f"""

@@ -692,3 +692,62 @@ def epoch_order(ds, id_col: str, epoch: int = 0, cols=None):
         return pa.table(out)
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def weighted_hash_sample(
+    ds,
+    id_col: str,
+    weight_col: str,
+    bp_per_unit: int,
+    seed: int = 0,
+    cols=None,
+):
+    """Per-ROW weight-proportional deterministic sample (importance
+    sampling for training mixes: "keep long / high-quality docs more
+    often"): row i survives iff splitmix64(id + seed) % 10000 <
+    min(10000, weight_i * bp_per_unit) — each row's keep probability is
+    min(1, weight*bp/10000), membership a pure integer function of
+    (id, weight, seed), so it is partition-independent, reproducible,
+    and SQL-replayable exactly (the family bucket function). Weights
+    must be non-negative int64 (weight 0 never keeps; quantize float
+    scores upstream — the integer thresholds are what make exactness
+    possible). Streams — one filter pass, no shuffle. Expected sample
+    size Σ min(1, w_i·bp/10000); for an EXACT total under per-key
+    quotas use sample_mix / cap_per_key instead."""
+    bpu = int(bp_per_unit)
+    if bpu < 1:
+        raise ValueError(
+            f"weighted_hash_sample: bp_per_unit must be >= 1, got {bpu}"
+        )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        if id_col not in batch.column_names:  # placeholder empty block
+            return batch
+        ids = np.asarray(
+            _nonull(batch[id_col], id_col, "weighted_hash_sample").to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64,
+        )
+        wa = _nonull(batch[weight_col], weight_col, "weighted_hash_sample")
+        if not pa.types.is_integer(wa.type) or wa.type == pa.uint64():
+            raise ValueError(
+                f"weighted_hash_sample: weight column {weight_col!r} must "
+                f"be signed int64 (got {wa.type}) — float weights would "
+                "truncate silently; quantize upstream"
+            )
+        w = np.asarray(wa.to_numpy(zero_copy_only=False), np.int64)
+        if len(w) and int(w.min()) < 0:
+            raise ValueError(
+                "weighted_hash_sample: negative weights — a negative "
+                "threshold silently drops the row; clamp upstream"
+            )
+        # clamp BEFORE the multiply: w * bpu can overflow int64 for huge
+        # weights (wrapping negative would silently drop the row)
+        cap_w = np.int64(10000 // bpu + 1)
+        thr = np.where(w >= cap_w, np.int64(10000), w * np.int64(bpu))
+        keep = sample_bucket(ids, seed) < thr
+        sel = batch.select(list(cols)) if cols is not None else batch
+        return sel.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

@@ -501,3 +501,53 @@ def test_sample_mix_int_keys(rd):
     assert len(got) == 30
     assert set(got["dom"].unique()) == {0, 2, 4}
     assert got.groupby("dom").size().tolist() == [10, 10, 10]
+
+
+def test_weighted_hash_sample(rd):
+    from raylink.sampling import sample_bucket, weighted_hash_sample
+
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    w = (ids % 7).astype(np.int64)  # weights 0..6, zeros never kept
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+    ).repartition(5)
+    out = weighted_hash_sample(ds, "doc_id", "w", bp_per_unit=800, seed=9)
+    got = sorted(out.to_pandas()["doc_id"].tolist())
+    thr = np.minimum(w * 800, 10000)
+    exp = sorted(ids[sample_bucket(ids, 9) < thr].tolist())
+    assert got == exp
+    assert not any(w[i] == 0 for i in got)
+    # partition invariance (membership is a pure row function)
+    out2 = weighted_hash_sample(
+        ds.repartition(17), "doc_id", "w", bp_per_unit=800, seed=9
+    )
+    assert sorted(out2.to_pandas()["doc_id"].tolist()) == exp
+    # huge weights clamp to always-keep without overflowing
+    big = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "w": pa.array([2**62, 10**18], pa.int64()),
+            }
+        )
+    )
+    kept = weighted_hash_sample(big, "doc_id", "w", bp_per_unit=2).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [1, 2]
+    # guards
+    with pytest.raises(ValueError, match="bp_per_unit"):
+        weighted_hash_sample(ds, "doc_id", "w", bp_per_unit=0)
+    neg = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([1], pa.int64()), "w": pa.array([-1], pa.int64())}
+        )
+    )
+    with pytest.raises(Exception, match="negative"):
+        weighted_hash_sample(neg, "doc_id", "w", bp_per_unit=1).to_pandas()
+    flt = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([1], pa.int64()), "w": pa.array([1.5])}
+        )
+    )
+    with pytest.raises(Exception, match="signed int64"):
+        weighted_hash_sample(flt, "doc_id", "w", bp_per_unit=1).to_pandas()
