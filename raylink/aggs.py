@@ -25,7 +25,7 @@ import ray
 import ray.data as _rd
 
 from raylink.blocking import _fnv64_fold_rows, _hash64
-from raylink.joins import _nonull, typed_to_pandas
+from raylink.joins import _nonull, _string_part_hash, typed_to_pandas
 
 
 def _np_i64(col) -> np.ndarray:
@@ -369,6 +369,17 @@ def _make_kv_check(key_col: str, val_col: str, int_key: bool, op: str):
         return batch
 
     return check
+
+
+def _census_part_col(keys: pa.Array, P: int) -> pa.Array:
+    """The census partition column: int keys hash through splitmix64
+    BEFORE the modulus (raw key % P collapses strided id spaces — the
+    round-5 rule), string keys through the joins flat-buffer hash.
+    Shared by every census partial so the discipline can't fork."""
+    if pa.types.is_integer(keys.type):
+        kn = np.asarray(keys.to_numpy(zero_copy_only=False), np.int64)
+        return pa.array((_hash64(kn) % np.uint64(P)).astype(np.int64))
+    return pa.array((_string_part_hash(keys) % np.uint64(P)).astype(np.int64))
 
 
 def _kv_census_partial(key_col: str, val_col: str, int_key: bool, P: int):
@@ -730,18 +741,10 @@ def rank_within_key(
     if corpus_kv.schema() is None:
         # zero-row input: the mapped dataset dropped its schema (the
         # empty-input policy) — rebuild the typed empty output directly
-        def _pa_type(t):
-            if isinstance(t, pa.DataType):
-                return t
-            try:
-                return pa.from_numpy_dtype(np.dtype(t))
-            except (TypeError, pa.ArrowNotImplementedError):
-                return pa.string()  # pandas object dtype
-
         types = dict(zip(schema.names, schema.types))
         empty_out = pa.table(
             {
-                **{n: pa.array([], _pa_type(types[n])) for n in names},
+                **{n: pa.array([], _pa_type_of(types[n])) for n in names},
                 rank_col: pa.array([], pa.int64()),
                 n_col: pa.array([], pa.int64()),
             }
@@ -1868,12 +1871,7 @@ def merge_records(
         return _pa_type_of(types_of[col])
 
     def _part_col(keys: pa.Array) -> pa.Array:
-        if pa.types.is_integer(keys.type):
-            kn = np.asarray(keys.to_numpy(zero_copy_only=False), np.int64)
-            return pa.array((_hash64(kn) % np.uint64(P)).astype(np.int64))
-        return pa.array(
-            (_string_part_hash(keys) % np.uint64(P)).astype(np.int64)
-        )
+        return _census_part_col(keys, P)
 
     def _check_nonull(col, name):
         a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col

@@ -359,10 +359,23 @@ def blocking_quality(
             }
         )
 
-    # ---- true-pair count from per-entity sizes (digest, never pairs)
-    P = 1024
+    # ---- true-pair count from per-entity sizes (digest, never pairs);
+    # the census family's fine modulus (a hardcoded small P would cap
+    # the _sized_groupby rebase above the driver bound)
+    from raylink.aggs import _census_part_col, _default_parts
+
+    P = _default_parts(None)
+    _ENT_EMPTY = pa.table(
+        {
+            "k": pa.array([], pa.int64() if int_ent else pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int64()),
+        }
+    )
 
     def ent_partial(batch: pa.Table) -> pa.Table:
+        if label_col not in batch.column_names or not batch.num_rows:
+            return _ENT_EMPTY  # schema-dropped placeholder block
         ents = _nonull(batch[label_col], label_col, "blocking_quality")
         enc = ents.dictionary_encode()
         codes = np.asarray(
@@ -370,16 +383,11 @@ def blocking_quality(
         )
         u, c = np.unique(codes, return_counts=True)
         keys = enc.dictionary.take(pa.array(u))
-        if int_ent:
-            kn = np.asarray(keys.to_numpy(zero_copy_only=False), np.int64)
-            part = (_hash64(kn) % np.uint64(P)).astype(np.int64)
-        else:
-            part = (_string_part_hash(keys) % np.uint64(P)).astype(np.int64)
         return pa.table(
             {
                 "k": keys,
                 "cnt": pa.array(c.astype(np.int64)),
-                "part": pa.array(part),
+                "part": _census_part_col(keys, P),
             }
         )
 
@@ -414,8 +422,14 @@ def blocking_quality(
         )
     )
 
-    # ---- matched candidate pairs
-    if n_records <= max_broadcast_rows:
+    # ---- matched candidate pairs (byte-aware broadcast switch — the
+    # round-5 convention: 20M long-string labels would be a multi-GB
+    # ray.put; size_bytes() of the materialized labels bounds the slim
+    # projection from above)
+    if (
+        n_records <= max_broadcast_rows
+        and (labels_ds.size_bytes() or 0) <= (1 << 30)
+    ):
         slim = pa.concat_tables(
             [
                 t.select([label_id, label_col])
@@ -435,6 +449,8 @@ def blocking_quality(
         ref = ray.put((ids_arr, ents_arr))
 
         def count_matched(batch: pa.Table) -> pa.Table:
+            if id_a not in batch.column_names:  # placeholder block
+                return pa.table({"m": pa.array([0], pa.int64())})
             sids, sents = cached_object(ref)
             # index_in: exact hash lookup, int OR string ids; misses are
             # null -> both lookups must land AND entities must equal
@@ -478,20 +494,11 @@ def blocking_quality(
             )
             u, c = np.unique(codes, return_counts=True)
             keys = enc.dictionary.take(pa.array(u))
-            if pa.types.is_integer(keys.type):
-                kn = np.asarray(
-                    keys.to_numpy(zero_copy_only=False), np.int64
-                )
-                part = (_hash64(kn) % np.uint64(P)).astype(np.int64)
-            else:
-                part = (
-                    _string_part_hash(keys) % np.uint64(P)
-                ).astype(np.int64)
             return pa.table(
                 {
                     "k": keys,
                     "cnt": pa.array(c.astype(np.int64)),
-                    "part": pa.array(part),
+                    "part": _census_part_col(keys, P),
                 }
             )
 
@@ -610,15 +617,12 @@ def clustering_quality(
     true_t = _pa_type_of(_sch[true_col])
     labels_ds = labels_ds.materialize()
     n_records = labels_ds.count()
-    P = 1024
+    from raylink.aggs import _census_part_col, _default_parts
+
+    P = _default_parts(None)
 
     def _hash_part(keys: pa.Array) -> pa.Array:
-        if pa.types.is_integer(keys.type):
-            kn = np.asarray(keys.to_numpy(zero_copy_only=False), np.int64)
-            return pa.array((_hash64(kn) % np.uint64(P)).astype(np.int64))
-        return pa.array(
-            (_string_part_hash(keys) % np.uint64(P)).astype(np.int64)
-        )
+        return _census_part_col(keys, P)
 
     def cell_partial(batch: pa.Table) -> pa.Table:
         if pred_col not in batch.column_names or not batch.num_rows:

@@ -733,6 +733,13 @@ def remove_repeated_lines(
     m = int(min_chars)
 
     def drop_repeats(batch: pa.Table) -> pa.Table:
+        if text_col not in batch.column_names:  # schema-dropped block
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    text_col: pa.array([], pa.string()),
+                }
+            )
         doc_idx, lines = _split_paragraphs(batch[text_col], sep)
         n = batch.num_rows
         lc = np.asarray(
